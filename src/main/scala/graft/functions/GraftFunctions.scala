@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.functions._
+
+/** Registration + Column DSL for graft's custom Catalyst functions.
+  *
+  * Functions are injected into the session's FunctionRegistry (the same
+  * mechanism `SparkSessionExtensions.injectFunction` uses) and surfaced as
+  * `Column`s via `call_function`, which keeps us on the public Column API
+  * while still executing native expressions — no UDF serialization anywhere.
+  *
+  * Mirrors + extends the reference registry
+  * (spear-core/src/main/scala/spear/FunctionRegistry.scala:38-64).
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects an integer literal, got $other")
+  }
+  private def longLit(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name expects a long literal, got $other")
+  }
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "product" -> (es => ProductAgg(Cast(es.head, DoubleType))),
+    "dot_f32" -> (es => DotProductF32(es(0), es(1))),
+    "cosine_f32" -> (es => CosineSimF32(es(0), es(1))),
+    "l2norm_f32" -> (es => L2NormF32(es.head)),
+    "minhash_signature" -> (es => MinHashSignature(
+      es(0), intLit(es(1), "minhash_signature.k"),
+      longLit(es(2), "minhash_signature.seed"))),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "hamming64" -> (es => Hamming64(es(0), es(1)))
+  )
+
+  /** Idempotent: register all graft functions in this session. */
+  def register(spark: SparkSession): SparkSession = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder)
+    }
+    spark
+  }
+
+  // ---- Column DSL ----------------------------------------------------
+
+  def product(c: Column): Column = call_function("product", c)
+  def dotF32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
+  def cosineF32(a: Column, b: Column): Column = call_function("cosine_f32", a, b)
+  def l2normF32(a: Column): Column = call_function("l2norm_f32", a)
+  def minhashSignature(hashes: Column, k: Int, seed: Long): Column =
+    call_function("minhash_signature", hashes, lit(k), lit(seed))
+  def simhash64(tokenHashes: Column): Column = call_function("simhash64", tokenHashes)
+  def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
+
+  // ---- Reference-semantics shims (SURVEY §2.7 deltas) ------------------
+
+  /** Reference `first`/`last` default to ignoreNulls=true
+    * (spear aggregates/basic.scala:38-108); Spark defaults to false. */
+  def firstValue(c: Column): Column = first(c, ignoreNulls = true)
+  def lastValue(c: Column): Column = last(c, ignoreNulls = true)
+
+  /** Reference `a || b` Concat skips NULLs
+    * (spear stringExpressions.scala:17-18); Spark concat is null-strict. */
+  def concatSkipNulls(cols: Column*): Column = concat_ws("", cols: _*)
+
+  /** Reference RLike is a full match (`matcher.matches()`,
+    * spear stringExpressions.scala:24-37); Spark rlike substring-finds. */
+  def rlikeFull(c: Column, pattern: String): Column =
+    c.rlike("^(?:" + pattern + ")$")
+
+  /** Reference `/` on integrals is integer division
+    * (spear arithmetics.scala:58-70); Spark `/` always returns double. */
+  def intDiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** Reference array_agg collects NULLs too (spear aggregates/basic
+    * .scala:110-126); Spark collect_list drops them. Wrapping each element
+    * in a struct (never null) preserves them, then unwrap. */
+  def arrayAggWithNulls(c: Column): Column =
+    transform(collect_list(struct(c.as("v"))), s => s.getField("v"))
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Exact dedup is a single hash-shuffle on a 64-bit digest of the payload
+  *    (never shuffles the full text as the key).
+  *  - MinHash-LSH is the standard band trick: signature → `bands` keys →
+  *    one shuffle groups candidates per band-bucket; all-pairs comparison
+  *    happens only inside a bucket. Cost is O(candidates), not O(n²).
+  *  - Candidate verification re-joins the (small) candidate-pair set back to
+  *    the corpus — two hash joins on doc ids, both AQE-optimizable.
+  *  - SimHash buckets by rotating bit-blocks so any pair within Hamming
+  *    distance k collides in ≥1 block (pigeonhole over 4 blocks → k ≤ 3).
+  */
+object Dedup {
+
+  /** Lowercased whitespace tokens (shared with the DuckDB oracle). */
+  private def toks(text: Column): Column = TextAnalysis.tokens(text)
+
+  /** Distinct word n-gram shingles as strings; empty array when the doc has
+    * fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = toks(text)
+    val raw = when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
+    ).otherwise(array().cast("array<string>"))
+    array_distinct(raw)
+  }
+
+  /** 64-bit hashes of the shingle set. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  // ---- exact ---------------------------------------------------------
+
+  /** Exact dedup: keep the lowest id per identical payload. Groups by a
+    * 64-bit digest first (cheap shuffle key) and keeps the full column only
+    * for in-bucket confirmation. */
+  def exactDedup(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(payloadCol)), col(payloadCol))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact duplicate clusters: payload → ids, sizes. */
+  def exactDupGroups(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.groupBy(col(payloadCol))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n_copies") > 1)
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** Candidate near-duplicate pairs via MinHash banding.
+    * numHashes = bands * rowsPerBand signatures; docs sharing any band
+    * bucket become a candidate pair. */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    // docs with no shingles (fewer than n tokens) can't be near-dups and
+    // would all collide on the empty signature — drop them before banding
+    val sig = df
+      .select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        minhashSignature(col("sh"), numHashes, seed).as("sig"))
+    // band key = hash of the band's signature slice
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
+    ).toDF("doc_id", "band", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets for given id pairs. */
+  def verifyJaccard(
+      docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify
+    * → pairs over the threshold. */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3,
+      numHashes: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleN, numHashes, bands, seed)
+    verifyJaccard(docs, cands, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force n-gram Jaccard over all pairs — the small-data oracle path
+    * and the verifier of LSH recall. O(n²): only for bounded inputs. */
+  def jaccardAllPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** Per-doc 64-bit SimHash over word tokens. */
+  def simhashOf(text: Column): Column =
+    simhash64(transform(toks(text), t => xxhash64(t)))
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 3 with 4 blocks):
+    * bucket on each of 4 16-bit blocks; any pair differing in ≤3 bits
+    * agrees exactly on ≥1 block (pigeonhole), so candidates collide in
+    * at least one bucket — one shuffle, no O(n²). */
+  def simhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block banding guarantees recall only for k<=3")
+    val sh = docs.select(col(idCol).as("doc_id"), simhashOf(col(textCol)).as("sh"))
+    val blocked = sh.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftRightUnsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "sh", "block", "key")
+    blocked.as("a").join(blocked.as("b"),
+        col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding near-dup ----------------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold.
+    * Brute-force within-partition product; for scale, bucket by an LSH of
+    * the embedding first (see Similarity.signRandomProjection). */
+  def embeddingNearDups(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosineF32(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, and run decode /
+  * feature-extract / resize / frame-sample as partition-local batch
+  * transforms.
+  *
+  * The Spark-side contract is real and tested — schema, partitioning, batch
+  * shape, null handling. The actual media decode is STUBBED (this
+  * environment has no image/audio codecs): `decodeStub` derives
+  * deterministic fake pixels/samples from the payload bytes. Swapping in a
+  * real decoder (JavaCPP/ffmpeg on executors, or a Python `mapInPandas`
+  * stage in a PySpark deployment) changes only the function body marked
+  * STUB below — every plan around it is production-shaped.
+  */
+object Multimodal {
+
+  /** Typed row for media assets: payload plus self-describing metadata.
+    * At 100 TB the payloads dominate; keep them in their own column so
+    * metadata-only queries prune the scan down to the small columns. */
+  case class MediaAsset(
+      asset_id: Long,
+      modality: String,          // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int, height: Int,   // image/video
+      sample_rate: Int,          // audio
+      n_frames: Int)             // video/audio frames
+
+  case class MediaFeatures(
+      asset_id: Long,
+      modality: String,
+      byte_len: Int,
+      // decoded-feature vector (deterministic stub; fixed length)
+      features: Array[Float],
+      // resize/frame-sample bookkeeping
+      out_width: Int, out_height: Int, sampled_frames: Int)
+
+  /** Build a synthetic media-asset frame from the documents table:
+    * payload = utf-8 bytes of the text (stand-in for a real blob column).
+    * Demonstrates the binary-column schema without external data. */
+  def assetsFromDocuments(docs: DataFrame): Dataset[MediaAsset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("asset_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (pmod(col("doc_id"), lit(64)) + lit(16)).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) + lit(16)).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod(col("doc_id"), lit(30)) + lit(1)).cast("int").as("n_frames"))
+      .as[MediaAsset]
+  }
+
+  /** STUB decoder: deterministic pseudo-decode of payload bytes into a
+    * fixed-length feature vector. A real deployment replaces ONLY this
+    * function with an actual codec call. */
+  private[operators] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < payload.length) {
+      h = graft.functions.Mix.fmix64(h ^ payload(i))
+      out(i % dim) += ((h & 0xffff) / 65535.0f) - 0.5f
+      i += 1
+    }
+    out
+  }
+
+  /** Decode + feature-extract, partition-local with batch shape:
+    * the Scala analogue of `mapInPandas` — each partition is processed as a
+    * stream of rows with no driver involvement, so it scales linearly with
+    * executors. `targetWidth/Height` and `frameStride` model resize /
+    * frame-sampling parameters. */
+  def extractFeatures(
+      assets: Dataset[MediaAsset],
+      dim: Int = 64,
+      targetWidth: Int = 224, targetHeight: Int = 224,
+      frameStride: Int = 5): Dataset[MediaFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val feats = decodeStub(a.payload, dim) // STUB: real codec goes here
+        MediaFeatures(
+          asset_id = a.asset_id,
+          modality = a.modality,
+          byte_len = a.payload.length,
+          features = feats,
+          out_width = if (a.modality == "audio") 0 else targetWidth,
+          out_height = if (a.modality == "audio") 0 else targetHeight,
+          sampled_frames =
+            if (a.modality == "video") math.max(1, a.n_frames / frameStride)
+            else if (a.modality == "audio") a.n_frames
+            else 1)
+      }
+    }
+  }
+
+  /** End-to-end demo pipeline used by tests and SparkEntry: documents →
+    * assets → features → per-modality stats. Deterministic. */
+  def modalityStats(docs: DataFrame): DataFrame = {
+    val feats = extractFeatures(assetsFromDocuments(docs))
+    feats.toDF().groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("byte_len")).as("total_bytes"),
+        min(col("asset_id")).as("min_id"),
+        max(col("sampled_frames")).as("max_sampled_frames"))
+      .orderBy(col("modality"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * - [[bruteForceTopK]]: exact baseline — broadcast the (small) probe set,
+  *   score every corpus row with the native cosine kernel, windowed top-k.
+  *   One pass over the corpus, no corpus shuffle of the embedding column
+  *   beyond the top-k aggregation; the probe side is broadcast so the
+  *   corpus never moves. This is the 100 TB-sane exact plan.
+  * - [[srpTopK]]: sign-random-projection (hyperplane) LSH — corpus is
+  *   bucketed by an nBits-bit sketch once (reusable, e.g. written as a
+  *   bucketed table); probes only score their own bucket ± multi-probe
+  *   neighbors, trading recall for a candidate set ~bucketShare of the
+  *   corpus.
+  * - [[ivfTopK]]: IVF-style coarse quantizer — corpus assigned to the
+  *   nearest of `nCells` centroid rows, probes scan `nProbe` nearest cells.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each probe row.
+    * Output: (probe_id, neighbor_id, cosine, rank). Excludes self-matches.
+    * Ties broken by neighbor id for determinism. */
+  def bruteForceTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineF32(col("pv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** nBits-bit sign-random-projection sketch of a vector: bit i is the sign
+    * of the dot product with pseudo-random hyperplane i. Hyperplanes are
+    * derived deterministically from the seed (hash-based gaussian-ish ±1
+    * components), so corpus and probes agree without sharing state. */
+  def srpSketch(vec: Column, nBits: Int, seed: Long): Column = {
+    // component h(i,j) in {-1,+1} from a hash → codegen-able, data-local
+    def signed(i: Int): Column =
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) =>
+          when(pmod(xxhash64(concat_ws("_", lit(seed), lit(i), j)), lit(2)) === 0,
+            x).otherwise(-x)),
+        lit(0.0d), (acc, x) => acc + x)
+    (0 until nBits).map(i =>
+        when(signed(i) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH ANN: bucket corpus by SRP sketch, score probes only against their
+    * bucket. Recall < 1 by construction; increase nBits ↓bucket size,
+    * or lower nBits ↑recall. */
+  def srpTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      srpSketch(col(vecCol), nBits, seed).as("bucket"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      srpSketch(col(vecCol), nBits, seed).as("bucket"))
+    val scored = c.join(broadcast(p), "bucket")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineF32(col("pv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: pick `nCells` deterministic centroid rows (lowest ids —
+    * a stand-in for k-means at this stage), assign each corpus vector to its
+    * nearest centroid, and have each probe scan the `nProbe` nearest cells.
+    * The cell assignment is computed once and is bucketable/persistable. */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(
+        col("cell_cos").desc, col("cell_id").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("cell_cos", cosineF32(col(vec), col("centroid")))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= n)
+        .drop("centroid", "cell_cos", "cell_rank")
+    }
+    val c = nearestCells(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv", 1)
+    val p = nearestCells(
+      probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv")),
+      "probe_id", "pv", nProbe)
+    val scored = c.join(broadcast(p), "cell_id")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineF32(col("pv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

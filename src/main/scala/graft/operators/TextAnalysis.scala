@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting.
+  *
+  * Everything here composes built-in codegen'd `functions._` (split /
+  * transform / aggregate / filter), so the whole stage stays inside
+  * WholeStageCodegen and columns prune down to just `text` at the parquet
+  * scan — the properties that matter when the documents table is 100 TB.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens, empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Lowercased alphanumeric words (punctuation-stripped). */
+  def words(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-ish chunks + digits + punctuation
+    * runs, the classic GPT-2 pre-tokenizer shape as a pure regex. */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=\\s)|(?<=\\s)|(?=[^\\p{L}\\p{N}\\s])|(?<=[^\\p{L}\\p{N}\\s])"),
+      t => trim(t) =!= ""))
+
+  /** Characters matching a regex, counted by erase-and-diff (identical
+    * semantics in any engine with regexp_replace + length). */
+  def charClassCount(text: Column, classRegex: String): Column =
+    length(text) - length(regexp_replace(text, classRegex, ""))
+
+  private val stopwordsEn = Seq(
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on",
+    "with", "as", "was", "at", "by", "an", "be", "this", "are", "or", "from")
+
+  /** Heuristic quality features in one projection:
+    * n_tokens, mean token length, punctuation ratio, digit ratio,
+    * uppercase ratio, stopword ratio. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val nD = n.cast("double")
+    val len = length(text).cast("double")
+    Seq(
+      "n_tokens" -> n,
+      "mean_token_len" -> when(n > 0,
+        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / nD, 4)).otherwise(lit(0.0)),
+      "punct_ratio" -> when(len > 0,
+        round(charClassCount(text, "[\\p{P}]").cast("double") / len, 4))
+        .otherwise(lit(0.0)),
+      "digit_ratio" -> when(len > 0,
+        round(charClassCount(text, "[0-9]").cast("double") / len, 4))
+        .otherwise(lit(0.0)),
+      "stopword_ratio" -> when(n > 0,
+        round(size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("double") / nD, 4))
+        .otherwise(lit(0.0))
+    )
+  }
+
+  /** Single quality score in [0,1]: length in a sane band, low punctuation
+    * and digit density, some stopwords (English-ish prose signal). */
+  def qualityScore(text: Column): Column = {
+    val feats = qualityFeatures(text).toMap
+    val lengthOk = when(feats("n_tokens").between(10, 100000), lit(1.0))
+      .otherwise(lit(0.0))
+    val punctOk = lit(1.0) - least(feats("punct_ratio") * 4, lit(1.0))
+    val digitOk = lit(1.0) - least(feats("digit_ratio") * 4, lit(1.0))
+    val stopOk = least(feats("stopword_ratio") * 4, lit(1.0))
+    round((lengthOk + punctOk + digitOk + stopOk) / 4, 4)
+  }
+
+  private val stopwordSets: Map[String, Seq[String]] = Map(
+    "en" -> stopwordsEn,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "den", "mit", "von", "auf", "im", "für", "des", "dem", "sich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "de",
+      "des", "du", "dans", "pour", "que", "qui", "sur", "avec", "au"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "un", "una",
+      "de", "en", "que", "por", "para", "con", "del", "se", "su")
+  )
+
+  /** N-gram/stopword-overlap language ID over a fixed language set.
+    * Returns the language whose stopword list overlaps the document's
+    * token set the most; "und" (undetermined) when nothing matches.
+    * Pure built-ins → distributed, codegen'd, no model file needed. */
+  def langId(text: Column): Column = {
+    val toks = words(text)
+    val scored = stopwordSets.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(
+        size(filter(toks, t => t.isin(sw: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** OpenRefine-style fingerprint key: sorted distinct words joined by a
+    * space. Documents equal up to word order / duplication / punctuation
+    * share a key — groupBy(fingerprint) clusters them in one shuffle. */
+  def fingerprintKey(text: Column): Column =
+    concat_ws(" ", array_sort(array_distinct(words(text))))
+
+  /** 64-bit rolling document fingerprint (xxhash64 of the fingerprint key). */
+  def fingerprint64(text: Column): Column = xxhash64(fingerprintKey(text))
+
+  /** Convenience: documents table → enriched analysis frame. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val withFeats = qualityFeatures(t).foldLeft(docs) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
+    withFeats
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint64(t))
+  }
+}

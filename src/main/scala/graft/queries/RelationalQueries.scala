@@ -1,0 +1,578 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operator coverage (SURVEY.md §2.1/§2.4/§2.5/§2.7):
+  * project, filter, limit, distinct, set ops, all join types, sort,
+  * aggregation, scalar expressions — each paired with a DuckDB oracle.
+  *
+  * Determinism rules shared with the oracles:
+  *  - every query ORDER BYs a unique key;
+  *  - money/double sums accumulate in DECIMAL (order-independent, engine-
+  *    exact) and only the final value casts back to DOUBLE;
+  *  - all computed columns aliased identically on both sides.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact, order-independent sum of a double column via decimal. */
+  private def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(prec, scale))).cast("double")
+
+  private def davg(c: Column, scale: Int = 2): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(c))
+
+  val defs: Map[String, Q] = Map(
+    // --- Project (LogicalPlan.scala:119-125) ---------------------------
+    "q01_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // --- Filter (LogicalPlan.scala:175-178) -----------------------------
+    "q02_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45 && col("l_discount") <= lit(0.02) &&
+          col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // --- Limit over Sort (LogicalPlan.scala:180-190, 359-361) -----------
+    "q03_limit" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    }),
+
+    // --- Distinct (LogicalPlan.scala:115-117) ---------------------------
+    "q04_distinct" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_mktsegment")).distinct()
+        .orderBy("c_mktsegment")
+    }),
+
+    // --- Union = bag union / UNION ALL (LogicalPlan.scala:241-246) ------
+    "q05_union_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 100000).select(col("o_orderkey"))
+        .union(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")))
+        .orderBy("o_orderkey")
+    }),
+
+    // --- set-union surplus (reference parses UNION as bag) --------------
+    "q06_union_distinct" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 100000).select(col("o_orderkey"))
+        .union(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")))
+        .distinct()
+        .orderBy("o_orderkey")
+    }),
+
+    // --- Intersect (LogicalPlan.scala:248-253) ---------------------------
+    "q07_intersect" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .intersect(
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    }),
+
+    // --- Except (LogicalPlan.scala:255-257) ------------------------------
+    "q08_except" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_custkey"))
+        .except(Tables.orders(s, d).filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    }),
+
+    // --- Inner equi-join + aggregation (LogicalPlan.scala:279-299) -------
+    "q09_join_inner" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // --- Left outer join (null-extension, LogicalPlan.scala:285-290) -----
+    "q10_join_left" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // --- Right outer join -------------------------------------------------
+    "q11_join_right" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // --- Full outer join --------------------------------------------------
+    "q12_join_full" -> ((s, d) => {
+      val hi = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+        .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_hi"))
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_urgent"))
+      hi.join(urgent, Seq("custkey"), "full_outer")
+        .select(col("custkey"), col("n_hi"), col("n_urgent"))
+        .orderBy("custkey")
+    }),
+
+    // --- Cross join (DataFrame.scala:41-43 crossJoin) ---------------------
+    "q13_join_cross" -> ((s, d) => {
+      Tables.nation(s, d).crossJoin(Tables.region(s, d))
+        .select(col("n_name"), col("r_name"))
+        .orderBy("n_name", "r_name")
+    }),
+
+    // --- Semi join / EXISTS (surplus over reference §2.4) ------------------
+    "q14_join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // --- Anti join / NOT EXISTS -------------------------------------------
+    "q15_join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 250000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // --- Theta (non-equi) join: reference executes all joins as NLJ+filter
+    //     (basicOperators.scala:78-100); Catalyst picks the strategy. -------
+    "q16_join_theta" -> ((s, d) => {
+      val n1 = Tables.nation(s, d).as("n1")
+      val n2 = Tables.nation(s, d).as("n2")
+      n1.join(n2,
+          col("n1.n_regionkey") === col("n2.n_regionkey") &&
+          col("n1.n_nationkey") < col("n2.n_nationkey"))
+        .select(col("n1.n_name").as("name_a"), col("n2.n_name").as("name_b"))
+        .orderBy("name_a", "name_b")
+    }),
+
+    // --- Self join w/ dedup (Analyzer.scala:151-209 semantics) -------------
+    "q17_self_join" -> ((s, d) => {
+      val s1 = Tables.supplier(s, d).as("a")
+      val s2 = Tables.supplier(s, d).as("b")
+      s1.join(s2,
+          col("a.s_nationkey") === col("b.s_nationkey") &&
+          col("a.s_suppkey") < col("b.s_suppkey"))
+        .groupBy(col("a.s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("nationkey")
+    }),
+
+    // --- Sort with NULLS FIRST/LAST (SortOrder.scala:16-44) ----------------
+    "q18_sort_nulls" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          nullif(col("event_type"), lit("click")).as("et"),
+          col("user_id"))
+        .orderBy(col("et").asc_nulls_first, col("user_id").desc, col("event_id").asc)
+    }),
+
+    // --- Aggregate: flagship TPC-H Q1 shape (LogicalPlan.scala:344-357) ----
+    "q19_agg" -> ((s, d) => q1(s, d)),
+
+    // --- HAVING (UnresolvedAggregate conditions, LogicalPlan.scala:308-342)
+    "q20_agg_having" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .filter(col("n_orders") >= 20)
+        .orderBy("o_custkey")
+    }),
+
+    // --- full aggregate-function registry (FunctionRegistry.scala:38-64) ---
+    "q21_agg_functions" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("l_quantity")).as("n_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          davg(col("l_quantity")).as("avg_qty"),
+          min(col("l_returnflag")).as("min_flag"),
+          max(col("l_linestatus")).as("max_status"),
+          GraftFunctions.product(col("l_quantity")).as("prod_qty"),
+          bool_and(col("l_discount") > 0).as("all_discounted"),
+          bool_or(col("l_tax") > lit(0.05)).as("any_taxed"))
+        .orderBy("l_orderkey")
+    }),
+
+    // --- DISTINCT aggregates (surplus: reference rejects them,
+    //     aggregationAnalysis.scala:111-121) --------------------------------
+    "q22_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          dsum(col("l_discount"), 18, 2).as("sum_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --- array_agg incl. ordering (aggregates/basic.scala:110-126) ---------
+    "q23_array_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("linenumbers"))
+        .orderBy("l_orderkey")
+    }),
+
+    // --- CASE WHEN / IF / COALESCE / NULLIF (logicalOperators.scala:42-108)
+    "q24_case_when" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status2"),
+          when(col("o_orderpriority") === "1-URGENT", lit(1)).otherwise(lit(0)).as("is_urgent"))
+        .groupBy("bucket", "status2")
+        .agg(count(lit(1)).as("n"), sum(col("is_urgent")).as("n_urgent"))
+        .orderBy("bucket", "status2")
+    }),
+
+    // --- string expressions (stringExpressions.scala; §2.7 shims) -----------
+    "q25_string_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(GraftFunctions.rlikeFull(col("p_type"), "MEDIUM|LARGE|PRO.*"))
+        .select(
+          col("p_partkey"),
+          length(col("p_name")).as("name_len"),
+          upper(col("p_brand")).as("brand_up"),
+          lower(col("p_type")).as("type_lo"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          GraftFunctions.concatSkipNulls(
+            col("p_brand"), lit("/"), nullif(col("p_type"), col("p_type"))).as("brand_tag"))
+        .orderBy("p_partkey")
+    }),
+
+    // --- arithmetic incl. integral div/%/power (arithmetics.scala) ----------
+    "q26_arith" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          GraftFunctions.intDiv(col("p_partkey"), lit(7)).as("div7"),
+          pmod(col("p_partkey"), lit(7)).as("mod7"),
+          (col("p_partkey") % 7).as("rem7"),
+          round(pow(col("p_size"), 2).cast("double"), 1).as("size_sq"),
+          greatest(col("p_size"), lit(25)).as("g25"),
+          least(col("p_size"), lit(25)).as("l25"),
+          abs(col("p_size") - 25).as("absdiff"),
+          floor(col("p_retailprice")).as("price_floor"),
+          ceil(col("p_retailprice")).as("price_ceil"))
+        .orderBy("p_partkey")
+    }),
+
+    // --- cast lattice (Cast.scala:33-258) ------------------------------------
+    "q27_cast" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000)
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_orderkey").cast("int").as("key_int"),
+          floor(col("o_totalprice")).cast("long").as("price_long"),
+          col("o_totalprice").cast(DecimalType(18, 1)).cast("double").as("price_dec1"),
+          col("o_orderdate").cast("date").cast("string").as("date_str"),
+          (col("o_orderkey") % 2 === 0).cast("int").as("even_int"))
+        .orderBy("o_orderkey")
+    }),
+
+    // --- values / one-row relation (LogicalPlan.scala:89-91, Context.values)
+    "q28_values" -> ((s, _) => {
+      s.sql("""
+        SELECT a, b, a * 2 AS a2, upper(b) AS b_up
+        FROM VALUES (1, 'x'), (2, 'y'), (3, 'z') AS t(a, b)
+        ORDER BY a""")
+    }),
+
+    // --- range relation (Context.scala:32-40) --------------------------------
+    "q29_range" -> ((s, _) => {
+      s.range(0, 1000, 3)
+        .select(col("id"), (col("id") * 2).as("doubled"),
+          pmod(col("id"), lit(10)).as("last_digit"))
+        .orderBy("id")
+    }),
+
+    // --- CTE / WITH (LogicalPlan.scala:363-390) via the SQL entry point ------
+    "q30_cte" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        WITH cust_rev AS (
+          SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                 count(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        ),
+        seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+        SELECT seg.c_mktsegment AS mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(cust_rev.revenue AS DECIMAL(18,2))) AS DOUBLE) AS seg_revenue
+        FROM cust_rev JOIN seg ON cust_rev.o_custkey = seg.c_custkey
+        GROUP BY seg.c_mktsegment
+        ORDER BY mktsegment""")
+    }),
+
+    // --- IN / scalar subqueries (surplus: no subquery exprs in reference
+    //     grammar, ValueExpressionParser.scala:416-457) -----------------------
+    "q31_subquery" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+          AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")
+    }),
+
+    // --- rollup (surplus; reference has no grouping sets, §2.5) --------------
+    "q32_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    })
+  )
+
+  /** Flagship: TPC-H Q1 pricing summary (decimal-exact). */
+  def q1(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    val price = col("l_extendedprice").cast(DecimalType(18, 2))
+    val disc = col("l_discount").cast(DecimalType(18, 2))
+    val tax = col("l_tax").cast(DecimalType(18, 2))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q01_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+         FROM lineitem
+         WHERE l_quantity > 45 AND l_discount <= 0.02 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q04_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q05_union_all" ->
+      """SELECT o_orderkey FROM (
+           SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+           UNION ALL
+           SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') u
+         ORDER BY o_orderkey""",
+    "q06_union_distinct" ->
+      """SELECT o_orderkey FROM (
+           SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+           UNION
+           SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') u
+         ORDER BY o_orderkey""",
+    "q07_intersect" ->
+      """SELECT c_custkey FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           INTERSECT
+           SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT') i
+         ORDER BY c_custkey""",
+    "q08_except" ->
+      """SELECT c_custkey FROM (
+           SELECT c_custkey FROM customer
+           EXCEPT
+           SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000) e
+         ORDER BY c_custkey""",
+    "q09_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q10_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q11_join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q12_join_full" ->
+      """WITH hi AS (
+           SELECT o_custkey AS custkey, count(*) AS n_hi FROM orders
+           WHERE o_totalprice > 150000 GROUP BY o_custkey),
+         urgent AS (
+           SELECT o_custkey AS custkey, count(*) AS n_urgent FROM orders
+           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+         SELECT COALESCE(hi.custkey, urgent.custkey) AS custkey, n_hi, n_urgent
+         FROM hi FULL OUTER JOIN urgent ON hi.custkey = urgent.custkey
+         ORDER BY custkey""",
+    "q13_join_cross" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+         ORDER BY n_name, r_name""",
+    "q14_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q15_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+         ORDER BY c_custkey""",
+    "q16_join_theta" ->
+      """SELECT n1.n_name AS name_a, n2.n_name AS name_b
+         FROM nation n1 JOIN nation n2
+           ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+         ORDER BY name_a, name_b""",
+    "q17_self_join" ->
+      """SELECT a.s_nationkey AS nationkey, count(*) AS n_pairs
+         FROM supplier a JOIN supplier b
+           ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+         GROUP BY a.s_nationkey ORDER BY nationkey""",
+    "q18_sort_nulls" ->
+      """SELECT event_id, nullif(event_type, 'click') AS et, user_id
+         FROM events WHERE event_id < 2000
+         ORDER BY et ASC NULLS FIRST, user_id DESC, event_id ASC""",
+    "q19_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q20_agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 20
+         ORDER BY o_custkey""",
+    "q21_agg_functions" ->
+      """SELECT l_orderkey, count(*) AS n, count(l_quantity) AS n_qty,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+         min(l_returnflag) AS min_flag, max(l_linestatus) AS max_status,
+         product(l_quantity) AS prod_qty,
+         bool_and(l_discount > 0) AS all_discounted,
+         bool_or(l_tax > 0.05) AS any_taxed
+         FROM lineitem WHERE l_orderkey < 200
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "q22_count_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS n_orders,
+         count(DISTINCT l_suppkey) AS n_supps,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q23_array_agg" ->
+      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenumbers
+         FROM lineitem WHERE l_orderkey < 500
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "q24_case_when" ->
+      """SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+                     WHEN o_totalprice > 100000 THEN 'mid'
+                     ELSE 'low' END AS bucket,
+                coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
+                count(*) AS n,
+                sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+         FROM orders GROUP BY 1, 2 ORDER BY bucket, status2""",
+    "q25_string_funcs" ->
+      """SELECT p_partkey, length(p_name) AS name_len, upper(p_brand) AS brand_up,
+                lower(p_type) AS type_lo, substring(p_name, 1, 5) AS name5,
+                concat_ws('', p_brand, '/', nullif(p_type, p_type)) AS brand_tag
+         FROM part WHERE regexp_full_match(p_type, 'MEDIUM|LARGE|PRO.*')
+         ORDER BY p_partkey""",
+    "q26_arith" ->
+      """SELECT p_partkey, p_partkey // 7 AS div7, p_partkey % 7 AS mod7,
+                p_partkey % 7 AS rem7,
+                round(CAST(p_size * p_size AS DOUBLE), 1) AS size_sq,
+                greatest(p_size, 25) AS g25, least(p_size, 25) AS l25,
+                abs(p_size - 25) AS absdiff,
+                floor(p_retailprice) AS price_floor, ceil(p_retailprice) AS price_ceil
+         FROM part ORDER BY p_partkey""",
+    "q27_cast" ->
+      """SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str,
+                CAST(o_orderkey AS INT) AS key_int,
+                CAST(floor(o_totalprice) AS BIGINT) AS price_long,
+                CAST(CAST(o_totalprice AS DECIMAL(18,1)) AS DOUBLE) AS price_dec1,
+                CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+                CAST(o_orderkey % 2 = 0 AS INT) AS even_int
+         FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+    "q28_values" ->
+      """SELECT a, b, a * 2 AS a2, upper(b) AS b_up
+         FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(a, b) ORDER BY a""",
+    "q29_range" ->
+      """SELECT range AS id, range * 2 AS doubled, range % 10 AS last_digit
+         FROM range(0, 1000, 3) ORDER BY id""",
+    "q30_cte" ->
+      """WITH cust_rev AS (
+           SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                  count(*) AS n_orders
+           FROM orders GROUP BY o_custkey),
+         seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+         SELECT seg.c_mktsegment AS mktsegment, count(*) AS n_customers,
+                CAST(sum(CAST(cust_rev.revenue AS DECIMAL(18,2))) AS DOUBLE) AS seg_revenue
+         FROM cust_rev JOIN seg ON cust_rev.o_custkey = seg.c_custkey
+         GROUP BY seg.c_mktsegment ORDER BY mktsegment""",
+    "q31_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+           AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q32_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+  )
+}

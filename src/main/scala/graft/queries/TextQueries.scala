@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * text analysis, dedup (exact / fingerprint / MinHash-LSH), similarity
+  * search, multimodal plumbing. Each query is deterministic; ratios are
+  * int/int double divisions (engine-exact), LSH output is verified by exact
+  * Jaccard so the DuckDB all-pairs oracle matches when recall is 1 (128
+  * hashes / 32 bands at threshold 0.8 → miss probability < 1e-7).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // shared tokenization (must mirror the oracle SQL exactly)
+  private val wordsRe = "[^\\p{L}\\p{N}]+"
+
+  val defs: Map[String, Q] = Map(
+    // --- token counting ---------------------------------------------------
+    "d01_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          size(TextAnalysis.words(col("text"))).as("n_words"),
+          length(col("text")).as("n_chars_m"))
+        .orderBy("doc_id")
+    }),
+
+    // --- quality scoring (raw int/int ratios — engine-exact doubles) ------
+    "d02_quality" -> ((s, d) => {
+      val t = col("text")
+      val toks = TextAnalysis.tokens(t)
+      val len = length(t)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          (TextAnalysis.charClassCount(t, "[.,;:!?]").cast("double") /
+            len).as("punct_ratio"),
+          (TextAnalysis.charClassCount(t, "[0-9]").cast("double") /
+            len).as("digit_ratio"),
+          (aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+            size(toks)).as("mean_token_len"))
+        .filter(col("n_tokens") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // --- language ID (stopword-overlap heuristic) ---------------------------
+    "d03_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // --- fingerprint clustering ---------------------------------------------
+    "d04_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(TextAnalysis.fingerprintKey(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .select(col("keep_id"), col("n_docs"))
+        .orderBy("keep_id")
+    }),
+
+    // --- exact dedup -----------------------------------------------------------
+    "d05_exact_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")
+    }),
+
+    // --- MinHash-LSH near-dup (verified by exact Jaccard) ----------------------
+    "d06_minhash_neardup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- SimHash near-dup (no SQL-expressible oracle: rows-only check) ---------
+    "d07_simhash_neardup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- exact brute-force KNN over embeddings ----------------------------------
+    "e01_knn_exact" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"),
+          (floor(col("cosine") * 10000) / 10000).as("cosine_q"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // --- LSH-bucketed ANN (approximate: rows-only check) -------------------------
+    "e02_knn_srp" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.srpTopK(emb, probes, "vec_id", "embedding", k = 5, nBits = 6)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // --- embedding norms / stats ---------------------------------------------------
+    "e03_embedding_stats" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"),
+          (floor(GraftFunctions.l2normF32(col("embedding")) * 10000) / 10000).as("norm_q"))
+        .orderBy("vec_id")
+    }),
+
+    // --- embedding-cosine near-dup pairs ---------------------------------------------
+    "e04_embedding_neardup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.95)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("cosine") * 10000) / 10000).as("cosine_q"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- multimodal binary-column pipeline (decode is STUBBED; schema,
+    //     partitioning and batch shape are real — Multimodal.scala) ----------------
+    "m01_multimodal_stats" -> ((s, d) => {
+      Multimodal.modalityStats(Tables.documents(s, d))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d01_token_stats" ->
+      """SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS n_tokens,
+         len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), t -> t <> '')) AS n_words,
+         length(text) AS n_chars_m
+         FROM documents ORDER BY doc_id""",
+    "d02_quality" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id, len(toks) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_token_len
+         FROM t WHERE len(toks) > 0 ORDER BY doc_id""",
+    "d03_langid" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS ws
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             len(list_filter(ws, x -> list_contains(['the','and','of','to','a','in','is','it','that','for','on','with','as','was','at','by','an','be','this','are','or','from'], x))) AS h_en,
+             len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','zu','den','mit','von','auf','im','für','des','dem','sich'], x))) AS h_de,
+             len(list_filter(ws, x -> list_contains(['le','la','les','et','est','pas','un','une','de','des','du','dans','pour','que','qui','sur','avec','au'], x))) AS h_fr,
+             len(list_filter(ws, x -> list_contains(['el','la','los','las','y','es','no','un','una','de','en','que','por','para','con','del','se','su'], x))) AS h_es
+           FROM w)
+         SELECT doc_id,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                ELSE 'de' END AS lang_pred
+         FROM h ORDER BY doc_id""",
+    "d04_fingerprint" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  array_to_string(list_sort(list_distinct(
+                    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''))), ' ') AS fp
+           FROM documents)
+         SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+         FROM f GROUP BY fp ORDER BY keep_id""",
+    "d05_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "d06_minhash_neardup" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [] END AS sh
+           FROM tok)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(a.sh) > 0 AND len(b.sh) > 0
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8
+         ORDER BY id_a, id_b""",
+    "e01_knn_exact" ->
+      """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(p.embedding) + 1),
+               i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+           FROM embeddings e, p
+           WHERE p.vec_id <> e.vec_id),
+         ranked AS (
+           SELECT probe_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT probe_id, rank, neighbor_id, floor(cosine * 10000) / 10000 AS cosine_q
+         FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "e03_embedding_stats" ->
+      """SELECT vec_id, label, len(embedding) AS dim,
+         floor(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000) / 10000 AS norm_q
+         FROM embeddings ORDER BY vec_id""",
+    "e04_embedding_neardup" ->
+      """WITH scored AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, floor(cosine * 10000) / 10000 AS cosine_q
+         FROM scored WHERE cosine >= 0.95 ORDER BY id_a, id_b""",
+    "m01_multimodal_stats" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                count(*) AS n_assets,
+                sum(octet_length(encode(text))) AS total_bytes,
+                min(doc_id) AS min_id,
+                max(CASE CAST(doc_id % 3 AS INT)
+                      WHEN 2 THEN greatest(1, CAST((doc_id % 30 + 1) AS INT) // 5)
+                      WHEN 1 THEN CAST((doc_id % 30 + 1) AS INT)
+                      ELSE 1 END) AS max_sampled_frames
+         FROM documents
+         GROUP BY 1 ORDER BY modality"""
+  )
+}
