@@ -39,6 +39,8 @@ object GraftFunctions {
       es(0), intLit(es(1), "minhash_signature.k"),
       longLit(es(2), "minhash_signature.seed"))),
     "simhash64" -> (es => SimHash64(es.head)),
+    "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle_hashes.n"))),
+    "token_hashes" -> (es => TokenHashes(es.head)),
     "hamming64" -> (es => Hamming64(es(0), es(1)))
   )
 
@@ -63,6 +65,9 @@ object GraftFunctions {
   def minhashSignature(hashes: Column, k: Int, seed: Long): Column =
     call_function("minhash_signature", hashes, lit(k), lit(seed))
   def simhash64(tokenHashes: Column): Column = call_function("simhash64", tokenHashes)
+  def shingleHashesOf(text: Column, n: Int): Column =
+    call_function("shingle_hashes", text, lit(n))
+  def tokenHashesOf(text: Column): Column = call_function("token_hashes", text)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
 
   // ---- Reference-semantics shims (SURVEY §2.7 deltas) ------------------

@@ -35,9 +35,11 @@ object Dedup {
     array_distinct(raw)
   }
 
-  /** 64-bit hashes of the shingle set. */
+  /** 64-bit hashes of the distinct shingle set — single-pass custom
+    * expression (see [[graft.functions.ShingleHashes]] for why the HOF
+    * composition is quadratic). */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    shingleHashesOf(text, n)
 
   // ---- exact ---------------------------------------------------------
 
@@ -63,31 +65,44 @@ object Dedup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
-  /** Candidate near-duplicate pairs via MinHash banding.
-    * numHashes = bands * rowsPerBand signatures; docs sharing any band
-    * bucket become a candidate pair. */
-  def minhashCandidates(
+  /** Per-doc distinct shingle-hash sets, materialized once.
+    *
+    * The shingle expression tree (tokenize → n-gram → hash) is large and
+    * interpreted; every downstream consumer (banding, both sides of the
+    * candidate self-join, verification) must reuse the *materialized*
+    * hashes, not re-inline the tree. At cluster scale this is the
+    * "signature table" you'd persist/bucket once per corpus snapshot; here
+    * `persist()` gives the same single-evaluation property. */
+  def shingleHashTable(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      seed: Long = 42L): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    // docs with no shingles (fewer than n tokens) can't be near-dups and
-    // would all collide on the empty signature — drop them before banding
-    val sig = df
-      .select(col(idCol).as("doc_id"),
+      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
         shingleHashes(col(textCol), shingleN).as("sh"))
+      // docs with no shingles (fewer than n tokens) can't be near-dups and
+      // would all collide on the empty signature — drop them before banding
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        minhashSignature(col("sh"), numHashes, seed).as("sig"))
-    // band key = hash of the band's signature slice
-    val banded = sig.select(
+      .persist()
+
+  /** Band keys from a MinHash signature: bucket = hash of each band slice. */
+  private def banded(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
     ).toDF("doc_id", "band", "bucket")
-    banded.as("a").join(banded.as("b"),
+
+  /** Candidate near-duplicate pairs via MinHash banding over a
+    * [[shingleHashTable]]. Docs sharing any band bucket become a pair;
+    * one shuffle on (band, bucket), O(candidates) not O(n²). */
+  def minhashCandidatesFromHashes(
+      hashes: DataFrame, numHashes: Int = 128, bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sig = hashes.select(col("doc_id"),
+      minhashSignature(col("sh"), numHashes, seed).as("sig")).persist()
+    val b = banded(sig, bands, numHashes / bands)
+    b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -95,7 +110,27 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over distinct shingle sets for given id pairs. */
+  /** Candidate pairs straight from a documents frame. */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Long = 42L): DataFrame =
+    minhashCandidatesFromHashes(
+      shingleHashTable(df, idCol, textCol, shingleN), numHashes, bands, seed)
+
+  /** Exact Jaccard for given id pairs over materialized hash sets.
+    * |A∩B|/|A∪B| on 64-bit shingle hashes equals the string-shingle Jaccard
+    * up to negligible collision probability (~n²/2⁶⁴ per doc pair). */
+  def verifyJaccardFromHashes(hashes: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(hashes.withColumnsRenamed(Map("doc_id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(hashes.withColumnsRenamed(Map("doc_id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+
+  /** Exact Jaccard over distinct *string* shingle sets for given id pairs
+    * (reference/oracle form of [[verifyJaccardFromHashes]]). */
   def verifyJaccard(
       docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
@@ -109,14 +144,15 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify
-    * → pairs over the threshold. */
+  /** Full MinHash-LSH near-dup pipeline: shingle-hash once → band →
+    * candidates → exact-Jaccard verify → pairs over the threshold. */
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3,
       numHashes: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, shingleN, numHashes, bands, seed)
-    verifyJaccard(docs, cands, idCol, textCol, shingleN)
+    val hashes = shingleHashTable(docs, idCol, textCol, shingleN)
+    val cands = minhashCandidatesFromHashes(hashes, numHashes, bands, seed)
+    verifyJaccardFromHashes(hashes, cands)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -136,9 +172,9 @@ object Dedup {
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** Per-doc 64-bit SimHash over word tokens. */
+  /** Per-doc 64-bit SimHash over word tokens (single-pass token hashing). */
   def simhashOf(text: Column): Column =
-    simhash64(transform(toks(text), t => xxhash64(t)))
+    simhash64(tokenHashesOf(text))
 
   /** SimHash near-dup pairs within `maxHamming` (≤ 3 with 4 blocks):
     * bucket on each of 4 16-bit blocks; any pair differing in ≤3 bits
