@@ -161,8 +161,11 @@ object Dedup {
   def jaccardAllPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
+    // drop shingle-less docs: they can't be near-dups, and an empty∪empty
+    // pair would divide by zero under ANSI mode
     val sh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleN).as("sh"))
+        shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
     sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /

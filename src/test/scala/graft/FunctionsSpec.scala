@@ -1,0 +1,141 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the custom Catalyst functions and the reference-semantics
+  * shims (SURVEY.md §2.5/§2.7). Mirrors the reference's expression suites
+  * (spear-core/src/test/scala/spear/expressions/). */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("product: multiply-reduce, null-skipping, null on empty (numeric.scala:44-50)") {
+    val df = Seq(
+      ("a", Some(2.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(5.0)),
+      ("c", None)
+    ).toDF("k", "v")
+    val got = df.groupBy($"k").agg(GraftFunctions.product($"v").as("p"))
+      .orderBy("k").collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(got.toSeq == Seq(("a", 6.0), ("b", 5.0), ("c", null)))
+  }
+
+  test("product participates in partial aggregation (declarative, codegen)") {
+    val df = spark.range(1, 11).repartition(4)
+      .select(lit("g").as("k"), $"id".cast("double").as("v"))
+    val got = df.groupBy($"k").agg(GraftFunctions.product($"v")).collect()
+    assert(got.head.getDouble(1) == 3628800.0) // 10!
+  }
+
+  test("dot/cosine/l2norm match scala reference computation") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      dotF32($"a", $"b"), cosineF32($"a", $"b"), l2normF32($"a")).collect()
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(math.abs(rows(0).getDouble(1) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-15)
+    assert(math.abs(rows(0).getDouble(2) - math.sqrt(14)) < 1e-15)
+    assert(rows(1).getDouble(1) == 0.0) // orthogonal
+  }
+
+  test("cosine of zero vector is null") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(cosineF32($"a", $"b")).collect().head.isNullAt(0))
+  }
+
+  test("minhash_signature: deterministic, k values, min-stability under superset") {
+    val df = Seq(
+      (1L, Seq(10L, 20L, 30L)),
+      (2L, Seq(10L, 20L, 30L)),          // identical set -> identical signature
+      (3L, Seq(10L, 20L, 30L, 40L))      // superset -> elementwise <=
+    ).toDF("id", "h")
+    val rows = df.select($"id", minhashSignature($"h", 16, 42L)).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(rows(0)._2 == rows(1)._2)
+    assert(rows(0)._2.size == 16)
+    assert(rows(2)._2.zip(rows(0)._2).forall { case (sup, sub) => sup <= sub })
+  }
+
+  test("shingle_hashes: set size matches string-shingle construction; < n tokens -> empty") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),  // identical
+      (3L, "quick brown the fox jumps"),  // permuted -> different shingles
+      (4L, "too short"),                  // < 3 tokens
+      (5L, "a a a a a")                   // repeated -> 1 distinct shingle
+    ).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        size(shingleHashesOf($"text", 3)).as("n_hash"),
+        size(operators.Dedup.shingles($"text", 3)).as("n_str"))
+      .orderBy("doc_id").collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"doc ${r.getLong(0)}: hash-set size ${r.getInt(1)} != string-set size ${r.getInt(2)}"))
+    assert(got(3).getInt(1) == 0)
+    assert(got(4).getInt(1) == 1)
+    // identical texts produce identical hash sets
+    val sets = docs.filter($"doc_id" <= 2)
+      .select(shingleHashesOf($"text", 3)).collect().map(_.getSeq[Long](0))
+    assert(sets(0) == sets(1))
+  }
+
+  test("simhash64: identical texts collide, hamming64 = 0; disjoint texts differ") {
+    val df = Seq(
+      (1L, "spark catalyst optimizer rules engine"),
+      (2L, "spark catalyst optimizer rules engine"),
+      (3L, "completely different words entirely here")
+    ).toDF("id", "text")
+    val sh = df.select($"id", simhash64(tokenHashesOf($"text")).as("sh"))
+    val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+    val d = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.id" === 1 && $"b.id" === 2)
+      .select(hamming64($"a.sh", $"b.sh")).collect().head.getInt(0)
+    assert(d == 0)
+  }
+
+  test("firstValue/lastValue default to ignoreNulls=true (basic.scala:38-108)") {
+    val df = Seq((1, None), (2, Some("x")), (3, Some("y")), (4, None))
+      .toDF("ord", "v").coalesce(1).orderBy("ord")
+    val r = df.agg(firstValue($"v"), lastValue($"v")).collect().head
+    assert(r.getString(0) == "x" && r.getString(1) == "y")
+  }
+
+  test("concatSkipNulls skips nulls (stringExpressions.scala:17-18)") {
+    val df = Seq(("a", null: String, "c")).toDF("x", "y", "z")
+    assert(df.select(concatSkipNulls($"x", $"y", $"z")).collect().head.getString(0) == "ac")
+  }
+
+  test("rlikeFull is a full match, not substring find (stringExpressions.scala:24-37)") {
+    val df = Seq("MEDIUM", "MEDIUM PLUS", "XMEDIUM").toDF("s")
+    val got = df.filter(rlikeFull($"s", "MEDIUM")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("MEDIUM"))
+    // plain rlike would match all three
+    assert(df.filter($"s".rlike("MEDIUM")).count() == 3)
+  }
+
+  test("intDiv is integral division (arithmetics.scala:58-70)") {
+    val df = Seq((7L, 2L), (-7L, 2L)).toDF("a", "b")
+    val got = df.select(intDiv($"a", $"b")).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(3L, -3L))
+  }
+
+  test("arrayAggWithNulls keeps nulls unlike collect_list (basic.scala:110-126)") {
+    val df = Seq(Some(1), None, Some(3)).toDF("v").coalesce(1)
+    val r = df.agg(
+      arrayAggWithNulls($"v").as("with_nulls"),
+      collect_list($"v").as("no_nulls")).collect().head
+    assert(r.getSeq[Any](0).size == 3 && r.getSeq[Any](0).contains(null))
+    assert(r.getSeq[Any](1).size == 2)
+  }
+
+  test("functions usable from SQL after register()") {
+    val got = spark.sql(
+      "SELECT product(v) FROM VALUES (2.0), (4.0) AS t(v)").collect().head.getDouble(0)
+    assert(got == 8.0)
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Operator-level tests for the training-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal plumbing) on crafted
+  * fixtures with known answers. */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup of 1
+    (4L, "completely unrelated text about spark catalyst optimizer internals and shuffles"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps lowest id per payload") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("exactDupGroups finds the duplicate cluster") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("keep_id") == 1L)
+    assert(g.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhashNearDups finds exact+near dup pairs and nothing else") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))   // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // < 3 tokens: no shingles
+  }
+
+  test("hash-based Jaccard equals string-based Jaccard") {
+    val hashes = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+    val cands = Dedup.minhashCandidatesFromHashes(hashes)
+    val byHash = Dedup.verifyJaccardFromHashes(hashes, cands)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val byString = Dedup.verifyJaccard(docs, cands, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(byHash == byString)
+  }
+
+  test("minhash LSH agrees with brute-force jaccardAllPairs at threshold 0.6") {
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.jaccardAllPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+  }
+
+  test("simhashNearDups finds the exact-dup pair at hamming 0") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embeddingNearDups finds parallel vectors") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)),   // parallel to 1 -> cosine 1
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("bruteForceTopK: correct neighbors, self excluded, rank deterministic") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" === 0L)
+    val got = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 3)
+      .orderBy("rank").select("neighbor_id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 2L, 3L)) // by decreasing cosine to (1,0)
+  }
+
+  test("srpTopK returns correctly-ranked subset of brute-force candidates") {
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter(pmod($"vec_id", lit(100)) === 0)
+    val got = Similarity.srpTopK(emb, probes, "vec_id", "embedding", k = 3, nBits = 4)
+      .collect()
+    assert(got.nonEmpty)
+    // ranks are 1..k per probe, cosine non-increasing within probe
+    got.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ivfTopK produces ranked neighbors per probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter(pmod($"vec_id", lit(200)) === 0)
+    val got = Similarity.ivfTopK(emb, probes, "vec_id", "embedding", k = 3)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("TextAnalysis: token counts and ratios on crafted input") {
+    val df = Seq((1L, "Hello, world! 123 test")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text"),
+      size(TextAnalysis.words($"text")),
+      TextAnalysis.charClassCount($"text", "[0-9]")).collect().head
+    assert(r.getInt(0) == 4) // whitespace tokens: "hello," "world!" "123" "test"
+    assert(r.getInt(1) == 4) // words: hello, world, 123, test
+    assert(r.getInt(2) == 3) // digits: 1 2 3
+  }
+
+  test("TextAnalysis.langId identifies stopword-rich languages") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it was happy with this"),
+      (2L, "der Hund ist nicht mit der Katze und das ist gut"),
+      (3L, "le chat est dans la maison avec le chien et la souris"),
+      (4L, "el perro y el gato son amigos en la casa con su familia"),
+      (5L, "zzz qqq xxx")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text")).orderBy("doc_id")
+      .collect().map(_.getString(1))
+    assert(got.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("fingerprintKey is invariant to word order, duplication, punctuation") {
+    val df = Seq(
+      (1L, "Spark and Catalyst!"),
+      (2L, "catalyst AND spark"),
+      (3L, "spark spark, and catalyst")
+    ).toDF("doc_id", "text")
+    val keys = df.select(TextAnalysis.fingerprintKey($"text")).collect().map(_.getString(0))
+    assert(keys.distinct.length == 1)
+  }
+
+  test("Multimodal: deterministic stub features, schema, modality stats") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(docs), dim = 8)
+    val rows = feats.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.features.length == 8))
+    // deterministic: same payload -> same features
+    val byId = rows.map(r => r.asset_id -> r.features.toSeq).toMap
+    assert(byId(1L) == byId(2L))
+    val stats = Multimodal.modalityStats(docs).collect()
+    assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    assert(stats.map(_.getAs[Long]("n_assets")).sum == 5)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+/** End-to-end smoke over the driver contract: every SparkEntry query runs at
+  * sf0.001, the flagship entry returns rows, and the oracle map is
+  * consistent with the query map (the driver hash-compares per key). */
+class QueriesSpec extends SparkTestBase {
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("only known-approximate queries lack an oracle") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("d07_simhash_neardup", "e02_knn_srp"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+
+  // every query executes and produces a sane schema; most must be non-empty
+  private val mayBeEmptyAtSf0001 = Set("q08_except", "q15_join_anti",
+    "q20_agg_having", "q17_self_join", "e04_embedding_neardup")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmptyAtSf0001(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}
