@@ -1,0 +1,132 @@
+package graft
+
+import graft.api._
+import graft.api.types._
+import org.apache.spark.sql.Row
+
+/** Facade tests mirroring the reference's end-to-end suites
+  * (LocalQueryCompilerSuite, DataFrameSuite, BasicExample) — reference-style
+  * code must run unchanged modulo imports. Includes the §7.2 minimum
+  * end-to-end slice (README.md:63-115). */
+class FacadeSpec extends SparkTestBase {
+
+  private lazy val context = new Context(spark)
+
+  case class Person(name: String, age: Int)
+
+  test("§7.2 flagship slice: range/select/alias/rand/cast/filter/orderBy + SQL twin") {
+    val dsl = context.range(10)
+      .select('id as 'key, (rand(42) * 100) cast IntType as 'value)
+      .where('value % 2 === 0)
+      .orderBy('value.desc)
+    val rows = dsl.toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(1) % 2 == 0))
+    val values = rows.map(_.getInt(1))
+    assert(values == values.sorted.reverse)
+    // SQL twin through the same entry point produces the same schema
+    val viaSql = context.sql(
+      """SELECT id AS key, CAST(rand(42) * 100 AS INT) AS value
+        |FROM range(10) WHERE CAST(rand(42) * 100 AS INT) % 2 = 0""".stripMargin)
+    assert(viaSql.schema.fieldNames.toSeq == dsl.schema.fieldNames.toSeq)
+  }
+
+  test("lift case classes + groupBy/having/orderBy/agg (BasicExample.scala:7-49)") {
+    val people = context.lift(
+      Person("Alice", 20), Person("Bob", 21), Person("Chris", 22),
+      Person("Dan", 20), Person("Eve", 21), Person("Frank", 21))
+    val byAge = people
+      .groupBy('age)
+      .having(count('name) > 1)
+      .orderBy('age.asc)
+      .agg(count('name) as 'n)
+      .toSeq
+    assert(byAge == Seq(Row(20, 2L), Row(21, 3L)))
+  }
+
+  test("lifted tuples + rename (LocalQueryCompilerSuite.scala:15-21)") {
+    val df = context.lift(Seq((1, "a"), (2, "b"))).rename('i, 's)
+    assert(df.schema.fieldNames.toSeq == Seq("i", "s"))
+    assert(df.toSeq.toSet == Set(Row(1, "a"), Row(2, "b")))
+  }
+
+  test("self-join via subquery aliases (LocalQueryCompilerSuite self-join over a.id)") {
+    val t = context.range(3)
+    val joined = (t subquery 'a) join (t subquery 'b) on ($"a.id" === $"b.id")
+    assert(joined.toSeq.size == 3)
+  }
+
+  test("all join types execute (reference cannot run outer joins — NotImplemented)") {
+    val li = context.lift(Seq((1, "a"), (2, "b"))).rename('lk, 'v)
+    val ri = context.lift(Seq((2, "x"), (3, "y"))).rename('rk, 'w)
+    assert((li join ri).on('lk === 'rk).toSeq.size == 1)
+    assert((li leftJoin ri).on('lk === 'rk).toSeq.size == 2)
+    assert((li rightJoin ri).on('lk === 'rk).toSeq.size == 2)
+    assert((li outerJoin ri).on('lk === 'rk).toSeq.size == 3)
+    assert((li semiJoin ri).on('lk === 'rk).toSeq.size == 1)
+    assert((li antiJoin ri).on('lk === 'rk).toSeq.size == 1)
+    assert((li crossJoin ri).toSeq.size == 4)
+  }
+
+  test("union aligns by widest type (LogicalPlan.scala:214-238)") {
+    val ints = context.lift(Seq(Tuple1(1), Tuple1(2))).rename('x)
+    val doubles = context.lift(Seq(Tuple1(2.5))).rename('x)
+    val u = ints.union(doubles)
+    assert(u.schema.fields.head.dataType == DoubleType)
+    assert(u.toSeq.map(_.getDouble(0)).toSet == Set(1.0, 2.0, 2.5))
+    // int + string -> string (anything widens to string implicitly)
+    val strs = context.lift(Seq(Tuple1("s"))).rename('x)
+    assert(ints.union(strs).schema.fields.head.dataType == StringType)
+  }
+
+  test("union requires equal column names") {
+    val a = context.lift(Seq(Tuple1(1))).rename('x)
+    val b = context.lift(Seq(Tuple1(1))).rename('y)
+    intercept[IllegalArgumentException](a.union(b))
+  }
+
+  test("intersect / except") {
+    val a = context.lift(Seq(Tuple1(1), Tuple1(2), Tuple1(3))).rename('x)
+    val b = context.lift(Seq(Tuple1(2), Tuple1(3), Tuple1(4))).rename('x)
+    assert(a.intersect(b).toSeq.map(_.getInt(0)).sorted == Seq(2, 3))
+    assert(a.except(b).toSeq.map(_.getInt(0)) == Seq(1))
+  }
+
+  test("values / one-row relation (Context.scala:18-20)") {
+    val v = context.values(lit(1) as 'a, lit("x") as 'b).toSeq
+    assert(v == Seq(Row(1, "x")))
+  }
+
+  test("asTable + table round-trip (Catalog.scala:18-33)") {
+    context.range(5).asTable('t_facade)
+    assert(context.table('t_facade).toSeq.size == 5)
+    assert(context.sql("SELECT count(*) AS n FROM t_facade").toSeq.head.getLong(0) == 5L)
+  }
+
+  test("reference function semantics through the DSL: product/array_agg/first/last") {
+    val df = context.lift(Seq(
+      ("g", Some(2.0)), ("g", None), ("g", Some(4.0))
+    )).rename('k, 'v)
+    val r = df.groupBy('k).agg(
+      product('v) as 'p,
+      first('v) as 'f,
+      last('v) as 'l).toSeq.head
+    assert(r.getDouble(1) == 8.0)
+    assert(r.getDouble(2) == 2.0) // ignoreNulls default true
+    assert(r.getDouble(3) == 4.0)
+  }
+
+  test("power operator ^ and =/= (ValueExpressionParser power; comparisons)") {
+    val r = context.values((lit(2) ^ 10) as 'p, (lit(1) =/= lit(2)) as 'ne).toSeq.head
+    assert(r.getDouble(0) == 1024.0)
+    assert(r.getBoolean(1))
+  }
+
+  test("explain/show/showSchema do not throw (DataFrame.scala:96-127)") {
+    val df = context.range(3).select('id as 'x)
+    df.explain()
+    df.explainExtended()
+    df.showSchema()
+    assert(df.iterator.size == 3)
+  }
+}
