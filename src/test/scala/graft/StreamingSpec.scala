@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.UserEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Streaming tests: drive MemoryStream micro-batches through the event-time
+  * operators and check against batch-mode golden results (the transforms are
+  * identical for batch and streaming inputs). */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private val eventsData = Seq(
+    UserEvent(1L, ts(0), 1L, "click", 1.5),
+    UserEvent(2L, ts(5), 1L, "view", 2.0),
+    UserEvent(3L, ts(50), 1L, "click", 0.5),   // same hour, new session (45m gap)
+    UserEvent(4L, ts(2), 2L, "click", 3.0)
+  )
+
+  test("windowedCounts over a MemoryStream matches batch execution") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.toMemorySink(
+      EventStreams.windowedCounts(input.toDF(), "1 hour", "2 hours"),
+      "win_counts")
+    input.addData(eventsData: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("win_counts")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    q.stop()
+    val batch = EventStreams.windowedCounts(eventsData.toDF(), "1 hour", "2 hours")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.filter(_._1 == "click").map(_._2).sum == 3L)
+  }
+
+  test("sessionWindows splits on the 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.toMemorySink(
+      EventStreams.sessionWindows(input.toDF(), "30 minutes", "1 hour"),
+      "sessions")
+    input.addData(eventsData: _*)
+    q.processAllAvailable()
+    val got = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    q.stop()
+    assert(got(1L) == Seq(1L, 2L)) // session of 2 events + session of 1
+    assert(got(2L) == Seq(1L))
+  }
+
+  test("runningUserStats accumulates per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.runningUserStats(input.toDS())
+      .toDF()
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    input.addData(eventsData.take(2): _*)
+    q.processAllAvailable()
+    input.addData(eventsData.drop(2): _*)
+    q.processAllAvailable()
+    val byUser = spark.table("running")
+      .groupBy($"user_id").agg(max($"n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(byUser(1L) == 3L)
+    assert(byUser(2L) == 1L)
+  }
+}
