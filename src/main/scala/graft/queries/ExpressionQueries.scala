@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Additional scalar-expression / function-surface coverage (SURVEY.md §2.7
+  * rows not yet exercised by RelationalQueries): predicates (IN, null-safe
+  * equality, IS NULL, NOT, 3-valued AND/OR), complex-type constructors and
+  * field access, explode/lateral (UDTF surplus), date/time functions, UDF
+  * registration, pivot-style conditional aggregation, exact percentiles. */
+object ExpressionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // --- predicates: In / NullSafeEq / IsNull / Not / 3-valued logic -------
+    "q42_predicates" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_hot"),
+          nullif(col("o_orderstatus"), lit("O")).as("st"),
+          (col("o_totalprice") > 200000).as("big"),
+          (col("o_orderkey") % 2 === 0 && col("o_totalprice") > 100000).as("even_big"))
+        .withColumn("st_null", col("st").isNull)
+        .withColumn("st_nse", col("st") <=> lit("F"))
+        .withColumn("not_hot", !col("is_hot"))
+        .drop("st")
+        .orderBy("o_orderkey")
+    }),
+
+    // --- complex constructors + field/element access (complexTypes.scala;
+    //     access is surplus — reference grammar has none) --------------------
+    "q43_complex" -> ((s, d) => {
+      Tables.nation(s, d)
+        .select(
+          col("n_nationkey"),
+          struct(col("n_name").as("name"), col("n_regionkey").as("rk")).as("st"),
+          array(col("n_nationkey"), col("n_regionkey").cast("int")).as("arr"),
+          map(col("n_name"), col("n_regionkey")).as("m"))
+        .select(
+          col("n_nationkey"),
+          col("st.name").as("st_name"),
+          col("st.rk").as("st_rk"),
+          element_at(col("arr"), 1).as("arr_first"),
+          size(col("arr")).as("arr_len"),
+          element_at(col("m"), col("st.name")).as("m_val"))
+        .orderBy("n_nationkey")
+    }),
+
+    // --- explode / lateral view (UDTF surplus, §2.8) -------------------------
+    "q44_explode" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+            .as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n") >= 20)
+        .orderBy("token")
+    }),
+
+    // --- date/time functions (surplus: reference has zero date functions) ----
+    "q45_datetime" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_add(col("o_orderdate").cast("date"), 30).cast("string").as("due"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+            .as("days_to_eoy"))
+        .orderBy("o_orderkey")
+    }),
+
+    // --- scalar UDF surface (§2.8: FunctionRegistry.registerFunction) --------
+    "q46_udf" -> ((s, d) => {
+      // register a Scala UDF; the oracle expresses the same arithmetic inline
+      val priceBand = udf((p: Double) => (p / 50000.0).toInt)
+      s.udf.register("price_band", priceBand)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), priceBand(col("o_totalprice")).as("band"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("band")
+    }),
+
+    // --- pivot-style conditional aggregation ----------------------------------
+    "q47_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("urgent"),
+          sum(when(col("o_orderpriority") === "2-HIGH", 1).otherwise(0)).as("high"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("rest"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // --- exact interpolated percentiles ----------------------------------------
+    "q48_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --- string function breadth -------------------------------------------------
+    "q49_strings" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 500)
+        .select(
+          col("c_custkey"),
+          trim(col("c_name")).as("t"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+          instr(col("c_name"), "1").as("pos1"),
+          split(col("c_name"), "#").getItem(0).as("prefix"),
+          repeat(lit("ab"), 3).as("rep"),
+          reverse(col("c_mktsegment")).as("rev"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q42_predicates" ->
+      """SELECT o_orderkey,
+                o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_hot,
+                o_totalprice > 200000 AS big,
+                (o_orderkey % 2 = 0 AND o_totalprice > 100000) AS even_big,
+                nullif(o_orderstatus, 'O') IS NULL AS st_null,
+                nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS st_nse,
+                NOT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS not_hot
+         FROM orders ORDER BY o_orderkey""",
+    "q43_complex" ->
+      """SELECT n_nationkey,
+                n_name AS st_name,
+                n_regionkey AS st_rk,
+                n_nationkey AS arr_first,
+                2 AS arr_len,
+                n_regionkey AS m_val
+         FROM nation ORDER BY n_nationkey""",
+    "q44_explode" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS token
+           FROM documents)
+         SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         FROM tok GROUP BY token HAVING count(*) >= 20 ORDER BY token""",
+    "q45_datetime" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS y,
+                CAST(month(o_orderdate) AS INT) AS m,
+                CAST(day(o_orderdate) AS INT) AS dom,
+                CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoy
+         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
+    "q46_udf" ->
+      """SELECT CAST(trunc(o_totalprice / 50000.0) AS INT) AS band, count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY band""",
+    "q47_pivot" ->
+      """SELECT o_orderstatus,
+                sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+                sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+                sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS rest
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q48_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.9) AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q49_strings" ->
+      """SELECT c_custkey, trim(c_name) AS t,
+                lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+                regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+                CAST(instr(c_name, '1') AS INT) AS pos1,
+                string_split(c_name, '#')[1] AS prefix,
+                repeat('ab', 3) AS rep,
+                reverse(c_mktsegment) AS rev
+         FROM customer WHERE c_custkey < 500 ORDER BY c_custkey"""
+  )
+}
