@@ -110,6 +110,19 @@ object ExpressionQueries {
         .orderBy("l_returnflag")
     }),
 
+    // --- statistical aggregates (stddev/var/corr/covar; quantized because
+    //     both engines accumulate doubles differently at the last ulp) ----------
+    "q50_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (floor(stddev_samp(col("l_quantity")) * 1e6) / 1e6).as("sd_q"),
+          (floor(var_samp(col("l_quantity")) * 1e6) / 1e6).as("var_q"),
+          (floor(corr(col("l_quantity"), col("l_extendedprice")) * 1e6) / 1e6).as("corr_q"),
+          (floor(covar_samp(col("l_quantity"), col("l_discount")) * 1e6) / 1e6).as("cov_q"))
+        .orderBy("l_returnflag")
+    }),
+
     // --- string function breadth -------------------------------------------------
     "q49_strings" -> ((s, d) => {
       Tables.customer(s, d)
@@ -128,6 +141,13 @@ object ExpressionQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q50_stats" ->
+      """SELECT l_returnflag,
+                floor(stddev_samp(l_quantity) * 1e6) / 1e6 AS sd_q,
+                floor(var_samp(l_quantity) * 1e6) / 1e6 AS var_q,
+                floor(corr(l_quantity, l_extendedprice) * 1e6) / 1e6 AS corr_q,
+                floor(covar_samp(l_quantity, l_discount) * 1e6) / 1e6 AS cov_q
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q42_predicates" ->
       """SELECT o_orderkey,
                 o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_hot,
@@ -173,6 +193,13 @@ object ExpressionQueries {
                 quantile_cont(l_quantity, 0.25) AS p25,
                 quantile_cont(l_quantity, 0.5) AS p50,
                 quantile_cont(l_quantity, 0.9) AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q50_stats" ->
+      """SELECT l_returnflag,
+                floor(stddev_samp(l_quantity) * 1e6) / 1e6 AS sd_q,
+                floor(var_samp(l_quantity) * 1e6) / 1e6 AS var_q,
+                floor(corr(l_quantity, l_extendedprice) * 1e6) / 1e6 AS corr_q,
+                floor(covar_samp(l_quantity, l_discount) * 1e6) / 1e6 AS cov_q
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q49_strings" ->
       """SELECT c_custkey, trim(c_name) AS t,

@@ -89,6 +89,16 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- brute-force n-gram Jaccard pairs on a bounded subset (the exact
+    //     small-data path; LSH is the scale path d06) ---------------------------
+    "d08_jaccard_pairs" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Dedup.jaccardAllPairs(
+          Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- exact brute-force KNN over embeddings ----------------------------------
     "e01_knn_exact" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -201,6 +211,24 @@ object TextQueries {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(a.sh) > 0 AND len(b.sh) > 0
            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8
+         ORDER BY id_a, id_b""",
+    "d08_jaccard_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents WHERE doc_id < 200),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [] END AS sh
+           FROM tok)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(a.sh) > 0 AND len(b.sh) > 0
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5
          ORDER BY id_a, id_b""",
     "e01_knn_exact" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
