@@ -184,9 +184,9 @@ object ExpressionQueries {
          FROM orders GROUP BY 1 ORDER BY band""",
     "q47_pivot" ->
       """SELECT o_orderstatus,
-                sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-                sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-                sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS rest
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+                CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS rest
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q48_percentile" ->
       """SELECT l_returnflag,

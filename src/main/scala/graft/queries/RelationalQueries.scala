@@ -241,12 +241,17 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
-    // --- array_agg incl. ordering (aggregates/basic.scala:110-126) ---------
+    // --- array_agg incl. ordering (aggregates/basic.scala:110-126).
+    //     Routed through the null-keeping shim (reference array_agg collects
+    //     NULLs) and stringified so the driver's oracle harness can hash the
+    //     result (pandas can't hash list columns). ---------------------------
     "q23_array_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") < 500)
         .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("linenumbers"))
+        .agg(array_join(
+          sort_array(GraftFunctions.arrayAggWithNulls(col("l_linenumber"))),
+          ",").as("linenumbers"))
         .orderBy("l_orderkey")
     }),
 
@@ -293,8 +298,8 @@ object RelationalQueries {
           greatest(col("p_size"), lit(25)).as("g25"),
           least(col("p_size"), lit(25)).as("l25"),
           abs(col("p_size") - 25).as("absdiff"),
-          floor(col("p_retailprice")).as("price_floor"),
-          ceil(col("p_retailprice")).as("price_ceil"))
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          ceil(col("p_retailprice")).cast("long").as("price_ceil"))
         .orderBy("p_partkey")
     }),
 
@@ -515,7 +520,8 @@ object RelationalQueries {
          CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q23_array_agg" ->
-      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenumbers
+      """SELECT l_orderkey,
+                array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers
          FROM lineitem WHERE l_orderkey < 500
          GROUP BY l_orderkey ORDER BY l_orderkey""",
     "q24_case_when" ->
@@ -524,7 +530,7 @@ object RelationalQueries {
                      ELSE 'low' END AS bucket,
                 coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
                 count(*) AS n,
-                sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
          FROM orders GROUP BY 1, 2 ORDER BY bucket, status2""",
     "q25_string_funcs" ->
       """SELECT p_partkey, length(p_name) AS name_len, upper(p_brand) AS brand_up,
@@ -538,7 +544,8 @@ object RelationalQueries {
                 round(CAST(p_size * p_size AS DOUBLE), 1) AS size_sq,
                 greatest(p_size, 25) AS g25, least(p_size, 25) AS l25,
                 abs(p_size - 25) AS absdiff,
-                floor(p_retailprice) AS price_floor, ceil(p_retailprice) AS price_ceil
+                CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+                CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil
          FROM part ORDER BY p_partkey""",
     "q27_cast" ->
       """SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str,

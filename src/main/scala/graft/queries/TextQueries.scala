@@ -263,7 +263,7 @@ object TextQueries {
     "m01_multimodal_stats" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
                 count(*) AS n_assets,
-                sum(octet_length(encode(text))) AS total_bytes,
+                CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                 min(doc_id) AS min_id,
                 max(CASE CAST(doc_id % 3 AS INT)
                       WHEN 2 THEN greatest(1, CAST((doc_id % 30 + 1) AS INT) // 5)

@@ -208,8 +208,8 @@ object WindowQueries {
                   lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
            FROM events)
          SELECT user_id,
-                sum(CASE WHEN prev_ts IS NULL
-                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+                CAST(sum(CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                 count(*) AS n_events
          FROM e GROUP BY user_id ORDER BY user_id""",
     "q41_first_last" ->
