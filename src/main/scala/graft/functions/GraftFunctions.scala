@@ -41,7 +41,11 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es.head)),
     "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle_hashes.n"))),
     "token_hashes" -> (es => TokenHashes(es.head)),
-    "hamming64" -> (es => Hamming64(es(0), es(1)))
+    "hamming64" -> (es => Hamming64(es(0), es(1))),
+    "srp_band_keys" -> (es => SrpBandKeys(
+      es(0), intLit(es(1), "srp_band_keys.bands"),
+      intLit(es(2), "srp_band_keys.bitsPerBand"),
+      longLit(es(3), "srp_band_keys.seed")))
   )
 
   /** Idempotent: register all graft functions in this session. */
@@ -69,6 +73,8 @@ object GraftFunctions {
     call_function("shingle_hashes", text, lit(n))
   def tokenHashesOf(text: Column): Column = call_function("token_hashes", text)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
+  def srpBandKeys(vec: Column, bands: Int, bitsPerBand: Int, seed: Long): Column =
+    call_function("srp_band_keys", vec, lit(bands), lit(bitsPerBand), lit(seed))
 
   // ---- Reference-semantics shims (SURVEY §2.7 deltas) ------------------
 

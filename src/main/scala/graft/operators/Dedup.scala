@@ -203,10 +203,39 @@ object Dedup {
 
   // ---- embedding near-dup ----------------------------------------------
 
-  /** Embedding-cosine near-duplicate pairs above a similarity threshold.
-    * Brute-force within-partition product; for scale, bucket by an LSH of
-    * the embedding first (see Similarity.signRandomProjection). */
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * via banded sign-random-projection LSH (same banding amplification as
+    * MinHash): each vector gets `bands` keys from
+    * [[graft.functions.SrpBandKeys]]; pairs sharing any (band, key) become
+    * candidates — one shuffle on an 8-byte key, O(candidates) — and exact
+    * cosine verification keeps precision at 1. Recall at the default
+    * 12×12 banding is ≈ 0.98 at cosine 0.95 and → 1 as cosine → 1 (true
+    * near-dups); see [[embeddingNearDupsExact]] for the all-pairs recall
+    * verifier. */
   def embeddingNearDups(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 12, bitsPerBand: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")).persist()
+    val keyed = e.select(col("vec_id"),
+        posexplode(srpBandKeys(col("v"), bands, bitsPerBand, seed)))
+      .toDF("vec_id", "band", "key")
+    val cands = keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cands
+      .join(e.withColumnsRenamed(Map("vec_id" -> "id_a", "v" -> "v_a")), "id_a")
+      .join(e.withColumnsRenamed(Map("vec_id" -> "id_b", "v" -> "v_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosineF32(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Brute-force all-pairs cosine — O(n²) small-data oracle path and
+    * test-time recall verifier for [[embeddingNearDups]]. */
+  def embeddingNearDupsExact(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))

@@ -55,10 +55,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // --- fingerprint clustering ---------------------------------------------
+    // --- fingerprint clustering: digest-first composite key, mirroring
+    //     exactDedup — the 64-bit fingerprint64 leads the group key so
+    //     hashing/comparison touch 8 bytes first, and the full fingerprint
+    //     string rides along only to confirm (and correctly split) digest
+    //     collisions. Semantics are identical to grouping by the string
+    //     alone since the digest is a function of it. ------------------------
     "d04_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
-        .groupBy(TextAnalysis.fingerprintKey(col("text")).as("fp"))
+        .select(col("doc_id"), TextAnalysis.fingerprintKey(col("text")).as("fp"))
+        .groupBy(xxhash64(col("fp")).as("fp64"), col("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
         .select(col("keep_id"), col("n_docs"))
         .orderBy("keep_id")

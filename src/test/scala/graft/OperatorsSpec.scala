@@ -75,6 +75,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("banded embeddingNearDups matches exact all-pairs on planted near-dups") {
+    // real embeddings + planted jittered copies (cosine ≈ 0.999)
+    val base = Tables.embeddings(spark, sf).limit(100)
+      .select($"vec_id", $"embedding")
+    val planted = base.filter(pmod($"vec_id", lit(10)) === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * 1.001f + 0.0001f).as("embedding"))
+    val emb = base.union(planted)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = pairs(Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.95))
+    val exact = pairs(Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding", 0.95))
+    assert(exact.nonEmpty)          // the planted copies are really there
+    assert(banded == exact)         // full recall on true near-dups
+  }
+
+  test("embeddingNearDups plan joins on band keys, not a nested-loop product") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("bruteForceTopK: correct neighbors, self excluded, rank deterministic") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
