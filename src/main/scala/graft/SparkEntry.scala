@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExpressionQueries, RelationalQueries, TextQueries, WindowQueries}
+import graft.queries.{ExpressionQueries, FacadeQueries, RelationalQueries, TextQueries, WindowQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,10 +22,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ WindowQueries.defs ++ TextQueries.defs ++ ExpressionQueries.defs
+    RelationalQueries.defs ++ WindowQueries.defs ++ TextQueries.defs ++
+      ExpressionQueries.defs ++ FacadeQueries.defs
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ WindowQueries.oracle ++ TextQueries.oracle ++ ExpressionQueries.oracle
+    RelationalQueries.oracle ++ WindowQueries.oracle ++ TextQueries.oracle ++
+      ExpressionQueries.oracle ++ FacadeQueries.oracle
 }

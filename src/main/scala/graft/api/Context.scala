@@ -15,8 +15,26 @@ class Context(val spark: SparkSession) {
   graft.functions.GraftFunctions.register(spark)
 
   /** SQL entry point (Context.scala:22). Spark SQL is a strict superset of
-    * the reference dialect except documented deltas (SURVEY §7.1). */
+    * the reference dialect except documented deltas (SURVEY §7.1); the one
+    * silent divergence — `^` parses as POWER in spear
+    * (arithmetics.scala:96-109) but bitwise XOR in Spark — is covered by
+    * [[spearSql]]. */
   def sql(query: String): DataFrame = new DataFrame(spark.sql(query), this)
+
+  /** Spear-dialect SQL: Spark SQL with `^` meaning POWER. The query is
+    * parsed by Spark's parser, then every BitwiseXor in the unresolved plan
+    * is rewritten to Pow over doubles (spear's Power returns double,
+    * arithmetics.scala:96-109) before analysis/execution — a plan-level
+    * rewrite, not string munging, so `^` inside literals is untouched. */
+  def spearSql(query: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseXor, Cast, Pow}
+    import org.apache.spark.sql.types.DoubleType
+    val parsed = spark.sessionState.sqlParser.parsePlan(query)
+    val rewritten = parsed.transformAllExpressions {
+      case BitwiseXor(l, r) => Pow(Cast(l, DoubleType), Cast(r, DoubleType))
+    }
+    new DataFrame(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten), this)
+  }
 
   /** Catalog lookup (Context.scala:24-25). */
   def table(name: Symbol): DataFrame = table(name.name)

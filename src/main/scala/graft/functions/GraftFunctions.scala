@@ -101,4 +101,24 @@ object GraftFunctions {
     * in a struct (never null) preserves them, then unwrap. */
   def arrayAggWithNulls(c: Column): Column =
     transform(collect_list(struct(c.as("v"))), s => s.getField("v"))
+
+  /** Reference string→boolean cast words (spear Cast.scala:129-146):
+    * lowercase then {yes,y,true,t,on} → true, {no,n,false,f,off} → false,
+    * NULL stays NULL, anything else is an error (spear TypeCastException;
+    * Spark's own cast would return "1"→true / unknown→NULL instead). */
+  def stringToBooleanRef(c: Column): Column = {
+    val l = lower(c)
+    when(l.isin(booleanTrueStrings: _*), lit(true))
+      .when(l.isin(booleanFalseStrings: _*), lit(false))
+      .when(c.isNull, lit(null).cast("boolean"))
+      .otherwise(raise_error(
+        concat(lit("Can't cast string ["), c, lit("] to boolean"))).cast("boolean"))
+  }
+
+  private val booleanTrueStrings = Seq("yes", "y", "true", "t", "on")
+  private val booleanFalseStrings = Seq("no", "n", "false", "f", "off")
+
+  /** Reference implicit integral→boolean cast is C-style truthiness
+    * (spear Cast.scala:74-80, `_ != 0`); Spark only casts 0/1 patterns. */
+  def numberToBooleanRef(c: Column): Column = c =!= 0
 }

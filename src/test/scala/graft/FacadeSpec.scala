@@ -31,6 +31,16 @@ class FacadeSpec extends SparkTestBase {
     assert(viaSql.schema.fieldNames.toSeq == dsl.schema.fieldNames.toSeq)
   }
 
+  test("spearSql parses ^ as POWER; plain sql keeps Spark's XOR (dialect delta)") {
+    val pow = context.spearSql("SELECT 2 ^ 10 AS p").toSeq.head
+    assert(pow.getDouble(0) == 1024.0) // spear Power returns double
+    val xor = context.sql("SELECT 2 ^ 10 AS p").toSeq.head
+    assert(xor.getInt(0) == 8) // Spark dialect: bitwise xor
+    // ^ inside string literals is untouched by the plan rewrite
+    val s = context.spearSql("SELECT 'a^b' AS s, 3 ^ 2 AS p").toSeq.head
+    assert(s.getString(0) == "a^b" && s.getDouble(1) == 9.0)
+  }
+
   test("lift case classes + groupBy/having/orderBy/agg (BasicExample.scala:7-49)") {
     val people = context.lift(
       Person("Alice", 20), Person("Bob", 21), Person("Chris", 22),

@@ -29,6 +29,51 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.head.getDouble(1) == 3628800.0) // 10!
   }
 
+  test("stringToBooleanRef: spear truthy/falsy word matrix, null, error on junk") {
+    // matrix patterned on spear CastSuite over Cast.scala:129-146
+    val cases = Seq(
+      "yes" -> true, "Y" -> true, "TRUE" -> true, "t" -> true, "On" -> true,
+      "no" -> false, "N" -> false, "False" -> false, "f" -> false, "OFF" -> false)
+    val df = cases.map(_._1).toDF("s")
+    val got = df.select($"s", GraftFunctions.stringToBooleanRef($"s")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == cases.toMap)
+    // NULL propagates
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(GraftFunctions.stringToBooleanRef($"s")).collect().head
+    assert(n.isNullAt(0))
+    // spear errors on words outside the sets ("1" is valid for Spark's own
+    // cast but a TypeCastException in spear)
+    intercept[Exception] {
+      Seq("1").toDF("s").select(GraftFunctions.stringToBooleanRef($"s")).collect()
+    }
+  }
+
+  test("numberToBooleanRef: C-style truthiness incl. negatives, null propagates") {
+    val got = Seq[Option[Int]](Some(0), Some(1), Some(-5), Some(42), None).toDF("i")
+      .select(GraftFunctions.numberToBooleanRef($"i")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(got.toSeq == Seq(false, true, true, true, null))
+  }
+
+  test("TopKLongAgg: imperative Aggregator — top-k desc, bounded buffer, partial agg") {
+    val agg = new graft.functions.TopKLongAgg(3)
+    // unit-level buffer semantics (update/merge/result of the reference's
+    // ImperativeAggregateFunction contract)
+    val buf = Seq(5L, 1L, 9L, 7L, 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(buf.length == 3)
+    assert(agg.finish(buf).toSeq == Seq(9L, 7L, 5L))
+    val merged = agg.merge(Array(1L, 2L, 9L), Array(3L, 8L, 10L))
+    assert(agg.finish(merged).toSeq == Seq(10L, 9L, 8L))
+    // end-to-end through udaf with multiple partitions (partial agg + merge)
+    val top3 = udaf(new graft.functions.TopKLongAgg(3))
+    val got = spark.range(1, 101).repartition(7)
+      .select(lit("g").as("k"), $"id")
+      .groupBy($"k").agg(top3($"id").as("t"))
+      .collect().head.getSeq[Long](1)
+    assert(got.toSeq == Seq(100L, 99L, 98L))
+  }
+
   test("dot/cosine/l2norm match scala reference computation") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
