@@ -41,7 +41,13 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view so spark.sql queries (CTE,
-    * subqueries, set ops) can reference them by name. Idempotent. */
+    * subqueries, set ops) can reference them by name. Cached per session:
+    * re-registering 10 views costs 10 parquet schema reads per query, which
+    * dominated q30/q31 bench time; only re-register when the sf dir
+    * changes. */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+    if (registeredDir.put(spark, sfDir) != sfDir)
+      names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
 }

@@ -43,9 +43,12 @@ object Dedup {
 
   // ---- exact ---------------------------------------------------------
 
-  /** Exact dedup: keep the lowest id per identical payload. Groups by a
-    * 64-bit digest first (cheap shuffle key) and keeps the full column only
-    * for in-bucket confirmation. */
+  /** Exact dedup: keep the lowest id per identical payload. The window
+    * partitions on a digest-first composite key (xxhash64(payload),
+    * payload): rows still carry the payload across the shuffle — they must,
+    * to confirm digest collisions — but partition hashing and sort
+    * comparisons touch the 8-byte digest before the full payload, and the
+    * digest spreads near-identical long payloads evenly. */
   def exactDedup(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val w = Window.partitionBy(xxhash64(col(payloadCol)), col(payloadCol))
       .orderBy(col(idCol))

@@ -365,6 +365,35 @@ object RelationalQueries {
     }),
 
     // --- rollup (surplus; reference has no grouping sets, §2.5) --------------
+    // --- skew mitigation: results must be identical to the plain forms -----
+    // two-phase salted aggregate (operators/Skew.scala): decimal partials
+    // keep the rollup exact and order-independent
+    "q55_skew_salted_agg" -> ((s, d) => {
+      graft.operators.Skew.saltedAggregate(
+          Tables.lineitem(s, d),
+          keys = Seq(col("l_returnflag")),
+          partials = Seq(
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("s_part"),
+            count(lit(1)).as("n_part")),
+          merges = Seq(
+            sum(col("s_part")).cast("double").as("sum_qty"),
+            sum(col("n_part")).as("n")),
+          buckets = 16)
+        .orderBy("l_returnflag")
+    }),
+
+    // salted fact⋈dim join: salt spreads hot fact keys, dim replicated ×16
+    "q56_skew_salted_join" -> ((s, d) => {
+      graft.operators.Skew.saltedJoin(
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment")),
+          "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"))
+        .orderBy("o_orderkey")
+    }),
+
     "q32_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -580,6 +609,15 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q55_skew_salted_agg" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q56_skew_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey"""
   )
 }
