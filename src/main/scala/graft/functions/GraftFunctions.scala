@@ -42,6 +42,7 @@ object GraftFunctions {
     "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle_hashes.n"))),
     "token_hashes" -> (es => TokenHashes(es.head)),
     "hamming64" -> (es => Hamming64(es(0), es(1))),
+    "band_keys64" -> (es => BandKeys64(es(0), intLit(es(1), "band_keys64.bands"))),
     "srp_band_keys" -> (es => SrpBandKeys(
       es(0), intLit(es(1), "srp_band_keys.bands"),
       intLit(es(2), "srp_band_keys.bitsPerBand"),
@@ -73,6 +74,8 @@ object GraftFunctions {
     call_function("shingle_hashes", text, lit(n))
   def tokenHashesOf(text: Column): Column = call_function("token_hashes", text)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
+  def bandKeys64(sig: Column, bands: Int): Column =
+    call_function("band_keys64", sig, lit(bands))
   def srpBandKeys(vec: Column, bands: Int, bitsPerBand: Int, seed: Long): Column =
     call_function("srp_band_keys", vec, lit(bands), lit(bitsPerBand), lit(seed))
 

@@ -210,6 +210,46 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `band_keys64(signature, bands)` → array<bigint> of length `bands`.
+  *
+  * Splits a MinHash signature into `bands` equal slices and hash-combines
+  * each slice into one 64-bit band key (fmix64 chain seeded by the band
+  * index, so equal slices in different bands never alias). Replaces the
+  * HOF formulation `xxhash64(concat_ws(",", slice(sig, …)))`, which
+  * stringifies every slice element — pure integer mixing, one pass, no
+  * allocation beyond the result. Keys only ever feed LSH bucket equality,
+  * so the exact mixing constants are free to choose.
+  */
+case class BandKeys64(child: Expression, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bands > 0, "bands must be positive")
+
+  override def prettyName: String = "band_keys64"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val rows = n / bands
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = Mix.fmix64(0x9e3779b97f4a7c15L * (b + 1))
+      var i = b * rows
+      val end = i + rows
+      while (i < end) {
+        h = Mix.fmix64(h ^ arr.getLong(i))
+        i += 1
+      }
+      keys(b) = h
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `hamming64(a, b)` → int: Hamming distance between two 64-bit hashes. */
 case class Hamming64(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression

@@ -86,13 +86,14 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .persist()
 
-  /** Band keys from a MinHash signature: bucket = hash of each band slice. */
+  /** Band keys from a MinHash signature: bucket = hash-combine of each band
+    * slice, computed by the single-pass [[graft.functions.BandKeys64]]
+    * kernel (the HOF slice→stringify→xxhash64 formulation allocated 32
+    * strings per row). */
   private def banded(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sig.select(
       col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
+      posexplode(bandKeys64(col("sig"), bands))
     ).toDF("doc_id", "band", "bucket")
 
   /** Candidate near-duplicate pairs via MinHash banding over a
@@ -160,14 +161,17 @@ object Dedup {
   }
 
   /** Brute-force n-gram Jaccard over all pairs — the small-data oracle path
-    * and the verifier of LSH recall. O(n²): only for bounded inputs. */
+    * and the verifier of LSH recall. O(n²): only for bounded inputs.
+    * Operates on 64-bit shingle hashes (equal to string-shingle Jaccard up
+    * to ~n²/2⁶⁴ collision probability; equality asserted in OperatorsSpec),
+    * so the pairwise intersect/union compares longs, not strings. */
   def jaccardAllPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
     // drop shingle-less docs: they can't be near-dups, and an empty∪empty
     // pair would divide by zero under ANSI mode
     val sh = docs.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), shingleN).as("sh"))
+        shingleHashes(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
