@@ -43,20 +43,13 @@ object Similarity {
 
   /** nBits-bit sign-random-projection sketch of a vector: bit i is the sign
     * of the dot product with pseudo-random hyperplane i. Hyperplanes are
-    * derived deterministically from the seed (hash-based gaussian-ish ±1
-    * components), so corpus and probes agree without sharing state. */
-  def srpSketch(vec: Column, nBits: Int, seed: Long): Column = {
-    // component h(i,j) in {-1,+1} from a hash → codegen-able, data-local
-    def signed(i: Int): Column =
-      aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) =>
-          when(pmod(xxhash64(concat_ws("_", lit(seed), lit(i), j)), lit(2)) === 0,
-            x).otherwise(-x)),
-        lit(0.0d), (acc, x) => acc + x)
-    (0 until nBits).map(i =>
-        when(signed(i) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-  }
+    * derived deterministically from the seed (fmix64-derived ±1
+    * components), so corpus and probes agree without sharing state. Thin
+    * wrapper over the single-pass [[graft.functions.SrpBandKeys]] kernel
+    * with one band (the earlier HOF formulation hashed a string per
+    * (bit, dimension) component — hundreds of allocations per row). */
+  def srpSketch(vec: Column, nBits: Int, seed: Long): Column =
+    element_at(srpBandKeys(vec, 1, nBits, seed), 1)
 
   /** LSH ANN: bucket corpus by SRP sketch, score probes only against their
     * bucket. Recall < 1 by construction; increase nBits ↓bucket size,
