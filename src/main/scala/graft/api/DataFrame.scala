@@ -77,13 +77,18 @@ class DataFrame(val df: SparkDF, val context: Context) {
     val (l, r) = aligned(that)
     wrap(l.union(r))
   }
+  /** Reference Intersect/Except are BAG semantics — the interpreter runs
+    * `Seq.intersect` (min multiplicity per row) and `Seq.diff` (removes one
+    * occurrence per right-side row), spear-local basicOperators.scala:69,75.
+    * Spark's `intersect`/`except` deduplicate (SQL set semantics);
+    * `intersectAll`/`exceptAll` match the reference exactly. */
   def intersect(that: DataFrame): DataFrame = {
     val (l, r) = aligned(that)
-    wrap(l.intersect(r))
+    wrap(l.intersectAll(r))
   }
   def except(that: DataFrame): DataFrame = {
     val (l, r) = aligned(that)
-    wrap(l.except(r))
+    wrap(l.exceptAll(r))
   }
 
   // ---- sort / scoping ------------------------------------------------------

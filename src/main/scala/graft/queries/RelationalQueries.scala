@@ -78,22 +78,27 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
-    // --- Intersect (LogicalPlan.scala:248-253) ---------------------------
+    // --- Intersect (LogicalPlan.scala:248-253). Reference semantics are
+    //     BAG intersect — the interpreter runs Seq.intersect, min row
+    //     multiplicity (spear-local basicOperators.scala:69) — so both
+    //     sides here carry duplicate keys and Spark's intersectAll matches.
     "q07_intersect" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-      cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
-        .intersect(
-          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
-            .select(col("o_custkey").as("c_custkey")))
-        .orderBy("c_custkey")
+      val orders = Tables.orders(s, d)
+      orders.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey"))
+        .intersectAll(
+          orders.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")))
+        .orderBy("o_custkey")
     }),
 
-    // --- Except (LogicalPlan.scala:255-257) ------------------------------
+    // --- Except (LogicalPlan.scala:255-257): BAG difference, one removal
+    //     per right-side occurrence (Seq.diff, basicOperators.scala:75). ---
     "q08_except" -> ((s, d) => {
-      Tables.customer(s, d).select(col("c_custkey"))
-        .except(Tables.orders(s, d).filter(col("o_totalprice") > 250000)
-          .select(col("o_custkey").as("c_custkey")))
-        .orderBy("c_custkey")
+      val orders = Tables.orders(s, d)
+      orders.select(col("o_custkey"))
+        .exceptAll(orders.filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey")))
+        .orderBy("o_custkey")
     }),
 
     // --- Inner equi-join + aggregation (LogicalPlan.scala:279-299) -------
@@ -451,17 +456,17 @@ object RelationalQueries {
            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') u
          ORDER BY o_orderkey""",
     "q07_intersect" ->
-      """SELECT c_custkey FROM (
-           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-           INTERSECT
-           SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT') i
-         ORDER BY c_custkey""",
+      """SELECT o_custkey FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') i
+         ORDER BY o_custkey""",
     "q08_except" ->
-      """SELECT c_custkey FROM (
-           SELECT c_custkey FROM customer
-           EXCEPT
-           SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000) e
-         ORDER BY c_custkey""",
+      """SELECT o_custkey FROM (
+           SELECT o_custkey FROM orders
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_totalprice > 250000) e
+         ORDER BY o_custkey""",
     "q09_join_inner" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

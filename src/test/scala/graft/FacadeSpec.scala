@@ -102,6 +102,15 @@ class FacadeSpec extends SparkTestBase {
     assert(a.except(b).toSeq.map(_.getInt(0)) == Seq(1))
   }
 
+  test("intersect / except keep bag multiplicity (Seq.intersect/diff, basicOperators.scala:69,75)") {
+    val a = context.lift(Seq(Tuple1(1), Tuple1(1), Tuple1(2), Tuple1(2), Tuple1(3))).rename('x)
+    val b = context.lift(Seq(Tuple1(1), Tuple1(2), Tuple1(2), Tuple1(4))).rename('x)
+    // Seq(1,1,2,2,3) intersect Seq(1,2,2,4) == Seq(1,2,2): min count per row
+    assert(a.intersect(b).toSeq.map(_.getInt(0)).sorted == Seq(1, 2, 2))
+    // Seq(1,1,2,2,3) diff Seq(1,2,2,4) == Seq(1,3): one removal per occurrence
+    assert(a.except(b).toSeq.map(_.getInt(0)).sorted == Seq(1, 3))
+  }
+
   test("values / one-row relation (Context.scala:18-20)") {
     val v = context.values(lit(1) as 'a, lit("x") as 'b).toSeq
     assert(v == Seq(Row(1, "x")))
