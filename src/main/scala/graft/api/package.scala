@@ -72,6 +72,17 @@ package object api {
   def array(cs: Column*): Column = F.array(cs: _*)
   def map(cs: Column*): Column = F.map(cs: _*)
 
+  /** Ordered window with the reference's default frame pinned: ROWS
+    * UNBOUNDED PRECEDING..CURRENT ROW (spear WindowSpec.scala:78-82).
+    * Spark's own default for an ordered spec is RANGE..CURRENT ROW, which
+    * differs whenever the ordering key has ties — always pin frames. */
+  def windowSpec(partitionCols: Seq[Column], orderCols: Seq[Column])
+      : org.apache.spark.sql.expressions.WindowSpec = {
+    import org.apache.spark.sql.expressions.Window
+    Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  }
+
   /** `e ^ n` power operator (arithmetics.scala:96-109; the reference's only
     * exotic operator — Spark `pow`). */
   implicit class GraftColumnOps(private val c: Column) extends AnyVal {

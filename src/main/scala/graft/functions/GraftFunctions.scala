@@ -124,4 +124,15 @@ object GraftFunctions {
   /** Reference implicit integral→boolean cast is C-style truthiness
     * (spear Cast.scala:74-80, `_ != 0`); Spark only casts 0/1 patterns. */
   def numberToBooleanRef(c: Column): Column = c =!= 0
+
+  /** Reference And/Or are null-STRICT (`nullSafeEvaluate`: NULL if either
+    * operand is NULL — spear logicalOperators.scala:15-28 with
+    * Expression.scala:345-353), not SQL three-valued logic where
+    * `NULL AND false = false` / `NULL OR true = true`. The facade keeps
+    * Spark's SQL-correct Kleene logic by default (SURVEY §2.7 decision);
+    * these shims reproduce the reference exactly for migrating users. */
+  def andStrict(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(null).cast("boolean")).otherwise(a && b)
+  def orStrict(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(null).cast("boolean")).otherwise(a || b)
 }

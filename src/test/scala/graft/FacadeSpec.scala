@@ -102,6 +102,22 @@ class FacadeSpec extends SparkTestBase {
     assert(a.except(b).toSeq.map(_.getInt(0)) == Seq(1))
   }
 
+  test("windowSpec pins spear's ROWS default frame (WindowSpec.scala:78-82)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    // ordering key with a tie: ROWS gives a strictly-growing running sum,
+    // Spark's ordered default (RANGE) lumps tied rows into one frame
+    val df = context.lift(Seq((1, 10), (1, 20), (2, 30))).rename('k, 'v).df
+    val rows = df.select(fsum(col("v")).over(
+        windowSpec(Nil, Seq(col("k")))).as("run"))
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(10L, 30L, 60L) || rows.toSeq == Seq(20L, 30L, 60L))
+    val range = df.select(fsum(col("v")).over(
+        Window.orderBy(col("k"))).as("run"))
+      .collect().map(_.getLong(0)).sorted
+    assert(range.toSeq == Seq(30L, 30L, 60L)) // the delta windowSpec avoids
+  }
+
   test("intersect / except keep bag multiplicity (Seq.intersect/diff, basicOperators.scala:69,75)") {
     val a = context.lift(Seq(Tuple1(1), Tuple1(1), Tuple1(2), Tuple1(2), Tuple1(3))).rename('x)
     val b = context.lift(Seq(Tuple1(1), Tuple1(2), Tuple1(2), Tuple1(4))).rename('x)

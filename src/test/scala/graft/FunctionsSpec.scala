@@ -29,6 +29,48 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.head.getDouble(1) == 3628800.0) // 10!
   }
 
+  test("andStrict/orStrict: reference null-strict logic vs Spark Kleene logic") {
+    // full (T, F, N)^2 matrix; spear nullSafeEvaluate yields NULL whenever
+    // either operand is NULL (logicalOperators.scala:15-28)
+    val vals = Seq(Some(true), Some(false), None)
+    val df = (for (a <- vals; b <- vals) yield (a, b)).toDF("a", "b")
+    val rows = df.select($"a", $"b",
+        GraftFunctions.andStrict($"a", $"b").as("sand"),
+        GraftFunctions.orStrict($"a", $"b").as("sor"),
+        ($"a" && $"b").as("kand"),
+        ($"a" || $"b").as("kor"))
+      .collect()
+    def v(r: org.apache.spark.sql.Row, i: Int): Option[Boolean] =
+      if (r.isNullAt(i)) None else Some(r.getBoolean(i))
+    rows.foreach { r =>
+      val (a, b) = (v(r, 0), v(r, 1))
+      val expectStrictAnd =
+        if (a.isEmpty || b.isEmpty) None else Some(a.get && b.get)
+      val expectStrictOr =
+        if (a.isEmpty || b.isEmpty) None else Some(a.get || b.get)
+      assert(v(r, 2) == expectStrictAnd, s"andStrict($a,$b)")
+      assert(v(r, 3) == expectStrictOr, s"orStrict($a,$b)")
+    }
+    // and the documented divergence: Kleene short-circuits where strict can't
+    val k = rows.find(r => v(r, 0).isEmpty && v(r, 1) == Some(false)).get
+    assert(v(k, 4) == Some(false) && v(k, 2) == None)   // null AND false
+    val k2 = rows.find(r => v(r, 0).isEmpty && v(r, 1) == Some(true)).get
+    assert(v(k2, 5) == Some(true) && v(k2, 3) == None)  // null OR true
+  }
+
+  test("greatest/least skip nulls; all-null yields null (arithmetics.scala:126-156 parity)") {
+    val df = Seq(
+      (Some(5), Some(3)), (None, Some(3)), (Some(5), None),
+      (None: Option[Int], None: Option[Int])
+    ).toDF("a", "b")
+    val got = df.select(greatest($"a", $"b"), least($"a", $"b")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getInt(0),
+                 if (r.isNullAt(1)) null else r.getInt(1)))
+    // spear treats null as smallest for Greatest / largest for Least — the
+    // observable results coincide with Spark's null-skipping on every input
+    assert(got.toSeq == Seq((5, 3), (3, 3), (5, 5), (null, null)))
+  }
+
   test("stringToBooleanRef: spear truthy/falsy word matrix, null, error on junk") {
     // matrix patterned on spear CastSuite over Cast.scala:129-146
     val cases = Seq(
