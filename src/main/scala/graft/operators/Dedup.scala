@@ -208,6 +208,74 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- near-dup cluster collapse ---------------------------------------
+
+  /** Connected components over an undirected pair set (columns id_a, id_b)
+    * via iterative min-label propagation: every node starts labeled with
+    * its own id; each round, labels flow across edges and each node keeps
+    * the minimum seen; fixpoint when nothing changes. Output: (id, label)
+    * with label = the minimum id in the component.
+    *
+    * Scale notes: rounds = component diameter. LSH near-dup components are
+    * near-cliques (diameter ≤ 2-3), so this converges in a few rounds; each
+    * round is one join + one aggregate on the (small) pair-graph node set,
+    * never touching the corpus. The driver-side loop is the standard shape
+    * for iterative graph algorithms on Spark (GraphX/Pregel does the same);
+    * for adversarially deep graphs swap in pointer-doubling
+    * (large-star/small-star, Kiveris et al. "Connected Components in
+    * MapReduce", SOCC'14) — same join structure, O(log n) rounds. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val prop = labels.join(edges, col("id") === col("a"))
+        .select(col("b").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist()
+      val changed = prop.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") < col("o.label"))
+        .limit(1).count()
+      labels = prop
+      done = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters from MinHash-LSH pairs: one row per component
+    * with its representative (min doc id), size, and member list. */
+  def nearDupClusters(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, threshold)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(pairs)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("id"))), ",").as("members"))
+  }
+
+  /** The pipeline ending: drop every near-duplicate except the cluster
+    * representative (min id). Docs in no cluster pass through untouched —
+    * one anti-join against the (tiny) loser set. */
+  def dropNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, threshold)
+      .select(col("id_a"), col("id_b"))
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,

@@ -105,6 +105,15 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- near-dup cluster collapse: LSH pairs → connected components →
+    //     one representative per cluster (operators/Dedup.scala) -----------------
+    "d09_neardup_clusters" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Dedup.nearDupClusters(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("cluster_id")
+    }),
+
     // --- exact brute-force KNN over embeddings ----------------------------------
     "e01_knn_exact" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -218,6 +227,34 @@ object TextQueries {
          WHERE len(a.sh) > 0 AND len(b.sh) > 0
            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8
          ORDER BY id_a, id_b""",
+    "d09_neardup_clusters" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [] END AS sh
+           FROM tok),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(a.sh) > 0 AND len(b.sh) > 0
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, label) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.b, r.label FROM reach r JOIN edges e ON r.id = e.a),
+         labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+         SELECT label AS cluster_id, count(*) AS n_members,
+                array_to_string(list_sort(list(id)), ',') AS members
+         FROM labels GROUP BY label ORDER BY cluster_id""",
     "d08_jaccard_pairs" ->
       """WITH tok AS (
            SELECT doc_id,

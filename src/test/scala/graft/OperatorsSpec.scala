@@ -39,6 +39,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // < 3 tokens: no shingles
   }
 
+  test("connectedComponents: min-label per component, transitivity across chains") {
+    // two components: {1,2,3} via chain 1-2, 2-3 (1 and 3 never share an
+    // edge) and {7,9}; singleton 5 has no edges and does not appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dropNearDups keeps one representative per near-dup cluster") {
+    val kept = Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // {1,2,3} collapse to 1 (2 exact-dups 1, 3 near-dups both); 4, 5 untouched
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
   test("hash-based Jaccard equals string-based Jaccard") {
     val hashes = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
     val cands = Dedup.minhashCandidatesFromHashes(hashes)
