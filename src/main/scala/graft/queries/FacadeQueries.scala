@@ -54,6 +54,16 @@ object FacadeQueries {
           (countDistinct(col("r")) > 900).as("varied"))
     }),
 
+    // --- spear SQL dialect: ^ parses as POWER (Context.spearSql rewrite;
+    //     DuckDB's ^ is natively power, so the oracle is the same text) -----
+    "q57_spear_pow" -> ((s, d) => {
+      graft.Tables.registerViews(s, d)
+      val ctx = new Context(s)
+      ctx.spearSql(
+        """SELECT p_partkey, p_size ^ 2 AS size_sq, 2 ^ (p_partkey % 4) AS pow2
+           FROM part ORDER BY p_partkey""").df
+    }),
+
     // --- imperative/typed aggregate (Aggregator via udaf) ------------------
     "q54_imperative_topk" -> ((s, d) => {
       val top3 = udaf(new TopKLongAgg(3))
@@ -78,6 +88,9 @@ object FacadeQueries {
       """SELECT count(*) AS n, min(r) >= 0 AS min_ok, max(r) < 1 AS max_ok,
                 count(DISTINCT r) > 900 AS varied
          FROM (SELECT random() AS r FROM orders LIMIT 1000) t""",
+    "q57_spear_pow" ->
+      """SELECT p_partkey, p_size ^ 2 AS size_sq, 2 ^ (p_partkey % 4) AS pow2
+         FROM part ORDER BY p_partkey""",
     "q54_imperative_topk" ->
       """SELECT l_returnflag,
                 array_to_string(list_slice(list_sort(list(l_orderkey), 'DESC'), 1, 3), ',') AS top3

@@ -59,6 +59,34 @@ class StreamingSpec extends SparkTestBase {
     assert(got(2L) == Seq(1L))
   }
 
+  test("file-source streaming: readStream over the events parquet matches batch") {
+    import org.apache.spark.sql.types.LongType
+    // the real pipeline shape: stream the driver-generated parquet through
+    // the same event-time aggregation the batch path uses
+    // the file stream source lists a directory; stage the single test file
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
+    val stream =
+      if (raw.schema("ts").dataType == LongType) // TIMESTAMP(NANOS) as long
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    val q = EventStreams.toMemorySink(
+      EventStreams.windowedCounts(stream, "1 hour", "2 hours"), "file_counts")
+    q.processAllAvailable()
+    val streamAgg = spark.table("file_counts")
+      .orderBy("window_start", "event_type").collect().toSeq
+    q.stop()
+    val batchAgg = EventStreams.windowedCounts(
+        Tables.events(spark, sf), "1 hour", "2 hours")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamAgg.nonEmpty)
+    assert(streamAgg == batchAgg)
+  }
+
   test("runningUserStats accumulates per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[UserEvent]
