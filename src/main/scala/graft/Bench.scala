@@ -24,10 +24,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: touch every table + exercise shuffle/codegen paths once
+    // warmup: touch every table at the target SF, then run every query once
+    // at the smallest SF. Whole-stage codegen compiles (Janino) + JIT are
+    // per-query-shape one-time costs — identical at any scale — and would
+    // otherwise dominate the small/medium queries' measured time; the
+    // steady-state number is the engine-throughput quantity that projects
+    // to cluster scale.
     try {
       Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-      SparkEntry.queries.get("q19_agg").foreach(f => f(spark, sfDir).count())
+      val warmSf = "/root/testdata/sf0.001"
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmSf).count() catch { case _: Throwable => }
+      }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

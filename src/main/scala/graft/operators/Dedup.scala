@@ -225,11 +225,20 @@ object Dedup {
     * (large-star/small-star, Kiveris et al. "Connected Components in
     * MapReduce", SOCC'14) — same join structure, O(log n) rounds. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
+      .persist()
+    // labels are monotonically non-increasing, so Σlabel strictly decreases
+    // every round until the fixpoint — one scalar aggregate per round
+    // detects convergence with no comparison join (decimal sum: exact and
+    // overflow-free at any id range/node count)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -238,13 +247,14 @@ object Dedup {
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
         .persist()
-      val changed = prop.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") < col("o.label"))
-        .limit(1).count()
+      val s = labelSum(prop)
+      labels.unpersist()
       labels = prop
-      done = changed == 0
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 
