@@ -186,6 +186,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(keys.distinct.length == 1)
   }
 
+  test("text operators tolerate null and empty text") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "some ok text here"))
+      .toDF("doc_id", "text")
+    val analyzed = TextAnalysis.analyze(df)
+    assert(analyzed.count() == 3) // no throw under ANSI mode
+    val quality = analyzed.orderBy("doc_id")
+      .select("quality_score").collect()
+    assert(!quality(2).isNullAt(0)) // real text still scores
+    val lang = df.select(TextAnalysis.langId($"text")).collect()
+    assert(lang.forall(r => r.isNullAt(0) || r.getString(0).nonEmpty))
+  }
+
   test("Multimodal: deterministic stub features, schema, modality stats") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(docs), dim = 8)

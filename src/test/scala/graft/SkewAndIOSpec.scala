@@ -59,6 +59,29 @@ class SkewAndIOSpec extends SparkTestBase {
     assert(got(viaJson) == want)
   }
 
+  test("bucketed tables sort-merge join with no shuffle exchange") {
+    // the 100 TB co-location lever: both sides bucketed on the join key →
+    // Catalyst plans the join over existing bucket layout, zero Exchange
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    Tables.customer(spark, sf).write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("orders_b").join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning")) // buckets co-locate
+      val expected = Tables.orders(spark, sf).join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     Tables.orders(spark, sf)
