@@ -84,6 +84,22 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup across micro-batches — the streaming face of
+    * Dedup.exactDedup: duplicates arriving while their event time is within
+    * the watermark horizon are dropped; digest state older than the
+    * watermark is evicted, so state is bounded (late duplicates beyond the
+    * horizon pass through — the trade-off every bounded-state streaming
+    * dedup makes). State keys are 64-bit digests of the payload columns,
+    * never the payloads themselves. */
+  def streamingDedup(
+      events: DataFrame, tsCol: String, payloadCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .withColumn("__digest", xxhash64(payloadCols.map(col): _*))
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** Wire a streaming DataFrame through to a named in-memory sink; returns
     * the query (caller awaits/process-all). Update mode suits aggregations. */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =

@@ -59,6 +59,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got(2L) == Seq(1L))
   }
 
+  test("streamingDedup drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.streamingDedup(
+        input.toDF(), "ts", Seq("user_id", "event_type", "value"), "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    // batch 1: e1 + same-payload duplicate
+    input.addData(
+      UserEvent(1L, ts(0), 1L, "click", 1.5),
+      UserEvent(2L, ts(1), 1L, "click", 1.5))
+    q.processAllAvailable()
+    // batch 2: another duplicate of e1 (within watermark) + a new payload
+    input.addData(
+      UserEvent(3L, ts(5), 1L, "click", 1.5),
+      UserEvent(4L, ts(6), 2L, "view", 2.0))
+    q.processAllAvailable()
+    val kept = spark.table("deduped").collect()
+      .map(r => (r.getLong(2), r.getString(3))).sorted.toSeq
+    q.stop()
+    assert(kept == Seq((1L, "click"), (2L, "view")))
+  }
+
   test("file-source streaming: readStream over the events parquet matches batch") {
     import org.apache.spark.sql.types.LongType
     // the real pipeline shape: stream the driver-generated parquet through
