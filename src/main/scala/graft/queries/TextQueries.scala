@@ -135,6 +135,20 @@ object TextQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // --- IVF-style ANN: deterministic coarse quantizer (lowest-id centroid
+    //     rows, deterministic tie-breaks, sequential double accumulation) so
+    //     the result is hash-exact against a full SQL replica ---------------------
+    "e05_knn_ivf" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.ivfTopK(emb, probes, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"),
+          (floor(col("cosine") * 10000) / 10000).as("cosine_q"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // --- embedding norms / stats ---------------------------------------------------
     "e03_embedding_stats" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -288,6 +302,43 @@ object TextQueries {
                   row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
            FROM scored)
          SELECT probe_id, rank, neighbor_id, floor(cosine * 10000) / 10000 AS cosine_q
+         FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "e05_knn_ivf" ->
+      """WITH cents AS (
+           SELECT vec_id AS cell_id, embedding AS centroid
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+         corpus_scored AS (
+           SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cell_cos
+           FROM embeddings e CROSS JOIN cents c),
+         corpus_cells AS (
+           SELECT neighbor_id, cv, cell_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY neighbor_id
+               ORDER BY cell_cos DESC, cell_id ASC) AS rn
+             FROM corpus_scored) WHERE rn = 1),
+         probe_cells AS (
+           SELECT neighbor_id AS probe_id, cv AS pv, cell_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY neighbor_id
+               ORDER BY cell_cos DESC, cell_id ASC) AS rn
+             FROM corpus_scored WHERE neighbor_id % 50 = 0) WHERE rn <= 4),
+         scored AS (
+           SELECT p.probe_id, c.neighbor_id,
+             list_sum(list_transform(range(1, len(p.pv) + 1),
+               i -> CAST(p.pv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(p.pv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+           FROM probe_cells p JOIN corpus_cells c USING (cell_id)
+           WHERE p.probe_id <> c.neighbor_id),
+         ranked AS (
+           SELECT probe_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT probe_id, rank, neighbor_id,
+                floor(cosine * 10000) / 10000 AS cosine_q
          FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""",
     "e03_embedding_stats" ->
       """SELECT vec_id, label, len(embedding) AS dim,
