@@ -229,8 +229,11 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .persist()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with min(self, direct neighbors): one aggregation over the edge
+    // list — a full propagation round for free, before the join loop starts
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
+      .select(col("a").as("id"), col("label"))
       .persist()
     // labels are monotonically non-increasing, so Σlabel strictly decreases
     // every round until the fixpoint — one scalar aggregate per round
@@ -254,6 +257,9 @@ object Dedup {
       prevSum = s
       iter += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter — raise it or switch to pointer doubling)")
     edges.unpersist()
     labels
   }
