@@ -59,34 +59,42 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = f"ORACLE-FAIL: {str(e)[:200]}"
             continue
-        # Replicate the driver's pandas-level hashing: a HUGEINT (int128)
-        # oracle column materializes as dtype=object vs Spark's int64 and
-        # hash-mismatches even when values are equal.
-        try:
-            s_dt = {c.lower(): str(k) for c, k in
-                    con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df().dtypes.items()}
-            d_dt = {c.lower(): str(k) for c, k in con.sql(oracle[name]).df().dtypes.items()}
+        def dtype_probe():
+            # Replicate the driver's pandas-level hashing: a HUGEINT (int128)
+            # oracle column materializes as dtype=object vs Spark's int64 and
+            # hash-mismatches even when values are equal. Re-executes both
+            # sides via .df(), so only called once rows already match.
+            try:
+                s_dt = {c.lower(): str(t) for c, t in
+                        con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+                        .df().dtypes.items()}
+                d_dt = {c.lower(): str(t) for c, t in
+                        con.sql(oracle[name]).df().dtypes.items()}
+            except Exception:
+                return [], {}, {}
             def kind(t):
                 # int width doesn't change the pandas hash; object (e.g.
                 # HUGEINT) vs numeric, or float vs int, does.
                 if t.startswith(("int", "uint")): return "int"
                 if t.startswith("float"): return "float"
                 return t
-            dt_bad = [c for c in s_dt
-                      if c in d_dt and kind(s_dt[c]) != kind(d_dt[c])]
-        except Exception:
-            dt_bad = []
+            bad = [c for c in s_dt
+                   if c in d_dt and kind(s_dt[c]) != kind(d_dt[c])]
+            return bad, s_dt, d_dt
         sc, sr = norm_rows(s_cols, s_rows)
         dc, dr = norm_rows(d_cols, d_rows)
         if sc != dc:
             results[name] = f"SCHEMA-MISMATCH spark={sc} duck={dc}"
-        elif dt_bad:
-            results[name] = ("DTYPE-MISMATCH (hash would mismatch): " +
-                             ", ".join(f"{c} spark={s_dt[c]} duck={d_dt[c]}" for c in dt_bad))
         elif len(sr) != len(dr):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(sr)} duck={len(dr)}"
         elif sr == dr:
-            results[name] = f"EXACT ({len(sr)} rows)"
+            dt_bad, s_dt, d_dt = dtype_probe()
+            if dt_bad:
+                results[name] = ("DTYPE-MISMATCH (hash would mismatch): " +
+                                 ", ".join(f"{c} spark={s_dt[c]} duck={d_dt[c]}"
+                                           for c in dt_bad))
+            else:
+                results[name] = f"EXACT ({len(sr)} rows)"
         else:
             n_bad = sum(1 for a, b in zip(sr, dr) if not cells_close(a, b))
             if n_bad == 0:

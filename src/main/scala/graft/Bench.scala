@@ -32,11 +32,17 @@ object Bench {
     // to cluster scale.
     try {
       Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-      val warmSf = "/root/testdata/sf0.001"
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmSf).count() catch { case _: Throwable => }
+      // smallest sibling SF if present, else the target itself (slower
+      // warmup, same measured steady state)
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      val warmSf = if (sibling.isDirectory) sibling.toString else sfDir
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, warmSf).count()
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${t.getMessage}") }
       }
-    } catch { case _: Throwable => }
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${t.getMessage}") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -48,6 +48,10 @@ object Tables {
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    if (registeredDir.put(spark, sfDir) != sfDir)
+    if (registeredDir.get(spark) != sfDir) {
+      // register first, record only on success — a failed registration must
+      // not poison the cache for the rest of the session
       names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+      registeredDir.put(spark, sfDir)
+    }
 }

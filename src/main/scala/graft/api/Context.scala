@@ -25,15 +25,31 @@ class Context(val spark: SparkSession) {
     * parsed by Spark's parser, then every BitwiseXor in the unresolved plan
     * is rewritten to Pow over doubles (spear's Power returns double,
     * arithmetics.scala:96-109) before analysis/execution — a plan-level
-    * rewrite, not string munging, so `^` inside literals is untouched. */
+    * rewrite, not string munging, so `^` inside literals is untouched. The
+    * rewrite descends into subquery expressions (transformDownWithSubqueries)
+    * and CTE bodies (UnresolvedWith keeps cteRelations as innerChildren,
+    * which plain transforms skip), so `^` means power at any nesting depth. */
   def spearSql(query: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BitwiseXor, Cast, Pow}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
     import org.apache.spark.sql.types.DoubleType
+    def rewrite(plan: LogicalPlan): LogicalPlan =
+      plan.transformDownWithSubqueries { case node =>
+        val withCtes = node match {
+          case w: UnresolvedWith =>
+            w.copy(cteRelations = w.cteRelations.map { case (name, rel, maxRec) =>
+              (name, rewrite(rel).asInstanceOf[
+                org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias], maxRec)
+            })
+          case other => other
+        }
+        withCtes.transformExpressions {
+          case BitwiseXor(l, r) => Pow(Cast(l, DoubleType), Cast(r, DoubleType))
+        }
+      }
     val parsed = spark.sessionState.sqlParser.parsePlan(query)
-    val rewritten = parsed.transformAllExpressions {
-      case BitwiseXor(l, r) => Pow(Cast(l, DoubleType), Cast(r, DoubleType))
-    }
-    new DataFrame(org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewritten), this)
+    new DataFrame(
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewrite(parsed)), this)
   }
 
   /** Catalog lookup (Context.scala:24-25). */

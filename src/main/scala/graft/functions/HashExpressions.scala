@@ -230,6 +230,9 @@ case class BandKeys64(child: Expression, bands: Int)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0 || n % bands != 0) throw new IllegalArgumentException(
+      s"band_keys64: signature length $n is not a positive multiple of bands=$bands " +
+        "(trailing elements would be silently dropped)")
     val rows = n / bands
     val keys = new Array[Long](bands)
     var b = 0

@@ -89,7 +89,9 @@ object Dedup {
   /** Band keys from a MinHash signature: bucket = hash-combine of each band
     * slice, computed by the single-pass [[graft.functions.BandKeys64]]
     * kernel (the HOF slice→stringify→xxhash64 formulation allocated 32
-    * strings per row). */
+    * strings per row). `rowsPerBand` is implied by signature length / bands
+    * (the kernel enforces divisibility); kept in the signature for callers
+    * that size bands from it. */
   private def banded(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sig.select(
       col("doc_id"),
@@ -239,29 +241,36 @@ object Dedup {
     // every round until the fixpoint — one scalar aggregate per round
     // detects convergence with no comparison join (decimal sum: exact and
     // overflow-free at any id range/node count)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      val prop = labels.join(edges, col("id") === col("a"))
-        .select(col("b").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min("label").as("label"))
-        .persist()
-      val s = labelSum(prop)
-      labels.unpersist()
-      labels = prop
-      done = s.compareTo(prevSum) == 0
-      prevSum = s
-      iter += 1
+    // sum over an empty frame is NULL — treat as zero so an edgeless input
+    // (duplicate-free corpus) converges immediately instead of NPE-ing
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("label").cast(DecimalType(38, 0)))).collect()(0)
+      if (d.isNullAt(0)) java.math.BigDecimal.ZERO else d.getDecimal(0)
     }
-    if (!done) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        "(component diameter exceeds maxIter — raise it or switch to pointer doubling)")
-    edges.unpersist()
-    labels
+    try {
+      var prevSum = labelSum(labels)
+      var iter = 0
+      var done = labels.isEmpty
+      while (!done && iter < maxIter) {
+        val prop = labels.join(edges, col("id") === col("a"))
+          .select(col("b").as("id"), col("label"))
+          .union(labels)
+          .groupBy("id").agg(min("label").as("label"))
+          .persist()
+        val s = labelSum(prop)
+        labels.unpersist()
+        labels = prop
+        done = s.compareTo(prevSum) == 0
+        prevSum = s
+        iter += 1
+      }
+      if (!done) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter — raise it or switch to pointer doubling)")
+      labels
+    } finally {
+      edges.unpersist()
+    }
   }
 
   /** Near-duplicate clusters from MinHash-LSH pairs: one row per component

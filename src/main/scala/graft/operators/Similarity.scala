@@ -47,7 +47,10 @@ object Similarity {
     * components), so corpus and probes agree without sharing state. Thin
     * wrapper over the single-pass [[graft.functions.SrpBandKeys]] kernel
     * with one band (the earlier HOF formulation hashed a string per
-    * (bit, dimension) component — hundreds of allocations per row). */
+    * (bit, dimension) component — hundreds of allocations per row).
+    * Limits vs the old HOF form: nBits ≤ 60, and a NULL embedding sketches
+    * to NULL (the row drops out of bucketed joins) rather than bucket 0 —
+    * filter or impute null vectors upstream. */
   def srpSketch(vec: Column, nBits: Int, seed: Long): Column =
     element_at(srpBandKeys(vec, 1, nBits, seed), 1)
 

@@ -67,7 +67,6 @@ object FacadeQueries {
     // --- imperative/typed aggregate (Aggregator via udaf) ------------------
     "q54_imperative_topk" -> ((s, d) => {
       val top3 = udaf(new TopKLongAgg(3))
-      s.udf.register("top3_long", top3)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(array_join(top3(col("l_orderkey")), ",").as("top3"))

@@ -159,7 +159,12 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
-    // --- embedding-cosine near-dup pairs ---------------------------------------------
+    // --- embedding-cosine near-dup pairs. NOTE: the Spark side is banded
+    //     SRP-LSH (recall ≈ 0.98 at cosine exactly 0.95, → 1 as cosine → 1)
+    //     while the oracle is exact all-pairs; a borderline pair at a future
+    //     SF could escape banding and flip this row — the inherent LSH
+    //     trade-off, accepted by design (the exact form stays available as
+    //     Dedup.embeddingNearDupsExact). --------------------------------------------
     "e04_embedding_neardup" -> ((s, d) => {
       GraftFunctions.register(s)
       Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",

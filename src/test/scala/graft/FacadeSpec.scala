@@ -39,6 +39,13 @@ class FacadeSpec extends SparkTestBase {
     // ^ inside string literals is untouched by the plan rewrite
     val s = context.spearSql("SELECT 'a^b' AS s, 3 ^ 2 AS p").toSeq.head
     assert(s.getString(0) == "a^b" && s.getDouble(1) == 9.0)
+    // the rewrite reaches CTE bodies and subquery expressions too
+    val cte = context.spearSql(
+      "WITH t AS (SELECT 2 ^ 3 AS x) SELECT x FROM t").toSeq.head
+    assert(cte.getDouble(0) == 8.0)
+    val sub = context.spearSql(
+      "SELECT (SELECT 2 ^ 5) AS y").toSeq.head
+    assert(sub.getDouble(0) == 32.0)
   }
 
   test("lift case classes + groupBy/having/orderBy/agg (BasicExample.scala:7-49)") {

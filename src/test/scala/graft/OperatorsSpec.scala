@@ -48,6 +48,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents and dropNearDups are no-ops on duplicate-free input") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+    val cleanDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "entirely different words with no overlap at all")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDups(cleanDocs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
   test("dropNearDups keeps one representative per near-dup cluster") {
     val kept = Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.6)
       .select("doc_id").collect().map(_.getLong(0)).sorted
