@@ -128,6 +128,25 @@ object WindowQueries {
         .orderBy("user_id")
     }),
 
+    // --- as-of (point-in-time) join: for each click, the latest view by the
+    //     same user at or before the click (operators/AsOf.scala; DuckDB
+    //     ASOF LEFT JOIN is the oracle) --------------------------------------
+    "q58_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsOf.asOfJoinLeft(clicks, views, "user_id", "ts",
+          Seq("view_value"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("click_us"),
+          unix_micros(col("__asof.__rts")).as("view_us"),
+          col("__asof.view_value").as("view_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // --- deterministic first/last via windows (reference first/last default
     //     ignoreNulls=true, aggregates/basic.scala:38-108) ---------------------
     "q41_first_last" -> ((s, d) => {
@@ -212,6 +231,18 @@ object WindowQueries {
                           OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                 count(*) AS n_events
          FROM e GROUP BY user_id ORDER BY user_id""",
+    "q58_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'click'),
+         views AS (
+           SELECT user_id, ts, max(value) AS view_value FROM events
+           WHERE event_type = 'view' GROUP BY user_id, ts)
+         SELECT c.user_id, c.event_id, epoch_us(c.ts) AS click_us,
+                epoch_us(v.ts) AS view_us, v.view_value
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.ts >= v.ts
+         ORDER BY c.user_id, c.event_id""",
     "q41_first_last" ->
       """SELECT DISTINCT user_id, event_id,
          first_value(event_type) OVER w AS first_type,

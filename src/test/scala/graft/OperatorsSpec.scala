@@ -164,6 +164,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id")))
   }
 
+  test("asOfJoinLeft: latest right row at or before each left ts, per key") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val clicks = Seq(
+      (1L, t(10), 100L), (1L, t(20), 101L), (1L, t(5), 102L),
+      (2L, t(30), 200L)
+    ).toDF("user_id", "ts", "event_id")
+    val views = Seq(
+      (1L, t(8), 7.0), (1L, t(20), 9.0),  // t(20) ties click 101 -> matched
+      (3L, t(1), 1.0)                      // other key: never matched
+    ).toDF("user_id", "ts", "view_value")
+    val got = graft.operators.AsOf
+      .asOfJoinLeft(clicks, views, "user_id", "ts", Seq("view_value"))
+      .select($"event_id", $"__asof.view_value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got == Map(
+      100L -> 7.0,   // latest view <= 10:10 is 10:08
+      101L -> 9.0,   // tie at 10:20 matches (<=)
+      102L -> null,  // no view before 10:05
+      200L -> null)) // user 2 has no views
+  }
+
   test("TextAnalysis: token counts and ratios on crafted input") {
     val df = Seq((1L, "Hello, world! 123 test")).toDF("doc_id", "text")
     val r = df.select(
