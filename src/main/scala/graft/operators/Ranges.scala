@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: pair every point with every interval containing
+  * it. Spark plans a raw `lo <= pt AND pt <= hi` condition as a
+  * nested-loop/cartesian product; this composes the standard bin trick from
+  * existing operators instead: each interval is exploded to the bins it
+  * covers, each point maps to exactly one bin, and the pairing becomes an
+  * equi-join on the bin id followed by the exact containment filter.
+  *
+  * Cost: one shuffle on the bin id; interval replication factor is
+  * (span / binWidth) + 1, so pick binWidth near the typical interval span.
+  * Each (point, interval) candidate appears exactly once — the point lives
+  * in one bin — so no distinct is needed after the join.
+  */
+object Ranges {
+
+  /** Inner range join on long-typed bounds: rows of `points` × containing
+    * rows of `intervals`, both inputs passed through unchanged (all columns
+    * kept; names must not collide). */
+  def rangeJoin(
+      points: DataFrame, ptCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    points.withColumn("__bin", floor(col(ptCol) / binWidth).cast("long"))
+      .join(binned, "__bin")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -147,6 +147,22 @@ object WindowQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // --- range (interval) join via binning: quantities × containing size
+    //     bands (operators/Ranges.scala; plain BETWEEN join is the oracle) ----
+    "q59_range_join" -> ((s, d) => {
+      val points = Tables.lineitem(s, d)
+        .select(col("l_quantity").cast("long").as("qty")).distinct()
+      val intervals = Tables.part(s, d)
+        .filter(col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          (col("p_size") - 2).cast("long").as("lo"),
+          (col("p_size") + 2).cast("long").as("hi"))
+      graft.operators.Ranges.rangeJoin(points, "qty", intervals, "lo", "hi",
+          binWidth = 5L)
+        .select(col("qty"), col("p_partkey"), col("lo"), col("hi"))
+        .orderBy("qty", "p_partkey")
+    }),
+
     // --- deterministic first/last via windows (reference first/last default
     //     ignoreNulls=true, aggregates/basic.scala:38-108) ---------------------
     "q41_first_last" -> ((s, d) => {
@@ -231,6 +247,16 @@ object WindowQueries {
                           OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                 count(*) AS n_events
          FROM e GROUP BY user_id ORDER BY user_id""",
+    "q59_range_join" ->
+      """WITH points AS (
+           SELECT DISTINCT CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+         intervals AS (
+           SELECT p_partkey, CAST(p_size - 2 AS BIGINT) AS lo,
+                  CAST(p_size + 2 AS BIGINT) AS hi
+           FROM part WHERE p_partkey < 100)
+         SELECT p.qty, i.p_partkey, i.lo, i.hi
+         FROM points p JOIN intervals i ON p.qty BETWEEN i.lo AND i.hi
+         ORDER BY qty, p_partkey""",
     "q58_asof_join" ->
       """WITH clicks AS (
            SELECT user_id, ts, event_id, value FROM events

@@ -187,6 +187,24 @@ class OperatorsSpec extends SparkTestBase {
       200L -> null)) // user 2 has no views
   }
 
+  test("rangeJoin matches brute-force BETWEEN join, including bin boundaries") {
+    val points = Seq(0L, 4L, 5L, 9L, 10L, 23L).toDF("pt")
+    val intervals = Seq(
+      (1L, 0L, 4L),    // fits one bin
+      (2L, 3L, 12L),   // spans three bins
+      (3L, 10L, 10L),  // degenerate, on a bin boundary
+      (4L, 50L, 60L)   // matches nothing
+    ).toDF("iid", "lo", "hi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pt", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binned = pairs(graft.operators.Ranges
+      .rangeJoin(points, "pt", intervals, "lo", "hi", binWidth = 5L))
+    val brute = pairs(points.join(intervals,
+      $"pt" >= $"lo" && $"pt" <= $"hi"))
+    assert(binned == brute)
+    assert(brute.contains((10L, 3L)) && brute.contains((10L, 2L)))
+  }
+
   test("TextAnalysis: token counts and ratios on crafted input") {
     val df = Seq((1L, "Hello, world! 123 test")).toDF("doc_id", "text")
     val r = df.select(
