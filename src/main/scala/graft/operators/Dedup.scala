@@ -333,6 +333,20 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Embedding-side cluster collapse, symmetric with [[dropNearDups]]:
+    * SRP-banded cosine pairs → connected components → drop everything but
+    * each cluster's min-id representative. */
+  def dropEmbeddingNearDups(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    val pairs = embeddingNearDups(emb, idCol, vecCol, threshold)
+      .select(col("id_a"), col("id_b"))
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    emb.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Brute-force all-pairs cosine — O(n²) small-data oracle path and
     * test-time recall verifier for [[embeddingNearDups]]. */
   def embeddingNearDupsExact(

@@ -119,6 +119,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(banded == exact)         // full recall on true near-dups
   }
 
+  test("dropEmbeddingNearDups keeps one representative per vector cluster") {
+    val base = Tables.embeddings(spark, sf).limit(50)
+      .select($"vec_id", $"embedding")
+    val planted = base.filter($"vec_id" < 5)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * 1.001f).as("embedding"))
+    val kept = Dedup.dropEmbeddingNearDups(base.union(planted),
+        "vec_id", "embedding", 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // originals win (lower id); their jittered copies are dropped
+    assert((0L until 5L).forall(kept.contains))
+    assert(!kept.exists(_ >= 100000L))
+    assert(kept.size == 50)
+  }
+
   test("embeddingNearDups plan joins on band keys, not a nested-loop product") {
     val emb = Tables.embeddings(spark, sf)
     val plan = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.95)
