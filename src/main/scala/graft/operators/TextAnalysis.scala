@@ -25,12 +25,15 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count estimate: word-ish chunks + digits + punctuation
-    * runs, the classic GPT-2 pre-tokenizer shape as a pure regex. */
+  /** BPE-ish subword count estimate: alphanumeric chunks plus each
+    * punctuation character as its own token — the classic GPT-2
+    * pre-tokenizer shape as a pure match-count (the earlier lookaround
+    * split had identical semantics but lookarounds don't exist in RE2, so
+    * no oracle could replicate it; a plain alternation works in both
+    * engines and avoids materializing the chunks). */
   def bpeTokenCount(text: Column): Column =
-    size(filter(
-      split(text, "(?=\\s)|(?<=\\s)|(?=[^\\p{L}\\p{N}\\s])|(?<=[^\\p{L}\\p{N}\\s])"),
-      t => trim(t) =!= ""))
+    size(regexp_extract_all(text,
+      lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
   /** Characters matching a regex, counted by erase-and-diff (identical
     * semantics in any engine with regexp_replace + length). */

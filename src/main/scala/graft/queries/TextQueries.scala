@@ -105,6 +105,15 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- BPE-ish subword token counting (TextAnalysis.bpeTokenCount) ------------
+    "d10_bpe_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws"))
+        .orderBy("doc_id")
+    }),
+
     // --- near-dup cluster collapse: LSH pairs → connected components →
     //     one representative per cluster (operators/Dedup.scala) -----------------
     "d09_neardup_clusters" -> ((s, d) => {
@@ -246,6 +255,11 @@ object TextQueries {
          WHERE len(a.sh) > 0 AND len(b.sh) > 0
            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8
          ORDER BY id_a, id_b""",
+    "d10_bpe_tokens" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS n_bpe,
+                len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS n_ws
+         FROM documents ORDER BY doc_id""",
     "d09_neardup_clusters" ->
       """WITH RECURSIVE tok AS (
            SELECT doc_id,

@@ -231,6 +231,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.getInt(2) == 3) // digits: 1 2 3
   }
 
+  test("bpeTokenCount: words + standalone punctuation as GPT-2-ish chunks") {
+    val got = Seq((1L, "Hello, world! 123 test-case"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.bpeTokenCount($"text")).collect().head.getInt(0)
+    assert(got == 8) // hello , world ! 123 test - case
+  }
+
   test("TextAnalysis.langId identifies stopword-rich languages") {
     val df = Seq(
       (1L, "the cat is on the mat and it was happy with this"),
