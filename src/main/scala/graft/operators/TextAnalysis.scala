@@ -44,9 +44,16 @@ object TextAnalysis {
     "the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on",
     "with", "as", "was", "at", "by", "an", "be", "this", "are", "or", "from")
 
+  /** Floor-quantize to 4 decimals. Used instead of `round` throughout the
+    * quality features: Spark rounds HALF_UP, DuckDB half-even, so `round`
+    * can differ on boundary values across engines — floor quantization is
+    * bit-identical everywhere (see the verify gotchas in
+    * .claude/skills/verify). */
+  private def q4(c: Column): Column = floor(c * 10000) / 10000
+
   /** Heuristic quality features in one projection:
     * n_tokens, mean token length, punctuation ratio, digit ratio,
-    * uppercase ratio, stopword ratio. */
+    * stopword ratio — each floor-quantized to 4 decimals. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val n = size(toks)
@@ -55,22 +62,24 @@ object TextAnalysis {
     Seq(
       "n_tokens" -> n,
       "mean_token_len" -> when(n > 0,
-        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-          .cast("double") / nD, 4)).otherwise(lit(0.0)),
+        q4(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / nD)).otherwise(lit(0.0)),
       "punct_ratio" -> when(len > 0,
-        round(charClassCount(text, "[\\p{P}]").cast("double") / len, 4))
+        q4(charClassCount(text, "[\\p{P}]").cast("double") / len))
         .otherwise(lit(0.0)),
       "digit_ratio" -> when(len > 0,
-        round(charClassCount(text, "[0-9]").cast("double") / len, 4))
+        q4(charClassCount(text, "[0-9]").cast("double") / len))
         .otherwise(lit(0.0)),
       "stopword_ratio" -> when(n > 0,
-        round(size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("double") / nD, 4))
+        q4(size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("double") / nD))
         .otherwise(lit(0.0))
     )
   }
 
   /** Single quality score in [0,1]: length in a sane band, low punctuation
-    * and digit density, some stopwords (English-ish prose signal). */
+    * and digit density, some stopwords (English-ish prose signal). Built
+    * from the quantized features so it's exactly replicable cross-engine
+    * (oracle row d11). */
   def qualityScore(text: Column): Column = {
     val feats = qualityFeatures(text).toMap
     val lengthOk = when(feats("n_tokens").between(10, 100000), lit(1.0))
@@ -78,7 +87,7 @@ object TextAnalysis {
     val punctOk = lit(1.0) - least(feats("punct_ratio") * 4, lit(1.0))
     val digitOk = lit(1.0) - least(feats("digit_ratio") * 4, lit(1.0))
     val stopOk = least(feats("stopword_ratio") * 4, lit(1.0))
-    round((lengthOk + punctOk + digitOk + stopOk) / 4, 4)
+    q4((lengthOk + punctOk + digitOk + stopOk) / 4)
   }
 
   private val stopwordSets: Map[String, Seq[String]] = Map(

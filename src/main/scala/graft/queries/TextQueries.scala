@@ -105,6 +105,17 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- composite quality score + stopword ratio (floor-quantized so the
+    //     arithmetic is bit-identical cross-engine) -------------------------------
+    "d11_quality_score" -> ((s, d) => {
+      val feats = TextAnalysis.qualityFeatures(col("text")).toMap
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          feats("stopword_ratio").as("stopword_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
     // --- BPE-ish subword token counting (TextAnalysis.bpeTokenCount) ------------
     "d10_bpe_tokens" -> ((s, d) => {
       Tables.documents(s, d)
@@ -255,6 +266,36 @@ object TextQueries {
          WHERE len(a.sh) > 0 AND len(b.sh) > 0
            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8
          ORDER BY id_a, id_b""",
+    "d11_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN length(text) > 0
+               THEN floor(CAST(length(text) - length(regexp_replace(text, '[\p{P}]', '', 'g')) AS DOUBLE)
+                          / length(text) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+             CASE WHEN length(text) > 0
+               THEN floor(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                          / length(text) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS digit_ratio,
+             CASE WHEN len(toks) > 0
+               THEN floor(CAST(len(list_filter(toks, x -> x IN
+                      ('the','and','of','to','a','in','is','it','that','for','on',
+                       'with','as','was','at','by','an','be','this','are','or','from')))
+                    AS DOUBLE) / len(toks) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS stopword_ratio
+           FROM t)
+         SELECT doc_id, stopword_ratio,
+           floor(((CASE WHEN n_tokens BETWEEN 10 AND 100000
+                     THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+             + (1 - least(punct_ratio * 4, CAST(1 AS DOUBLE)))
+             + (1 - least(digit_ratio * 4, CAST(1 AS DOUBLE)))
+             + least(stopword_ratio * 4, CAST(1 AS DOUBLE))) / 4 * 10000) / 10000
+             AS quality_score
+         FROM f ORDER BY doc_id""",
     "d10_bpe_tokens" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS n_bpe,
