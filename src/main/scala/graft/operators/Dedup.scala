@@ -218,14 +218,15 @@ object Dedup {
     * the minimum seen; fixpoint when nothing changes. Output: (id, label)
     * with label = the minimum id in the component.
     *
-    * Scale notes: rounds = component diameter. LSH near-dup components are
-    * near-cliques (diameter ≤ 2-3), so this converges in a few rounds; each
-    * round is one join + one aggregate on the (small) pair-graph node set,
-    * never touching the corpus. The driver-side loop is the standard shape
-    * for iterative graph algorithms on Spark (GraphX/Pregel does the same);
-    * for adversarially deep graphs swap in pointer-doubling
-    * (large-star/small-star, Kiveris et al. "Connected Components in
-    * MapReduce", SOCC'14) — same join structure, O(log n) rounds. */
+    * Scale notes: each round combines a neighbor-min step with a
+    * pointer-doubling jump (label ← label of label, à la
+    * large-star/small-star, Kiveris et al. "Connected Components in
+    * MapReduce", SOCC'14), so rounds are O(log diameter): LSH near-clique
+    * components converge in 1-2 rounds and a length-n chain in ~log₂(n).
+    * Every round is two joins + one aggregate over the (small) pair-graph
+    * node set, never touching the corpus; the driver-side loop is the
+    * standard shape for iterative graph algorithms on Spark
+    * (GraphX/Pregel does the same). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
@@ -252,12 +253,26 @@ object Dedup {
       var iter = 0
       var done = labels.isEmpty
       while (!done && iter < maxIter) {
-        val prop = labels.join(edges, col("id") === col("a"))
+        val neighborMin = labels.join(edges, col("id") === col("a"))
           .select(col("b").as("id"), col("label"))
           .union(labels)
           .groupBy("id").agg(min("label").as("label"))
-          .persist()
+          .persist() // read twice below (both sides of the jump join)
+        // pointer doubling: jump to the label's own label, halving the
+        // remaining distance to the component minimum. localCheckpoint
+        // truncates lineage — the self-join references neighborMin twice,
+        // so without truncation the logical plan doubles every round and
+        // plan stringification OOMs after ~10 rounds. (On a real cluster
+        // prefer reliable checkpoint() with a checkpoint dir.)
+        val prop = neighborMin.as("l1")
+          .join(neighborMin.select(col("id").as("jid"), col("label").as("jlabel")),
+            col("l1.label") === col("jid"), "left")
+          .select(col("l1.id").as("id"),
+            least(col("l1.label"), coalesce(col("jlabel"), col("l1.label")))
+              .as("label"))
+          .localCheckpoint(true)
         val s = labelSum(prop)
+        neighborMin.unpersist()
         labels.unpersist()
         labels = prop
         done = s.compareTo(prevSum) == 0

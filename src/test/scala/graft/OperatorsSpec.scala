@@ -48,6 +48,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents converges on a deep chain via pointer doubling") {
+    // a 300-node path graph has diameter 299: plain min-label propagation
+    // would need 300 rounds (past maxIter); doubling needs ~log2
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 300)
+    assert(labels.forall(_._2 == 0L))
+  }
+
   test("connectedComponents and dropNearDups are no-ops on duplicate-free input") {
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(noPairs).count() == 0)
