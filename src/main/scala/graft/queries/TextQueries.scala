@@ -198,6 +198,18 @@ object TextQueries {
     //     partitioning and batch shape are real — Multimodal.scala) ----------------
     "m01_multimodal_stats" -> ((s, d) => {
       Multimodal.modalityStats(Tables.documents(s, d))
+    }),
+
+    // --- frame-sampling distribution: per-value coverage of the resize /
+    //     frame-sample bookkeeping (pure arithmetic → exactly oracle-able
+    //     even though the decode itself is stubbed) -----------------------------
+    "m02_frame_sampling" -> ((s, d) => {
+      Multimodal.extractFeatures(
+          Multimodal.assetsFromDocuments(Tables.documents(s, d)))
+        .toDF()
+        .groupBy(col("modality"), col("sampled_frames"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("modality", "sampled_frames")
     })
   )
 
@@ -424,6 +436,18 @@ object TextQueries {
                       WHEN 1 THEN CAST((doc_id % 30 + 1) AS INT)
                       ELSE 1 END) AS max_sampled_frames
          FROM documents
-         GROUP BY 1 ORDER BY modality"""
+         GROUP BY 1 ORDER BY modality""",
+    "m02_frame_sampling" ->
+      """WITH a AS (
+           SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                       WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                  CAST(doc_id % 30 + 1 AS INT) AS n_frames
+           FROM documents)
+         SELECT modality,
+                CAST(CASE modality WHEN 'video' THEN greatest(1, n_frames // 5)
+                                   WHEN 'audio' THEN n_frames
+                                   ELSE 1 END AS INT) AS sampled_frames,
+                count(*) AS n
+         FROM a GROUP BY 1, 2 ORDER BY modality, sampled_frames"""
   )
 }
