@@ -23,7 +23,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: harmless "function X replaced" warnings would land on
+    // stdout between sbt [info] lines and eat into the driver's fixed-size
+    // stdout tail window that must contain the final JSON line.
+    spark.sparkContext.setLogLevel("ERROR")
     // warmup: touch every table at the target SF, then run every query once
     // at the smallest SF. Whole-stage codegen compiles (Janino) + JIT are
     // per-query-shape one-time costs — identical at any scale — and would
@@ -48,10 +51,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the single JSON line well under the
+    // driver's stdout tail window (full-precision doubles pushed the line
+    // past it in round 3 and the driver recorded parsed:null).
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
