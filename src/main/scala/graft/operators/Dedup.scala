@@ -75,7 +75,13 @@ object Dedup {
     * candidate self-join, verification) must reuse the *materialized*
     * hashes, not re-inline the tree. At cluster scale this is the
     * "signature table" you'd persist/bucket once per corpus snapshot; here
-    * `persist()` gives the same single-evaluation property. */
+    * `persist()` gives the same single-evaluation property.
+    *
+    * Cache lifecycle: the caller owns the returned frame's cache — call
+    * `.unpersist()` when done. The pipeline endings in this object
+    * ([[minhashNearDups]] etc.) do exactly that: they materialize their
+    * (small) result eagerly and release every intermediate they persisted,
+    * so repeated invocations in one session leave no cached blocks behind. */
   def shingleHashTable(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
@@ -107,22 +113,31 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sig = hashes.select(col("doc_id"),
       minhashSignature(col("sh"), numHashes, seed).as("sig")).persist()
-    val b = banded(sig, bands, numHashes / bands)
-    b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    try {
+      val b = banded(sig, bands, numHashes / bands)
+      // candidate set is O(near-dups) — materialize it eagerly (lineage
+      // truncated) so the signature cache can be released right here
+      b.as("a").join(b.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .localCheckpoint(true)
+    } finally sig.unpersist()
   }
 
   /** Candidate pairs straight from a documents frame. */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      seed: Long = 42L): DataFrame =
-    minhashCandidatesFromHashes(
-      shingleHashTable(df, idCol, textCol, shingleN), numHashes, bands, seed)
+      seed: Long = 42L): DataFrame = {
+    val hashes = shingleHashTable(df, idCol, textCol, shingleN)
+    // result is already eagerly materialized inside, so the hash cache can
+    // be released before returning
+    try minhashCandidatesFromHashes(hashes, numHashes, bands, seed)
+    finally hashes.unpersist()
+  }
 
   /** Exact Jaccard for given id pairs over materialized hash sets.
     * |A∩B|/|A∪B| on 64-bit shingle hashes equals the string-shingle Jaccard
@@ -157,9 +172,14 @@ object Dedup {
       threshold: Double = 0.8, shingleN: Int = 3,
       numHashes: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
     val hashes = shingleHashTable(docs, idCol, textCol, shingleN)
-    val cands = minhashCandidatesFromHashes(hashes, numHashes, bands, seed)
-    verifyJaccardFromHashes(hashes, cands)
-      .filter(col("jaccard") >= threshold)
+    try {
+      val cands = minhashCandidatesFromHashes(hashes, numHashes, bands, seed)
+      // verified pair set is small; materializing it here lets the hash
+      // cache go immediately instead of leaking until session end
+      verifyJaccardFromHashes(hashes, cands)
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally hashes.unpersist()
   }
 
   /** Brute-force n-gram Jaccard over all pairs — the small-data oracle path
@@ -280,8 +300,12 @@ object Dedup {
         iter += 1
       }
       if (!done) throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          "(component diameter exceeds maxIter — raise it or switch to pointer doubling)")
+        s"connectedComponents did not converge in $maxIter rounds; with " +
+          "pointer doubling rounds are O(log diameter), so raise maxIter " +
+          "only for pathologically chained graphs")
+      // labels is localCheckpointed (lineage truncated); its blocks are
+      // freed when the frame is GC'd — callers needing deterministic
+      // release can call .unpersist() on it after consuming
       labels
     } finally {
       edges.unpersist()
@@ -332,20 +356,23 @@ object Dedup {
       threshold: Double, bands: Int = 12, bitsPerBand: Int = 12,
       seed: Long = 42L): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")).persist()
-    val keyed = e.select(col("vec_id"),
-        posexplode(srpBandKeys(col("v"), bands, bitsPerBand, seed)))
-      .toDF("vec_id", "band", "key")
-    val cands = keyed.as("a").join(keyed.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    cands
-      .join(e.withColumnsRenamed(Map("vec_id" -> "id_a", "v" -> "v_a")), "id_a")
-      .join(e.withColumnsRenamed(Map("vec_id" -> "id_b", "v" -> "v_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        cosineF32(col("v_a"), col("v_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    try {
+      val keyed = e.select(col("vec_id"),
+          posexplode(srpBandKeys(col("v"), bands, bitsPerBand, seed)))
+        .toDF("vec_id", "band", "key")
+      val cands = keyed.as("a").join(keyed.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      cands
+        .join(e.withColumnsRenamed(Map("vec_id" -> "id_a", "v" -> "v_a")), "id_a")
+        .join(e.withColumnsRenamed(Map("vec_id" -> "id_b", "v" -> "v_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          cosineF32(col("v_a"), col("v_b")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .localCheckpoint(true) // small verified pair set; frees the vector cache
+    } finally e.unpersist()
   }
 
   /** Embedding-side cluster collapse, symmetric with [[dropNearDups]]:

@@ -17,19 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Ranges {
 
+  /** Floor-division bin id in pure integer arithmetic. `x / w` on longs is
+    * double division in Spark SQL, and doubles lose integer precision past
+    * 2^53 — point and interval sides could then disagree on a boundary bin
+    * and silently drop matches. `(x - pmod(x, w)) / w` stays exact for the
+    * full long range (pmod keeps floor semantics for negative x). */
+  private def binOf(c: org.apache.spark.sql.Column, w: Long) =
+    ((c - pmod(c, lit(w))) / w).cast("long")
+
   /** Inner range join on long-typed bounds: rows of `points` × containing
     * rows of `intervals`, both inputs passed through unchanged (all columns
-    * kept; names must not collide). */
+    * kept; names must not collide, and neither input may already have a
+    * `__bin` column — enforced). */
   def rangeJoin(
       points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "inputs must not contain a __bin column (internal bin key)")
     val binned = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
-    points.withColumn("__bin", floor(col(ptCol) / binWidth).cast("long"))
+      explode(sequence(binOf(col(loCol), binWidth), binOf(col(hiCol), binWidth))))
+    points.withColumn("__bin", binOf(col(ptCol), binWidth))
       .join(binned, "__bin")
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bin")
