@@ -46,9 +46,15 @@ object Bench {
       }
     } catch { case t: Throwable =>
       System.err.println(s"[bench] warmup failed: ${t.getMessage}") }
+    // a failed query must not masquerade as a normal-looking time: log it,
+    // count it into the JSON line, and make the whole run exit nonzero
+    var errors = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+        errors += 1
+        System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Millisecond precision keeps the single JSON line well under the
@@ -58,7 +64,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt prefixes stdout with "[info] " inside the driver's captured tail;
+    // BENCH.out is the clean machine-parseable artifact
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"), line + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write BENCH.out: ${t.getMessage}") }
     spark.stop()
+    if (errors > 0) sys.exit(1)
   }
 }

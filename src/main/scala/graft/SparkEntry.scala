@@ -8,9 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `queries` is the operator inventory of SURVEY.md §2 (one entry per
   * operator/function family) plus the training-data-pipeline operators
   * (dedup, similarity search, text analysis, multimodal). `oracleSql` holds
-  * the DuckDB-equivalent SQL for every hash-checkable query; approximate /
-  * non-SQL-expressible operators (SimHash, SRP-LSH ANN) are intentionally
-  * omitted there → rows-only check.
+  * the DuckDB-equivalent SQL for every query. Operators whose raw output
+  * depends on a custom hash family (SimHash, SRP-LSH ANN) are gated via
+  * recall rows instead: the engine compares its LSH path against the exact
+  * in-Spark baseline and emits invariants checked against a constant
+  * oracle row (d07_simhash_recall, e02_srp_recall) — every entry is
+  * hash-checkable.
   */
 object SparkEntry {
 

@@ -18,7 +18,15 @@ class Context(val spark: SparkSession) {
     * the reference dialect except documented deltas (SURVEY §7.1); the one
     * silent divergence — `^` parses as POWER in spear
     * (arithmetics.scala:96-109) but bitwise XOR in Spark — is covered by
-    * [[spearSql]]. */
+    * [[spearSql]].
+    *
+    * Identifier case (reference Name.scala:14-23): spear treats unquoted
+    * identifiers as case-insensitive and `"quoted"` ones as case-sensitive.
+    * Spark has no per-identifier mode — the global
+    * `spark.sql.caseSensitive=false` default governs both forms, so the
+    * unquoted half matches the reference exactly while wrong-case quoted
+    * identifiers resolve here instead of erroring. Documented divergence,
+    * pinned by FacadeSpec. */
   def sql(query: String): DataFrame = new DataFrame(spark.sql(query), this)
 
   /** Spear-dialect SQL: Spark SQL with `^` meaning POWER. The query is

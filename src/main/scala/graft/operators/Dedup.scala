@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Deterministically release the blocks behind a frame this module
+    * materialized. `Dataset.unpersist()` on a localCheckpointed frame is a
+    * cache-manager no-op (the frame was never registered there; its blocks
+    * belong to the underlying checkpoint RDD and are otherwise freed only
+    * when the RDD is GC'd), so checkpoint roots release that RDD directly.
+    * Plain persisted frames fall through to the normal unpersist. The frame
+    * must not be used afterwards — its lineage is gone. */
+  private[graft] def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => df.unpersist()
+    }
+
   /** Lowercased whitespace tokens (shared with the DuckDB oracle). */
   private def toks(text: Column): Column = TextAnalysis.tokens(text)
 
@@ -175,10 +188,12 @@ object Dedup {
     try {
       val cands = minhashCandidatesFromHashes(hashes, numHashes, bands, seed)
       // verified pair set is small; materializing it here lets the hash
-      // cache go immediately instead of leaking until session end
-      verifyJaccardFromHashes(hashes, cands)
+      // cache and the candidate checkpoint go immediately instead of
+      // leaking until session end
+      try verifyJaccardFromHashes(hashes, cands)
         .filter(col("jaccard") >= threshold)
         .localCheckpoint(true)
+      finally release(cands)
     } finally hashes.unpersist()
   }
 
@@ -227,6 +242,20 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Brute-force all-pairs SimHash Hamming distance — O(n²) verifier of
+    * [[simhashNearDups]]'s pigeonhole recall guarantee (the d07 recall row
+    * asserts banded == exact with 0 missed / 0 spurious). Bounded inputs
+    * only; the banded form is the scale path. */
+  def simhashAllPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), simhashOf(col(textCol)).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -293,7 +322,10 @@ object Dedup {
           .localCheckpoint(true)
         val s = labelSum(prop)
         neighborMin.unpersist()
-        labels.unpersist()
+        // labels is the persisted seed in round 1 and the previous round's
+        // checkpoint after that; release() handles both (a checkpointed
+        // frame's Dataset.unpersist() would silently leak its blocks)
+        release(labels)
         labels = prop
         done = s.compareTo(prevSum) == 0
         prevSum = s
@@ -303,9 +335,9 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds; with " +
           "pointer doubling rounds are O(log diameter), so raise maxIter " +
           "only for pathologically chained graphs")
-      // labels is localCheckpointed (lineage truncated); its blocks are
-      // freed when the frame is GC'd — callers needing deterministic
-      // release can call .unpersist() on it after consuming
+      // labels is localCheckpointed (lineage truncated); callers release
+      // its blocks deterministically via [[release]] after consuming (the
+      // pipeline endings in this object do)
       labels
     } finally {
       edges.unpersist()
@@ -318,12 +350,17 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
     val pairs = minhashNearDups(docs, idCol, textCol, threshold)
-      .select(col("id_a"), col("id_b"))
-    connectedComponents(pairs)
+    val labels = try connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      finally release(pairs) // labels is checkpointed — pairs no longer needed
+    // materialize the (small) cluster list eagerly so the labels blocks can
+    // be released right here; the returned checkpoint is the caller's
+    try labels
       .groupBy(col("label").as("cluster_id"))
       .agg(
         count(lit(1)).as("n_members"),
         array_join(sort_array(collect_list(col("id"))), ",").as("members"))
+      .localCheckpoint(true)
+    finally release(labels)
   }
 
   /** The pipeline ending: drop every near-duplicate except the cluster
@@ -333,10 +370,16 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
     val pairs = minhashNearDups(docs, idCol, textCol, threshold)
-      .select(col("id_a"), col("id_b"))
-    val losers = connectedComponents(pairs)
+    val labels = try connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      finally release(pairs)
+    // the loser-id set is tiny (one id per dropped duplicate) — materialize
+    // it so the labels blocks release now; the anti-join stays lazy over
+    // the (never-cached) corpus
+    val losers = try labels
       .filter(col("id") =!= col("label"))
       .select(col("id").as(idCol))
+      .localCheckpoint(true)
+    finally release(labels)
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -382,10 +425,13 @@ object Dedup {
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95): DataFrame = {
     val pairs = embeddingNearDups(emb, idCol, vecCol, threshold)
-      .select(col("id_a"), col("id_b"))
-    val losers = connectedComponents(pairs)
+    val labels = try connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      finally release(pairs)
+    val losers = try labels
       .filter(col("id") =!= col("label"))
       .select(col("id").as(idCol))
+      .localCheckpoint(true)
+    finally release(labels)
     emb.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -17,13 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Ranges {
 
-  /** Floor-division bin id in pure integer arithmetic. `x / w` on longs is
-    * double division in Spark SQL, and doubles lose integer precision past
-    * 2^53 — point and interval sides could then disagree on a boundary bin
-    * and silently drop matches. `(x - pmod(x, w)) / w` stays exact for the
-    * full long range (pmod keeps floor semantics for negative x). */
+  /** Floor-division bin id in pure integer arithmetic. Column `/` is
+    * Spark's `Divide`, which casts longs to double and loses integer
+    * precision past 2^53, so the quotient runs through the integral `div`
+    * operator instead. The numerator `x - pmod(x, w)` is an exact multiple
+    * of `w` (pmod keeps floor semantics for negative x), so `div`'s
+    * truncation never engages and the bin id is exact for the full long
+    * range. */
   private def binOf(c: org.apache.spark.sql.Column, w: Long) =
-    ((c - pmod(c, lit(w))) / w).cast("long")
+    call_function("div", c - pmod(c, lit(w)), lit(w))
 
   /** Inner range join on long-typed bounds: rows of `points` × containing
     * rows of `intervals`, both inputs passed through unchanged (all columns

@@ -54,19 +54,37 @@ object Similarity {
   def srpSketch(vec: Column, nBits: Int, seed: Long): Column =
     element_at(srpBandKeys(vec, 1, nBits, seed), 1)
 
-  /** LSH ANN: bucket corpus by SRP sketch, score probes only against their
-    * bucket. Recall < 1 by construction; increase nBits ↓bucket size,
-    * or lower nBits ↑recall. */
+  /** Banded SRP-LSH ANN (OR-amplified, like [[Dedup.embeddingNearDups]]):
+    * corpus and probes each get `bands` independent bitsPerBand-bit
+    * sketches; a corpus row becomes a candidate for a probe when any band
+    * key matches, candidates are scored with exact cosine, and the top-k
+    * survive. Two broadcast joins against the (small) probe side — the
+    * corpus is never shuffled on vectors, only the O(candidates) pair set
+    * moves. Recall rises with `bands` and falls with `bitsPerBand`
+    * (candidate share does the opposite): the earlier single-bucket form
+    * (bands=1) had recall ≈ 0.06 on uniform-ish embeddings whose true
+    * top-k sit at cosine ≈ 0.35 — the hard LSH regime; 32×6 banding
+    * measures ≈ 0.78 at sf0.01/sf0.1 (gated by the e02 recall row). For
+    * corpora with genuine near-dup structure (cosine → 1) recall → 1 and
+    * a higher bitsPerBand keeps the candidate share sublinear. */
   def srpTopK(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      srpSketch(col(vecCol), nBits, seed).as("bucket"))
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-      srpSketch(col(vecCol), nBits, seed).as("bucket"))
-    val scored = c.join(broadcast(p), "bucket")
+      bands: Int = 32, bitsPerBand: Int = 6, seed: Long = 42L): DataFrame = {
+    val keysOf = (df: DataFrame, idAs: String) =>
+      df.select(col(idCol).as(idAs),
+          posexplode(srpBandKeys(col(vecCol), bands, bitsPerBand, seed)))
+        .toDF(idAs, "band", "key")
+    val cands = keysOf(corpus, "neighbor_id")
+      .join(broadcast(keysOf(probes, "probe_id")), Seq("band", "key"))
       .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"))
+      .distinct()
+    val scored = cands
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))),
+        "probe_id")
       .select(col("probe_id"), col("neighbor_id"),
         cosineF32(col("pv"), col("cv")).as("cosine"))
     val w = Window.partitionBy(col("probe_id"))

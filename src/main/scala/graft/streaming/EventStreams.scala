@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -86,19 +86,46 @@ object EventStreams {
 
   /** Streaming exact dedup across micro-batches — the streaming face of
     * Dedup.exactDedup: duplicates arriving while their event time is within
-    * the watermark horizon are dropped; digest state older than the
-    * watermark is evicted, so state is bounded (late duplicates beyond the
-    * horizon pass through — the trade-off every bounded-state streaming
-    * dedup makes). State keys are 64-bit digests of the payload columns,
-    * never the payloads themselves. */
+    * the watermark horizon are dropped; state older than the watermark is
+    * evicted, so state is bounded (late duplicates beyond the horizon pass
+    * through — the trade-off every bounded-state streaming dedup makes).
+    *
+    * Two state-key modes:
+    *  - default (digest): a 128-bit composite of two independently-salted
+    *    xxhash64 halves of the payload — 16 bytes of state per event
+    *    regardless of payload width. A collision silently drops a distinct
+    *    event, but at 128 bits the birthday bound is ~2⁶⁴ events per
+    *    watermark horizon (the earlier single-64-bit digest crossed
+    *    non-negligible collision odds at billions of events).
+    *  - `exact = true`: state keys are the payload columns themselves —
+    *    zero collision risk, state size proportional to payload width.
+    *    Use for narrow payloads or when any silent drop is unacceptable. */
   def streamingDedup(
       events: DataFrame, tsCol: String, payloadCols: Seq[String],
-      watermark: String = "1 hour"): DataFrame =
-    events
-      .withWatermark(tsCol, watermark)
-      .withColumn("__digest", xxhash64(payloadCols.map(col): _*))
-      .dropDuplicatesWithinWatermark("__digest")
-      .drop("__digest")
+      watermark: String = "1 hour", exact: Boolean = false): DataFrame =
+    if (exact)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(payloadCols)
+    else
+      // prepending a distinct constant reseeds xxhash64's running state, so
+      // the two halves behave as independently-drawn 64-bit hash functions
+      streamingDedupByKeys(events, tsCol, Seq(
+        xxhash64(payloadCols.map(col): _*),
+        xxhash64(lit(0x9E3779B97F4A7C15L) +: payloadCols.map(col): _*)), watermark)
+
+  /** Dedup on explicit state-key expressions — the mechanism behind the
+    * digest mode, exposed package-private so tests can force key collisions
+    * (infeasible to construct against real xxhash64) and prove the
+    * drop-on-collision / survive-on-exact behaviors. */
+  private[graft] def streamingDedupByKeys(
+      events: DataFrame, tsCol: String, keys: Seq[Column],
+      watermark: String): DataFrame = {
+    val names = keys.indices.map(i => s"__dedup_key_$i")
+    val keyed = names.zip(keys).foldLeft(events.withWatermark(tsCol, watermark)) {
+      case (df, (n, k)) => df.withColumn(n, k)
+    }
+    keyed.dropDuplicatesWithinWatermark(names).drop(names: _*)
+  }
 
   /** Wire a streaming DataFrame through to a named in-memory sink; returns
     * the query (caller awaits/process-all). Update mode suits aggregations. */

@@ -31,6 +31,25 @@ class FacadeSpec extends SparkTestBase {
     assert(viaSql.schema.fieldNames.toSeq == dsl.schema.fieldNames.toSeq)
   }
 
+  test("identifier case sensitivity: Spark's global caseSensitive governs (documented delta)") {
+    // Reference semantics (Name.scala:14-23, IdentifierParser.scala:50-62):
+    // unquoted identifiers are case-insensitive, "quoted" ones
+    // case-sensitive. Spark has no per-identifier mode — the global
+    // spark.sql.caseSensitive=false default makes BOTH forms
+    // case-insensitive. The unquoted half therefore matches the reference
+    // exactly; the quoted half is a documented divergence (a wrong-case
+    // quoted identifier resolves here but errors in the reference). This
+    // test pins the documented behavior so any engine change surfaces.
+    assert(!spark.conf.get("spark.sql.caseSensitive").toBoolean)
+    context.lift(Person("a", 1), Person("b", 2))
+      .asTable("case_sens_t")
+    // unquoted, any case — matches reference semantics
+    assert(context.sql("SELECT NAME, aGe FROM case_sens_t").toSeq.length == 2)
+    // quoted (backtick) wrong-case — resolves under Spark's global mode;
+    // the reference would reject `NAME` against a column declared as name
+    assert(context.sql("SELECT `NAME` FROM case_sens_t").toSeq.length == 2)
+  }
+
   test("spearSql parses ^ as POWER; plain sql keeps Spark's XOR (dialect delta)") {
     val pow = context.spearSql("SELECT 2 ^ 10 AS p").toSeq.head
     assert(pow.getDouble(0) == 1024.0) // spear Power returns double

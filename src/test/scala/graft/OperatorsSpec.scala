@@ -77,6 +77,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("dedup pipelines leave no cached blocks behind (deterministic release)") {
+    // Dataset.unpersist() on a localCheckpointed frame is a cache-manager
+    // no-op, so without Dedup.release the CC loop would leak one block per
+    // round and each pipeline its result chain. The only block allowed to
+    // survive a pipeline call is the returned result's own checkpoint,
+    // released here the way a caller would.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.6)
+    assert(clusters.count() >= 1)
+    Dedup.release(clusters)
+    val kept = Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.6)
+    assert(kept.count() >= 1)
+    // dropNearDups' result is a lazy anti-join against a checkpointed
+    // loser set it owns; consuming it doesn't release that set — walk the
+    // plan the same way release() does for the test's own cleanup
+    kept.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ =>
+    }
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"leaked persistent RDDs: ${(after -- before).mkString(", ")}")
+  }
+
   test("hash-based Jaccard equals string-based Jaccard") {
     val hashes = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
     val cands = Dedup.minhashCandidatesFromHashes(hashes)
@@ -168,7 +192,8 @@ class OperatorsSpec extends SparkTestBase {
   test("srpTopK returns correctly-ranked subset of brute-force candidates") {
     val emb = Tables.embeddings(spark, sf)
     val probes = emb.filter(pmod($"vec_id", lit(100)) === 0)
-    val got = Similarity.srpTopK(emb, probes, "vec_id", "embedding", k = 3, nBits = 4)
+    val got = Similarity.srpTopK(emb, probes, "vec_id", "embedding", k = 3,
+        bands = 8, bitsPerBand = 4)
       .collect()
     assert(got.nonEmpty)
     // ranks are 1..k per probe, cosine non-increasing within probe
@@ -228,6 +253,27 @@ class OperatorsSpec extends SparkTestBase {
       $"pt" >= $"lo" && $"pt" <= $"hi"))
     assert(binned == brute)
     assert(brute.contains((10L, 3L)) && brute.contains((10L, 2L)))
+  }
+
+  test("rangeJoin bin ids stay exact past 2^53 (integral div, not double)") {
+    // base is representable as a double but base+1 .. base+6 round to it:
+    // double division would put point and interval bounds in corrupted bins
+    // and corrupt bin ids; integral div keeps them exact (and negative
+    // points keep floor, not truncate-toward-zero, semantics)
+    val base = (1L << 60)
+    val points = Seq(base + 1, base + 6, base - 1, -base - 1).toDF("pt")
+    val intervals = Seq(
+      (1L, base + 1, base + 5),
+      (2L, base - 3, base + 2),
+      (3L, -base - 2, -base)
+    ).toDF("iid", "lo", "hi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pt", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binned = pairs(graft.operators.Ranges
+      .rangeJoin(points, "pt", intervals, "lo", "hi", binWidth = 3L))
+    val brute = pairs(points.join(intervals,
+      $"pt" >= $"lo" && $"pt" <= $"hi"))
+    assert(binned == brute && brute.nonEmpty)
   }
 
   test("TextAnalysis: token counts and ratios on crafted input") {

@@ -14,10 +14,9 @@ class QueriesSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("only known-approximate queries lack an oracle") {
+  test("every query has an oracle (hash-family operators via recall gates)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("d07_simhash_neardup", "e02_knn_srp"),
-      s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
   }
 
   // every query executes and produces a sane schema; most must be non-empty

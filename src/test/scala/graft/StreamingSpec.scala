@@ -82,6 +82,41 @@ class StreamingSpec extends SparkTestBase {
     assert(kept == Seq((1L, "click"), (2L, "view")))
   }
 
+  test("streamingDedup exact mode survives digest collisions that drop rows in key mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    // two distinct payloads engineered to collide on a narrow digest
+    // (pmod(xxhash64, 1) == 0 for everything): the key-based mechanism
+    // drops the second — demonstrating what a digest collision does —
+    // while exact mode keys on the payload itself and keeps both
+    val events = Seq(
+      UserEvent(1L, ts(0), 1L, "click", 1.5),
+      UserEvent(2L, ts(1), 2L, "view", 2.0),
+      UserEvent(3L, ts(2), 2L, "view", 2.0)) // true duplicate of event 2
+    val narrow = Seq(pmod(xxhash64(col("user_id"), col("event_type"), col("value")), lit(1L)))
+
+    val in1 = MemoryStream[UserEvent]
+    val q1 = EventStreams.streamingDedupByKeys(
+        in1.toDF(), "ts", narrow, "1 hour")
+      .writeStream.format("memory").queryName("collided")
+      .outputMode("append").start()
+    in1.addData(events: _*)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.table("collided").count() == 1) // collision silently drops
+
+    val in2 = MemoryStream[UserEvent]
+    val q2 = EventStreams.streamingDedup(
+        in2.toDF(), "ts", Seq("user_id", "event_type", "value"), "1 hour",
+        exact = true)
+      .writeStream.format("memory").queryName("exactmode")
+      .outputMode("append").start()
+    in2.addData(events: _*)
+    q2.processAllAvailable(); q2.stop()
+    val kept = spark.table("exactmode").collect()
+      .map(r => (r.getLong(2), r.getString(3))).sorted.toSeq
+    assert(kept == Seq((1L, "click"), (2L, "view"))) // distinct both survive
+  }
+
   test("file-source streaming: readStream over the events parquet matches batch") {
     import org.apache.spark.sql.types.LongType
     // the real pipeline shape: stream the driver-generated parquet through
