@@ -93,16 +93,63 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: pick `nCells` deterministic centroid rows (lowest ids —
-    * a stand-in for k-means at this stage), assign each corpus vector to its
-    * nearest centroid, and have each probe scan the `nProbe` nearest cells.
+  /** Deterministic seeded k-means coarse quantizer for [[ivfTopK]]:
+    * `k` spherical-k-means rounds (cosine assignment, mean update — the
+    * cosine kernel normalizes, so means need no explicit re-normalization).
+    *
+    * Determinism/scale shape: initial centroids are the `k` corpus rows
+    * with the lowest `xxhash64(id, seed)` (a seeded pseudo-random draw —
+    * TakeOrderedAndProject, no full sort); each round assigns via a
+    * broadcast of the k×dim centroid table and recomputes means by
+    * `posexplode` + per-(cell, dim) average — one shuffle of k×dim groups.
+    * Centroids are collected to the driver between rounds (k×dim floats —
+    * the same driver-held-centroids shape MLlib's k-means uses), which
+    * also truncates lineage for free. Cells that lose every member keep
+    * their previous centroid. Output: (cell_id 0..k-1, centroid). */
+  def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def toDF(cents: Seq[(Long, Array[Float])]): DataFrame =
+      cents.toDF("cell_id", "centroid")
+    var cents: Seq[(Long, Array[Float])] =
+      corpus.select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+        .limit(k)
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
+        .toSeq
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("__vid"))
+        .orderBy(col("__cos").desc, col("cell_id").asc)
+      val means = corpus
+        .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+        .crossJoin(broadcast(toDF(cents)))
+        .withColumn("__cos", cosineF32(col("__v"), col("centroid")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cell_id"), posexplode(col("__v")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).cast("array<float>").as("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .toMap
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+    toDF(cents)
+  }
+
+  /** IVF ANN over explicit centroids: assign each corpus vector to its
+    * nearest centroid, have each probe scan the `nProbe` nearest cells.
     * The cell assignment is computed once and is bucketable/persistable. */
-  def ivfTopK(
-      corpus: DataFrame, probes: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+  def ivfTopKWith(
+      cents: DataFrame, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(
         col("cell_cos").desc, col("cell_id").asc)
@@ -126,5 +173,31 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN with the deterministic lowest-id centroid stand-in —
+    * fully SQL-replicable, which is what makes the e05 oracle hash-exact.
+    * [[ivfTopKKMeans]] is the trained-quantizer variant. */
+  def ivfTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    ivfTopKWith(cents, corpus, probes, idCol, vecCol, k, nProbe)
+  }
+
+  /** IVF ANN over a seeded-k-means quantizer ([[kmeansCentroids]]) — the
+    * production form: trained cells give a tighter candidate set at the
+    * same nProbe than the lowest-id stand-in. Float means keep the last
+    * bit of the centroids engine-specific, so its oracle is the
+    * recall-gate row (e06), not a SQL replica. */
+  def ivfTopKKMeans(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters, seed)
+    ivfTopKWith(cents, corpus, probes, idCol, vecCol, k, nProbe)
   }
 }

@@ -198,6 +198,27 @@ object TextQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // --- IVF with a trained (seeded k-means) quantizer. Float means keep
+    //     the centroids' last bit engine-specific, so the gate is the
+    //     recall row pattern: overlap@5 vs the exact baseline, floor 0.5
+    //     (measured 0.72 at sf0.01 / 0.63 at sf0.1 with nProbe=6; the e05
+    //     lowest-id stand-in stays as the hash-exact plumbing check) ------------
+    "e06_ivf_kmeans_recall" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val ivf = Similarity.ivfTopKKMeans(emb, probes, "vec_id", "embedding",
+          k = 5, nProbe = 6)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_ivf"))
+      val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+      ivf.join(bf, Seq("probe_id", "neighbor_id"), "full_outer")
+        .agg(
+          (sum(col("in_ivf")) === count(col("in_bf"))).as("complete"),
+          ((count(when(col("in_ivf") === 1 && col("in_bf") === 1, 1)).cast("double") /
+            count(col("in_bf"))) >= 0.5).as("recall_ge_050"))
+    }),
+
     // --- embedding norms / stats ---------------------------------------------------
     "e03_embedding_stats" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -353,6 +374,8 @@ object TextQueries {
                 CAST(0 AS BIGINT) AS n_spurious""",
     "e02_srp_recall" ->
       """SELECT true AS complete, true AS recall_ge_060""",
+    "e06_ivf_kmeans_recall" ->
+      """SELECT true AS complete, true AS recall_ge_050""",
     // NOTE (same accepted trade-off as e04): the Spark side clusters
     // MinHash-LSH pairs (128 hashes / 32 bands → miss probability < 1e-7
     // per true pair at threshold 0.8) while this oracle computes the exact

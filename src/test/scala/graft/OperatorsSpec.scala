@@ -205,6 +205,38 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("kmeansCentroids: k cells, deterministic across runs, recovers planted clusters") {
+    // three tight planted clusters around orthogonal axes
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, j) => v + 0.01f * ((i + j) % 3) }
+    val data = (0 until 30).map { i =>
+      val base = (i % 3) match {
+        case 0 => Array(1f, 0f, 0f)
+        case 1 => Array(0f, 1f, 0f)
+        case _ => Array(0f, 0f, 1f)
+      }
+      (i.toLong, jitter(base, i))
+    }.toDF("vec_id", "embedding")
+    val c1 = Similarity.kmeansCentroids(data, "vec_id", "embedding", k = 3, iters = 3)
+      .orderBy("cell_id").collect().map(r => r.getSeq[Float](1).toSeq)
+    val c2 = Similarity.kmeansCentroids(data, "vec_id", "embedding", k = 3, iters = 3)
+      .orderBy("cell_id").collect().map(r => r.getSeq[Float](1).toSeq)
+    assert(c1.length == 3)
+    assert(c1.toSeq == c2.toSeq) // seeded draw + fixed iteration → deterministic
+    // each trained centroid points dominantly along one distinct axis
+    val axes = c1.map(_.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes == Set(0, 1, 2))
+  }
+
+  test("ivfTopKKMeans produces complete ranked neighbors per probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter(pmod($"vec_id", lit(200)) === 0)
+    val rows = Similarity.ivfTopKKMeans(emb, probes, "vec_id", "embedding",
+        k = 3, nProbe = 6).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id")))
+  }
+
   test("ivfTopK produces ranked neighbors per probe") {
     val emb = Tables.embeddings(spark, sf)
     val probes = emb.filter(pmod($"vec_id", lit(200)) === 0)
