@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -144,6 +144,44 @@ object TextQueries {
       Dedup.nearDupClusters(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.8)
         .orderBy("cluster_id")
+    }),
+
+    // --- benchmark decontamination: per-doc containment of a broadcast
+    //     benchmark shingle set (doc_id % 97 == 3 plays the eval set; the
+    //     rest is the corpus). Hash/string shingle parity as in d06. ----------
+    "d12_decontamination" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 3)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 3)
+      Contamination.contaminationScores(corpus, bench, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // --- deterministic train/val/test split on md5's first hex digit —
+    //     engine-portable (Spark and DuckDB md5 agree on the lowercase hex
+    //     of the decimal-rendered id): 0-b train, c-d val, e-f test ------------
+    "d13_hash_split" -> ((s, d) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(h.isin("c", "d"), "val")
+            .when(h.isin("e", "f"), "test")
+            .otherwise("train").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id").cast("decimal(38,0)")).as("id_sum"))
+        .orderBy("split")
+    }),
+
+    // --- concat-and-chunk sequence packing (operators/Packing.scala):
+    //     per-shard running token offsets, pack = offset div budget ------------
+    "d14_token_packing" -> ((s, d) => {
+      Packing.packTokens(Tables.documents(s, d), "doc_id", "text",
+          budget = 2048, nShards = 32)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("token_offset"), col("pack_id"))
+        .orderBy("doc_id")
     }),
 
     // --- exact brute-force KNN over embeddings ----------------------------------
@@ -428,6 +466,54 @@ object TextQueries {
          WHERE len(a.sh) > 0 AND len(b.sh) > 0
            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5
          ORDER BY id_a, id_b""",
+    "d12_decontamination" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [] END AS sh
+           FROM tok),
+         bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 3),
+         corp AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 3),
+         hits AS (
+           SELECT c.doc_id, count(*) AS n_sh, count(b.s) AS n_m
+           FROM corp c LEFT JOIN bench b ON c.s = b.s
+           GROUP BY c.doc_id)
+         SELECT s.doc_id,
+           CAST(COALESCE(h.n_sh, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_m, 0) AS BIGINT) AS n_matched,
+           CASE WHEN COALESCE(h.n_sh, 0) > 0
+             THEN CAST(h.n_m AS DOUBLE) / h.n_sh
+             ELSE CAST(0 AS DOUBLE) END AS contamination
+         FROM sh s LEFT JOIN hits h USING (doc_id)
+         WHERE s.doc_id % 97 <> 3
+         ORDER BY doc_id""",
+    "d13_hash_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+                     ELSE 'train' END AS split,
+                count(*) AS n_docs,
+                sum(CAST(doc_id AS DECIMAL(38,0))) AS id_sum
+         FROM documents GROUP BY 1 ORDER BY split""",
+    "d14_token_packing" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS token_offset
+           FROM t)
+         SELECT doc_id, shard, n_tokens,
+                CAST(token_offset AS BIGINT) AS token_offset,
+                CAST(token_offset // 2048 AS BIGINT) AS pack_id
+         FROM c ORDER BY doc_id""",
     "e01_knn_exact" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (

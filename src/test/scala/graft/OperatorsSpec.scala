@@ -205,6 +205,49 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("contaminationScores: full, partial, zero and shingle-less overlap") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // identical → 1.0
+      (2L, "the quick brown fox went somewhere else entirely today"), // shares a prefix
+      (3L, "completely unrelated words about something different"),   // 0.0
+      (4L, "two words")                                               // no shingles
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Contamination
+      .contaminationScores(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L)._3 == 1.0)
+    assert(got(2L)._3 > 0.0 && got(2L)._3 < 1.0) // "the quick brown"/"quick brown fox"
+    assert(got(3L) == ((4L, 0L, 0.0))) // 6 tokens → 4 trigram shingles
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    val kept = graft.operators.Contamination
+      .decontaminate(corpus, bench, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("packTokens: per-shard offsets are contiguous, pack = offset div budget") {
+    // one shard (nShards=1), crafted token counts 3,4,5,6 → offsets 0,3,7,12
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b c d"), (2L, "a b c d e"), (3L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Packing
+      .packTokens(docs, "doc_id", "text", budget = 5, nShards = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("token_offset"),
+        r.getAs[Long]("pack_id")))
+    assert(got.toSeq == Seq((0L, 0L, 0L), (1L, 3L, 0L), (2L, 7L, 1L), (3L, 12L, 2L)))
+    // sharded: offsets restart per shard
+    val sharded = graft.operators.Packing
+      .packTokens(docs, "doc_id", "text", budget = 5, nShards = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shard"),
+        r.getAs[Long]("token_offset")))
+    assert(sharded.toSeq == Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 3L), (3L, 1L, 4L)))
+  }
+
   test("kmeansCentroids: k cells, deterministic across runs, recovers planted clusters") {
     // three tight planted clusters around orthogonal axes
     def jitter(base: Array[Float], i: Int): Array[Float] =
