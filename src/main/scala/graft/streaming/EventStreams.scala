@@ -84,6 +84,65 @@ object EventStreams {
       }
   }
 
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, closed: Boolean)
+  /** Internal keyed state for [[customSessions]] (public: Catalyst codegen
+    * instantiates it reflectively when encoding state). */
+  case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Custom sessionization via `flatMapGroupsWithState` (the other keyed
+    * custom-state surface from the brief, complementing
+    * [[runningUserStats]]'s mapGroupsWithState): per-user sessions split on
+    * `gapMs` of event-time silence. Events extend the open session or close
+    * it and start the next; a closed session is emitted the moment the gap
+    * is observed (flatMap: 0..n outputs per group per batch — exactly what
+    * mapGroupsWithState cannot express), and event-time timeout emits the
+    * final session once the watermark passes the gap horizon, so state
+    * stays bounded. Append-mode compatible. */
+  def customSessions(
+      events: Dataset[UserEvent],
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap horizon: flush the open session
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, closed = true))
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closedOut = Seq.newBuilder[SessionOut]
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closedOut += SessionOut(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, closed = true)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closedOut.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup across micro-batches — the streaming face of
     * Dedup.exactDedup: duplicates arriving while their event time is within
     * the watermark horizon are dropped; state older than the watermark is

@@ -59,6 +59,36 @@ class StreamingSpec extends SparkTestBase {
     assert(got(2L) == Seq(1L))
   }
 
+  test("customSessions (flatMapGroupsWithState): gap split in-batch, timeout flush by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def hts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.customSessions(input.toDS(), gapMs = 30L * 60 * 1000,
+        watermark = "1 hour")
+      .toDF()
+      .writeStream.format("memory").queryName("custom_sessions")
+      .outputMode("append").start()
+    // batch 1: two events 10 min apart (one session), then a 50-min gap —
+    // the gap closes the first session within the same batch
+    input.addData(
+      UserEvent(1L, hts(10, 0), 1L, "click", 1.0),
+      UserEvent(2L, hts(10, 10), 1L, "view", 1.0),
+      UserEvent(3L, hts(11, 0), 1L, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: another user far in the future advances the watermark to
+    // 13:00 (> 11:00 + gap), timing out user 1's open session
+    input.addData(UserEvent(4L, hts(14, 0), 2L, "click", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("custom_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2.getTime)).toSeq
+    q.stop()
+    assert(got == Seq(
+      (1L, hts(10, 0), hts(10, 10), 2L), // closed by the in-batch gap
+      (1L, hts(11, 0), hts(11, 0), 1L))) // flushed by event-time timeout
+    // user 2's session is still open — not emitted
+  }
+
   test("streamingDedup drops cross-batch duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[UserEvent]
