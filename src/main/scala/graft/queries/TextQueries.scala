@@ -92,7 +92,10 @@ object TextQueries {
     //     pigeonhole guarantees banded == exact-all-pairs-Hamming, so the
     //     comparison IS a constant row — has_pairs / 0 missed / 0 spurious —
     //     hash-checkable at any SF. A regression in banding, the kernel, or
-    //     the Hamming filter flips a count off zero. ---------------------------
+    //     the Hamming filter flips a count off zero. has_pairs alone is
+    //     data-dependent (a corpus with no pair within Hamming 3 would flip
+    //     it with no code change — same accepted-risk class as the d09
+    //     note); it stays in the gate to prove the zeros aren't vacuous. -------
     "d07_simhash_recall" -> ((s, d) => {
       GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
@@ -160,7 +163,11 @@ object TextQueries {
 
     // --- deterministic train/val/test split on md5's first hex digit —
     //     engine-portable (Spark and DuckDB md5 agree on the lowercase hex
-    //     of the decimal-rendered id): 0-b train, c-d val, e-f test ------------
+    //     of the decimal-rendered id): 0-b train, c-d val, e-f test.
+    //     id_sum stays BIGINT on both sides: DuckDB's sum(BIGINT) widens to
+    //     DECIMAL(38,0), which pandas renders as float64 while Spark's
+    //     parquet decimal stays object — dtype (and hash) mismatch even for
+    //     equal values. Long sums of doc_id are exact at any gated SF. ----------
     "d13_hash_split" -> ((s, d) => {
       val h = substring(md5(col("doc_id").cast("string")), 1, 1)
       Tables.documents(s, d)
@@ -170,7 +177,7 @@ object TextQueries {
             .otherwise("train").as("split"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("doc_id").cast("decimal(38,0)")).as("id_sum"))
+          sum(col("doc_id")).as("id_sum"))
         .orderBy("split")
     }),
 
@@ -498,7 +505,7 @@ object TextQueries {
                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
                      ELSE 'train' END AS split,
                 count(*) AS n_docs,
-                sum(CAST(doc_id AS DECIMAL(38,0))) AS id_sum
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM documents GROUP BY 1 ORDER BY split""",
     "d14_token_packing" ->
       """WITH t AS (

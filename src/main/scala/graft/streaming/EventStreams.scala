@@ -125,7 +125,16 @@ object EventStreams {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t - s.end <= gapMs =>
-                  open = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                  // within-watermark out-of-order events merge symmetrically:
+                  // an event before the open session's start widens the start
+                  // just as a later one widens the end, so emitted bounds are
+                  // event-time min/max of the absorbed events. Cross-batch
+                  // session SPLITTING is arrival-order: whether two events gap
+                  // apart land in one session depends on what arrived between
+                  // them — the bounded-state trade-off (a full event-time sort
+                  // would require unbounded buffering).
+                  open = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1))
                 case Some(s) =>
                   closedOut += SessionOut(user, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.end), s.n, closed = true)

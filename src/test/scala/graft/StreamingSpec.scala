@@ -89,6 +89,34 @@ class StreamingSpec extends SparkTestBase {
     // user 2's session is still open — not emitted
   }
 
+  test("customSessions merges a within-watermark earlier event symmetrically (start widens)") {
+    implicit val sqlCtx = spark.sqlContext
+    def hts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.customSessions(input.toDS(), gapMs = 30L * 60 * 1000,
+        watermark = "1 hour")
+      .toDF()
+      .writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+    // batch 1 opens the session at 10:20
+    input.addData(UserEvent(1L, hts(10, 20), 1L, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: an out-of-order event at 10:00 — earlier than the open
+    // session's start, within the watermark — must widen session_start,
+    // not be silently absorbed with the old bounds
+    input.addData(UserEvent(2L, hts(10, 0), 1L, "view", 1.0))
+    q.processAllAvailable()
+    // batch 3: far-future event advances the watermark past 10:20 + gap,
+    // timing out user 1's open session
+    input.addData(UserEvent(3L, hts(14, 0), 2L, "click", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("ooo_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSeq
+    q.stop()
+    assert(got == Seq((1L, hts(10, 0), hts(10, 20), 2L)))
+  }
+
   test("streamingDedup drops cross-batch duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[UserEvent]
