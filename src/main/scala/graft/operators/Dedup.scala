@@ -223,16 +223,23 @@ object Dedup {
   def simhashOf(text: Column): Column =
     simhash64(tokenHashesOf(text))
 
-  /** SimHash near-dup pairs within `maxHamming` (≤ 3 with 4 blocks):
-    * bucket on each of 4 16-bit blocks; any pair differing in ≤3 bits
-    * agrees exactly on ≥1 block (pigeonhole), so candidates collide in
-    * at least one bucket — one shuffle, no O(n²). */
-  def simhashNearDups(
-      docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+  /** Materialized per-doc SimHash signatures (doc_id, sh). The signature
+    * expression (tokenize → hash stream → bit voting) is the expensive part
+    * of every SimHash pipeline; every downstream shape here self-joins, so
+    * without materialization the kernel runs once per join side. Caller
+    * owns the cache — `.unpersist()` when done (the d07 gate and the
+    * document-level entry points below do). */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), simhashOf(col(textCol)).as("sh"))
+      .persist()
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 3 with 4 blocks) from a
+    * signature frame (doc_id, sh): bucket on each of 4 16-bit blocks; any
+    * pair differing in ≤3 bits agrees exactly on ≥1 block (pigeonhole), so
+    * candidates collide in at least one bucket — one shuffle, no O(n²). */
+  def simhashNearDupsFromSig(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block banding guarantees recall only for k<=3")
-    val sh = docs.select(col(idCol).as("doc_id"), simhashOf(col(textCol)).as("sh"))
-    val blocked = sh.select(col("doc_id"), col("sh"),
+    val blocked = sig.select(col("doc_id"), col("sh"),
         posexplode(array((0 until 4).map(b =>
           shiftRightUnsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .toDF("doc_id", "sh", "block", "key")
@@ -245,18 +252,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Brute-force all-pairs SimHash Hamming distance — O(n²) verifier of
-    * [[simhashNearDups]]'s pigeonhole recall guarantee (the d07 recall row
-    * asserts banded == exact with 0 missed / 0 spurious). Bounded inputs
-    * only; the banded form is the scale path. */
-  def simhashAllPairs(
+  /** [[simhashNearDupsFromSig]] straight from a documents frame: signature
+    * table computed and cached once, pair set materialized eagerly, cache
+    * released before returning. */
+  def simhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"), simhashOf(col(textCol)).as("sh"))
-    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val sig = simhashTable(docs, idCol, textCol)
+    try simhashNearDupsFromSig(sig, maxHamming).localCheckpoint(true)
+    finally sig.unpersist()
+  }
+
+  /** Brute-force all-pairs SimHash Hamming distance from a signature frame
+    * — O(n²) verifier of [[simhashNearDupsFromSig]]'s pigeonhole recall
+    * guarantee (the d07 recall row asserts banded == exact with 0 missed /
+    * 0 spurious). Bounded inputs only; the banded form is the scale path. */
+  def simhashAllPairsFromSig(sig: DataFrame, maxHamming: Int = 3): DataFrame =
+    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+
+  /** [[simhashAllPairsFromSig]] straight from a documents frame. */
+  def simhashAllPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhashTable(docs, idCol, textCol)
+    try simhashAllPairsFromSig(sig, maxHamming).localCheckpoint(true)
+    finally sig.unpersist()
   }
 
   // ---- near-dup cluster collapse ---------------------------------------

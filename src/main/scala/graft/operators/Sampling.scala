@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Both operators key
+  * off md5 of the stringified row id instead of `rand()`: the sample is a
+  * pure function of the data, so it is reproducible across runs, engines,
+  * partitionings, and cluster sizes — and therefore oracle-checkable
+  * (DuckDB computes the identical md5 hex). `rand(seed)`-based sampling is
+  * none of those: Spark seeds per partition, so the kept set changes with
+  * the partition layout.
+  */
+object Sampling {
+
+  /** First hex digit (lowercase) of md5 of the stringified id — a uniform
+    * 16-bucket hash of the row identity. */
+  private def hexDigit(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 1)
+
+  /** Deterministic Bernoulli sample keeping `sixteenths`/16 of the rows:
+    * a row survives iff its [[hexDigit]] sorts below the cutoff character.
+    * Pure narrow filter — no shuffle, evaluated in the scan stage, and the
+    * selectivity is honored by AQE downstream. Rate granularity of 1/16 is
+    * the trade-off for the single-character comparison being identical in
+    * every engine; chain on a later md5 character for finer rates. */
+  def bernoulliSample(df: DataFrame, idCol: String, sixteenths: Int): DataFrame = {
+    require(sixteenths >= 1 && sixteenths <= 16, "rate is sixteenths/16")
+    // index 16 = 'g' sorts above every hex digit → keep all
+    val cutoff = "0123456789abcdefg".charAt(sixteenths).toString
+    df.filter(hexDigit(col(idCol)) < lit(cutoff))
+  }
+
+  /** Fixed-size per-stratum sample: within each stratum, rank rows by
+    * (md5(id), id) — a deterministic uniform-random order — and keep the
+    * first `quota`. The `row_number <= k` shape compiles to Spark's
+    * WindowGroupLimit: each map task pre-trims to k rows per stratum before
+    * the shuffle, so the exchange moves O(partitions × k) rows per stratum,
+    * not the whole stratum — the property that keeps a 10-stratum sample of
+    * a 100 TB corpus from sorting 10 TB per stratum on one reducer.
+    * Output keeps all input columns plus `sample_rank` (1-based). */
+  def quotaSample(
+      df: DataFrame, idCol: String, stratumCol: String, quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quota)
+  }
+}

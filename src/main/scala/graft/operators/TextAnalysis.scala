@@ -115,6 +115,50 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Word n-grams with every occurrence kept (the frequency-counting
+    * sibling of [[Dedup.shingles]], which deduplicates for set-Jaccard);
+    * empty array when the doc has fewer than n tokens. */
+  def ngrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-doc token repetition signals (the Gopher-style "repetitious text"
+    * quality filter): distinct-token fraction and most-frequent-token
+    * share. Shaped as explode → (doc, token) count → per-doc aggregate —
+    * linear work with map-side partial aggregation on both shuffles, not a
+    * per-row O(tokens²) higher-order-function scan, so a 100k-token
+    * document costs 100k rows, never 10¹⁰ comparisons. Docs with zero
+    * tokens have no rows here (no tokens to repeat). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        q4(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_tokens")).as("repetition_q"),
+        q4(col("top_cnt").cast("double") / col("n_tokens")).as("top_frac_q"))
+
+  /** Corpus-level top-k n-gram frequencies with a total order (count desc,
+    * n-gram asc) so the cut is deterministic. The classic distributed
+    * wordcount shape: explode → hash aggregate (partial map-side combine →
+    * final) → TakeOrderedAndProject, which keeps only k rows per partition
+    * before the single-point merge — no global sort of the frequency
+    * table. */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs.select(explode(ngrams(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram").asc)
+      .limit(k)
+
   /** OpenRefine-style fingerprint key: sorted distinct words joined by a
     * space. Documents equal up to word order / duplication / punctuation
     * share a key — groupBy(fingerprint) clusters them in one shuffle. */

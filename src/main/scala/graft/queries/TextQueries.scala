@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -98,16 +98,20 @@ object TextQueries {
     //     note); it stays in the gate to prove the zeros aren't vacuous. -------
     "d07_simhash_recall" -> ((s, d) => {
       GraftFunctions.register(s)
-      val docs = Tables.documents(s, d)
-      val banded = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      // one cached signature table feeds both the banded and the all-pairs
+      // side (each self-joins, so uncached the SimHash kernel would run 4×)
+      val sig = Dedup.simhashTable(Tables.documents(s, d), "doc_id", "text")
+      val banded = Dedup.simhashNearDupsFromSig(sig, maxHamming = 3)
         .select(col("id_a"), col("id_b"), lit(1).as("in_banded"))
-      val exact = Dedup.simhashAllPairs(docs, "doc_id", "text", maxHamming = 3)
+      val exact = Dedup.simhashAllPairsFromSig(sig, maxHamming = 3)
         .select(col("id_a"), col("id_b"), lit(1).as("in_exact"))
-      banded.join(exact, Seq("id_a", "id_b"), "full_outer")
+      try banded.join(exact, Seq("id_a", "id_b"), "full_outer")
         .agg(
           (count(lit(1)) > 0).as("has_pairs"),
           count(when(col("in_banded").isNull, 1)).as("n_missed"),
           count(when(col("in_exact").isNull, 1)).as("n_spurious"))
+        .localCheckpoint(true)
+      finally sig.unpersist()
     }),
 
     // --- brute-force n-gram Jaccard pairs on a bounded subset (the exact
@@ -189,6 +193,36 @@ object TextQueries {
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("token_offset"), col("pack_id"))
         .orderBy("doc_id")
+    }),
+
+    // --- per-doc token repetition signals (Gopher-style repetitious-text
+    //     filter): explode → two-level aggregate, linear at any doc length ------
+    "d15_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // --- deterministic Bernoulli sample: md5 hex bucket < 4/16 keeps ~25%,
+    //     reproducible across runs/engines/partitionings (unlike rand()) -------
+    "d16_hash_sample" -> ((s, d) => {
+      Sampling.bernoulliSample(Tables.documents(s, d), "doc_id", sixteenths = 4)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // --- fixed-size per-language quota sample (hash-priority order;
+    //     row_number<=k compiles to WindowGroupLimit — map-side trim) ----------
+    "d17_quota_sample" -> ((s, d) => {
+      Sampling.quotaSample(Tables.documents(s, d), "doc_id", "lang", quota = 25)
+        .select(col("lang"), col("sample_rank"), col("doc_id"))
+        .orderBy("lang", "sample_rank")
+    }),
+
+    // --- corpus-level top-k trigram frequencies (wordcount shape +
+    //     TakeOrderedAndProject; total order makes the cut deterministic) ------
+    "d18_ngram_topk" -> ((s, d) => {
+      TextAnalysis.topNgrams(Tables.documents(s, d), "text", n = 3, k = 20)
     }),
 
     // --- exact brute-force KNN over embeddings ----------------------------------
@@ -521,6 +555,48 @@ object TextQueries {
                 CAST(token_offset AS BIGINT) AS token_offset,
                 CAST(token_offset // 2048 AS BIGINT) AS pack_id
          FROM c ORDER BY doc_id""",
+    "d15_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         f AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         c AS (SELECT doc_id, tok, count(*) AS cnt FROM f GROUP BY doc_id, tok),
+         a AS (SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+                      max(cnt) AS top_cnt
+               FROM c GROUP BY doc_id)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_distinct AS BIGINT) AS n_distinct,
+                floor((1 - CAST(n_distinct AS DOUBLE) / n_tokens) * 10000) / 10000 AS repetition_q,
+                floor(CAST(top_cnt AS DOUBLE) / n_tokens * 10000) / 10000 AS top_frac_q
+         FROM a ORDER BY doc_id""",
+    "d16_hash_sample" ->
+      """SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+         GROUP BY lang ORDER BY lang""",
+    "d17_quota_sample" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+           FROM documents)
+         SELECT lang, sample_rank, doc_id FROM r WHERE sample_rank <= 25
+         ORDER BY lang, sample_rank""",
+    "d18_ngram_topk" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         ng AS (
+           SELECT CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS ngs
+           FROM tok),
+         f AS (SELECT unnest(ngs) AS ngram FROM ng)
+         SELECT ngram, count(*) AS freq FROM f
+         GROUP BY ngram ORDER BY freq DESC, ngram ASC LIMIT 20""",
     "e01_knn_exact" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Operator-level tests for the training-data-pipeline operators (dedup,
@@ -124,6 +124,56 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs.get((1L, 2L)).contains(0))
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("repetitionStats: distinct fraction and top-token share on a crafted doc") {
+    val df = Seq((1L, "a a a b"), (2L, "x y z"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5, 0.75)))
+    assert(got(2L) == ((3L, 3L, 0.0, 0.3333))) // floor-quantized 1/3
+    assert(!got.contains(3L)) // zero tokens: nothing to repeat, no row
+  }
+
+  test("topNgrams counts every occurrence with a deterministic cut") {
+    val df = Seq(
+      (1L, "a b c a b c"),   // "a b c" ×2, "b c a" ×1, "c a b" ×1
+      (2L, "a b c"),         // "a b c" ×1
+      (3L, "x y")            // < 3 tokens: no trigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(df, "text", n = 3, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a b c", 3L), ("b c a", 1L))) // tie broken by ngram asc
+  }
+
+  test("bernoulliSample is deterministic, rate-monotone, and subset-nested") {
+    val df = spark.range(0, 400).toDF("doc_id")
+    def kept(k: Int) = Sampling.bernoulliSample(df, "doc_id", k)
+      .collect().map(_.getLong(0)).toSet
+    val k4 = kept(4)
+    assert(kept(4) == k4)                       // same data → same sample
+    assert(k4.subsetOf(kept(8)))                // raising the rate only adds
+    assert(kept(16).size == 400)                // 16/16 keeps everything
+    assert(k4.size > 40 && k4.size < 160)       // ~25% of 400, loose bounds
+  }
+
+  test("quotaSample takes min(quota, stratum size) per stratum via WindowGroupLimit") {
+    val df = spark.range(0, 300)
+      .select(col("id").as("doc_id"),
+        (col("id") % 3).cast("string").as("stratum"))
+    val sampled = Sampling.quotaSample(df, "doc_id", "stratum", quota = 10)
+    val counts = sampled.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("0" -> 10L, "1" -> 10L, "2" -> 10L))
+    val ranks = sampled.select("sample_rank").collect().map(_.getInt(0))
+    assert(ranks.min == 1 && ranks.max == 10)
+    // a tiny stratum is taken whole
+    val small = Sampling.quotaSample(
+      df.filter(col("doc_id") < 4), "doc_id", "stratum", quota = 10)
+    assert(small.count() == 4)
+    // the rank<=k shape must hit Spark's map-side group-limit optimization
+    assert(sampled.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
   test("embeddingNearDups finds parallel vectors") {
