@@ -138,6 +138,58 @@ case class ShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `word_ngrams(text, n)` → array<string>: every word n-gram occurrence in
+  * order (NOT deduplicated — frequency counting needs multiplicity),
+  * tokens lowercased and joined by single spaces; same tokenizer as
+  * [[ShingleHashes]].
+  *
+  * Why an expression: the compositional form
+  * `transform(sequence(...), i => concat_ws(" ", element_at(toks, i+j)...))`
+  * re-inlines the tokenizer tree at every `element_at` reference and, being
+  * a higher-order function, falls out of whole-stage codegen — measured
+  * 10 s vs sub-second for the corpus-wide trigram count at sf0.1. One pass,
+  * O(chars + tokens·n). Semantics equal to the compositional form
+  * (asserted in FunctionsSpec). */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n must be positive")
+
+  override def prettyName: String = "word_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.toString
+    val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start) tokens += text.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+    }
+    if (tokens.length < n) return new GenericArrayData(Array.empty[AnyRef])
+    val m = tokens.length - n + 1
+    val out = new Array[AnyRef](m)
+    val sb = new java.lang.StringBuilder(32)
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(tokens(j + k))
+        k += 1
+      }
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `token_hashes(text)` → array<bigint>: 64-bit hashes of each token in
   * order (not deduplicated) — the SimHash input stream. Same tokenizer and
   * token hash as [[ShingleHashes]]. */

@@ -117,8 +117,19 @@ object TextAnalysis {
 
   /** Word n-grams with every occurrence kept (the frequency-counting
     * sibling of [[Dedup.shingles]], which deduplicates for set-Jaccard);
-    * empty array when the doc has fewer than n tokens. */
-  def ngrams(text: Column, n: Int): Column = {
+    * empty array when the doc has fewer than n tokens. Evaluated by the
+    * single-pass [[graft.functions.WordNGrams]] kernel — the compositional
+    * `transform(sequence, element_at…)` form (kept below as
+    * [[ngramsReference]]) re-evaluates the tokenizer per element and falls
+    * out of codegen: 25× slower corpus-wide at sf0.1. Requires
+    * [[graft.functions.GraftFunctions.register]]. */
+  def ngrams(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.wordNgramsOf(text, n)
+
+  /** Built-ins-only reference form of [[ngrams]] — semantically identical
+    * (asserted in FunctionsSpec), mirrors the DuckDB oracle construction;
+    * use only on bounded inputs. */
+  def ngramsReference(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n), i =>

@@ -222,6 +222,7 @@ object TextQueries {
     // --- corpus-level top-k trigram frequencies (wordcount shape +
     //     TakeOrderedAndProject; total order makes the cut deterministic) ------
     "d18_ngram_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
       TextAnalysis.topNgrams(Tables.documents(s, d), "text", n = 3, k = 20)
     }),
 

@@ -169,6 +169,27 @@ class FunctionsSpec extends SparkTestBase {
     assert(sets(0) == sets(1))
   }
 
+  test("word_ngrams kernel equals the compositional reference form") {
+    val docs = Seq(
+      (1L, "The Quick brown FOX jumps over the lazy dog"),
+      (2L, "a b c a b c"),         // repeated trigrams kept (multiplicity)
+      (3L, "too short"),           // < 3 tokens -> empty
+      (4L, "  spaced    out\ttabs\nand newlines here "),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        wordNgramsOf($"text", 3).as("kernel"),
+        operators.TextAnalysis.ngramsReference($"text", 3).as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: ${r.getSeq[String](1)} != ${r.getSeq[String](2)}")
+    }
+    // multiplicity: "a b c" appears twice in doc 2
+    val d2 = got.find(_.getLong(0) == 2L).get.getSeq[String](1)
+    assert(d2.count(_ == "a b c") == 2)
+  }
+
   test("simhash64: identical texts collide, hamming64 = 0; disjoint texts differ") {
     val df = Seq(
       (1L, "spark catalyst optimizer rules engine"),
