@@ -32,6 +32,32 @@ object Sampling {
     df.filter(hexDigit(col(idCol)) < lit(cutoff))
   }
 
+  /** Token-budget mixture sampling: within each stratum (e.g. source or
+    * language, with the budget derived from mixture weights), take rows in
+    * hash-priority order until the stratum's running token count reaches
+    * `budget`. A row is kept iff the tokens BEFORE it are under budget, so
+    * each stratum overshoots by at most one document and is never empty
+    * while it has data — the standard way training mixtures specified in
+    * tokens get materialized.
+    *
+    * Scale note: the running sum is a window per stratum — unlike
+    * [[quotaSample]]'s rank ≤ k there is no map-side group-limit for a
+    * cumulative-sum cut, so each stratum sorts on one reducer. For
+    * web-scale strata, pre-trim with [[bernoulliSample]] to a superset
+    * calibrated from per-stratum token totals (any rate whose expected
+    * token mass safely covers `budget`), then budget-sample the superset —
+    * hash-priority order is preserved under subsetting, so the result is
+    * identical whenever the superset covers the budget. */
+  def tokenBudgetSample(
+      df: DataFrame, idCol: String, stratumCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") - col(tokenCol) < budget)
+  }
+
   /** Fixed-size per-stratum sample: within each stratum, rank rows by
     * (md5(id), id) — a deterministic uniform-random order — and keep the
     * first `quota`. The `row_number <= k` shape compiles to Spark's

@@ -110,6 +110,27 @@ object ExpressionQueries {
         .orderBy("l_returnflag")
     }),
 
+    // --- sketch aggregates, self-gated (recall-row pattern): HLL++ and
+    //     KLL-style quantile sketch internals are engine-specific, so the
+    //     row emits accuracy invariants vs the exact in-Spark baselines —
+    //     approx_count_distinct within its 5% default rsd, percentile_approx
+    //     at accuracy 10⁴ within 1% of the exact median — hashed against a
+    //     constant oracle. These are the estimators a 100 TB profile pass
+    //     actually runs (exact count-distinct shuffles every key; the
+    //     sketch is mergeable map-side state of fixed size). ------------------
+    "q60_approx_sketches" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("acd"),
+          countDistinct(col("l_orderkey")).as("cd"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .cast("double").as("pa"),
+          expr("percentile(l_extendedprice, 0.5)").as("pe"))
+        .select(
+          (col("acd").cast("double") / col("cd")).between(0.95, 1.05).as("acd_ok"),
+          (col("pa") / col("pe")).between(0.99, 1.01).as("pct_ok"))
+    }),
+
     // --- statistical aggregates (stddev/var/corr/covar; quantized because
     //     both engines accumulate doubles differently at the last ulp) ----------
     "q50_stats" -> ((s, d) => {
@@ -194,6 +215,8 @@ object ExpressionQueries {
                 quantile_cont(l_quantity, 0.5) AS p50,
                 quantile_cont(l_quantity, 0.9) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q60_approx_sketches" ->
+      """SELECT true AS acd_ok, true AS pct_ok""",
     "q50_stats" ->
       """SELECT l_returnflag,
                 floor(stddev_samp(l_quantity) * 1e6) / 1e6 AS sd_q,

@@ -226,6 +226,19 @@ object TextQueries {
       TextAnalysis.topNgrams(Tables.documents(s, d), "text", n = 3, k = 20)
     }),
 
+    // --- token-budget mixture sampling: per-language 2000-token slices in
+    //     hash-priority order (the materialization step when training
+    //     mixtures are specified in tokens, not rows) ---------------------------
+    "d19_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.tokenBudgetSample(docs, "doc_id", "lang", "n_tokens",
+          budget = 2000)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // --- exact brute-force KNN over embeddings ----------------------------------
     "e01_knn_exact" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -598,6 +611,20 @@ object TextQueries {
          f AS (SELECT unnest(ngs) AS ngram FROM ng)
          SELECT ngram, count(*) AS freq FROM f
          GROUP BY ngram ORDER BY freq DESC, ngram ASC LIMIT 20""",
+    "d19_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT lang, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+         FROM c WHERE cum - n_tokens < 2000
+         ORDER BY lang, doc_id""",
     "e01_knn_exact" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (

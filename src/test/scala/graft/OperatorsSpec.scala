@@ -176,6 +176,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(sampled.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("tokenBudgetSample: budget cut with ≤1-doc overshoot, nonempty strata") {
+    val df = spark.range(0, 100).select(col("id").as("doc_id"),
+      (col("id") % 2).cast("string").as("stratum"), lit(50L).as("n_tokens"))
+    val got = Sampling.tokenBudgetSample(df, "doc_id", "stratum", "n_tokens",
+      budget = 200)
+    val counts = got.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("0" -> 4L, "1" -> 4L)) // 4 × 50 tokens fill 200 exactly
+    assert(got.agg(max("cum_tokens")).collect().head.getLong(0) == 200L)
+    // a budget below one document still takes the stratum's first doc
+    val tiny = Sampling.tokenBudgetSample(df, "doc_id", "stratum", "n_tokens",
+      budget = 10)
+    assert(tiny.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("0" -> 1L, "1" -> 1L))
+    // deterministic: same input → same kept set
+    val again = Sampling.tokenBudgetSample(df, "doc_id", "stratum", "n_tokens",
+      budget = 200).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("embeddingNearDups finds parallel vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
