@@ -179,6 +179,27 @@ object TextAnalysis {
   /** 64-bit rolling document fingerprint (xxhash64 of the fingerprint key). */
   def fingerprint64(text: Column): Column = xxhash64(fingerprintKey(text))
 
+  /** Per-stratum IQR outlier filter on a numeric column (the classic
+    * length-outlier document removal): keep rows within
+    * [q1 − k·IQR, q3 + k·IQR] of their stratum's exact quartiles. Two-pass
+    * shape: the per-stratum stats frame is tiny (one row per stratum) and
+    * broadcast back onto the corpus — the corpus itself is scanned twice
+    * but never shuffled on a data-dependent key. The bound arithmetic is
+    * written exactly as `q1 − (q3−q1)·k` / `q3 + (q3−q1)·k` so an oracle
+    * replica computes bit-identical doubles. */
+  def iqrFilter(
+      df: DataFrame, stratumCol: String, valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    val stats = df.groupBy(col(stratumCol)).agg(
+      expr(s"percentile($valueCol, 0.25)").as("__q1"),
+      expr(s"percentile($valueCol, 0.75)").as("__q3"))
+    df.join(broadcast(stats), stratumCol)
+      .filter(
+        col(valueCol) >= col("__q1") - (col("__q3") - col("__q1")) * k &&
+        col(valueCol) <= col("__q3") + (col("__q3") - col("__q1")) * k)
+      .drop("__q1", "__q3")
+  }
+
   /** Convenience: documents table → enriched analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

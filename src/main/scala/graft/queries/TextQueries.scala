@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.GraftFunctions
 import graft.operators.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.sources.Sinks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -237,6 +238,33 @@ object TextQueries {
           budget = 2000)
         .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
         .orderBy("lang", "doc_id")
+    }),
+
+    // --- sink roundtrip: deterministic hash-sharded parquet write, read
+    //     back and re-aggregated — the oracle sees only the input table, so
+    //     a row lost/duplicated/mis-sharded anywhere in the write→read path
+    //     flips the hash --------------------------------------------------------
+    "d20_shard_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      Sinks.writeSharded(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        tmp, "doc_id", nShards = 8)
+      Sinks.readSharded(s, tmp)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("shard")
+    }),
+
+    // --- per-language length-outlier removal (IQR fences on token count;
+    //     two-pass broadcast-back stats, corpus never shuffled) ----------------
+    "d21_outlier_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      TextAnalysis.iqrFilter(docs, "lang", "n_tokens", k = 1.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
     }),
 
     // --- exact brute-force KNN over embeddings ----------------------------------
@@ -625,6 +653,25 @@ object TextQueries {
          SELECT lang, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
          FROM c WHERE cum - n_tokens < 2000
          ORDER BY lang, doc_id""",
+    "d20_shard_roundtrip" ->
+      """SELECT CAST(doc_id % 8 AS INT) AS shard, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM documents GROUP BY 1 ORDER BY shard""",
+    "d21_outlier_filter" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         s AS (
+           SELECT lang, quantile_cont(n_tokens, 0.25) AS q1,
+                  quantile_cont(n_tokens, 0.75) AS q3
+           FROM t GROUP BY lang)
+         SELECT t.lang AS lang, count(*) AS n_kept,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM t JOIN s ON t.lang = s.lang
+         WHERE n_tokens >= q1 - (q3 - q1) * 1.5
+           AND n_tokens <= q3 + (q3 - q1) * 1.5
+         GROUP BY t.lang ORDER BY t.lang""",
     "e01_knn_exact" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (

@@ -196,6 +196,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("writeSharded: deterministic layout, shard pruning, lossless roundtrip") {
+    import graft.sources.Sinks
+    val df = spark.range(0, 64).select(col("id").as("doc_id"),
+      (col("id") * 7 % 13).as("payload"))
+    val tmp = java.nio.file.Files.createTempDirectory("shards_spec").toString
+    Sinks.writeSharded(df, tmp, "doc_id", nShards = 4)
+    val back = Sinks.readSharded(spark, tmp)
+    // lossless: same rows, shard = id % 4
+    val rows = back.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("payload"), r.getAs[Int]("shard")))
+    assert(rows.length == 64)
+    assert(rows.forall { case (id, p, s) => s == (id % 4) && p == id * 7 % 13 })
+    // exactly one directory per shard, addressable without an index
+    val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.sorted.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // a shard filter prunes to one partition directory at the scan
+    val pruned = back.filter(col("shard") === 2)
+    assert(pruned.count() == 16)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard"))
+  }
+
+  test("iqrFilter drops per-stratum outliers and keeps inliers") {
+    // stratum a: 20 values around 10 plus a huge outlier; b: tight cluster
+    val a = (1L to 20L).map(i => (i, "a", 10L + (i % 3)))
+    val rows = a :+ ((99L, "a", 1000L)) :+ ((100L, "b", 5L)) :+ ((101L, "b", 6L))
+    val df = rows.toDF("doc_id", "stratum", "v")
+    val kept = TextAnalysis.iqrFilter(df, "stratum", "v")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(99L))             // the outlier is fenced out
+    assert((1L to 20L).forall(kept.contains)) // inliers survive
+    assert(kept.contains(100L) && kept.contains(101L))
+  }
+
   test("embeddingNearDups finds parallel vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
