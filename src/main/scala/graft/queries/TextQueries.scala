@@ -245,7 +245,10 @@ object TextQueries {
     //     a row lost/duplicated/mis-sharded anywhere in the write→read path
     //     flips the hash --------------------------------------------------------
     "d20_shard_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      // fixed per-SF path + overwrite mode: reruns reuse the directory
+      // instead of leaking a fresh temp dir per invocation
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_shards_${Integer.toHexString(d.hashCode)}").toString
       Sinks.writeSharded(
         Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
         tmp, "doc_id", nShards = 8)

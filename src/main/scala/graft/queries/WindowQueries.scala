@@ -176,6 +176,19 @@ object WindowQueries {
           last(col("event_type"), ignoreNulls = true).over(w).as("last_type"))
         .distinct()
         .orderBy("user_id", "event_id")
+    }),
+
+    // --- global contiguous rank WITHOUT a single-reducer sort: range
+    //     partition + per-partition offsets (operators/GlobalOrder.scala);
+    //     the oracle is the naive global window, which only one engine on
+    //     one machine can afford — equality proves the two-pass
+    //     decomposition exact ---------------------------------------------------
+    "q61_global_rank" -> ((s, d) => {
+      graft.operators.GlobalOrder.withGlobalRowNumber(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          Seq("o_orderdate", "o_orderkey"), nPartitions = 8)
+        .select(col("o_orderkey"), col("global_rn"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -186,6 +199,10 @@ object WindowQueries {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
          ORDER BY o_custkey, o_orderkey""",
+    "q61_global_rank" ->
+      """SELECT o_orderkey,
+                row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS global_rn
+         FROM orders ORDER BY o_orderkey""",
     "q34_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          sum(l_quantity) OVER w AS running_qty,

@@ -230,6 +230,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept.contains(100L) && kept.contains(101L))
   }
 
+  test("withGlobalRowNumber: contiguous global ranks equal the naive global window") {
+    import graft.operators.GlobalOrder
+    import org.apache.spark.sql.expressions.Window
+    // keys with ties on the first column so the tiebreaker and the
+    // no-straddle range partitioning are both exercised
+    val df = spark.range(0, 500).select(
+      (col("id") % 37).as("k"), col("id").as("tie"))
+    val got = GlobalOrder.withGlobalRowNumber(df, Seq("k", "tie"), nPartitions = 7)
+      .select(col("k"), col("tie"), col("global_rn"))
+    val naive = df.withColumn("global_rn",
+      row_number().over(Window.orderBy(col("k"), col("tie"))).cast("long"))
+    assert(got.count() == 500)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    // contiguity: ranks are exactly 1..n
+    assert(got.agg(min("global_rn"), max("global_rn"), countDistinct("global_rn"))
+      .collect().head.toSeq == Seq(1L, 500L, 500L))
+  }
+
   test("embeddingNearDups finds parallel vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BandKeys64, Mix, MinHashSignature, TopKLongAgg}
+import graft.functions.{BandKeys64, Hamming64, Mix, MinHashSignature, SimHash64, TopKLongAgg, WordNGrams}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, LongType}
@@ -77,6 +77,43 @@ class PropertiesSpec extends AnyFunSuite {
       val viaMerge = agg.finish(agg.merge(
         l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))).toSeq
       folded == expect && viaMerge == expect
+    })
+  }
+
+  test("word_ngrams: sliding-window reconstruction over random tokens/whitespace") {
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val sep = Gen.oneOf(" ", "  ", "\t", " \n ")
+    def grams(text: String, n: Int): Seq[String] =
+      WordNGrams(Literal.create(text), n).eval(null).asInstanceOf[ArrayData]
+        .toArray[UTF8String](StringType).map(_.toString).toSeq
+    check("wordngrams", Prop.forAll(
+        Gen.listOf(token), Gen.listOf(sep), Gen.choose(1, 4)) { (toks, seps, n) =>
+      // random whitespace between tokens must not affect tokenization
+      val text = toks.zipAll(seps.take(math.max(toks.length - 1, 0)), "", " ")
+        .map { case (t, s) => t + s }.mkString
+      val lower = toks.map(_.toLowerCase(java.util.Locale.ROOT))
+      val expect =
+        if (lower.length < n) Seq.empty
+        else lower.sliding(n).map(_.mkString(" ")).toSeq
+      grams(text, n) == expect
+    })
+  }
+
+  test("simhash64 is permutation-invariant; hamming64 is a metric") {
+    def sh(xs: Seq[Long]): Long =
+      SimHash64(litArr(xs)).eval(null).asInstanceOf[Long]
+    check("simhash-perm", Prop.forAll(Gen.nonEmptyListOf(Gen.long)) { a =>
+      val shuffled = new scala.util.Random(a.hashCode.toLong).shuffle(a)
+      sh(a) == sh(shuffled)
+    })
+    def ham(a: Long, b: Long): Int =
+      Hamming64(Literal(a), Literal(b)).eval(null).asInstanceOf[Int]
+    check("hamming-metric", Prop.forAll(Gen.long, Gen.long, Gen.long) { (a, b, c) =>
+      ham(a, b) == ham(b, a) && ham(a, a) == 0 &&
+        (a == b) == (ham(a, b) == 0) &&
+        ham(a, c) <= ham(a, b) + ham(b, c)
     })
   }
 
