@@ -179,6 +179,29 @@ object TextAnalysis {
   /** 64-bit rolling document fingerprint (xxhash64 of the fingerprint key). */
   def fingerprint64(text: Column): Column = xxhash64(fingerprintKey(text))
 
+  /** Corpus-level rarity signals per document: distinct-token count, hapax
+    * count (tokens whose corpus-wide document frequency is 1 — unique to
+    * this doc), and the hapax ratio (a misspelling/garbage signal: clean
+    * prose shares its vocabulary, mojibake doesn't).
+    *
+    * Scale shape: the document-frequency table is vocabulary-sized — far
+    * too big to broadcast — so this is the canonical big-big shuffle join
+    * on the token key, with both sides reduced first (per-doc distinct
+    * explode; DF pre-aggregated with map-side combine). The exploded
+    * token frame feeds both the DF aggregate and the join's probe side
+    * with identical partitioning on `tok`, so the exchange is reusable. */
+  def rareTokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docTokens = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val df = docTokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    docTokens.join(df, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        count(when(col("df") === 1, 1)).as("n_hapax"))
+      .select(col("doc_id"), col("n_distinct"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_distinct")).as("hapax_ratio"))
+  }
+
   /** Per-stratum IQR outlier filter on a numeric column (the classic
     * length-outlier document removal): keep rows within
     * [q1 − k·IQR, q3 + k·IQR] of their stratum's exact quartiles. Two-pass

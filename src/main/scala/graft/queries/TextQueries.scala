@@ -270,6 +270,14 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // --- corpus-level rarity: per-doc hapax counts from the global
+    //     document-frequency table (big-big token join — the DF side is
+    //     vocabulary-sized, never broadcastable) -------------------------------
+    "d22_rare_tokens" -> ((s, d) => {
+      TextAnalysis.rareTokenStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // --- exact brute-force KNN over embeddings ----------------------------------
     "e01_knn_exact" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -675,6 +683,17 @@ object TextQueries {
          WHERE n_tokens >= q1 - (q3 - q1) * 1.5
            AND n_tokens <= q3 + (q3 - q1) * 1.5
          GROUP BY t.lang ORDER BY t.lang""",
+    "d22_rare_tokens" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))) AS tok
+           FROM documents),
+         df AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+         j AS (SELECT t.doc_id, d.df FROM tok t JOIN df d USING (tok))
+         SELECT doc_id, count(*) AS n_distinct,
+                count(CASE WHEN df = 1 THEN 1 END) AS n_hapax,
+                CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE) / count(*) AS hapax_ratio
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
     "e01_knn_exact" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (

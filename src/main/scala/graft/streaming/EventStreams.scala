@@ -152,6 +152,33 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join — the remaining Structured Streaming join
+    * surface: every click paired with the same user's views in the
+    * `lookback` window before it. Watermarks on BOTH sides plus the time
+    * bound in the join condition are what let Spark evict join state: a
+    * buffered view can be dropped once the click-side watermark passes
+    * view_ts + lookback. Works identically on batch frames (the specs'
+    * golden path). One shuffle per side on user_id. */
+  def clickViewJoin(
+      events: DataFrame,
+      lookback: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+        col("click_user") === col("view_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("click_user").as("user_id"), col("click_id"),
+        col("view_id"), col("click_ts"), col("view_ts"))
+  }
+
   /** Streaming exact dedup across micro-batches — the streaming face of
     * Dedup.exactDedup: duplicates arriving while their event time is within
     * the watermark horizon are dropped; state older than the watermark is

@@ -117,6 +117,34 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq((1L, hts(10, 0), hts(10, 20), 2L)))
   }
 
+  test("clickViewJoin: stream-stream interval join matches batch, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      UserEvent(1L, ts(0), 1L, "view", 1.0),
+      UserEvent(2L, ts(10), 1L, "click", 1.0),  // pairs with view@0
+      UserEvent(3L, ts(50), 1L, "click", 1.0),  // view@0 outside 30m lookback
+      UserEvent(4L, ts(5), 2L, "view", 1.0),    // other user: never pairs
+      UserEvent(5L, ts(8), 1L, "view", 1.0)     // pairs with click@10 only
+    )
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.clickViewJoin(input.toDF())
+      .writeStream.format("memory").queryName("cv_join")
+      .outputMode("append").start()
+    input.addData(data.take(3): _*)
+    q.processAllAvailable()
+    input.addData(data.drop(3): _*)  // late-arriving view within watermark
+    q.processAllAvailable()
+    val streamed = spark.table("cv_join")
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    val batch = EventStreams.clickViewJoin(data.toDF())
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((2L, 1L), (2L, 5L)))
+    assert(streamed == batch)
+  }
+
   test("streamingDedup drops cross-batch duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[UserEvent]
