@@ -47,7 +47,16 @@ object GraftFunctions {
     "srp_band_keys" -> (es => SrpBandKeys(
       es(0), intLit(es(1), "srp_band_keys.bands"),
       intLit(es(2), "srp_band_keys.bitsPerBand"),
-      longLit(es(3), "srp_band_keys.seed")))
+      longLit(es(3), "srp_band_keys.seed"))),
+    // Spark ships these Bloom expressions for its own runtime row-group
+    // filtering but leaves them out of the public registry; surfacing them
+    // gives pipelines membership prefilters (decontamination id lists,
+    // join pruning) as fixed-size mergeable aggregate state
+    "bloom_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2))),
+    "bloom_might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
   )
 
   /** Idempotent: register all graft functions in this session. */
@@ -81,6 +90,11 @@ object GraftFunctions {
     call_function("band_keys64", sig, lit(bands))
   def srpBandKeys(vec: Column, bands: Int, bitsPerBand: Int, seed: Long): Column =
     call_function("srp_band_keys", vec, lit(bands), lit(bitsPerBand), lit(seed))
+  /** Bloom filter over a LONG column (hash keys first, e.g. xxhash64). */
+  def bloomAgg(keys: Column, expectedItems: Long, numBits: Long): Column =
+    call_function("bloom_agg", keys, lit(expectedItems), lit(numBits))
+  def bloomMightContain(bloom: Column, key: Column): Column =
+    call_function("bloom_might_contain", bloom, key)
 
   // ---- Reference-semantics shims (SURVEY §2.7 deltas) ------------------
 

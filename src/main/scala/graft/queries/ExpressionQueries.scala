@@ -131,6 +131,31 @@ object ExpressionQueries {
           (col("pa") / col("pe")).between(0.99, 1.01).as("pct_ok"))
     }),
 
+    // --- Bloom membership prefilter, self-gated: the filter's bits are a
+    //     deterministic pure function of the key set (merge is bitwise OR —
+    //     order/partition independent), so the gate asserts the structural
+    //     guarantees: zero false negatives over every present key, and the
+    //     false-positive rate on a disjoint probe set under 2× the design
+    //     point (~1% at 10 bits/key). This is the membership prefilter a
+    //     pipeline uses before an expensive join (id decontamination,
+    //     join pruning) — fixed-size mergeable map-side state. ---------------
+    "q62_bloom_filter" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{bloomAgg, bloomMightContain}
+      val keys = Tables.lineitem(s, d)
+        .select(xxhash64(col("l_orderkey")).as("k"), col("l_orderkey"))
+      // the sketch is collected (25 kB) and shipped as a literal — the real
+      // deployment shape: build once, broadcast into the probe-side filter
+      // (might_contain requires a constant/scalar-subquery bloom)
+      val bf = keys.agg(bloomAgg(col("k"), 20000L, 200000L))
+        .collect().head.getAs[Array[Byte]](0)
+      keys.agg(
+        bool_and(bloomMightContain(lit(bf), col("k"))).as("no_false_neg"),
+        (avg(when(bloomMightContain(lit(bf),
+            xxhash64(col("l_orderkey") + 1000000000L)), 1.0).otherwise(0.0))
+          < 0.02).as("fpr_ok"))
+    }),
+
     // --- statistical aggregates (stddev/var/corr/covar; quantized because
     //     both engines accumulate doubles differently at the last ulp) ----------
     "q50_stats" -> ((s, d) => {
@@ -217,6 +242,8 @@ object ExpressionQueries {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q60_approx_sketches" ->
       """SELECT true AS acd_ok, true AS pct_ok""",
+    "q62_bloom_filter" ->
+      """SELECT true AS no_false_neg, true AS fpr_ok""",
     "q50_stats" ->
       """SELECT l_returnflag,
                 floor(stddev_samp(l_quantity) * 1e6) / 1e6 AS sd_q,

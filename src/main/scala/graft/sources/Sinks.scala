@@ -33,4 +33,39 @@ object Sinks {
     * partition column, pruned at the scan when filtered on. */
   def readSharded(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Shard-level incremental upsert into a [[writeSharded]] dataset:
+    * replace-or-insert `updates` (same schema, no `shard` column),
+    * rewriting ONLY the shard directories the update ids touch — this is
+    * the point of deterministic sharding: a small update batch costs a few
+    * shards, not a full-corpus rewrite. Updates win over existing rows
+    * with the same id.
+    *
+    * Mechanics: the touched shard list (≤ nShards ints) prunes the
+    * read-back to those partition directories; surviving old rows
+    * (anti-join on id) union the updates; dynamic partition overwrite
+    * replaces exactly the partitions present in the written frame. The
+    * merged frame is localCheckpointed before the write because Spark
+    * refuses to overwrite a path it is also reading — the touched-shard
+    * subset must be materialized first (for huge batches, stage to a temp
+    * location instead). */
+  def upsertSharded(
+      spark: SparkSession, path: String, updates: DataFrame,
+      idCol: String, nShards: Int): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    val upd = updates.withColumn("shard",
+      pmod(col(idCol), lit(nShards)).cast("int"))
+    val touched = upd.select("shard").distinct().collect().map(_.getInt(0))
+    val kept = readSharded(spark, path)
+      .filter(col("shard").isin(touched.map(Integer.valueOf): _*))
+      .join(upd.select(col(idCol)), Seq(idCol), "left_anti")
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try kept.unionByName(upd.select(kept.columns.map(col): _*))
+      .localCheckpoint(true)
+      .repartition(col("shard"))
+      .sortWithinPartitions(idCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
 }

@@ -206,6 +206,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(d == 0)
   }
 
+  test("bloom_agg / bloom_might_contain: zero false negatives, bounded FPR") {
+    val keys = spark.range(0, 2000).select(xxhash64($"id").as("k"), $"id")
+    // might_contain requires a constant bloom: build once, ship as a
+    // literal (the sketch is ~kB — designed to be collected and broadcast)
+    val bf = keys.agg(bloomAgg($"k", 2000L, 20000L)).collect().head.getAs[Array[Byte]](0)
+    assert(keys.filter(!bloomMightContain(lit(bf), $"k")).count() == 0)
+    val fpr = keys.select(avg(
+        when(bloomMightContain(lit(bf), xxhash64($"id" + 10000000L)), 1.0)
+          .otherwise(0.0)))
+      .collect().head.getDouble(0)
+    assert(fpr < 0.03, s"false-positive rate $fpr over design point") // 10 bits/key ≈ 1%
+  }
+
   test("firstValue/lastValue default to ignoreNulls=true (basic.scala:38-108)") {
     val df = Seq((1, None), (2, Some("x")), (3, Some("y")), (4, None))
       .toDF("ord", "v").coalesce(1).orderBy("ord")

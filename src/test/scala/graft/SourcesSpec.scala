@@ -31,6 +31,34 @@ class SourcesSpec extends SparkTestBase {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("upsertSharded rewrites only the touched shard directories; updates win") {
+    import graft.sources.Sinks
+    val df = spark.range(0, 64).select(col("id").as("doc_id"),
+      (col("id") * 7 % 13).as("payload"))
+    val tmp = java.nio.file.Files.createTempDirectory("shards_upsert").toString
+    Sinks.writeSharded(df, tmp, "doc_id", nShards = 4)
+    def files(shard: Int): Set[(String, Long)] =
+      new java.io.File(tmp, s"shard=$shard").listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified).toSet
+    val before = (0 until 4).map(files)
+    // update doc 5 (shard 1), insert doc 100 (shard 0): touches shards 0, 1
+    val updates = Seq((5L, 999L), (100L, 1L)).toDF("doc_id", "payload")
+    Sinks.upsertSharded(spark, tmp, updates, "doc_id", nShards = 4)
+    val back = Sinks.readSharded(spark, tmp)
+    assert(back.count() == 65)
+    assert(back.filter(col("doc_id") === 5).select("payload")
+      .collect().map(_.getLong(0)).toSeq == Seq(999L))
+    assert(back.filter(col("doc_id") === 100).count() == 1)
+    // every untouched row survived byte-identically
+    assert(back.filter(col("doc_id") =!= 5 && col("doc_id") =!= 100)
+      .exceptAll(df.filter(col("doc_id") =!= 5)
+        .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("int"))).isEmpty)
+    // shards 2 and 3 were not rewritten (same files, same mtimes)
+    assert(files(2) == before(2) && files(3) == before(3))
+    assert(files(0) != before(0) && files(1) != before(1))
+  }
+
   test("bucketed tables: co-located equi-join plans without a shuffle exchange") {
     val left = spark.range(0, 1000).select($"id".as("k"), ($"id" * 3).as("a"))
     val right = spark.range(0, 1000).select($"id".as("k"), ($"id" % 7).as("b"))
