@@ -404,8 +404,69 @@ object RelationalQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // --- classic multi-join analytics (TPC-H Q3/Q5/Q10 shapes over the
+    //     synthetic tables): selective dims feed fact joins, decimal-exact
+    //     revenue, deterministic top-k. These give Catalyst real join
+    //     ordering/broadcast decisions to make — the q09-q17 rows test join
+    //     semantics one at a time; these test them composed. ------------------
+    "q63_tpch_q3" -> ((s, d) => {
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(revenue.as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q64_tpch_q5" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    "q65_tpch_q10" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(revenue.as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
     })
   )
+
+  /** Decimal-exact revenue: sum(extendedprice × (1 − discount)) → double. */
+  private def revenue: Column = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (one - col("l_discount").cast(DecimalType(18, 2)))).cast("double")
+  }
 
   /** Flagship: TPC-H Q1 pricing summary (decimal-exact). */
   def q1(s: SparkSession, d: String): DataFrame = {
@@ -623,6 +684,48 @@ object RelationalQueries {
     "q56_skew_salted_join" ->
       """SELECT o_orderkey, o_custkey, c_mktsegment
          FROM orders JOIN customer ON o_custkey = c_custkey
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+    "q63_tpch_q3" ->
+      """SELECT l_orderkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                o_orderdate, o_orderpriority
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q64_tpch_q5" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name ASC""",
+    "q65_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                c_acctbal, n_name
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
   )
 }
