@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding compression for vector corpora: symmetric int8 quantization
+  * with exact integer error accounting. At 100 TB an fp32 embedding column
+  * is often the widest thing in the table; int8 cuts it 4× and most ANN
+  * stacks tolerate the precision loss — but only if the pipeline can
+  * MEASURE that loss. The error metric here is an order-independent
+  * integer (a sum of floor-quantized per-element ticks), so it is exactly
+  * reproducible across engines, partitionings, and reruns — unlike a
+  * float L2 norm, whose accumulation order changes the last bits.
+  *
+  * Everything composes codegen'd higher-order builtins (`transform` /
+  * `zip_with` / `aggregate`) over the array column — no UDF boxing, stays
+  * inside WholeStageCodegen, scan prunes to (id, vec).
+  *
+  * Determinism note (the reason every step is floor/multiply/divide):
+  * IEEE-754 ×, ÷ are correctly rounded in both the JVM and any C++
+  * engine, so `x/absmax*127` evaluated in this exact order is
+  * bit-identical everywhere; `floor` then lands on the same integer. A
+  * `round()`-based quantizer would straddle half-even vs half-up on
+  * boundary values.
+  */
+object Quantize {
+
+  /** Per-vector quantization stats:
+    * `absmax_q`  — floor(max |x| · 10⁴), the scale in ticks;
+    * `q_l1`      — Σ |q_i| of the int8 codes (a checksum of the codes);
+    * `err_ticks` — Σ floor(|x_i − q_i·absmax/127| · 10⁴), integer
+    *               reconstruction error.
+    * Codes are `floor(x/absmax·127)` ∈ [−127, 127]. */
+  def int8Stats(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val absmax = array_max(transform(v, x => abs(x)))
+    val q = transform(v, x => floor(x / absmax * lit(127.0)))
+    emb.select(
+      col(idCol),
+      v.as("__v"), absmax.as("__absmax"), q.as("__q"))
+      .select(
+        col(idCol),
+        floor(col("__absmax") * 10000).cast("long").as("absmax_q"),
+        aggregate(col("__q"), lit(0L),
+          (acc, x) => acc + abs(x).cast("long")).as("q_l1"),
+        aggregate(
+          zip_with(col("__v"), col("__q"), (x, qi) =>
+            floor(abs(x - qi * col("__absmax") / lit(127.0)) * 10000)),
+          lit(0L), (acc, e) => acc + e.cast("long")).as("err_ticks"))
+  }
+
+  /** The int8 codes themselves (for writing a compacted table): array of
+    * small ints plus the per-vector scale needed to dequantize. */
+  def int8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val absmax = array_max(transform(v, x => abs(x)))
+    emb.select(
+      col(idCol),
+      absmax.as("scale"),
+      transform(v, x => floor(x / absmax * lit(127.0)).cast("tinyint"))
+        .as("codes"))
+  }
+}

@@ -202,6 +202,44 @@ object TextAnalysis {
         (col("n_hapax").cast("double") / col("n_distinct")).as("hapax_ratio"))
   }
 
+  /** Per-document top-k salient terms under TF-IDF-style weighting. The
+    * weight is the exact rational surrogate `tf · N / df` (term frequency
+    * scaled by inverse relative document frequency) rather than
+    * `tf · ln(N/df)`: IEEE multiply/divide are correctly rounded so the
+    * score is bit-identical in any engine, while `ln` is libm-dependent
+    * and can flip a quantization boundary — and the induced per-document
+    * ranking only reorders where ln would tie anyway at equal df. Swap in
+    * log-idf downstream if calibrated magnitudes matter.
+    *
+    * Scale shape: one explode feeds a (doc, term) count, the document
+    * frequency table aggregates over THAT (one row per (doc,term) — no
+    * second pass over text), and the big-big join on the term key mirrors
+    * [[rareTokenStats]]. The per-doc top-k is `row_number() <= k` which
+    * compiles to WindowGroupLimit — each shuffle partition trims to k
+    * before the exchange, so the window never materializes the full scored
+    * frame. */
+  def salientTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+    scored
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term_rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** Per-stratum IQR outlier filter on a numeric column (the classic
     * length-outlier document removal): keep rows within
     * [q1 − k·IQR, q3 + k·IQR] of their stratum's exact quartiles. Two-pass

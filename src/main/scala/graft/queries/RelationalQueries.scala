@@ -458,6 +458,55 @@ object RelationalQueries {
           col("c_acctbal"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
+    }),
+
+    // --- correlated EXISTS (TPC-H Q4 shape): priority counts over orders
+    //     with at least one discounted line. EXISTS compiles to a LEFT SEMI
+    //     join — the lineitem side is filtered before the shuffle and never
+    //     duplicates order rows, so the count is per-order, not per-line. ----
+    "q66_exists_subquery" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d).filter(col("l_discount") > 0.05),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // --- CUBE + grouping_id (q32 covers ROLLUP; CUBE adds the (∅,status)
+    //     slice and the gid column disambiguates aggregated-away NULLs from
+    //     data NULLs). One pass: Spark expands grouping sets before the
+    //     aggregate, partial aggregation still applies per set. ---------------
+    "q67_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // --- IN-subquery over a HAVING group (TPC-H Q18 shape): big-quantity
+    //     orders found by pre-aggregating lineitem (map-side partial sums),
+    //     then a semi join gates the 3-way detail join — the expensive
+    //     customer×orders×lineitem join runs only on qualifying orders. ------
+    "q68_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("__qty"))
+        .filter(col("__qty") > 250)
+        .select(col("l_orderkey").as("__big_okey"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("__big_okey"), "left_semi")
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+        .limit(100)
     })
   )
 
@@ -726,6 +775,33 @@ object RelationalQueries {
            AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
            AND l_returnflag = 'R'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
-         ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "q66_exists_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q67_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+                  l_linestatus ASC NULLS FIRST""",
+    "q68_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 100"""
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Packing, Quantize, Sampling, Similarity, TextAnalysis}
 import graft.sources.Sinks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -278,6 +278,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- per-doc top-3 salient terms, tf·N/df weighting (exact-rational
+    //     TF-IDF surrogate — ln is libm-dependent, ×/÷ are not); big-big
+    //     term join + WindowGroupLimit top-k ----------------------------------
+    "d23_salient_terms" -> ((s, d) => {
+      TextAnalysis.salientTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "term_rank")
+    }),
+
+    // --- range-sharded layout + planning-time shard pruning: write docs
+    //     range-sharded on n_chars, scan one value band through the pruned
+    //     reader — oracle sees only the plain filter on the input table, so
+    //     a row mis-sharded or dropped by pruning flips the hash ---------------
+    "d24_pruned_scan" -> ((s, d) => {
+      val bounds = Seq(150L, 250L, 350L, 450L)
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_rangeshards_${Integer.toHexString(d.hashCode)}").toString
+      Sinks.writeRangeSharded(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        tmp, "n_chars", bounds)
+      Sinks.readRangePruned(s, tmp, "n_chars", bounds, lo = 180L, hi = 320L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+        .orderBy("lang")
+    }),
+
     // --- exact brute-force KNN over embeddings ----------------------------------
     "e01_knn_exact" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -349,6 +375,15 @@ object TextQueries {
           (sum(col("in_ivf")) === count(col("in_bf"))).as("complete"),
           ((count(when(col("in_ivf") === 1 && col("in_bf") === 1, 1)).cast("double") /
             count(col("in_bf"))) >= 0.5).as("recall_ge_050"))
+    }),
+
+    // --- symmetric int8 quantization with integer error accounting: codes
+    //     floor(x/absmax·127), error in floor-quantized 1e-4 ticks summed as
+    //     BIGINT — order-independent, so the row is engine/partitioning-
+    //     exact (a float L2 would drift with accumulation order) ---------------
+    "e07_int8_quant" -> ((s, d) => {
+      Quantize.int8Stats(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("vec_id")
     }),
 
     // --- embedding norms / stats ---------------------------------------------------
@@ -508,6 +543,25 @@ object TextQueries {
       """SELECT true AS complete, true AS recall_ge_060""",
     "e06_ivf_kmeans_recall" ->
       """SELECT true AS complete, true AS recall_ge_050""",
+    "e07_int8_quant" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         a AS (
+           SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) AS absmax
+           FROM v),
+         q AS (
+           SELECT vec_id, v, absmax,
+                  list_transform(v, x -> floor(x / absmax * 127)) AS q
+           FROM a)
+         SELECT vec_id,
+                CAST(floor(absmax * 10000) AS BIGINT) AS absmax_q,
+                CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+                CAST(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> floor(abs(v[i] - q[i] * absmax / 127) * 10000))) AS BIGINT) AS err_ticks
+         FROM q ORDER BY vec_id""",
     // NOTE (same accepted trade-off as e04): the Spark side clusters
     // MinHash-LSH pairs (128 hashes / 32 bands → miss probability < 1e-7
     // per true pair at threshold 0.8) while this oracle computes the exact
@@ -694,6 +748,33 @@ object TextQueries {
                 count(CASE WHEN df = 1 THEN 1 END) AS n_hapax,
                 CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE) / count(*) AS hapax_ratio
          FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "d23_salient_terms" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (
+           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                  CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, term, tf, df, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS term_rank
+           FROM s)
+         SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term,
+                CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+         FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
+    "d24_pruned_scan" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         FROM documents
+         WHERE n_chars >= 180 AND n_chars <= 320
+         GROUP BY lang ORDER BY lang""",
     "e01_knn_exact" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (

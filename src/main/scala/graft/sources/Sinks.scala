@@ -34,6 +34,51 @@ object Sinks {
   def readSharded(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Range-sharded layout: shard i holds rows whose `valueCol` falls in
+    * [bounds(i−1), bounds(i)) — shard 0 below bounds(0), the last shard at
+    * or above bounds.last. Unlike hash sharding, a range predicate on
+    * `valueCol` then touches a contiguous, computable subset of shards:
+    * this is the data-skipping layout — at 100 TB, a scan for one value
+    * band reads only the directories whose range intersects it, and the
+    * planner proves it from the partition column alone (no stats table,
+    * no file footers). Bounds are caller-fixed split points (derive them
+    * once from `approxQuantile` at layout time), so shard assignment is a
+    * pure row function and reruns are byte-stable, same as
+    * [[writeSharded]]. */
+  def writeRangeSharded(
+      df: DataFrame, path: String, valueCol: String,
+      bounds: Seq[Long]): Unit = {
+    require(bounds.nonEmpty && bounds == bounds.sorted,
+      "bounds must be non-empty and ascending")
+    val shard = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(valueCol) >= b, 1).otherwise(0)
+    }
+    df.withColumn("shard", shard.cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(valueCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
+  /** Shard ids a closed range [lo, hi] can touch under `bounds` — the
+    * same arithmetic as the write side, evaluated on the predicate
+    * endpoints. */
+  def shardsForRange(bounds: Seq[Long], lo: Long, hi: Long): Seq[Int] =
+    bounds.count(_ <= lo) to bounds.count(_ <= hi)
+
+  /** Pruned scan over a [[writeRangeSharded]] layout: restrict the read
+    * to the shards [lo, hi] can occupy, then apply the exact row filter.
+    * The `shard` IN-list is a partition-column predicate, so pruning
+    * happens at planning time — non-qualifying directories are never
+    * listed, let alone read. */
+  def readRangePruned(
+      spark: SparkSession, path: String, valueCol: String,
+      bounds: Seq[Long], lo: Long, hi: Long): DataFrame = {
+    val keep = shardsForRange(bounds, lo, hi)
+    readSharded(spark, path)
+      .filter(col("shard").isin(keep.map(Integer.valueOf): _*))
+      .filter(col(valueCol) >= lo && col(valueCol) <= hi)
+  }
+
   /** Shard-level incremental upsert into a [[writeSharded]] dataset:
     * replace-or-insert `updates` (same schema, no `shard` column),
     * rewriting ONLY the shard directories the update ids touch — this is

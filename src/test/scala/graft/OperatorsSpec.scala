@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Quantize, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Operator-level tests for the training-data-pipeline operators (dedup,
@@ -409,6 +409,52 @@ class OperatorsSpec extends SparkTestBase {
     val rows = got.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("int8 quantization: codes bounded, dequantization error within one step") {
+    val emb = Tables.embeddings(spark, sf)
+    val codes = Quantize.int8Codes(emb, "vec_id", "embedding")
+    // codes are genuine int8: |q| <= 127
+    assert(codes.filter(exists(col("codes"),
+      c => abs(c) > 127)).isEmpty, "code out of int8 range")
+    // reconstruction: |x - q*scale/127| < scale/127 (one quantization step,
+    // floor truncates at most one step below)
+    val bad = codes.join(emb, "vec_id")
+      .filter(exists(zip_with(col("embedding"), col("codes"), (x, q) =>
+        abs(x.cast("double") - q.cast("double") * col("scale") / 127.0) >=
+          col("scale") / 127.0 + 1e-12), b => b))
+    assert(bad.isEmpty, "dequantization error exceeds one quantization step")
+    // stats row agrees with an independently computed error bound:
+    // err_ticks < 64 elements * scale/127 * 1e4 ticks
+    val stats = Quantize.int8Stats(emb, "vec_id", "embedding")
+      .join(codes.select($"vec_id", $"scale"), "vec_id")
+      .filter($"err_ticks" >= $"scale" / 127.0 * 10000 * 64)
+    assert(stats.isEmpty, "aggregate error ticks exceed the per-step bound")
+  }
+
+  test("salientTerms: k rows per doc, scores descending, df consistent") {
+    val docs = Seq(
+      (1L, "alpha alpha beta common"),
+      (2L, "beta gamma common"),
+      (3L, "delta common common")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.salientTerms(docs, "doc_id", "text", k = 2).collect()
+    assert(got.length == 6)
+    // per-doc ranks are 1..k with non-increasing scores
+    got.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("term_rank"))
+      assert(byRank.map(_.getAs[Int]("term_rank")).toSeq == Seq(1, 2))
+      assert(byRank.sliding(2).forall(p =>
+        p.head.getAs[Double]("score") >= p.last.getAs[Double]("score")))
+    }
+    // doc 1's top term is the repeated rare "alpha": tf=2, df=1 → score 2*3/1
+    val top1 = got.filter(r => r.getAs[Long]("doc_id") == 1L &&
+      r.getAs[Int]("term_rank") == 1).head
+    assert(top1.getAs[String]("term") == "alpha" &&
+      top1.getAs[Double]("score") == 6.0)
+    // "common" appears in every doc → df=3, score tf*3/3 = tf
+    assert(got.filter(_.getAs[String]("term") == "common")
+      .forall(r => r.getAs[Long]("df") == 3L))
   }
 
   test("asOfJoinLeft: latest right row at or before each left ts, per key") {

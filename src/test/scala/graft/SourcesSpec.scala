@@ -59,6 +59,36 @@ class SourcesSpec extends SparkTestBase {
     assert(files(0) != before(0) && files(1) != before(1))
   }
 
+  test("writeRangeSharded + readRangePruned: pruned scan reads fewer files, same rows") {
+    import graft.sources.Sinks
+    val bounds = Seq(150L, 250L, 350L, 450L)
+    val tmp = java.nio.file.Files.createTempDirectory("range_shards").toString
+    Sinks.writeRangeSharded(docs, tmp, "n_chars", bounds)
+    // shard assignment: every row sits in the shard its value maps to
+    val all = Sinks.readSharded(spark, tmp)
+    val misplaced = all.filter(
+      col("shard") =!= bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("n_chars") >= b, 1).otherwise(0) }.cast("int"))
+    assert(misplaced.isEmpty, "row in wrong range shard")
+    // pruned read ≡ plain filter on the original frame
+    val pruned = Sinks.readRangePruned(spark, tmp, "n_chars", bounds, 180L, 320L)
+    val expected = docs.filter(col("n_chars") >= 180 && col("n_chars") <= 320)
+    assert(pruned.drop("shard").exceptAll(expected).isEmpty &&
+      expected.exceptAll(pruned.drop("shard")).isEmpty)
+    // planning-time pruning: the scan carries a partition filter on `shard`
+    // and the pruned file listing keeps only the 2 qualifying directories
+    // (inputFiles can't show this — it lists the unpruned FileIndex)
+    assert(Sinks.shardsForRange(bounds, 180L, 320L) == Seq(1, 2))
+    val scan = pruned.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "no partition filter pushed")
+    val survivingDirs = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(survivingDirs.length == 2,
+      s"pruning kept ${survivingDirs.length} of 5 shard dirs, expected 2")
+  }
+
   test("bucketed tables: co-located equi-join plans without a shuffle exchange") {
     val left = spark.range(0, 1000).select($"id".as("k"), ($"id" * 3).as("a"))
     val right = spark.range(0, 1000).select($"id".as("k"), ($"id" % 7).as("b"))
