@@ -211,13 +211,15 @@ object TextAnalysis {
     * ranking only reorders where ln would tie anyway at equal df. Swap in
     * log-idf downstream if calibrated magnitudes matter.
     *
-    * Scale shape: one explode feeds a (doc, term) count, the document
-    * frequency table aggregates over THAT (one row per (doc,term) — no
-    * second pass over text), and the big-big join on the term key mirrors
-    * [[rareTokenStats]]. The per-doc top-k is `row_number() <= k` which
-    * compiles to WindowGroupLimit — each shuffle partition trims to k
-    * before the exchange, so the window never materializes the full scored
-    * frame. */
+    * Scale shape: ONE corpus tokenization pass — explode feeds a
+    * (doc, term) count, and document frequency is a `count() OVER
+    * (PARTITION BY term)` window over that same frame rather than a
+    * separate aggregate joined back (the agg+join form re-scans and
+    * re-tokenizes the corpus for the probe side; the window shuffles the
+    * compact tf frame on the identical term key, so it trades nothing).
+    * The per-doc top-k is `row_number() <= k` which compiles to
+    * WindowGroupLimit — each shuffle partition trims to k before the
+    * exchange, so the window never materializes the full scored frame. */
   def salientTerms(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -225,9 +227,9 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("df"))

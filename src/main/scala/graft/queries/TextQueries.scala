@@ -754,12 +754,14 @@ object TextQueries {
                   unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
            FROM documents),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         w AS (SELECT doc_id, term, tf,
+                      count(*) OVER (PARTITION BY term) AS df
+               FROM tf),
          n AS (SELECT count(*) AS n_docs FROM documents),
          s AS (
-           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-                  CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
-           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+           SELECT w.doc_id, w.term, w.tf, w.df,
+                  CAST(w.tf * n.n_docs AS DOUBLE) / w.df AS score
+           FROM w CROSS JOIN n),
          r AS (
            SELECT doc_id, term, tf, df, score,
                   row_number() OVER (PARTITION BY doc_id

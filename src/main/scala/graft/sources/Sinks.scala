@@ -98,6 +98,11 @@ object Sinks {
       spark: SparkSession, path: String, updates: DataFrame,
       idCol: String, nShards: Int): Unit = {
     require(nShards > 0, "nShards must be positive")
+    // bootstrap: no existing layout → the upsert IS the initial write
+    // (lets streaming ingestion use one code path from batch 0 on)
+    val hpath = new org.apache.hadoop.fs.Path(path)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hpath)) { writeSharded(updates, path, idCol, nShards); return }
     val upd = updates.withColumn("shard",
       pmod(col(idCol), lit(nShards)).cast("int"))
     val touched = upd.select("shard").distinct().collect().map(_.getInt(0))

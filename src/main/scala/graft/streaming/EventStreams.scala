@@ -222,6 +222,28 @@ object EventStreams {
     keyed.dropDuplicatesWithinWatermark(names).drop(names: _*)
   }
 
+  /** Streaming ingestion into a deterministic sharded parquet layout
+    * ([[graft.sources.Sinks.writeSharded]]) via `foreachBatch` incremental
+    * upsert: each micro-batch rewrites ONLY the shard directories its rows
+    * touch, so steady-state ingest cost tracks batch size, not corpus
+    * size. Because shard assignment and within-shard order are pure row
+    * functions, a REPLAYED micro-batch (failure recovery) rewrites the
+    * same shards with identical content — the sink is idempotent, which
+    * upgrades foreachBatch's at-least-once replay to effectively
+    * exactly-once layout state. Batch 0 bootstraps the layout through the
+    * same code path. */
+  def ingestSharded(
+      stream: DataFrame, path: String, idCol: String, nShards: Int,
+      checkpoint: String) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.upsertSharded(
+          batch.sparkSession, path, batch, idCol, nShards)
+      }
+      .start()
+
   /** Wire a streaming DataFrame through to a named in-memory sink; returns
     * the query (caller awaits/process-all). Update mode suits aggregations. */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =

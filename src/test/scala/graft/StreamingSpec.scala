@@ -249,4 +249,31 @@ class StreamingSpec extends SparkTestBase {
     assert(byUser(1L) == 3L)
     assert(byUser(2L) == 1L)
   }
+
+  test("ingestSharded: micro-batches upsert the sharded layout, updates win, shards stay addressable") {
+    import graft.sources.Sinks
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_shards")
+    val path = dir.resolve("data").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "payload")
+    val q = EventStreams.ingestSharded(stream, path, "doc_id", nShards = 4, ckpt)
+    // batch 0 bootstraps the layout
+    input.addData((1L, "a"), (2L, "b"), (5L, "c"))
+    q.processAllAvailable()
+    assert(Sinks.readSharded(spark, path).count() == 3)
+    // batch 1: update doc 1, insert doc 3 — docs 2 and 5 must survive
+    input.addData((1L, "a2"), (3L, "d"))
+    q.processAllAvailable()
+    q.stop()
+    val back = Sinks.readSharded(spark, path)
+    assert(back.count() == 4)
+    val byId = back.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("payload")).toMap
+    assert(byId == Map(1L -> "a2", 2L -> "b", 3L -> "d", 5L -> "c"))
+    // layout stays deterministic: every row in the shard its id hashes to
+    assert(back.filter(col("shard") =!=
+      pmod(col("doc_id"), lit(4)).cast("int")).isEmpty)
+  }
 }
