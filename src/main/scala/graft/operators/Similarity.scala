@@ -200,4 +200,156 @@ object Similarity {
     val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters, seed)
     ivfTopKWith(cents, corpus, probes, idCol, vecCol, k, nProbe)
   }
+
+  /** L2-normalized copy of a vector column (zero vectors pass through).
+    * Normalizing once up front makes L2 ranking ≡ cosine ranking, which is
+    * what lets [[pqTopK]] use standard L2 product quantization to answer
+    * cosine top-k. */
+  private def l2normalize(vec: Column): Column = {
+    val n = l2normF32(vec)
+    when(n > 0, transform(vec, x => (x / n).cast("float"))).otherwise(vec)
+  }
+
+  /** Train a product quantizer: split each vector into `m` contiguous
+    * subvectors and run seeded k-means with `ksub` centroids independently
+    * in every subspace. Output: (sub_id, code, centroid) — m×ksub rows.
+    *
+    * All m subspaces train in ONE set of jobs: the corpus explodes once
+    * into an (id, sub_id, subvector) frame (persisted across rounds), the
+    * assignment join is an equi-join on sub_id against the broadcast
+    * m×ksub codebook, and the mean update aggregates (sub_id, code, pos)
+    * cells. Centroids are collected to the driver between rounds (m×ksub
+    * subvectors — the same driver-held shape as [[kmeansCentroids]]),
+    * truncating lineage. Init picks the hash-lowest `ksub` subvectors per
+    * subspace — deterministic for a fixed seed. Distances use
+    * |c|² − 2·v·c (the |v|² term is constant per (row, subspace) and
+    * cannot change the argmin). */
+  def pqTrain(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 2, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+    val sub = corpus.select(col(idCol).as("__vid"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col(vecCol), i * sd + 1, lit(sd)))))
+      .toDF("__vid", "sub_id", "sv")
+      .persist()
+    def toDF(c: Seq[(Int, Int, Array[Float])]): DataFrame =
+      c.toDF("sub_id", "code", "centroid")
+    try {
+      val wInit = Window.partitionBy(col("sub_id"))
+        .orderBy(xxhash64(col("__vid"), lit(seed)), col("__vid"))
+      var cents: Seq[(Int, Int, Array[Float])] = sub
+        .withColumn("__rn", row_number().over(wInit))
+        .filter(col("__rn") <= ksub)
+        .select(col("sub_id"), (col("__rn") - 1).cast("int").as("code"), col("sv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+        .toSeq
+      for (_ <- 1 to iters) {
+        val wA = Window.partitionBy(col("__vid"), col("sub_id"))
+          .orderBy(col("__d2").asc, col("code").asc)
+        val means = sub.join(broadcast(toDF(cents)), "sub_id")
+          .withColumn("__d2", pow(l2normF32(col("centroid")), 2) -
+            lit(2.0) * dotF32(col("sv"), col("centroid")))
+          .withColumn("__rn", row_number().over(wA))
+          .filter(col("__rn") === 1)
+          .select(col("sub_id"), col("code"), posexplode(col("sv")))
+          .groupBy(col("sub_id"), col("code"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("m"))
+          .groupBy(col("sub_id"), col("code"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).cast("array<float>").as("centroid"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+          .toMap
+        cents = cents.map { case (s, c, old) =>
+          (s, c, means.getOrElse((s, c), old)) }
+      }
+      toDF(cents)
+    } finally sub.unpersist()
+  }
+
+  /** Encode each corpus vector against a trained codebook: nearest centroid
+    * per subspace. Long form (id, sub_id, code) — m small ints per vector,
+    * the persistable PQ index (64× smaller than the f32 vectors at
+    * m=8/ksub≤256 over 64 dims). */
+  def pqEncode(
+      cents: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val sd = dim / m
+    val w = Window.partitionBy(col(idCol), col("sub_id"))
+      .orderBy(col("__d2").asc, col("code").asc)
+    corpus.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col(vecCol), i * sd + 1, lit(sd)))))
+      .toDF(idCol, "sub_id", "sv")
+      .join(broadcast(cents), "sub_id")
+      .withColumn("__d2", pow(l2normF32(col("centroid")), 2) -
+        lit(2.0) * dotF32(col("sv"), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("sub_id"), col("code"))
+  }
+
+  /** Product-quantization ANN with asymmetric-distance (ADC) shortlist +
+    * exact re-rank: vectors L2-normalize (so L2 ≡ cosine order), a seeded
+    * PQ codebook trains on the corpus, the corpus is stored as m codes per
+    * vector, and each probe scores every corpus row by summing m
+    * table-lookup distances — then the top `shortlist` candidates re-rank
+    * with exact cosine and the top-k survive.
+    *
+    * Scale shape: the scored frame is codes ⋈ broadcast(distance tables) —
+    * the full-precision corpus vectors are touched only for the
+    * O(shortlist × probes) re-rank, which is the point of PQ at 100 TB:
+    * the scan-everything stage reads the compact code index, not the
+    * vectors. The per-probe distance table is m×ksub doubles, broadcast
+    * with the probe id. Float means keep the codebook engine-specific, so
+    * its gate is the e08 recall row, not a SQL replica. */
+  def pqTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 32, shortlist: Int = 256,
+      iters: Int = 2, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      l2normalize(col(vecCol)).as("__nv")).persist()
+    try {
+      val p = probes.select(col(idCol).as("probe_id"),
+        l2normalize(col(vecCol)).as("__pv"))
+      val cents = pqTrain(c, "neighbor_id", "__nv", m, ksub, iters, seed)
+      val codes = pqEncode(cents, c, "neighbor_id", "__nv", m)
+      val sd = c.select(size(col("__nv"))).head.getInt(0) / m
+      val dt = p.select(col("probe_id"),
+          posexplode(transform(sequence(lit(0), lit(m - 1)),
+            i => slice(col("__pv"), i * sd + 1, lit(sd)))))
+        .toDF("probe_id", "sub_id", "psv")
+        .join(broadcast(cents), "sub_id")
+        .select(col("probe_id"), col("sub_id"), col("code"),
+          (pow(l2normF32(col("centroid")), 2) -
+            lit(2.0) * dotF32(col("psv"), col("centroid"))).as("pd"))
+      val wS = Window.partitionBy(col("probe_id"))
+        .orderBy(col("__ad").asc, col("neighbor_id").asc)
+      val short = codes
+        .join(broadcast(dt), Seq("sub_id", "code"))
+        .groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(sum(col("pd")).as("__ad"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("__rn", row_number().over(wS))
+        .filter(col("__rn") <= shortlist)
+        .select(col("probe_id"), col("neighbor_id"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      short.join(c, "neighbor_id")
+        .join(broadcast(p), "probe_id")
+        .select(col("probe_id"), col("neighbor_id"),
+          cosineF32(col("__pv"), col("__nv")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .localCheckpoint(true)
+    } finally c.unpersist()
+  }
 }

@@ -507,6 +507,80 @@ object RelationalQueries {
         .agg(dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
         .limit(100)
+    }),
+
+    // --- scalar subquery of MAX over an aggregated view (TPC-H Q15
+    //     shape): quarterly revenue per supplier, keep the top supplier(s).
+    //     The revenue view materializes ONCE (eager localCheckpoint —
+    //     |suppliers| rows) and feeds both the max scalar and the join:
+    //     without it Spark plans two full lineitem scans (verified; no
+    //     exchange reuse across the differing aggregate parents). Revenue
+    //     stays DECIMAL through the equality (exact) and casts to DOUBLE
+    //     only on output; the 1-row max side broadcasts. -------------------
+    "q69_tpch_q15" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(18, 2))
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (one - col("l_discount").cast(DecimalType(18, 2)))).as("__rev"))
+        .localCheckpoint(true)
+      val top = rev.agg(max(col("__rev")).as("__max_rev"))
+      Tables.supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(top))
+        .filter(col("__rev") === col("__max_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("__rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // --- CDC compaction: latest row per key via one aggregate pass. A
+    //     lexicographic max over struct(ts, event_id, payload...) compiles
+    //     to partial→final SortAggregate (struct buffers aren't hash-
+    //     aggregable): each map task locally sorts on the GROUP key only
+    //     and keeps one struct per key, so the shuffle moves |keys| rows.
+    //     The window row_number form ships EVERY version through the
+    //     exchange and sorts (key, ts) on the reduce side — at 100 TB of
+    //     change history, shuffle volume is the difference. (ts, event_id)
+    //     is unique per user so payload fields never decide the max. -------
+    "q70_cdc_compact" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("__m"),
+          count(lit(1)).as("n_versions"))
+        .select(col("user_id"),
+          unix_micros(col("__m.ts")).as("last_us"),
+          col("__m.event_id").as("last_event_id"),
+          col("__m.event_type").as("last_type"),
+          col("__m.value").as("last_value"),
+          col("n_versions"))
+        .orderBy("user_id")
+    }),
+
+    // --- ORC as a second columnar format (§2.3 sources): write orders to
+    //     ORC, read it back, aggregate. Spark's ORC reader has the same
+    //     vectorized scan + pushdown machinery as parquet; the oracle reads
+    //     the original parquet, so the row proves the ORC path is
+    //     content-lossless (types, timestamps, nulls) end to end. ------------
+    "q71_orc_roundtrip" -> ((s, d) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_orc_${Integer.toHexString(d.hashCode)}").toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderdate"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          // ORC round-trips the parquet timestamp as TIMESTAMP_NTZ; the
+          // session TZ is UTC so the cast back to LTZ is value-identity
+          unix_micros(max(col("o_orderdate")).cast("timestamp")).as("max_date_us"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -802,6 +876,36 @@ object RelationalQueries {
            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
            HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-         ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 100"""
+         ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 100""",
+    "q69_tpch_q15" ->
+      """WITH revenue0 AS (
+           SELECT l_suppkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+         FROM supplier JOIN revenue0 ON s_suppkey = l_suppkey
+         WHERE rev = (SELECT max(rev) FROM revenue0)
+         ORDER BY s_suppkey""",
+    "q70_cdc_compact" ->
+      """SELECT user_id,
+                epoch_us(max(struct_pack(ts := ts, event_id := event_id,
+                  event_type := event_type, value := value)).ts) AS last_us,
+                max(struct_pack(ts := ts, event_id := event_id,
+                  event_type := event_type, value := value)).event_id AS last_event_id,
+                max(struct_pack(ts := ts, event_id := event_id,
+                  event_type := event_type, value := value)).event_type AS last_type,
+                max(struct_pack(ts := ts, event_id := event_id,
+                  event_type := event_type, value := value)).value AS last_value,
+                count(*) AS n_versions
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q71_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                epoch_us(max(o_orderdate)) AS max_date_us
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

@@ -377,6 +377,26 @@ object TextQueries {
             count(col("in_bf"))) >= 0.5).as("recall_ge_050"))
     }),
 
+    // --- product-quantization ANN (ADC shortlist + exact re-rank). Float
+    //     k-means means keep the codebook engine-specific, so the gate is
+    //     the recall-row pattern: overlap@5 vs brute force, floor 0.7
+    //     (measured 1.00 at sf0.01 / 0.93 at sf0.1 with m=8, ksub=32,
+    //     shortlist=256). `complete` asserts every probe got its full k. ------
+    "e08_pq_recall" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val pq = Similarity.pqTopK(emb, probes, "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_pq"))
+      val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+      pq.join(bf, Seq("probe_id", "neighbor_id"), "full_outer")
+        .agg(
+          (sum(col("in_pq")) === count(col("in_bf"))).as("complete"),
+          ((count(when(col("in_pq") === 1 && col("in_bf") === 1, 1)).cast("double") /
+            count(col("in_bf"))) >= 0.7).as("recall_ge_070"))
+    }),
+
     // --- symmetric int8 quantization with integer error accounting: codes
     //     floor(x/absmax·127), error in floor-quantized 1e-4 ticks summed as
     //     BIGINT — order-independent, so the row is engine/partitioning-
@@ -541,6 +561,8 @@ object TextQueries {
                 CAST(0 AS BIGINT) AS n_spurious""",
     "e02_srp_recall" ->
       """SELECT true AS complete, true AS recall_ge_060""",
+    "e08_pq_recall" ->
+      """SELECT true AS complete, true AS recall_ge_070""",
     "e06_ivf_kmeans_recall" ->
       """SELECT true AS complete, true AS recall_ge_050""",
     "e07_int8_quant" ->

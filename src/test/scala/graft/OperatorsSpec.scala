@@ -411,6 +411,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id")))
   }
 
+  test("pqTopK: planted duplicate is top-1 through the ADC shortlist") {
+    val emb = Tables.embeddings(spark, sf)
+    // plant an exact copy of vector 0 under a fresh id: PQ codes of probe
+    // and copy are identical, so ADC distance is minimal and the re-rank
+    // puts it first at cosine 1
+    val v0 = emb.filter($"vec_id" === 0L)
+    val planted = emb.unionByName(
+      v0.withColumn("vec_id", lit(999999L)))
+    val probes = v0
+    val rows = Similarity.pqTopK(planted, probes, "vec_id", "embedding",
+        k = 3, shortlist = 32).collect()
+    assert(rows.nonEmpty)
+    val top = rows.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("neighbor_id") == 999999L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-6)
+    // deterministic across runs (seeded init + driver-held means)
+    val again = Similarity.pqTopK(planted, probes, "vec_id", "embedding",
+        k = 3, shortlist = 32).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("int8 quantization: codes bounded, dequantization error within one step") {
     val emb = Tables.embeddings(spark, sf)
     val codes = Quantize.int8Codes(emb, "vec_id", "embedding")
