@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: a full Bench run executes 100+ queries in one JVM; Spark's
+  // ContextCleaner frees broadcast/shuffle state only when GC collects the
+  // weak refs, so a tight heap turns accumulated per-query state into
+  // execution-memory pressure (observed as a uniform 4-7x slowdown of the
+  // round-6 driver bench vs an identical local run). The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -22,6 +22,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // ContextCleaner reclaims broadcast/shuffle/RDD state only when GC
+      // collects the weak refs; the default periodic-GC interval (30 min)
+      // never fires within a bench run, so 100+ queries' worth of state
+      // accumulates and turns into execution-memory pressure. 30s keeps the
+      // cleaner live at negligible cost.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     // ERROR, not WARN: harmless "function X replaced" warnings would land on
     // stdout between sbt [info] lines and eat into the driver's fixed-size
@@ -46,6 +52,10 @@ object Bench {
       }
     } catch { case t: Throwable =>
       System.err.println(s"[bench] warmup failed: ${t.getMessage}") }
+    // drop warmup garbage (and let ContextCleaner drain its queue) before
+    // the measured phase starts
+    System.gc()
+    Thread.sleep(500)
     // a failed query must not masquerade as a normal-looking time: log it,
     // count it into the JSON line, and make the whole run exit nonzero
     var errors = 0

@@ -29,6 +29,23 @@ class QueriesSpec extends SparkTestBase {
       assert(df.columns.nonEmpty)
       val n = df.count()
       if (!mayBeEmptyAtSf0001(name)) assert(n > 0, s"$name returned 0 rows")
+      // a query may RETURN a checkpointed frame (its one allowed cached
+      // block); release it the way a caller would, so the suite-wide leak
+      // gate below only sees blocks a query abandoned internally
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ =>
+      }
     }
+  }
+
+  // Runs after every per-query test above (ScalaTest preserves registration
+  // order). Any surviving block is a cache/checkpoint some query persisted
+  // internally and never released — exactly the state that accumulates
+  // across a 100+-query Bench/Verify run and turns into memory pressure.
+  test("no persistent RDDs leak across the full query suite") {
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"leaked persistent RDDs: ${leaked.values.map(_.name).mkString(", ")}")
   }
 }
