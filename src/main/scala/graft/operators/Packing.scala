@@ -46,4 +46,42 @@ object Packing {
     packTokens(docs, idCol, textCol, budget, nShards)
       .groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** Per-document fixed-token-window chunking with overlap — the other
+    * standard LM-training prep (long-context / RAG corpora keep document
+    * boundaries and split each doc into sliding windows instead of
+    * concat-and-chunk). Chunk i covers tokens [i·stride, i·stride+size)
+    * with stride = size − overlap; the final chunk is the first one whose
+    * window reaches the end of the doc (so every token is covered exactly
+    * once per pass and no chunk starts inside the trailing overlap).
+    *
+    * Output: (id, chunk_id, n_chunk_tokens, chunk_text). Fully row-local:
+    * tokenize → arithmetic → posexplode → array slice, no shuffle at all —
+    * the 100 TB plan is a single map stage that scales with input splits.
+    * Empty documents produce no chunks. */
+  def chunkTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got size=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val nChunks =
+      when(col("n_tokens") <= chunkSize, lit(1L))
+        .otherwise(call_function("div",
+          col("n_tokens") - chunkSize + (stride - 1), lit(stride.toLong)) + 1L)
+    val start = col("chunk_id") * stride
+    docs
+      .select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col(idCol), col("__toks"), col("n_tokens"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        least(lit(chunkSize.toLong), col("n_tokens") - start)
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), (start + 1L).cast("int"), chunkSize), " ")
+          .as("chunk_text"))
+  }
 }

@@ -41,6 +41,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact maximum-inner-product search (MIPS): top-k by raw dot product —
+    * the retrieval scoring used when embeddings are NOT length-normalized
+    * (e.g. DPR-style trained encoders, where vector norm carries signal and
+    * cosine would erase it). Same 100 TB plan shape as [[bruteForceTopK]]:
+    * probes broadcast, corpus streamed once, windowed top-k (compiles to
+    * WindowGroupLimit — per-partition heaps, no full sort). To reduce MIPS
+    * to the cosine LSH path at scale, apply the standard norm-augmentation
+    * transform (append sqrt(M² − ‖x‖²) to each corpus vector, 0 to probes)
+    * and feed [[srpTopK]]. */
+  def bruteForceTopKInnerProduct(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        dotF32(col("pv"), col("cv")).as("dot"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** nBits-bit sign-random-projection sketch of a vector: bit i is the sign
     * of the dot product with pseudo-random hyperplane i. Hyperplanes are
     * derived deterministically from the seed (fmix64-derived ±1

@@ -40,6 +40,22 @@ object TextAnalysis {
   def charClassCount(text: Column, classRegex: String): Column =
     length(text) - length(regexp_replace(text, classRegex, ""))
 
+  /** PII scrubbing patterns — RE2-compatible (no lookarounds/backrefs) so
+    * any engine replicates them. Conservative by design: an email is a
+    * token with exactly one `@` between word-ish runs; a phone is `+` or a
+    * digit followed by ≥6 digit/sep characters ending in a digit. */
+  val emailRe: String = "[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe: String = "\\+?[0-9][0-9 ().-]{5,}[0-9]"
+
+  /** Replace every match of `pattern` with `token` (one codegen'd regex
+    * pass; Spark regexp_replace is global). */
+  def redact(text: Column, pattern: String, token: String): Column =
+    regexp_replace(text, pattern, token)
+
+  /** Number of matches of `pattern` (codegen'd regexp_count). */
+  def matchCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
   private val stopwordsEn = Seq(
     "the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on",
     "with", "as", "was", "at", "by", "an", "be", "this", "are", "or", "from")

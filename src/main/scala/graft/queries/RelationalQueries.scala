@@ -581,6 +581,81 @@ object RelationalQueries {
           // session TZ is UTC so the cast back to LTZ is value-identity
           unix_micros(max(col("o_orderdate")).cast("timestamp")).as("max_date_us"))
         .orderBy("o_orderpriority")
+    }),
+
+    // --- TPC-H Q7 shape (volume shipping between a nation pair): the
+    //     nation dim is pre-filtered to the pair BEFORE joining, so the
+    //     supplier/customer sides shrink at the scan and the only large
+    //     shuffle is lineitem⋈orders; nation joins broadcast. The
+    //     (A,B)|(B,A) cross-condition runs on the two tiny joined-in name
+    //     columns, after which the plan is a plain partial→final hash
+    //     aggregate on (supp_nation, cust_nation, year). -----------------------
+    "q72_tpch_q7" -> ((s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.supplier(s, d).join(n1,
+            col("s_nationkey") === col("s_nk"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).join(n2,
+            col("c_nationkey") === col("c_nk")),
+          col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revenue.as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // --- GROUPING SETS (beyond the rollup/cube rows): two independent
+    //     one-dimension groupings + grand total in ONE pass over orders —
+    //     Spark expands to a single Expand→partial→final aggregate, i.e.
+    //     one scan and one shuffle where three separate GROUP BYs would
+    //     cost three. grouping() flags disambiguate the NULL-keyed rows. -----
+    "q73_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+          grouping(col("o_orderstatus")).cast("long").as("g_stat"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(col("g_pri"), col("g_stat"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("g_pri", "g_stat", "priority", "status")
+    }),
+
+    // --- CSV sink/source roundtrip (mirrors the ORC row q71): write with
+    //     header, read back with an explicit schema (schema inference would
+    //     be a second full scan — never at 100 TB), aggregate identically. ----
+    "q74_csv_roundtrip" -> ((s, d) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_csv_${Integer.toHexString(d.hashCode)}").toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read
+        .schema("o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
+        .option("header", "true").csv(tmp)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderpriority")
     })
   )
 

@@ -447,6 +447,56 @@ object TextQueries {
         .groupBy(col("modality"), col("sampled_frames"))
         .agg(count(lit(1)).as("n"))
         .orderBy("modality", "sampled_frames")
+    }),
+
+    // --- sliding-window chunking (long-context / RAG prep): 64-token
+    //     windows, 16-token overlap. Entirely row-local — one map stage,
+    //     no shuffle; md5 of each chunk makes the content hash-checkable
+    //     without shipping chunk text through the oracle compare -------------
+    "d25_chunking" -> ((s, d) => {
+      Packing.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // --- PII scrubbing: synthetic email/phone strings are derived
+    //     deterministically from existing columns (the corpus itself is
+    //     PII-free word soup), then redacted by the real regex machinery —
+    //     match counts + a digest of the scrubbed text prove both the
+    //     counting and the rewrite. Row-local, two regex passes, codegen'd. --
+    "d26_pii_scrub" -> ((s, d) => {
+      val pii = concat(col("text"),
+        lit(" contact "), col("source"), lit("_"), col("doc_id").cast("string"),
+        lit("@example."), col("lang"),
+        lit(" tel +1-"),
+        lpad(pmod(col("doc_id") * 7919, lit(10000000)).cast("string"), 7, "0"))
+      val scrubbed = TextAnalysis.redact(
+        TextAnalysis.redact(pii, TextAnalysis.emailRe, "<EMAIL>"),
+        TextAnalysis.phoneRe, "<PHONE>")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.matchCount(pii, TextAnalysis.emailRe).cast("long")
+            .as("n_emails"),
+          TextAnalysis.matchCount(pii, TextAnalysis.phoneRe).cast("long")
+            .as("n_phones"),
+          md5(scrubbed).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // --- exact MIPS top-k (inner-product scoring for non-normalized
+    //     encoders): probes broadcast, corpus streamed once, WindowGroupLimit
+    //     top-k — same scale shape as e01 ----------------------------------------
+    "e09_knn_ip" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 25)
+      Similarity.bruteForceTopKInnerProduct(emb, probes, "vec_id", "embedding",
+          k = 5)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"),
+          (floor(col("dot") * 10000) / 10000).as("dot_q"))
+        .orderBy("probe_id", "rank")
     })
   )
 
@@ -888,6 +938,60 @@ object TextQueries {
                                    WHEN 'audio' THEN n_frames
                                    ELSE 1 END AS INT) AS sampled_frames,
                 count(*) AS n
-         FROM a GROUP BY 1, 2 ORDER BY modality, sampled_frames"""
+         FROM a GROUP BY 1, 2 ORDER BY modality, sampled_frames""",
+    // 64-token windows, stride 48 (overlap 16): chunk i slices tokens
+    // [i*48+1, i*48+64] (1-based inclusive); n_chunks = 1 for n <= 64 else
+    // ceil((n-64)/48)+1. DuckDB list slicing clamps at the end like Spark's
+    // slice, and both engines' md5 is lowercase hex.
+    "d25_chunking" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+               FROM t WHERE len(toks) > 0),
+         c AS (SELECT doc_id, toks, n,
+                      CASE WHEN n <= 64 THEN 1
+                           ELSE (n - 64 + 47) // 48 + 1 END AS n_chunks
+               FROM n),
+         x AS (SELECT doc_id, toks, n,
+                      CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id
+               FROM c)
+         SELECT doc_id, chunk_id,
+                CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_chunk_tokens,
+                md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_md5
+         FROM x ORDER BY doc_id, chunk_id""",
+    // counts are taken on the pre-redaction string, then emails are
+    // scrubbed before phones (same order as the engine; an email match can
+    // never contain a phone match, so the order only matters for exactness
+    // of the digest, not the counts)
+    "d26_pii_scrub" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || ' contact ' || source || '_' || CAST(doc_id AS VARCHAR)
+                    || '@example.' || lang || ' tel +1-'
+                    || lpad(CAST((doc_id * 7919) % 10000000 AS VARCHAR), 7, '0') AS pii
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(pii, '\+?[0-9][0-9 ().-]{5,}[0-9]')) AS BIGINT) AS n_phones,
+                md5(regexp_replace(
+                      regexp_replace(pii, '[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '\+?[0-9][0-9 ().-]{5,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
+         FROM p ORDER BY doc_id""",
+    "e09_knn_ip" ->
+      """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 25),
+         scored AS (
+           SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(p.embedding) + 1),
+               i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot
+           FROM embeddings e, p
+           WHERE p.vec_id <> e.vec_id),
+         ranked AS (
+           SELECT probe_id, neighbor_id, dot,
+                  row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT probe_id, rank, neighbor_id, floor(dot * 10000) / 10000 AS dot_q
+         FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank"""
   )
 }
