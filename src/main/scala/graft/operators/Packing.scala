@@ -81,7 +81,7 @@ object Packing {
       .select(col(idCol), col("chunk_id"),
         least(lit(chunkSize.toLong), col("n_tokens") - start)
           .as("n_chunk_tokens"),
-        array_join(slice(col("__toks"), (start + 1L).cast("int"), chunkSize), " ")
+        array_join(slice(col("__toks"), (start + 1L).cast("int"), lit(chunkSize)), " ")
           .as("chunk_text"))
   }
 }

@@ -962,9 +962,12 @@ object TextQueries {
                 md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_md5
          FROM x ORDER BY doc_id, chunk_id""",
     // counts are taken on the pre-redaction string, then emails are
-    // scrubbed before phones (same order as the engine; an email match can
-    // never contain a phone match, so the order only matters for exactness
-    // of the digest, not the counts)
+    // scrubbed before phones (same order as the engine). Consistency holds
+    // because both engines apply identical regexes to the identical
+    // pre-redaction string in the identical order — NOT because the
+    // patterns cannot overlap (a 7+-digit run in an email local part WOULD
+    // match the phone regex; scrub order therefore affects the digest, and
+    // must stay email-first on both sides).
     "d26_pii_scrub" ->
       """WITH p AS (
            SELECT doc_id,
