@@ -27,6 +27,28 @@ class DataFrame(val df: SparkDF, val context: Context) {
   def filter(cond: Column): DataFrame = wrap(df.filter(cond))
   def where(cond: Column): DataFrame = filter(cond)
 
+  /** Column lookup with the reference's per-identifier case semantics
+    * ([[Name]]): `col("name")` matches any-case (regular identifier),
+    * `col("\"Name\"")` must match exactly (delimited identifier). Errors
+    * on no match and on ambiguity — the same failures the reference's
+    * resolver raises (spear Name equality drives its resolution). */
+  def col(name: String): Column = {
+    val n = Name.parse(name)
+    val hits = df.columns.zipWithIndex.filter {
+      case (c, _) => Name.caseInsensitive(c) == n
+    }
+    hits match {
+      // positional hand-off: a name-based df.col would re-resolve under
+      // Spark's GLOBAL case mode and throw on case-twin siblings
+      case Array((_, i)) => org.apache.spark.sql.GraftPlanBridge.colAt(df, i)
+      case Array() => throw new IllegalArgumentException(
+        s"no column matching $n among ${df.columns.mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"ambiguous identifier $n: matches ${many.map(_._1).mkString(", ")}")
+    }
+  }
+  def apply(name: String): Column = col(name)
+
   def limit(n: Int): DataFrame = wrap(df.limit(n))
   def distinct: DataFrame = wrap(df.distinct())
 
@@ -66,7 +88,7 @@ class DataFrame(val df: SparkDF, val context: Context) {
           s"no widest type for ${lf.name}: ${lf.dataType} vs ${rf.dataType}"))
     }
     def castTo(d: SparkDF) = d.select(d.columns.zip(widened).map {
-      case (c, t) => col(c).cast(t).as(c)
+      case (c, t) => d.col(c).cast(t).as(c)
     }: _*)
     (castTo(l), castTo(r))
   }

@@ -1,0 +1,52 @@
+package graft.api
+
+/** Identifier with the reference's per-identifier case semantics
+  * (spear-core/src/main/scala/spear/Name.scala:14-23 and
+  * parsers/IdentifierParser.scala:49-62, SQL06 §5.2): a regular
+  * (unquoted) identifier compares case-insensitively; a delimited
+  * (`"quoted"`) identifier compares exactly. Equality between a sensitive
+  * and an insensitive name is exact if EITHER side is sensitive —
+  * matching the reference's `equals`. Hashing is case-normalized so the
+  * two kinds can share hash-keyed collections, exactly as the reference
+  * hashes `casePreserving.toUpperCase`.
+  *
+  * Spark itself has only the global `spark.sql.caseSensitive` switch, so
+  * this shim lives in the facade: [[DataFrame.col]] resolves identifiers
+  * through it, restoring the reference's quoted-vs-unquoted distinction
+  * on top of a Spark schema.
+  */
+final class Name private (val casePreserving: String, val isCaseSensitive: Boolean)
+    extends Serializable {
+
+  override def hashCode(): Int = casePreserving.toUpperCase.hashCode
+
+  override def equals(other: Any): Boolean = other match {
+    case that: Name if this.isCaseSensitive || that.isCaseSensitive =>
+      this.casePreserving == that.casePreserving
+    case that: Name =>
+      this.casePreserving.equalsIgnoreCase(that.casePreserving)
+    case _ => false
+  }
+
+  /** Reference `toString` (Name.scala:10): quoted form re-delimits with
+    * `""` escaping; regular form prints as-is. */
+  override def toString: String =
+    if (isCaseSensitive) "\"" + casePreserving.replace("\"", "\"\"") + "\""
+    else casePreserving
+}
+
+object Name {
+  def apply(name: String, isCaseSensitive: Boolean): Name =
+    new Name(name, isCaseSensitive)
+
+  def caseSensitive(name: String): Name = new Name(name, isCaseSensitive = true)
+  def caseInsensitive(name: String): Name = new Name(name, isCaseSensitive = false)
+
+  /** Surface syntax: `"quoted"` → case-sensitive (with `""` unescaping,
+    * IdentifierParser.scala:53-55); anything else → regular
+    * (case-insensitive). */
+  def parse(s: String): Name =
+    if (s.length >= 2 && s.head == '"' && s.last == '"')
+      caseSensitive(s.substring(1, s.length - 1).replace("\"\"", "\""))
+    else caseInsensitive(s)
+}

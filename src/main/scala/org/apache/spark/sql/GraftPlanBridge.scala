@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSpark
 object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** Column for the i-th output attribute of a DataFrame — positional, so
+    * it bypasses Spark's name-based (globally case-insensitive) resolution.
+    * Needed by the facade's reference-semantics identifier shim
+    * (graft.api.DataFrame.col): after graft resolves `"Quoted"` to ONE
+    * schema position, sibling columns differing only in case must not make
+    * Spark's `df.col(name)` re-resolution throw ambiguity. */
+  def colAt(df: DataFrame, i: Int): Column = {
+    val attr = df.asInstanceOf[CDataset[Row]].queryExecution.analyzed.output(i)
+    classic.ExpressionUtils.column(attr)
+  }
 }

@@ -50,6 +50,38 @@ class FacadeSpec extends SparkTestBase {
     assert(context.sql("SELECT `NAME` FROM case_sens_t").toSeq.length == 2)
   }
 
+  test("Name shim matrix: unquoted-insensitive, quoted-sensitive (Name.scala:14-23)") {
+    // equality matrix, reference semantics exactly
+    assert(Name.caseInsensitive("name") == Name.caseInsensitive("NAME"))
+    assert(Name.caseSensitive("name") == Name.caseSensitive("name"))
+    assert(Name.caseSensitive("name") != Name.caseSensitive("NAME"))
+    // one sensitive side forces exact comparison (reference equals, both orders)
+    assert(Name.caseSensitive("name") == Name.caseInsensitive("name"))
+    assert(Name.caseInsensitive("NAME") != Name.caseSensitive("name"))
+    // hash is case-normalized so both kinds coexist in hash collections
+    assert(Name.caseSensitive("Ab").hashCode == Name.caseInsensitive("aB").hashCode)
+    // surface parsing: "" unescapes inside delimited identifiers
+    assert(Name.parse("\"a\"\"b\"") == Name.caseSensitive("a\"b"))
+    assert(!Name.parse("plain").isCaseSensitive && Name.parse("\"q\"").isCaseSensitive)
+    // toString round-trips the delimited form
+    assert(Name.parse(Name.caseSensitive("a\"b").toString) == Name.caseSensitive("a\"b"))
+
+    // facade resolution through the shim
+    val people = context.lift(Person("a", 1), Person("b", 2))
+    assert(people.select(people.col("NAME")).schema.fieldNames.sameElements(Array("name")))
+    assert(people.select(people.col("\"name\"")).toSeq.length == 2)
+    val wrongCase = intercept[IllegalArgumentException](people.col("\"NAME\""))
+    assert(wrongCase.getMessage.contains("no column matching"))
+    val missing = intercept[IllegalArgumentException](people.col("nope"))
+    assert(missing.getMessage.contains("no column matching"))
+    // ambiguity: an any-case regular identifier over twin columns errors,
+    // a delimited identifier picks its exact twin
+    val twins = people.select(people.col("age") as "x", (people.col("age") * 2) as "X")
+    assert(intercept[IllegalArgumentException](twins.col("x"))
+      .getMessage.contains("ambiguous"))
+    assert(twins.select(twins.col("\"X\"")).toSeq.map(_.getInt(0)).sorted == Seq(2, 4))
+  }
+
   test("spearSql parses ^ as POWER; plain sql keeps Spark's XOR (dialect delta)") {
     val pow = context.spearSql("SELECT 2 ^ 10 AS p").toSeq.head
     assert(pow.getDouble(0) == 1024.0) // spear Power returns double
