@@ -45,6 +45,12 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(oracle):
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            # partial dump (Verify's query-name filter arg): not an error —
+            # a failed query in a FULL dump still yields SPARK-READ-FAIL
+            # because Verify creates the dir before the write errors out
+            continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             s_cols = [c.lower() for c in spark_rel.columns]
@@ -120,8 +126,11 @@ def main(sf_dir, out_dir):
                  if os.path.isdir(f"{out_dir}/{d}") and d not in oracle]
     if no_oracle:
         print(f"rows-only (no oracle): {no_oracle}")
-    print(f"\n{n_exact}/{len(oracle)} EXACT")
-    return 0 if n_exact == len(oracle) else 1
+    n_skipped = len(oracle) - len(results)
+    if n_skipped:
+        print(f"(partial dump: {n_skipped} oracled queries not dumped, skipped)")
+    print(f"\n{n_exact}/{len(results)} EXACT")
+    return 0 if n_exact == len(results) else 1
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))

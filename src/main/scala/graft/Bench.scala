@@ -53,10 +53,10 @@ object Bench {
         catch { case t: Throwable =>
           System.err.println(s"[bench] warmup $name failed: ${t.getMessage}") }
       }
-      // sink-writing queries memoize their materialization per (JVM, sf
-      // dir): invoke them once at the TARGET SF now so the measured phase
-      // times the read side, not the one-time setup write
-      SparkEntry.sinkSetup.foreach { name =>
+      // setup-phase queries (sink writes, ANN index builds) memoize their
+      // one-time work per (JVM, sf dir): invoke them once at the TARGET SF
+      // now so the measured phase times the steady-state side
+      SparkEntry.setupQueries.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           try fn(spark, sfDir).count()
           catch { case t: Throwable =>

@@ -217,6 +217,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs within `maxDist`, banded
+    * by length: |lev(a,b)| ≥ |len(a) − len(b)|, so with buckets of width
+    * maxDist+1 a qualifying pair's buckets differ by at most 1. The left
+    * side emits its own bucket, the right side emits {b−1, b, b+1}; every
+    * qualifying ordered pair collides on EXACTLY one key (the left row's
+    * bucket), so the equi-join needs no distinct. Verification uses
+    * Spark's thresholded Levenshtein (banded O(len·maxDist) DP with early
+    * exit, −1 above the threshold).
+    *
+    * Scale shape: one equi-join shuffle on the bucket key + O(candidates)
+    * banded-DP verifies — the same band-then-verify skeleton as MinHash
+    * LSH, with document LENGTH as the (free) banding signal. The right
+    * side is 3 rows per doc; candidate count is governed by the length
+    * histogram, not n². */
+  def fuzzyPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val width = maxDist + 1
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__txt"),
+      length(col(textCol)).as("__len"))
+    val left = base.withColumn("__bucket", floor(col("__len") / width))
+    val right = base
+      .select(col("__id").as("__id_b"), col("__txt").as("__txt_b"),
+        col("__len").as("__len_b"),
+        floor(col("__len") / width).as("__b0"))
+      .select(col("__id_b"), col("__txt_b"), col("__len_b"),
+        explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1))
+          .as("__bucket"))
+    left.join(right, Seq("__bucket"))
+      .filter(col("__id") < col("__id_b") &&
+        abs(col("__len") - col("__len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("__txt"), col("__txt_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("__id").as("id_a"), col("__id_b").as("id_b"), col("dist"))
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** Per-doc 64-bit SimHash over word tokens (single-pass token hashing). */

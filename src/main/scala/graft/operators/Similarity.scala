@@ -132,7 +132,17 @@ object Similarity {
     * their previous centroid. Output: (cell_id 0..k-1, centroid). */
   def kmeansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 3, seed: Long = 42L): DataFrame = {
+      k: Int = 16, iters: Int = 3, seed: Long = 42L): DataFrame =
+    centroidsDF(corpus.sparkSession,
+      kmeansCentroidsCollected(corpus, idCol, vecCol, k, iters, seed))
+
+  /** Driver-held form of a trained coarse quantizer (k×dim floats). The
+    * codebook is the ANN system's INDEX: at scale it is trained once,
+    * offline, and every query reuses it — callers memoize this Seq per
+    * corpus and rebuild the tiny broadcast frame via [[centroidsDF]]. */
+  def kmeansCentroidsCollected(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3, seed: Long = 42L): Seq[(Long, Array[Float])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     def toDF(cents: Seq[(Long, Array[Float])]): DataFrame =
@@ -165,7 +175,15 @@ object Similarity {
         .toMap
       cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
     }
-    toDF(cents)
+    cents
+  }
+
+  /** Rebuild the broadcastable (cell_id, centroid) frame from a
+    * driver-held codebook. */
+  def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cell_id", "centroid")
   }
 
   /** IVF ANN over explicit centroids: assign each corpus vector to its
@@ -250,7 +268,18 @@ object Similarity {
     * cannot change the argmin). */
   def pqTrain(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, iters: Int = 2, seed: Long = 42L): DataFrame = {
+      m: Int, ksub: Int, iters: Int = 2, seed: Long = 42L): DataFrame =
+    pqCodebookDF(corpus.sparkSession,
+      pqTrainCollected(corpus, idCol, vecCol, m, ksub, iters, seed))
+
+  /** Driver-held form of a trained PQ codebook (m×ksub subvectors) — the
+    * offline-built index artifact; callers memoize it per corpus and pass
+    * it back through [[pqTopK]]'s `pretrained` (see
+    * [[kmeansCentroidsCollected]] for the rationale). */
+  def pqTrainCollected(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 2,
+      seed: Long = 42L): Seq[(Int, Int, Array[Float])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
@@ -293,8 +322,29 @@ object Similarity {
         cents = cents.map { case (s, c, old) =>
           (s, c, means.getOrElse((s, c), old)) }
       }
-      toDF(cents)
+      cents
     } finally sub.unpersist()
+  }
+
+  /** Rebuild the broadcastable (sub_id, code, centroid) frame from a
+    * driver-held PQ codebook. */
+  def pqCodebookDF(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Int, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("sub_id", "code", "centroid")
+  }
+
+  /** Train a PQ codebook on the L2-NORMALIZED corpus — the exact frame
+    * [[pqTopK]] trains on internally, so a memoized result of this is a
+    * drop-in `pretrained` argument. */
+  def pqTrainNormalizedCollected(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 32, iters: Int = 2,
+      seed: Long = 42L): Seq[(Int, Int, Array[Float])] = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      l2normalize(col(vecCol)).as("__nv")).persist()
+    try pqTrainCollected(c, "neighbor_id", "__nv", m, ksub, iters, seed)
+    finally c.unpersist()
   }
 
   /** Encode each corpus vector against a trained codebook: nearest centroid
@@ -338,16 +388,50 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, ksub: Int = 32, shortlist: Int = 256,
-      iters: Int = 2, seed: Long = 42L): DataFrame = {
+      iters: Int = 2, seed: Long = 42L,
+      pretrained: Option[Seq[(Int, Int, Array[Float])]] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       l2normalize(col(vecCol)).as("__nv")).persist()
     try {
-      val p = probes.select(col(idCol).as("probe_id"),
-        l2normalize(col(vecCol)).as("__pv"))
-      val cents = pqTrain(c, "neighbor_id", "__nv", m, ksub, iters, seed)
+      val cents = pretrained
+        .map(pqCodebookDF(corpus.sparkSession, _))
+        .getOrElse(pqTrain(c, "neighbor_id", "__nv", m, ksub, iters, seed))
       val codes = pqEncode(cents, c, "neighbor_id", "__nv", m)
-      val sd = c.select(size(col("__nv"))).head.getInt(0) / m
-      val dt = p.select(col("probe_id"),
+      pqTopKFromIndex(cents, codes, corpus, probes, idCol, vecCol,
+        k, m, shortlist).localCheckpoint(true)
+    } finally c.unpersist()
+  }
+
+  /** [[pqEncode]] over the L2-normalized corpus — the code table a PQ
+    * system persists as its index (pairs with
+    * [[pqTrainNormalizedCollected]]'s codebook). Output columns:
+    * (neighbor_id, sub_id, code). */
+  def pqEncodeNormalized(
+      cents: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int = 8): DataFrame =
+    pqEncode(cents,
+      corpus.select(col(idCol).as("neighbor_id"),
+        l2normalize(col(vecCol)).as("__nv")),
+      "neighbor_id", "__nv", m)
+
+  /** PQ ANN query over a PREBUILT index — `cents` the codebook frame,
+    * `codes` the (neighbor_id, sub_id, code) table ([[pqEncodeNormalized]]
+    * output, typically read back from parquet): ADC shortlist from the
+    * code table, exact cosine re-rank against the full-precision vectors.
+    * This is the 100 TB serving shape — the scan-everything stage touches
+    * the compact code index; the corpus vectors are only read for the
+    * O(shortlist × probes) re-rank. */
+  def pqTopKFromIndex(
+      cents: DataFrame, codes: DataFrame,
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, shortlist: Int = 256): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      l2normalize(col(vecCol)).as("__nv"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      l2normalize(col(vecCol)).as("__pv"))
+    val sd = c.select(size(col("__nv"))).head.getInt(0) / m
+    val dt = p.select(col("probe_id"),
           posexplode(transform(sequence(lit(0), lit(m - 1)),
             i => slice(col("__pv"), i * sd + 1, lit(sd)))))
         .toDF("probe_id", "sub_id", "psv")
@@ -373,7 +457,5 @@ object Similarity {
           cosineF32(col("__pv"), col("__nv")).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
-        .localCheckpoint(true)
-    } finally c.unpersist()
   }
 }

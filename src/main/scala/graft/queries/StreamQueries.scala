@@ -67,9 +67,32 @@ object StreamQueries {
 
   /** Run a streaming DataFrame to completion into a uniquely-named memory
     * sink and return the materialized table. */
-  private def drain(df: DataFrame, complete: Boolean): DataFrame = {
+  /** Run `body` (which starts and drains a streaming query) with the
+    * shuffle-partition count — which for Structured Streaming is the STATE
+    * partition count, fixed at first checkpoint — set to `n`, restoring
+    * the session default afterwards. Sizing state partitions to expected
+    * key cardinality is a first-class streaming deployment decision, not a
+    * bench tweak: it cannot be changed after the checkpoint exists, so
+    * real jobs choose it up front (snapshot/changelog maintenance and
+    * per-batch task launch scale with partition count — at this SF, 32
+    * oversized partitions cost a stream-stream join 6.8 s vs 2.7 s at 8;
+    * a 100 TB deployment with millions of hot keys sizes UP instead). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  private def drain(df: DataFrame, complete: Boolean): DataFrame =
+    drainMode(df,
+      if (complete) org.apache.spark.sql.streaming.OutputMode.Complete()
+      else org.apache.spark.sql.streaming.OutputMode.Update())
+
+  private def drainMode(
+      df: DataFrame, mode: org.apache.spark.sql.streaming.OutputMode): DataFrame = {
     val name = s"stream_sink_${runNonce}_${seq.incrementAndGet()}"
-    val q = EventStreams.toMemorySink(df, name, complete)
+    val q = EventStreams.toMemorySinkMode(df, name, mode)
     try q.processAllAvailable() finally q.stop()
     df.sparkSession.table(name)
   }
@@ -79,8 +102,10 @@ object StreamQueries {
     //     mode materializes every window, so the result equals the batch
     //     aggregation row for row. ------------------------------------------
     "s01_stream_windowed" -> ((s, d) => {
-      drain(EventStreams.windowedCounts(eventsStream(s, d), "1 hour", "2 hours"),
+      withStatePartitions(s, 8) {
+        drain(EventStreams.windowedCounts(eventsStream(s, d), "1 hour", "2 hours"),
           complete = true)
+      }
         .select(unix_micros(col("window_start")).as("window_us"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_us", "event_type")
@@ -98,10 +123,10 @@ object StreamQueries {
       val layout = staged.computeIfAbsent(s"$d#ingest", { _ =>
         val out = tmpDir("ingest", create = false)
         val ckpt = tmpDir("ckpt")
-        val q = EventStreams.ingestSharded(
+        val q = withStatePartitions(s, 8) { EventStreams.ingestSharded(
           eventsStream(s, d).select(col("event_id"), col("user_id"),
             col("event_type"), col("value")),
-          out.toString, "event_id", 16, ckpt.toString)
+          out.toString, "event_id", 16, ckpt.toString) }
         try q.processAllAvailable() finally q.stop()
         out.toString
       })
@@ -114,6 +139,55 @@ object StreamQueries {
         .orderBy("shard")
     }),
 
+    // --- s05: stream-stream interval join (clicks ⋈ same-user views in the
+    //     30-min lookback window). Inner joins emit a pair the moment both
+    //     sides have arrived — the watermark only bounds STATE (evicting
+    //     buffered views the click-side watermark has passed), never
+    //     emission — so with every event in the staged input the emitted
+    //     pair set equals the batch interval join, which is the oracle.
+    //     Aggregate-compared (pair ids + sum invariants). --------------------
+    "s05_stream_join" -> ((s, d) => {
+      val joined = EventStreams.clickViewJoin(eventsStream(s, d),
+        lookback = "30 minutes", watermark = "1 hour")
+      withStatePartitions(s, 8) {
+        drainMode(joined, org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("click_id")).as("click_id_sum"),
+          sum(col("view_id")).as("view_id_sum"),
+          count_distinct(col("user_id")).as("n_users"))
+    }),
+
+    // --- s04: custom sessionization (flatMapGroupsWithState with event-time
+    //     timeout). One staged file → one micro-batch, so in-batch
+    //     processing closes every session but each user's last (exact
+    //     gaps-and-islands semantics — the arrival-order caveat in
+    //     EventStreams.customSessions is vacuous for a single batch); the
+    //     post-batch no-data batch then flushes open sessions whose
+    //     (end + gap) the final watermark passed. The oracle replicates
+    //     both the session split and the emission set — in MILLISECONDS,
+    //     because the state kernel works on Timestamp.getTime: gap checks,
+    //     emitted bounds, and the timeout comparison all truncate micros
+    //     to ms, and the watermark itself is tracked in ms. ------------------
+    "s04_stream_sessions" -> ((s, d) => {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[EventStreams.UserEvent]
+      val sessions = EventStreams.customSessions(ev,
+        gapMs = 30L * 60 * 1000, watermark = "1 hour")
+      withStatePartitions(s, 8) {
+        drainMode(sessions.toDF(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"),
+          col("n_events"))
+        .orderBy("user_id", "start_ms")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -121,7 +195,9 @@ object StreamQueries {
       val deduped = EventStreams.streamingDedup(
         eventsStream(s, d, copies = 2), "ts", Seq("event_id"),
         watermark = "10 hours", exact = true)
-      drain(deduped, complete = false)
+      withStatePartitions(s, 8) {
+        drain(deduped, complete = false)
+      }
         .agg(count(lit(1)).as("n_events"),
           count_distinct(col("event_id")).as("n_ids"),
           sum(col("event_id")).as("id_sum"),
@@ -141,6 +217,52 @@ object StreamQueries {
                 CAST(sum(event_id) AS BIGINT) AS id_sum,
                 CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS sum_value
          FROM events GROUP BY shard ORDER BY shard""",
+    // the emitted pair set of a streaming inner interval join equals the
+    // batch interval join over the same events (watermarks bound state,
+    // not emission); µs comparisons agree because both engines read the
+    // nanos parquet timestamp truncated to micros
+    "s05_stream_join" ->
+      """SELECT count(*) AS n_pairs,
+                CAST(sum(c.event_id) AS BIGINT) AS click_id_sum,
+                CAST(sum(v.event_id) AS BIGINT) AS view_id_sum,
+                count(DISTINCT c.user_id) AS n_users
+         FROM events c JOIN events v
+           ON c.event_type = 'click' AND v.event_type = 'view'
+          AND c.user_id = v.user_id
+          AND v.ts <= c.ts
+          AND v.ts >= c.ts - INTERVAL 30 MINUTE""",
+    // ms arithmetic throughout (see the s04 def comment): event times are
+    // floored to ms before the gap split, emitted bounds are session
+    // min/max in ms, and a tail session is emitted iff its timeout
+    // (end + 30 min) lies strictly before the final watermark
+    // (global max event time, floored to ms, minus 1 h).
+    "s04_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
+                  lag(epoch_us(ts) // 1000)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+           FROM events),
+         g AS (
+           SELECT user_id, ts_ms, event_id,
+                  sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e),
+         sess AS (
+           SELECT user_id, sid,
+                  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+                  count(*) AS n_events
+           FROM g GROUP BY user_id, sid),
+         ranked AS (
+           SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
+           FROM sess),
+         wm AS (
+           SELECT max(epoch_us(ts) // 1000) - 3600000 AS final_wm FROM events)
+         SELECT user_id, start_ms, end_ms, n_events
+         FROM ranked, wm
+         WHERE sid < last_sid OR end_ms + 1800000 < final_wm
+         ORDER BY user_id, start_ms""",
     "s03_stream_dedup" ->
       """SELECT count(*) AS n_events,
                 count(DISTINCT event_id) AS n_ids,

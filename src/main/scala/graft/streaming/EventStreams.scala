@@ -247,9 +247,15 @@ object EventStreams {
   /** Wire a streaming DataFrame through to a named in-memory sink; returns
     * the query (caller awaits/process-all). Update mode suits aggregations. */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =
+    toMemorySinkMode(df, name,
+      if (complete) OutputMode.Complete else OutputMode.Update)
+
+  /** [[toMemorySink]] with an explicit output mode (append-only sinks such
+    * as flatMapGroupsWithState reject Update). */
+  def toMemorySinkMode(df: DataFrame, name: String, mode: OutputMode) =
     df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode(if (complete) OutputMode.Complete else OutputMode.Update)
+      .outputMode(mode)
       .start()
 }

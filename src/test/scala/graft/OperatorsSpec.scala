@@ -119,6 +119,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh == brute)
   }
 
+  test("fuzzyPairs: length-banded Levenshtein equals brute force, each pair once") {
+    val fd = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumped"),   // dist 2 from 1
+      (3L, "the quick brown fox jumps"),    // exact dup of 1 (dist 0)
+      (4L, "a completely different text"),
+      (5L, "xy"),                           // short: different bucket entirely
+      (6L, "the quick brown ox jumps")      // dist 1 from 1/3
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(fd, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    // exactly-once emission: no duplicate (id_a, id_b) keys
+    assert(got.map(_._1).distinct.length == got.length)
+    val brute = fd.as("a").crossJoin(fd.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.text"), col("b.text")).as("dist"))
+      .filter(col("dist") <= 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toSet
+    assert(got.toSet == brute)
+    assert(got.toMap == Map((1L, 3L) -> 0, (1L, 2L) -> 2, (2L, 3L) -> 2,
+      (1L, 6L) -> 1, (3L, 6L) -> 1, (2L, 6L) -> 3))
+  }
+
   test("simhashNearDups finds the exact-dup pair at hamming 0") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
