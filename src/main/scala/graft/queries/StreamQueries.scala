@@ -42,15 +42,26 @@ object StreamQueries {
     f
   }
 
-  /** Stage the events parquet into a listable directory (`copies` files) —
-    * the file source's input contract — memoized per (sf dir, copies). */
+  /** Stage the events parquet into a listable directory (`copies` copies) —
+    * the file source's input contract — memoized per (sf dir, copies).
+    * Handles both layouts: a single parquet FILE (the driver testdata
+    * shape) and a parquet DIRECTORY of part files (anything Spark wrote,
+    * e.g. the ScaleSmoke tiles) — a naive Files.copy of a directory copies
+    * only the empty dir entry and silently yields a zero-row stream. */
   private def stageEvents(d: String, copies: Int): String =
     staged.computeIfAbsent(s"$d#$copies", { _ =>
       val dir = tmpDir("src")
-      (1 to copies).foreach { i =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          dir.toPath.resolve(s"events_$i.parquet"))
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      val parts: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(src)) {
+          val s = java.nio.file.Files.list(src)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toList
+          } finally s.close()
+        } else Seq(src)
+      for (i <- 1 to copies; (p, j) <- parts.zipWithIndex) {
+        java.nio.file.Files.copy(p, dir.toPath.resolve(s"events_${i}_$j.parquet"))
       }
       dir.toString
     })

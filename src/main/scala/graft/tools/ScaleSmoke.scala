@@ -1,0 +1,105 @@
+package graft.tools
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale smoke: tile sf0.1 into a synthetic ~sf1 under /tmp and compare
+  * wall time of the SCALE-PATH operators at both sizes. This is the
+  * would-it-survive-100TB evidence the bench (fixed SF) cannot give: a
+  * linear operator should scale ~10× on 10× input on fixed cores; the
+  * banded dedup path grows with candidate count (tiling clones every doc
+  * 10×, a deliberately adversarial near-dup structure — every clone family
+  * is a 10-member clique); ANN serving is measured at FIXED probe count so
+  * the number isolates per-query cost against a 10× corpus.
+  *
+  * Ids offset per tile (disjoint); event user_ids offset too, so streaming
+  * sessionization sees 10× state keys — the dimension state actually grows
+  * with at scale. Texts/embeddings/timestamps are unchanged: windows get
+  * 10× fan-in, clone cliques stress the pair path.
+  *
+  * Usage: scripts/run_main.sh graft.ScaleSmoke [queries...]
+  */
+object ScaleSmoke {
+  private val SRC = "/root/testdata/sf0.1"
+  private val DST = "/tmp/graft_sf1"
+  private val TILES = 10
+  private val OFF = 10000000L
+
+  private def tile(df: DataFrame, idCols: Seq[String]): DataFrame =
+    (0 until TILES).map { t =>
+      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(t * OFF)))
+    }.reduce(_ unionAll _)
+
+  def ensureData(spark: SparkSession): Unit = {
+    val done = new java.io.File(s"$DST/_DONE")
+    if (done.exists()) return
+    new java.io.File(DST).mkdirs()
+    tile(spark.read.parquet(s"$SRC/documents.parquet"), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$DST/documents.parquet")
+    tile(spark.read.parquet(s"$SRC/embeddings.parquet"), Seq("vec_id"))
+      .write.mode("overwrite").parquet(s"$DST/embeddings.parquet")
+    tile(spark.read.parquet(s"$SRC/events.parquet"), Seq("event_id", "user_id"))
+      .write.mode("overwrite").parquet(s"$DST/events.parquet")
+    // relational tables pass through untiled (the d/e/s rows don't read
+    // them, but Tables.load warmup does)
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$SRC/$t.parquet"),
+          java.nio.file.Paths.get(s"$DST/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    done.createNewFile()
+    ()
+  }
+
+  // scale-path rows only: every bounded-subset verifier (d08, d27, e01's
+  // probe quadratic, the recall rows' brute-force side) is excluded by
+  // design — those are documented small-data oracles, not the scale path
+  private val DEFAULT = Seq(
+    "d01_token_stats", "d04_fingerprint", "d05_exact_dedup",
+    "d06_minhash_neardup", "d09_neardup_clusters", "d13_hash_split",
+    "d14_token_packing", "d18_ngram_topk", "d22_rare_tokens",
+    "d23_salient_terms", "d25_chunking", "d26_pii_scrub",
+    "e03_embedding_stats", "e04_embedding_neardup", "e07_int8_quant",
+    "q39_time_agg", "q40_sessionize",
+    "s01_stream_windowed", "s04_stream_sessions")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "900s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ensureData(spark)
+    val names = if (args.nonEmpty) args.toSeq else DEFAULT
+    // JIT/codegen warmup at the smallest SF
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case t: Throwable =>
+        System.err.println(s"[scale] warmup $n failed: ${t.getMessage}") }
+    }
+    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1(10x)"}%9s  ratio")
+    names.foreach { n =>
+      def time(d: String): Double = {
+        System.gc(); Thread.sleep(150)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, d).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val small = time(SRC)
+        val big = time(DST)
+        println(f"$n%-24s $small%8.2f $big%9.2f  ${big / small}%5.1fx")
+      } catch { case t: Throwable =>
+        println(s"$n FAILED: ${t.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
