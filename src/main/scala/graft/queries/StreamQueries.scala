@@ -199,6 +199,28 @@ object StreamQueries {
         .orderBy("user_id", "start_ms")
     }),
 
+    // --- s06: per-user running counters via mapGroupsWithState — the
+    //     remaining custom-state API surface (s04 covers flatMap...). One
+    //     batch → one Update-mode row per user = the batch aggregate.
+    //     total_value folds floats sequentially, so the compare is in
+    //     integer ticks (each term is floor(v·1000)/1000; the tick sum is
+    //     exact in both engines while the double's last ulp is not); the
+    //     last-event order replicates the kernel's ms truncation. ------------
+    "s06_stream_running" -> ((s, d) => {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[EventStreams.UserEvent]
+      withStatePartitions(s, 8) {
+        drain(EventStreams.runningUserStats(ev).toDF(), complete = false)
+      }
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value") * 1000).cast("long").as("value_ticks"),
+          col("last_type"))
+        .orderBy("user_id")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -274,6 +296,24 @@ object StreamQueries {
          FROM ranked, wm
          WHERE sid < last_sid OR end_ms + 1800000 < final_wm
          ORDER BY user_id, start_ms""",
+    // ticks = Σ floor(value·1000) per user (order-independent integers);
+    // last event by (ms-truncated ts, event_id) — the state kernel orders
+    // by Timestamp.getTime, which floors micros to ms
+    "s06_stream_running" ->
+      """WITH agg AS (
+           SELECT user_id, count(*) AS n_events,
+                  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_ticks
+           FROM events GROUP BY user_id),
+         lastt AS (
+           SELECT user_id, event_type AS last_type
+           FROM (SELECT user_id, event_type,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts) // 1000 DESC, event_id DESC) AS rn
+                 FROM events)
+           WHERE rn = 1)
+         SELECT a.user_id, a.n_events, a.value_ticks, l.last_type
+         FROM agg a JOIN lastt l USING (user_id)
+         ORDER BY user_id""",
     "s03_stream_dedup" ->
       """SELECT count(*) AS n_events,
                 count(DISTINCT event_id) AS n_ids,
