@@ -43,13 +43,22 @@ def main(sf_dir, out_dir):
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import os
+    # attempted.json (written by Verify before any query runs) is the
+    # ground truth for which queries SHOULD have output: an attempted query
+    # with no dir failed before its write (streams drain and indexes train
+    # inside the query fn) and must count as a failure, while queries
+    # outside a filtered dump are legitimately absent
+    try:
+        attempted = set(json.load(open(f"{out_dir}/attempted.json")))
+    except Exception:
+        attempted = set(oracle)  # pre-manifest dump: expect everything
     results = {}
     for name in sorted(oracle):
-        import os
+        if name not in attempted:
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
-            # partial dump (Verify's query-name filter arg): not an error —
-            # a failed query in a FULL dump still yields SPARK-READ-FAIL
-            # because Verify creates the dir before the write errors out
+            results[name] = "NO-OUTPUT: query failed before its write (see Verify stderr)"
             continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -128,9 +137,10 @@ def main(sf_dir, out_dir):
         print(f"rows-only (no oracle): {no_oracle}")
     n_skipped = len(oracle) - len(results)
     if n_skipped:
-        print(f"(partial dump: {n_skipped} oracled queries not dumped, skipped)")
+        print(f"(partial dump: {n_skipped} oracled queries outside the filter, skipped)")
     print(f"\n{n_exact}/{len(results)} EXACT")
-    return 0 if n_exact == len(results) else 1
+    # an empty compare (nothing attempted matched an oracle) must not pass
+    return 0 if results and n_exact == len(results) else 1
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))

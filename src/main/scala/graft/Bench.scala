@@ -76,7 +76,10 @@ object Bench {
     def gcMillis: Long = {
       var s = 0L; gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime)); s
     }
-    val gcBefore = gcMillis
+    // in-query GC only: sampled inside each timed region, so the boundary
+    // System.gc() pauses (deliberate, untimed) don't pollute the metric —
+    // this number is the "queries are not GC-taxed" evidence
+    var gcInQuery = 0L
     val results = SparkEntry.queries.map { case (name, fn) =>
       // Drain cross-query residue at EVERY boundary, outside the timed
       // region: heavy persist/localCheckpoint queries (d09, e02, e08, ...)
@@ -89,14 +92,17 @@ object Bench {
       // only; per-query times and their sum never include it.
       System.gc()
       Thread.sleep(150)
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case t: Throwable =>
         errors += 1
         System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      gcInQuery += gcMillis - gc0
+      name -> dt
     }
-    System.err.println(s"[bench] GC time during measured phase: ${gcMillis - gcBefore} ms")
+    System.err.println(s"[bench] GC time inside timed regions: $gcInQuery ms")
     // Millisecond precision keeps the single JSON line well under the
     // driver's stdout tail window (full-precision doubles pushed the line
     // past it in round 3 and the driver recorded parsed:null).

@@ -23,8 +23,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val attempted = SparkEntry.queries.keySet
+      .filter(name => only.forall(_.contains(name)))
+    // manifest of attempted queries, written BEFORE any query runs:
+    // selfcheck treats an attempted query with no output dir as a failure
+    // (a query can throw before its dir exists — e.g. while draining a
+    // stream or training an index — and must not silently vanish from the
+    // compare)
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.toSeq.sorted.mkString("[\"", "\", \"", "\"]"))
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => attempted.contains(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

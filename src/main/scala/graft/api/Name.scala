@@ -18,7 +18,11 @@ package graft.api
 final class Name private (val casePreserving: String, val isCaseSensitive: Boolean)
     extends Serializable {
 
-  override def hashCode(): Int = casePreserving.toUpperCase.hashCode
+  // Locale.ROOT: equals uses the locale-independent equalsIgnoreCase, so
+  // the hash must fold case locale-independently too (default-locale
+  // toUpperCase maps i→İ under tr-TR, giving equal Names distinct hashes)
+  override def hashCode(): Int =
+    casePreserving.toUpperCase(java.util.Locale.ROOT).hashCode
 
   override def equals(other: Any): Boolean = other match {
     case that: Name if this.isCaseSensitive || that.isCaseSensitive =>

@@ -397,7 +397,11 @@ object Similarity {
         .map(pqCodebookDF(corpus.sparkSession, _))
         .getOrElse(pqTrain(c, "neighbor_id", "__nv", m, ksub, iters, seed))
       val codes = pqEncode(cents, c, "neighbor_id", "__nv", m)
-      pqTopKFromIndex(cents, codes, corpus, probes, idCol, vecCol,
+      // reuse the persisted normalized frame for the re-rank instead of
+      // letting pqTopKFromIndex re-scan and re-normalize the raw corpus
+      pqTopKFromIndexNormalized(cents, codes, c,
+        probes.select(col(idCol).as("probe_id"),
+          l2normalize(col(vecCol)).as("__pv")),
         k, m, shortlist).localCheckpoint(true)
     } finally c.unpersist()
   }
@@ -425,11 +429,22 @@ object Similarity {
       cents: DataFrame, codes: DataFrame,
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      m: Int = 8, shortlist: Int = 256): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      l2normalize(col(vecCol)).as("__nv"))
-    val p = probes.select(col(idCol).as("probe_id"),
-      l2normalize(col(vecCol)).as("__pv"))
+      m: Int = 8, shortlist: Int = 256): DataFrame =
+    pqTopKFromIndexNormalized(cents, codes,
+      corpus.select(col(idCol).as("neighbor_id"),
+        l2normalize(col(vecCol)).as("__nv")),
+      probes.select(col(idCol).as("probe_id"),
+        l2normalize(col(vecCol)).as("__pv")),
+      k, m, shortlist)
+
+  /** [[pqTopKFromIndex]] over already-normalized frames — `c` with
+    * (neighbor_id, __nv), `p` with (probe_id, __pv) — so a caller holding
+    * a persisted normalized corpus (pqTopK's training path) doesn't pay a
+    * second scan + normalization. */
+  private def pqTopKFromIndexNormalized(
+      cents: DataFrame, codes: DataFrame,
+      c: DataFrame, p: DataFrame, k: Int,
+      m: Int, shortlist: Int): DataFrame = {
     val sd = c.select(size(col("__nv"))).head.getInt(0) / m
     val dt = p.select(col("probe_id"),
           posexplode(transform(sequence(lit(0), lit(m - 1)),

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * with at scale. Texts/embeddings/timestamps are unchanged: windows get
   * 10× fan-in, clone cliques stress the pair path.
   *
-  * Usage: scripts/run_main.sh graft.ScaleSmoke [queries...]
+  * Usage: scripts/run_main.sh graft.tools.ScaleSmoke [queries...]
   */
 object ScaleSmoke {
   private val SRC = "/root/testdata/sf0.1"
@@ -87,6 +87,14 @@ object ScaleSmoke {
     println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1(10x)"}%9s  ratio")
     names.foreach { n =>
       def time(d: String): Double = {
+        // one-time event staging is done via prestage (below), outside the
+        // timed run. Streaming rows are deliberately timed on their FIRST
+        // run per dir: re-running a streaming query creates a fresh
+        // checkpoint while the prior run's state-store providers are still
+        // loaded, so a "steady-state" second run measures provider
+        // accumulation (a harness artifact — production streams are one
+        // long-running query), not the query
+        graft.queries.StreamQueries.prestage(d)
         System.gc(); Thread.sleep(150)
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, d).count()
