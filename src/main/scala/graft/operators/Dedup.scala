@@ -442,6 +442,31 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDups]] with an explicit canonical-selection policy: per
+    * near-dup cluster keep the member with the HIGHEST `scoreCol`
+    * (tie → min id) instead of blindly the min id — the production
+    * pipeline ending where dedup keeps the best representative (longest
+    * text, highest quality score, freshest crawl, ...). Same scale shape:
+    * banded pairs → log-round components → tiny loser set → one anti-join
+    * over the untouched corpus. */
+  def keepCanonical(
+      docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: Column, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, threshold)
+    val labels = try connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      finally release(pairs)
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("__score").desc, col("id").asc)
+    val losers = try labels
+      .join(docs.select(col(idCol).as("id"), scoreCol.as("__score")), "id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id").as(idCol))
+      .localCheckpoint(true)
+    finally release(labels)
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,

@@ -193,6 +193,18 @@ object TextQueries {
         .orderBy("cluster_id")
     }),
 
+    // --- canonical dedup — the production pipeline ending: near-dup
+    //     clusters keep their BEST member (longest text, tie → min id),
+    //     everything unclustered passes through. Same LSH-vs-exact recall
+    //     trade-off note as d09/e04. -------------------------------------------
+    "d28_canonical_dedup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Dedup.keepCanonical(Tables.documents(s, d), "doc_id", "text",
+          col("n_chars"), threshold = 0.8)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // --- benchmark decontamination: per-doc containment of a broadcast
     //     benchmark shingle set (doc_id % 97 == 3 plays the eval set; the
     //     rest is the corpus). Hash/string shingle parity as in d06. ----------
@@ -719,6 +731,42 @@ object TextQueries {
          SELECT label AS cluster_id, count(*) AS n_members,
                 array_to_string(list_sort(list(id)), ',') AS members
          FROM labels GROUP BY label ORDER BY cluster_id""",
+    // same CC closure as d09, then rank clustered members by
+    // (n_chars DESC, id ASC) and anti-join the rank>1 losers
+    "d28_canonical_dedup" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [] END AS sh
+           FROM tok),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(a.sh) > 0 AND len(b.sh) > 0
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, label) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.b, r.label FROM reach r JOIN edges e ON r.id = e.a),
+         labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+         ranked AS (
+           SELECT l.id,
+                  row_number() OVER (PARTITION BY l.label
+                    ORDER BY d.n_chars DESC, l.id ASC) AS rn
+           FROM labels l JOIN documents d ON d.doc_id = l.id),
+         losers AS (SELECT id FROM ranked WHERE rn > 1)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM losers)
+         ORDER BY doc_id""",
     "d08_jaccard_pairs" ->
       """WITH tok AS (
            SELECT doc_id,

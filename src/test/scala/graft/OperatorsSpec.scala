@@ -119,6 +119,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh == brute)
   }
 
+  test("keepCanonical keeps the highest-score member per cluster, min id on ties") {
+    // docs 1/2/3 form one near-dup cluster; score = text length makes 3
+    // (the longest, 'yesterday') the canonical pick over min-id 1
+    val kept = Dedup.keepCanonical(docs, "doc_id", "text",
+        length(col("text")), threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 4L, 5L))
+    // min-id tiebreak: equal scores keep the lowest id (doc 1)
+    val keptTie = Dedup.keepCanonical(docs, "doc_id", "text",
+        lit(7), threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptTie == Seq(1L, 4L, 5L))
+  }
+
   test("fuzzyPairs: length-banded Levenshtein equals brute force, each pair once") {
     val fd = Seq(
       (1L, "the quick brown fox jumps"),
