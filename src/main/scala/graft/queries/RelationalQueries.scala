@@ -643,6 +643,43 @@ object RelationalQueries {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // --- TPC-H Q9 shape (product-type profit by nation and year): 5-way
+    //     join with the part filter driving pruning, profit =
+    //     revenue − cost. No partsupp table in the testdata, so cost uses
+    //     the p_retailprice·l_quantity/10 surrogate. Revenue and cost sum
+    //     SEPARATELY as DECIMAL(18,2) products (exact, order-independent);
+    //     the /10 and the subtraction happen once per GROUP in double
+    //     (deterministic IEEE ops on exact inputs) — a per-row decimal
+    //     chain of three factors would hit engine-specific precision/scale
+    //     promotion instead. ---------------------------------------------------
+    "q75_tpch_q9" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(18, 2))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_name").like("%red%"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (one - col("l_discount").cast(DecimalType(18, 2)))).as("__rev"),
+          sum(col("p_retailprice").cast(DecimalType(18, 2)) *
+            col("l_quantity").cast(DecimalType(18, 2))).as("__cost"))
+        .select(col("nation"), col("o_year"),
+          (col("__rev").cast("double") - col("__cost").cast("double") / 10)
+            .as("sum_profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)
+    }),
+
     // --- GROUPING SETS (beyond the rollup/cube rows): two independent
     //     one-dimension groupings + grand total in ONE pass over orders —
     //     Spark expands to a single Expand→partial→final aggregate, i.e.
@@ -1023,6 +1060,23 @@ object RelationalQueries {
                 (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11'))
          GROUP BY supp_nation, cust_nation, l_year
          ORDER BY supp_nation, cust_nation, l_year""",
+    // revenue/cost summed separately as DECIMAL(18,2) products; /10 and
+    // the subtraction once per group in double (see the Spark-side note)
+    "q75_tpch_q9" ->
+      """SELECT n_name AS nation,
+                CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                - CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) *
+                           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / 10 AS sum_profit
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY nation, o_year
+         ORDER BY nation ASC, o_year DESC""",
     "q73_grouping_sets" ->
       """SELECT CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
                 CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_stat,
