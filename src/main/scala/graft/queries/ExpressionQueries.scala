@@ -127,7 +127,11 @@ object ExpressionQueries {
             .cast("double").as("pa"),
           expr("percentile(l_extendedprice, 0.5)").as("pe"))
         .select(
-          (col("acd").cast("double") / col("cd")).between(0.95, 1.05).as("acd_ok"),
+          // HLL++ default relativeSD is 0.05, so ±5% is the sketch's 1σ —
+          // a gate AT 1σ fails a third of datasets by design (observed: ok
+          // at sf0.01/0.1, 6.6% off at sf0.001's ~1.5k cardinality). Gate
+          // at 2σ: still fails a broken sketch, robust to data draw.
+          (col("acd").cast("double") / col("cd")).between(0.90, 1.10).as("acd_ok"),
           (col("pa") / col("pe")).between(0.99, 1.01).as("pct_ok"))
     }),
 
