@@ -217,40 +217,108 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Edit-distance (Levenshtein) near-dup pairs within `maxDist`, banded
-    * by length: |lev(a,b)| ≥ |len(a) − len(b)|, so with buckets of width
-    * maxDist+1 a qualifying pair's buckets differ by at most 1. The left
-    * side emits its own bucket, the right side emits {b−1, b, b+1}; every
-    * qualifying ordered pair collides on EXACTLY one key (the left row's
-    * bucket), so the equi-join needs no distinct. Verification uses
-    * Spark's thresholded Levenshtein (banded O(len·maxDist) DP with early
-    * exit, −1 above the threshold).
+  /** Candidate pair generation for [[fuzzyPairs]]: partition-based
+    * edit-distance filtering (the PassJoin scheme — Li, Deng, Feng,
+    * "Pass-Join: a partition-based method for similarity joins",
+    * PVLDB 5(3), 2011). Every doc is split (in its "indexed" role) into
+    * τ+1 contiguous CONTENT segments; by pigeonhole, any string within
+    * edit distance τ must contain at least one segment verbatim, shifted
+    * by at most the edits around it. Each doc (in its "probe" role)
+    * extracts, for every candidate indexed length l ∈ [m−τ, m+τ] and
+    * segment i, the substrings in the feasible shift window
+    * |δ| + |Δ−δ| ≤ τ (Δ = m−l) — so candidates must share an actual
+    * 8-byte content-hash key (i, l, xxhash64(segment)), never just a
+    * length. GUARANTEED recall (unlike a MinHash prefilter) — the output
+    * pair set is provably identical to all-pairs filtering, so the exact
+    * DuckDB oracle still matches.
     *
-    * Scale shape: one equi-join shuffle on the bucket key + O(candidates)
-    * banded-DP verifies — the same band-then-verify skeleton as MinHash
-    * LSH, with document LENGTH as the (free) banding signal. The right
-    * side is 3 rows per doc; candidate count is governed by the length
-    * histogram, not n². */
+    * Docs shorter than τ+1 chars can't be segmented into non-empty parts;
+    * any two such docs are trivially within distance τ (ed ≤ max length),
+    * so the short pool pairs all-against-all — that join is OUTPUT-bound,
+    * not a filtering weakness (every short-short pair is a genuine
+    * result).
+    *
+    * Scale shape: one equi-join shuffle on 8-byte content keys; per-doc
+    * key fan-out is O(τ²) small rows (τ=6 → ≤ 7 indexed + ~400 probe
+    * keys), independent of corpus size. A length-concentrated corpus
+    * (tweets, log lines) no longer degenerates: within one length, keys
+    * split by CONTENT. */
+  private[graft] def fuzzyCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__txt"),
+      length(col(textCol)).as("__len"))
+    val tau = maxDist
+    val k = tau + 1
+    // short pool: both lengths ≤ τ ⇒ ed ≤ max(len) ≤ τ — all pairs qualify
+    val short = base.filter(col("__len") <= tau).select(col("__id"))
+    val shortPairs = short.as("a").join(short.as("b"),
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    // indexed role: k segments of a doc with len ≥ k (all non-empty).
+    // Even partition: first (len mod k) segments get an extra char.
+    def segLen(l: Column, i: Column): Column =
+      floor(l / k).cast("int") + when(i < l % k, 1).otherwise(0)
+    def segStart(l: Column, i: Column): Column = // 1-based for substr
+      (i * floor(l / k).cast("int") + least(i, l % k) + 1).cast("int")
+    val idx = base.filter(col("__len") >= k)
+      .select(col("__id").as("__id_i"), col("__txt"), col("__len"),
+        explode(sequence(lit(0), lit(tau))).as("__i"))
+      .select(col("__id_i"), col("__i"), col("__len").as("__l"),
+        xxhash64(col("__txt").substr(
+          segStart(col("__len"), col("__i")),
+          segLen(col("__len"), col("__i")))).as("__h"))
+    // probe role: for each target indexed length l and segment i, extract
+    // the substrings at shifts δ with |δ| + |Δ−δ| ≤ τ (prefix edits bound
+    // |δ|, suffix edits bound |Δ−δ|, and they share the τ budget):
+    // δ ∈ [−⌊(τ−Δ)/2⌋, ⌊(τ+Δ)/2⌋]
+    val probes = base
+      .select(col("__id").as("__id_p"), col("__txt"), col("__len").as("__m"),
+        explode(sequence(col("__len") - tau, col("__len") + tau)).as("__l"))
+      .filter(col("__l") >= k)
+      .select(col("__id_p"), col("__txt"), col("__m"), col("__l"),
+        explode(sequence(lit(0), lit(tau))).as("__i"))
+      .withColumn("__w", segLen(col("__l"), col("__i")))
+      .withColumn("__a", segStart(col("__l"), col("__i")))
+      .withColumn("__delta", col("__m") - col("__l"))
+      .select(col("__id_p"), col("__txt"), col("__m"), col("__l"),
+        col("__i"), col("__w"),
+        explode(sequence(
+          col("__a") - floor((lit(tau) - col("__delta")) / 2).cast("int"),
+          col("__a") + floor((lit(tau) + col("__delta")) / 2).cast("int")))
+          .as("__p"))
+      .filter(col("__p") >= 1 && col("__p") + col("__w") - 1 <= col("__m"))
+      .select(col("__id_p"), col("__i"), col("__l"),
+        xxhash64(col("__txt").substr(col("__p"), col("__w"))).as("__h"))
+    val segPairs = probes.join(idx, Seq("__i", "__l", "__h"))
+      .filter(col("__id_p") =!= col("__id_i"))
+      .select(least(col("__id_p"), col("__id_i")).as("id_a"),
+        greatest(col("__id_p"), col("__id_i")).as("id_b"))
+    // short-short pairs never reach the segment path (idx needs len ≥ k),
+    // so the union is disjoint; distinct collapses multi-segment matches
+    segPairs.union(shortPairs).distinct()
+  }
+
+  /** Edit-distance (Levenshtein) near-dup pairs within `maxDist`:
+    * partition-based CONTENT banding ([[fuzzyCandidates]] — PassJoin
+    * pigeonhole, guaranteed recall) + thresholded-Levenshtein verify
+    * (banded O(len·maxDist) DP with early exit, −1 above the threshold).
+    *
+    * Scale shape: the same band-then-verify skeleton as MinHash LSH, but
+    * with provably lossless candidate generation — candidate count is
+    * governed by shared content segments, not the length histogram (the
+    * earlier length-only banding degenerated to all-pairs on
+    * length-concentrated corpora). */
   def fuzzyPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
-    val width = maxDist + 1
-    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__txt"),
-      length(col(textCol)).as("__len"))
-    val left = base.withColumn("__bucket", floor(col("__len") / width))
-    val right = base
-      .select(col("__id").as("__id_b"), col("__txt").as("__txt_b"),
-        col("__len").as("__len_b"),
-        floor(col("__len") / width).as("__b0"))
-      .select(col("__id_b"), col("__txt_b"), col("__len_b"),
-        explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1))
-          .as("__bucket"))
-    left.join(right, Seq("__bucket"))
-      .filter(col("__id") < col("__id_b") &&
-        abs(col("__len") - col("__len_b")) <= maxDist)
-      .withColumn("dist", levenshtein(col("__txt"), col("__txt_b"), maxDist))
+    val byId = docs.select(col(idCol).as("__id"), col(textCol).as("__txt"))
+    fuzzyCandidates(docs, idCol, textCol, maxDist)
+      .join(byId.withColumnsRenamed(Map("__id" -> "id_a", "__txt" -> "__ta")), "id_a")
+      .join(byId.withColumnsRenamed(Map("__id" -> "id_b", "__txt" -> "__tb")), "id_b")
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
       .filter(col("dist") >= 0)
-      .select(col("__id").as("id_a"), col("__id_b").as("id_b"), col("dist"))
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   // ---- SimHash ---------------------------------------------------------

@@ -133,7 +133,7 @@ class OperatorsSpec extends SparkTestBase {
     assert(keptTie == Seq(1L, 4L, 5L))
   }
 
-  test("fuzzyPairs: length-banded Levenshtein equals brute force, each pair once") {
+  test("fuzzyPairs: segment-banded Levenshtein equals brute force, each pair once") {
     val fd = Seq(
       (1L, "the quick brown fox jumps"),
       (2L, "the quick brown fox jumped"),   // dist 2 from 1
@@ -155,6 +155,61 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.toSet == brute)
     assert(got.toMap == Map((1L, 3L) -> 0, (1L, 2L) -> 2, (2L, 3L) -> 2,
       (1L, 6L) -> 1, (3L, 6L) -> 1, (2L, 6L) -> 3))
+  }
+
+  test("fuzzyPairs recall: randomized ≤maxDist edits are all found (PassJoin pigeonhole)") {
+    // adversarial-ish randomized property: seed strings of varied lengths
+    // (including < maxDist+1, around the segment-count boundary, and long),
+    // each mutated by exactly j ∈ [0, maxDist] random char edits — every
+    // (seed, mutant) pair must be recalled by the segment banding
+    val rnd = new scala.util.Random(20260813L)
+    val alpha = "abcdefgh"
+    def randStr(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var t = s
+      (0 until edits).foreach { _ =>
+        val op = rnd.nextInt(3)
+        val pos = if (t.isEmpty) 0 else rnd.nextInt(t.length)
+        t = op match {
+          case 0 if t.nonEmpty => t.updated(pos, alpha(rnd.nextInt(alpha.length))) // sub
+          case 1 if t.nonEmpty => t.take(pos) + t.drop(pos + 1)                    // del
+          case _ => t.take(pos) + alpha(rnd.nextInt(alpha.length)) + t.drop(pos)   // ins
+        }
+      }
+      t
+    }
+    val maxDist = 4
+    val rows = (0 until 40).flatMap { g =>
+      val len = Seq(2, 4, 5, 6, 11, 40, 90)(g % 7)
+      val s = randStr(len)
+      Seq((g * 2L, s), (g * 2L + 1, mutate(s, g % (maxDist + 1))))
+    }
+    val fd = rows.toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(fd, "doc_id", "text", maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = fd.as("a").crossJoin(fd.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(levenshtein(col("a.text"), col("b.text"), maxDist) >= 0)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute) // zero missed, zero spurious
+    assert((0 until 40).forall(g => brute.contains((g * 2L, g * 2L + 1))))
+  }
+
+  test("fuzzyCandidates: uniform-length corpus stays content-governed, not all-pairs") {
+    // 200 same-length random strings: the old length-only banding put all
+    // of them in ONE bucket → 19900 candidate pairs; content-segment keys
+    // must collapse that to near zero (only genuinely similar pairs)
+    val rnd = new scala.util.Random(7L)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val n = 200
+    val fd = (0 until n).map(i =>
+        (i.toLong, (0 until 64).map(_ => alpha(rnd.nextInt(26))).mkString))
+      .toDF("doc_id", "text")
+    val cands = Dedup.fuzzyCandidates(fd, "doc_id", "text", maxDist = 6).count()
+    val allPairs = n.toLong * (n - 1) / 2 // what length-only banding produced
+    assert(cands < allPairs / 50,
+      s"expected content banding to prune uniform-length candidates, got $cands of $allPairs")
   }
 
   test("simhashNearDups finds the exact-dup pair at hamming 0") {
