@@ -30,8 +30,11 @@ object Verify {
     // (a query can throw before its dir exists — e.g. while draining a
     // stream or training an index — and must not silently vanish from the
     // compare)
+    // (an empty set must emit [], not [""] — a filter matching nothing
+    // would otherwise produce a one-element array of the empty string)
     Files.writeString(Paths.get(s"$outDir/attempted.json"),
-      attempted.toSeq.sorted.mkString("[\"", "\", \"", "\"]"))
+      if (attempted.isEmpty) "[]"
+      else attempted.toSeq.sorted.mkString("[\"", "\", \"", "\"]"))
     SparkEntry.queries
       .filter { case (name, _) => attempted.contains(name) }
       .foreach { case (name, fn) =>

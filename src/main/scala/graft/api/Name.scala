@@ -18,11 +18,21 @@ package graft.api
 final class Name private (val casePreserving: String, val isCaseSensitive: Boolean)
     extends Serializable {
 
-  // Locale.ROOT: equals uses the locale-independent equalsIgnoreCase, so
-  // the hash must fold case locale-independently too (default-locale
-  // toUpperCase maps i→İ under tr-TR, giving equal Names distinct hashes)
-  override def hashCode(): Int =
-    casePreserving.toUpperCase(java.util.Locale.ROOT).hashCode
+  // the hash must be constant across everything `equals` can call equal:
+  // equalsIgnoreCase compares per-char (toUpper match OR toLower match),
+  // so fold each char through the same two-step map — string-level
+  // toUpperCase(ROOT) diverged on U+0130 ("i".equalsIgnoreCase("İ") is
+  // true, but "İ".toUpperCase(ROOT) stays İ while "i" uppercases to I)
+  override def hashCode(): Int = {
+    var h = 0
+    var i = 0
+    while (i < casePreserving.length) {
+      h = 31 * h +
+        Character.toLowerCase(Character.toUpperCase(casePreserving.charAt(i)))
+      i += 1
+    }
+    h
+  }
 
   override def equals(other: Any): Boolean = other match {
     case that: Name if this.isCaseSensitive || that.isCaseSensitive =>

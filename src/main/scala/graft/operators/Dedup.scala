@@ -535,6 +535,29 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** The end-to-end dedup cascade — the production pipeline ending a
+    * training-data run actually executes: exact dedup FIRST (one cheap
+    * hash-shuffle on an 8-byte digest), then MinHash-LSH near-dup
+    * clustering + canonical keep-best over the survivors.
+    *
+    * Exact-first is the mitigation for LSH candidate blowup on clone-heavy
+    * corpora (measured in the 10× scale smoke: every clone family is a
+    * near-dup clique, so candidates grow quadratically in family size —
+    * removing exact copies before banding collapses that to genuine
+    * near-dups). It also catches exact dups the LSH stage structurally
+    * cannot see: docs with fewer than `shingleN` tokens have no shingles,
+    * never enter banding, and identical copies of them survive
+    * [[keepCanonical]] — but not the exact stage.
+    *
+    * Stage order is safe for canonicality when exact copies tie on the
+    * score (they do for any content-derived score): the exact stage's
+    * min-id pick is exactly the canonical tie-break. */
+  def cascade(
+      docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: Column, threshold: Double = 0.8): DataFrame =
+    keepCanonical(exactDedup(docs, idCol, textCol), idCol, textCol,
+      scoreCol, threshold)
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,

@@ -114,6 +114,11 @@ object StreamQueries {
       if (complete) org.apache.spark.sql.streaming.OutputMode.Complete()
       else org.apache.spark.sql.streaming.OutputMode.Update())
 
+  /** NOT thread-safe — strictly sequential callers only (Verify/Bench run
+    * queries one at a time, and the streaming specs share one suite
+    * thread). The drop-then-register dance below reclaims the PREVIOUS
+    * drain's memory-sink view; two concurrent drains on one session could
+    * drop a view the other is still reading. */
   private def drainMode(
       df: DataFrame, mode: org.apache.spark.sql.streaming.OutputMode): DataFrame = {
     var prev = liveSinks.poll()
@@ -295,7 +300,8 @@ object StreamQueries {
       """WITH e AS (
            SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_id,
                   lag(epoch_us(ts) // 1000)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+                    OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts) // 1000, event_id) AS prev_ms
            FROM events),
          g AS (
            SELECT user_id, ts_ms, event_id,

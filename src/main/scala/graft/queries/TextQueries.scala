@@ -205,6 +205,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- the full dedup cascade: exact (digest shuffle) → MinHash-LSH
+    //     clusters → canonical keep-best, as ONE operator (Dedup.cascade).
+    //     Differs from d28 exactly where the cascade earns its keep: exact
+    //     clones are culled before banding (clique mitigation) including
+    //     shingle-less short docs LSH cannot see. ---------------------------
+    "d29_cascade_dedup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Dedup.cascade(Tables.documents(s, d), "doc_id", "text",
+          col("n_chars"), threshold = 0.8)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // --- benchmark decontamination: per-doc containment of a broadcast
     //     benchmark shingle set (doc_id % 97 == 3 plays the eval set; the
     //     rest is the corpus). Hash/string shingle parity as in d06. ----------
@@ -765,6 +778,48 @@ object TextQueries {
            FROM labels l JOIN documents d ON d.doc_id = l.id),
          losers AS (SELECT id FROM ranked WHERE rn > 1)
          SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM losers)
+         ORDER BY doc_id""",
+    // exact stage first (min doc_id per identical text), then the d28
+    // closure over the SURVIVORS — including the delta d28 can't express:
+    // identical shingle-less docs are deduped here, not in the LSH stage
+    "d29_cascade_dedup" ->
+      """WITH RECURSIVE keepx AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         surv AS (
+           SELECT d.doc_id, d.text, d.n_chars
+           FROM documents d JOIN keepx k ON d.doc_id = k.doc_id),
+         tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM surv),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [] END AS sh
+           FROM tok),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(a.sh) > 0 AND len(b.sh) > 0
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, label) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.b, r.label FROM reach r JOIN edges e ON r.id = e.a),
+         labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+         ranked AS (
+           SELECT l.id,
+                  row_number() OVER (PARTITION BY l.label
+                    ORDER BY s.n_chars DESC, l.id ASC) AS rn
+           FROM labels l JOIN surv s ON s.doc_id = l.id),
+         losers AS (SELECT id FROM ranked WHERE rn > 1)
+         SELECT doc_id, n_chars FROM surv
          WHERE doc_id NOT IN (SELECT id FROM losers)
          ORDER BY doc_id""",
     "d08_jaccard_pairs" ->

@@ -62,7 +62,8 @@ object ScaleSmoke {
     "d06_minhash_neardup", "d09_neardup_clusters", "d13_hash_split",
     "d14_token_packing", "d18_ngram_topk", "d22_rare_tokens",
     "d23_salient_terms", "d25_chunking", "d26_pii_scrub",
-    "d27_fuzzy_fullcorpus",
+    "d27_fuzzy_fullcorpus", "d29_cascade_dedup",
+    "d06_cands_raw", "d06_cands_postexact",
     "e03_embedding_stats", "e04_embedding_neardup", "e07_int8_quant",
     "q39_time_agg", "q40_sessionize",
     "s01_stream_windowed", "s04_stream_sessions")
@@ -74,10 +75,22 @@ object ScaleSmoke {
   // (45 dist-0 pairs per family) dominate the output — the same adversarial
   // structure d06 documents, with exact-dedup-first as the production
   // mitigation.
+  // the two d06_cands rows are the cascade's quantitative case: tiling
+  // clones every doc 10×, so raw LSH candidate pairs blow up with the
+  // clone cliques (45 per family) while exact-dedup-first collapses the
+  // corpus back to unique texts before banding — compare the `rows`
+  // column, not just the seconds
   private val EXTRA: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d27_fuzzy_fullcorpus" -> ((s, d) =>
       graft.operators.Dedup.fuzzyPairs(
-        Tables.documents(s, d), "doc_id", "text", maxDist = 6)))
+        Tables.documents(s, d), "doc_id", "text", maxDist = 6)),
+    "d06_cands_raw" -> ((s, d) =>
+      graft.operators.Dedup.minhashCandidates(
+        Tables.documents(s, d), "doc_id", "text")),
+    "d06_cands_postexact" -> ((s, d) =>
+      graft.operators.Dedup.minhashCandidates(
+        graft.operators.Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "text")))
 
   private def query(n: String): (SparkSession, String) => DataFrame =
     EXTRA.getOrElse(n, SparkEntry.queries(n))
@@ -100,9 +113,9 @@ object ScaleSmoke {
       catch { case t: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${t.getMessage}") }
     }
-    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1(10x)"}%9s  ratio")
+    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1(10x)"}%9s  ratio ${"rows0.1"}%9s ${"rows1"}%9s")
     names.foreach { n =>
-      def time(d: String): Double = {
+      def time(d: String): (Double, Long) = {
         // one-time event staging is done via prestage (below), outside the
         // timed run. Streaming rows are deliberately timed on their FIRST
         // run per dir: re-running a streaming query creates a fresh
@@ -113,13 +126,13 @@ object ScaleSmoke {
         graft.queries.StreamQueries.prestage(d)
         System.gc(); Thread.sleep(150)
         val t0 = System.nanoTime()
-        query(n)(spark, d).count()
-        (System.nanoTime() - t0) / 1e9
+        val rows = query(n)(spark, d).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
       }
       try {
-        val small = time(SRC)
-        val big = time(DST)
-        println(f"$n%-24s $small%8.2f $big%9.2f  ${big / small}%5.1fx")
+        val (small, rowsS) = time(SRC)
+        val (big, rowsB) = time(DST)
+        println(f"$n%-24s $small%8.2f $big%9.2f  ${big / small}%5.1fx $rowsS%9d $rowsB%9d")
       } catch { case t: Throwable =>
         println(s"$n FAILED: ${t.getMessage}")
       }

@@ -133,6 +133,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(keptTie == Seq(1L, 4L, 5L))
   }
 
+  test("cascade = keepCanonical after exactDedup; catches shingle-less exact dups d28 misses") {
+    // shingle-less exact dups ("hi there" ×2 — under 3 tokens, no shingles)
+    // never reach LSH banding: plain keepCanonical keeps BOTH, the cascade's
+    // exact stage culls one. The long docs behave identically in both.
+    val cd = docs.union(Seq(
+      (6L, "hi there"), (7L, "hi there")).toDF("doc_id", "text"))
+    val cascade = Dedup.cascade(cd, "doc_id", "text",
+        length(col("text")), threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val composed = Dedup.keepCanonical(
+        Dedup.exactDedup(cd, "doc_id", "text"), "doc_id", "text",
+        length(col("text")), threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(cascade == composed) // one operator ≡ composing the stages
+    // docs 1/2 exact dups (keep 1), 1/3 near dups (keep 3: longer), 6/7
+    // shingle-less exact dups (keep 6)
+    assert(cascade == Seq(3L, 4L, 5L, 6L))
+    val plain = Dedup.keepCanonical(cd, "doc_id", "text",
+        length(col("text")), threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(plain.contains(7L)) // the LSH-only path keeps the short clone
+  }
+
   test("fuzzyPairs: segment-banded Levenshtein equals brute force, each pair once") {
     val fd = Seq(
       (1L, "the quick brown fox jumps"),
