@@ -680,6 +680,72 @@ object RelationalQueries {
         .orderBy(col("nation").asc, col("o_year").desc)
     }),
 
+    // --- TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    //     EXISTS + NOT EXISTS anti-join chain, adapted to this schema
+    //     ("late" = returned line, l_returnflag = 'R'): count a supplier's
+    //     returned lines in finished multi-supplier orders where NO OTHER
+    //     supplier's line was returned. ONE pruned lineitem scan (3 of 11
+    //     cols, eager localCheckpoint) feeds l1 and both correlated sides —
+    //     without it Spark plans three scans (no exchange reuse across the
+    //     semi/anti parents, same as q69). EXISTS → left_semi on
+    //     (same order, different supplier); NOT EXISTS → left_anti. Both
+    //     join on the 8-byte orderkey; orders gate is a semi join so line
+    //     rows never multiply; supplier/nation dims broadcast. --------------
+    "q76_tpch_q21" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        .localCheckpoint(true)
+      val others = li.select(col("l_orderkey").as("__ok"),
+        col("l_suppkey").as("__sk"), col("l_returnflag").as("__rf"))
+      val fOrders = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      li.filter(col("l_returnflag") === "R")
+        .join(others,
+          col("l_orderkey") === col("__ok") && col("l_suppkey") =!= col("__sk"),
+          "left_semi")
+        .join(others.filter(col("__rf") === "R"),
+          col("l_orderkey") === col("__ok") && col("l_suppkey") =!= col("__sk"),
+          "left_anti")
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_7").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
+
+    // --- TPC-H Q2 shape (min-cost supplier per part): a CORRELATED scalar
+    //     MIN subquery, run through the SQL path so Catalyst's decorrelation
+    //     does the rewrite (aggregate-per-part + equi-join) instead of a
+    //     per-row re-execution — the plan to audit: one extra lineitem
+    //     aggregate, no nested-loop. lineitem plays partsupp (this schema
+    //     has none); the "cost" is the raw l_extendedprice so the MIN
+    //     equality compares stored doubles, no arithmetic. ------------------
+    "q77_tpch_q2" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+               l.l_extendedprice AS min_price
+        FROM part p, lineitem l, supplier s, nation n, region r
+        WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+          AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+          AND r.r_name = 'ASIA' AND p.p_size = 15
+          AND l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice)
+            FROM lineitem l2, supplier s2, nation n2, region r2
+            WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, min_price
+        LIMIT 100""")
+    }),
+
     // --- GROUPING SETS (beyond the rollup/cube rows): two independent
     //     one-dimension groupings + grand total in ONE pass over orders —
     //     Spark expands to a single Expand→partial→final aggregate, i.e.
@@ -1077,6 +1143,38 @@ object RelationalQueries {
          WHERE p_name LIKE '%red%'
          GROUP BY nation, o_year
          ORDER BY nation ASC, o_year DESC""",
+    "q76_tpch_q21" ->
+      """SELECT s.s_name, count(*) AS numwait
+         FROM lineitem l1
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+         JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
+         WHERE l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s.s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 100""",
+    "q77_tpch_q2" ->
+      """SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+                l.l_extendedprice AS min_price
+         FROM part p, lineitem l, supplier s, nation n, region r
+         WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+           AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+           AND r.r_name = 'ASIA' AND p.p_size = 15
+           AND l.l_extendedprice = (
+             SELECT min(l2.l_extendedprice)
+             FROM lineitem l2, supplier s2, nation n2, region r2
+             WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+               AND s2.s_nationkey = n2.n_nationkey
+               AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, min_price
+         LIMIT 100""",
     "q73_grouping_sets" ->
       """SELECT CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
                 CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_stat,
