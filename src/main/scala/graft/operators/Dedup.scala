@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.functions.GraftFunctions._
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.sources.Sinks
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -533,6 +534,110 @@ object Dedup {
       .localCheckpoint(true)
     finally release(labels)
     docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ---- incremental dedup against a persisted signature index ------------
+
+  /** Greedy first-seen-wins near-dup dedup: keep doc x iff NO doc with a
+    * smaller id — kept or dropped — is a near-dup of x. Unlike the
+    * CC-collapse policy ([[dropNearDups]]: one representative per
+    * connected component), the decision for each doc is a pure function of
+    * the PAIR set, never of other docs' decisions — which is what makes it
+    * incrementally maintainable: with monotone ids across batches, batch
+    * N's keep/drop outcomes can never be changed by batch N+1, so
+    * dedup-against-index ([[incrementalDedup]]) equals a full recompute
+    * EXACTLY. (The two policies genuinely differ on bridge shapes: in a
+    * chain a–b–c with a~b, b~c, a≁c, CC keeps only a; greedy keeps a and
+    * c. Both are standard; greedy is what daily-snapshot pipelines run.) */
+  def dropNearDupsGreedy(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, threshold)
+    val losers = try pairs.select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(true)
+    finally release(pairs)
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** One incremental dedup step — the operation a training-data pipeline
+    * runs on each new crawl snapshot: dedup `batch` against the persisted
+    * MinHash signature index at `indexPath` (and within itself, greedy
+    * by id), append the batch's signatures to the index, and return the
+    * kept batch rows. No recompute over the existing corpus: the index is
+    * scanned once for banding keys (a pruned column scan) and only
+    * candidate rows' shingle sets are joined for exact-Jaccard verify.
+    *
+    * The index stores (doc_id, sh, sig) for EVERY doc ever seen — dropped
+    * docs included, because the greedy policy compares against all smaller
+    * ids whether or not they survived (an index of survivors only would
+    * let a near-dup of a dropped doc slip through; the OperatorsSpec
+    * bridge test pins this). At metadata width (~1 KB/doc) that is the
+    * standard cost of a crawl dedup index. Batch ids must be strictly
+    * greater than every indexed id (monotone snapshots — enforced): the
+    * incremental ≡ full-recompute equivalence depends on it.
+    *
+    * Index maintenance goes through [[Sinks.upsertSharded]]: only the
+    * shard directories the batch ids hash into are rewritten; untouched
+    * shards stay byte-identical (proved in SourcesSpec). */
+  def incrementalDedup(
+      spark: SparkSession, indexPath: String, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Long = 42L, nShards: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // (doc_id, sh, sig) for the batch, materialized once: read by the
+    // monotonicity probe, banding, both verify sides, and the index write
+    val newSig = batch.select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0) // shingle-less docs can't near-dup; not indexed
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .localCheckpoint(true)
+    val hpath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldSig: Option[DataFrame] =
+      if (fs.exists(hpath))
+        Some(Sinks.readSharded(spark, indexPath).select("doc_id", "sh", "sig"))
+      else None
+    oldSig.foreach { old =>
+      val maxOld = old.agg(max(col("doc_id"))).collect()(0)
+      val minNew = newSig.agg(min(col("doc_id"))).collect()(0)
+      require(maxOld.isNullAt(0) || minNew.isNullAt(0) ||
+        maxOld.getLong(0) < minNew.getLong(0),
+        "batch ids must be strictly greater than every indexed id " +
+          "(monotone crawl snapshots); otherwise incremental != full recompute")
+    }
+    val bNew = banded(newSig.select(col("doc_id"), col("sig")),
+      bands, numHashes / bands)
+    val newNew = bNew.as("a").join(bNew.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // old ids are all smaller than new ids (checked above), so the old
+    // side is always id_a — the greedy direction comes for free
+    val cands = oldSig.map { old =>
+      val bOld = banded(old.select(col("doc_id"), col("sig")),
+        bands, numHashes / bands)
+      bOld.as("a").join(bNew.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .unionByName(newNew)
+    }.getOrElse(newNew)
+      .distinct()
+      .localCheckpoint(true)
+    val allHashes = oldSig
+      .map(_.select(col("doc_id"), col("sh"))
+        .unionByName(newSig.select(col("doc_id"), col("sh"))))
+      .getOrElse(newSig.select(col("doc_id"), col("sh")))
+    val losers = try verifyJaccardFromHashes(allHashes, cands)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(true)
+    finally release(cands)
+    // every batch signature enters the index, losers included (see above)
+    Sinks.upsertSharded(spark, indexPath,
+      newSig.select(col("doc_id"), col("sh"), col("sig")), "doc_id", nShards)
+    release(newSig)
+    batch.join(losers, Seq(idCol), "left_anti")
   }
 
   /** The end-to-end dedup cascade — the production pipeline ending a

@@ -218,6 +218,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- incremental dedup against a persisted MinHash signature index:
+    //     the corpus replayed as two monotone-id crawl snapshots, batch 2
+    //     deduped against batch 1's index with NO recompute over batch 1.
+    //     The oracle is a FULL greedy recompute over the union — the row
+    //     is the incremental ≡ full-recompute equivalence proof. Fresh
+    //     index per invocation (delete-then-replay) keeps reruns
+    //     deterministic; the write path is the d20 upsert machinery. --------
+    "d30_incremental_dedup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_sigindex_${Integer.toHexString(d.hashCode)}").toString
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val cut = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) * 3 / 5
+      val kept1 = Dedup.incrementalDedup(s, idx,
+        docs.filter(col("doc_id") <= cut), "doc_id", "text", threshold = 0.8)
+      val kept2 = Dedup.incrementalDedup(s, idx,
+        docs.filter(col("doc_id") > cut), "doc_id", "text", threshold = 0.8)
+      kept1.select(col("doc_id"), col("n_chars"))
+        .unionByName(kept2.select(col("doc_id"), col("n_chars")))
+        .orderBy("doc_id")
+    }),
+
     // --- benchmark decontamination: per-doc containment of a broadcast
     //     benchmark shingle set (doc_id % 97 == 3 plays the eval set; the
     //     rest is the corpus). Hash/string shingle parity as in d06. ----------
@@ -779,6 +804,30 @@ object TextQueries {
          losers AS (SELECT id FROM ranked WHERE rn > 1)
          SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT id FROM losers)
+         ORDER BY doc_id""",
+    // the oracle side is a FULL recompute with the greedy first-seen-wins
+    // policy (drop x iff ANY smaller-id near-dup exists, kept or dropped)
+    // over batch1 ∪ batch2 — hash-equality against the Spark side's
+    // two-snapshot incremental run IS the equivalence proof
+    "d30_incremental_dedup" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [] END AS sh
+           FROM tok),
+         losers AS (
+           SELECT DISTINCT b.doc_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(a.sh) > 0 AND len(b.sh) > 0
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          ORDER BY doc_id""",
     // exact stage first (min doc_id per identical text), then the d28
     // closure over the SURVIVORS — including the delta d28 can't express:

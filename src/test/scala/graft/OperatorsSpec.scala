@@ -133,6 +133,62 @@ class OperatorsSpec extends SparkTestBase {
     assert(keptTie == Seq(1L, 4L, 5L))
   }
 
+  test("incrementalDedup: two snapshots = full greedy recompute; dropped docs still block") {
+    // X~Y (jaccard 0.6), Y~Z (0.6), X~Z (0.33): Y drops in batch 1 (X is
+    // smaller), and Z in batch 2 must STILL drop — it near-dups the
+    // DROPPED Y, which only an all-docs index can see. A survivors-only
+    // index would keep Z; this test pins the design.
+    val x = (1L, "p q r s t u v w m n")
+    val y = (2L, "p q r s t u v w x y")
+    val z = (6L, "o k r s t u v w x y")
+    // cross-batch pair: b(7) in batch 2 near-dups a(3) kept in batch 1
+    // (last token differs: 5 of 7 distinct shingles shared, jaccard 0.71)
+    val a = (3L, "alpha beta gamma delta epsilon zeta eta theta")
+    val b = (7L, "alpha beta gamma delta epsilon zeta eta iota")
+    val batch1 = Seq(x, y, a, (4L, "solo document with nothing similar at all")).toDF("doc_id", "text")
+    val batch2 = Seq(z, b).toDF("doc_id", "text")
+    val union = batch1.unionByName(batch2)
+    val idx = java.nio.file.Files.createTempDirectory("sig_index").toString + "/idx"
+    val kept1 = Dedup.incrementalDedup(spark, idx, batch1, "doc_id", "text",
+        threshold = 0.55, nShards = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept2 = Dedup.incrementalDedup(spark, idx, batch2, "doc_id", "text",
+        threshold = 0.55, nShards = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Dedup.dropNearDupsGreedy(union, "doc_id", "text", threshold = 0.55)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((kept1 ++ kept2) == full) // incremental ≡ full recompute
+    assert(kept1 == Set(1L, 3L, 4L)) // Y dropped (X smaller)
+    assert(kept2 == Set.empty[Long]) // Z blocked by DROPPED Y; b by a
+    // out-of-order batch ids are rejected (the equivalence depends on it)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalDedup(spark, idx,
+        Seq((5L, "a late arriving snapshot document with shingles"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+    }
+  }
+
+  test("incrementalDedup index upsert leaves untouched signature shards byte-identical") {
+    val idx = java.nio.file.Files.createTempDirectory("sig_index2").toString + "/idx"
+    // batch 1 covers all 4 shards; batch 2 ids ≡ 1 (mod 4) → only shard 1
+    val mk = (ids: Seq[Long]) =>
+      ids.map(i => (i, s"document number $i about topic ${i % 3} with enough tokens"))
+        .toDF("doc_id", "text")
+    Dedup.incrementalDedup(spark, idx, mk(Seq(0L, 1L, 2L, 3L)),
+      "doc_id", "text", nShards = 4).count()
+    def files(shard: Int): Set[(String, Long)] =
+      new java.io.File(idx, s"shard=$shard").listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified).toSet
+    val before = (0 until 4).map(files)
+    Dedup.incrementalDedup(spark, idx, mk(Seq(101L, 105L)),
+      "doc_id", "text", nShards = 4).count()
+    assert(files(0) == before(0) && files(2) == before(2) && files(3) == before(3))
+    assert(files(1) != before(1))
+    // and the index now serves reads: all six docs present
+    assert(graft.sources.Sinks.readSharded(spark, idx).count() == 6)
+  }
+
   test("cascade = keepCanonical after exactDedup; catches shingle-less exact dups d28 misses") {
     // shingle-less exact dups ("hi there" ×2 — under 3 tokens, no shingles)
     // never reach LSH banding: plain keepCanonical keeps BOTH, the cascade's
