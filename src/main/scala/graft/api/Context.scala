@@ -21,25 +21,44 @@ class Context(val spark: SparkSession) {
     * [[spearSql]].
     *
     * Identifier case (reference Name.scala:14-23): spear treats unquoted
-    * identifiers as case-insensitive and `"quoted"` ones as case-sensitive.
+    * identifiers as case-insensitive and delimited ones as case-sensitive.
     * Spark has no per-identifier mode — the global
     * `spark.sql.caseSensitive=false` default governs both forms, so the
-    * unquoted half matches the reference exactly while wrong-case quoted
-    * identifiers resolve here instead of erroring. Documented divergence,
-    * pinned by FacadeSpec. */
-  def sql(query: String): DataFrame = new DataFrame(spark.sql(query), this)
+    * unquoted half matches the reference exactly, and the delimited half
+    * is restored by [[Context.checkDelimited]]: after analysis, every
+    * backtick-delimited identifier in the query text must match some name
+    * in the analyzed plan EXACTLY, else the reference's resolution error
+    * is raised (a wrong-case `` `Quoted` `` would otherwise silently
+    * resolve under Spark's global mode). */
+  def sql(query: String): DataFrame = {
+    val df = spark.sql(query)
+    Context.checkDelimited(query, df.queryExecution.analyzed)
+    new DataFrame(df, this)
+  }
 
-  /** Spear-dialect SQL: Spark SQL with `^` meaning POWER. The query is
-    * parsed by Spark's parser, then every BitwiseXor in the unresolved plan
-    * is rewritten to Pow over doubles (spear's Power returns double,
-    * arithmetics.scala:96-109) before analysis/execution — a plan-level
-    * rewrite, not string munging, so `^` inside literals is untouched. The
-    * rewrite descends into subquery expressions (transformDownWithSubqueries)
-    * and CTE bodies (UnresolvedWith keeps cteRelations as innerChildren,
-    * which plain transforms skip), so `^` means power at any nesting depth. */
+  /** Spear-dialect SQL: Spark SQL with `^` meaning POWER and
+    * INTERSECT/EXCEPT meaning their BAG (multiset) forms. The query is
+    * parsed by Spark's parser, then in the unresolved plan every
+    * BitwiseXor is rewritten to Pow over doubles (spear's Power returns
+    * double, arithmetics.scala:96-109) and every Intersect/Except to its
+    * isAll=true variant (the reference executes `Seq.intersect`/`Seq.diff`
+    * — min-multiplicity/multiset-difference, spear-local
+    * basicOperators.scala:61-76 — where Spark's plain keywords are set
+    * ops) before analysis/execution — a plan-level rewrite, not string
+    * munging, so `^` inside literals is untouched. The rewrite descends
+    * into subquery expressions (transformDownWithSubqueries) and CTE
+    * bodies (UnresolvedWith keeps cteRelations as innerChildren, which
+    * plain transforms skip), so the dialect holds at any nesting depth.
+    *
+    * Known delta (pinned in ReplaySpec): `^`'s PRECEDENCE stays Spark's
+    * (below `+`/`*`), not spear's (tightest, arithmetics.scala:96-109) —
+    * the rewrite is plan-level and parenthesization is erased in the AST,
+    * so spear's grouping of an unparenthesized mixed chain is
+    * unrecoverable post-parse. Parenthesize `(a ^ b)` to force spear's
+    * grouping. */
   def spearSql(query: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BitwiseXor, Cast, Pow}
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    import org.apache.spark.sql.catalyst.plans.logical.{Except, Intersect, LogicalPlan, UnresolvedWith}
     import org.apache.spark.sql.types.DoubleType
     def rewrite(plan: LogicalPlan): LogicalPlan =
       plan.transformDownWithSubqueries { case node =>
@@ -49,6 +68,8 @@ class Context(val spark: SparkSession) {
               (name, rewrite(rel).asInstanceOf[
                 org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias], maxRec)
             })
+          case i: Intersect => i.copy(isAll = true)
+          case e: Except => e.copy(isAll = true)
           case other => other
         }
         withCtes.transformExpressions {
@@ -56,8 +77,9 @@ class Context(val spark: SparkSession) {
         }
       }
     val parsed = spark.sessionState.sqlParser.parsePlan(query)
-    new DataFrame(
-      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewrite(parsed)), this)
+    val df = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rewrite(parsed))
+    Context.checkDelimited(query, df.queryExecution.analyzed)
+    new DataFrame(df, this)
   }
 
   /** Catalog lookup (Context.scala:24-25). */
@@ -95,6 +117,105 @@ class Context(val spark: SparkSession) {
 }
 
 object Context {
+
+  /** Backtick-delimited identifiers in `sql`, in source order, with ``` `` ```
+    * unescaping. A hand lexer rather than a parse-tree walk because Spark's
+    * parser erases the delimited/regular distinction (UnresolvedAttribute
+    * keeps only nameParts): skips single/double-quoted string literals
+    * (with doubled-quote and backslash escapes) and `--`/`/* */` comments,
+    * inside which a backtick is just text. */
+  private[api] def delimitedIdents(sql: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    val n = sql.length
+    var i = 0
+    def skipString(quote: Char): Unit = { // at opening quote
+      i += 1
+      while (i < n) {
+        val c = sql.charAt(i)
+        if (c == '\\' && i + 1 < n) i += 2
+        else if (c == quote) {
+          if (i + 1 < n && sql.charAt(i + 1) == quote) i += 2 // '' / "" escape
+          else { i += 1; return }
+        } else i += 1
+      }
+    }
+    while (i < n) {
+      sql.charAt(i) match {
+        case '\'' => skipString('\'')
+        case '"' => skipString('"')
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          while (i < n && sql.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+          i = math.min(i + 2, n)
+        case '`' =>
+          val sb = new StringBuilder
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            val c = sql.charAt(i)
+            if (c == '`') {
+              if (i + 1 < n && sql.charAt(i + 1) == '`') { sb.append('`'); i += 2 }
+              else { closed = true; i += 1 }
+            } else { sb.append(c); i += 1 }
+          }
+          out += sb.toString
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Reference per-identifier case semantics for the SQL path (reference
+    * Name.scala:14-23): every delimited identifier must match a name in
+    * the analyzed plan with EXACT case. The candidate set is the
+    * DEFINITION sites only — leaf relation outputs, View outputs (stored
+    * schema names), genuine `AS` aliases, and subquery/relation aliases.
+    * Attribute OCCURRENCES are excluded on purpose: Spark resolves a
+    * wrong-case reference by renaming the attribute to the user-typed
+    * case (same exprId, no new Alias), so occurrence names would contain
+    * the very wrong-case spelling being checked. Scoping is deliberately
+    * coarse (a delimited identifier that matches the right case in the
+    * wrong scope already failed Spark's own resolution), so the only
+    * behavior this adds is rejecting wrong-case delimited identifiers
+    * that the global case-insensitive mode let slip through. Known
+    * non-coverage: struct FIELD access and lambda variables keep Spark's
+    * global semantics. */
+  private[api] def checkDelimited(
+      sql: String,
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    val delimited = delimitedIdents(sql)
+    if (delimited.isEmpty) return
+    val defined = scala.collection.mutable.Set[String]()
+    analyzed.foreach { node =>
+      node match {
+        case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          defined += s.alias
+        case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+          v.output.foreach(a => defined += a.name)
+        case leaf if leaf.children.isEmpty =>
+          leaf.output.foreach(a => defined += a.name)
+        case _ =>
+      }
+      node.expressions.foreach(_.foreach {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+          defined += al.name
+        case _ =>
+      })
+    }
+    delimited.foreach { d =>
+      if (!defined.contains(d) && defined.exists(_.equalsIgnoreCase(d)))
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3100",
+          messageParameters = Map("message" ->
+            (s"""Delimited identifier `$d` does not resolve: identifiers """ +
+              "delimited in the source are case-sensitive (reference " +
+              "Name.scala:14-23); a name differing only in case exists " +
+              s"(${defined.filter(_.equalsIgnoreCase(d)).mkString(", ")})")))
+    }
+  }
+
   /** Build a context on a fresh local session (testing convenience). */
   def local(parallelism: Int = 4): Context = {
     val spark = SparkSession.builder()

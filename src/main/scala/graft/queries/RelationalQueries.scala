@@ -712,7 +712,7 @@ object RelationalQueries {
             .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)
-            .filter(col("n_name") === "NATION_7").select(col("n_nationkey"))),
+            .filter(col("n_name").like("NATION_1%")).select(col("n_nationkey"))),
           col("s_nationkey") === col("n_nationkey"), "left_semi")
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
@@ -1148,7 +1148,7 @@ object RelationalQueries {
          FROM lineitem l1
          JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
          JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-         JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
+         JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name LIKE 'NATION_1%'
          WHERE l1.l_returnflag = 'R'
            AND EXISTS (SELECT 1 FROM lineitem l2
                        WHERE l2.l_orderkey = l1.l_orderkey

@@ -31,23 +31,38 @@ class FacadeSpec extends SparkTestBase {
     assert(viaSql.schema.fieldNames.toSeq == dsl.schema.fieldNames.toSeq)
   }
 
-  test("identifier case sensitivity: Spark's global caseSensitive governs (documented delta)") {
+  test("identifier case sensitivity: delimited identifiers are per-identifier sensitive") {
     // Reference semantics (Name.scala:14-23, IdentifierParser.scala:50-62):
-    // unquoted identifiers are case-insensitive, "quoted" ones
-    // case-sensitive. Spark has no per-identifier mode — the global
-    // spark.sql.caseSensitive=false default makes BOTH forms
-    // case-insensitive. The unquoted half therefore matches the reference
-    // exactly; the quoted half is a documented divergence (a wrong-case
-    // quoted identifier resolves here but errors in the reference). This
-    // test pins the documented behavior so any engine change surfaces.
+    // unquoted identifiers are case-insensitive, delimited ones
+    // case-sensitive. Spark has only the global caseSensitive=false mode,
+    // so the facade restores the delimited half post-analysis
+    // (Context.checkDelimited): a wrong-case delimited identifier raises
+    // the reference's resolution error instead of silently resolving.
     assert(!spark.conf.get("spark.sql.caseSensitive").toBoolean)
     context.lift(Person("a", 1), Person("b", 2))
       .asTable("case_sens_t")
     // unquoted, any case — matches reference semantics
     assert(context.sql("SELECT NAME, aGe FROM case_sens_t").toSeq.length == 2)
-    // quoted (backtick) wrong-case — resolves under Spark's global mode;
-    // the reference would reject `NAME` against a column declared as name
-    assert(context.sql("SELECT `NAME` FROM case_sens_t").toSeq.length == 2)
+    // delimited exact-case — resolves
+    assert(context.sql("SELECT `name` FROM case_sens_t").toSeq.length == 2)
+    // delimited wrong-case — the reference rejects `NAME` against a column
+    // declared as name; so do we now
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      context.sql("SELECT `NAME` FROM case_sens_t")
+    }
+    assert(e.getMessage.contains("case-sensitive"))
+    // wrong case inside a string literal or comment is NOT an identifier
+    assert(context.sql(
+      "SELECT name AS x, '`NAME`' AS lit FROM case_sens_t -- `AGE`")
+      .toSeq.length == 2)
+    // delimited table identifiers get the same treatment
+    intercept[org.apache.spark.sql.AnalysisException] {
+      context.sql("SELECT name FROM `CASE_SENS_T`")
+    }
+    // spearSql shares the check
+    intercept[org.apache.spark.sql.AnalysisException] {
+      context.spearSql("SELECT `Name` FROM case_sens_t")
+    }
   }
 
   test("Name shim matrix: unquoted-insensitive, quoted-sensitive (Name.scala:14-23)") {

@@ -1,0 +1,93 @@
+package graft
+
+/** Physical-plan regression tests: the load-bearing plan properties from
+  * the PLANS.md audits, asserted in sbt so a planner/formulation regression
+  * fails the build instead of waiting for a human to re-read explain
+  * output. Assertions are on `executedPlan.toString` at sf0.001 — every
+  * property below is SF-independent (explicit broadcast() hints, pushed
+  * filters, checkpoint reuse), not an AQE size decision. */
+class PlansSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    graft.functions.GraftFunctions.register(spark)
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  test("q19 (TPC-H Q1): shipdate filter pushed to the scan; partial→final aggregate") {
+    val p = plan("q19_agg")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      "shipdate filter must reach the parquet scan")
+    assert(p.contains("partial_"), "map-side partial aggregation missing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial and final HashAggregate phases")
+  }
+
+  test("q02: all three predicates pushed to the parquet scan") {
+    // the plan STRING truncates long PushedFilters lists — read the scan
+    // node's metadata map instead
+    graft.functions.GraftFunctions.register(spark)
+    val pushed = SparkEntry.queries("q02_filter")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PushedFilters", "")
+      }.mkString("; ")
+    assert(pushed.contains("GreaterThan(l_quantity"))
+    assert(pushed.contains("LessThanOrEqual(l_discount"))
+    assert(pushed.contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("q09/q14: dim side broadcast; semi join stays semi") {
+    assert(plan("q09_join_inner").contains("BroadcastHashJoin"),
+      "customer dim must broadcast, not sort-merge")
+    assert(plan("q14_join_semi").contains("LeftSemi"))
+  }
+
+  test("q68 (TPC-H Q18): semi-join gate present, no row-multiplying join") {
+    val p = plan("q68_tpch_q18")
+    assert(p.contains("LeftSemi"), "the big-quantity gate must be a semi join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q69 (TPC-H Q15): revenue view scans lineitem once, via the checkpoint") {
+    val p = plan("q69_tpch_q15")
+    assert(p.contains("ExistingRDD"),
+      "revenue view must be served from the localCheckpoint")
+    assert(!p.contains("lineitem.parquet"),
+      "a lineitem FileScan in the final plan means the checkpoint reuse broke " +
+        "(Spark would plan a second full scan for the max() side)")
+  }
+
+  test("q76 (TPC-H Q21): one lineitem scan feeds l1 + EXISTS + NOT EXISTS") {
+    val p = plan("q76_tpch_q21")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "EXISTS must compile to semi, NOT EXISTS to anti")
+    assert(p.contains("ExistingRDD"), "the shared pruned scan must be checkpointed")
+    assert(!p.contains("lineitem.parquet"),
+      "all three lineitem consumers must read the single checkpointed scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q77 (TPC-H Q2): correlated MIN decorrelates to aggregate + equi-join") {
+    val p = plan("q77_tpch_q2")
+    assert(p.contains("min(l_extendedprice)"),
+      "the correlated scalar subquery must become a per-part min aggregate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decorrelation must not fall back to a nested-loop re-execution")
+  }
+
+  test("d14 (token packing): one hash shuffle on shard, never a global sort partition") {
+    val p = plan("d14_token_packing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "packing must shuffle exactly once, on the shard key")
+    assert(!p.contains("SinglePartition"),
+      "a single-partition exchange means the per-shard windows collapsed " +
+        "into one global ordering partition")
+  }
+
+  test("d24 (range-sharded scan): shard pruning happens at planning time") {
+    val p = plan("d24_pruned_scan")
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      "the shard IN-list must appear as a partition filter (planning-time " +
+        "pruning), not a post-scan row filter")
+  }
+}
