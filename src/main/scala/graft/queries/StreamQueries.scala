@@ -80,6 +80,10 @@ object StreamQueries {
     * one-time copy outside timed runs. */
   def prestage(d: String): Unit = { stageEvents(d, 1); stageEvents(d, 2); () }
 
+  /** Probe access to the staged streaming source (tools/StateProbe). */
+  private[graft] def eventsStreamFor(s: SparkSession, d: String): DataFrame =
+    eventsStream(s, d)
+
   /** readStream over the staged events dir, with the same NANOS→micros ts
     * normalization as the batch path (Tables.events). */
   private def eventsStream(s: SparkSession, d: String, copies: Int = 1): DataFrame = {
