@@ -273,9 +273,14 @@ object Dedup {
     // the substrings at shifts δ with |δ| + |Δ−δ| ≤ τ (prefix edits bound
     // |δ|, suffix edits bound |Δ−δ|, and they share the τ budget):
     // δ ∈ [−⌊(τ−Δ)/2⌋, ⌊(τ+Δ)/2⌋]
+    // probe only indexed lengths l ≥ m: a pair with unequal lengths is
+    // caught with the LONGER doc as the indexed side (the pigeonhole
+    // guarantee holds per direction), and equal-length pairs probe each
+    // other symmetrically (deduped by the least/greatest normalization) —
+    // halves the probe fan-out vs the full [m−τ, m+τ] band
     val probes = base
       .select(col("__id").as("__id_p"), col("__txt"), col("__len").as("__m"),
-        explode(sequence(col("__len") - tau, col("__len") + tau)).as("__l"))
+        explode(sequence(col("__len"), col("__len") + tau)).as("__l"))
       .filter(col("__l") >= k)
       .select(col("__id_p"), col("__txt"), col("__m"), col("__l"),
         explode(sequence(lit(0), lit(tau))).as("__i"))
