@@ -784,6 +784,106 @@ object RelationalQueries {
           dsum(col("o_totalprice")).as("sum_price"),
           sum(col("o_orderkey")).as("key_sum"))
         .orderBy("o_orderpriority")
+    }),
+
+    // --- TPC-H Q4 shape (order priority checking): correlated EXISTS with
+    //     a NON-EQUI correlate (l_shipdate > o_orderdate — this schema has
+    //     no commit/receipt dates, so "late" = shipped after the order
+    //     date). The EXISTS is a left-semi join on the 8-byte orderkey
+    //     carrying the date comparison; lineitem pruned to 2 of 11 cols.
+    //     Orders' date range filter is pushed to the parquet scan. ---------
+    "q78_tpch_q4" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // --- TPC-H Q13 shape (customer order distribution): LEFT OUTER join
+    //     with the priority filter in the ON clause (a WHERE would turn it
+    //     inner and drop zero-order customers — the shape's whole point),
+    //     then TWO aggregations: orders per customer, customers per count.
+    //     count(o_orderkey) counts only matched rows; the unmatched null
+    //     row yields c_count=0. ------------------------------------------
+    "q79_tpch_q13" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // --- TPC-H Q17 shape (small-quantity-order revenue): CORRELATED scalar
+    //     AVG subquery (l_quantity < 0.5·avg over the same part), run
+    //     through the SQL path so Catalyst decorrelates to a per-part
+    //     aggregate + equi-join (no per-row re-execution). Quantities are
+    //     integer-valued doubles → avg = exact-sum/count, deterministic in
+    //     both engines; the price sum accumulates in DECIMAL. --------------
+    "q80_tpch_q17" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0 AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey)""")
+    }),
+
+    // --- TPC-H Q20 shape (part promotion): IN-subquery over a GROUPED
+    //     query whose HAVING holds a CORRELATED scalar subquery on the
+    //     grouping column — suppliers who shipped >10% of a red part's
+    //     total. Written `10·sum > total` so the comparison is exact
+    //     integer-double arithmetic (no 0.1 rounding hazard). Catalyst
+    //     decorrelates the HAVING subquery to a per-part total + join and
+    //     plans the IN as a left-semi. ------------------------------------
+    "q81_tpch_q20" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT s_name, s_acctbal FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE '%red%'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING 10 * sum(l.l_quantity) > (
+            SELECT sum(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey))
+        ORDER BY s_name""")
+    }),
+
+    // --- TPC-H Q22 shape (global sales opportunity): uncorrelated scalar
+    //     threshold (avg positive balance — decimal-exact sum / count, so
+    //     the boundary is engine-stable) broadcast into the filter, NOT
+    //     EXISTS (no urgent order — every customer here has SOME order) as
+    //     a left-anti join, grouped per nation. ---------------------------
+    "q82_tpch_q22" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val thr = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("__avg_bal"))
+      cust
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(thr))
+        .filter(col("c_acctbal") > col("__avg_bal"))
+        .groupBy(col("c_nationkey").cast("long").as("cntry"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntry")
     })
   )
 
@@ -1189,6 +1289,52 @@ object RelationalQueries {
       """SELECT o_orderpriority, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q78_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q79_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+               FROM customer c LEFT OUTER JOIN orders o
+                 ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+               GROUP BY c.c_custkey) t
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q80_tpch_q17" ->
+      """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / 7.0 AS avg_yearly
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#3'
+           AND l.l_quantity < (
+             SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = p.p_partkey)""",
+    "q81_tpch_q20" ->
+      """SELECT s_name, s_acctbal FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l.l_suppkey
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE p.p_name LIKE '%red%'
+           GROUP BY l.l_suppkey, l.l_partkey
+           HAVING 10 * sum(l.l_quantity) > (
+             SELECT sum(l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey))
+         ORDER BY s_name""",
+    "q82_tpch_q22" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS cntry, count(*) AS numcust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                     / count(*)
+                            FROM customer c2 WHERE c2.c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         GROUP BY cntry ORDER BY cntry"""
   )
 }

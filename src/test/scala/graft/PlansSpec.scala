@@ -75,6 +75,28 @@ class PlansSpec extends SparkTestBase {
       "decorrelation must not fall back to a nested-loop re-execution")
   }
 
+  test("q78 (TPC-H Q4): non-equi EXISTS compiles to a semi join, not a loop") {
+    val p = plan("q78_tpch_q4")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q80 (TPC-H Q17): correlated AVG decorrelates to per-part aggregate + join") {
+    val p = plan("q80_tpch_q17")
+    assert(p.contains("avg(l_quantity"),
+      "the correlated scalar subquery must become a per-part avg aggregate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decorrelation must not fall back to a nested-loop re-execution")
+  }
+
+  test("q81 (TPC-H Q20): correlated HAVING decorrelates; IN plans as semi join") {
+    val p = plan("q81_tpch_q20")
+    assert(p.contains("LeftSemi"), "the IN-subquery must compile to a semi join")
+    assert("sum\\(l_quantity".r.findAllIn(p).size >= 2,
+      "expected both the grouped sum and the decorrelated per-part total")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("d14 (token packing): one hash shuffle on shard, never a global sort partition") {
     val p = plan("d14_token_packing")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
