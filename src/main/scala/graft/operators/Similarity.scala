@@ -437,6 +437,87 @@ object Similarity {
         l2normalize(col(vecCol)).as("__pv")),
       k, m, shortlist)
 
+  /** Build the IVF-PQ index table: each corpus vector's nearest coarse
+    * cell (cosine — scale-invariant, so raw vectors assign identically to
+    * normalized ones) zipped with its PQ codes against the global
+    * codebook. Output (neighbor_id, cell_id, sub_id, code) — m+1 small
+    * ints per vector, the persistable artifact. Written
+    * `partitionBy("cell_id")`, a probe's nProbe/nCells fraction of the
+    * table is reachable by partition pruning. */
+  def ivfPqBuildIndex(
+      coarse: DataFrame, cents: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("__ccos").desc, col("cell_id").asc)
+    val assign = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("__ccos", cosineF32(col("__v"), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("neighbor_id"), col("cell_id"))
+    pqEncodeNormalized(cents, corpus, idCol, vecCol, m)
+      .join(assign, "neighbor_id")
+  }
+
+  /** IVF-PQ ANN over a PREBUILT index — the production serving shape that
+    * composes the coarse quantizer (e06) with product quantization (e08):
+    * a probe ranks the coarse cells, and the ADC scan touches only the
+    * probed cells' rows of the code table instead of every code (IVFADC,
+    * Jégou/Douze/Schmid TPAMI 2011; global codebook, no residual
+    * re-encode). Shortlist re-ranks with exact cosine.
+    *
+    * Scale shape: (probe, cell) pairs and per-probe distance tables both
+    * broadcast; the only big-table scan is the code-table join, reduced to
+    * the probed nProbe/nCells fraction (via partition pruning when `index`
+    * is parquet partitioned by cell_id); the full-precision vectors are
+    * touched for O(shortlist × probes) rows only. */
+  def ivfPqTopKFromIndex(
+      coarse: DataFrame, cents: DataFrame, index: DataFrame,
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, nProbe: Int = 4, shortlist: Int = 128): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      l2normalize(col(vecCol)).as("__nv"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      l2normalize(col(vecCol)).as("__pv"))
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__ccos").desc, col("cell_id").asc)
+    val pcells = p.crossJoin(broadcast(coarse))
+      .withColumn("__ccos", cosineF32(col("__pv"), col("centroid")))
+      .withColumn("__rn", row_number().over(wC))
+      .filter(col("__rn") <= nProbe)
+      .select(col("probe_id"), col("cell_id"))
+    val sd = c.select(size(col("__nv"))).head.getInt(0) / m
+    val dt = p.select(col("probe_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("__pv"), i * sd + 1, lit(sd)))))
+      .toDF("probe_id", "sub_id", "psv")
+      .join(broadcast(cents), "sub_id")
+      .select(col("probe_id"), col("sub_id"), col("code"),
+        (pow(l2normF32(col("centroid")), 2) -
+          lit(2.0) * dotF32(col("psv"), col("centroid"))).as("pd"))
+    val wS = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__ad").asc, col("neighbor_id").asc)
+    val short = index
+      .join(broadcast(pcells), "cell_id")
+      .join(broadcast(dt), Seq("probe_id", "sub_id", "code"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("pd")).as("__ad"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("__rn", row_number().over(wS))
+      .filter(col("__rn") <= shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short.join(c, "neighbor_id")
+      .join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineF32(col("__pv"), col("__nv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** [[pqTopKFromIndex]] over already-normalized frames — `c` with
     * (neighbor_id, __nv), `p` with (probe_id, __pv) — so a caller holding
     * a persisted normalized corpus (pqTopK's training path) doesn't pay a

@@ -35,6 +35,11 @@ object TextQueries {
   private val pqIndexes =
     new java.util.concurrent.ConcurrentHashMap[
       String, (Seq[(Int, Int, Array[Float])], String)]()
+  // IVF-PQ index = coarse codebook + PQ codebook + on-disk code table
+  // partitioned by coarse cell (the artifact an IVFADC system serves from)
+  private val ivfPqIndexes =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[(Long, Array[Float])], Seq[(Int, Int, Array[Float])], String)]()
 
   private def indexTmpDir(tag: String): java.io.File = {
     val f = java.nio.file.Files.createTempDirectory(s"graft_index_$tag").toFile
@@ -498,6 +503,44 @@ object TextQueries {
             count(col("in_bf"))) >= 0.7).as("recall_ge_070"))
     }),
 
+    // --- IVF-PQ ANN (IVFADC): coarse k-means cells gate which rows of the
+    //     PQ code table each probe's ADC scan touches — e06's quantizer
+    //     composed with e08's codes, the standard billion-scale serving
+    //     shape. Index (coarse codebook + PQ codebook + cell-partitioned
+    //     code table) builds once per corpus, offline. Float k-means keeps
+    //     both codebooks engine-specific → recall-row gate: overlap@5 vs
+    //     brute force with nProbe=6/16 cells, floor 0.45 (measured 0.72 at
+    //     sf0.01 / 0.59 at sf0.1 — tracking e06's coarse-stage loss, with
+    //     PQ shortlist loss nearly free on top; e05/e06/e08 stay as the
+    //     per-stage gates). ------------------------------------------------
+    "e10_ivfpq_recall" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val (coarseCb, pqCb, indexPath) = ivfPqIndexes.computeIfAbsent(d, _ => {
+        val coarse = Similarity.kmeansCentroidsCollected(emb, "vec_id", "embedding",
+          k = 16, iters = 3, seed = 42L)
+        val pq = Similarity.pqTrainNormalizedCollected(emb, "vec_id", "embedding")
+        val dir = new java.io.File(indexTmpDir("ivfpq"), "index").toString
+        Similarity.ivfPqBuildIndex(Similarity.centroidsDF(s, coarse),
+            Similarity.pqCodebookDF(s, pq), emb, "vec_id", "embedding")
+          .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+        (coarse, pq, dir)
+      })
+      val ivfpq = Similarity.ivfPqTopKFromIndex(
+          Similarity.centroidsDF(s, coarseCb), Similarity.pqCodebookDF(s, pqCb),
+          s.read.parquet(indexPath), emb, probes,
+          "vec_id", "embedding", k = 5, nProbe = 6)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_ivfpq"))
+      val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+      ivfpq.join(bf, Seq("probe_id", "neighbor_id"), "full_outer")
+        .agg(
+          (sum(col("in_ivfpq")) === count(col("in_bf"))).as("complete"),
+          ((count(when(col("in_ivfpq") === 1 && col("in_bf") === 1, 1)).cast("double") /
+            count(col("in_bf"))) >= 0.45).as("recall_ge_045"))
+    }),
+
     // --- symmetric int8 quantization with integer error accounting: codes
     //     floor(x/absmax·127), error in floor-quantized 1e-4 ticks summed as
     //     BIGINT — order-independent, so the row is engine/partitioning-
@@ -716,6 +759,8 @@ object TextQueries {
       """SELECT true AS complete, true AS recall_ge_070""",
     "e06_ivf_kmeans_recall" ->
       """SELECT true AS complete, true AS recall_ge_050""",
+    "e10_ivfpq_recall" ->
+      """SELECT true AS complete, true AS recall_ge_045""",
     "e07_int8_quant" ->
       """WITH v AS (
            SELECT vec_id,

@@ -97,6 +97,14 @@ class PlansSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("e10 (IVF-PQ): probed cells prune the code-table scan dynamically") {
+    val p = plan("e10_ivfpq_recall")
+    assert(p.contains("dynamicpruning"),
+      "the broadcast (probe, cell) pairs must dynamically prune the " +
+        "cell_id-partitioned index scan — without DPP the ADC stage reads " +
+        "every cell's codes and IVF adds nothing over plain PQ")
+  }
+
   test("d14 (token packing): one hash shuffle on shard, never a global sort partition") {
     val p = plan("d14_token_packing")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
