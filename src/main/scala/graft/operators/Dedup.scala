@@ -668,6 +668,26 @@ object Dedup {
     keepCanonical(exactDedup(docs, idCol, textCol), idCol, textCol,
       scoreCol, threshold)
 
+  /** Exact-first fuzzy dedup — [[cascade]]'s mitigation applied to the
+    * edit-distance path: exact copies collapse on one digest shuffle
+    * BEFORE PassJoin segment banding, so each distinct text enters the
+    * probe/index joins once (the 10× smoke's full-corpus d27 row is
+    * output-bound on dist-0 clone cliques — 45 pairs per 10-clone family —
+    * and this stage removes every one of them). Survivors then drop
+    * greedily by id ([[dropNearDupsGreedy]]'s policy: drop x iff some
+    * smaller-id survivor is within `maxDist`) — a pure function of the
+    * pair set, which keeps the whole composition SQL-replicable and so
+    * hash-exact under the oracle, unlike the hash-family cascades. */
+  def dropFuzzyNearDupsCascade(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val reps = exactDedup(docs, idCol, textCol)
+    val losers = fuzzyPairs(reps, idCol, textCol, maxDist)
+      .select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(true)
+    reps.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,

@@ -169,6 +169,21 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- exact-first fuzzy dedup cascade (Dedup.dropFuzzyNearDupsCascade):
+    //     exact copies collapse on the digest shuffle BEFORE PassJoin
+    //     banding (removing the dist-0 clone cliques that dominate the 10×
+    //     smoke's full-corpus d27 row), survivors drop greedily by id.
+    //     Every stage is exact → value-compared against a full DuckDB
+    //     replica (min-id-per-text reps, levenshtein ≤ τ pairs, NOT IN
+    //     drop), same bounded subset as d27. ----------------------------------
+    "d31_fuzzy_cascade" -> ((s, d) => {
+      Dedup.dropFuzzyNearDupsCascade(
+          Tables.documents(s, d).filter(col("doc_id") < 300),
+          "doc_id", "text", maxDist = 6)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // --- composite quality score + stopword ratio (floor-quantized so the
     //     arithmetic is bit-identical cross-engine) -------------------------------
     "d11_quality_score" -> ((s, d) => {
@@ -946,6 +961,18 @@ object TextQueries {
           AND abs(length(a.text) - length(b.text)) <= 6
          WHERE levenshtein(a.text, b.text) <= 6
          ORDER BY id_a, id_b""",
+    "d31_fuzzy_cascade" ->
+      """WITH b AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 300),
+         reps AS (SELECT doc_id, text, n_chars FROM b
+                  WHERE doc_id = (SELECT min(doc_id) FROM b b2 WHERE b2.text = b.text)),
+         losers AS (SELECT DISTINCT r2.doc_id
+                    FROM reps r1 JOIN reps r2
+                      ON r1.doc_id < r2.doc_id
+                     AND abs(length(r1.text) - length(r2.text)) <= 6
+                    WHERE levenshtein(r1.text, r2.text) <= 6)
+         SELECT doc_id, n_chars FROM reps
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         ORDER BY doc_id""",
     "d12_decontamination" ->
       """WITH tok AS (
            SELECT doc_id,

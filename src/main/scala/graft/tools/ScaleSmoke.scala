@@ -62,7 +62,7 @@ object ScaleSmoke {
     "d06_minhash_neardup", "d09_neardup_clusters", "d13_hash_split",
     "d14_token_packing", "d18_ngram_topk", "d22_rare_tokens",
     "d23_salient_terms", "d25_chunking", "d26_pii_scrub",
-    "d27_fuzzy_fullcorpus", "d29_cascade_dedup",
+    "d27_fuzzy_fullcorpus", "d27_fuzzy_postexact", "d29_cascade_dedup",
     "d06_cands_raw", "d06_cands_postexact",
     "e03_embedding_stats", "e04_embedding_neardup", "e07_int8_quant",
     "q39_time_agg", "q40_sessionize",
@@ -84,6 +84,12 @@ object ScaleSmoke {
     "d27_fuzzy_fullcorpus" -> ((s, d) =>
       graft.operators.Dedup.fuzzyPairs(
         Tables.documents(s, d), "doc_id", "text", maxDist = 6)),
+    // exact-first mitigation for the clone-clique blowup measured above:
+    // same full-corpus PassJoin, clone families collapsed before banding
+    "d27_fuzzy_postexact" -> ((s, d) =>
+      graft.operators.Dedup.fuzzyPairs(
+        graft.operators.Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "text", maxDist = 6)),
     "d06_cands_raw" -> ((s, d) =>
       graft.operators.Dedup.minhashCandidates(
         Tables.documents(s, d), "doc_id", "text")),

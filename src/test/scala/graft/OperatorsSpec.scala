@@ -291,6 +291,30 @@ class OperatorsSpec extends SparkTestBase {
       s"expected content banding to prune uniform-length candidates, got $cands of $allPairs")
   }
 
+  test("dropFuzzyNearDupsCascade: clone families collapse before banding; greedy keep by id") {
+    // 8 distinct texts × 10 exact clones each, plus one near-dup (dist 2) of
+    // text 0: the exact stage must shrink the PassJoin input from 81 docs to
+    // 9 (zero dist-0 pairs reach the verify), and the greedy stage drops the
+    // near-dup (its rep id is larger than text 0's)
+    val rnd = new scala.util.Random(99L)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val seeds = (0 until 8).map(_ => (0 until 48).map(_ => alpha(rnd.nextInt(26))).mkString)
+    val clones = for (t <- 0 until 8; c <- 0 until 10)
+      yield ((t * 100 + c).toLong, seeds(t))
+    val near = Seq((900L, seeds(0).take(46) + "zz")) // dist 2 from seeds(0)
+    val fd = (clones ++ near).toDF("doc_id", "text")
+    val repCount = Dedup.exactDedup(fd, "doc_id", "text").count()
+    assert(repCount == 9)
+    val kept = Dedup.dropFuzzyNearDupsCascade(fd, "doc_id", "text", maxDist = 6)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 100L, 200L, 300L, 400L, 500L, 600L, 700L))
+    // candidate-shrink property: post-exact the verify join sees only the
+    // genuine near-dup pair, not the 45-per-family clone cliques
+    val postExact = Dedup.fuzzyPairs(
+      Dedup.exactDedup(fd, "doc_id", "text"), "doc_id", "text", maxDist = 6).count()
+    assert(postExact == 1L)
+  }
+
   test("simhashNearDups finds the exact-dup pair at hamming 0") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
