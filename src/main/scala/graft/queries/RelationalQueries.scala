@@ -884,6 +884,194 @@ object RelationalQueries {
         .groupBy(col("c_nationkey").cast("long").as("cntry"))
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy("cntry")
+    }),
+
+    // --- TPC-H Q6 shape (forecast revenue change): the pure scan-side
+    //     query — ALL THREE predicates (date range, discount between,
+    //     quantity <) push to the parquet scan, the aggregate is one
+    //     map-side-combined decimal sum, and the shuffle moves exactly one
+    //     partial row per task. At 100 TB this is the query where scan
+    //     pruning IS the plan. --------------------------------------------
+    "q83_tpch_q6" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(18, 2))).cast("double")
+          .as("revenue"))
+    }),
+
+    // --- TPC-H Q14 shape (promo revenue ratio): broadcast the pruned
+    //     2-col part dim; both the conditional (null-skipping `when`, no
+    //     otherwise — sum ignores unmatched rows like SQL CASE w/o ELSE)
+    //     and total revenue accumulate as DECIMAL in ONE aggregate pass;
+    //     the ratio is a single double op on exact inputs. -----------------
+    "q84_tpch_q14" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(18, 2))
+      val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (one - col("l_discount").cast(DecimalType(18, 2)))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", disc)).as("__promo"),
+          sum(disc).as("__total"))
+        .select((lit(100.0) * col("__promo").cast("double") /
+          col("__total").cast("double")).as("promo_revenue"))
+    }),
+
+    // --- TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    //     the OR-of-AND-brackets join. Catalyst must extract the conjunct
+    //     equi-key (l_partkey = p_partkey) for a hash join and keep the
+    //     disjunction as the residual join condition — NEVER a nested
+    //     loop over the brackets (PlansSpec asserts no BNLJ/cartesian).
+    //     p_size brackets stand in for the missing p_container. ------------
+    "q85_tpch_q19" -> ((s, d) => {
+      val qty = col("l_quantity")
+      val brackets =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          qty.between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          qty.between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          qty.between(20, 30))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey") && brackets)
+        .agg(revenue.as("revenue"))
+    }),
+
+    // --- TPC-H Q8 shape (national market share): the deepest join tree in
+    //     the suite — lineitem against four broadcast dims (filtered part,
+    //     supplier×nation, nation×region gate as a LEFT SEMI so customer
+    //     rows never multiply) and one big-big join to date-filtered
+    //     orders. Market share = conditional decimal sum / total, both in
+    //     one aggregate pass; a year with zero NATION_7 volume coalesces
+    //     to 0 (null-skipping sum). ----------------------------------------
+    "q86_tpch_q8" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(18, 2))
+      val vol = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (one - col("l_discount").cast(DecimalType(18, 2)))
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")
+            .select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "LARGE")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <= lit("1997-12-31").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey"))
+            .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"),
+              "left_semi"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("nation") === "NATION_7", vol)).as("__nat"),
+          sum(vol).as("__tot"))
+        .select(col("o_year"),
+          (coalesce(col("__nat").cast("double"), lit(0.0)) /
+            col("__tot").cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // --- TPC-H Q11 shape (important parts — no partsupp in this schema,
+    //     so "supply value" = decimal sum of l_extendedprice per part for
+    //     one nation's suppliers): grouped once, localCheckpointed (the
+    //     per-part table is tiny and feeds BOTH the threshold scalar and
+    //     the filter — without it the lineitem scan runs twice), threshold
+    //     = 3× the mean per-part value, broadcast as one row. The decimal
+    //     total casts to double ONCE before the 3.0·x/n arithmetic, so the
+    //     boundary is bit-identical cross-engine (a double-sum over parts
+    //     would be order-dependent). A fixed TPC-H-style fraction would be
+    //     all-or-nothing across SFs; the mean-multiple holds selectivity
+    //     at any scale. ----------------------------------------------------
+    "q87_tpch_q11" -> ((s, d) => {
+      val suppliers = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_12").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val grouped = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .join(broadcast(suppliers), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("__vdec"))
+        .localCheckpoint(true)
+      val thr = grouped.agg((lit(3.0) * sum(col("__vdec")).cast("double") /
+        count(lit(1))).as("__thr"))
+      grouped.join(broadcast(thr))
+        .filter(col("__vdec").cast("double") > col("__thr"))
+        .select(col("l_partkey"), col("__vdec").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // --- TPC-H Q12 shape (late lines by category): the suite's big-big
+    //     non-broadcast join — date-filtered lineitem against orders on
+    //     the 8-byte orderkey with the non-equi lateness predicate
+    //     (l_shipdate > o_orderdate; no commit/receipt dates here) as the
+    //     residual, then ONE conditional-count aggregate pass
+    //     (high/low priority). Both sides shuffle on the join key only. ----
+    "q88_tpch_q12" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+        .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderdate"),
+              col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1).otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(hi, 0).otherwise(1)).cast("long").as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --- TPC-H Q16 shape (supplier relationship): distinct-count grouped
+    //     by part attributes, with the supplier exclusion (negative
+    //     balance stands in for the complaint scan) as a LEFT ANTI join
+    //     BEFORE the aggregate. countDistinct plans as Spark's two-phase
+    //     expand aggregate — partial distinct map-side, no row explosion
+    //     at the shuffle. --------------------------------------------------
+    "q89_tpch_q16" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#1" &&
+              col("p_size").isin(1, 9, 19, 25, 36, 45, 49, 50))
+            .select(col("p_partkey"), col("p_brand"), col("p_type"),
+              col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d).filter(col("s_acctbal") < 0.0)
+            .select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
     })
   )
 
@@ -1335,6 +1523,89 @@ object RelationalQueries {
            AND NOT EXISTS (SELECT 1 FROM orders o
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderpriority = '1-URGENT')
-         GROUP BY cntry ORDER BY cntry"""
+         GROUP BY cntry ORDER BY cntry""",
+    "q83_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""",
+    "q84_tpch_q14" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  END) AS DOUBLE)
+              / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS promo_revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+           AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "q85_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS revenue
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30))""",
+    "q86_tpch_q8" ->
+      """SELECT o_year,
+              coalesce(CAST(sum(CASE WHEN nation = 'NATION_7' THEN volume END)
+                            AS DOUBLE), 0.0)
+                / CAST(sum(volume) AS DOUBLE) AS mkt_share
+         FROM (SELECT year(o_orderdate) AS o_year,
+                      CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+                      n2.n_name AS nation
+               FROM part, supplier, lineitem, orders, customer,
+                    nation n1, nation n2, region
+               WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                 AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                 AND c_nationkey = n1.n_nationkey
+                 AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+                 AND s_nationkey = n2.n_nationkey
+                 AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                     AND TIMESTAMP '1997-12-31'
+                 AND p_type = 'LARGE') t
+         GROUP BY o_year ORDER BY o_year""",
+    "q87_tpch_q11" ->
+      """WITH g AS (
+           SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS vdec
+           FROM lineitem
+           WHERE l_suppkey IN (SELECT s_suppkey FROM supplier s
+                               JOIN nation n ON s.s_nationkey = n.n_nationkey
+                               WHERE n.n_name = 'NATION_12')
+           GROUP BY l_partkey),
+         t AS (SELECT 3.0 * CAST(sum(vdec) AS DOUBLE) / count(*) AS thr FROM g)
+         SELECT l_partkey, CAST(vdec AS DOUBLE) AS value
+         FROM g, t WHERE CAST(vdec AS DOUBLE) > thr
+         ORDER BY value DESC, l_partkey""",
+    "q88_tpch_q12" ->
+      """SELECT l_returnflag,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE l_shipdate > o_orderdate
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q89_tpch_q16" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+              count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p_brand <> 'Brand#1'
+           AND p_size IN (1, 9, 19, 25, 36, 45, 49, 50)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0.0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
   )
 }

@@ -120,4 +120,67 @@ class PlansSpec extends SparkTestBase {
       "the shard IN-list must appear as a partition filter (planning-time " +
         "pruning), not a post-scan row filter")
   }
+
+  test("q83 (TPC-H Q6): every predicate reaches the parquet scan") {
+    graft.functions.GraftFunctions.register(spark)
+    val pushed = SparkEntry.queries("q83_tpch_q6")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PushedFilters", "")
+      }.mkString("; ")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.02)"))
+    assert(pushed.contains("LessThanOrEqual(l_discount,0.04)"))
+    assert(pushed.contains("LessThan(l_quantity,24.0)"),
+      s"all Q6 predicates must push to the scan, got: $pushed")
+    assert(plan("q83_tpch_q6").contains("partial_"),
+      "the revenue sum must combine map-side")
+  }
+
+  test("q85 (TPC-H Q19): disjunctive brackets stay a hash join with per-side pushdown") {
+    // the OR-of-AND brackets must NOT force a nested loop: Catalyst
+    // extracts the conjunct equi-key for the join and derives per-side
+    // implications of the disjunction as scan pushdowns
+    graft.functions.GraftFunctions.register(spark)
+    val qe = SparkEntry.queries("q85_tpch_q19")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), "equi-key must be extracted for a hash join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val pushed = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString("; ")
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      "the lineitem-side implication of the bracket disjunction must push " +
+        s"to the scan, got: $pushed")
+  }
+
+  test("q86 (TPC-H Q8): dims broadcast; region gate is a semi join") {
+    val p = plan("q86_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "part, supplier-nation, and nation-region dims must all broadcast")
+    assert(p.contains("LeftSemi"),
+      "the ASIA-nations gate must not multiply customer rows")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q87 (TPC-H Q11): grouped supply scanned once via checkpoint; threshold broadcast") {
+    val p = plan("q87_tpch_q11")
+    assert(!p.contains("lineitem.parquet"),
+      "both threshold and filter must read the checkpointed per-part " +
+        "table, never rescan lineitem")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the one-row threshold must broadcast into the filter")
+  }
+
+  test("q88 (TPC-H Q12) / q89 (TPC-H Q16): equi-joins only; exclusion stays anti") {
+    val p88 = plan("q88_tpch_q12")
+    assert(!p88.contains("CartesianProduct") && !p88.contains("BroadcastNestedLoopJoin"),
+      "the lateness predicate must ride the orderkey equi-join as a residual")
+    val p89 = plan("q89_tpch_q16")
+    assert(p89.contains("LeftAnti"),
+      "the negative-balance supplier exclusion must be an anti join")
+    assert(!p89.contains("CartesianProduct") && !p89.contains("BroadcastNestedLoopJoin"))
+  }
 }
