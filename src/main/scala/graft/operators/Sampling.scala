@@ -74,4 +74,49 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= quota)
   }
+
+  /** Temperature-weighted domain mixture sample — the α-smoothed
+    * multinomial rebalancing used to mix training-corpus domains (small
+    * domains upweighted relative to their share: weight ∝ n^α, α < 1; the
+    * CCNet/XLM-R-style mix). Each domain gets keep-rate
+    * min(1, targetFrac·N·w_d / (W·n_d)) and rows survive a deterministic
+    * per-row hash test at that rate, so the sample is a pure function of
+    * the data (reproducible across runs/engines/partitionings, same as
+    * [[bernoulliSample]]).
+    *
+    * Scale shape: one tiny per-domain aggregate (broadcast back), then a
+    * NARROW filter in the scan stage — nothing about the corpus itself
+    * ever shuffles. Determinism details that make it oracle-exact:
+    * weights quantize to fixed-point ([×10⁶] longs) so the weight total
+    * is an exact integer sum (order-independent); α = 0.5 uses `sqrt`,
+    * which IEEE 754 requires correctly rounded — bit-identical in every
+    * engine (other α go through `pow`, whose last ulp is libm-specific:
+    * fine in production, not under a cross-engine hash gate); the rate
+    * comparison tests a 52-bit md5 prefix against rate·2⁵² in exact
+    * double arithmetic. */
+  def temperatureMix(
+      df: DataFrame, idCol: String, domainCol: String,
+      targetFrac: Double, alpha: Double = 0.5): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac in (0, 1]")
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    val nd = col("__n").cast("double")
+    val smoothed = if (alpha == 0.5) sqrt(nd) else pow(nd, alpha)
+    val stats = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(smoothed * lit(1e6)).cast("long"))
+    // alias the derived frames: totals shares stats' lineage, so bare
+    // col("...") refs would be ambiguous after the joins
+    val totals = stats
+      .agg(sum(col("__n")).as("__N"), sum(col("__w")).as("__W")).as("__t")
+    val rate = least(lit(1.0),
+      (lit(targetFrac) * col("__t.__N").cast("double") *
+        col("__s.__w").cast("double")) /
+        (col("__t.__W").cast("double") * col("__s.__n").cast("double")))
+    val h52 = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    df.join(broadcast(stats.as("__s")), col(domainCol) === col("__s.__dom"))
+      .join(broadcast(totals))
+      .filter(h52 < rate * lit(4503599627370496.0)) // 2^52
+      .drop("__dom", "__n", "__w", "__N", "__W")
+  }
 }

@@ -321,6 +321,20 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // --- temperature-weighted domain mixture (α = 0.5 over the skewed
+    //     lang column — en is ~4× the others, so rare languages sample at
+    //     ~2× en's rate): per-domain rates from one broadcast aggregate,
+    //     then a narrow deterministic hash filter. See temperatureMix's
+    //     doc for the cross-engine exactness argument (fixed-point
+    //     weights, IEEE sqrt, 52-bit hash vs rate·2⁵²). --------------------------
+    "d32_temperature_mix" -> ((s, d) => {
+      Sampling.temperatureMix(Tables.documents(s, d), "doc_id", "lang",
+          targetFrac = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // --- fixed-size per-language quota sample (hash-priority order;
     //     row_number<=k compiles to WindowGroupLimit — map-side trim) ----------
     "d17_quota_sample" -> ((s, d) => {
@@ -1041,6 +1055,21 @@ object TextQueries {
          FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
          GROUP BY lang ORDER BY lang""",
+    "d32_temperature_mix" ->
+      """WITH stats AS (
+           SELECT lang AS dom, count(*) AS n,
+                  CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+           FROM documents GROUP BY lang),
+         tot AS (SELECT sum(n) AS nn, sum(w) AS ww FROM stats),
+         kept AS (
+           SELECT d.lang, d.doc_id
+           FROM documents d JOIN stats s ON d.lang = s.dom, tot t
+           WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+               < least(1.0, ((0.5 * CAST(t.nn AS DOUBLE)) * CAST(s.w AS DOUBLE))
+                            / (CAST(t.ww AS DOUBLE) * CAST(s.n AS DOUBLE)))
+                 * 4503599627370496.0)
+         SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM kept GROUP BY lang ORDER BY lang""",
     "d17_quota_sample" ->
       """WITH r AS (
            SELECT doc_id, lang,

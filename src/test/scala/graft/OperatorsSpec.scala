@@ -372,6 +372,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(sampled.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("temperatureMix upweights rare domains, is deterministic, and caps rates at 1") {
+    // 640 docs in domain A vs 40 in B: with alpha = 0.5 the weight ratio is
+    // sqrt(16) = 4, so B's keep RATE must exceed A's by ~4x (multinomial
+    // rebalancing), while plain proportional sampling would keep the rates
+    // equal
+    val df = spark.range(0, 680)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 640, "A").otherwise("B").as("domain"))
+    val mixed = Sampling.temperatureMix(df, "doc_id", "domain",
+      targetFrac = 0.5)
+    val counts = mixed.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateA = counts("A") / 640.0
+    val rateB = counts.getOrElse("B", 0L) / 40.0
+    assert(rateB > 2.0 * rateA,
+      s"rare domain must sample at a higher rate: A=$rateA B=$rateB")
+    assert(counts("B") <= 40, "rate must cap at 1 (never oversample)")
+    // deterministic: same data -> same kept set, regardless of layout
+    val again = Sampling.temperatureMix(df.repartition(7), "doc_id", "domain",
+      targetFrac = 0.5).collect().map(_.getLong(0)).toSet
+    assert(again == mixed.collect().map(_.getLong(0)).toSet)
+    // output keeps the input schema only (helper columns dropped)
+    assert(mixed.columns.toSeq == Seq("doc_id", "domain"))
+  }
+
   test("tokenBudgetSample: budget cut with ≤1-doc overshoot, nonempty strata") {
     val df = spark.range(0, 100).select(col("id").as("doc_id"),
       (col("id") % 2).cast("string").as("stratum"), lit(50L).as("n_tokens"))
