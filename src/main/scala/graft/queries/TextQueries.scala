@@ -427,6 +427,39 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // --- Z-order (Morton) layout: ONE layout, pruned scans on EITHER
+    //     dimension — lang (3-bit bucket) × n_chars (3-bit range bucket)
+    //     interleaved into 64 partition dirs. A lang-only predicate reads
+    //     8 dirs; an n_chars-only predicate reads 8 dirs; range-sharding
+    //     (d24) can only do this for its single leading column. Both
+    //     reads re-apply the exact residual filter, so the layout is
+    //     invisible to results — the oracle is the plain table filter. ------
+    "d33_zorder_scan" -> ((s, d) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_zorder_${Integer.toHexString(d.hashCode)}").toString
+      val langIdx = (array_position(
+        array(Seq("de", "en", "es", "fr", "zh").map(lit): _*), col("lang")) - 1)
+        .cast("int")
+      val charBucket = least(floor(col("n_chars") / 64), lit(7)).cast("int")
+      Sinks.writeZOrdered(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        tmp, langIdx, charBucket, bitsPerDim = 3)
+      def stats(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("chars_sum"))
+          .select(lit(tag).as("dim"), col("n_docs"), col("id_sum"),
+            col("chars_sum"))
+      val byChars = stats(
+        Sinks.readZPruned(s, tmp, bitsPerDim = 3, a = None, b = Some(4))
+          .filter(col("n_chars") >= 256 && col("n_chars") < 320),
+        "chars_256_320")
+      val byLang = stats(
+        Sinks.readZPruned(s, tmp, bitsPerDim = 3, a = Some(0), b = None)
+          .filter(col("lang") === "de"),
+        "lang_de")
+      byChars.unionByName(byLang).orderBy("dim")
+    }),
+
     // --- exact brute-force KNN over embeddings ----------------------------------
     "e01_knn_exact" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -1110,6 +1143,17 @@ object TextQueries {
       """SELECT CAST(doc_id % 8 AS INT) AS shard, count(*) AS n_docs,
                 CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM documents GROUP BY 1 ORDER BY shard""",
+    "d33_zorder_scan" ->
+      """SELECT 'chars_256_320' AS dim, count(*) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS id_sum,
+              CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         FROM documents WHERE n_chars >= 256 AND n_chars < 320
+         UNION ALL
+         SELECT 'lang_de' AS dim, count(*) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS id_sum,
+              CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         FROM documents WHERE lang = 'de'
+         ORDER BY dim""",
     "d21_outlier_filter" ->
       """WITH t AS (
            SELECT doc_id, lang,

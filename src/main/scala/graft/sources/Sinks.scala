@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Output paths. The reference has no sinks at all (SURVEY.md §2.3 — its
@@ -77,6 +77,65 @@ object Sinks {
     readSharded(spark, path)
       .filter(col("shard").isin(keep.map(Integer.valueOf): _*))
       .filter(col(valueCol) >= lo && col(valueCol) <= hi)
+  }
+
+  // ---- Z-order layout ----------------------------------------------------
+
+  /** Morton (Z-order) interleave of two bucket ids, `bitsPerDim` bits
+    * each: a's bit i lands at position 2i+1, b's at 2i. Rows close in
+    * EITHER dimension land in nearby z-shards, which is what makes a
+    * single-dimension predicate prunable on a layout keyed by two —
+    * the Delta/Iceberg OPTIMIZE ZORDER idea expressed as partition
+    * directories. */
+  def zInterleave(aBucket: Column, bBucket: Column, bitsPerDim: Int): Column =
+    (0 until bitsPerDim).foldLeft(lit(0)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(aBucket.bitwiseAND(lit(1 << i)), i + 1))
+        .bitwiseOR(shiftleft(bBucket.bitwiseAND(lit(1 << i)), i))
+    }
+
+  /** Driver-side mirror of [[zInterleave]] for computing prune lists. */
+  def zOf(a: Int, b: Int, bitsPerDim: Int): Int =
+    (0 until bitsPerDim).foldLeft(0) { (acc, i) =>
+      acc | ((a & (1 << i)) << (i + 1)) | ((b & (1 << i)) << i)
+    }
+
+  /** The z-shards a predicate fixing ONE dimension's bucket can touch:
+    * 2^bits of the 4^bits shards — i.e. either dimension prunes the scan
+    * by a factor of 2^bits, where a range-sharded layout prunes only on
+    * its single leading column. Pass `a = Some(bucket)` or
+    * `b = Some(bucket)` (or both → a single shard). */
+  def zShards(bitsPerDim: Int, a: Option[Int], b: Option[Int]): Seq[Int] = {
+    val all = 0 until (1 << bitsPerDim)
+    for {
+      av <- a.map(Seq(_)).getOrElse(all)
+      bv <- b.map(Seq(_)).getOrElse(all)
+    } yield zOf(av, bv, bitsPerDim)
+  }
+
+  /** Write `df` parquet-partitioned by the z-interleave of two bucket
+    * expressions. One shuffle on the z id; each directory holds exactly
+    * one (aBucket, bBucket) cell. The bucket expressions must be pure
+    * functions of the row (they are re-derivable at read time). */
+  def writeZOrdered(
+      df: DataFrame, path: String, aBucket: Column, bBucket: Column,
+      bitsPerDim: Int): Unit = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 8, "1..8 bits per dimension")
+    df.withColumn("zshard", zInterleave(aBucket, bBucket, bitsPerDim).cast("int"))
+      .repartition(col("zshard"))
+      .write.mode("overwrite").partitionBy("zshard").parquet(path)
+  }
+
+  /** Pruned scan over a [[writeZOrdered]] layout: the z-shard IN-list for
+    * the fixed bucket(s) is a partition-column predicate (planning-time
+    * directory pruning, same mechanism as [[readRangePruned]]); the caller
+    * applies the exact residual row filter on top. */
+  def readZPruned(
+      spark: SparkSession, path: String, bitsPerDim: Int,
+      a: Option[Int], b: Option[Int]): DataFrame = {
+    val keep = zShards(bitsPerDim, a, b)
+    readSharded(spark, path)
+      .filter(col("zshard").isin(keep.map(Integer.valueOf): _*))
   }
 
   /** Shard-level incremental upsert into a [[writeSharded]] dataset:

@@ -89,6 +89,47 @@ class SourcesSpec extends SparkTestBase {
       s"pruning kept ${survivingDirs.length} of 5 shard dirs, expected 2")
   }
 
+  test("z-order layout: either dimension prunes to 2^bits of 4^bits dirs; rows exact") {
+    import graft.sources.Sinks
+    val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
+    // 2 interleaved dims, 3 bits each -> 64 dirs; docs fixture has
+    // lang + n_chars
+    val langIdx = (array_position(
+      array(Seq("de", "en", "es", "fr", "zh").map(lit): _*), col("lang")) - 1)
+      .cast("int")
+    val charBucket = least(floor(col("n_chars") / 64), lit(7)).cast("int")
+    Sinks.writeZOrdered(docs, tmp, langIdx, charBucket, bitsPerDim = 3)
+    // zOf/zInterleave agree and are bijective over the 8x8 grid
+    val zs = for (a <- 0 until 8; b <- 0 until 8) yield Sinks.zOf(a, b, 3)
+    assert(zs.toSet == (0 until 64).toSet, "interleave must be a bijection")
+    def survivors(df: org.apache.spark.sql.DataFrame): Int = {
+      val scan = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      assert(scan.partitionFilters.nonEmpty, "no partition filter pushed")
+      scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters).length
+    }
+    // lang-only predicate: 8 of (up to) 64 dirs; empty cells write no dir,
+    // so assert the pruned listing never exceeds 2^bits
+    val byLang = Sinks.readZPruned(spark, tmp, 3, a = Some(0), b = None)
+      .filter(col("lang") === "de")
+    assert(survivors(byLang) <= 8, "lang predicate must prune to <= 8 dirs")
+    val expectedLang = docs.filter(col("lang") === "de")
+    assert(byLang.drop("zshard").exceptAll(expectedLang).isEmpty &&
+      expectedLang.exceptAll(byLang.drop("zshard")).isEmpty)
+    // chars-only predicate on the SAME layout — the capability range
+    // sharding lacks
+    val byChars = Sinks.readZPruned(spark, tmp, 3, a = None, b = Some(2))
+      .filter(col("n_chars") >= 128 && col("n_chars") < 192)
+    assert(survivors(byChars) <= 8, "chars predicate must prune to <= 8 dirs")
+    val expectedChars = docs.filter(col("n_chars") >= 128 && col("n_chars") < 192)
+    assert(byChars.drop("zshard").exceptAll(expectedChars).isEmpty &&
+      expectedChars.exceptAll(byChars.drop("zshard")).isEmpty)
+    // both dims fixed -> a single cell
+    assert(Sinks.zShards(3, Some(1), Some(2)).length == 1)
+  }
+
   test("bucketed tables: co-located equi-join plans without a shuffle exchange") {
     val left = spark.range(0, 1000).select($"id".as("k"), ($"id" * 3).as("a"))
     val right = spark.range(0, 1000).select($"id".as("k"), ($"id" % 7).as("b"))
