@@ -460,6 +460,28 @@ object TextQueries {
       byChars.unionByName(byLang).orderBy("dim")
     }),
 
+    // --- incrementally-maintained aggregate (materialized-view refresh):
+    //     two-batch replay (even ids, then odd) through the persisted
+    //     merge state must equal the one-shot aggregate over the whole
+    //     table — the equivalence that makes delta refresh trustworthy.
+    //     Merge algebra is exact (long count, DECIMAL sum, long max), so
+    //     the replay is hash-comparable, not approximately-equal. ----------
+    "d34_incremental_agg" -> ((s, d) => {
+      import graft.operators.IncrementalAgg
+      val state = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_aggstate_${Integer.toHexString(d.hashCode)}").toString
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      IncrementalAgg.reset(s, state)
+      IncrementalAgg.refresh(s, state,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "lang", "n_chars")
+      IncrementalAgg.refresh(s, state,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "lang", "n_chars")
+        .select(col("lang"), col("cnt"),
+          col("vsum").cast("double").as("vsum"), col("vmax"))
+        .orderBy("lang")
+    }),
+
     // --- exact brute-force KNN over embeddings ----------------------------------
     "e01_knn_exact" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -1154,6 +1176,11 @@ object TextQueries {
               CAST(sum(n_chars) AS BIGINT) AS chars_sum
          FROM documents WHERE lang = 'de'
          ORDER BY dim""",
+    "d34_incremental_agg" ->
+      """SELECT lang, count(*) AS cnt,
+              CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+              CAST(max(n_chars) AS BIGINT) AS vmax
+         FROM documents GROUP BY lang ORDER BY lang""",
     "d21_outlier_filter" ->
       """WITH t AS (
            SELECT doc_id, lang,

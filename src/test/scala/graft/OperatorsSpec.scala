@@ -397,6 +397,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(mixed.columns.toSeq == Seq("doc_id", "domain"))
   }
 
+  test("IncrementalAgg: batched replay == one-shot; empty delta is a no-op; new keys arrive") {
+    import graft.operators.IncrementalAgg
+    val state = java.nio.file.Files.createTempDirectory("aggstate").toString + "/s"
+    val df = spark.range(0, 300)
+      .select(col("id").as("k0"), (col("id") % 3).cast("string").as("key"),
+        (col("id") * 7 % 100).as("v"))
+    def snap() = spark.read.parquet(state)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).longValue(), r.getLong(3))).sortBy(_._1).toSeq
+    // three uneven batches
+    IncrementalAgg.refresh(spark, state, df.filter(col("k0") < 50), "key", "v")
+    IncrementalAgg.refresh(spark, state,
+      df.filter(col("k0") >= 50 && col("k0") < 60), "key", "v")
+    IncrementalAgg.refresh(spark, state, df.filter(col("k0") >= 60), "key", "v")
+    val replayed = snap()
+    val oneShot = df.groupBy("key")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("vsum"), max(col("v")).as("vmax"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(replayed == oneShot, s"replay $replayed != one-shot $oneShot")
+    // empty delta changes nothing
+    IncrementalAgg.refresh(spark, state, df.filter(col("k0") < 0), "key", "v")
+    assert(snap() == replayed)
+    // a batch with an unseen key adds exactly that key's row
+    val extra = Seq(("zz", 5L)).toDF("key", "v")
+    val after = IncrementalAgg.refresh(spark, state, extra, "key", "v")
+    assert(after.count() == 4 &&
+      after.filter(col("key") === "zz").select("cnt").head.getLong(0) == 1L)
+    IncrementalAgg.reset(spark, state)
+  }
+
   test("tokenBudgetSample: budget cut with ≤1-doc overshoot, nonempty strata") {
     val df = spark.range(0, 100).select(col("id").as("doc_id"),
       (col("id") % 2).cast("string").as("stratum"), lit(50L).as("n_tokens"))
