@@ -31,6 +31,7 @@ object StreamQueries {
   // (nested computeIfAbsent on one map throws "Recursive update" when the
   // keys share a bin)
   private val ingested = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mvMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // memory-sink temp views from prior drains: each holds a full result
   // copy in driver memory, so the next drain drops them before starting
   // (every caller consumes the returned frame within its own invocation)
@@ -252,6 +253,54 @@ object StreamQueries {
         .orderBy("user_id")
     }),
 
+    // --- s07: stream-stream LEFT OUTER join. Matched pairs equal the s05
+    //     inner set; the outer (null-view) rows are exactly the unmatched
+    //     clicks whose state the FINAL watermark evicted — clicks in the
+    //     last watermark-horizon stay buffered at stream end and never
+    //     emit, which the oracle replicates with the same ms-floored
+    //     watermark arithmetic as s04. ---------------------------------------
+    "s07_stream_left_join" -> ((s, d) => {
+      val joined = EventStreams.clickViewLeftJoin(eventsStream(s, d),
+        lookback = "30 minutes", watermark = "1 hour")
+      withStatePartitions(s, 8) {
+        drainMode(joined, org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("view_id")).as("n_matched"),
+          sum(when(col("view_id").isNull, 1).otherwise(0)).cast("long")
+            .as("n_unmatched"),
+          sum(when(col("view_id").isNull, col("click_id"))).cast("long")
+            .as("unmatched_click_id_sum"))
+    }),
+
+    // --- s08: streaming materialized-view maintenance — foreachBatch
+    //     merges each micro-batch into the IncrementalAgg state (with the
+    //     batch-id marker making replay idempotent), so the maintained
+    //     view must equal the one-shot batch aggregate regardless of how
+    //     the stream was batched. value is floor-quantized to ticks
+    //     BEFORE the state (long in, exact decimal accumulate), keeping
+    //     the replay hash-comparable. Setup is one-time per (JVM, sf) —
+    //     repeat invocations time the state read, like s02. ------------------
+    "s08_stream_mv" -> ((s, d) => {
+      val state = mvMaintained.computeIfAbsent(d, { _ =>
+        val path = tmpDir("mvstate", create = false).toString + "/state"
+        val ckpt = tmpDir("mvckpt")
+        val q = withStatePartitions(s, 8) {
+          EventStreams.aggMaintain(
+            eventsStream(s, d).select(col("event_type"),
+              floor(col("value") * 1000).cast("long").as("value_ticks")),
+            path, "event_type", "value_ticks", ckpt.toString)
+        }
+        try q.processAllAvailable() finally q.stop()
+        path
+      })
+      s.read.parquet(state)
+        .select(col("event_type"), col("cnt"),
+          col("vsum").cast("double").as("ticks_sum"),
+          col("vmax").as("ticks_max"))
+        .orderBy("event_type")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -295,6 +344,51 @@ object StreamQueries {
           AND c.user_id = v.user_id
           AND v.ts <= c.ts
           AND v.ts >= c.ts - INTERVAL 30 MINUTE""",
+    // matched pairs are watermark-independent (same as s05); the outer
+    // rows are unmatched clicks with event time strictly before the FINAL
+    // GLOBAL watermark — which is the MIN across the two withWatermark
+    // columns (each: per-side max event time floored to ms, minus the 1 h
+    // delay; Spark's multipleWatermarkPolicy defaults to min) — since a
+    // click's null-extension can only emit once no earlier-timestamped
+    // view can still arrive. Clicks inside the final horizon stay
+    // buffered at stream end and never emit (1 of 2006 clicks at sf0.01;
+    // at sf0.001 the min-vs-max distinction itself is load-bearing — the
+    // sides' maxima differ by minutes and the max-based model overcounts
+    // evictions by one).
+    "s07_stream_left_join" ->
+      """WITH wm AS (SELECT least(
+             (SELECT max(epoch_us(ts)) // 1000 FROM events
+              WHERE event_type = 'click'),
+             (SELECT max(epoch_us(ts)) // 1000 FROM events
+              WHERE event_type = 'view')) * 1000 - 3600000000 AS wm_us),
+         pairs AS (
+           SELECT c.event_id AS click_id, v.event_id AS view_id
+           FROM events c JOIN events v
+             ON c.event_type = 'click' AND v.event_type = 'view'
+            AND c.user_id = v.user_id AND v.ts <= c.ts
+            AND v.ts >= c.ts - INTERVAL 30 MINUTE),
+         unmatched AS (
+           SELECT c.event_id AS click_id FROM events c, wm
+           WHERE c.event_type = 'click'
+             AND epoch_us(c.ts) < wm.wm_us
+             AND NOT EXISTS (SELECT 1 FROM events v
+                             WHERE v.event_type = 'view'
+                               AND v.user_id = c.user_id
+                               AND v.ts <= c.ts
+                               AND v.ts >= c.ts - INTERVAL 30 MINUTE))
+         SELECT (SELECT count(*) FROM pairs) + (SELECT count(*) FROM unmatched)
+                  AS n_rows,
+                (SELECT count(*) FROM pairs) AS n_matched,
+                (SELECT count(*) FROM unmatched) AS n_unmatched,
+                (SELECT CAST(sum(click_id) AS BIGINT) FROM unmatched)
+                  AS unmatched_click_id_sum""",
+    "s08_stream_mv" ->
+      """SELECT event_type, count(*) AS cnt,
+              CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE)
+                AS ticks_sum,
+              CAST(max(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                AS ticks_max
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // ms arithmetic throughout (see the s04 def comment): event times are
     // floored to ms before the gap split, emitted bounds are session
     // min/max in ms, and a tail session is emitted iff its timeout

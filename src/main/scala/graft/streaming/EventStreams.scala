@@ -244,6 +244,69 @@ object EventStreams {
       }
       .start()
 
+  /** Stream-stream LEFT OUTER click→view join: every click emits — joined
+    * to each qualifying view, or null-extended if none arrives. The outer
+    * (null) row for a click can only emit once the watermark passes the
+    * click's eviction point (no earlier-timestamped view can still
+    * arrive), so unmatched clicks inside the final watermark horizon stay
+    * buffered at stream end — the semantics any bounded-state outer join
+    * must have, and what the s07 oracle replicates. Same state shape and
+    * eviction as [[clickViewJoin]]. */
+  def clickViewLeftJoin(
+      events: DataFrame,
+      lookback: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+        col("click_user") === col("view_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"),
+        "left_outer")
+      .select(col("click_user").as("user_id"), col("click_id"),
+        col("view_id"), col("click_ts"), col("view_ts"))
+  }
+
+  /** Streaming materialized-view maintenance: foreachBatch merges each
+    * micro-batch into the [[graft.operators.IncrementalAgg]] state. Unlike
+    * [[ingestSharded]]'s upsert (naturally idempotent), an aggregate MERGE
+    * double-counts under foreachBatch's at-least-once replay — so each
+    * batch commit drops a `_batch_<id>` marker next to the state and a
+    * replayed id is skipped, upgrading to effectively exactly-once (the
+    * standard idempotent-foreachBatch pattern; single-writer only, like
+    * any checkpointed streaming sink). */
+  def aggMaintain(
+      stream: DataFrame, statePath: String, keyCol: String, valueCol: String,
+      checkpoint: String) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatchOnce(batch, statePath, keyCol, valueCol, batchId)
+      }
+      .start()
+
+  /** The [[aggMaintain]] batch body: merge `batch` into the state unless
+    * this batchId's marker already exists (a foreachBatch replay). */
+  def mergeBatchOnce(
+      batch: DataFrame, statePath: String, keyCol: String, valueCol: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$statePath.batch_$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      graft.operators.IncrementalAgg.refresh(
+        spark, statePath, batch, keyCol, valueCol)
+      fs.create(marker).close()
+    }
+  }
+
   /** Wire a streaming DataFrame through to a named in-memory sink; returns
     * the query (caller awaits/process-all). Update mode suits aggregations. */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =

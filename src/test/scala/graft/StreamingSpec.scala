@@ -276,4 +276,32 @@ class StreamingSpec extends SparkTestBase {
     assert(back.filter(col("shard") =!=
       pmod(col("doc_id"), lit(4)).cast("int")).isEmpty)
   }
+
+  test("aggMaintain: micro-batches maintain the MV; a replayed batchId merges once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mv_state")
+    val path = dir.resolve("state").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("key", "v")
+    val q = EventStreams.aggMaintain(stream, path, "key", "v", ckpt)
+    input.addData(("a", 10L), ("a", 20L), ("b", 5L))
+    q.processAllAvailable()
+    input.addData(("a", 30L), ("c", 1L))
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.read.parquet(path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).longValue(),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val maintained = snap()
+    assert(maintained ==
+      Seq(("a", 3L, 60L, 30L), ("b", 1L, 5L, 5L), ("c", 1L, 1L, 1L)))
+    // at-least-once replay: re-merging an already-committed batchId is a
+    // no-op (the marker gate), while a NEW batchId merges
+    val replay = Seq(("a", 100L)).toDF("key", "v")
+    EventStreams.mergeBatchOnce(replay, path, "key", "v", batchId = 1L)
+    assert(snap() == maintained, "replayed batchId must not double-count")
+    EventStreams.mergeBatchOnce(replay, path, "key", "v", batchId = 99L)
+    assert(snap().find(_._1 == "a").get == ("a", 4L, 160L, 100L))
+  }
 }
