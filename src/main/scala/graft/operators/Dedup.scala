@@ -665,8 +665,12 @@ object Dedup {
   def cascade(
       docs: DataFrame, idCol: String, textCol: String,
       scoreCol: Column, threshold: Double = 0.8): DataFrame =
-    keepCanonical(exactDedup(docs, idCol, textCol), idCol, textCol,
-      scoreCol, threshold)
+    // eager checkpoint between the stages: keepCanonical's LSH pipeline
+    // consumes its input from several branches (signature build, pair
+    // verify, survivor anti-join), and without the cut each branch re-runs
+    // the exact stage's digest shuffle
+    keepCanonical(exactDedup(docs, idCol, textCol).localCheckpoint(true),
+      idCol, textCol, scoreCol, threshold)
 
   /** Exact-first fuzzy dedup — [[cascade]]'s mitigation applied to the
     * edit-distance path: exact copies collapse on one digest shuffle

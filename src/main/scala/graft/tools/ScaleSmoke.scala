@@ -63,7 +63,7 @@ object ScaleSmoke {
     "d14_token_packing", "d18_ngram_topk", "d22_rare_tokens",
     "d23_salient_terms", "d25_chunking", "d26_pii_scrub",
     "d27_fuzzy_fullcorpus", "d27_fuzzy_postexact", "d29_cascade_dedup",
-    "d32_temperature_mix",
+    "d32_temperature_mix", "d33_zorder_scan", "d34_incremental_agg",
     "d06_cands_raw", "d06_cands_postexact",
     "e03_embedding_stats", "e04_embedding_neardup", "e07_int8_quant",
     "q39_time_agg", "q40_sessionize",
