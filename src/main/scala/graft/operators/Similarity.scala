@@ -460,6 +460,87 @@ object Similarity {
       .join(assign, "neighbor_id")
   }
 
+  /** [[ivfPqBuildIndex]] with PACKED codes — (neighbor_id, cell_id,
+    * codes array<int>), ONE row per vector instead of m. Same information,
+    * but the packed shape is what lets the ADC scan stay shuffle-free
+    * ([[ivfPqTopKFromPackedIndex]]): the exploded layout forces a
+    * candidates×m explode + groupBy to sum partial distances, and that
+    * shuffle IS the serving cost at corpus scale. Packing costs one extra
+    * aggregate at BUILD time — offline, amortized over every query. */
+  def ivfPqBuildIndexPacked(
+      coarse: DataFrame, cents: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int = 8): DataFrame =
+    ivfPqBuildIndex(coarse, cents, corpus, idCol, vecCol, m)
+      .groupBy(col("neighbor_id"), col("cell_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** IVFADC over the PACKED index with NO shuffle between the pruned
+    * code-table scan and the shortlist: the per-(probe, sub, code)
+    * distance table folds into one ordered lookup array per probe
+    * (m·ksub doubles — a few KB, broadcast), and each candidate row
+    * computes its ADC distance with an m-step in-row fold of
+    * `dt[sub·ksub + code]` lookups. The exploded-layout variant
+    * ([[ivfPqTopKFromIndex]]) shuffles candidates×m rows into a
+    * (probe, neighbor) aggregate — 24M rows at sf0.1 — which this shape
+    * replaces with a narrow map stage; only the per-probe shortlist
+    * window still exchanges rows. Same coarse pruning (broadcast
+    * (probe, cell) pairs → dynamic partition pruning on the
+    * cell_id-partitioned index) and the same exact-cosine re-rank. */
+  def ivfPqTopKFromPackedIndex(
+      coarse: DataFrame, cents: DataFrame, index: DataFrame,
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, nProbe: Int = 4, shortlist: Int = 128): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      l2normalize(col(vecCol)).as("__nv"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      l2normalize(col(vecCol)).as("__pv"))
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__ccos").desc, col("cell_id").asc)
+    val pcells = p.crossJoin(broadcast(coarse))
+      .withColumn("__ccos", cosineF32(col("__pv"), col("centroid")))
+      .withColumn("__rn", row_number().over(wC))
+      .filter(col("__rn") <= nProbe)
+      .select(col("probe_id"), col("cell_id"))
+    val sd = c.select(size(col("__nv"))).head.getInt(0) / m
+    val ksub = cents.agg(max(col("code"))).head.getInt(0) + 1
+    val dt = p.select(col("probe_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("__pv"), i * sd + 1, lit(sd)))))
+      .toDF("probe_id", "sub_id", "psv")
+      .join(broadcast(cents), "sub_id")
+      .select(col("probe_id"),
+        (col("sub_id") * ksub + col("code")).as("__idx"),
+        (pow(l2normF32(col("centroid")), 2) -
+          lit(2.0) * dotF32(col("psv"), col("centroid"))).as("pd"))
+    val dtArr = dt.groupBy(col("probe_id"))
+      .agg(transform(array_sort(collect_list(struct(col("__idx"), col("pd")))),
+        s => s.getField("pd")).as("__dt"))
+    val wS = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__ad").asc, col("neighbor_id").asc)
+    val short = index
+      .join(broadcast(pcells), "cell_id")
+      .join(broadcast(dtArr), "probe_id")
+      .withColumn("__ad",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, i) => acc + element_at(col("__dt"),
+            i * ksub + element_at(col("codes"), i + 1) + 1)))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("__rn", row_number().over(wS))
+      .filter(col("__rn") <= shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short.join(c, "neighbor_id")
+      .join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineF32(col("__pv"), col("__nv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-PQ ANN over a PREBUILT index — the production serving shape that
     * composes the coarse quantizer (e06) with product quantization (e08):
     * a probe ranks the coarse cells, and the ADC scan touches only the

@@ -606,12 +606,12 @@ object TextQueries {
           k = 16, iters = 3, seed = 42L)
         val pq = Similarity.pqTrainNormalizedCollected(emb, "vec_id", "embedding")
         val dir = new java.io.File(indexTmpDir("ivfpq"), "index").toString
-        Similarity.ivfPqBuildIndex(Similarity.centroidsDF(s, coarse),
+        Similarity.ivfPqBuildIndexPacked(Similarity.centroidsDF(s, coarse),
             Similarity.pqCodebookDF(s, pq), emb, "vec_id", "embedding")
           .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
         (coarse, pq, dir)
       })
-      val ivfpq = Similarity.ivfPqTopKFromIndex(
+      val ivfpq = Similarity.ivfPqTopKFromPackedIndex(
           Similarity.centroidsDF(s, coarseCb), Similarity.pqCodebookDF(s, pqCb),
           s.read.parquet(indexPath), emb, probes,
           "vec_id", "embedding", k = 5, nProbe = 6)

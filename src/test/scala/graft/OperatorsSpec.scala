@@ -685,6 +685,36 @@ class OperatorsSpec extends SparkTestBase {
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("packed IVF-PQ index serves the same neighbors as the exploded layout") {
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter(pmod($"vec_id", lit(100)) === 0)
+    val coarse = Similarity.centroidsDF(spark,
+      Similarity.kmeansCentroidsCollected(emb, "vec_id", "embedding",
+        k = 4, iters = 2, seed = 42L))
+    val cents = Similarity.pqCodebookDF(spark,
+      Similarity.pqTrainNormalizedCollected(emb, "vec_id", "embedding"))
+    val exploded = Similarity.ivfPqBuildIndex(coarse, cents, emb,
+      "vec_id", "embedding")
+    val packed = Similarity.ivfPqBuildIndexPacked(coarse, cents, emb,
+      "vec_id", "embedding")
+    // the packed row IS the exploded rows, re-shaped
+    assert(packed.count() == exploded.select("neighbor_id").distinct().count())
+    assert(packed.select(size($"codes")).distinct().head.getInt(0) == 8)
+    // with the shortlist not binding (small corpus), the exact-cosine
+    // re-rank makes both layouts return identical ranked neighbors
+    def serve(idx: org.apache.spark.sql.DataFrame, packedIdx: Boolean) = {
+      val f = if (packedIdx)
+        Similarity.ivfPqTopKFromPackedIndex(coarse, cents, idx, emb, probes,
+          "vec_id", "embedding", k = 3, nProbe = 2, shortlist = 1000)
+      else
+        Similarity.ivfPqTopKFromIndex(coarse, cents, idx, emb, probes,
+          "vec_id", "embedding", k = 3, nProbe = 2, shortlist = 1000)
+      f.select("probe_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    }
+    assert(serve(packed, packedIdx = true) == serve(exploded, packedIdx = false))
+  }
+
   test("int8 quantization: codes bounded, dequantization error within one step") {
     val emb = Tables.embeddings(spark, sf)
     val codes = Quantize.int8Codes(emb, "vec_id", "embedding")
