@@ -57,8 +57,11 @@ object IncrementalAgg {
               .cast(DecimalType(38, 2)).as("vsum"),
             greatest(col("s.vmax"), col("d.vmax")).as("vmax"))
       }
-    merged.localCheckpoint(true)
-      .write.mode("overwrite").parquet(statePath)
+    val ck = merged.localCheckpoint(true)
+    // release the checkpoint blocks once the write has consumed them —
+    // otherwise every refresh leaks one block set (QueriesSpec's leak gate)
+    try ck.write.mode("overwrite").parquet(statePath)
+    finally Dedup.release(ck)
     spark.read.parquet(statePath)
   }
 

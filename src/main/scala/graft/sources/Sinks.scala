@@ -170,11 +170,17 @@ object Sinks {
       .join(upd.select(col(idCol)), Seq(idCol), "left_anti")
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try kept.unionByName(upd.select(kept.columns.map(col): _*))
+    val ck = kept.unionByName(upd.select(kept.columns.map(col): _*))
       .localCheckpoint(true)
-      .repartition(col("shard"))
+    // deterministic block release after the write (leak-gate hygiene;
+    // ContextCleaner would get there eventually, but per-batch streaming
+    // ingest accumulates a block set per micro-batch until it does)
+    try ck.repartition(col("shard"))
       .sortWithinPartitions(idCol)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    finally {
+      graft.operators.Dedup.release(ck)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
   }
 }
