@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Physical-plan regression tests: the load-bearing plan properties from
   * the PLANS.md audits, asserted in sbt so a planner/formulation regression
   * fails the build instead of waiting for a human to re-read explain
@@ -172,6 +174,36 @@ class PlansSpec extends SparkTestBase {
         "table, never rescan lineitem")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "the one-row threshold must broadcast into the filter")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective non-broadcast join") {
+    // the 100 TB lever for selective fact-dim joins too big to broadcast:
+    // Spark injects a bloom_filter_agg on the dim side and a
+    // BloomFilterMightContain predicate into the fact scan stage, so
+    // non-matching fact rows drop BEFORE the shuffle. Thresholds here are
+    // lowered to trigger at test SF; at cluster scale the defaults
+    // (10 GB application side) fire on their own — this pins that our
+    // join shapes stay eligible (equi-key under a shuffle join).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, sf)
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val dim = Tables.part(spark, sf)
+        .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
+      val opt = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") || opt.contains("BloomFilter"),
+        s"expected a runtime bloom filter on the fact side, got:\n$opt")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q88 (TPC-H Q12) / q89 (TPC-H Q16): equi-joins only; exclusion stays anti") {
