@@ -418,6 +418,67 @@ object Similarity {
         l2normalize(col(vecCol)).as("__nv")),
       "neighbor_id", "__nv", m)
 
+  /** [[pqEncodeNormalized]] re-shaped to ONE row per vector
+    * (neighbor_id, codes array<int>) — the layout that lets the ADC scan
+    * run shuffle-free (see [[ivfPqBuildIndexPacked]]). */
+  def pqEncodePackedNormalized(
+      cents: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int = 8): DataFrame =
+    pqEncodeNormalized(cents, corpus, idCol, vecCol, m)
+      .groupBy(col("neighbor_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** PQ-only serving over PACKED codes: every vector is an ADC candidate
+    * (no coarse stage), but the distance evaluation is the same per-row
+    * m-step lookup fold as [[ivfPqTopKFromPackedIndex]] — candidates × 1
+    * narrow rows instead of the exploded layout's candidates × m × probes
+    * rows shuffled into a (probe, neighbor) aggregate. */
+  def pqTopKFromPackedCodes(
+      cents: DataFrame, packed: DataFrame,
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, shortlist: Int = 256): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      l2normalize(col(vecCol)).as("__nv"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      l2normalize(col(vecCol)).as("__pv"))
+    val sd = c.select(size(col("__nv"))).head.getInt(0) / m
+    val ksub = cents.agg(max(col("code"))).head.getInt(0) + 1
+    val dt = p.select(col("probe_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("__pv"), i * sd + 1, lit(sd)))))
+      .toDF("probe_id", "sub_id", "psv")
+      .join(broadcast(cents), "sub_id")
+      .select(col("probe_id"),
+        (col("sub_id") * ksub + col("code")).as("__idx"),
+        (pow(l2normF32(col("centroid")), 2) -
+          lit(2.0) * dotF32(col("psv"), col("centroid"))).as("pd"))
+    val dtArr = dt.groupBy(col("probe_id"))
+      .agg(transform(array_sort(collect_list(struct(col("__idx"), col("pd")))),
+        s => s.getField("pd")).as("__dt"))
+    val wS = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__ad").asc, col("neighbor_id").asc)
+    val short = packed.crossJoin(broadcast(dtArr))
+      .withColumn("__ad",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, i) => acc + element_at(col("__dt"),
+            i * ksub + element_at(col("codes"), i + 1) + 1)))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("__rn", row_number().over(wS))
+      .filter(col("__rn") <= shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short.join(c, "neighbor_id")
+      .join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineF32(col("__pv"), col("__nv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** PQ ANN query over a PREBUILT index — `cents` the codebook frame,
     * `codes` the (neighbor_id, sub_id, code) table ([[pqEncodeNormalized]]
     * output, typically read back from parquet): ADC shortlist from the

@@ -570,11 +570,11 @@ object TextQueries {
       val (codebook, codesPath) = pqIndexes.computeIfAbsent(d, _ => {
         val cb = Similarity.pqTrainNormalizedCollected(emb, "vec_id", "embedding")
         val dir = new java.io.File(indexTmpDir("pq"), "codes").toString
-        Similarity.pqEncodeNormalized(Similarity.pqCodebookDF(s, cb), emb,
+        Similarity.pqEncodePackedNormalized(Similarity.pqCodebookDF(s, cb), emb,
           "vec_id", "embedding").write.mode("overwrite").parquet(dir)
         (cb, dir)
       })
-      val pq = Similarity.pqTopKFromIndex(
+      val pq = Similarity.pqTopKFromPackedCodes(
           Similarity.pqCodebookDF(s, codebook), s.read.parquet(codesPath),
           emb, probes, "vec_id", "embedding", k = 5)
         .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_pq"))

@@ -713,6 +713,20 @@ class OperatorsSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
     }
     assert(serve(packed, packedIdx = true) == serve(exploded, packedIdx = false))
+    // same equivalence for the PQ-only pair (no coarse stage)
+    val pqExploded = Similarity.pqEncodeNormalized(cents, emb, "vec_id", "embedding")
+    val pqPacked = Similarity.pqEncodePackedNormalized(cents, emb, "vec_id", "embedding")
+    def servePq(explodedPath: Boolean) = {
+      val f = if (explodedPath)
+        Similarity.pqTopKFromIndex(cents, pqExploded, emb, probes,
+          "vec_id", "embedding", k = 3, shortlist = 1000)
+      else
+        Similarity.pqTopKFromPackedCodes(cents, pqPacked, emb, probes,
+          "vec_id", "embedding", k = 3, shortlist = 1000)
+      f.select("probe_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    }
+    assert(servePq(explodedPath = false) == servePq(explodedPath = true))
   }
 
   test("int8 quantization: codes bounded, dequantization error within one step") {
