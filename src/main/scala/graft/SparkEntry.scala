@@ -45,5 +45,7 @@ object SparkEntry {
   val setupQueries: Seq[String] =
     Seq("q71_orc_roundtrip", "q74_csv_roundtrip", "s02_stream_ingest",
       "s03_stream_dedup", // stages its two-copy events dir on first call
-      "e06_ivf_kmeans_recall", "e08_pq_recall")
+      "e06_ivf_kmeans_recall", "e08_pq_recall",
+      "e10_ivfpq_recall", // coarse+PQ codebooks + cell-partitioned index
+      "s08_stream_mv") // one-time foreachBatch MV maintenance per (JVM, sf)
 }

@@ -418,6 +418,52 @@ object Similarity {
         l2normalize(col(vecCol)).as("__nv")),
       "neighbor_id", "__nv", m)
 
+  /** Per-probe ADC lookup array: the (probe, sub, code) distance table
+    * folded to ONE ordered array of m·ksub doubles per probe — entry
+    * sub·ksub + code. A few KB per probe; broadcast by the callers. */
+  private def packedDtArr(
+      cents: DataFrame, p: DataFrame, m: Int, sd: Int, ksub: Int): DataFrame =
+    p.select(col("probe_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("__pv"), i * sd + 1, lit(sd)))))
+      .toDF("probe_id", "sub_id", "psv")
+      .join(broadcast(cents), "sub_id")
+      .select(col("probe_id"),
+        (col("sub_id") * ksub + col("code")).as("__idx"),
+        (pow(l2normF32(col("centroid")), 2) -
+          lit(2.0) * dotF32(col("psv"), col("centroid"))).as("pd"))
+      .groupBy(col("probe_id"))
+      .agg(transform(array_sort(collect_list(struct(col("__idx"), col("pd")))),
+        s => s.getField("pd")).as("__dt"))
+
+  /** Shared serving tail for the packed-codes ADC paths: candidates
+    * carrying (probe_id, neighbor_id, codes, __dt) get their ADC distance
+    * from an in-row m-step lookup fold (no shuffle), shortlist per probe,
+    * then exact-cosine re-rank. */
+  private def servePackedCandidates(
+      c: DataFrame, p: DataFrame, cands: DataFrame,
+      k: Int, m: Int, ksub: Int, shortlist: Int): DataFrame = {
+    val wS = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__ad").asc, col("neighbor_id").asc)
+    val short = cands
+      .withColumn("__ad",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, i) => acc + element_at(col("__dt"),
+            i * ksub + element_at(col("codes"), i + 1) + 1)))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("__rn", row_number().over(wS))
+      .filter(col("__rn") <= shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short.join(c, "neighbor_id")
+      .join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineF32(col("__pv"), col("__nv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** [[pqEncodeNormalized]] re-shaped to ONE row per vector
     * (neighbor_id, codes array<int>) — the layout that lets the ADC scan
     * run shuffle-free (see [[ivfPqBuildIndexPacked]]). */
@@ -446,37 +492,9 @@ object Similarity {
       l2normalize(col(vecCol)).as("__pv"))
     val sd = c.select(size(col("__nv"))).head.getInt(0) / m
     val ksub = cents.agg(max(col("code"))).head.getInt(0) + 1
-    val dt = p.select(col("probe_id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          i => slice(col("__pv"), i * sd + 1, lit(sd)))))
-      .toDF("probe_id", "sub_id", "psv")
-      .join(broadcast(cents), "sub_id")
-      .select(col("probe_id"),
-        (col("sub_id") * ksub + col("code")).as("__idx"),
-        (pow(l2normF32(col("centroid")), 2) -
-          lit(2.0) * dotF32(col("psv"), col("centroid"))).as("pd"))
-    val dtArr = dt.groupBy(col("probe_id"))
-      .agg(transform(array_sort(collect_list(struct(col("__idx"), col("pd")))),
-        s => s.getField("pd")).as("__dt"))
-    val wS = Window.partitionBy(col("probe_id"))
-      .orderBy(col("__ad").asc, col("neighbor_id").asc)
-    val short = packed.crossJoin(broadcast(dtArr))
-      .withColumn("__ad",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, i) => acc + element_at(col("__dt"),
-            i * ksub + element_at(col("codes"), i + 1) + 1)))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("__rn", row_number().over(wS))
-      .filter(col("__rn") <= shortlist)
-      .select(col("probe_id"), col("neighbor_id"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    short.join(c, "neighbor_id")
-      .join(broadcast(p), "probe_id")
-      .select(col("probe_id"), col("neighbor_id"),
-        cosineF32(col("__pv"), col("__nv")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val dtArr = packedDtArr(cents, p, m, sd, ksub)
+    servePackedCandidates(c, p, packed.crossJoin(broadcast(dtArr)),
+      k, m, ksub, shortlist)
   }
 
   /** PQ ANN query over a PREBUILT index — `cents` the codebook frame,
@@ -567,39 +585,11 @@ object Similarity {
       .select(col("probe_id"), col("cell_id"))
     val sd = c.select(size(col("__nv"))).head.getInt(0) / m
     val ksub = cents.agg(max(col("code"))).head.getInt(0) + 1
-    val dt = p.select(col("probe_id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          i => slice(col("__pv"), i * sd + 1, lit(sd)))))
-      .toDF("probe_id", "sub_id", "psv")
-      .join(broadcast(cents), "sub_id")
-      .select(col("probe_id"),
-        (col("sub_id") * ksub + col("code")).as("__idx"),
-        (pow(l2normF32(col("centroid")), 2) -
-          lit(2.0) * dotF32(col("psv"), col("centroid"))).as("pd"))
-    val dtArr = dt.groupBy(col("probe_id"))
-      .agg(transform(array_sort(collect_list(struct(col("__idx"), col("pd")))),
-        s => s.getField("pd")).as("__dt"))
-    val wS = Window.partitionBy(col("probe_id"))
-      .orderBy(col("__ad").asc, col("neighbor_id").asc)
-    val short = index
-      .join(broadcast(pcells), "cell_id")
-      .join(broadcast(dtArr), "probe_id")
-      .withColumn("__ad",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, i) => acc + element_at(col("__dt"),
-            i * ksub + element_at(col("codes"), i + 1) + 1)))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("__rn", row_number().over(wS))
-      .filter(col("__rn") <= shortlist)
-      .select(col("probe_id"), col("neighbor_id"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    short.join(c, "neighbor_id")
-      .join(broadcast(p), "probe_id")
-      .select(col("probe_id"), col("neighbor_id"),
-        cosineF32(col("__pv"), col("__nv")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val dtArr = packedDtArr(cents, p, m, sd, ksub)
+    servePackedCandidates(c, p,
+      index.join(broadcast(pcells), "cell_id")
+        .join(broadcast(dtArr), "probe_id"),
+      k, m, ksub, shortlist)
   }
 
   /** IVF-PQ ANN over a PREBUILT index — the production serving shape that
