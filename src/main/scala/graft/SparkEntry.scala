@@ -43,7 +43,8 @@ object SparkEntry {
     * Verify runs single-invocation in a fresh JVM, so the correctness
     * gate always exercises the full setup path too. */
   val setupQueries: Seq[String] =
-    Seq("q71_orc_roundtrip", "q74_csv_roundtrip", "s02_stream_ingest",
+    Seq("q71_orc_roundtrip", "q74_csv_roundtrip", "q90_bucketed_join",
+      "s02_stream_ingest",
       "s03_stream_dedup", // stages its two-copy events dir on first call
       "e06_ivf_kmeans_recall", "e08_pq_recall",
       "e10_ivfpq_recall", // coarse+PQ codebooks + cell-partitioned index

@@ -279,6 +279,60 @@ object TextAnalysis {
       .drop("__q1", "__q3")
   }
 
+  /** Per-position word n-gram strings (NOT deduped — one entry per start
+    * position, so coverage fractions weight repeated spans correctly).
+    * Docs shorter than n tokens yield an empty array. */
+  def gramStrings(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        j => concat_ws(" ", slice(toks, j, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Duplicate-span detection (the corpus-level signal behind exact
+    * substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, the fraction of its word
+    * n-gram positions whose n-gram also appears in at least `minDocs`
+    * distinct documents corpus-wide. Output per doc: (doc_id, n_grams,
+    * n_dup, dup_frac) — a doc with a high dup_frac is mostly boilerplate
+    * copied across the corpus even when no whole-document near-dup fires.
+    *
+    * Scale shape: the corpus is scanned twice (tokenization is codegen'd
+    * and cheaper than materializing the gram table, which is ~n× corpus
+    * size); the gram-frequency aggregate and the join back both key on
+    * xxhash64(gram) — 8-byte shuffle keys, never the gram strings
+    * (same digest-first contract as [[Dedup.exactDedup]], same ~n²/2⁶⁴
+    * collision parity as the MinHash path). The frequent-gram side shrinks
+    * to grams above `minDocs` before the join; at 100 TB a runtime bloom
+    * filter on the fact side prunes further (config, not code). */
+  def duplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        explode_outer(gramStrings(col(textCol), n)).as("gram"))
+      // xxhash64(NULL) is the SEED (42), not NULL — a short doc's
+      // explode_outer null row must stay null so the counts skip it
+      .select(col("doc_id"),
+        when(col("gram").isNotNull, xxhash64(col("gram"))).as("gh"))
+    val common = grams(docs)
+      .filter(col("gh").isNotNull)
+      .groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gh"), lit(1).as("__dup"))
+    grams(docs)
+      .join(common, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("gh")).as("n_grams"),
+        count(col("__dup")).as("n_dup"),
+        coalesce(count(col("__dup")).cast("double") /
+          when(count(col("gh")) > 0, count(col("gh"))), lit(0.0))
+          .as("dup_frac"))
+  }
+
   /** Convenience: documents table → enriched analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

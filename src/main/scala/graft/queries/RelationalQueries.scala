@@ -1072,8 +1072,63 @@ object RelationalQueries {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
           col("p_size"))
+    }),
+
+    // --- Bucketed co-located join: lineitem and orders are written ONCE as
+    //     bucketed+sorted tables on the join key (setup phase, like
+    //     q71/q74's sinks) — the cluster-layout technique that makes a
+    //     REPEATED big-big equi-join shuffle-free. Both sides repartition
+    //     to one file per bucket before the write (Spark's bucket hash IS
+    //     HashPartitioning's Murmur3, so each write task holds exactly one
+    //     bucket and the per-bucket sortBy survives as a read-time ordering
+    //     guarantee). Join AND groupBy both run on the bucket key, so the
+    //     entire join+aggregate pipeline plans with ZERO shuffle exchanges
+    //     and ZERO sorts below the join (PlansSpec asserts); only the
+    //     presentation orderBy range-partitions. The merge hint pins the
+    //     sort-merge shape the planner picks unaided at cluster scale (at
+    //     test SF orders fits under the broadcast threshold, which would
+    //     bypass the layout being demonstrated). 8 buckets ~ test SF; at
+    //     100 TB the same layout uses O(total cores) buckets — a constant,
+    //     not a code change. -------------------------------------------------
+    "q90_bucketed_join" -> ((s, d) => {
+      val (liTab, ordTab) = bucketedTables(s, d)
+      s.table(liTab).hint("merge")
+        .join(s.table(ordTab).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          max(col("o_orderpriority")).as("priority"))
+        .orderBy("l_orderkey")
     })
   )
+
+  /** One-time bucketed+sorted table pair for q90 (setup phase). Table names
+    * carry the run nonce + sf-dir hash (same collision contract as
+    * [[materialize]]); the data lands under java.io.tmpdir via
+    * option("path") so nothing pollutes a warehouse dir, and the shared
+    * shutdown hook removes the files (the catalog entries live in the
+    * in-memory session catalog and die with the JVM). */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val suffix = s"${runNonce}_${Integer.toHexString(d.hashCode)}"
+    val liTab = s"graft_bkt_li_$suffix"
+    val ordTab = s"graft_bkt_ord_$suffix"
+    materialize("bkt", d) { p =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .repartition(8, col("l_orderkey"))
+        .write.format("parquet").mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$p/lineitem").saveAsTable(liTab)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
+        .write.format("parquet").mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$p/orders").saveAsTable(ordTab)
+    }
+    (liTab, ordTab)
+  }
 
   /** Decimal-exact revenue: sum(extendedprice × (1 − discount)) → double. */
   private def revenue: Column = {
@@ -1606,6 +1661,13 @@ object RelationalQueries {
            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                  WHERE s_acctbal < 0.0)
          GROUP BY p_brand, p_type, p_size
-         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q90_bucketed_join" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price,
+              max(o_orderpriority) AS priority
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_orderkey ORDER BY l_orderkey"""
   )
 }

@@ -725,6 +725,17 @@ object TextQueries {
         .select(col("probe_id"), col("rank"), col("neighbor_id"),
           (floor(col("dot") * 10000) / 10000).as("dot_q"))
         .orderBy("probe_id", "rank")
+    }),
+
+    // --- duplicate-span detection (the exact-substring-dedup signal,
+    //     Lee et al. 2022): per doc, the fraction of 5-gram positions whose
+    //     gram appears in ≥2 distinct docs corpus-wide. Shuffle keys are
+    //     xxhash64 digests, never gram strings; the n_dup/n_grams ratio is
+    //     a single IEEE division (correctly rounded in both engines). -------
+    "d35_dupspan" -> ((s, d) => {
+      TextAnalysis.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 5, minDocs = 2)
+        .orderBy("doc_id")
     })
   )
 
@@ -1382,6 +1393,31 @@ object TextQueries {
                   row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id ASC) AS rank
            FROM scored)
          SELECT probe_id, rank, neighbor_id, floor(dot * 10000) / 10000 AS dot_q
-         FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank"""
+         FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""",
+    // per-position grams (toks[j:j+4] is 1-based INCLUSIVE slicing — a
+    // 5-gram); n_dup via count(CASE ...) so the type stays BIGINT (a
+    // sum(int) would widen to HUGEINT/DECIMAL and break dtype parity)
+    "d35_dupspan" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> t <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, array_to_string(toks[j:j+4], ' ') AS gram
+           FROM tok, LATERAL unnest(range(1, len(toks) - 3)) AS t(j)
+           WHERE len(toks) >= 5),
+         cnt AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+         per AS (
+           SELECT doc_id, count(*) AS n_grams,
+                  count(CASE WHEN nd >= 2 THEN 1 END) AS n_dup
+           FROM g JOIN cnt USING (gram) GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(per.n_grams, 0) AS n_grams,
+                coalesce(per.n_dup, 0) AS n_dup,
+                CASE WHEN coalesce(per.n_grams, 0) > 0
+                     THEN CAST(per.n_dup AS DOUBLE) / per.n_grams
+                     ELSE 0.0 END AS dup_frac
+         FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""
   )
 }

@@ -890,6 +890,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(lang.forall(r => r.isNullAt(0) || r.getString(0).nonEmpty))
   }
 
+  test("duplicateSpans: copied docs cover fully, unique docs score 0, short docs 0-gram") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // 6 tokens → 2 5-grams
+      (2L, "alpha beta gamma delta epsilon zeta"),   // exact copy of 1
+      (3L, "one two three four five six seven"),     // unique → dup_frac 0
+      (4L, "too short"),                             // < 5 tokens → 0 grams
+      (5L, "pad alpha beta gamma delta epsilon tail") // shares ONE 5-gram with 1/2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateSpans(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_grams"),
+      out(i).getAs[Long]("n_dup"), out(i).getAs[Double]("dup_frac"))
+    assert(row(0) == ((2L, 2L, 1.0)) && row(1) == ((2L, 2L, 1.0)))
+    assert(row(2) == ((3L, 0L, 0.0)))
+    assert(row(3) == ((0L, 0L, 0.0)))
+    // doc 5: 3 5-grams, exactly "alpha beta gamma delta epsilon" is shared
+    assert(row(4) == ((3L, 1L, 1.0 / 3.0)))
+  }
+
   test("Multimodal: deterministic stub features, schema, modality stats") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(docs), dim = 8)

@@ -215,4 +215,19 @@ class PlansSpec extends SparkTestBase {
       "the negative-balance supplier exclusion must be an anti join")
     assert(!p89.contains("CartesianProduct") && !p89.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q90 (bucketed layout): join + aggregate run with ZERO hash exchanges") {
+    val p = plan("q90_bucketed_join")
+    assert(p.contains("Bucketed: true") &&
+      p.contains("SelectedBucketsCount: 8 out of 8"),
+      "both scans must be served from the bucketed layout")
+    assert(p.contains("SortMergeJoin"),
+      "the merge hint must pin the sort-merge shape (a broadcast join at " +
+        "test SF would bypass the layout being demonstrated)")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the bucketed layout must satisfy BOTH the join and the groupBy " +
+        "distribution — any hash exchange means the co-location broke")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "the only exchange is the presentation orderBy's range partitioning")
+  }
 }
