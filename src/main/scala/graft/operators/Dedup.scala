@@ -744,6 +744,57 @@ object Dedup {
     emb.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup scoped
+    * to k-means clusters — candidate pairs are searched only WITHIN a
+    * cluster, so the pair space is Σ|cell|² ≈ n²/k instead of n², and each
+    * cell's self-join is an equi-join on cell_id (one shuffle, no
+    * broadcastable side needed). `cents` is a trained (cell_id, centroid)
+    * codebook ([[Similarity.kmeansCentroids]]) — at 100 TB it is trained
+    * once offline on a sample and reused, exactly like the IVF coarse
+    * quantizer it is shared with (e06/e10). Pairs carry the EXACT cosine
+    * (computed within-cell), so precision is 1 by construction; the only
+    * approximation is recall — a cross-cluster near-dup pair is missed,
+    * the measured tradeoff the e11 gate row tracks. */
+  def semDedupPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, tau: Double): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__cos").desc, col("cell_id").asc)
+    val assigned = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", cosineF32(col("v"), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cell_id"), col("vec_id"), col("v"))
+      .localCheckpoint(true) // assign once; both join sides read the block
+    try {
+      assigned.as("a").join(assigned.as("b"),
+          col("a.cell_id") === col("b.cell_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          cosineF32(col("a.v"), col("b.v")).as("cosine"))
+        .filter(col("cosine") >= tau)
+        .localCheckpoint(true)
+    } finally release(assigned)
+  }
+
+  /** SemDeDup pipeline ending: corpus minus every non-representative
+    * member of each within-cluster near-dup component (min-id keeps,
+    * same policy as [[dropEmbeddingNearDups]]). */
+  def semDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, tau: Double): DataFrame = {
+    val pairs = semDedupPairs(emb, idCol, vecCol, cents, tau)
+    val labels = try connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      finally release(pairs)
+    val losers = try labels
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+      .localCheckpoint(true)
+    finally release(labels)
+    emb.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Brute-force all-pairs cosine — O(n²) small-data oracle path and
     * test-time recall verifier for [[embeddingNearDups]]. */
   def embeddingNearDupsExact(

@@ -727,6 +727,59 @@ object TextQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // --- SemDeDup (Abbas et al. 2023): k-means-cluster-scoped semantic
+    //     dedup. The corpus is the embeddings table plus planted
+    //     deterministic near-clones (id+1e6, elementwise 0.05·sin perturb,
+    //     cosine ≈ 0.998 — the raw table is random vectors with max pair
+    //     cosine ~0.51, so the planted pairs are EXACTLY the ≥0.95 set and
+    //     the gate is sharp). The codebook is e06's memoized coarse
+    //     quantizer (train once, reuse — clones are assigned with the
+    //     BASE-corpus codebook, the production shape for newly arrived
+    //     items). Gate row: exact set == planted set; within-cluster
+    //     recall ≥ 0.7 (measured 1.0 / 1.0 / 0.8 at sf0.001/0.01/0.1 —
+    //     the loss is clones whose perturbation crosses a k-means cell
+    //     boundary); pairs ⊆ exact (precision 1); min-id keep drops ONLY
+    //     clones and keeps every source. -------------------------------------
+    "e11_semdedup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val clones = emb.filter(pmod(col("vec_id"), lit(40)) === 7)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") +
+              lit(0.05) * sin(col("vec_id").cast("double") + i.cast("double")))
+              .cast("float")).as("embedding"))
+      val corpus = emb.unionAll(clones)
+      val cents = Similarity.centroidsDF(s, ivfCodebooks.computeIfAbsent(d, _ =>
+        Similarity.kmeansCentroidsCollected(emb, "vec_id", "embedding",
+          k = 16, iters = 3, seed = 42L)))
+      val sem = Dedup.semDedupPairs(corpus, "vec_id", "embedding", cents,
+          tau = 0.95)
+        .select(col("id_a"), col("id_b"), lit(1).as("in_sem"))
+      val exact = Dedup.embeddingNearDupsExact(corpus, "vec_id", "embedding",
+          threshold = 0.95)
+        .select(col("id_a"), col("id_b"), lit(1).as("in_exact"))
+      val kept = Dedup.semDedup(corpus, "vec_id", "embedding", cents,
+        tau = 0.95)
+      val keptClonesWithPair = kept.filter(col("vec_id") >= 1000000L)
+        .join(sem.select(col("id_b").as("vec_id")), Seq("vec_id"), "left_semi")
+      sem.join(exact, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          (count(when(col("in_exact") === 1 &&
+              col("id_b") - col("id_a") === 1000000L, 1)) ===
+            count(col("in_exact"))).as("exact_is_planted"),
+          (count(when(col("in_sem") === 1 && col("in_exact").isNull, 1)) === 0)
+            .as("precision_1"),
+          ((count(when(col("in_sem") === 1 && col("in_exact") === 1, 1))
+            .cast("double") / count(col("in_exact"))) >= 0.7)
+            .as("recall_ge_070"))
+        .crossJoin(broadcast(keptClonesWithPair.agg(
+          (count(lit(1)) === 0).as("paired_clones_dropped"))))
+        .crossJoin(broadcast(kept.agg(count(lit(1)).as("__nk")))
+          .crossJoin(broadcast(corpus.agg(count(lit(1)).as("__nc"))))
+          .select((col("__nk") < col("__nc")).as("some_dropped")))
+    }),
+
     // --- duplicate-span detection (the exact-substring-dedup signal,
     //     Lee et al. 2022): per doc, the fraction of 5-gram positions whose
     //     gram appears in ≥2 distinct docs corpus-wide. Shuffle keys are
@@ -1394,6 +1447,10 @@ object TextQueries {
            FROM scored)
          SELECT probe_id, rank, neighbor_id, floor(dot * 10000) / 10000 AS dot_q
          FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "e11_semdedup" ->
+      """SELECT true AS exact_is_planted, true AS precision_1,
+              true AS recall_ge_070, true AS paired_clones_dropped,
+              true AS some_dropped""",
     // per-position grams (toks[j:j+4] is 1-based INCLUSIVE slicing — a
     // 5-gram); n_dup via count(CASE ...) so the type stays BIGINT (a
     // sum(int) would widen to HUGEINT/DECIMAL and break dtype parity)

@@ -527,6 +527,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(banded == exact)         // full recall on true near-dups
   }
 
+  test("semDedup: within-cluster pairs only; min-id representative survives") {
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f))).toDF("cell_id", "centroid")
+    val emb = Seq(
+      (1L, Array(1f, 0.05f, 0f, 0f)),   // cell 0
+      (2L, Array(1f, 0.06f, 0f, 0f)),   // cell 0, near-dup of 1
+      (3L, Array(0.05f, 1f, 0f, 0f)),   // cell 1
+      (4L, Array(0.06f, 1f, 0f, 0f)),   // cell 1, near-dup of 3
+      (5L, Array(0.5f, 0.5f, 0f, 0f))   // lone member, no near-dup anywhere
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semDedupPairs(emb, "vec_id", "embedding", cents, 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+    val kept = Dedup.semDedup(emb, "vec_id", "embedding", cents, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
   test("dropEmbeddingNearDups keeps one representative per vector cluster") {
     val base = Tables.embeddings(spark, sf).limit(50)
       .select($"vec_id", $"embedding")
