@@ -783,10 +783,19 @@ object Dedup {
     * same policy as [[dropEmbeddingNearDups]]). */
   def semDedup(
       emb: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, tau: Double): DataFrame = {
-    val pairs = semDedupPairs(emb, idCol, vecCol, cents, tau)
-    val labels = try connectedComponents(pairs.select(col("id_a"), col("id_b")))
-      finally release(pairs)
+      cents: DataFrame, tau: Double): DataFrame =
+    semDedupFromPairs(emb, idCol,
+      semDedupPairs(emb, idCol, vecCol, cents, tau), releasePairs = true)
+
+  /** [[semDedup]] ending over an already-computed pair set — lets a caller
+    * that also inspects the pairs (the e11 gate) run the assignment and
+    * pair join once. `releasePairs=true` hands pair-block ownership here. */
+  def semDedupFromPairs(
+      emb: DataFrame, idCol: String, pairs: DataFrame,
+      releasePairs: Boolean = false): DataFrame = {
+    val labels =
+      try connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      finally if (releasePairs) release(pairs)
     val losers = try labels
       .filter(col("id") =!= col("label"))
       .select(col("id").as(idCol))

@@ -279,17 +279,6 @@ object TextAnalysis {
       .drop("__q1", "__q3")
   }
 
-  /** Per-position word n-gram strings (NOT deduped — one entry per start
-    * position, so coverage fractions weight repeated spans correctly).
-    * Docs shorter than n tokens yield an empty array. */
-  def gramStrings(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        j => concat_ws(" ", slice(toks, j, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Duplicate-span detection (the corpus-level signal behind exact
     * substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
     * Language Models Better"): for each document, the fraction of its word
@@ -298,9 +287,13 @@ object TextAnalysis {
     * n_dup, dup_frac) — a doc with a high dup_frac is mostly boilerplate
     * copied across the corpus even when no whole-document near-dup fires.
     *
-    * Scale shape: the corpus is scanned twice (tokenization is codegen'd
-    * and cheaper than materializing the gram table, which is ~n× corpus
-    * size); the gram-frequency aggregate and the join back both key on
+    * Scale shape: the corpus is scanned twice (the single-pass
+    * [[graft.functions.WordNGrams]] kernel re-tokenizes cheaper than
+    * materializing the gram table, which is ~n× corpus size — and the
+    * compositional transform/slice form re-inlines the tokenizer per
+    * element, measured ~10× slower; requires
+    * [[graft.functions.GraftFunctions.register]]); the gram-frequency
+    * aggregate and the join back both key on
     * xxhash64(gram) — 8-byte shuffle keys, never the gram strings
     * (same digest-first contract as [[Dedup.exactDedup]], same ~n²/2⁶⁴
     * collision parity as the MinHash path). The frequent-gram side shrinks
@@ -311,7 +304,8 @@ object TextAnalysis {
       n: Int = 5, minDocs: Int = 2): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
       .select(col(idCol).as("doc_id"),
-        explode_outer(gramStrings(col(textCol), n)).as("gram"))
+        explode_outer(graft.functions.GraftFunctions
+          .wordNgramsOf(col(textCol), n)).as("gram"))
       // xxhash64(NULL) is the SEED (42), not NULL — a short doc's
       // explode_outer null row must stay null so the counts skip it
       .select(col("doc_id"),

@@ -1109,26 +1109,33 @@ object RelationalQueries {
     * option("path") so nothing pollutes a warehouse dir, and the shared
     * shutdown hook removes the files (the catalog entries live in the
     * in-memory session catalog and die with the JVM). */
-  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    val suffix = s"${runNonce}_${Integer.toHexString(d.hashCode)}"
-    val liTab = s"graft_bkt_li_$suffix"
-    val ordTab = s"graft_bkt_ord_$suffix"
-    materialize("bkt", d) { p =>
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_extendedprice"))
-        .repartition(8, col("l_orderkey"))
-        .write.format("parquet").mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$p/lineitem").saveAsTable(liTab)
-      Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderpriority"))
-        .repartition(8, col("o_orderkey"))
-        .write.format("parquet").mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$p/orders").saveAsTable(ordTab)
+  private def bucketedTables(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      val suffix = s"${runNonce}_${Integer.toHexString(d.hashCode)}"
+      val liTab = s"graft_bkt_li_$suffix"
+      val ordTab = s"graft_bkt_ord_$suffix"
+      // gate on the CATALOG, not a JVM memo: the entries live in the
+      // in-memory session catalog, so a harness that re-creates the session
+      // (test suites share one JVM) keeps the files but loses the tables —
+      // rewrite then (bucket metadata only exists via saveAsTable).
+      // materialize() just reserves the tmp dir + shutdown cleanup.
+      if (!s.catalog.tableExists(liTab) || !s.catalog.tableExists(ordTab)) {
+        val p = materialize("bkt", d)(_ => ())
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .repartition(8, col("l_orderkey"))
+          .write.format("parquet").mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$p/lineitem").saveAsTable(liTab)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(8, col("o_orderkey"))
+          .write.format("parquet").mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$p/orders").saveAsTable(ordTab)
+      }
+      (liTab, ordTab)
     }
-    (liTab, ordTab)
-  }
 
   /** Decimal-exact revenue: sum(extendedprice × (1 − discount)) → double. */
   private def revenue: Column = {

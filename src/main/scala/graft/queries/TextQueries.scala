@@ -753,14 +753,13 @@ object TextQueries {
       val cents = Similarity.centroidsDF(s, ivfCodebooks.computeIfAbsent(d, _ =>
         Similarity.kmeansCentroidsCollected(emb, "vec_id", "embedding",
           k = 16, iters = 3, seed = 42L)))
-      val sem = Dedup.semDedupPairs(corpus, "vec_id", "embedding", cents,
-          tau = 0.95)
-        .select(col("id_a"), col("id_b"), lit(1).as("in_sem"))
+      val semPairs = Dedup.semDedupPairs(corpus, "vec_id", "embedding", cents,
+        tau = 0.95) // checkpointed: the gate and the keep-side both read it
+      val sem = semPairs.select(col("id_a"), col("id_b"), lit(1).as("in_sem"))
       val exact = Dedup.embeddingNearDupsExact(corpus, "vec_id", "embedding",
           threshold = 0.95)
         .select(col("id_a"), col("id_b"), lit(1).as("in_exact"))
-      val kept = Dedup.semDedup(corpus, "vec_id", "embedding", cents,
-        tau = 0.95)
+      val kept = Dedup.semDedupFromPairs(corpus, "vec_id", semPairs)
       val keptClonesWithPair = kept.filter(col("vec_id") >= 1000000L)
         .join(sem.select(col("id_b").as("vec_id")), Seq("vec_id"), "left_semi")
       sem.join(exact, Seq("id_a", "id_b"), "full_outer")
@@ -786,6 +785,7 @@ object TextQueries {
     //     xxhash64 digests, never gram strings; the n_dup/n_grams ratio is
     //     a single IEEE division (correctly rounded in both engines). -------
     "d35_dupspan" -> ((s, d) => {
+      GraftFunctions.register(s)
       TextAnalysis.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
           n = 5, minDocs = 2)
         .orderBy("doc_id")

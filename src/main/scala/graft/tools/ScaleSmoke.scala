@@ -54,6 +54,22 @@ object ScaleSmoke {
     ()
   }
 
+  /** Second-stage tiling (separate marker so an existing tiled dir from an
+    * earlier run upgrades in place): lineitem/orders tiled on orderkey so
+    * the bucketed-join row (q90) sees 10× on BOTH join sides. Orderkeys
+    * stay aligned across tiles (same offset both tables), so join
+    * multiplicity per key is unchanged — only the key count grows. */
+  def ensureRelationalTiles(spark: SparkSession): Unit = {
+    val done = new java.io.File(s"$DST/_DONE_REL")
+    if (done.exists()) return
+    tile(spark.read.parquet(s"$SRC/lineitem.parquet"), Seq("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$DST/lineitem.parquet")
+    tile(spark.read.parquet(s"$SRC/orders.parquet"), Seq("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$DST/orders.parquet")
+    done.createNewFile()
+    ()
+  }
+
   // scale-path rows only: every bounded-subset verifier (d08, e01's
   // probe quadratic, the recall rows' brute-force side) is excluded by
   // design — those are documented small-data oracles, not the scale path
@@ -97,7 +113,34 @@ object ScaleSmoke {
     "d06_cands_postexact" -> ((s, d) =>
       graft.operators.Dedup.minhashCandidates(
         graft.operators.Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text"),
-        "doc_id", "text")))
+        "doc_id", "text")),
+    // SemDeDup's scale path is the within-cell pair join (the e11 gate row
+    // is excluded here — its brute-force verifier is a documented bounded
+    // oracle, quadratic by design). Two variants make the k ∝ n design
+    // quantitative: with k FIXED at 16, 10× data means 10× per cell and
+    // ~100× pairs — the quadratic trap; with k scaled 16→160 (constant
+    // expected cell size, the SemDeDup paper's configuration) the pair
+    // space stays ∝ n. τ = −1 so the rows column reports the CANDIDATE
+    // volume (every within-cell pair evaluated) — the τ-independent cost
+    // driver; at this corpus size the τ=0.95 output would be only the
+    // tiling's clone cliques, identical for both k. Codebooks memoized per
+    // (dir, k): training is the offline index build, not the serving cost.
+    "e11_pairs_fixedk" -> ((s, d) => semPairs(s, d, 16)),
+    "e11_pairs_scaledk" -> ((s, d) =>
+      semPairs(s, d, if (d == DST) 160 else 16)))
+
+  private val semCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      Seq[(Long, Array[Float])]]()
+  private def semPairs(s: SparkSession, d: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val cents = semCodebooks.computeIfAbsent((d, k), _ =>
+      graft.operators.Similarity.kmeansCentroidsCollected(
+        emb, "vec_id", "embedding", k, iters = 3, seed = 42L))
+    graft.operators.Dedup.semDedupPairs(emb, "vec_id", "embedding",
+      graft.operators.Similarity.centroidsDF(s, cents), tau = -1.0)
+  }
 
   private def query(n: String): (SparkSession, String) => DataFrame =
     EXTRA.getOrElse(n, SparkEntry.queries(n))
@@ -113,6 +156,7 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     ensureData(spark)
+    ensureRelationalTiles(spark)
     val names = if (args.nonEmpty) args.toSeq else DEFAULT
     // JIT/codegen warmup at the smallest SF
     names.foreach { n =>
@@ -131,6 +175,11 @@ object ScaleSmoke {
         // accumulation (a harness artifact — production streams are one
         // long-running query), not the query
         graft.queries.StreamQueries.prestage(d)
+        // setup-phase queries (Bench contract) and the memoized-codebook
+        // e11 rows: run once untimed so the measured number is the
+        // steady-state serving/query side, matching Bench semantics
+        if (SparkEntry.setupQueries.contains(n) || n.startsWith("e11_pairs"))
+          query(n)(spark, d).count()
         System.gc(); Thread.sleep(150)
         val t0 = System.nanoTime()
         val rows = query(n)(spark, d).count()

@@ -216,6 +216,14 @@ class PlansSpec extends SparkTestBase {
     assert(!p89.contains("CartesianProduct") && !p89.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d35 (dup spans): shuffles key on the 8-byte gram digest, never the string") {
+    val p = plan("d35_dupspan")
+    assert(p.contains("Exchange hashpartitioning(gh"),
+      "gram aggregation and join-back must shuffle on the xxhash64 digest")
+    assert(!p.contains("Exchange hashpartitioning(gram"),
+      "a shuffle keyed on the raw gram string defeats the digest-first design")
+  }
+
   test("q90 (bucketed layout): join + aggregate run with ZERO hash exchanges") {
     val p = plan("q90_bucketed_join")
     assert(p.contains("Bucketed: true") &&
