@@ -1,0 +1,213 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Aggregate navigation: a Catalyst optimizer rule that rewrites an
+  * aggregate over a registered base table to a re-aggregation of a much
+  * smaller materialized summary table — the classic OLAP summary-table
+  * rewrite (Goldstein & Larson, SIGMOD 2001 "Optimizing queries using
+  * materialized views"). The reference engine (like most OLAP engines)
+  * answers repeated roll-up queries by scanning the fact table; at 100 TB
+  * the same query family should be answered from a pre-aggregated MV whose
+  * size is the GROUP-KEY cardinality, not the corpus — the rewrite turns a
+  * full fact scan into a scan of (typically) a few thousand rows, and the
+  * MV itself is maintainable incrementally (see
+  * [[graft.operators.IncrementalAgg]] — the same merge algebra keeps the
+  * summary fresh from deltas without a base rescan).
+  *
+  * A query rewrites iff, against one registered [[MvDef]]:
+  *   - its grouping keys are a SUBSET of the MV's grouping columns (the MV
+  *     is a finer roll-up, so re-aggregating its partials is exact);
+  *   - every `Filter` between the aggregate and the scan references only
+  *     MV grouping columns (the predicate transfers to the MV verbatim —
+  *     partial groups are never split by such a filter);
+  *   - every aggregate call matches a registered measure by CANONICAL SQL
+  *     (derived from the analyzed MV definition at registration, so
+  *     arbitrary input expressions — e.g. `sum(cast(x as decimal))` — key
+  *     exactly, with zero name-mangling drift) and is neither DISTINCT nor
+  *     FILTERed (partials cannot serve either).
+  *
+  * Re-aggregation: sum→sum, count→sum, min→min, max→max of the stored
+  * partial, cast back to the original aggregate's result type (a widened
+  * decimal sum-of-sums narrows losslessly — the value is the same sum).
+  * Expressions AROUND the aggregates (final casts, sum/count ratios) are
+  * preserved by replacing each aggregate node in place, so derived
+  * measures rewrite for free. Exactness requires an associative partial —
+  * which is why callers register decimal (not double) sums; min/max/count
+  * are exact on any type.
+  *
+  * Grouping-only (`groupings.nonEmpty`) by design: a global aggregate over
+  * an empty base yields one row (`count = 0`) while the empty MV would
+  * yield none — the guard sidesteps the classic empty-roll-up bug.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** One registered summary table.
+    *
+    * @param mvRel     analyzed relation of the MV parquet (re-instanced per
+    *                  rewrite so exprIds never collide across matches)
+    * @param groupCols MV grouping columns (stored under base-table names)
+    * @param measures  canonical-SQL aggregate key → (rollup fn, mv column)
+    */
+  final case class MvDef(
+      basePath: String,
+      mvRel: LogicalRelation,
+      groupCols: Set[String],
+      measures: Map[String, (String, String)])
+
+  private val registry = new ConcurrentHashMap[String, MvDef]()
+
+  /** Registers `mvPath` (already written) as the materialization of the
+    * aggregate `mvDef` (aliases = MV column names) over the single-path
+    * base table at `basePath`. `rollups` maps each MV measure column to
+    * its re-aggregation function ("sum" | "min" | "max" — count partials
+    * roll up via "sum"). Idempotent; also installs this rule into the
+    * session's `experimental.extraOptimizations` (the user-provided batch
+    * that runs after pushdown/pruning, where the scan shape is final). */
+  def register(
+      spark: SparkSession, basePath: String, mvDef: DataFrame, mvPath: String,
+      groupCols: Seq[String], rollups: Map[String, String]): Unit = {
+    val aggPlan = mvDef.queryExecution.analyzed.collectFirst {
+      case a: Aggregate => a
+    }.getOrElse(throw new IllegalArgumentException(
+      s"MV definition for $basePath is not an aggregate"))
+    val measures = aggPlan.aggregateExpressions.collect {
+      case Alias(ae: AggregateExpression, name) if rollups.contains(name) =>
+        ae.aggregateFunction.sql(isDistinct = false) -> (rollups(name), name)
+    }.toMap
+    require(measures.size == rollups.size,
+      s"MV definition for $basePath: ${rollups.keySet -- measures.values.map(_._2)} not found as aggregate aliases")
+    val mvRel = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr
+    }.getOrElse(throw new IllegalStateException(s"$mvPath is not a file relation"))
+    registry.put(basePath, MvDef(basePath, mvRel, groupCols.toSet, measures))
+    if (!spark.experimental.extraOptimizations.contains(MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite
+    ()
+  }
+
+  /** Test/benchmark hook: forget every registered MV. */
+  def clear(): Unit = registry.clear()
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (registry.isEmpty) plan
+    else plan.transformUp {
+      case agg @ Aggregate(groupings, aggExprs, child, _) if groupings.nonEmpty =>
+        rewrite(groupings, aggExprs, child).getOrElse(agg)
+    }
+
+  /** Peels attribute-only Projects and Filters down to a single-path file
+    * scan; anything else (joins, expressions in projections) disqualifies. */
+  private def scanOf(plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+    plan match {
+      case lr: LogicalRelation => Some((lr, Nil))
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        scanOf(c)
+      case Filter(cond, c) =>
+        scanOf(c).map { case (lr, fs) => (lr, cond +: fs) }
+      case _ => None
+    }
+
+  private def pathOf(lr: LogicalRelation): Option[String] = lr.relation match {
+    case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
+      case p :: Nil => Some(p.toUri.getPath)
+      case _        => None
+    }
+    case _ => None
+  }
+
+  private val debug = sys.env.contains("GRAFT_MV_DEBUG")
+
+  private def rewrite(
+      groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val scan = scanOf(child)
+    if (debug) println(s"[mv] scan=${scan.map(_._1.simpleString(80))} path=${scan.flatMap(s => pathOf(s._1))} registry=${registry.keySet()}")
+    if (scan.isEmpty) return None
+    val (lr, filters) = scan.get
+    val mv = pathOf(lr).flatMap(p => Option(registry.get(p))).getOrElse(return None)
+    if (debug) println(s"[mv] matched def; measures=${mv.measures.keySet} aggKeys=${aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae.aggregateFunction.sql(isDistinct = false) })}")
+
+    val groupAttrs = groupings.map {
+      case a: AttributeReference if mv.groupCols(a.name) => a
+      case g => if (debug) println(s"[mv] grouping disqualifies: $g"); return None
+    }
+    if (!filters.forall(_.references.forall(r => mv.groupCols(r.name)))) {
+      if (debug) println(s"[mv] filter disqualifies: $filters")
+      return None
+    }
+
+    val rel = mv.mvRel.newInstance()
+    val byName = rel.output.map(a => a.name -> a).toMap
+    val groupNames = groupAttrs.map(_.name).toSet
+
+    def reagg(ae: AggregateExpression): Option[Expression] =
+      if (ae.isDistinct || ae.filter.nonEmpty) None
+      else mv.measures.get(ae.aggregateFunction.sql(isDistinct = false)).map {
+        case (rollup, mvCol) =>
+          val fn: AggregateFunction = rollup match {
+            case "sum" => Sum(byName(mvCol))
+            case "min" => Min(byName(mvCol))
+            case "max" => Max(byName(mvCol))
+          }
+          val re = AggregateExpression(fn, Complete, isDistinct = false)
+          if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+      }
+
+    // Rebuild each output expression over the MV: aggregate nodes swap for
+    // their re-aggregation (wrapping casts/ratios survive untouched);
+    // remaining references remap by name — outside an aggregate the
+    // analyzer only admits grouping columns, and transform's descent into
+    // a just-inserted replacement sees MV attributes, which byName maps to
+    // themselves. Anything unmappable disqualifies the whole aggregate.
+    var ok = true
+    // transform descends into just-inserted replacements, whose inner
+    // aggregate would re-match (and fail the measure lookup) — track the
+    // inserted nodes by IDENTITY and pass them through untouched.
+    val inserted = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Expression, java.lang.Boolean]())
+    val newAggs: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference if groupNames(a.name) =>
+        Alias(byName(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(body, name) =>
+        val newBody = body.transform {
+          case ae: AggregateExpression if !inserted.contains(ae) =>
+            reagg(ae) match {
+              case Some(e) =>
+                e.foreach { case x: AggregateExpression => inserted.add(x); () case _ => }
+                e
+              case None =>
+                if (debug) println(s"[mv] no measure for: ${ae.aggregateFunction.sql(isDistinct = false)}")
+                ok = false; ae
+            }
+          case a: AttributeReference =>
+            byName.get(a.name) match {
+              case Some(m) => m
+              case None    => if (debug) println(s"[mv] unmapped attr: $a"); ok = false; a
+            }
+        }
+        Alias(newBody, name)(exprId = al.exprId)
+      case other => if (debug) println(s"[mv] aggExpr disqualifies: $other"); ok = false; aggExprs.head
+    }
+    if (!ok) return None
+
+    val newGroupings = groupAttrs.map(a => byName(a.name))
+    val filtered = filters
+      .map(_.transform { case a: AttributeReference => byName(a.name) })
+      .reduceOption(And)
+      .map(Filter(_, rel): LogicalPlan)
+      .getOrElse(rel)
+    // Explicit pruning projection: the column-pruning batch already ran.
+    val refs = AttributeSet(newGroupings ++ newAggs.flatMap(_.references))
+    val pruned = Project(rel.output.filter(refs.contains), filtered)
+    Some(Aggregate(newGroupings, newAggs, pruned))
+  }
+}

@@ -1100,6 +1100,35 @@ object RelationalQueries {
           dsum(col("l_extendedprice")).as("sum_price"),
           max(col("o_orderpriority")).as("priority"))
         .orderBy("l_orderkey")
+    }),
+
+    // --- MV aggregate navigation (plans/MvRewrite): the query is written
+    //     against the FACT TABLE — filter + roll-up over lineitem — and the
+    //     optimizer rule rewrites it to re-aggregate the registered summary
+    //     table (grouped one level finer, by returnflag×linestatus×shipmode).
+    //     At 100 TB this answers the query family from a few-thousand-row
+    //     MV instead of a fact scan, and the MV stays fresh via the d34
+    //     IncrementalAgg merge algebra. Exactness by construction: the MV
+    //     stores DECIMAL sum partials (associative), long counts, min/max —
+    //     so sum-of-sums ≡ direct sum and the DuckDB oracle (which scans
+    //     the fact table) hash-matches. The derived average (sum/count)
+    //     rewrites too — aggregate nodes are replaced IN PLACE inside the
+    //     surrounding expression. The quantity filter references an MV
+    //     grouping column, so the predicate transfers to the MV verbatim.
+    //     PlansSpec asserts the physical plan scans graft_mv files and
+    //     lineitem.parquet appears NOWHERE. ---------------------------------
+    "q91_mv_rewrite" -> ((s, d) => {
+      lineitemMv(s, d)
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") <= 10)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("n_lines"),
+          min(col("l_discount")).as("min_disc"),
+          max(col("l_tax")).as("max_tax"))
+        .orderBy("l_returnflag", "l_linestatus")
     })
   )
 
@@ -1136,6 +1165,35 @@ object RelationalQueries {
       }
       (liTab, ordTab)
     }
+
+  /** One-time lineitem summary MV for q91 (setup phase): written under
+    * [[materialize]]'s tmp-dir contract, then registered with
+    * [[graft.plans.MvRewrite]] so the optimizer serves matching roll-ups
+    * from it. Registration is per-(JVM, dir) but re-run against the CURRENT
+    * session on every call — registry entries survive a session swap, the
+    * `extraOptimizations` installation must follow the live session (same
+    * lesson as [[bucketedTables]]'s catalog gate). Decimal sum partials keep
+    * re-aggregation exact; the count partial rolls up via sum. */
+  private def lineitemMv(s: SparkSession, d: String): Unit = synchronized {
+    def mvDef = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("mv_sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("mv_sum_price"),
+        count(lit(1)).as("mv_cnt"),
+        count(col("l_extendedprice")).as("mv_cnt_price"),
+        min(col("l_discount")).as("mv_min_disc"),
+        max(col("l_tax")).as("mv_max_tax"))
+    val p = materialize("mv", d) { path =>
+      mvDef.coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    graft.plans.MvRewrite.register(s,
+      basePath = s"$d/lineitem.parquet", mvDef = mvDef, mvPath = p,
+      groupCols = Seq("l_returnflag", "l_linestatus", "l_quantity"),
+      rollups = Map("mv_sum_qty" -> "sum", "mv_sum_price" -> "sum",
+        "mv_cnt" -> "sum", "mv_cnt_price" -> "sum",
+        "mv_min_disc" -> "min", "mv_max_tax" -> "max"))
+  }
 
   /** Decimal-exact revenue: sum(extendedprice × (1 − discount)) → double. */
   private def revenue: Column = {
@@ -1675,6 +1733,21 @@ object RelationalQueries {
                 AS sum_price,
               max(o_orderpriority) AS priority
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY l_orderkey ORDER BY l_orderkey"""
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+
+    "q91_mv_rewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / count(l_extendedprice) AS avg_price,
+              count(*) AS n_lines,
+              min(l_discount) AS min_disc,
+              max(l_tax) AS max_tax
+         FROM lineitem
+         WHERE l_quantity <= 10
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus"""
   )
 }

@@ -224,6 +224,26 @@ class PlansSpec extends SparkTestBase {
       "a shuffle keyed on the raw gram string defeats the digest-first design")
   }
 
+  test("q91 (MV rewrite): roll-up served from the summary MV, no fact scan") {
+    val p = plan("q91_mv_rewrite")
+    assert(p.contains("graft_mv_"),
+      "aggregate navigation must rewrite the query to scan the summary MV")
+    assert(!p.contains("lineitem.parq"),
+      "a lineitem FileScan means the MvRewrite rule did not fire")
+    // ground truth: the same query with the rule stripped scans the fact
+    // table and returns IDENTICAL rows (exactness of partial re-aggregation)
+    val mvRows = SparkEntry.queries("q91_mv_rewrite")(spark, sf).collect().toSeq
+    val base = SparkEntry.queries("q91_mv_rewrite")(spark, sf)
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_ == graft.plans.MvRewrite)
+      assert(base.queryExecution.executedPlan.toString.contains("lineitem.parq"),
+        "control run must scan the fact table once the rule is stripped")
+      assert(base.collect().toSeq == mvRows)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("q90 (bucketed layout): join + aggregate run with ZERO hash exchanges") {
     val p = plan("q90_bucketed_join")
     assert(p.contains("Bucketed: true") &&
