@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod, when}
 
 /** Physical-plan regression tests: the load-bearing plan properties from
   * the PLANS.md audits, asserted in sbt so a planner/formulation regression
@@ -203,6 +203,43 @@ class PlansSpec extends SparkTestBase {
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits a skewed shuffle-join partition (join shapes stay skew-eligible)") {
+    // complements the MANUAL salting rows (q55/q56, planning-time, for known
+    // hot keys): AQE skew handling is the runtime path for skew you didn't
+    // predict. Thresholds lowered to fire at test size; cluster defaults
+    // (256 MB) fire on their own. Pins that a plain equi-key sort-merge
+    // join — our big-big join shape — remains eligible: AQE marks the join
+    // skew=true and splits the hot partition into parallel reads.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~99% of fact rows land on key 7 — one hot shuffle partition
+      val fact = spark.range(300000).select(
+        when(pmod(col("id"), lit(100)) =!= 0, lit(7L))
+          .otherwise(pmod(col("id"), lit(50))).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(50).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, Seq("k"))
+      // drain THIS dataframe so its adaptive plan fully finalizes
+      import scala.jdk.CollectionConverters._
+      assert(joined.toLocalIterator().asScala.length == 300000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") && p.contains("AQEShuffleRead skewed"),
+        s"expected AQE to mark and split the skewed join partition, got:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 
