@@ -279,6 +279,47 @@ object TextAnalysis {
       .drop("__q1", "__q3")
   }
 
+  /** Corpus-frequency fluency prior: for each document, the MEAN corpus
+    * occurrence count of its word bigrams — the count-based language-model
+    * signal (the unsmoothed heart of KenLM-style count LMs) that separates
+    * template/boilerplate text (bigrams the corpus repeats constantly) from
+    * distinctive or noisy text (bigrams seen nowhere else). Complements
+    * [[duplicateSpans]] (which asks "is this EXACT span repeated?") with a
+    * soft frequency prior, and generalizes d22's rare-token fraction from
+    * unigrams to bigrams. Output: (doc_id, n_bigrams, freq_sum, mean_freq);
+    * docs with fewer than two tokens report zeros.
+    *
+    * Scale shape: identical digest-first contract as [[duplicateSpans]] —
+    * one single-pass [[graft.functions.WordNGrams]] kernel scan per side,
+    * all shuffles keyed on xxhash64(gram) (8-byte keys, never gram
+    * strings); the frequency table aggregates with map-side combine before
+    * its one shuffle. The mean is one IEEE double division of two exact
+    * longs, so the DuckDB oracle hash-matches. Requires
+    * [[graft.functions.GraftFunctions.register]]. */
+  def bigramFluency(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        explode_outer(graft.functions.GraftFunctions
+          .wordNgramsOf(col(textCol), 2)).as("gram"))
+      // same null contract as duplicateSpans: keep short docs' null row
+      .select(col("doc_id"),
+        when(col("gram").isNotNull, xxhash64(col("gram"))).as("gh"))
+    val freq = grams(docs)
+      .filter(col("gh").isNotNull)
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("__freq"))
+    grams(docs)
+      .join(freq, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("gh")).as("n_bigrams"),
+        coalesce(sum(col("__freq")), lit(0L)).as("freq_sum"),
+        coalesce(sum(col("__freq")).cast("double") /
+          when(count(col("gh")) > 0, count(col("gh"))), lit(0.0))
+          .as("mean_freq"))
+  }
+
   /** Duplicate-span detection (the corpus-level signal behind exact
     * substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
     * Language Models Better"): for each document, the fraction of its word

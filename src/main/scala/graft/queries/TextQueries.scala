@@ -789,6 +789,16 @@ object TextQueries {
       TextAnalysis.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
           n = 5, minDocs = 2)
         .orderBy("doc_id")
+    }),
+
+    // --- d36: corpus-bigram fluency prior (count-LM signal; soft
+    //     complement to d35's exact-span repetition and d22's rare-token
+    //     fraction). Same digest-first scale contract as d35; the mean is
+    //     one IEEE division of two exact longs → full DuckDB replica. ------
+    "d36_bigram_fluency" -> ((s, d) => {
+      GraftFunctions.register(s)
+      TextAnalysis.bigramFluency(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -1475,6 +1485,29 @@ object TextQueries {
                 CASE WHEN coalesce(per.n_grams, 0) > 0
                      THEN CAST(per.n_dup AS DOUBLE) / per.n_grams
                      ELSE 0.0 END AS dup_frac
+         FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+
+    "d36_bigram_fluency" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> t <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, array_to_string(toks[j:j+1], ' ') AS gram
+           FROM tok, LATERAL unnest(range(1, len(toks))) AS t(j)
+           WHERE len(toks) >= 2),
+         cnt AS (SELECT gram, count(*) AS freq FROM g GROUP BY gram),
+         per AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  CAST(sum(freq) AS BIGINT) AS freq_sum
+           FROM g JOIN cnt USING (gram) GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(per.n_bigrams, 0) AS n_bigrams,
+                coalesce(per.freq_sum, 0) AS freq_sum,
+                CASE WHEN coalesce(per.n_bigrams, 0) > 0
+                     THEN CAST(per.freq_sum AS DOUBLE) / per.n_bigrams
+                     ELSE 0.0 END AS mean_freq
          FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""
   )
 }

@@ -928,6 +928,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((3L, 1L, 1.0 / 3.0)))
   }
 
+  test("bigramFluency: copied docs double their freq, unique stay 1.0, short docs zero") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),   // bigrams: (alpha beta), (beta gamma)
+      (2L, "alpha beta gamma"),   // exact copy → every bigram freq 2
+      (3L, "one two three"),      // unique bigrams → mean 1.0
+      (4L, "solo"),               // 1 token → 0 bigrams
+      (5L, "alpha beta tail")     // shares (alpha beta): freqs 3 and 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramFluency(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_bigrams"),
+      out(i).getAs[Long]("freq_sum"), out(i).getAs[Double]("mean_freq"))
+    // docs 1/2: (alpha beta) occurs 3× corpus-wide (docs 1,2,5), (beta gamma) 2×
+    assert(row(0) == ((2L, 5L, 2.5)) && row(1) == ((2L, 5L, 2.5)))
+    assert(row(2) == ((2L, 2L, 1.0)))
+    assert(row(3) == ((0L, 0L, 0.0)))
+    assert(row(4) == ((2L, 4L, 2.0))) // (alpha beta)=3 + (beta tail)=1
+  }
+
   test("Multimodal: deterministic stub features, schema, modality stats") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(docs), dim = 8)
