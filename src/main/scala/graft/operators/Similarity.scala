@@ -41,6 +41,45 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** kNN label agreement — label-noise screening / embedding-space quality
+    * eval (the neighbor-agreement heuristic behind Wilson's editing rule
+    * and Confident-Learning-style mislabel detection): for each probe, take
+    * its k nearest corpus neighbors by cosine, majority-vote their labels
+    * (ties break to the SMALLEST label — deterministic, engine-portable),
+    * and compare against the probe's own label. Probes whose neighborhoods
+    * vote against them are mislabel/outlier candidates; corpus-level
+    * agreement rate tracks how well the embedding space separates labels.
+    *
+    * Output: (probe_id, own_label, majority_label, majority_votes, agrees).
+    *
+    * Scale path: identical to [[bruteForceTopK]] — probes broadcast against
+    * ONE corpus scan, per-probe windowed top-k (WindowGroupLimit heaps, no
+    * full sort), then a label join + vote aggregate over k·probes rows. At
+    * corpus×corpus scale, feed the ANN shortlist (e05 IVF / e10 IVFADC)
+    * instead of the exact ranking — majority agreement is robust to
+    * approximate neighbor sets. */
+  def knnLabelAgreement(
+      emb: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(emb, probes, idCol, vecCol, k)
+    val nLbl = emb.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("n_label"))
+    val votes = nn.join(nLbl, Seq("neighbor_id"))
+      .groupBy(col("probe_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("votes").desc, col("n_label").asc)
+    val maj = votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("probe_id"), col("n_label").as("majority_label"),
+        col("votes").as("majority_votes"))
+    maj.join(probes.select(col(idCol).as("probe_id"),
+        col(labelCol).as("own_label")), Seq("probe_id"))
+      .select(col("probe_id"), col("own_label"), col("majority_label"),
+        col("majority_votes"),
+        (col("own_label") === col("majority_label")).as("agrees"))
+  }
+
   /** Exact maximum-inner-product search (MIPS): top-k by raw dot product —
     * the retrieval scoring used when embeddings are NOT length-normalized
     * (e.g. DPR-style trained encoders, where vector norm carries signal and

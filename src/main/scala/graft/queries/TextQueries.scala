@@ -727,6 +727,20 @@ object TextQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // --- e12: kNN label agreement (label-noise screening; Wilson editing /
+    //     Confident-Learning neighbor heuristic). Rides e01's exactly-
+    //     replicated kNN ranking (cosine desc, neighbor_id asc — total
+    //     order, so both engines agree on the k-set) + a deterministic
+    //     majority vote (ties → smallest label). Full DuckDB replica. -------
+    "e12_knn_label_agreement" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.knnLabelAgreement(emb, probes, "vec_id", "embedding",
+          "label", k = 5)
+        .orderBy("probe_id")
+    }),
+
     // --- SemDeDup (Abbas et al. 2023): k-means-cluster-scoped semantic
     //     dedup. The corpus is the embeddings table plus planted
     //     deterministic near-clones (id+1e6, elementwise 0.05·sin perturb,
@@ -1457,6 +1471,33 @@ object TextQueries {
            FROM scored)
          SELECT probe_id, rank, neighbor_id, floor(dot * 10000) / 10000 AS dot_q
          FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""",
+
+    "e12_knn_label_agreement" ->
+      """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(p.embedding) + 1),
+               i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+           FROM embeddings e, p
+           WHERE p.vec_id <> e.vec_id),
+         ranked AS (
+           SELECT probe_id, neighbor_id,
+                  row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM scored),
+         votes AS (
+           SELECT r.probe_id, e.label AS n_label, count(*) AS votes
+           FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
+           WHERE r.rank <= 5 GROUP BY r.probe_id, e.label),
+         maj AS (
+           SELECT probe_id, n_label, votes,
+                  row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, n_label ASC) AS rn
+           FROM votes)
+         SELECT m.probe_id, e.label AS own_label, m.n_label AS majority_label,
+                m.votes AS majority_votes, (e.label = m.n_label) AS agrees
+         FROM maj m JOIN embeddings e ON m.probe_id = e.vec_id
+         WHERE m.rn = 1 ORDER BY m.probe_id""",
     "e11_semdedup" ->
       """SELECT true AS exact_is_planted, true AS precision_1,
               true AS recall_ge_070, true AS paired_clones_dropped,

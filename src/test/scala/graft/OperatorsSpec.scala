@@ -947,6 +947,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((2L, 4L, 2.0))) // (alpha beta)=3 + (beta tail)=1
   }
 
+  test("knnLabelAgreement: majority vote, deterministic tie-break, agree flag") {
+    def unit(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // cluster A near 0°, cluster B near 90° — neighborhoods don't mix at k=3
+    val emb = Seq(
+      (0L, unit(0), 1), (1L, unit(5), 2), (2L, unit(10), 2), (3L, unit(15), 1),
+      (10L, unit(90), 3), (11L, unit(85), 5), (12L, unit(95), 3), (13L, unit(100), 5)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAgreement(
+        emb, emb.filter(col("vec_id").isin(0L, 10L)),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("probe_id").collect()
+    // probe 0: neighbors 1,2,3 → labels {2,2,1} → majority 2, disagrees
+    assert(out(0).getAs[Int]("majority_label") == 2 &&
+      out(0).getAs[Long]("majority_votes") == 2L &&
+      !out(0).getAs[Boolean]("agrees"))
+    // probe 10: neighbors 11,12,13 → labels {5,3,5} → majority 5, disagrees
+    assert(out(1).getAs[Int]("majority_label") == 5 &&
+      !out(1).getAs[Boolean]("agrees"))
+    // tie: probe 10 vs exactly one neighbor of each label → smallest label wins
+    val tie = Similarity.knnLabelAgreement(
+        emb.filter(col("vec_id").isin(10L, 11L, 12L)),
+        emb.filter(col("vec_id") === 10L),
+        "vec_id", "embedding", "label", k = 2)
+      .collect()
+    assert(tie.length == 1 && tie(0).getAs[Int]("majority_label") == 3 &&
+      tie(0).getAs[Long]("majority_votes") == 1L &&
+      tie(0).getAs[Boolean]("agrees"))
+  }
+
   test("Multimodal: deterministic stub features, schema, modality stats") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(docs), dim = 8)
