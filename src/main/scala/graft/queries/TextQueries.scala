@@ -677,6 +677,33 @@ object TextQueries {
         .orderBy("modality", "sampled_frames")
     }),
 
+    // --- m03: duplicate-media detection — the image/audio dedup pipeline
+    //     (payload → stub-decoded feature vector → SRP-banded cosine pairs,
+    //     e04's PRODUCTION scale path, not the brute-force verifier).
+    //     Clones planted as in e11 keep the gate non-trivial at every SF
+    //     (the raw corpus has exact text dupes only at sf0.1). The oracle
+    //     is sharp WITHOUT replicating the hash stub: identical text ⇒
+    //     identical payload ⇒ identical features ⇒ identical SRP keys ⇒
+    //     candidate pair with cosine exactly 1 (recall 1 BY CONSTRUCTION,
+    //     no banding luck — same-vector signatures collide in every band);
+    //     distinct texts ⇒ hash-mixed 64-d features with cosine ≈ N(0, 1/8)
+    //     ⇒ never ≥ 0.999 (≈8σ). So the pair set == the identical-text
+    //     pair set, plain SQL. ---------------------------------------------
+    "m03_media_neardup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(pmod(col("doc_id"), lit(40)) === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val feats = Multimodal.extractFeatures(
+          Multimodal.assetsFromDocuments(corpus))
+        .toDF().select(col("asset_id"), col("features"))
+      Dedup.embeddingNearDups(feats, "asset_id", "features",
+          threshold = 0.999)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- sliding-window chunking (long-context / RAG prep): 64-token
     //     windows, 16-token overlap. Entirely row-local — one map stage,
     //     no shuffle; md5 of each chunk makes the content hash-checkable
@@ -1414,6 +1441,16 @@ object TextQueries {
                                    ELSE 1 END AS INT) AS sampled_frames,
                 count(*) AS n
          FROM a GROUP BY 1, 2 ORDER BY modality, sampled_frames""",
+
+    "m03_media_neardup" ->
+      """WITH c AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 40 = 7)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM c a JOIN c b ON a.doc_id < b.doc_id AND a.text = b.text
+         ORDER BY id_a, id_b""",
     // 64-token windows, stride 48 (overlap 16): chunk i slices tokens
     // [i*48+1, i*48+64] (1-based inclusive); n_chunks = 1 for n <= 64 else
     // ceil((n-64)/48)+1. DuckDB list slicing clamps at the end like Spark's
