@@ -53,12 +53,19 @@ def main(sf_dir, out_dir):
         attempted = set(json.load(open(f"{out_dir}/attempted.json")))
     except Exception:
         attempted = set(oracle)  # pre-manifest dump: expect everything
+    # failures.json (written by Verify): query -> exception message, so a
+    # failed query reports its actual error instead of a generic NO-OUTPUT
+    try:
+        failures = json.load(open(f"{out_dir}/failures.json"))
+    except Exception:
+        failures = {}
     results = {}
     for name in sorted(oracle):
         if name not in attempted:
             continue
         if not os.path.isdir(f"{out_dir}/{name}"):
-            results[name] = "NO-OUTPUT: query failed before its write (see Verify stderr)"
+            msg = failures.get(name, "query failed before its write (see Verify stderr)")
+            results[name] = f"NO-OUTPUT: {msg}"
             continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")

@@ -69,6 +69,19 @@ object Bench {
     // the measured phase starts
     System.gc()
     Thread.sleep(500)
+    // environment-drift calibration: a fixed, data-independent query timed
+    // immediately before and after the measured suite. Its absolute time
+    // (and the first/last ratio) lets a reader separate machine-level
+    // drift between rounds (identical code, slower box → calibration moves
+    // too) from real regressions (calibration steady, queries moved).
+    def calibration(): Double = {
+      import org.apache.spark.sql.functions.sum
+      val t0 = System.nanoTime()
+      spark.range(10000000L).agg(sum("id")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibration() // untimed: compile the query shape once
+    val calFirst = calibration()
     // a failed query must not masquerade as a normal-looking time: log it,
     // count it into the JSON line, and make the whole run exit nonzero
     var errors = 0
@@ -103,6 +116,7 @@ object Bench {
       name -> dt
     }
     System.err.println(s"[bench] GC time inside timed regions: $gcInQuery ms")
+    val calLast = calibration()
     // Millisecond precision keeps the single JSON line well under the
     // driver's stdout tail window (full-precision doubles pushed the line
     // past it in round 3 and the driver recorded parsed:null).
@@ -118,11 +132,12 @@ object Bench {
     // (b) a second, compact line (summary only, no per-query map — always
     // well under any tail window) is printed LAST so a line-wise JSON
     // parser scanning the tail finds a complete object.
+    val cal = s""""cal_first":${fmt(calFirst)},"cal_last":${fmt(calLast)}"""
     val line =
-      s"""{"queries":$qs,"errors":$errors,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
+      s"""{"queries":$qs,"errors":$errors,$cal,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
     println(line)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"n_queries":${results.size},"queries_file":"BENCH.out","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"n_queries":${results.size},$cal,"queries_file":"BENCH.out","sf":"$sfDir"}""")
     // sbt prefixes stdout with "[info] " inside the driver's captured tail;
     // BENCH.out is the clean machine-parseable artifact with the full map
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"), line + "\n")

@@ -45,6 +45,7 @@ object SparkEntry {
   val setupQueries: Seq[String] =
     Seq("q71_orc_roundtrip", "q74_csv_roundtrip", "q90_bucketed_join",
       "q91_mv_rewrite", // summary-MV parquet write + MvRewrite registration
+      "q92_mv_navigate", // second (coarser) summary MV write + registration
       "s02_stream_ingest",
       "s03_stream_dedup", // stages its two-copy events dir on first call
       "e06_ivf_kmeans_recall", "e08_pq_recall",

@@ -25,17 +25,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * Verify/Bench/tests) the column arrives as LONG nanos; convert with
-    * exact integral division (a double division would lose precision on
-    * ~1.7e18 nano epochs). Matches DuckDB's epoch_us(ts) truncation. */
+  /** events.ts arrives from parquet in one of three physical shapes,
+    * depending on how the driver generated the file:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/
+    *     tests) the column arrives as LONG nanos. Convert with exact
+    *     integral division (a double division would lose precision on
+    *     ~1.7e18 nano epochs). Matches DuckDB's epoch_us(ts) truncation.
+    *   - timestamp[us] isAdjustedToUTC=false → Spark TIMESTAMP_NTZ. The
+    *     session timezone is pinned to UTC everywhere (Verify/Bench/tests/
+    *     Context), so a cast to TIMESTAMP is instant-exact and matches
+    *     DuckDB, which reads the same column as a plain TIMESTAMP.
+    *   - timestamp[us] UTC-adjusted → already TimestampType; pass through.
+    * Every downstream consumer (unix_micros, withWatermark, window) gets a
+    * uniform TimestampType regardless of the file's vintage. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
@@ -50,8 +63,13 @@ object Tables {
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     if (registeredDir.get(spark) != sfDir) {
       // register first, record only on success — a failed registration must
-      // not poison the cache for the rest of the session
-      names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+      // not poison the cache for the rest of the session. `events` goes
+      // through the normalizing loader so SQL-path consumers of `ts` see
+      // the same TimestampType as the DataFrame path.
+      names.foreach { n =>
+        val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+        df.createOrReplaceTempView(n)
+      }
       registeredDir.put(spark, sfDir)
     }
 }

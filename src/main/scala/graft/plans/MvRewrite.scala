@@ -51,6 +51,8 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   /** One registered summary table.
     *
+    * @param mvPath    path of the MV parquet (re-registration key: a second
+    *                  register with the same path replaces, not duplicates)
     * @param mvRel     analyzed relation of the MV parquet (re-instanced per
     *                  rewrite so exprIds never collide across matches)
     * @param groupCols MV grouping columns (stored under base-table names)
@@ -58,11 +60,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   final case class MvDef(
       basePath: String,
+      mvPath: String,
       mvRel: LogicalRelation,
       groupCols: Set[String],
       measures: Map[String, (String, String)])
 
-  private val registry = new ConcurrentHashMap[String, MvDef]()
+  /** base path → ALL registered summary tables over that base. Real OLAP
+    * serving layers hold several roll-ups per fact table (a lattice of
+    * summary tables, Harinarayan/Rajaraman/Ullman SIGMOD'96); the rule
+    * navigates to the cheapest one that can answer. */
+  private val registry = new ConcurrentHashMap[String, Vector[MvDef]]()
 
   /** Registers `mvPath` (already written) as the materialization of the
     * aggregate `mvDef` (aliases = MV column names) over the single-path
@@ -87,7 +94,9 @@ object MvRewrite extends Rule[LogicalPlan] {
     val mvRel = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
       case lr: LogicalRelation => lr
     }.getOrElse(throw new IllegalStateException(s"$mvPath is not a file relation"))
-    registry.put(basePath, MvDef(basePath, mvRel, groupCols.toSet, measures))
+    val defn = MvDef(basePath, mvPath, mvRel, groupCols.toSet, measures)
+    registry.compute(basePath, (_, prev) =>
+      Option(prev).getOrElse(Vector.empty).filterNot(_.mvPath == mvPath) :+ defn)
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ MvRewrite
@@ -133,8 +142,24 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (debug) println(s"[mv] scan=${scan.map(_._1.simpleString(80))} path=${scan.flatMap(s => pathOf(s._1))} registry=${registry.keySet()}")
     if (scan.isEmpty) return None
     val (lr, filters) = scan.get
-    val mv = pathOf(lr).flatMap(p => Option(registry.get(p))).getOrElse(return None)
-    if (debug) println(s"[mv] matched def; measures=${mv.measures.keySet} aggKeys=${aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae.aggregateFunction.sql(isDistinct = false) })}")
+    val defs = pathOf(lr).flatMap(p => Option(registry.get(p))).getOrElse(return None)
+    // Navigate the summary lattice: fewest grouping columns = most
+    // aggregated = smallest table, so try candidates coarsest-first and
+    // take the first that can answer (a coarser MV that matches always
+    // dominates a finer one — both re-aggregate exactly, the coarser scans
+    // fewer rows).
+    defs.sortBy(_.groupCols.size)
+      .iterator
+      .map(mv => rewriteWith(mv, groupings, aggExprs, filters))
+      .collectFirst { case Some(plan) => plan }
+  }
+
+  /** Attempts the rewrite against ONE registered summary table; None if any
+    * grouping, filter, or aggregate disqualifies it. */
+  private def rewriteWith(
+      mv: MvDef, groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
+      filters: Seq[Expression]): Option[LogicalPlan] = {
+    if (debug) println(s"[mv] trying ${mv.mvPath} (${mv.groupCols.size} group cols); measures=${mv.measures.keySet} aggKeys=${aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae.aggregateFunction.sql(isDistinct = false) })}")
 
     val groupAttrs = groupings.map {
       case a: AttributeReference if mv.groupCols(a.name) => a

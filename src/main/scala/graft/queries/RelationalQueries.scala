@@ -1129,6 +1129,26 @@ object RelationalQueries {
           min(col("l_discount")).as("min_disc"),
           max(col("l_tax")).as("max_tax"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // --- MV lattice navigation: TWO summary tables are registered over
+    //     lineitem — the q91 roll-up (rf×ls×qty) and a COARSER one (rf×ls,
+    //     ~6 rows). This query matches both; the rule must navigate to the
+    //     coarser (fewest grouping columns = most aggregated = cheapest),
+    //     which PlansSpec asserts by path. q91's quantity filter still
+    //     disqualifies the coarse MV there (l_quantity is not among its
+    //     grouping columns), proving per-query selection, not a global
+    //     preference. Real OLAP serving layers hold exactly such a lattice
+    //     of summary tables per fact (Harinarayan et al., SIGMOD'96). ------
+    "q92_mv_navigate" -> ((s, d) => {
+      lineitemMv(s, d)
+      lineitemMv2(s, d)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag", "l_linestatus")
     })
   )
 
@@ -1193,6 +1213,28 @@ object RelationalQueries {
       rollups = Map("mv_sum_qty" -> "sum", "mv_sum_price" -> "sum",
         "mv_cnt" -> "sum", "mv_cnt_price" -> "sum",
         "mv_min_disc" -> "min", "mv_max_tax" -> "max"))
+  }
+
+  /** Second, COARSER lineitem summary (rf×ls only) for q92's lattice
+    * navigation — same registration contract as [[lineitemMv]]. Its own
+    * measure set deliberately omits min/max so q91's full measure list
+    * could never be served from it even without the filter guard. */
+  private def lineitemMv2(s: SparkSession, d: String): Unit = synchronized {
+    def mvDef = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("mv2_sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("mv2_sum_price"),
+        count(lit(1)).as("mv2_cnt"),
+        count(col("l_extendedprice")).as("mv2_cnt_price"))
+    val p = materialize("mv2", d) { path =>
+      mvDef.coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    graft.plans.MvRewrite.register(s,
+      basePath = s"$d/lineitem.parquet", mvDef = mvDef, mvPath = p,
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      rollups = Map("mv2_sum_qty" -> "sum", "mv2_sum_price" -> "sum",
+        "mv2_cnt" -> "sum", "mv2_cnt_price" -> "sum"))
   }
 
   /** Decimal-exact revenue: sum(extendedprice × (1 − discount)) → double. */
@@ -1747,6 +1789,16 @@ object RelationalQueries {
               max(l_tax) AS max_tax
          FROM lineitem
          WHERE l_quantity <= 10
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q92_mv_navigate" ->
+      """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / count(l_extendedprice) AS avg_price,
+              count(*) AS n_lines
+         FROM lineitem
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus"""
   )

@@ -85,14 +85,20 @@ object StreamQueries {
   private[graft] def eventsStreamFor(s: SparkSession, d: String): DataFrame =
     eventsStream(s, d)
 
-  /** readStream over the staged events dir, with the same NANOS→micros ts
-    * normalization as the batch path (Tables.events). */
+  /** readStream over the staged events dir, with the same ts normalization
+    * as the batch path (Tables.events): LONG nanos → micros, TIMESTAMP_NTZ
+    * → TIMESTAMP (instant-exact under the pinned UTC session). Watermarks
+    * require TimestampType, so every branch must land there. */
   private def eventsStream(s: SparkSession, d: String, copies: Int = 1): DataFrame = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val raw = s.readStream.schema(schema).parquet(stageEvents(d, copies))
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Run a streaming DataFrame to completion into a uniquely-named memory
@@ -316,6 +322,29 @@ object StreamQueries {
           sum(col("event_id")).as("id_sum"),
           (sum(floor(col("value") * 1000).cast("long")).cast("double") / 1000)
             .as("sum_value"))
+    }),
+
+    // --- s09: streaming dedup, DIGEST mode — the 100 TB path. State keys
+    //     are two independent xxhash64 halves of the FULL payload (16 bytes
+    //     per event regardless of payload width), vs s03's exact mode
+    //     whose state grows with the payload. Same two-copy staged input,
+    //     same oracle shape: the digests of identical rows collide by
+    //     construction, so the stream collapses back to the original
+    //     table (a false merge needs a 128-bit collision; see
+    //     EventStreams.streamingDedup scaladoc for the birthday bound). ------
+    "s09_stream_dedup_digest" -> ((s, d) => {
+      val deduped = EventStreams.streamingDedup(
+        eventsStream(s, d, copies = 2), "ts",
+        Seq("event_id", "user_id", "event_type", "value"),
+        watermark = "10 hours", exact = false)
+      withStatePartitions(s, 8) {
+        drain(deduped, complete = false)
+      }
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("event_id")).as("n_ids"),
+          sum(col("event_id")).as("id_sum"),
+          (sum(floor(col("value") * 1000).cast("long")).cast("double") / 1000)
+            .as("sum_value"))
     })
   )
 
@@ -441,6 +470,14 @@ object StreamQueries {
          FROM agg a JOIN lastt l USING (user_id)
          ORDER BY user_id""",
     "s03_stream_dedup" ->
+      """SELECT count(*) AS n_events,
+                count(DISTINCT event_id) AS n_ids,
+                CAST(sum(event_id) AS BIGINT) AS id_sum,
+                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS sum_value
+         FROM events""",
+    // digest-mode dedup collapses the doubled input to the original table
+    // (event_id is unique per copy, so full-payload dedup = id dedup)
+    "s09_stream_dedup_digest" ->
       """SELECT count(*) AS n_events,
                 count(DISTINCT event_id) AS n_ids,
                 CAST(sum(event_id) AS BIGINT) AS id_sum,

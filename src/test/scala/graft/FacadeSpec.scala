@@ -80,6 +80,16 @@ class FacadeSpec extends SparkTestBase {
     assert(!Name.parse("plain").isCaseSensitive && Name.parse("\"q\"").isCaseSensitive)
     // toString round-trips the delimited form
     assert(Name.parse(Name.caseSensitive("a\"b").toString) == Name.caseSensitive("a\"b"))
+    // qualified names (reference Name.scala:3-10 withNamespace): namespaces
+    // compare exactly and never case-fold; case rules on the base name are
+    // unchanged within a namespace; toString appends @namespace
+    val qualified = Name.caseInsensitive("name").withNamespace("t")
+    assert(qualified == Name.caseInsensitive("NAME").withNamespace("t"))
+    assert(qualified != Name.caseInsensitive("name"))
+    assert(qualified != Name.caseInsensitive("name").withNamespace("T"))
+    assert(Name.caseSensitive("name").withNamespace("t") != qualified.withNamespace("u"))
+    assert(qualified.toString == "name@t")
+    assert(qualified.hashCode == Name.caseInsensitive("name").hashCode)
 
     // facade resolution through the shim
     val people = context.lift(Person("a", 1), Person("b", 2))

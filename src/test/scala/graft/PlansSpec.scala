@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, lit, pmod, when}
+import org.apache.spark.sql.functions.{col, count, lit, pmod, when}
 
 /** Physical-plan regression tests: the load-bearing plan properties from
   * the PLANS.md audits, asserted in sbt so a planner/formulation regression
@@ -279,6 +279,25 @@ class PlansSpec extends SparkTestBase {
         "control run must scan the fact table once the rule is stripped")
       assert(base.collect().toSeq == mvRows)
     } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("q92 (MV lattice): coarsest matching MV wins; non-matching falls through") {
+    // q92 matches BOTH registered MVs (its keys ⊂ each MV's grouping set);
+    // navigation must pick the coarser rf×ls summary, not the rf×ls×qty one
+    val p = plan("q92_mv_navigate")
+    assert(p.contains("graft_mv2_"),
+      "lattice navigation must serve q92 from the coarser (smallest) MV")
+    assert(!p.contains("graft_mv_") && !p.contains("lineitem.parq"),
+      "q92 must touch neither the finer MV nor the fact table")
+    // q91 (quantity filter) still needs the finer MV — selection is
+    // per-query, not a global preference for the coarser table
+    val p91 = plan("q91_mv_rewrite")
+    assert(p91.contains("graft_mv_") && !p91.contains("graft_mv2_"))
+    // a roll-up outside both MVs' grouping sets falls through to the fact
+    val outside = Tables.lineitem(spark, sf)
+      .groupBy(col("l_shipdate")).agg(count(lit(1)).as("n"))
+    assert(outside.queryExecution.executedPlan.toString.contains("lineitem.parq"),
+      "a grouping column no MV covers must scan the fact table")
   }
 
   test("q90 (bucketed layout): join + aggregate run with ZERO hash exchanges") {

@@ -5,6 +5,20 @@ package graft
   * consistent with the query map (the driver hash-compares per key). */
 class QueriesSpec extends SparkTestBase {
 
+  // fast fail on testdata/schema drift: force ANALYSIS (no execution) of
+  // every declared query up front — seconds of runtime, so a regenerated
+  // parquet vintage (e.g. events.ts arriving as TIMESTAMP_NTZ, round 9/10)
+  // surfaces in the first moments of every `sbt test`, not 10 minutes in.
+  test("all declared queries analyze at sf0.001") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf).schema; None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    assert(bad.isEmpty, s"${bad.size} queries fail analysis:\n${bad.mkString("\n")}")
+  }
+
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -214,10 +214,16 @@ class StreamingSpec extends SparkTestBase {
       dir.resolve("events.parquet"))
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val stream0 = spark.readStream.schema(raw.schema).parquet(dir.toString)
-    val stream =
-      if (raw.schema("ts").dataType == LongType) // TIMESTAMP(NANOS) as long
+    // same vintage normalization as the production loaders (Tables.events /
+    // StreamQueries.eventsStream): nanos-as-long and TIMESTAMP_NTZ both
+    // land on TimestampType, which withWatermark requires
+    val stream = raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) as long
         stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream0
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream0.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream0
+    }
     val q = EventStreams.toMemorySink(
       EventStreams.windowedCounts(stream, "1 hour", "2 hours"), "file_counts")
     q.processAllAvailable()
