@@ -368,6 +368,72 @@ object TextAnalysis {
           .as("dup_frac"))
   }
 
+  /** BM25 keyword retrieval: rank documents for a FIXED query-term list
+    * (Robertson & Spärck Jones; the Okapi BM25 scoring used by Lucene /
+    * Elasticsearch and sparse-retrieval data pipelines).
+    *
+    * Engine-parity design (same contract as [[salientTerms]]): the IDF is
+    * the exact rational surrogate `(N − df + 0.5) / (df + 0.5)` — no `ln`,
+    * whose last ulp is libm-dependent — and the per-term contributions are
+    * summed in FIXED query order as an explicit left-to-right `+` chain
+    * (one pivoted column per term), not a SUM aggregate whose accumulation
+    * order is partition-dependent. Every remaining op is IEEE ×/÷/+ with
+    * an identical expression tree on the oracle side, so the double score
+    * is bit-identical in any engine. The surrogate is monotone in df, so
+    * rankings only reorder where log-idf would tie anyway.
+    *
+    * Scale shape: ONE corpus tokenization pass computes (doc, len) and the
+    * per-query-term tf rows (the `isin` filter prunes the exploded frame
+    * to |terms| rows per doc before any shuffle); N/avgdl is a 1-row
+    * broadcast; per-term df is a |terms|-row broadcast. The final top-k is
+    * orderBy+limit = TakeOrderedAndProject (per-partition heaps, no global
+    * sort). Only docs containing ≥1 query term are ranked — at 100 TB the
+    * score-0 tail is the corpus. */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "fixed small query only")
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        col("toks"))
+    // corpus stats: one tiny broadcast row (exact longs; avgdl is ONE
+    // IEEE division so the oracle reproduces it bit-exactly)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("len"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        // exact-rational idf × the BM25 tf saturation; expression tree
+        // mirrored verbatim in the DuckDB oracle
+        (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") / (col("tf") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * (col("len").cast("double") / col("avgdl"))))))
+          .as("c"))
+    // fixed-order summation: one column per query term, added left to
+    // right — sum(when(...)) collapses exactly one value per (doc, term)
+    val termCols = terms.map(t =>
+      sum(when(col("term") === t, col("c"))).as(s"c_$t"))
+    val pivoted = contrib.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+    val score = terms.map(t => coalesce(col(s"c_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    pivoted
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Convenience: documents table → enriched analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

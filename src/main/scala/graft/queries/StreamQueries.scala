@@ -345,6 +345,54 @@ object StreamQueries {
           sum(col("event_id")).as("id_sum"),
           (sum(floor(col("value") * 1000).cast("long")).cast("double") / 1000)
             .as("sum_value"))
+    }),
+
+    // --- s10: built-in session windows — the DECLARATIVE sessionization
+    //     (groupBy(session_window(ts, gap))), complementing s04's custom
+    //     flatMapGroupsWithState kernel. Complete mode materializes every
+    //     session, so the result equals batch gaps-and-islands — in native
+    //     MICROSECONDS (the built-in merges on TimestampType directly; no
+    //     ms truncation anywhere, unlike the custom kernel's
+    //     Timestamp.getTime state). Spark's merge bound is STRICT (an
+    //     event exactly gap after its predecessor starts a NEW session:
+    //     merge iff next.start < window.end), which the oracle replicates
+    //     with a `>= gap` split. Emitted end = last event + gap. ------------
+    "s10_stream_session_window" -> ((s, d) => {
+      val sess = eventsStream(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      withStatePartitions(s, 8) {
+        drain(sess, complete = true)
+      }
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
+    // --- s11: stream-STATIC enrichment join — the stateless production
+    //     pattern (per-event dimension lookup: every micro-batch hash-joins
+    //     against the dim with NO state store; contrast s05/s07, which buy
+    //     stream-stream semantics with watermark-bounded state). The dim is
+    //     broadcast — at 100 TB a small dim stays broadcast and a big dim
+    //     pre-buckets on the join key (q90's layout); the stream side never
+    //     shuffles for the join either way. Aggregate-compared to the batch
+    //     join; value in exact ticks (see s03). --------------------------------
+    "s11_stream_static_join" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = eventsStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          (sum(floor(col("value") * 1000).cast("long")).cast("double") / 1000)
+            .as("sum_value"))
+      withStatePartitions(s, 8) {
+        drain(enriched, complete = true)
+      }
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -482,6 +530,35 @@ object StreamQueries {
                 count(DISTINCT event_id) AS n_ids,
                 CAST(sum(event_id) AS BIGINT) AS id_sum,
                 CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS sum_value
-         FROM events"""
+         FROM events""",
+    // µs gaps-and-islands with Spark's STRICT session merge bound (diff
+    // >= gap starts a new session); end = last event + gap. Identical-ts
+    // ties make lag's intra-tie order irrelevant (diff 0 → same session).
+    "s10_stream_session_window" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts)) AS prev_us
+           FROM events),
+         g AS (
+           SELECT user_id, ts_us,
+                  sum(CASE WHEN prev_us IS NULL
+                            OR ts_us - prev_us >= 1800000000 THEN 1
+                           ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e)
+         SELECT user_id, min(ts_us) AS start_us,
+                max(ts_us) + 1800000000 AS end_us,
+                count(*) AS n_events
+         FROM g GROUP BY user_id, sid
+         ORDER BY user_id, start_us""",
+    // stateless enrichment: the streamed join ≡ the batch join
+    "s11_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+                CAST(sum(event_id) AS BIGINT) AS id_sum,
+                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

@@ -840,6 +840,17 @@ object TextQueries {
       GraftFunctions.register(s)
       TextAnalysis.bigramFluency(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // --- d37: BM25 keyword retrieval (Okapi scoring, Lucene/ES-style) —
+    //     top-20 docs for a fixed 3-term query. Exact-rational idf (no ln)
+    //     and fixed-order per-term summation make the double score
+    //     bit-identical to the DuckDB replica (see bm25TopK scaladoc);
+    //     one corpus tokenization pass, broadcast stats, top-k via
+    //     TakeOrderedAndProject. -------------------------------------------
+    "d37_bm25" -> ((s, d) => {
+      TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 20)
     })
   )
 
@@ -1586,6 +1597,45 @@ object TextQueries {
                 CASE WHEN coalesce(per.n_bigrams, 0) > 0
                      THEN CAST(per.freq_sum AS DOUBLE) / per.n_bigrams
                      ELSE 0.0 END AS mean_freq
-         FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""
+         FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+
+    // expression trees mirror bm25TopK VERBATIM (left-assoc ×/÷/+ only, no
+    // ln) so every double is bit-identical; fixed-order term sum
+    "d37_bm25" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         b2 AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS len, toks FROM base),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+           FROM b2),
+         tf AS (
+           SELECT doc_id, len, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, len, unnest(toks) AS term FROM b2)
+           WHERE term IN ('spark', 'window', 'merge')
+           GROUP BY doc_id, len, term),
+         dft AS (
+           SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM tf GROUP BY term),
+         contrib AS (
+           SELECT tf.doc_id, tf.term,
+                  ((s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                  (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 +
+                     0.75 * (CAST(tf.len AS DOUBLE) / s.avgdl)))) AS c
+           FROM tf JOIN dft d USING (term) CROSS JOIN stats s),
+         pv AS (
+           SELECT doc_id,
+                  sum(CASE WHEN term = 'spark' THEN c END) AS c_spark,
+                  sum(CASE WHEN term = 'window' THEN c END) AS c_window,
+                  sum(CASE WHEN term = 'merge' THEN c END) AS c_merge
+           FROM contrib GROUP BY doc_id)
+         SELECT doc_id,
+                coalesce(c_spark, 0.0) + coalesce(c_window, 0.0)
+                  + coalesce(c_merge, 0.0) AS score
+         FROM pv ORDER BY score DESC, doc_id LIMIT 20"""
   )
 }

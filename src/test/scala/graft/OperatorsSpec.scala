@@ -947,6 +947,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((2L, 4L, 2.0))) // (alpha beta)=3 + (beta tail)=1
   }
 
+  test("bm25TopK: saturation, idf weighting, length norm, tie-break, coverage") {
+    val corpus = Seq(
+      (1L, "spark spark spark spark"),       // tf saturation: 4× term
+      (2L, "spark"),                          // tf 1, short doc
+      (3L, "spark alpha beta gamma delta"),  // tf 1, longer doc
+      (4L, "rare alpha"),                     // rare term (df 1)
+      (5L, "alpha beta gamma")                // no query term → unranked
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark", "rare"), k = 10).collect()
+    val ranked = out.map(_.getAs[Long]("doc_id")).toSeq
+    val score = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // doc 5 has neither term → absent entirely
+    assert(!ranked.contains(5L) && ranked.size == 4)
+    // idf dominates: 'rare' (df 1) outscores any 'spark' (df 3) doc
+    assert(ranked.head == 4L)
+    // saturation: tf 4 beats tf 1 at equal length-normless compare, but
+    // sublinearly — doc 1 (tf 4, len 4) > doc 2 (tf 1, len 1)
+    assert(score(1L) > score(2L))
+    // length normalization: same tf 1, shorter doc 2 > longer doc 3
+    assert(score(2L) > score(3L))
+    // scores strictly positive for every ranked doc
+    assert(out.forall(_.getAs[Double]("score") > 0.0))
+  }
+
   test("knnLabelAgreement: majority vote, deterministic tie-break, agree flag") {
     def unit(deg: Double): Array[Float] = {
       val r = math.toRadians(deg)
