@@ -382,10 +382,17 @@ object TextAnalysis {
     * is bit-identical in any engine. The surrogate is monotone in df, so
     * rankings only reorder where log-idf would tie anyway.
     *
-    * Scale shape: ONE corpus tokenization pass computes (doc, len) and the
-    * per-query-term tf rows (the `isin` filter prunes the exploded frame
-    * to |terms| rows per doc before any shuffle); N/avgdl is a 1-row
-    * broadcast; per-term df is a |terms|-row broadcast. The final top-k is
+    * Scale shape: the scoring side is ONE corpus tokenization pass — the
+    * `isin` filter prunes the exploded frame to the query terms before any
+    * shuffle, and document frequency is a `count() OVER (PARTITION BY
+    * term)` window over the same compact tf frame ([[salientTerms]]'s
+    * trick: an agg-plus-join-back would duplicate the tf subtree in the
+    * DAG and re-tokenize the corpus; the window shuffles only the
+    * |matching docs| × |terms| tf rows — with few query terms that lands
+    * on few reducers, fine because the frame is corpus-independent-ly
+    * small). The N/avgdl corpus statistic is a separate text-only scan
+    * reduced to a 1-row broadcast — in production it is precomputed once
+    * per corpus snapshot and reused by every query. The final top-k is
     * orderBy+limit = TakeOrderedAndProject (per-partition heaps, no global
     * sort). Only docs containing ≥1 query term are ranked — at 100 TB the
     * score-0 tail is the corpus. */
@@ -407,10 +414,12 @@ object TextAnalysis {
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("len"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val df_ = tf.groupBy(col("term"))
-      .agg(count_distinct(col("doc_id")).cast("double").as("df"))
-    val contrib = tf
-      .join(broadcast(df_), Seq("term"))
+    // tf holds ONE row per (doc, term), so df = window count over it —
+    // no second tokenization scan (see scaladoc)
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))).cast("double"))
+    val contrib = withDf
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),
         // exact-rational idf × the BM25 tf saturation; expression tree

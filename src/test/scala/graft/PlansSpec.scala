@@ -281,6 +281,19 @@ class PlansSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("d37 (BM25): two corpus scans, window df, heap-based top-k") {
+    val p = plan("d37_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be per-partition heaps, never a global sort Exchange")
+    // scoring side tokenizes ONCE (df is a window over the tf frame, not
+    // an agg joined back — that form re-scans the corpus); the only other
+    // scan is the 1-row N/avgdl statistic
+    assert("FileScan".r.findAllIn(p).size == 2,
+      "expected exactly 2 corpus scans (tf pipeline + corpus stats)")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the corpus statistic must broadcast, never shuffle the tf frame")
+  }
+
   test("q92 (MV lattice): coarsest matching MV wins; non-matching falls through") {
     // q92 matches BOTH registered MVs (its keys ⊂ each MV's grouping set);
     // navigation must pick the coarser rf×ls summary, not the rf×ls×qty one
