@@ -1149,6 +1149,32 @@ object RelationalQueries {
           davg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("n_lines"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // --- Hive-style date-partitioned event layout + partition pruning:
+    //     the CANONICAL 100 TB event-lake layout (dt= directories). The
+    //     write is setup (one-time per JVM+sf, like q90's buckets); the
+    //     measured query reads a 3-day band and Catalyst prunes 27 of 30
+    //     partition dirs AT PLANNING TIME — the scan never lists, opens,
+    //     or skips-after-reading the cold days. PlansSpec asserts the
+    //     PartitionFilters; the oracle applies the equivalent ts filter to
+    //     the raw table, so a mis-partitioned or over-pruned row flips the
+    //     hash. Complements d24 (range shards) / d33 (Z-order): this is
+    //     the Spark-NATIVE layout a petabyte events table actually uses. --
+    "q93_partitioned_scan" -> ((s, d) => {
+      val p = materialize("evdt", d) { path =>
+        Tables.events(s, d)
+          .withColumn("dt", to_date(col("ts")))
+          .write.partitionBy("dt").mode("overwrite").parquet(path)
+      }
+      s.read.parquet(p)
+        .filter(col("dt").between(lit("2024-01-10"), lit("2024-01-12")))
+        .groupBy(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          (sum(floor(col("value") * 1000).cast("long")).cast("double") / 1000)
+            .as("sum_value"))
+        .orderBy("dt", "event_type")
     })
   )
 
@@ -1800,6 +1826,18 @@ object RelationalQueries {
               count(*) AS n_lines
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus"""
+         ORDER BY l_returnflag, l_linestatus""",
+
+    // the layout is result-invisible: the oracle filters the raw table on
+    // the same date band the pruned scan serves
+    "q93_partitioned_scan" ->
+      """SELECT CAST(ts AS DATE) AS dt, event_type, count(*) AS n_events,
+              CAST(sum(event_id) AS BIGINT) AS id_sum,
+              CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / 1000
+                AS sum_value
+         FROM events
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+         GROUP BY dt, event_type
+         ORDER BY dt, event_type"""
   )
 }

@@ -281,6 +281,23 @@ class PlansSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("q93 (dt-partitioned events): planning-time partition pruning") {
+    val p = plan("q93_partitioned_scan")
+    assert(p.contains("PartitionFilters: [isnotnull(dt") ||
+      p.contains("PartitionFilters: [(dt"),
+      "the date band must prune partitions at planning time, not post-scan")
+    // the physical scan must carry the dt partition schema + filters
+    // (sparkPlan, not executedPlan: AQE wraps the tree and hides leaves)
+    graft.functions.GraftFunctions.register(spark)
+    val scans = SparkEntry.queries("q93_partitioned_scan")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the layout")
+    assert(scans.head.relation.partitionSchema.fieldNames.sameElements(Array("dt")))
+    assert(scans.head.metadata("PartitionFilters").nonEmpty)
+  }
+
   test("d37 (BM25): two corpus scans, window df, heap-based top-k") {
     val p = plan("d37_bm25")
     assert(p.contains("TakeOrderedAndProject"),

@@ -130,6 +130,48 @@ class SourcesSpec extends SparkTestBase {
     assert(Sinks.zShards(3, Some(1), Some(2)).length == 1)
   }
 
+  test("dynamic partition overwrite: daily re-ingest rewrites ONLY the target day") {
+    // the operational contract of the q93 dt= layout: a corrected daily
+    // batch re-lands its own partition and must not touch (or drop) the
+    // other days — partitionOverwriteMode=dynamic, the exactly-once-style
+    // backfill every event lake relies on
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("dt", to_date(col("ts")))
+      .select(col("event_id"), col("user_id"), col("value"), col("dt"))
+    ev.write.partitionBy("dt").mode("overwrite").parquet(tmp)
+    val day = "2024-01-10"
+    val otherDirs = new java.io.File(tmp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt=") &&
+        f.getName != s"dt=$day")
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(otherDirs.size == 29, "expected 30 day-partitions")
+    // corrected batch for one day: same rows, values doubled
+    val corrected = ev.filter(col("dt") === lit(day))
+      .withColumn("value", col("value") * 2)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try corrected.write.partitionBy("dt").mode("overwrite").parquet(tmp)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val after = spark.read.parquet(tmp)
+      .select(col("event_id"), col("user_id"), col("value"), col("dt"))
+    // full-content equality against the recomputed expectation: the
+    // target day doubled, every other day byte-identical, nothing dropped
+    val expected = ev.withColumn("value",
+      when(col("dt") === lit(day), col("value") * 2).otherwise(col("value")))
+    assert(after.exceptAll(expected).isEmpty && expected.exceptAll(after).isEmpty,
+      "layout after dynamic overwrite must equal source with day-10 corrected")
+    // untouched partitions keep their directory mtimes (never rewritten)
+    val otherAfter = new java.io.File(tmp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt=") &&
+        f.getName != s"dt=$day")
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(otherAfter == otherDirs, "cold partitions must not be rewritten")
+  }
+
   test("bucketed tables: co-located equi-join plans without a shuffle exchange") {
     val left = spark.range(0, 1000).select($"id".as("k"), ($"id" * 3).as("a"))
     val right = spark.range(0, 1000).select($"id".as("k"), ($"id" % 7).as("b"))
