@@ -130,6 +130,51 @@ class SourcesSpec extends SparkTestBase {
     assert(Sinks.zShards(3, Some(1), Some(2)).length == 1)
   }
 
+  test("parquet schema evolution: mergeSchema unions vintages, old rows null-extend") {
+    // a long-lived 100 TB table accretes columns; readers must union the
+    // schemas across file vintages without rewriting history
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    docs.select($"doc_id", $"lang").limit(10)
+      .write.parquet(s"$tmp/batch=1")
+    docs.select($"doc_id", $"lang", $"n_chars").limit(10)
+      .write.parquet(s"$tmp/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars", "batch"))
+    val v1 = merged.filter($"batch" === 1)
+    assert(v1.count() == 10 && v1.filter($"n_chars".isNull).count() == 10,
+      "pre-evolution rows must read as null in the new column")
+    assert(merged.filter($"batch" === 2 && $"n_chars".isNotNull).count() == 10)
+  }
+
+  test("json ingestion: PERMISSIVE quarantines corrupt records, DROPMALFORMED drops") {
+    // raw-feed ingestion contract: a malformed line must neither kill the
+    // job nor silently vanish — PERMISSIVE lands it in _corrupt_record for
+    // a quarantine sink; DROPMALFORMED is the explicit discard mode
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json")
+    java.nio.file.Files.writeString(tmp.resolve("feed.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 BROKEN
+        |{"id": 3, "v": "fine"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, _corrupt_record STRING")
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(tmp.toString)
+    // caching first is the documented requirement for referencing
+    // _corrupt_record alongside other columns
+    permissive.cache()
+    assert(permissive.count() == 3)
+    val bad = permissive.filter($"_corrupt_record".isNotNull)
+    assert(bad.count() == 1)
+    assert(bad.head.isNullAt(bad.head.fieldIndex("id")),
+      "the corrupt row's typed columns must be null, raw text quarantined")
+    assert(permissive.filter($"_corrupt_record".isNull).count() == 2)
+    permissive.unpersist()
+    val dropped = spark.read.schema(schema)
+      .option("mode", "DROPMALFORMED").json(tmp.toString)
+    assert(dropped.filter($"v".isNotNull).count() == 2)
+  }
+
   test("dynamic partition overwrite: daily re-ingest rewrites ONLY the target day") {
     // the operational contract of the q93 dt= layout: a corrected daily
     // batch re-lands its own partition and must not touch (or drop) the

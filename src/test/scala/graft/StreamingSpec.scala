@@ -310,4 +310,30 @@ class StreamingSpec extends SparkTestBase {
     EventStreams.mergeBatchOnce(replay, path, "key", "v", batchId = 99L)
     assert(snap().find(_._1 == "a").get == ("a", 4L, 160L, 100L))
   }
+
+  test("checkpoint restart: a NEW query resumes the offsets, old files never recount") {
+    // production recovery path: the maintaining query dies (here: stops),
+    // data keeps landing, a fresh query starts from the SAME checkpoint —
+    // it must pick up only the unread files, so the maintained state equals
+    // the one-shot aggregate with nothing double-counted
+    val root = java.nio.file.Files.createTempDirectory("restart")
+    val src = root.resolve("src"); java.nio.file.Files.createDirectory(src)
+    val path = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    Seq(("a", 10L), ("b", 5L)).toDF("key", "v")
+      .write.parquet(src.resolve("f1").toString)
+    val schema = spark.read.parquet(src.resolve("f1").toString).schema
+    def start() = EventStreams.aggMaintain(
+      spark.readStream.schema(schema).parquet(src.toString + "/*"),
+      path, "key", "v", ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    Seq(("a", 20L), ("c", 1L)).toDF("key", "v")
+      .write.parquet(src.resolve("f2").toString)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val state = spark.read.parquet(path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).longValue()))
+      .sortBy(_._1).toSeq
+    assert(state == Seq(("a", 2L, 30L), ("b", 1L, 5L), ("c", 1L, 1L)),
+      s"restart must process exactly the new file: $state")
+  }
 }
