@@ -1175,6 +1175,21 @@ object RelationalQueries {
           (sum(floor(col("value") * 1000).cast("long")).cast("double") / 1000)
             .as("sum_value"))
         .orderBy("dt", "event_type")
+    }),
+
+    // --- unpivot / melt (wide → long reshaping, the q47 pivot inverse):
+    //     values pass through VERBATIM (no arithmetic), so the oracle is a
+    //     literal UNION ALL. A pure narrow transform — no shuffle except
+    //     the presentation sort. ------------------------------------------
+    "q94_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
     })
   )
 
@@ -1838,6 +1853,22 @@ object RelationalQueries {
          FROM events
          WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
          GROUP BY dt, event_type
-         ORDER BY dt, event_type"""
+         ORDER BY dt, event_type""",
+
+    "q94_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                  l_quantity AS value
+           FROM lineitem WHERE l_orderkey < 100
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+           FROM lineitem WHERE l_orderkey < 100
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           FROM lineitem WHERE l_orderkey < 100
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+           FROM lineitem WHERE l_orderkey < 100)
+         ORDER BY l_orderkey, l_linenumber, measure"""
   )
 }
