@@ -443,6 +443,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE vocabulary induction, one merge iteration (Sennrich et al. 2016
+    * §3.2): the top-k most frequent adjacent symbol pairs across the
+    * corpus, ranked as merge candidates. Uses the classic BPE scaling
+    * trick — the corpus-sized work is ONE tokenization + word-count pass
+    * (map-side combined, the only big shuffle); pair extraction then runs
+    * over the DISTINCT vocabulary, whose size is corpus-independent
+    * (tens of thousands of rows at 100 TB, a rounding error), weighted by
+    * word frequency. The naive alternative — exploding char pairs per
+    * corpus token — shuffles |corpus tokens| × |word length| rows and is
+    * exactly what this shape avoids. Counts are exact longs; the ORDER BY
+    * tie-breaks on the (unique) pair so the top-k boundary is
+    * deterministic; the limit plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort). */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val wc = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    wc
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("c"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(
+        col("w").substr(col("i"), lit(1)).as("a"),
+        col("w").substr(col("i") + 1, lit(1)).as("b"),
+        col("c"))
+      .groupBy("a", "b").agg(sum(col("c")).as("freq"))
+      .orderBy(col("freq").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
   /** Convenience: documents table → enriched analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -851,6 +851,14 @@ object TextQueries {
     "d37_bm25" -> ((s, d) => {
       TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         Seq("spark", "window", "merge"), k = 20)
+    }),
+
+    // --- d38: BPE vocabulary induction (one merge iteration) — top-50
+    //     adjacent char-pair merge candidates. Corpus work is one
+    //     word-count pass; the pair explosion runs on the distinct vocab
+    //     only (corpus-independent size — the classic BPE trick). --------
+    "d38_bpe_pairs" -> ((s, d) => {
+      TextAnalysis.bpeMergeCandidates(Tables.documents(s, d), "text", k = 50)
     })
   )
 
@@ -1636,6 +1644,23 @@ object TextQueries {
          SELECT doc_id,
                 coalesce(c_spark, 0.0) + coalesce(c_window, 0.0)
                   + coalesce(c_merge, 0.0) AS score
-         FROM pv ORDER BY score DESC, doc_id LIMIT 20"""
+         FROM pv ORDER BY score DESC, doc_id LIMIT 20""",
+
+    "d38_bpe_pairs" ->
+      """WITH wds AS (
+           SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             x -> x <> '')) AS w
+           FROM documents),
+         wc AS (SELECT w, count(*) AS c FROM wds GROUP BY w),
+         pairs AS (
+           SELECT unnest([struct_pack(
+                    a := substr(w, CAST(i AS INT), 1),
+                    b := substr(w, CAST(i AS INT) + 1, 1))
+                  for i in generate_series(1, length(w) - 1)]) AS p, c
+           FROM wc WHERE length(w) >= 2)
+         SELECT p.a AS a, p.b AS b, CAST(sum(c) AS BIGINT) AS freq
+         FROM pairs GROUP BY 1, 2
+         ORDER BY freq DESC, a, b LIMIT 50"""
   )
 }

@@ -972,6 +972,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.forall(_.getAs[Double]("score") > 0.0))
   }
 
+  test("bpeMergeCandidates: vocab-weighted pair counts, 1-char words skipped, tie-break") {
+    val docs = Seq(
+      (1L, "ab ab cb"),  // word counts after this corpus: ab=3, cb=1, ba=1, a=1
+      (2L, "ba AB a")    // case-folds: AB joins ab; 'a' is 1-char → no pairs
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeCandidates(docs, "text", k = 10)
+      .as[(String, String, Long)].collect().toSeq
+    // (a,b) from ab×3; (b,a) and (c,b) tie at 1 → ordered by (a,b) asc
+    assert(out == Seq(("a", "b", 3L), ("b", "a", 1L), ("c", "b", 1L)))
+    // k truncates deterministically at the boundary
+    val top1 = TextAnalysis.bpeMergeCandidates(docs, "text", k = 1)
+      .as[(String, String, Long)].collect().toSeq
+    assert(top1 == Seq(("a", "b", 3L)))
+  }
+
   test("knnLabelAgreement: majority vote, deterministic tie-break, agree flag") {
     def unit(deg: Double): Array[Float] = {
       val r = math.toRadians(deg)
