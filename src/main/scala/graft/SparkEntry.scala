@@ -47,6 +47,7 @@ object SparkEntry {
       "q91_mv_rewrite", // summary-MV parquet write + MvRewrite registration
       "q92_mv_navigate", // second (coarser) summary MV write + registration
       "q93_partitioned_scan", // one-time dt-partitioned events layout write
+      "q95_compacted_scan", // fragmented-ingest write + one-time compaction
       "s02_stream_ingest",
       "s03_stream_dedup", // stages its two-copy events dir on first call
       "e06_ivf_kmeans_recall", "e08_pq_recall",

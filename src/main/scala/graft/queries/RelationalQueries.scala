@@ -1190,6 +1190,32 @@ object RelationalQueries {
             col("l_tax")),
           "measure", "value")
         .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+
+    // --- small-file compaction (q95): the setup phase simulates a day of
+    //     fragmented streaming ingest (16 writer tasks per dt directory →
+    //     ~480 tiny files) and bin-packs it with Sinks.compactTo; the
+    //     measured query scans the COMPACTED layout. The agg is
+    //     layout-invisible, so the oracle runs on the raw events table —
+    //     a compaction that drops, duplicates, or mis-partitions rows
+    //     flips the hash. SourcesSpec asserts the file-count geometry
+    //     (per-dir ≤ ceil(bytes/target)) and in-place selective
+    //     compaction's byte-stability of untouched dirs. ------------------
+    "q95_compacted_scan" -> ((s, d) => {
+      val p = materialize("evcmp", d) { path =>
+        Tables.events(s, d)
+          .withColumn("dt", to_date(col("ts")))
+          .repartition(16)
+          .write.partitionBy("dt").mode("overwrite").parquet(s"$path/frag")
+        graft.sources.Sinks.compactTo(s, s"$path/frag", s"$path/opt",
+          "dt", keyCol = "event_id", targetBytes = 64L << 20)
+      }
+      s.read.parquet(s"$p/opt")
+        .groupBy("dt")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("id_sum"))
+        .orderBy("dt")
     })
   )
 
@@ -1869,6 +1895,13 @@ object RelationalQueries {
            UNION ALL
            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
            FROM lineitem WHERE l_orderkey < 100)
-         ORDER BY l_orderkey, l_linenumber, measure"""
+         ORDER BY l_orderkey, l_linenumber, measure""",
+
+    // compaction is result-invisible: the oracle aggregates the raw table
+    "q95_compacted_scan" ->
+      """SELECT CAST(ts AS DATE) AS dt, count(*) AS n_events,
+              count(DISTINCT user_id) AS n_users,
+              CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM events GROUP BY dt ORDER BY dt"""
   )
 }

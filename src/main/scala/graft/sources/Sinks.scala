@@ -183,4 +183,98 @@ object Sinks {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     }
   }
+
+  // ---- small-file compaction --------------------------------------------
+
+  /** Per-partition-directory (fileCount, totalBytes) of a Hive-layout
+    * parquet path — the compaction decision input and the test assertion
+    * surface. Listing is metadata-only (no file is opened); at object-store
+    * scale this is the same LIST the planner itself issues. */
+  def fileStats(
+      spark: SparkSession, path: String): Map[String, (Int, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { dir =>
+        val files = fs.listStatus(dir.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        dir.getPath.getName -> (files.size, files.map(_.getLen).sum)
+      }.toMap
+  }
+
+  /** Bin-packed rewrite of a fragmented partitioned layout — the
+    * OPTIMIZE/rewrite_data_files fix for the small-files problem, which at
+    * 100 TB is an operational emergency, not a nit: a day's streaming
+    * ingest leaves |micro-batches| × |tasks| tiny files per dt directory,
+    * and every downstream scan then pays one open + footer read per file
+    * while the NameNode/object store pays the listing.
+    *
+    * Each partition directory is rewritten to
+    * `ceil(dirBytes / targetBytes)` files: the shuffle key is
+    * (partition col, `pmod(xxhash64(key), filesForThatDir)`), so rows
+    * spread evenly over exactly the planned file count, and the writer
+    * emits one file per (dir, bucket) task group. The only data movement
+    * is that one shuffle, sized by the OUTPUT geometry — input
+    * fragmentation does not leak into the plan. Per-dir file counts come
+    * from [[fileStats]] (metadata-only) and ride into the plan as a tiny
+    * broadcast map-literal, so skewed days get more files while quiet days
+    * collapse to one — a global `repartition(n)` can't do both. */
+  def compactTo(
+      spark: SparkSession, src: String, dst: String, partitionCol: String,
+      keyCol: String, targetBytes: Long): Unit = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val plan = fileStats(spark, src).map { case (dir, (_, bytes)) =>
+      dir.substring(dir.indexOf('=') + 1) ->
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    }
+    val nFiles = plan.foldLeft(lit(1L)) { case (acc, (value, n)) =>
+      when(col(partitionCol).cast("string") === value, lit(n)).otherwise(acc)
+    }
+    // shuffle width = planned output file count: tasks scale with the
+    // OUTPUT size (hash collisions between (dir,bucket) groups merge into
+    // fewer-but-larger files, never more-but-smaller — the safe direction)
+    val width = math.max(1L, plan.values.sum).min(Int.MaxValue.toLong).toInt
+    spark.read.parquet(src)
+      .withColumn("__bucket", pmod(xxhash64(col(keyCol)), nFiles))
+      .repartition(width, col(partitionCol), col("__bucket"))
+      .drop("__bucket")
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(dst)
+  }
+
+  /** Selective in-place compaction: rewrite ONLY the named partition
+    * values (e.g. yesterday's hot dt), leaving every other directory
+    * byte-untouched — the nightly-ingest pattern, where compacting the
+    * whole lake daily would read 100 TB to fix 100 GB. Dynamic partition
+    * overwrite replaces exactly the directories present in the written
+    * frame; the rewritten subset is localCheckpointed first because Spark
+    * refuses to overwrite a path it is also reading (same contract as
+    * [[upsertSharded]]). */
+  def compactDirsInPlace(
+      spark: SparkSession, path: String, partitionCol: String,
+      values: Seq[String], keyCol: String, targetBytes: Long): Unit = {
+    require(values.nonEmpty, "nothing to compact")
+    val stats = fileStats(spark, path)
+    val plan = values.map { v =>
+      val bytes = stats.getOrElse(s"$partitionCol=$v", (0, 0L))._2
+      v -> math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    }
+    val nFiles = plan.foldLeft(lit(1L)) { case (acc, (value, n)) =>
+      when(col(partitionCol).cast("string") === value, lit(n)).otherwise(acc)
+    }
+    val width = math.max(1L, plan.map(_._2).sum).min(Int.MaxValue.toLong).toInt
+    val subset = spark.read.parquet(path)
+      .filter(col(partitionCol).cast("string").isin(values: _*))
+      .withColumn("__bucket", pmod(xxhash64(col(keyCol)), nFiles))
+      .repartition(width, col(partitionCol), col("__bucket"))
+      .drop("__bucket")
+      .localCheckpoint(true)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try subset.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally {
+      graft.operators.Dedup.release(subset)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
+  }
 }
