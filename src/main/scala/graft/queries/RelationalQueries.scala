@@ -1192,6 +1192,35 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     }),
 
+    // --- recursive CTE + time-series gap-fill (q96): a WITH RECURSIVE
+    //     date spine (the iterative-plan SQL surface, new in Spark 4)
+    //     left-joined to daily aggregates with every 5th day's events
+    //     dropped, so missing days materialize as explicit zero rows —
+    //     the canonical dashboard/feature-pipeline densification step.
+    //     Scale shape: the recursion generates 30 driver-side rows (a
+    //     per-DAY spine is tiny at ANY corpus size); the one real shuffle
+    //     is the daily aggregate, and the spine joins broadcast. ----------
+    "q96_gapfill" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        WITH RECURSIVE spine(dt) AS (
+          SELECT DATE '2024-01-01'
+          UNION ALL SELECT date_add(dt, 1) FROM spine
+          WHERE dt < DATE '2024-01-30'
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS dt, count(*) AS n,
+                 CAST(sum(event_id) AS BIGINT) AS s
+          FROM events
+          WHERE day(CAST(ts AS DATE)) % 5 <> 0
+          GROUP BY CAST(ts AS DATE)
+        )
+        SELECT spine.dt AS dt, coalesce(daily.n, 0) AS n_events,
+               coalesce(daily.s, 0) AS id_sum
+        FROM spine LEFT JOIN daily ON spine.dt = daily.dt
+        ORDER BY dt""")
+    }),
+
     // --- small-file compaction (q95): the setup phase simulates a day of
     //     fragmented streaming ingest (16 writer tasks per dt directory →
     //     ~480 tiny files) and bin-packs it with Sinks.compactTo; the
@@ -1896,6 +1925,24 @@ object RelationalQueries {
            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
            FROM lineitem WHERE l_orderkey < 100)
          ORDER BY l_orderkey, l_linenumber, measure""",
+
+    "q96_gapfill" ->
+      """WITH RECURSIVE spine(dt) AS (
+           SELECT DATE '2024-01-01'
+           UNION ALL SELECT dt + INTERVAL 1 DAY FROM spine
+           WHERE dt < DATE '2024-01-30'
+         ),
+         daily AS (
+           SELECT CAST(ts AS DATE) AS dt, count(*) AS n,
+                  CAST(sum(event_id) AS BIGINT) AS s
+           FROM events
+           WHERE day(CAST(ts AS DATE)) % 5 <> 0
+           GROUP BY CAST(ts AS DATE)
+         )
+         SELECT spine.dt AS dt, coalesce(daily.n, 0) AS n_events,
+                coalesce(daily.s, 0) AS id_sum
+         FROM spine LEFT JOIN daily ON spine.dt = daily.dt
+         ORDER BY dt""",
 
     // compaction is result-invisible: the oracle aggregates the raw table
     "q95_compacted_scan" ->

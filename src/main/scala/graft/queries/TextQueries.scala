@@ -859,6 +859,15 @@ object TextQueries {
     //     only (corpus-independent size — the classic BPE trick). --------
     "d38_bpe_pairs" -> ((s, d) => {
       TextAnalysis.bpeMergeCandidates(Tables.documents(s, d), "text", k = 50)
+    }),
+
+    // --- d39: Gopher-rules quality gate (Rae et al. 2021 App. A) — the
+    //     standard pre-model heuristic filter, with per-rule flags kept
+    //     visible for rejection attribution. Pure narrow map, one
+    //     tokenization pass. -----------------------------------------------
+    "d39_gopher_filter" -> ((s, d) => {
+      TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -1661,6 +1670,33 @@ object TextQueries {
            FROM wc WHERE length(w) >= 2)
          SELECT p.a AS a, p.b AS b, CAST(sum(c) AS BIGINT) AS freq
          FROM pairs GROUP BY 1, 2
-         ORDER BY freq DESC, a, b LIMIT 50"""
+         ORDER BY freq DESC, a, b LIMIT 50""",
+
+    "d39_gopher_filter" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                    / len(toks) AS mean_word_len,
+                  CAST(len(list_filter(toks,
+                      x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+                    / len(toks) AS alpha_frac,
+                  len(list_intersect(list_distinct(toks), ['the','a']))
+                    AS n_stop
+           FROM t WHERE len(toks) > 0)
+         SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+                (n_words >= 50 AND n_words <= 100000) AS ok_count,
+                (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_len,
+                (alpha_frac >= 0.80) AS ok_alpha,
+                (n_stop >= 2) AS ok_stop,
+                ((n_words >= 50 AND n_words <= 100000)
+                  AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                  AND (alpha_frac >= 0.80) AND (n_stop >= 2)) AS keep
+         FROM m ORDER BY doc_id"""
   )
 }

@@ -987,6 +987,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(top1 == Seq(("a", "b", 3L)))
   }
 
+  test("gopherRules: each rule rejects independently, flags attribute the rejection") {
+    val long = ("the a " + Seq.fill(60)("word").mkString(" "))        // passes all
+    val short = ("the a " + Seq.fill(10)("word").mkString(" "))       // < 50 words
+    val longWords = ("the a " + Seq.fill(60)("hippopotamus").mkString(" ")) // mean len > 10
+    val numeric = ("the a " + Seq.fill(60)("1234").mkString(" "))     // alpha frac low
+    val noStops = Seq.fill(60)("word").mkString(" ")                  // 0 stop words
+    val docs = Seq(
+      (1L, long), (2L, short), (3L, longWords), (4L, numeric), (5L, noStops)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = (out(i).getAs[Boolean]("ok_count"),
+      out(i).getAs[Boolean]("ok_len"), out(i).getAs[Boolean]("ok_alpha"),
+      out(i).getAs[Boolean]("ok_stop"), out(i).getAs[Boolean]("keep"))
+    assert(flags(0) == ((true, true, true, true, true)))
+    assert(flags(1) == ((false, true, true, true, false)))
+    assert(flags(2) == ((true, false, true, true, false)))
+    assert(flags(3) == ((true, true, false, true, false)))
+    assert(flags(4) == ((true, true, true, false, false)))
+    // arithmetic spot-check: doc 1 = 62 words, 2 stop words
+    assert(out(0).getAs[Long]("n_words") == 62L &&
+      out(0).getAs[Long]("n_stop") == 2L)
+  }
+
   test("knnLabelAgreement: majority vote, deterministic tie-break, agree flag") {
     def unit(deg: Double): Array[Float] = {
       val r = math.toRadians(deg)
