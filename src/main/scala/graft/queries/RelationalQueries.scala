@@ -1221,6 +1221,24 @@ object RelationalQueries {
         ORDER BY dt""")
     }),
 
+    // --- semi-structured extraction (q97): typed JSON parsing of the
+    //     events.props metadata column. from_json with an explicit schema
+    //     parses each value ONCE into a struct (codegen'd, vectorizable);
+    //     the get_json_object-per-field alternative re-parses the string
+    //     per extraction and is the classic metadata-column hot-path
+    //     mistake at 100 TB. Malformed JSON degrades to null (PERMISSIVE),
+    //     so the agg is total. ---------------------------------------------
+    "q97_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy("event_type")
+    }),
+
     // --- small-file compaction (q95): the setup phase simulates a day of
     //     fragmented streaming ingest (16 writer tasks per dt directory →
     //     ~480 tiny files) and bin-packs it with Sinks.compactTo; the
@@ -1943,6 +1961,13 @@ object RelationalQueries {
                 coalesce(daily.s, 0) AS id_sum
          FROM spine LEFT JOIN daily ON spine.dt = daily.dt
          ORDER BY dt""",
+
+    "q97_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS k_sum,
+              min(CAST(props->>'k' AS INT)) AS k_min,
+              max(CAST(props->>'k' AS INT)) AS k_max
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     // compaction is result-invisible: the oracle aggregates the raw table
     "q95_compacted_scan" ->

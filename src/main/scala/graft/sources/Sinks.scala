@@ -220,9 +220,12 @@ object Sinks {
     * from [[fileStats]] (metadata-only) and ride into the plan as a tiny
     * broadcast map-literal, so skewed days get more files while quiet days
     * collapse to one — a global `repartition(n)` can't do both. */
-  def compactTo(
-      spark: SparkSession, src: String, dst: String, partitionCol: String,
-      keyCol: String, targetBytes: Long): Unit = {
+  /** The shuffle stage [[compactTo]] executes, exposed so PlansSpec can
+    * pin the geometry: exactly ONE exchange, keyed on (partition col,
+    * planned bucket), width = planned output file count. */
+  def compactionPlan(
+      spark: SparkSession, src: String, partitionCol: String,
+      keyCol: String, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
     val plan = fileStats(spark, src).map { case (dir, (_, bytes)) =>
       dir.substring(dir.indexOf('=') + 1) ->
@@ -239,8 +242,13 @@ object Sinks {
       .withColumn("__bucket", pmod(xxhash64(col(keyCol)), nFiles))
       .repartition(width, col(partitionCol), col("__bucket"))
       .drop("__bucket")
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(dst)
   }
+
+  def compactTo(
+      spark: SparkSession, src: String, dst: String, partitionCol: String,
+      keyCol: String, targetBytes: Long): Unit =
+    compactionPlan(spark, src, partitionCol, keyCol, targetBytes)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(dst)
 
   /** Selective in-place compaction: rewrite ONLY the named partition
     * values (e.g. yesterday's hot dt), leaving every other directory

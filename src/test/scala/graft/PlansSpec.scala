@@ -344,4 +344,27 @@ class PlansSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).size == 1,
       "the only exchange is the presentation orderBy's range partitioning")
   }
+
+  test("q95 (compaction): exactly one shuffle, sized by the planned output files") {
+    import graft.sources.Sinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cplan").toString
+    Tables.events(spark, sf)
+      .withColumn("dt", org.apache.spark.sql.functions.to_date(col("ts")))
+      .repartition(8)
+      .write.partitionBy("dt").mode("overwrite").parquet(tmp)
+    val target = 16L << 10
+    val df = Sinks.compactionPlan(spark, tmp, "dt", "event_id", target)
+    val p = df.queryExecution.executedPlan.toString
+    // one round-robin-free hash exchange on (dt, planned bucket) — input
+    // fragmentation must not add stages, and nothing may sort globally
+    assert("Exchange hashpartitioning\\(dt".r.findAllIn(p).size == 1,
+      s"expected exactly one (dt, bucket) hash exchange:\n$p")
+    assert(!p.contains("rangepartitioning"), "compaction must never sort")
+    // the exchange width equals the bin-pack plan's total file count
+    val planned = Sinks.fileStats(spark, tmp).values
+      .map { case (_, b) => math.max(1L, (b + target - 1) / target) }.sum
+    assert(p.contains(s"Exchange hashpartitioning(dt") &&
+      p.contains(s", $planned)"),
+      s"shuffle width must equal the planned $planned output files:\n$p")
+  }
 }
