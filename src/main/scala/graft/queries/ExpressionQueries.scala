@@ -160,6 +160,34 @@ object ExpressionQueries {
           < 0.02).as("fpr_ok"))
     }),
 
+    // --- mergeable distinct sketches (q98): per-day DataSketches HLL over
+    //     user_id, UNIONED across the 30 days per event type, estimate
+    //     gated against the exact distinct. The point beyond q60's
+    //     one-shot HLL++ is MERGEABILITY — at 100 TB you maintain one
+    //     ~KB sketch per (type, day) partition as data lands, and any
+    //     date-range distinct-user question is answered by unioning
+    //     sketches, never rescanning raw events; the union is exactly the
+    //     partial-aggregate algebra Spark's two-phase agg already uses,
+    //     lifted to storage (same design as the d34/MV partial states).
+    //     Default lgConfigK=12 → rsd ≈ 1.6%; gate at ±5% (~3σ) so a broken
+    //     union fails but a data draw never does. ---------------------------
+    "q98_hll_union" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val unioned = daily
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_u"))
+      val exact = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_u"))
+      unioned.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          (col("approx_u").cast("double") / col("exact_u"))
+            .between(0.95, 1.05).as("union_ok"))
+        .orderBy("event_type")
+    }),
+
     // --- statistical aggregates (stddev/var/corr/covar; quantized because
     //     both engines accumulate doubles differently at the last ulp) ----------
     "q50_stats" -> ((s, d) => {
@@ -248,6 +276,10 @@ object ExpressionQueries {
       """SELECT true AS acd_ok, true AS pct_ok""",
     "q62_bloom_filter" ->
       """SELECT true AS no_false_neg, true AS fpr_ok""",
+    // the union gate must hold for every event type present in the data
+    "q98_hll_union" ->
+      """SELECT DISTINCT event_type, true AS union_ok
+         FROM events ORDER BY event_type""",
     "q50_stats" ->
       """SELECT l_returnflag,
                 floor(stddev_samp(l_quantity) * 1e6) / 1e6 AS sd_q,

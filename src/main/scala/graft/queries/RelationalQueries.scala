@@ -1239,6 +1239,28 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // --- in-flight pipeline metrics (q99): Observation/observe attaches
+    //     data-quality counters (row count, null count, checksum) to the
+    //     MAIN job — at 100 TB the alternative is a second full scan just
+    //     to know what you ingested. The observe node is a no-op in the
+    //     row path (metrics accumulate task-side, merged on the driver);
+    //     the query returns the observed values lifted to a 1-row frame,
+    //     so the oracle recomputing them in SQL gates that the counters
+    //     saw every row exactly once. --------------------------------------
+    "q99_observe" -> ((s, d) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val ev = Tables.events(s, d).observe(obs,
+        count(lit(1)).as("n_rows"),
+        count(when(col("user_id").isNull, lit(1))).as("null_users"),
+        sum(col("event_id")).as("id_sum"))
+      ev.count() // the "real" job the metrics ride on
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long], m("null_users").asInstanceOf[Long],
+        m("id_sum").asInstanceOf[Long]))
+        .toDF("n_rows", "null_users", "id_sum")
+    }),
+
     // --- small-file compaction (q95): the setup phase simulates a day of
     //     fragmented streaming ingest (16 writer tasks per dt directory →
     //     ~480 tiny files) and bin-packs it with Sinks.compactTo; the
@@ -1961,6 +1983,12 @@ object RelationalQueries {
                 coalesce(daily.s, 0) AS id_sum
          FROM spine LEFT JOIN daily ON spine.dt = daily.dt
          ORDER BY dt""",
+
+    "q99_observe" ->
+      """SELECT count(*) AS n_rows,
+              count(CASE WHEN user_id IS NULL THEN 1 END) AS null_users,
+              CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM events""",
 
     "q97_json_extract" ->
       """SELECT event_type, count(*) AS n,

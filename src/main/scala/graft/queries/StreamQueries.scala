@@ -393,6 +393,51 @@ object StreamQueries {
         drain(enriched, complete = true)
       }
         .orderBy("c_mktsegment")
+    }),
+
+    // --- s12: Trigger.AvailableNow catch-up — the SCHEDULED-batch
+    //     streaming pattern: the query rate-limits through the backlog
+    //     (maxFilesPerTrigger batches, checkpointed offsets) and then
+    //     STOPS ON ITS OWN, unlike processAllAvailable which needs an
+    //     external supervisor. At 100 TB this is how periodic ingest runs:
+    //     a cron-launched job drains exactly the pending files with
+    //     bounded per-batch memory, exits, and the next launch resumes
+    //     from the checkpoint. The sink is the parquet file sink
+    //     (exactly-once via the sink log); the gate aggregates the landed
+    //     layout against the batch oracle, so dropped or double-processed
+    //     files flip the hash. StreamingSpec drives the two-launch
+    //     backlog-then-resume scenario. --------------------------------------
+    "s12_stream_availablenow" -> ((s, d) => {
+      val layout = ingested.computeIfAbsent(s"$d#availablenow", { _ =>
+        val srcDir = tmpDir("an_src")
+        // fragment the backlog so the catch-up actually paces: 8 files at
+        // 2 files/batch → 4 micro-batches before self-termination
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .repartition(8).write.mode("overwrite").parquet(srcDir.toString)
+        val outDir = tmpDir("an_out", create = false)
+        val ckpt = tmpDir("an_ckpt")
+        val schema = s.read.parquet(srcDir.toString).schema
+        val q = withStatePartitions(s, 8) {
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2).parquet(srcDir.toString)
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt.toString)
+            .format("parquet").option("path", outDir.toString)
+            .start()
+        }
+        q.awaitTermination() // AvailableNow self-terminates when caught up
+        outDir.toString
+      })
+      s.read.parquet(layout)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          (sum(floor(col("value") * 1000).cast("long")).cast("double") / 1000)
+            .as("sum_value"))
+        .orderBy("event_type")
     })
   )
 
@@ -559,6 +604,12 @@ object StreamQueries {
                 CAST(sum(event_id) AS BIGINT) AS id_sum,
                 CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // exactly-once catch-up: the landed layout ≡ the source table
+    "s12_stream_availablenow" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(event_id) AS BIGINT) AS id_sum,
+                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

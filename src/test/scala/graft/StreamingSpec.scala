@@ -336,4 +336,41 @@ class StreamingSpec extends SparkTestBase {
     assert(state == Seq(("a", 2L, 30L), ("b", 1L, 5L), ("c", 1L, 1L)),
       s"restart must process exactly the new file: $state")
   }
+
+  test("AvailableNow: rate-limited catch-up self-terminates; relaunch drains only the backlog") {
+    // the scheduled-batch pattern behind s12: each launch paces through
+    // pending files (maxFilesPerTrigger per batch), stops on its own, and
+    // the next launch resumes from the checkpoint — nothing recounted
+    val root = java.nio.file.Files.createTempDirectory("an")
+    val src = root.resolve("src"); java.nio.file.Files.createDirectory(src)
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    def land(name: String, rows: (String, Long)*): Unit =
+      rows.toDF("key", "v").coalesce(1)
+        .write.parquet(src.resolve(name).toString)
+    land("f1", ("a", 1L)); land("f2", ("b", 2L)); land("f3", ("c", 3L))
+    val schema = spark.read.parquet(src.resolve("f1").toString).schema
+    def launch() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString + "/*")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start()
+    val q1 = launch()
+    assert(q1.awaitTermination(120000), "AvailableNow must stop unaided")
+    // rate limit respected: 3 backlog files at 1/trigger → ≥3 batches
+    assert(q1.lastProgress.batchId >= 2,
+      s"expected ≥3 rate-limited batches, last id ${q1.lastProgress.batchId}")
+    val afterFirst = spark.read.parquet(out).as[(String, Long)].collect().toSet
+    assert(afterFirst == Set(("a", 1L), ("b", 2L), ("c", 3L)))
+    // new backlog lands while no query is running; relaunch catches up
+    land("f4", ("d", 4L)); land("f5", ("a", 5L))
+    val q2 = launch()
+    assert(q2.awaitTermination(120000))
+    val afterSecond = spark.read.parquet(out).as[(String, Long)].collect()
+    assert(afterSecond.sorted.toSeq ==
+      Seq(("a", 1L), ("a", 5L), ("b", 2L), ("c", 3L), ("d", 4L)),
+      s"relaunch must land exactly the new files once: ${afterSecond.toSeq}")
+  }
 }
