@@ -868,6 +868,25 @@ object TextQueries {
     "d39_gopher_filter" -> ((s, d) => {
       TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // --- d40: corpus snapshot diff (dataset versioning) — v2 is derived
+    //     deterministically from v1 (every 10th doc deleted, every 7th
+    //     edited, a disjoint id band appended), then classified by digest
+    //     comparison. The diff ships (id, digest) only — text never moves.
+    "d40_snapshot_diff" -> ((s, d) => {
+      val v1 = Tables.documents(s, d).select("doc_id", "text")
+      val v2 = v1
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+        .unionAll(v1.filter(pmod(col("doc_id"), lit(25)) === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("status")
     })
   )
 
@@ -1697,6 +1716,26 @@ object TextQueries {
                 ((n_words >= 50 AND n_words <= 100000)
                   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
                   AND (alpha_frac >= 0.80) AND (n_stop >= 2)) AS keep
-         FROM m ORDER BY doc_id"""
+         FROM m ORDER BY doc_id""",
+
+    "d40_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END
+                    AS text
+           FROM v1 WHERE doc_id % 10 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 25 = 3),
+         d AS (
+           SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                  CASE WHEN v1.doc_id IS NULL THEN 'added'
+                       WHEN v2.doc_id IS NULL THEN 'removed'
+                       WHEN md5(v1.text) <> md5(v2.text) THEN 'changed'
+                       ELSE 'unchanged' END AS status
+           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         SELECT status, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM d GROUP BY status ORDER BY status"""
   )
 }

@@ -987,6 +987,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(top1 == Seq(("a", "b", 3L)))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged classified per id") {
+    val v1 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "y"), (3L, "zz"), (4L, "w")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("gopherRules: each rule rejects independently, flags attribute the rejection") {
     val long = ("the a " + Seq.fill(60)("word").mkString(" "))        // passes all
     val short = ("the a " + Seq.fill(10)("word").mkString(" "))       // < 50 words
