@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end pre-training corpus build: the repo's audited operators
+  * composed into the standard cleaning cascade —
+  *
+  *   raw → quality gate (Gopher rules) → exact dedup → benchmark
+  *   decontamination → deterministic train/val/test split
+  *
+  * — with a per-stage audit so a selectivity regression in ANY stage is
+  * visible in one row. This is the shape a real 100 TB corpus release
+  * runs; the composition contract it demonstrates:
+  *
+  *   - stage ORDER matters and is the cheap-first order: the narrow
+  *     no-shuffle quality gate runs before the dedup shuffle, and dedup
+  *     runs before decontamination so clone cliques can't multiply the
+  *     shingle join (the d29/d31 cascade argument, applied end to end);
+  *   - the whole cascade is ONE linear flow — each doc is classified
+  *     exactly once per stage, no stage recomputes its predecessor
+  *     (the audit aggregates ride the same two frames, not re-scans);
+  *   - every stage reuses the SAME audited kernel the standalone gate
+  *     rows check (gopherRules / exactDedup-window / contaminationScores
+  *     / md5 split), so the composed result is oracle-replicable.
+  */
+object Pipelines {
+
+  /** One-row audit of the full cascade over `docs`: benchmark = ids ≡ 3
+    * (mod 97) (the d12 eval-set convention), corpus = the rest. Returns
+    * (n, id-sum) per stage: raw, quality, dedup, clean, and per split.
+    * The id-sums make the gate order-sensitive: two stages dropping the
+    * same COUNT of different docs still flip the hash. */
+  def pretrainAudit(
+      docs: DataFrame, idCol: String, textCol: String,
+      contaminationThreshold: Double = 0.5): DataFrame = {
+    val id = col(idCol)
+    val bench = docs.filter(pmod(id, lit(97)) === 3)
+      .select(id, col(textCol))
+    val corpus = docs.filter(pmod(id, lit(97)) =!= 3)
+      .select(id, col(textCol))
+
+    // stage 1: quality flags on every corpus doc (narrow, no shuffle)
+    val flagged = corpus.join(
+      TextAnalysis.gopherRules(corpus, idCol, textCol)
+        .select(id, col("keep")),
+      Seq(idCol))
+
+    // stage 2: exact-dedup rank AMONG quality survivors (digest-first
+    // window, same kernel as Dedup.exactDedup)
+    val w = Window
+      .partitionBy(xxhash64(col(textCol)), col(textCol)).orderBy(id)
+    val reps = flagged.filter(col("keep"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+
+    // stage 3: decontamination flag via the d12 containment score (shingle
+    // join against the broadcast benchmark set)
+    val dirtyIds = Contamination
+      .contaminationScores(reps, bench, idCol, textCol)
+      .filter(col("contamination") >= contaminationThreshold)
+      .select(col("doc_id").as(idCol), lit(true).as("__dirty"))
+    val judged = reps.join(dirtyIds, Seq(idCol), "left")
+      .withColumn("clean", col("__dirty").isNull)
+
+    // stage 4: deterministic split on the clean survivors (d13 convention)
+    val h = substring(md5(id.cast("string")), 1, 1)
+    val tagged = judged.withColumn("split",
+      when(h.isin("c", "d"), "val")
+        .when(h.isin("e", "f"), "test")
+        .otherwise("train"))
+
+    // raw + quality ride the flagged frame; dedup onwards ride `tagged` —
+    // two passes over the cascade total, not one per stage
+    val a1 = flagged.agg(
+      count(lit(1)).as("n_raw"), sum(id).as("s_raw"),
+      count(when(col("keep"), 1)).as("n_quality"),
+      sum(when(col("keep"), id)).as("s_quality"))
+    val a2 = tagged.agg(
+      count(lit(1)).as("n_dedup"), sum(id).as("s_dedup"),
+      count(when(col("clean"), 1)).as("n_clean"),
+      sum(when(col("clean"), id)).as("s_clean"),
+      count(when(col("clean") && col("split") === "train", 1)).as("n_train"),
+      sum(when(col("clean") && col("split") === "train", id)).as("s_train"),
+      count(when(col("clean") && col("split") === "val", 1)).as("n_val"),
+      sum(when(col("clean") && col("split") === "val", id)).as("s_val"),
+      count(when(col("clean") && col("split") === "test", 1)).as("n_test"),
+      sum(when(col("clean") && col("split") === "test", id)).as("s_test"))
+    a1.crossJoin(a2)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Contamination, Dedup, Multimodal, Packing, Quantize, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Packing, Pipelines, Quantize, Sampling, Similarity, TextAnalysis}
 import graft.sources.Sinks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -887,6 +887,26 @@ object TextQueries {
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
         .orderBy("status")
+    }),
+
+    // --- d41: the composed pre-training cascade (quality → dedup →
+    //     decontamination → split) with a one-row per-stage audit. Bench
+    //     copies are PLANTED into the corpus under a disjoint id band
+    //     (+2000000 ≡ +54 mod 97, so they stay corpus-side) so the
+    //     decontamination stage provably bites — organic max containment
+    //     is ~0.11, planted copies score 1.0. ------------------------------
+    "d41_pipeline_audit" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(pmod(col("doc_id"), lit(97)) === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      // duplicate plants (+3000000 ≡ +81 mod 97) make the dedup stage
+      // bite too; the %97≠19 guard keeps them off the bench id class
+      val planted2 = docs.filter(pmod(col("doc_id"), lit(89)) === 5 &&
+          pmod(col("doc_id"), lit(97)) =!= 19)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      Pipelines.pretrainAudit(
+        docs.unionAll(planted).unionAll(planted2), "doc_id", "text")
     })
   )
 
@@ -1736,6 +1756,83 @@ object TextQueries {
            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
          SELECT status, count(*) AS n_docs,
                 CAST(sum(doc_id) AS BIGINT) AS id_sum
-         FROM d GROUP BY status ORDER BY status"""
+         FROM d GROUP BY status ORDER BY status""",
+
+    // the full cascade composed from the d39/d05/d12/d13 oracle shapes
+    "d41_pipeline_audit" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents
+           WHERE doc_id % 97 = 3
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id, text FROM documents
+           WHERE doc_id % 89 = 5 AND doc_id % 97 <> 19),
+         corpus AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 97 <> 3),
+         tok AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM corpus),
+         q AS (
+           SELECT doc_id, text, toks,
+                  (len(toks) BETWEEN 50 AND 100000
+                   AND (CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                        / len(toks)) BETWEEN 3.0 AND 10.0
+                   AND (CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+                        / len(toks)) >= 0.80
+                   AND len(list_intersect(list_distinct(toks), ['the','a']))
+                        >= 2) AS keep
+           FROM tok WHERE len(toks) > 0),
+         reps AS (
+           SELECT doc_id, text, toks,
+                  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM q WHERE keep),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM reps WHERE rn = 1),
+         bsh AS (
+           SELECT DISTINCT unnest(
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [] END) AS s
+           FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                   x -> x <> '') AS toks
+                 FROM all_docs WHERE doc_id % 97 = 3)),
+         hits AS (
+           SELECT c.doc_id, count(*) AS n_sh, count(b.s) AS n_m
+           FROM (SELECT doc_id, unnest(sh) AS s FROM sh) c
+           LEFT JOIN bsh b ON c.s = b.s GROUP BY c.doc_id),
+         spl AS (
+           SELECT s.doc_id,
+                  (CAST(h.n_m AS DOUBLE) / h.n_sh) < 0.5 AS clean,
+                  CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1)
+                         IN ('c','d') THEN 'val'
+                       WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1)
+                         IN ('e','f') THEN 'test'
+                       ELSE 'train' END AS split
+           FROM sh s JOIN hits h USING (doc_id))
+         SELECT
+           (SELECT count(*) FROM q) AS n_raw,
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM q) AS s_raw,
+           (SELECT count(*) FROM q WHERE keep) AS n_quality,
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM q WHERE keep) AS s_quality,
+           (SELECT count(*) FROM spl) AS n_dedup,
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM spl) AS s_dedup,
+           (SELECT count(*) FROM spl WHERE clean) AS n_clean,
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM spl WHERE clean) AS s_clean,
+           (SELECT count(*) FROM spl WHERE clean AND split = 'train') AS n_train,
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM spl
+             WHERE clean AND split = 'train') AS s_train,
+           (SELECT count(*) FROM spl WHERE clean AND split = 'val') AS n_val,
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM spl
+             WHERE clean AND split = 'val') AS s_val,
+           (SELECT count(*) FROM spl WHERE clean AND split = 'test') AS n_test,
+           (SELECT CAST(sum(doc_id) AS BIGINT) FROM spl
+             WHERE clean AND split = 'test') AS s_test"""
   )
 }

@@ -987,6 +987,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(top1 == Seq(("a", "b", 3L)))
   }
 
+  test("pretrainAudit: each cascade stage drops exactly its target docs") {
+    import graft.operators.Pipelines
+    graft.functions.GraftFunctions.register(spark)
+    val base = "the a " + Seq.fill(60)("word").mkString(" ")  // passes gopher
+    val btxt = "the a " + Seq.fill(60)("mark").mkString(" ")  // bench text
+    val docs = Seq(
+      (1L, base),          // survives everything
+      (2L, base),          // exact dup of 1 → dropped at dedup (min id wins)
+      (5L, btxt),          // copy of the bench doc → dropped at decontam
+      (7L, "the a word"),  // <50 words → dropped at quality
+      (3L, btxt)           // 3 ≡ 3 (mod 97) → the benchmark side
+    ).toDF("doc_id", "text")
+    val r = Pipelines.pretrainAudit(docs, "doc_id", "text").collect()(0)
+    def g(c: String): Long = r.getAs[Long](c)
+    assert((g("n_raw"), g("s_raw")) == ((4L, 15L)))          // 1,2,5,7
+    assert((g("n_quality"), g("s_quality")) == ((3L, 8L)))   // 7 dropped
+    assert((g("n_dedup"), g("s_dedup")) == ((2L, 6L)))       // 2 dropped
+    assert((g("n_clean"), g("s_clean")) == ((1L, 1L)))       // 5 dropped
+    // md5("1") starts with 'c' → doc 1 lands in val, deterministically
+    assert((g("n_train"), g("n_val"), g("n_test")) == ((0L, 1L, 0L)))
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged classified per id") {
     val v1 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
     val v2 = Seq((2L, "y"), (3L, "zz"), (4L, "w")).toDF("doc_id", "text")
