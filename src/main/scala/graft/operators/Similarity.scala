@@ -41,6 +41,42 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** int8-served kNN: rank by the cosine of the QUANTIZED vectors — the
+    * integer dot product and integer norms are computed straight from the
+    * int8 codes ([[Quantize.int8Codes]]); the per-vector dequantization
+    * scales cancel in the cosine ratio, so serving never touches fp32.
+    * This is the memory-bandwidth serving path: at 100 TB the embedding
+    * column is usually the widest thing in the table, and int8 cuts the
+    * bytes scanned per query 4× while the e13 recall gate MEASURES what
+    * that costs in ranking fidelity. Plan shape identical to
+    * [[bruteForceTopK]]: probes broadcast, one corpus scan, WindowGroupLimit
+    * top-k; all arithmetic is codegen'd higher-order builtins over the
+    * tinyint array. */
+  def int8TopK(
+      corpusCodes: DataFrame, probeCodes: DataFrame,
+      idCol: String, codesCol: String, k: Int): DataFrame = {
+    def dot(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    def n2(a: Column): Column = aggregate(
+      transform(a, x => x.cast("long") * x.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val c = corpusCodes.select(col(idCol).as("neighbor_id"),
+      col(codesCol).as("cq"))
+    val p = probeCodes.select(col(idCol).as("probe_id"),
+      col(codesCol).as("pq"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dot(col("pq"), col("cq")).cast("double") /
+          (sqrt(n2(col("pq")).cast("double")) *
+            sqrt(n2(col("cq")).cast("double")))).as("cosine_q"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_q").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** kNN label agreement — label-noise screening / embedding-space quality
     * eval (the neighbor-agreement heuristic behind Wilson's editing rule
     * and Confident-Learning-style mislabel detection): for each probe, take

@@ -520,6 +520,31 @@ object TextQueries {
             count(col("in_bf"))) >= 0.6).as("recall_ge_060"))
     }),
 
+    // --- e13: int8-SERVED kNN recall gate — the quantized serving path
+    //     (4× fewer bytes per vector) ranked purely from the int8 codes
+    //     (scales cancel in the cosine ratio), gated against the fp32
+    //     exact top-5. Completes e07's quantization story: e07 measures
+    //     reconstruction error, e13 measures what quantization costs in
+    //     RANKING fidelity, which is the number a serving stack cares
+    //     about. Same gate algebra as e02. ----------------------------------
+    "e13_int8_recall" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val codes = Quantize.int8Codes(emb, "vec_id", "embedding")
+      val probeCodes = codes.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val q = Similarity.int8TopK(codes, probeCodes, "vec_id", "codes", k = 5)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_q"))
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+          k = 5)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+      q.join(bf, Seq("probe_id", "neighbor_id"), "full_outer")
+        .agg(
+          (sum(col("in_q")) === count(col("in_bf"))).as("complete"),
+          ((count(when(col("in_q") === 1 && col("in_bf") === 1, 1)).cast("double") /
+            count(col("in_bf"))) >= 0.8).as("recall_ge_080"))
+    }),
+
     // --- IVF-style ANN: deterministic coarse quantizer (lowest-id centroid
     //     rows, deterministic tie-breaks, sequential double accumulation) so
     //     the result is hash-exact against a full SQL replica ---------------------
@@ -1021,6 +1046,8 @@ object TextQueries {
                 CAST(0 AS BIGINT) AS n_spurious""",
     "e02_srp_recall" ->
       """SELECT true AS complete, true AS recall_ge_060""",
+    "e13_int8_recall" ->
+      """SELECT true AS complete, true AS recall_ge_080""",
     "e08_pq_recall" ->
       """SELECT true AS complete, true AS recall_ge_070""",
     "e06_ivf_kmeans_recall" ->
