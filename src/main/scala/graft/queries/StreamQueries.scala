@@ -395,6 +395,57 @@ object StreamQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // --- s13: built-in streaming dedup — dropDuplicatesWithinWatermark,
+    //     the declarative counterpart to s03/s09's custom kernel (same
+    //     two-copy staged input, same oracle: the stream collapses back to
+    //     the base table). The built-in keys state on the dedup columns
+    //     and evicts on the watermark exactly like the custom path; what
+    //     it adds is engine-managed state encoding — what it lacks is
+    //     s09's digest mode, which is why the custom kernel also exists. --
+    "s13_stream_dedup_builtin" -> ((s, d) => {
+      val deduped = eventsStream(s, d, copies = 2)
+        .withWatermark("ts", "10 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+      withStatePartitions(s, 8) {
+        drain(deduped, complete = false)
+      }
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("event_id")).as("n_ids"),
+          sum(col("event_id")).as("id_sum"),
+          (sum(floor(col("value") * 1000).cast("long")).cast("double") / 1000)
+            .as("sum_value"))
+    }),
+
+    // --- s14: per-user running counters on Spark 4's transformWithState
+    //     (the arbitrary-stateful API replacing mapGroupsWithState: typed
+    //     state handles, per-state TTL, timers, RocksDB-backed store so
+    //     keyed state is disk-bound, not heap-bound — the 100 TB-keys
+    //     path). Bit-identical semantics to s06's mapGroupsWithState
+    //     kernel, so both rows share one oracle; TWS requires the RocksDB
+    //     provider, set for this query and restored after. ------------------
+    "s14_stream_running_tws" -> ((s, d) => {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[EventStreams.UserEvent]
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStatePartitions(s, 8) {
+        drain(EventStreams.runningUserStatsTws(ev).toDF(), complete = false)
+      }
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value") * 1000).cast("long").as("value_ticks"),
+          col("last_type"))
+        .orderBy("user_id")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // --- s12: Trigger.AvailableNow catch-up — the SCHEDULED-batch
     //     streaming pattern: the query rate-limits through the backlog
     //     (maxFilesPerTrigger batches, checkpointed offsets) and then
@@ -605,6 +656,30 @@ object StreamQueries {
                 CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // built-in dedup collapses the doubled input to the original table
+    "s13_stream_dedup_builtin" ->
+      """SELECT count(*) AS n_events,
+                count(DISTINCT event_id) AS n_ids,
+                CAST(sum(event_id) AS BIGINT) AS id_sum,
+                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS sum_value
+         FROM events""",
+    // transformWithState keeps mapGroupsWithState's semantics bit-exactly,
+    // so s14 shares s06's batch replica
+    "s14_stream_running_tws" ->
+      """WITH agg AS (
+           SELECT user_id, count(*) AS n_events,
+                  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_ticks
+           FROM events GROUP BY user_id),
+         lastt AS (
+           SELECT user_id, event_type AS last_type
+           FROM (SELECT user_id, event_type,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts) // 1000 DESC, event_id DESC) AS rn
+                 FROM events)
+           WHERE rn = 1)
+         SELECT a.user_id, a.n_events, a.value_ticks, l.last_type
+         FROM agg a JOIN lastt l USING (user_id)
+         ORDER BY user_id""",
     // exactly-once catch-up: the landed layout ≡ the source table
     "s12_stream_availablenow" ->
       """SELECT event_type, count(*) AS n_events,

@@ -84,6 +84,54 @@ object EventStreams {
       }
   }
 
+  /** The SAME running counters on Spark 4's `transformWithState` — the
+    * arbitrary-stateful-processing API that replaces mapGroupsWithState
+    * going forward: typed state handles (ValueState/ListState/MapState)
+    * acquired per-key from the processor handle, optional per-state TTL,
+    * timers instead of a single timeout, and a RocksDB-backed store
+    * required underneath (state no longer needs to fit a JVM heap — the
+    * 100 TB-keys deployment path). Semantics here are kept bit-identical
+    * to [[runningUserStats]] so the s14 row can share s06's oracle: same
+    * deterministic in-batch ordering, same floor-tick accumulation. */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserRunning] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState[UserRunning]("running",
+        org.apache.spark.sql.Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        user: Long, rows: Iterator[UserEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserRunning] = {
+      val prev =
+        if (state.exists()) state.get() else UserRunning(user, 0L, 0.0, "")
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val next = evs.foldLeft(prev) { (acc, e) =>
+        UserRunning(user, acc.n_events + 1,
+          acc.total_value + math.floor(e.value * 1000) / 1000,
+          e.event_type)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserStatsTws(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, closed: Boolean)
   /** Internal keyed state for [[customSessions]] (public: Catalyst codegen

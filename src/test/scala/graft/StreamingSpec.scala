@@ -256,6 +256,36 @@ class StreamingSpec extends SparkTestBase {
     assert(byUser(2L) == 1L)
   }
 
+  test("transformWithState running stats: cross-batch accumulation ≡ mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserEvent]
+      val q = EventStreams.runningUserStatsTws(input.toDS())
+        .toDF()
+        .writeStream.format("memory").queryName("running_tws")
+        .outputMode("update").start()
+      input.addData(eventsData.take(2): _*)
+      q.processAllAvailable()
+      input.addData(eventsData.drop(2): _*)
+      q.processAllAvailable()
+      // latest update per user equals the mapGroupsWithState kernel's
+      // final state — the TWS re-expression must not drift semantically
+      val byUser = spark.table("running_tws")
+        .groupBy($"user_id").agg(max($"n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      q.stop()
+      assert(byUser(1L) == 3L)
+      assert(byUser(2L) == 1L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("ingestSharded: micro-batches upsert the sharded layout, updates win, shards stay addressable") {
     import graft.sources.Sinks
     implicit val sqlCtx = spark.sqlContext
