@@ -1239,6 +1239,22 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // --- correlated LATERAL subquery (q100): top-2 orders per customer —
+    //     the SQL-surface form of grouped top-N. Catalyst decorrelates the
+    //     per-row ORDER BY ... LIMIT into a window rank over one join (no
+    //     per-customer re-execution), so the plan scales as join + window,
+    //     not |customers| probes; values pass through verbatim. ------------
+    "q100_lateral" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    }),
+
     // --- in-flight pipeline metrics (q99): Observation/observe attaches
     //     data-quality counters (row count, null count, checksum) to the
     //     MAIN job — at 100 TB the alternative is a second full scan just
@@ -1983,6 +1999,14 @@ object RelationalQueries {
                 coalesce(daily.s, 0) AS id_sum
          FROM spine LEFT JOIN daily ON spine.dt = daily.dt
          ORDER BY dt""",
+
+    "q100_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
 
     "q99_observe" ->
       """SELECT count(*) AS n_rows,

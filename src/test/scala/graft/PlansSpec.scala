@@ -345,6 +345,14 @@ class PlansSpec extends SparkTestBase {
       "the only exchange is the presentation orderBy's range partitioning")
   }
 
+  test("q100 (LATERAL top-N): decorrelates to join + window, no per-row re-execution") {
+    val p = plan("q100_lateral")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      s"the per-customer ORDER BY ... LIMIT must become a window rank:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decorrelation must produce an equi-join, not a nested loop")
+  }
+
   test("q95 (compaction): exactly one shuffle, sized by the planned output files") {
     import graft.sources.Sinks
     val tmp = java.nio.file.Files.createTempDirectory("graft_cplan").toString
