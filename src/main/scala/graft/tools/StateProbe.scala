@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * query's progress metrics. This turns the RocksDB-vs-heap deployment
   * guidance into a measured table (PLANS.md).
   *
-  * Usage: scripts/run_main.sh graft.tools.StateProbe [heap|rocksdb]
+  * Usage: scripts/run_main.sh graft.tools.StateProbe [heap|rocksdb] [sessions|tws]
+  * (`tws` runs the s14 transformWithState counters instead — RocksDB only,
+  * the API requires it.)
   */
 object StateProbe {
   def main(args: Array[String]): Unit = {
     val provider = args.headOption.getOrElse("heap")
+    val kernel = args.drop(1).headOption.getOrElse("sessions")
     val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
@@ -35,12 +38,17 @@ object StateProbe {
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
         .as[EventStreams.UserEvent]
-      val sessions = EventStreams.customSessions(ev,
-        gapMs = 30L * 60 * 1000, watermark = "1 hour")
-      val name = s"state_probe_${provider}_${Integer.toHexString(d.hashCode)}"
+      val (streamDf, mode) =
+        if (kernel == "tws")
+          (EventStreams.runningUserStatsTws(ev).toDF(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+        else
+          (EventStreams.customSessions(ev,
+            gapMs = 30L * 60 * 1000, watermark = "1 hour").toDF(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+      val name = s"state_probe_${provider}_${kernel}_${Integer.toHexString(d.hashCode)}"
       val t0 = System.nanoTime()
-      val q = EventStreams.toMemorySinkMode(sessions.toDF(), name,
-        org.apache.spark.sql.streaming.OutputMode.Append())
+      val q = EventStreams.toMemorySinkMode(streamDf, name, mode)
       try q.processAllAvailable() finally q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       val sos = q.recentProgress.flatMap(_.stateOperators)
