@@ -113,4 +113,63 @@ object Multimodal {
         max(col("sampled_frames")).as("max_sampled_frames"))
       .orderBy(col("modality"))
   }
+
+  // ---- content-defined chunking (CDC) dedup --------------------------
+
+  /** Content-defined chunk table: split each payload at CONTENT anchors —
+    * a boundary falls after every token whose md5 starts with '0'
+    * (expected chunk ≈ 16 tokens; widen/narrow the hex prefix to tune) —
+    * so an insertion reshapes only the chunk it lands in, and every chunk
+    * after the next anchor is byte-identical to before. That shift
+    * resilience is what fixed-size blocks can't give and is the whole
+    * point of rsync/restic/LBFS-style blob dedup. Here the unit is the
+    * token stream of the text payload (portable: md5 per token replicates
+    * in any engine); the byte-level Gear-hash variant replaces only the
+    * boundary predicate, at the same codec seam as [[decodeStub]].
+    *
+    * Scale shape: one narrow pass builds (doc, chunk_idx, chunk); the
+    * dedup shuffle moves 16-byte chunk digests, never payloads. Output:
+    * (doc_id, chunk_idx, chunk_hash, chunk_chars). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val tokTable = docs
+      .select(col(idCol), posexplode(toks).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withChunk = tokTable.withColumn("chunk_idx",
+      coalesce(sum(when(substring(md5(col("tok")), 1, 1) === "0", 1L)
+        .otherwise(0L)).over(w), lit(0L)))
+    withChunk
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .as("__ordered"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(transform(col("__ordered"), s => s.getField("tok")), " ")
+          .as("chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        md5(col("chunk")).as("chunk_hash"),
+        length(col("chunk")).cast("long").as("chunk_chars"))
+  }
+  /** Corpus-level CDC dedup accounting: chunks stored once per distinct
+    * content. `savings_chars` is what a chunk-addressed blob store saves
+    * vs storing every payload whole. */
+  def cdcDedupStats(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol)
+    val distinctChunks = chunks
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("chunk_chars")).as("chars"), count(lit(1)).as("refs"))
+    chunks.agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_chars")).as("total_chars"))
+      .crossJoin(distinctChunks.agg(
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("chars")).as("stored_chars"),
+        sum(when(col("refs") > 1, col("refs"))).as("shared_refs")))
+      .select(col("n_chunks"), col("n_distinct_chunks"),
+        col("total_chars"), col("stored_chars"),
+        (col("total_chars") - col("stored_chars")).as("savings_chars"),
+        coalesce(col("shared_refs"), lit(0L)).as("shared_refs"))
+  }
 }

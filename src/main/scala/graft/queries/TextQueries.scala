@@ -729,6 +729,20 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- m04: content-defined chunking (CDC) blob dedup accounting —
+    //     rsync/restic/LBFS-style chunk-addressed storage. Boundaries fall
+    //     at content anchors (md5-of-token prefix), so an insertion
+    //     reshapes only its own chunk; duplicate payload regions (the
+    //     planted whole-doc copies here) collapse to shared chunks. The
+    //     dedup shuffle moves 16-byte digests, never payloads. --------------
+    "m04_cdc_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(pmod(col("doc_id"), lit(40)) === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Multimodal.cdcDedupStats(corpus, "doc_id", "text")
+    }),
+
     // --- sliding-window chunking (long-context / RAG prep): 64-token
     //     windows, 16-token overlap. Entirely row-local — one map stage,
     //     no shuffle; md5 of each chunk makes the content hash-checkable
@@ -1764,6 +1778,46 @@ object TextQueries {
                   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
                   AND (alpha_frac >= 0.80) AND (n_stop >= 2)) AS keep
          FROM m ORDER BY doc_id""",
+
+    "m04_cdc_chunks" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 40 = 7),
+         tokt AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM corpus),
+         tok AS (
+           SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT)] AS tok
+           FROM tokt, LATERAL unnest(range(1, len(toks) + 1)) AS t(i)),
+         chunked AS (
+           SELECT doc_id, pos, tok,
+                  COALESCE(sum(CASE WHEN substr(md5(tok), 1, 1) = '0'
+                               THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS chunk_idx
+           FROM tok),
+         chunks AS (
+           SELECT doc_id, chunk_idx,
+                  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+                  CAST(length(string_agg(tok, ' ' ORDER BY pos)) AS BIGINT)
+                    AS chunk_chars
+           FROM chunked GROUP BY doc_id, chunk_idx),
+         dc AS (
+           SELECT chunk_hash, min(chunk_chars) AS chars, count(*) AS refs
+           FROM chunks GROUP BY chunk_hash)
+         SELECT
+           (SELECT count(*) FROM chunks) AS n_chunks,
+           (SELECT count(*) FROM dc) AS n_distinct_chunks,
+           (SELECT CAST(sum(chunk_chars) AS BIGINT) FROM chunks) AS total_chars,
+           (SELECT CAST(sum(chars) AS BIGINT) FROM dc) AS stored_chars,
+           (SELECT CAST(sum(chunk_chars) AS BIGINT) FROM chunks)
+             - (SELECT CAST(sum(chars) AS BIGINT) FROM dc) AS savings_chars,
+           (SELECT CAST(COALESCE(sum(CASE WHEN refs > 1 THEN refs END), 0)
+              AS BIGINT) FROM dc) AS shared_refs""",
 
     "d40_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),

@@ -987,6 +987,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(top1 == Seq(("a", "b", 3L)))
   }
 
+  test("cdcChunks: insertion reshapes only the head chunk; identical payloads share all chunks") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val toks = (0 until 200).map(i => s"w$i")
+    val anchors = toks.count(t => md5hex(t).startsWith("0"))
+    assert(anchors >= 2, "need multiple content anchors for the test")
+    val insert = Seq("zzz", "yyy", "xxx")
+      .find(t => !md5hex(t).startsWith("0")).get  // non-anchor prefix token
+    val a = toks.mkString(" ")
+    val docs = Seq((1L, a), (2L, s"$insert $a"), (3L, a)).toDF("doc_id", "text")
+    val ch = Multimodal.cdcChunks(docs, "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_hash")
+      .as[(Long, String)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    // same payload → identical chunk sequence (doc 3 dedups fully vs doc 1)
+    assert(ch(1L) == ch(3L))
+    // a front insertion changes ONLY the first chunk: same chunk count,
+    // every chunk after the first anchor byte-identical
+    assert(ch(2L).size == ch(1L).size)
+    assert(ch(2L).head != ch(1L).head && ch(2L).tail == ch(1L).tail,
+      "CDC must localize the insertion to the chunk it lands in")
+  }
+
   test("pretrainAudit: each cascade stage drops exactly its target docs") {
     import graft.operators.Pipelines
     graft.functions.GraftFunctions.register(spark)
