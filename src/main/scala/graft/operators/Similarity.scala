@@ -116,6 +116,41 @@ object Similarity {
         (col("own_label") === col("majority_label")).as("agrees"))
   }
 
+  /** Contrastive-pair mining for embedding-model training: per anchor
+    * (probe), the top-`kNeg` nearest neighbors with a DIFFERENT label —
+    * the hard negatives that make contrastive losses work (random
+    * negatives are trivially separable; the informative ones are the
+    * near-misses) — plus the nearest SAME-label neighbor as the positive.
+    * Output: (probe_id, role 'pos'|'neg', rank, neighbor_id, cosine).
+    *
+    * Plan shape = [[bruteForceTopK]]: anchors broadcast, ONE corpus scan,
+    * per-(anchor, label-match) windowed top-k (WindowGroupLimit heaps).
+    * At corpus×corpus scale, mine from the ANN shortlist (e05/e10)
+    * instead of the exact ranking — hard-negative quality degrades
+    * gracefully with shortlist recall. */
+  def contrastivePairs(
+      emb: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      kNeg: Int): DataFrame = {
+    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("n_label"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      col(labelCol).as("p_label"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (col("n_label") === col("p_label")).as("same"),
+        cosineF32(col("pv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"), col("same"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter((col("same") && col("rank") === 1) ||
+        (!col("same") && col("rank") <= kNeg))
+      .select(col("probe_id"),
+        when(col("same"), "pos").otherwise("neg").as("role"),
+        col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Exact maximum-inner-product search (MIPS): top-k by raw dot product —
     * the retrieval scoring used when embeddings are NOT length-normalized
     * (e.g. DPR-style trained encoders, where vector norm carries signal and

@@ -798,6 +798,22 @@ object TextQueries {
     //     replicated kNN ranking (cosine desc, neighbor_id asc — total
     //     order, so both engines agree on the k-set) + a deterministic
     //     majority vote (ties → smallest label). Full DuckDB replica. -------
+    // --- e14: hard-negative mining for contrastive training — per anchor,
+    //     the top-3 nearest DIFFERENT-label neighbors (the near-misses a
+    //     contrastive loss learns from) plus the nearest same-label
+    //     positive. Rides e01's exactly-replicated ranking; cosine
+    //     floor-quantized like e01 for cross-engine hash parity. -----------
+    "e14_hard_negatives" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.contrastivePairs(emb, probes, "vec_id", "embedding",
+          "label", kNeg = 3)
+        .select(col("probe_id"), col("role"), col("rank"), col("neighbor_id"),
+          (floor(col("cosine") * 10000) / 10000).as("cosine_q"))
+        .orderBy("probe_id", "role", "rank")
+    }),
+
     "e12_knn_label_agreement" -> ((s, d) => {
       GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
@@ -1616,6 +1632,31 @@ object TextQueries {
            FROM scored)
          SELECT probe_id, rank, neighbor_id, floor(dot * 10000) / 10000 AS dot_q
          FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""",
+
+    "e14_hard_negatives" ->
+      """WITH p AS (SELECT vec_id, embedding, label FROM embeddings
+                    WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+             (e.label = p.label) AS same,
+             list_sum(list_transform(range(1, len(p.embedding) + 1),
+               i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+           FROM embeddings e, p
+           WHERE p.vec_id <> e.vec_id),
+         ranked AS (
+           SELECT probe_id, neighbor_id, same, cosine,
+                  row_number() OVER (PARTITION BY probe_id, same
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT probe_id,
+                CASE WHEN same THEN 'pos' ELSE 'neg' END AS role,
+                rank, neighbor_id,
+                floor(cosine * 10000) / 10000 AS cosine_q
+         FROM ranked
+         WHERE (same AND rank = 1) OR (NOT same AND rank <= 3)
+         ORDER BY probe_id, role, rank""",
 
     "e12_knn_label_agreement" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),

@@ -1067,6 +1067,28 @@ class OperatorsSpec extends SparkTestBase {
       out(0).getAs[Long]("n_stop") == 2L)
   }
 
+  test("contrastivePairs: nearest cross-label near-misses as negatives, nearest same-label as positive") {
+    def unit(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // anchor 0 (label 1) at 0°; same-label 3 at 15°; cross-label 1,2 at
+    // 5°/10° are the near-misses; cross-label 10 at 90° is an easy negative
+    val emb = Seq(
+      (0L, unit(0), 1), (1L, unit(5), 2), (2L, unit(10), 2), (3L, unit(15), 1),
+      (10L, unit(90), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastivePairs(
+        emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", "label", kNeg = 2)
+      .orderBy("role", "rank")
+      .select("role", "rank", "neighbor_id")
+      .as[(String, Int, Long)].collect().toSeq
+    // negatives are the CLOSEST cross-label vectors (5° then 10°), never
+    // the easy one at 90°; the positive is the nearest same-label (15°)
+    assert(out == Seq(("neg", 1, 1L), ("neg", 2, 2L), ("pos", 1, 3L)))
+  }
+
   test("knnLabelAgreement: majority vote, deterministic tie-break, agree flag") {
     def unit(deg: Double): Array[Float] = {
       val r = math.toRadians(deg)
