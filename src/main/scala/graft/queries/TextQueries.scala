@@ -944,6 +944,27 @@ object TextQueries {
         .orderBy("status")
     }),
 
+    // --- d42: deterministic per-epoch corpus shuffle — the training-order
+    //     generator. Each epoch orders the corpus by an epoch-seeded
+    //     content hash (md5, engine-portable), ranked WITHOUT a
+    //     single-reducer sort via GlobalOrder's range-partition + offset
+    //     two-pass; per-epoch position = global rank minus the epoch
+    //     block offset (each epoch is exactly |corpus| rows). Reruns and
+    //     engine replicas reproduce the exact order — the property that
+    //     makes a training run resumable and auditable. -------------------
+    "d42_epoch_shuffle" -> ((s, d) => {
+      val n = Tables.documents(s, d).count()
+      val keyed = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("epoch", explode(array(lit(1L), lit(2L))))
+        .withColumn("__k",
+          md5(concat_ws(":", col("epoch"), col("doc_id"))))
+      graft.operators.GlobalOrder
+        .withGlobalRowNumber(keyed, Seq("epoch", "__k"))
+        .select(col("epoch"), col("doc_id"),
+          (col("global_rn") - (col("epoch") - 1) * n).as("pos"))
+        .orderBy("epoch", "pos")
+    }),
+
     // --- d41: the composed pre-training cascade (quality → dedup →
     //     decontamination → split) with a one-row per-stage audit. Bench
     //     copies are PLANTED into the corpus under a disjoint id band
@@ -1879,6 +1900,15 @@ object TextQueries {
          SELECT status, count(*) AS n_docs,
                 CAST(sum(doc_id) AS BIGINT) AS id_sum
          FROM d GROUP BY status ORDER BY status""",
+
+    "d42_epoch_shuffle" ->
+      """WITH e AS (
+           SELECT doc_id, epoch
+           FROM documents, (SELECT unnest([1, 2]) AS epoch))
+         SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+                CAST(row_number() OVER (PARTITION BY epoch
+                  ORDER BY md5(epoch || ':' || doc_id)) AS BIGINT) AS pos
+         FROM e ORDER BY epoch, pos""",
 
     // the full cascade composed from the d39/d05/d12/d13 oracle shapes
     "d41_pipeline_audit" ->
