@@ -49,6 +49,7 @@ object SparkEntry {
       "q93_partitioned_scan", // one-time dt-partitioned events layout write
       "q95_compacted_scan", // fragmented-ingest write + one-time compaction
       "s02_stream_ingest",
+      "s12_stream_availablenow", // one-time backlog write + catch-up drain
       "s03_stream_dedup", // stages its two-copy events dir on first call
       "e06_ivf_kmeans_recall", "e08_pq_recall",
       "e10_ivfpq_recall", // coarse+PQ codebooks + cell-partitioned index

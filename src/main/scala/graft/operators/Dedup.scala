@@ -828,13 +828,17 @@ object Dedup {
   def snapshotDiff(
       v1: DataFrame, v2: DataFrame, idCol: String,
       payloadCol: String): DataFrame = {
-    val a = v1.select(col(idCol), md5(col(payloadCol)).as("__h1"))
-    val b = v2.select(col(idCol), md5(col(payloadCol)).as("__h2"))
+    // presence is a flag, NOT digest-nullness: a row whose payload is NULL
+    // (md5 → null) must still count as present on its side
+    val a = v1.select(col(idCol), md5(col(payloadCol)).as("__h1"),
+      lit(true).as("__in1"))
+    val b = v2.select(col(idCol), md5(col(payloadCol)).as("__h2"),
+      lit(true).as("__in2"))
     a.join(b, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__h1").isNull, lit("added"))
-          .when(col("__h2").isNull, lit("removed"))
-          .when(col("__h1") =!= col("__h2"), lit("changed"))
+        when(col("__in1").isNull, lit("added"))
+          .when(col("__in2").isNull, lit("removed"))
+          .when(!(col("__h1") <=> col("__h2")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
 }

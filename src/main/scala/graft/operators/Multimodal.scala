@@ -156,20 +156,20 @@ object Multimodal {
     * vs storing every payload whole. */
   def cdcDedupStats(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val chunks = cdcChunks(docs, idCol, textCol)
-    val distinctChunks = chunks
+    // every output is derivable from the distinct-chunk frame (chunk_chars
+    // is identical per hash), so the corpus-wide chunking pipeline runs
+    // ONCE: n_chunks = Σ refs, total_chars = Σ chars·refs
+    val distinctChunks = cdcChunks(docs, idCol, textCol)
       .groupBy(col("chunk_hash"))
       .agg(min(col("chunk_chars")).as("chars"), count(lit(1)).as("refs"))
-    chunks.agg(
-        count(lit(1)).as("n_chunks"),
-        sum(col("chunk_chars")).as("total_chars"))
-      .crossJoin(distinctChunks.agg(
+    distinctChunks.agg(
+        sum(col("refs")).as("n_chunks"),
         count(lit(1)).as("n_distinct_chunks"),
+        sum(col("chars") * col("refs")).as("total_chars"),
         sum(col("chars")).as("stored_chars"),
-        sum(when(col("refs") > 1, col("refs"))).as("shared_refs")))
-      .select(col("n_chunks"), col("n_distinct_chunks"),
-        col("total_chars"), col("stored_chars"),
-        (col("total_chars") - col("stored_chars")).as("savings_chars"),
-        coalesce(col("shared_refs"), lit(0L)).as("shared_refs"))
+        (sum(col("chars") * col("refs")) - sum(col("chars")))
+          .as("savings_chars"),
+        coalesce(sum(when(col("refs") > 1, col("refs"))), lit(0L))
+          .as("shared_refs"))
   }
 }

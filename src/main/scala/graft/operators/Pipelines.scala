@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end pre-training corpus build: the repo's audited operators
@@ -47,13 +46,9 @@ object Pipelines {
         .select(id, col("keep")),
       Seq(idCol))
 
-    // stage 2: exact-dedup rank AMONG quality survivors (digest-first
-    // window, same kernel as Dedup.exactDedup)
-    val w = Window
-      .partitionBy(xxhash64(col(textCol)), col(textCol)).orderBy(id)
-    val reps = flagged.filter(col("keep"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // stage 2: exact dedup AMONG quality survivors — the audited kernel
+    // itself, not a re-implementation
+    val reps = Dedup.exactDedup(flagged.filter(col("keep")), idCol, textCol)
 
     // stage 3: decontamination flag via the d12 containment score (shingle
     // join against the broadcast benchmark set)

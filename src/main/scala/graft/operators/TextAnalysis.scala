@@ -461,16 +461,20 @@ object TextAnalysis {
       // carries exactly two function words, so the default list is
       // calibrated to it; real-corpus callers pass the full list.
       stops: Seq[String] = Seq("the", "a")): DataFrame = {
+    // a zero-token doc is REJECTED WITH FLAGS (n_words=0 fails ok_count),
+    // never silently dropped — the audit contract is one output row per
+    // input doc; the guarded divisions emit 0.0 instead of NaN there
+    val n = size(col("toks"))
     docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
       .select(col(idCol),
-        size(col("toks")).cast("long").as("n_words"),
+        n.cast("long").as("n_words"),
         // total word chars via join-and-measure: replicable in any engine
-        (length(concat_ws("", col("toks"))).cast("double") /
-          size(col("toks"))).as("mean_word_len"),
-        (size(filter(col("toks"), t => t.rlike("\\p{L}"))).cast("double") /
-          size(col("toks"))).as("alpha_frac"),
+        when(n > 0, length(concat_ws("", col("toks"))).cast("double") / n)
+          .otherwise(lit(0.0)).as("mean_word_len"),
+        when(n > 0,
+          size(filter(col("toks"), t => t.rlike("\\p{L}"))).cast("double") / n)
+          .otherwise(lit(0.0)).as("alpha_frac"),
         size(array_intersect(array_distinct(col("toks")),
           array(stops.map(lit): _*))).cast("long").as("n_stop"))
       .withColumn("ok_count", col("n_words") >= 50 && col("n_words") <= 100000)

@@ -1823,14 +1823,16 @@ object TextQueries {
          m AS (
            SELECT doc_id,
                   CAST(len(toks) AS BIGINT) AS n_words,
-                  CAST(length(array_to_string(toks, '')) AS DOUBLE)
-                    / len(toks) AS mean_word_len,
-                  CAST(len(list_filter(toks,
-                      x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
-                    / len(toks) AS alpha_frac,
+                  CASE WHEN len(toks) > 0
+                    THEN CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                         / len(toks) ELSE 0.0 END AS mean_word_len,
+                  CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks,
+                         x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+                         / len(toks) ELSE 0.0 END AS alpha_frac,
                   len(list_intersect(list_distinct(toks), ['the','a']))
                     AS n_stop
-           FROM t WHERE len(toks) > 0)
+           FROM t)
          SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
                 (n_words >= 50 AND n_words <= 100000) AS ok_count,
                 (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_len,
@@ -1928,6 +1930,7 @@ object TextQueries {
            FROM corpus),
          q AS (
            SELECT doc_id, text, toks,
+                  CASE WHEN len(toks) = 0 THEN false ELSE
                   (len(toks) BETWEEN 50 AND 100000
                    AND (CAST(length(array_to_string(toks, '')) AS DOUBLE)
                         / len(toks)) BETWEEN 3.0 AND 10.0
@@ -1935,8 +1938,8 @@ object TextQueries {
                         x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
                         / len(toks)) >= 0.80
                    AND len(list_intersect(list_distinct(toks), ['the','a']))
-                        >= 2) AS keep
-           FROM tok WHERE len(toks) > 0),
+                        >= 2) END AS keep
+           FROM tok),
          reps AS (
            SELECT doc_id, text, toks,
                   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -203,6 +203,49 @@ object Sinks {
       }.toMap
   }
 
+  /** ceil(bytes/target) per partition value — the bin-pack plan. */
+  private def binPackPlan(
+      stats: Iterable[(String, Long)], targetBytes: Long): Seq[(String, Long)] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    stats.map { case (value, bytes) =>
+      value -> math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    }.toSeq
+  }
+
+  /** Apply a bin-pack plan to `df`: ONE shuffle keyed on (partition col,
+    * `pmod(xxhash64(key), filesForThatDir)`), width = the plan's total
+    * file count — tasks scale with the OUTPUT size, and hash collisions
+    * between (dir, bucket) groups merge into fewer-but-larger files,
+    * never more-but-smaller (the safe direction). The per-dir counts ride
+    * into the plan as a tiny map-literal, so skewed days get more files
+    * while quiet days collapse to one — a global `repartition(n)` can't
+    * do both. Shared by [[compactTo]] and [[compactDirsInPlace]], so the
+    * q95/PlansSpec geometry assertions pin BOTH paths. */
+  private def binPacked(
+      df: DataFrame, partitionCol: String, keyCol: String,
+      plan: Seq[(String, Long)]): DataFrame = {
+    val nFiles = plan.foldLeft(lit(1L)) { case (acc, (value, n)) =>
+      when(col(partitionCol).cast("string") === value, lit(n)).otherwise(acc)
+    }
+    val width = math.max(1L, plan.map(_._2).sum).min(Int.MaxValue.toLong).toInt
+    df.withColumn("__bucket", pmod(xxhash64(col(keyCol)), nFiles))
+      .repartition(width, col(partitionCol), col("__bucket"))
+      .drop("__bucket")
+  }
+
+  /** The shuffle stage [[compactTo]] executes, exposed so PlansSpec can
+    * pin the geometry: exactly ONE exchange, keyed on (partition col,
+    * planned bucket), width = planned output file count. */
+  def compactionPlan(
+      spark: SparkSession, src: String, partitionCol: String,
+      keyCol: String, targetBytes: Long): DataFrame = {
+    val plan = binPackPlan(
+      fileStats(spark, src).map { case (dir, (_, bytes)) =>
+        dir.substring(dir.indexOf('=') + 1) -> bytes
+      }, targetBytes)
+    binPacked(spark.read.parquet(src), partitionCol, keyCol, plan)
+  }
+
   /** Bin-packed rewrite of a fragmented partitioned layout — the
     * OPTIMIZE/rewrite_data_files fix for the small-files problem, which at
     * 100 TB is an operational emergency, not a nit: a day's streaming
@@ -211,39 +254,10 @@ object Sinks {
     * while the NameNode/object store pays the listing.
     *
     * Each partition directory is rewritten to
-    * `ceil(dirBytes / targetBytes)` files: the shuffle key is
-    * (partition col, `pmod(xxhash64(key), filesForThatDir)`), so rows
-    * spread evenly over exactly the planned file count, and the writer
-    * emits one file per (dir, bucket) task group. The only data movement
-    * is that one shuffle, sized by the OUTPUT geometry — input
-    * fragmentation does not leak into the plan. Per-dir file counts come
-    * from [[fileStats]] (metadata-only) and ride into the plan as a tiny
-    * broadcast map-literal, so skewed days get more files while quiet days
-    * collapse to one — a global `repartition(n)` can't do both. */
-  /** The shuffle stage [[compactTo]] executes, exposed so PlansSpec can
-    * pin the geometry: exactly ONE exchange, keyed on (partition col,
-    * planned bucket), width = planned output file count. */
-  def compactionPlan(
-      spark: SparkSession, src: String, partitionCol: String,
-      keyCol: String, targetBytes: Long): DataFrame = {
-    require(targetBytes > 0, "targetBytes must be positive")
-    val plan = fileStats(spark, src).map { case (dir, (_, bytes)) =>
-      dir.substring(dir.indexOf('=') + 1) ->
-        math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    }
-    val nFiles = plan.foldLeft(lit(1L)) { case (acc, (value, n)) =>
-      when(col(partitionCol).cast("string") === value, lit(n)).otherwise(acc)
-    }
-    // shuffle width = planned output file count: tasks scale with the
-    // OUTPUT size (hash collisions between (dir,bucket) groups merge into
-    // fewer-but-larger files, never more-but-smaller — the safe direction)
-    val width = math.max(1L, plan.values.sum).min(Int.MaxValue.toLong).toInt
-    spark.read.parquet(src)
-      .withColumn("__bucket", pmod(xxhash64(col(keyCol)), nFiles))
-      .repartition(width, col(partitionCol), col("__bucket"))
-      .drop("__bucket")
-  }
-
+    * `ceil(dirBytes / targetBytes)` files ([[binPacked]]); the only data
+    * movement is that one output-sized shuffle — input fragmentation does
+    * not leak into the plan. Per-dir byte totals come from [[fileStats]]
+    * (metadata-only, no file opened). */
   def compactTo(
       spark: SparkSession, src: String, dst: String, partitionCol: String,
       keyCol: String, targetBytes: Long): Unit =
@@ -263,19 +277,13 @@ object Sinks {
       values: Seq[String], keyCol: String, targetBytes: Long): Unit = {
     require(values.nonEmpty, "nothing to compact")
     val stats = fileStats(spark, path)
-    val plan = values.map { v =>
-      val bytes = stats.getOrElse(s"$partitionCol=$v", (0, 0L))._2
-      v -> math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    }
-    val nFiles = plan.foldLeft(lit(1L)) { case (acc, (value, n)) =>
-      when(col(partitionCol).cast("string") === value, lit(n)).otherwise(acc)
-    }
-    val width = math.max(1L, plan.map(_._2).sum).min(Int.MaxValue.toLong).toInt
-    val subset = spark.read.parquet(path)
-      .filter(col(partitionCol).cast("string").isin(values: _*))
-      .withColumn("__bucket", pmod(xxhash64(col(keyCol)), nFiles))
-      .repartition(width, col(partitionCol), col("__bucket"))
-      .drop("__bucket")
+    val plan = binPackPlan(
+      values.map(v => v -> stats.getOrElse(s"$partitionCol=$v", (0, 0L))._2),
+      targetBytes)
+    val subset = binPacked(
+      spark.read.parquet(path)
+        .filter(col(partitionCol).cast("string").isin(values: _*)),
+      partitionCol, keyCol, plan)
       .localCheckpoint(true)
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -1041,6 +1041,16 @@ class OperatorsSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
+    // null payloads: presence is a FLAG, not digest-nullness — a doc in
+    // both snapshots with null text is unchanged; null vs text is changed
+    val n1 = Seq((1L, null: String), (2L, "x"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val n2 = Seq((1L, null: String), (2L, null: String), (4L, "y"))
+      .toDF("doc_id", "text")
+    val nOut = Dedup.snapshotDiff(n1, n2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(nOut == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
   }
 
   test("gopherRules: each rule rejects independently, flags attribute the rejection") {
@@ -1065,6 +1075,13 @@ class OperatorsSpec extends SparkTestBase {
     // arithmetic spot-check: doc 1 = 62 words, 2 stop words
     assert(out(0).getAs[Long]("n_words") == 62L &&
       out(0).getAs[Long]("n_stop") == 2L)
+    // a zero-token doc is rejected WITH flags, never silently dropped
+    val empty = TextAnalysis.gopherRules(
+        Seq((9L, "   ")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(empty.length == 1 && !empty(0).getAs[Boolean]("keep") &&
+      empty(0).getAs[Long]("n_words") == 0L &&
+      empty(0).getAs[Double]("mean_word_len") == 0.0)
   }
 
   test("contrastivePairs: nearest cross-label near-misses as negatives, nearest same-label as positive") {

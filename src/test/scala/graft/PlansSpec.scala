@@ -368,11 +368,13 @@ class PlansSpec extends SparkTestBase {
     assert("Exchange hashpartitioning\\(dt".r.findAllIn(p).size == 1,
       s"expected exactly one (dt, bucket) hash exchange:\n$p")
     assert(!p.contains("rangepartitioning"), "compaction must never sort")
-    // the exchange width equals the bin-pack plan's total file count
+    // the exchange width equals the bin-pack plan's total file count —
+    // anchored INSIDE the exchange node so an unrelated "(.., N)" in the
+    // plan text can neither satisfy nor spoof the check
     val planned = Sinks.fileStats(spark, tmp).values
       .map { case (_, b) => math.max(1L, (b + target - 1) / target) }.sum
-    assert(p.contains(s"Exchange hashpartitioning(dt") &&
-      p.contains(s", $planned)"),
+    assert(s"Exchange hashpartitioning\\(dt[^)]*, $planned\\)".r
+        .findFirstIn(p).isDefined,
       s"shuffle width must equal the planned $planned output files:\n$p")
   }
 }
