@@ -30,6 +30,12 @@ object GraftFunctions {
       s"$name expects a long literal, got $other")
   }
 
+  private def strLit(e: Expression, name: String): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name expects a string literal, got $other")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "product" -> (es => ProductAgg(Cast(es.head, DoubleType))),
     "dot_f32" -> (es => DotProductF32(es(0), es(1))),
@@ -56,7 +62,24 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         es(0), es(1), es(2))),
     "bloom_might_contain" -> (es =>
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))),
+    // DataSketches-backed mergeable sketches (see SketchAggs.scala): fixed
+    // size map-side state whose serialized form can be stored per partition
+    // and unioned later — the q98 HLL pattern for quantiles / heavy hitters
+    "kll_agg" -> (es => KllSketchAgg(es.head)),
+    "kll_merge_agg" -> (es => KllMergeAgg(es.head)),
+    "kll_quantile" -> (es => KllQuantile(es(0), es(1) match {
+      case Literal(v: Double, _) => v
+      case other => throw new IllegalArgumentException(
+        s"kll_quantile expects a double literal rank, got $other")
+    })),
+    "freq_agg" -> (es => FreqItemsAgg(es(0), intLit(es(1), "freq_agg.maxMapSize"))),
+    "freq_merge_agg" -> (es => FreqMergeAgg(es(0), intLit(es(1), "freq_merge_agg.maxMapSize"))),
+    "freq_items" -> (es => FreqItemRows(es.head)),
+    "freq_max_error" -> (es => FreqMaxError(es.head)),
+    // Unicode normalization kernels (TextNormalize.scala) — codegen'd
+    "normalize_text" -> (es => NormalizeText(es(0), strLit(es(1), "normalize_text.form"))),
+    "strip_accents" -> (es => StripAccents(es.head))
   )
 
   /** Idempotent: register all graft functions in this session. */
@@ -95,6 +118,28 @@ object GraftFunctions {
     call_function("bloom_agg", keys, lit(expectedItems), lit(numBits))
   def bloomMightContain(bloom: Column, key: Column): Column =
     call_function("bloom_might_contain", bloom, key)
+  /** KLL quantile sketch over a DOUBLE column → serialized sketch. */
+  def kllAgg(values: Column): Column = call_function("kll_agg", values)
+  /** Union serialized KLL sketches → serialized sketch. */
+  def kllMergeAgg(sketches: Column): Column = call_function("kll_merge_agg", sketches)
+  /** Rank-q quantile estimate from a serialized KLL sketch. */
+  def kllQuantile(sketch: Column, rank: Double): Column =
+    call_function("kll_quantile", sketch, lit(rank))
+  /** Frequent-items (Misra-Gries) sketch over a STRING column. */
+  def freqAgg(terms: Column, maxMapSize: Int): Column =
+    call_function("freq_agg", terms, lit(maxMapSize))
+  /** Union serialized frequent-items sketches. */
+  def freqMergeAgg(sketches: Column, maxMapSize: Int): Column =
+    call_function("freq_merge_agg", sketches, lit(maxMapSize))
+  /** NO_FALSE_NEGATIVES report: array<struct<term, est, lb, ub>>. */
+  def freqItems(sketch: Column): Column = call_function("freq_items", sketch)
+  /** A-priori error bound of a frequent-items sketch. */
+  def freqMaxError(sketch: Column): Column = call_function("freq_max_error", sketch)
+  /** Unicode normalization: form ∈ NFC | NFD | NFKC | NFKD. */
+  def normalizeText(s: Column, form: String): Column =
+    call_function("normalize_text", s, lit(form))
+  /** Remove combining diacritical marks (NFD → drop Mn → NFC). */
+  def stripAccents(s: Column): Column = call_function("strip_accents", s)
 
   // ---- Reference-semantics shims (SURVEY §2.7 deltas) ------------------
 

@@ -1,0 +1,276 @@
+package graft.functions
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable-sketch aggregates beyond the built-in HLL family (q98):
+  * KLL quantile sketches and Misra-Gries frequent-items sketches, both from
+  * the Apache DataSketches library already on the Spark classpath.
+  *
+  * Why they matter at 100 TB: a profile pass that needs per-partition
+  * quantiles or heavy hitters cannot afford the exact formulations — exact
+  * percentiles buffer every value per group, exact top-k shuffles the full
+  * key space. These sketches are FIXED-SIZE map-side state with an
+  * associative, commutative merge, so they ride Spark's standard two-phase
+  * aggregation (partial sketch per partition → merged sketch per group),
+  * and — like the q98 HLL rows — their serialized form can be PERSISTED
+  * per (partition, day) and unioned later to answer any range question
+  * without rescanning raw data.
+  *
+  * Implemented as Catalyst [[TypedImperativeAggregate]]s (the same
+  * machinery Spark's own `hll_sketch_agg` / `percentile` use): the live
+  * sketch object is the per-group buffer, serialization happens only at
+  * shuffle boundaries. Registered in [[GraftFunctions]]; no UDFs.
+  */
+abstract class SketchAgg[S] extends TypedImperativeAggregate[S]
+    with UnaryLike[Expression] {
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+}
+
+/** `kll_agg(x)` — KLL quantile sketch over a DOUBLE column; returns the
+  * serialized sketch. Default k=200 bounds two-sided normalized rank error
+  * at ~1.65% with 99% confidence (DataSketches published bound), i.e. an
+  * estimated quantile at rank q is an exact value whose true rank lies in
+  * q ± 0.0165 w.h.p., at ~2.5 kB of state regardless of input size. */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAgg[KllDoublesSketch] {
+
+  override def prettyName: String = "kll_agg"
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
+    a.merge(b); a
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllSketchAgg =
+    copy(child = c)
+}
+
+/** `kll_merge_agg(sk)` — union serialized KLL sketches (the storage-side
+  * half: per-day sketches in, one range sketch out). */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAgg[KllDoublesSketch] {
+
+  override def prettyName: String = "kll_merge_agg"
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    }
+    buf
+  }
+
+  override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
+    a.merge(b); a
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllMergeAgg =
+    copy(child = c)
+}
+
+/** `kll_quantile(sk, q)` — extract the rank-q quantile estimate from a
+  * serialized KLL sketch. Runs on the handful of post-aggregation group
+  * rows (one heapify per call), never in a per-input-row hot path, so
+  * interpreted eval is fine — hence [[CodegenFallback]]. */
+case class KllQuantile(child: Expression, rank: Double)
+  extends UnaryExpression with CodegenFallback {
+  require(rank >= 0.0 && rank <= 1.0, "rank must be in [0, 1]")
+
+  override def prettyName: String = "kll_quantile"
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else sk.getQuantile(
+      rank,
+      org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+  }
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): KllQuantile =
+    copy(child = c)
+}
+
+/** Shared serde for string frequent-items sketches. */
+private object FreqSerde {
+  val serde = new ArrayOfStringsSerDe
+  def read(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+}
+
+/** `freq_agg(term, maxMapSize)` — Misra-Gries frequent-items sketch over a
+  * STRING column. State is at most `maxMapSize` counters (power of 2)
+  * regardless of vocabulary size; deterministic (no randomness), with the
+  * classic guarantees: every item whose true count exceeds
+  * `getMaximumError` is retained, and each retained estimate brackets the
+  * true count in [lowerBound, upperBound]. Those guarantees — not the
+  * internal counter values, which are purge-order-dependent — are what a
+  * gate may assert. */
+case class FreqItemsAgg(
+    child: Expression,
+    maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAgg[ItemsSketch[String]] {
+  require(maxMapSize >= 2 && Integer.bitCount(maxMapSize) == 1,
+    "maxMapSize must be a power of 2")
+
+  override def prettyName: String = "freq_agg"
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(a: ItemsSketch[String], b: ItemsSketch[String]): ItemsSketch[String] =
+    a.merge(b)
+
+  override def eval(buf: ItemsSketch[String]): Any = buf.toByteArray(FreqSerde.serde)
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(FreqSerde.serde)
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    FreqSerde.read(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): FreqItemsAgg =
+    copy(child = c)
+}
+
+/** `freq_merge_agg(sk, maxMapSize)` — union serialized frequent-items
+  * sketches; error bounds add across merges and the merged sketch reports
+  * the combined `getMaximumError`. */
+case class FreqMergeAgg(
+    child: Expression,
+    maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAgg[ItemsSketch[String]] {
+  require(maxMapSize >= 2 && Integer.bitCount(maxMapSize) == 1,
+    "maxMapSize must be a power of 2")
+
+  override def prettyName: String = "freq_merge_agg"
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(FreqSerde.read(v.asInstanceOf[Array[Byte]]))
+    else buf
+  }
+
+  override def merge(a: ItemsSketch[String], b: ItemsSketch[String]): ItemsSketch[String] =
+    a.merge(b)
+
+  override def eval(buf: ItemsSketch[String]): Any = buf.toByteArray(FreqSerde.serde)
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(FreqSerde.serde)
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    FreqSerde.read(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): FreqMergeAgg =
+    copy(child = c)
+}
+
+/** `freq_items(sk)` — the NO_FALSE_NEGATIVES report of a serialized
+  * frequent-items sketch as `array<struct<term, est, lb, ub>>`, ordered by
+  * descending estimate. Post-aggregation extraction on group rows only. */
+case class FreqItemRows(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "freq_items"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("est", LongType, nullable = false),
+      StructField("lb", LongType, nullable = false),
+      StructField("ub", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val sk = FreqSerde.read(v.asInstanceOf[Array[Byte]])
+    val rows = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+    new GenericArrayData(rows.map { r =>
+      InternalRow(UTF8String.fromString(r.getItem),
+        r.getEstimate, r.getLowerBound, r.getUpperBound): Any
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): FreqItemRows =
+    copy(child = c)
+}
+
+/** `freq_max_error(sk)` — the sketch's a-priori error bound: any item with
+  * true count above this is guaranteed present in the report. */
+case class FreqMaxError(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "freq_max_error"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    FreqSerde.read(v.asInstanceOf[Array[Byte]]).getMaximumError
+
+  override protected def withNewChildInternal(c: Expression): FreqMaxError =
+    copy(child = c)
+}

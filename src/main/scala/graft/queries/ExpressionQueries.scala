@@ -188,6 +188,50 @@ object ExpressionQueries {
         .orderBy("event_type")
     }),
 
+    // --- mergeable quantile sketches (q101): the q98 pattern lifted from
+    //     distinct counts to QUANTILES. A custom KLL TypedImperativeAggregate
+    //     (functions/SketchAggs.scala) builds one ~2.5 kB sketch per
+    //     (event_type, day); a second union aggregate merges the 30 daily
+    //     sketches per type and quantiles are read off the union — raw
+    //     events are scanned once to BUILD, never to ANSWER. Exact
+    //     percentiles buffer every value per group (OOM at 100 TB); the
+    //     sketch is fixed-size map-side state with associative merge.
+    //     Gate: each estimated quantile must be an exact data value whose
+    //     true rank lies within ±3% of the requested rank — KLL k=200
+    //     bounds rank error at ~1.65% w.p. 0.99, so the gate sits at ~2×
+    //     the 99% bound: a broken sketch/union fails, a data draw never
+    //     does. Rank containment is asserted via exact percentiles at
+    //     rank ± 0.03 (value between them ⇔ rank within the margin). --------
+    "q101_kll_union" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{kllAgg, kllMergeAgg, kllQuantile}
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(kllAgg(col("value")).as("sk"))
+      val unioned = daily
+        .groupBy(col("event_type"))
+        .agg(kllMergeAgg(col("sk")).as("sk"))
+      val est = unioned.select(col("event_type"),
+        kllQuantile(col("sk"), 0.10).as("e10"),
+        kllQuantile(col("sk"), 0.50).as("e50"),
+        kllQuantile(col("sk"), 0.90).as("e90"))
+      val exact = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.07)").as("lo10"),
+          expr("percentile(value, 0.13)").as("hi10"),
+          expr("percentile(value, 0.47)").as("lo50"),
+          expr("percentile(value, 0.53)").as("hi50"),
+          expr("percentile(value, 0.87)").as("lo90"),
+          expr("percentile(value, 0.93)").as("hi90"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          col("e10").between(col("lo10"), col("hi10")).as("q10_ok"),
+          col("e50").between(col("lo50"), col("hi50")).as("q50_ok"),
+          col("e90").between(col("lo90"), col("hi90")).as("q90_ok"))
+        .orderBy("event_type")
+    }),
+
     // --- statistical aggregates (stddev/var/corr/covar; quantized because
     //     both engines accumulate doubles differently at the last ulp) ----------
     "q50_stats" -> ((s, d) => {
@@ -279,6 +323,10 @@ object ExpressionQueries {
     // the union gate must hold for every event type present in the data
     "q98_hll_union" ->
       """SELECT DISTINCT event_type, true AS union_ok
+         FROM events ORDER BY event_type""",
+    "q101_kll_union" ->
+      """SELECT DISTINCT event_type,
+                true AS q10_ok, true AS q50_ok, true AS q90_ok
          FROM events ORDER BY event_type""",
     "q50_stats" ->
       """SELECT l_returnflag,

@@ -965,6 +965,87 @@ object TextQueries {
         .orderBy("epoch", "pos")
     }),
 
+    // --- d43: heavy hitters from a mergeable frequent-items sketch
+    //     (functions/SketchAggs.scala — Misra-Gries, deterministic). Exact
+    //     corpus term counts (d18) shuffle the FULL vocabulary; at 100 TB
+    //     the vocab is billions of keys, while the questions that matter
+    //     ("which terms/URLs/shingles dominate?") only need the heavy tail.
+    //     The sketch is ≤ maxMapSize counters per partition, merged per
+    //     source then unioned — state is corpus-size-independent and the
+    //     serialized form persists per shard for later union (q98/q101
+    //     family). Internal counter values are purge-order-dependent, so
+    //     the gate asserts the sketch's deterministic GUARANTEES, not
+    //     internals: every term with true count > getMaximumError is
+    //     reported (NO_FALSE_NEGATIVES), every reported estimate brackets
+    //     the true count in [lb, ub], and the report stays within the
+    //     state bound. Hot terms are PLANTED (4000 copies per %50==0 doc,
+    //     ≥2.7× the error bound at every SF) because the driver corpus is
+    //     31 near-uniform terms — without plants the report is empty and
+    //     the gate vacuous. --------------------------------------------------
+    "d43_heavy_hitters" -> ((s, d) => {
+      GraftFunctions.register(s)
+      import GraftFunctions.{freqAgg, freqItems, freqMaxError, freqMergeAgg}
+      val docs = Tables.documents(s, d)
+      val background = docs.select(col("source"),
+          explode(split(lower(col("text")), wordsRe)).as("term"))
+        .filter(length(col("term")) > 0)
+      val planted = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("source"),
+          explode(array_repeat(
+            concat(lit("hot_"), pmod(col("doc_id"), lit(2))), 4000)).as("term"))
+      val stream = background.unionAll(planted)
+      val perSource = stream.groupBy("source")
+        .agg(freqAgg(col("term"), 32).as("sk"))
+      val merged = perSource
+        .agg(freqMergeAgg(col("sk"), 32).as("sk"))
+        .select(freqItems(col("sk")).as("items"),
+          freqMaxError(col("sk")).as("maxerr"))
+      // one sketch build total: the 1-row report (≤32-entry array + error
+      // bound) broadcasts onto every exact count, and the per-term lookup
+      // is an in-row array filter — no second sketch pipeline, no join
+      val exact = stream.groupBy("term").agg(count(lit(1)).as("c"))
+      exact.crossJoin(broadcast(merged))
+        .withColumn("it", try_element_at(
+          filter(col("items"), x => x.getField("term") === col("term")), lit(1)))
+        .agg(
+          bool_and(col("c") <= col("maxerr") || col("it").isNotNull)
+            .as("no_false_neg"),
+          bool_and(col("it").isNull ||
+            (col("it").getField("lb") <= col("c") &&
+              col("c") <= col("it").getField("ub"))).as("bounds_ok"),
+          (max(when(col("c") > col("maxerr"), 1).otherwise(0)) === 1)
+            .as("has_heavy"),
+          (max(size(col("items"))) <= 32).as("state_bounded"))
+    }),
+
+    // --- d44: Unicode normalization (functions/TextNormalize.scala —
+    //     codegen'd java.text.Normalizer kernels). Web text mixes composed
+    //     (á) and decomposed (a+U+0301) forms that hash differently, so
+    //     every digest-keyed stage (d04 exact dedup, d06 MinHash, d12
+    //     decontamination) must normalize FIRST or visually identical docs
+    //     never collide; accent folding is the standard latin-script
+    //     match-loosening step. The driver corpus is pure ASCII, so the
+    //     accented surface is DERIVED deterministically (translate aeo →
+    //     áéö) in both engines; the NFD / NFC-roundtrip / strip outputs
+    //     are then hash-compared STRING-FOR-STRING against DuckDB's
+    //     utf8proc implementations — two independent Unicode
+    //     implementations agreeing byte-for-byte. Narrow projection, no
+    //     shuffle: at 100 TB this is a free rider on the first corpus
+    //     scan. ---------------------------------------------------------------
+    "d44_normalize" -> ((s, d) => {
+      GraftFunctions.register(s)
+      import GraftFunctions.{normalizeText, stripAccents}
+      val acc = translate(col("text"), "aeo", "áéö")
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          acc.as("accented"),
+          normalizeText(acc, "NFD").as("decomposed"),
+          normalizeText(normalizeText(acc, "NFD"), "NFC").as("recomposed"),
+          stripAccents(acc).as("stripped"),
+          (length(normalizeText(acc, "NFD")) > length(acc)).as("grew"))
+        .orderBy("doc_id")
+    }),
+
     // --- d41: the composed pre-training cascade (quality → dedup →
     //     decontamination → split) with a one-row per-stage audit. Bench
     //     copies are PLANTED into the corpus under a disjoint id band
@@ -1911,6 +1992,36 @@ object TextQueries {
                 CAST(row_number() OVER (PARTITION BY epoch
                   ORDER BY md5(epoch || ':' || doc_id)) AS BIGINT) AS pos
          FROM e ORDER BY epoch, pos""",
+
+    // constant-row gate: the sketch guarantees hold by construction — see
+    // the d43 def comment for why internals are not hash-comparable
+    "d43_heavy_hitters" ->
+      """SELECT true AS no_false_neg, true AS bounds_ok,
+                true AS has_heavy, true AS state_bounded""",
+
+    // DuckDB lacks an NFD function: the decomposed form is built by
+    // explicit combining-mark replacement (U+0301 acute, U+0308 diaeresis),
+    // which IS the NFD of the three derived accents — so Spark's
+    // java.text.Normalizer output is compared byte-for-byte against an
+    // independently constructed reference, and nfc_normalize closes the
+    // roundtrip from the DuckDB side
+    "d44_normalize" ->
+      """WITH a AS (
+           SELECT doc_id, translate(text, 'aeo', 'áéö') AS acc FROM documents),
+         b AS (
+           SELECT doc_id, acc,
+                  replace(replace(replace(acc,
+                    'á', 'a' || chr(769)),
+                    'é', 'e' || chr(769)),
+                    'ö', 'o' || chr(776)) AS dec
+           FROM a)
+         SELECT doc_id,
+                acc AS accented,
+                dec AS decomposed,
+                nfc_normalize(dec) AS recomposed,
+                strip_accents(acc) AS stripped,
+                length(dec) > length(acc) AS grew
+         FROM b ORDER BY doc_id""",
 
     // the full cascade composed from the d39/d05/d12/d13 oracle shapes
     "d41_pipeline_audit" ->

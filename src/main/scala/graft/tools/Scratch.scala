@@ -17,6 +17,7 @@ object Scratch {
     args.foreach { n =>
       println(s"===== $n =====")
       val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
+      df.show(30, false)
       println(df.queryExecution.executedPlan.toString.take(8000))
     }
     spark.stop()

@@ -219,6 +219,77 @@ class FunctionsSpec extends SparkTestBase {
     assert(fpr < 0.03, s"false-positive rate $fpr over design point") // 10 bits/key ≈ 1%
   }
 
+  test("kll_agg / kll_merge_agg / kll_quantile: rank error within bound, union ≡ one-shot") {
+    GraftFunctions.register(spark)
+    // 100k uniform values over 7 partitions — partial sketches merge
+    val df = spark.range(0, 100000).repartition(7)
+      .select(($"id" % 10).as("g"), $"id".cast("double").as("v"))
+    val oneShot = df.agg(kllQuantile(kllAgg($"v"), 0.5).as("q"))
+      .collect().head.getDouble(0)
+    // true median rank of the estimate must be within the k=200 bound (±3%)
+    assert(math.abs(oneShot / 100000.0 - 0.5) < 0.03, s"median est $oneShot")
+    // storage-side union: per-group sketches merged ≡ same error contract
+    val viaUnion = df.groupBy($"g").agg(kllAgg($"v").as("sk"))
+      .agg(kllQuantile(kllMergeAgg($"sk"), 0.9).as("q"))
+      .collect().head.getDouble(0)
+    assert(math.abs(viaUnion / 100000.0 - 0.9) < 0.03, s"p90-via-union $viaUnion")
+    // estimates are exact data values, not interpolations
+    assert(oneShot == math.floor(oneShot) && viaUnion == math.floor(viaUnion))
+  }
+
+  test("freq_agg: no-false-negative + bracketing guarantees under purge and merge") {
+    GraftFunctions.register(spark)
+    // 64 background terms × 100 + 2 hot terms × 5000, map size 16 → purges
+    val background = spark.range(0, 6400)
+      .select(concat(lit("bg_"), $"id" % 64).as("term"))
+    val hot = spark.range(0, 10000)
+      .select(concat(lit("hot_"), $"id" % 2).as("term"))
+    val stream = background.unionAll(hot).repartition(5)
+    val sk = stream.agg(freqAgg($"term", 16).as("sk"))
+      .select(freqItems($"sk").as("items"), freqMaxError($"sk").as("maxerr"))
+      .collect().head
+    val maxErr = sk.getLong(1)
+    val items = sk.getSeq[Row](0).map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // true counts: hot_0/hot_1 = 5000 each > maxErr → must be reported
+    assert(maxErr > 0, "map smaller than vocab must purge")
+    assert(maxErr < 5000, s"hot terms must exceed the error bound, got $maxErr")
+    assert(items.contains("hot_0") && items.contains("hot_1"))
+    // every reported estimate brackets the true count
+    items.foreach { case (t, (est, lb, ub)) =>
+      val truth = if (t.startsWith("hot_")) 5000L else 100L
+      assert(lb <= truth && truth <= ub, s"$t: [$lb,$ub] vs $truth")
+      assert(est >= lb && est <= ub)
+    }
+    assert(items.size <= 16, "report must respect the state bound")
+  }
+
+  test("normalize_text / strip_accents: composed \u2261 decomposed under NFC, accents fold") {
+    GraftFunctions.register(spark)
+    val composed = "caf\u00e9"        // 4 code points
+    val decomposed = "cafe\u0301"     // cafe + combining acute, 5 code points
+    val df = Seq(("c", composed), ("d", decomposed),
+        ("sz", "stra\u00dfe"), ("nv", "na\u00efve"))
+      .toDF("k", "s").repartition(2) // force the distributed (codegen) path
+    val rows = df.select($"k",
+        normalizeText($"s", "NFC").as("nfc"),
+        normalizeText($"s", "NFD").as("nfd"),
+        stripAccents($"s").as("st"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    // the two encodings converge under each normalization form
+    assert(rows("c")._1 == composed && rows("d")._1 == composed)
+    assert(rows("c")._2 == decomposed && rows("d")._2 == decomposed)
+    // accent folding; \u00df is a letter, not a combining mark \u2014 it survives
+    assert(rows("c")._3 == "cafe" && rows("d")._3 == "cafe")
+    assert(rows("nv")._3 == "naive")
+    assert(rows("sz")._3 == "stra\u00dfe")
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(stripAccents($"s")).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("firstValue/lastValue default to ignoreNulls=true (basic.scala:38-108)") {
     val df = Seq((1, None), (2, Some("x")), (3, Some("y")), (4, None))
       .toDF("ord", "v").coalesce(1).orderBy("ord")
