@@ -77,6 +77,8 @@ object GraftFunctions {
     "freq_merge_agg" -> (es => FreqMergeAgg(es(0), intLit(es(1), "freq_merge_agg.maxMapSize"))),
     "freq_items" -> (es => FreqItemRows(es.head)),
     "freq_max_error" -> (es => FreqMaxError(es.head)),
+    "theta_agg" -> (es => ThetaSketchAgg(es(0), intLit(es(1), "theta_agg.lgK"))),
+    "theta_setop" -> (es => ThetaSetOpSummary(es(0), es(1), strLit(es(2), "theta_setop.op"))),
     // Unicode normalization kernels (TextNormalize.scala) — codegen'd
     "normalize_text" -> (es => NormalizeText(es(0), strLit(es(1), "normalize_text.form"))),
     "strip_accents" -> (es => StripAccents(es.head))
@@ -135,6 +137,13 @@ object GraftFunctions {
   def freqItems(sketch: Column): Column = call_function("freq_items", sketch)
   /** A-priori error bound of a frequent-items sketch. */
   def freqMaxError(sketch: Column): Column = call_function("freq_max_error", sketch)
+  /** Theta sketch over a LONG column → serialized compact sketch. */
+  def thetaAgg(keys: Column, lgK: Int): Column =
+    call_function("theta_agg", keys, lit(lgK))
+  /** Set operation on two serialized Theta sketches → struct<est, lb, ub>
+    * (bounds at 3σ; exact mode ⇒ lb = est = ub). */
+  def thetaSetOp(a: Column, b: Column, op: String): Column =
+    call_function("theta_setop", a, b, lit(op))
   /** Unicode normalization: form ∈ NFC | NFD | NFKC | NFKD. */
   def normalizeText(s: Column, form: String): Column =
     call_function("normalize_text", s, lit(form))

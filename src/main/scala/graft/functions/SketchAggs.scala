@@ -140,6 +140,95 @@ case class KllQuantile(child: Expression, rank: Double)
     copy(child = c)
 }
 
+/** `theta_agg(x, lgK)` — Theta sketch over a LONG column; returns the
+  * compact ordered sketch. Unlike HLL (q98 — union only), Theta sketches
+  * support the FULL set algebra: union, intersection, and difference are
+  * all computable from the stored sketches, so retention/churn questions
+  * ("users active in BOTH ranges", "users lost between releases") are
+  * answerable from ~KB per-partition artifacts without touching raw data.
+  * State is ≤ 2^lgK 8-byte hashes; below that cardinality the sketch is
+  * in exact mode and estimates are the true counts. */
+case class ThetaSketchAgg(
+    child: Expression,
+    lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends SketchAgg[org.apache.datasketches.theta.Union] {
+  import org.apache.datasketches.theta.{SetOperation, Union}
+  require(lgK >= 4 && lgK <= 26, "lgK out of range")
+
+  override def prettyName: String = "theta_agg"
+
+  private def newUnion(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def createAggregationBuffer(): Union = newUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Union, b: Union): Union = {
+    a.union(b.getResult); a
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = newUnion()
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaSketchAgg =
+    copy(child = c)
+}
+
+/** `theta_setop(a, b, 'union'|'intersect'|'anotb')` — apply a set
+  * operation to two serialized Theta sketches and report the result as
+  * `struct<est, lb, ub>` at 3 standard deviations (in exact mode
+  * lb = est = ub = the true count). Post-aggregation extraction on group
+  * rows only. */
+case class ThetaSetOpSummary(left: Expression, right: Expression, op: String)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+  import org.apache.datasketches.theta.{SetOperation, Sketch}
+  require(Seq("union", "intersect", "anotb").contains(op),
+    s"unknown theta set op $op")
+
+  override def prettyName: String = "theta_setop"
+  override def dataType: DataType = StructType(Seq(
+    StructField("est", DoubleType, nullable = false),
+    StructField("lb", DoubleType, nullable = false),
+    StructField("ub", DoubleType, nullable = false)))
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = Sketch.wrap(Memory.wrap(l.asInstanceOf[Array[Byte]]))
+    val b = Sketch.wrap(Memory.wrap(r.asInstanceOf[Array[Byte]]))
+    val res = op match {
+      case "union" =>
+        val u = SetOperation.builder().buildUnion()
+        u.union(a); u.union(b); u.getResult
+      case "intersect" =>
+        val i = SetOperation.builder().buildIntersection()
+        i.intersect(a); i.intersect(b); i.getResult
+      case "anotb" =>
+        SetOperation.builder().buildANotB().aNotB(a, b)
+    }
+    InternalRow(res.getEstimate, res.getLowerBound(3), res.getUpperBound(3))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ThetaSetOpSummary =
+    copy(left = l, right = r)
+}
+
 /** Shared serde for string frequent-items sketches. */
 private object FreqSerde {
   val serde = new ArrayOfStringsSerDe

@@ -796,4 +796,52 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
   }
+
+  /** Nearest-prototype balanced curation (the SSL-prototypes / cluster-
+    * balanced selection family): assign every vector to its most similar
+    * prototype, then keep only the top `keepFrac` most PROTOTYPICAL
+    * vectors per cell — pruning each region of embedding space
+    * proportionally instead of letting dense regions dominate the kept
+    * corpus (the failure mode of a single global similarity cutoff).
+    *
+    * Prototypes are the `numSeeds` lowest-id vectors — a deterministic,
+    * engine-replicable stand-in for trained centroids; swap in the e06
+    * k-means codebook for production (same serving shape). The seed
+    * codebook is collected once (numSeeds × dim floats — driver-held
+    * codebook, same pattern as e06/e08) and baked into a row-local argmax
+    * expression, so assignment is a NARROW map over one corpus scan: no
+    * join, no shuffle. The only exchange is the per-cell prototypicality
+    * window (hash on cell id). Ties break to the smaller seed id /
+    * smaller vec id, making the full output deterministic. */
+  def prototypePrune(
+      emb: DataFrame, idCol: String, vecCol: String,
+      numSeeds: Int, keepFrac: Double): DataFrame = {
+    require(numSeeds > 0 && keepFrac > 0.0 && keepFrac <= 1.0)
+    val seeds: Array[(Long, Array[Float])] = emb
+      .filter(col(idCol) < numSeeds)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    // row-local argmax over the baked codebook: struct ordering compares
+    // cosine first, then -seed_id, so ties resolve to the smallest seed
+    val best = greatest(seeds.map { case (sid, vec) =>
+      struct(
+        cosineF32(col(vecCol), typedLit(vec)).as("cos"),
+        lit(-sid).as("negid"))
+    }: _*)
+    val assigned = emb.select(col(idCol), col(vecCol))
+      .withColumn("__best", best)
+      .select(col(idCol),
+        (-col("__best").getField("negid")).as("cell"),
+        col("__best").getField("cos").as("cos"))
+    val w = Window.partitionBy(col("cell"))
+    assigned
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("cos").desc, col(idCol).asc)))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("rank") <= ceil(col("__cnt") * keepFrac))
+      .select(col("cell"), col(idCol), col("rank"),
+        (floor(col("cos") * 10000) / 10000).as("cosine_q"))
+  }
 }

@@ -232,6 +232,57 @@ object ExpressionQueries {
         .orderBy("event_type")
     }),
 
+    // --- Theta sketch set algebra (q102): what the mergeable HLL/KLL rows
+    //     (q98/q101) cannot do — INTERSECTION and DIFFERENCE over stored
+    //     sketches. Retention ("users active on BOTH the first and last
+    //     day") and churn ("first-day users never seen again") are
+    //     answered from per-(type, day) Theta sketches without rescanning
+    //     raw events. lgK=8 (256 nominal entries) is deliberately below
+    //     the day-active cardinality at sf0.1 so ESTIMATION mode is
+    //     exercised, not just the exact-mode fast path; the gate brackets
+    //     the true count with the sketch's own 3σ bounds, which hold in
+    //     both modes (exact mode: lb = est = ub). -----------------------------
+    "q102_theta_retention" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{thetaAgg, thetaSetOp}
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), to_date(col("ts")).as("dt"))
+      val span = ev.agg(min(col("dt")).as("d0"), max(col("dt")).as("d1"))
+      val tagged = ev.crossJoin(broadcast(span))
+        .filter(col("dt") === col("d0") || col("dt") === col("d1"))
+        .select(col("event_type"), col("user_id"),
+          (col("dt") === col("d0")).as("isA"))
+      val sk = tagged.groupBy("event_type").agg(
+        thetaAgg(when(col("isA"), col("user_id")), 8).as("ska"),
+        thetaAgg(when(!col("isA"), col("user_id")), 8).as("skb"))
+      val ops = sk.select(col("event_type"),
+        thetaSetOp(col("ska"), col("skb"), "union").as("u"),
+        thetaSetOp(col("ska"), col("skb"), "intersect").as("i"),
+        thetaSetOp(col("ska"), col("skb"), "anotb").as("x"))
+      val a = tagged.filter(col("isA"))
+        .select("event_type", "user_id").distinct()
+      val b = tagged.filter(!col("isA"))
+        .select("event_type", "user_id").distinct()
+      val exact = a.withColumn("inA", lit(1))
+        .join(b.withColumn("inB", lit(1)),
+          Seq("event_type", "user_id"), "full_outer")
+        .groupBy("event_type").agg(
+          count(lit(1)).as("u_ex"),
+          sum(when(col("inA").isNotNull && col("inB").isNotNull, 1)
+            .otherwise(0)).as("i_ex"),
+          sum(when(col("inA").isNotNull && col("inB").isNull, 1)
+            .otherwise(0)).as("x_ex"))
+      ops.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          col("u_ex").between(col("u").getField("lb"), col("u").getField("ub"))
+            .as("union_ok"),
+          col("i_ex").between(col("i").getField("lb"), col("i").getField("ub"))
+            .as("inter_ok"),
+          col("x_ex").between(col("x").getField("lb"), col("x").getField("ub"))
+            .as("anotb_ok"))
+        .orderBy("event_type")
+    }),
+
     // --- statistical aggregates (stddev/var/corr/covar; quantized because
     //     both engines accumulate doubles differently at the last ulp) ----------
     "q50_stats" -> ((s, d) => {
@@ -327,6 +378,10 @@ object ExpressionQueries {
     "q101_kll_union" ->
       """SELECT DISTINCT event_type,
                 true AS q10_ok, true AS q50_ok, true AS q90_ok
+         FROM events ORDER BY event_type""",
+    "q102_theta_retention" ->
+      """SELECT DISTINCT event_type,
+                true AS union_ok, true AS inter_ok, true AS anotb_ok
          FROM events ORDER BY event_type""",
     "q50_stats" ->
       """SELECT l_returnflag,

@@ -814,6 +814,24 @@ object TextQueries {
         .orderBy("probe_id", "role", "rank")
     }),
 
+    // --- e15: nearest-prototype balanced curation (SSL-prototypes /
+    //     cluster-balanced selection). A global "keep the most typical"
+    //     cutoff lets the densest region of embedding space crowd out
+    //     everything else; pruning PER CELL keeps every region represented
+    //     while still dropping each cell's least prototypical tail. The 8
+    //     lowest-id vectors stand in for trained centroids (deterministic
+    //     + SQL-replicable; production swaps in the e06 k-means codebook,
+    //     same serving shape). Assignment is a narrow row-local argmax
+    //     over the collected codebook — ONE corpus scan, zero shuffles;
+    //     the per-cell rank is the single exchange. Full DuckDB replica
+    //     (e01's cosine formula + argmax + windows) — hash-exact. -----------
+    "e15_prototype_prune" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Similarity.prototypePrune(Tables.embeddings(s, d),
+          "vec_id", "embedding", numSeeds = 8, keepFrac = 0.3)
+        .orderBy("cell", "rank")
+    }),
+
     "e12_knn_label_agreement" -> ((s, d) => {
       GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
@@ -1734,6 +1752,34 @@ object TextQueries {
            FROM scored)
          SELECT probe_id, rank, neighbor_id, floor(dot * 10000) / 10000 AS dot_q
          FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""",
+
+    // full replica: same per-element double cosine as e01, argmax by
+    // (cos DESC, seed_id ASC), per-cell rank by (cos DESC, vec_id ASC)
+    "e15_prototype_prune" ->
+      """WITH s AS (SELECT vec_id AS seed_id, embedding AS sv
+                    FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT e.vec_id, s.seed_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.sv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(s.sv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings e, s),
+         assigned AS (
+           SELECT vec_id, seed_id AS cell, cos,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, seed_id ASC) AS rr
+           FROM scored),
+         a AS (SELECT vec_id, cell, cos FROM assigned WHERE rr = 1),
+         ranked AS (
+           SELECT cell, vec_id, cos,
+                  row_number() OVER (PARTITION BY cell
+                    ORDER BY cos DESC, vec_id ASC) AS rank,
+                  count(*) OVER (PARTITION BY cell) AS cnt
+           FROM a)
+         SELECT cell, vec_id, rank, floor(cos * 10000) / 10000 AS cosine_q
+         FROM ranked WHERE rank <= ceil(cnt * 0.3)
+         ORDER BY cell, rank""",
 
     "e14_hard_negatives" ->
       """WITH p AS (SELECT vec_id, embedding, label FROM embeddings

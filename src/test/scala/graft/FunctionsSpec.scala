@@ -264,6 +264,32 @@ class FunctionsSpec extends SparkTestBase {
     assert(items.size <= 16, "report must respect the state bound")
   }
 
+  test("theta_agg / theta_setop: full set algebra, exact below nominal, bounded above") {
+    GraftFunctions.register(spark)
+    // A = [0,150), B = [100,250): overlap 50. Below 2^12 nominal entries
+    // the sketch is exact, so the set algebra returns true counts
+    val a = spark.range(0, 150).repartition(3).agg(thetaAgg($"id", 12).as("ska"))
+    val b = spark.range(100, 250).agg(thetaAgg($"id", 12).as("skb"))
+    val r = a.crossJoin(b).select(
+        thetaSetOp($"ska", $"skb", "union").as("u"),
+        thetaSetOp($"ska", $"skb", "intersect").as("i"),
+        thetaSetOp($"ska", $"skb", "anotb").as("x"))
+      .collect().head
+    assert(r.getStruct(0).getDouble(0) == 250.0)
+    assert(r.getStruct(1).getDouble(0) == 50.0)
+    assert(r.getStruct(2).getDouble(0) == 100.0)
+    // exact mode: bounds collapse onto the estimate
+    assert(r.getStruct(1).getDouble(1) == 50.0 && r.getStruct(1).getDouble(2) == 50.0)
+    // estimation mode: 50k distinct through lgK=8 (256 entries) \u2014 the true
+    // count sits inside the 3\u03c3 bounds and the estimate lands near it
+    val big = spark.range(0, 50000).repartition(5).agg(thetaAgg($"id", 8).as("ska"))
+    val s = big.select(thetaSetOp($"ska", $"ska", "union").as("u"))
+      .collect().head.getStruct(0)
+    assert(s.getDouble(1) <= 50000.0 && 50000.0 <= s.getDouble(2),
+      s"bounds [${s.getDouble(1)}, ${s.getDouble(2)}] must bracket 50000")
+    assert(math.abs(s.getDouble(0) / 50000.0 - 1.0) < 0.25)
+  }
+
   test("normalize_text / strip_accents: composed \u2261 decomposed under NFC, accents fold") {
     GraftFunctions.register(spark)
     val composed = "caf\u00e9"        // 4 code points

@@ -1106,6 +1106,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Seq(("neg", 1, 1L), ("neg", 2, 2L), ("pos", 1, 3L)))
   }
 
+  test("prototypePrune: per-cell balanced keep, prototypicality order, narrow assignment") {
+    def unit(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // seeds: id 0 at 0°, id 1 at 90°. Cell 0 holds 5 members (seed +
+    // 5..35°), cell 1 holds 3 (seed + 80°, 60°) — per-cell keep at 0.5
+    // takes ceil(5·.5)=3 and ceil(3·.5)=2, always the MOST prototypical
+    val emb = Seq(
+      (0L, unit(0)), (1L, unit(90)),
+      (10L, unit(5)), (11L, unit(15)), (12L, unit(25)), (13L, unit(35)),
+      (20L, unit(80)), (21L, unit(60))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.prototypePrune(emb, "vec_id", "embedding",
+        numSeeds = 2, keepFrac = 0.5)
+      .orderBy("cell", "rank")
+      .select("cell", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    // the dense cell keeps 3 of 5, the sparse one 2 of 3 — every region
+    // survives, and each keeps its closest-to-prototype members in order
+    assert(out == Seq(
+      (0L, 1, 0L), (0L, 2, 10L), (0L, 3, 11L),
+      (1L, 1, 1L), (1L, 2, 20L)))
+    // assignment is a narrow map over the baked codebook: the only
+    // exchanges are the per-cell window hash + the AQE single-partition
+    // read, never a per-seed join
+    val plan = Similarity.prototypePrune(emb, "vec_id", "embedding", 2, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one cell exchange, got $exchanges:\n$plan")
+  }
+
   test("knnLabelAgreement: majority vote, deterministic tie-break, agree flag") {
     def unit(deg: Double): Array[Float] = {
       val r = math.toRadians(deg)
