@@ -53,5 +53,6 @@ object SparkEntry {
       "s03_stream_dedup", // stages its two-copy events dir on first call
       "e06_ivf_kmeans_recall", "e08_pq_recall",
       "e10_ivfpq_recall", // coarse+PQ codebooks + cell-partitioned index
-      "s08_stream_mv") // one-time foreachBatch MV maintenance per (JVM, sf)
+      "s08_stream_mv", // one-time foreachBatch MV maintenance per (JVM, sf)
+      "s15_stream_sketch") // one-time foreachBatch sketch maintenance
 }

@@ -65,6 +65,34 @@ object IncrementalAgg {
     spark.read.parquet(statePath)
   }
 
+  /** Merge `batch` into a persisted per-key KLL sketch state (the q101
+    * quantile sketches maintained INCREMENTALLY): delta sketches are built
+    * from the batch alone and unioned into the stored sketches, so a
+    * refresh costs O(delta + key-cardinality × sketch size) — the base
+    * corpus is never rescanned, and any quantile question over the keys
+    * is answered from the ~2.5 kB stored sketches. Union-then-merge
+    * replaces the full-outer join of [[refresh]]: sketch union is
+    * associative and commutative with the empty sketch as identity, so
+    * bags of (key, sketch) rows merge by plain group-by. */
+  def sketchRefresh(
+      spark: SparkSession, statePath: String, batch: DataFrame,
+      keyCol: String, valueCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.{kllAgg, kllMergeAgg}
+    val delta = batch.groupBy(col(keyCol))
+      .agg(kllAgg(col(valueCol).cast("double")).as("sk"))
+    val hpath = new org.apache.hadoop.fs.Path(statePath)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(hpath)) delta
+      else spark.read.parquet(statePath).unionAll(delta)
+        .groupBy(col(keyCol)).agg(kllMergeAgg(col("sk")).as("sk"))
+    val ck = merged.localCheckpoint(true)
+    try ck.write.mode("overwrite").parquet(statePath)
+    finally Dedup.release(ck)
+    spark.read.parquet(statePath)
+  }
+
   /** Drop the state (test/replay hygiene). */
   def reset(spark: SparkSession, statePath: String): Unit = {
     val hpath = new org.apache.hadoop.fs.Path(statePath)

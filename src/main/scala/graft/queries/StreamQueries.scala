@@ -32,6 +32,7 @@ object StreamQueries {
   // keys share a bin)
   private val ingested = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val mvMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val sketchMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // memory-sink temp views from prior drains: each holds a full result
   // copy in driver memory, so the next drain drops them before starting
   // (every caller consumes the returned frame within its own invocation)
@@ -423,6 +424,53 @@ object StreamQueries {
     //     path). Bit-identical semantics to s06's mapGroupsWithState
     //     kernel, so both rows share one oracle; TWS requires the RocksDB
     //     provider, set for this query and restored after. ------------------
+    // --- s15: streaming KLL-sketch maintenance — the q101 quantile
+    //     sketches kept CURRENT as events stream in. Each micro-batch's
+    //     per-type sketches are unioned into a persisted ~KB state
+    //     (idempotent foreachBatch, batchId markers), so "p50/p90 per
+    //     type, so far" is answerable at any moment without replaying the
+    //     stream — the online half of the q98/q101 sketch-as-storage
+    //     family. Gate = q101's rank-bound contract: each quantile read
+    //     off the MAINTAINED state is an exact data value whose true rank
+    //     sits within ±3% (KLL k=200's 99% bound ×2), however the stream
+    //     happened to batch. State build is one-time per (JVM, sf);
+    //     repeat invocations time the state read, like s08. -----------------
+    "s15_stream_sketch" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.kllQuantile
+      val state = sketchMaintained.computeIfAbsent(d, { _ =>
+        val path = tmpDir("skstate", create = false).toString + "/state"
+        val ckpt = tmpDir("skckpt")
+        val q = withStatePartitions(s, 8) {
+          EventStreams.sketchMaintain(
+            eventsStream(s, d).select(col("event_type"), col("value")),
+            path, "event_type", "value", ckpt.toString)
+        }
+        try q.processAllAvailable() finally q.stop()
+        path
+      })
+      val est = s.read.parquet(state)
+        .select(col("event_type"),
+          kllQuantile(col("sk"), 0.10).as("e10"),
+          kllQuantile(col("sk"), 0.50).as("e50"),
+          kllQuantile(col("sk"), 0.90).as("e90"))
+      val exact = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.07)").as("lo10"),
+          expr("percentile(value, 0.13)").as("hi10"),
+          expr("percentile(value, 0.47)").as("lo50"),
+          expr("percentile(value, 0.53)").as("hi50"),
+          expr("percentile(value, 0.87)").as("lo90"),
+          expr("percentile(value, 0.93)").as("hi90"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          col("e10").between(col("lo10"), col("hi10")).as("q10_ok"),
+          col("e50").between(col("lo50"), col("hi50")).as("q50_ok"),
+          col("e90").between(col("lo90"), col("hi90")).as("q90_ok"))
+        .orderBy("event_type")
+    }),
+
     "s14_stream_running_tws" -> ((s, d) => {
       import s.implicits._
       val ev = eventsStream(s, d)
@@ -663,6 +711,12 @@ object StreamQueries {
                 CAST(sum(event_id) AS BIGINT) AS id_sum,
                 CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS sum_value
          FROM events""",
+    // the maintained sketches satisfy q101's rank-bound contract however
+    // the stream batched — constant-row gate
+    "s15_stream_sketch" ->
+      """SELECT DISTINCT event_type,
+                true AS q10_ok, true AS q50_ok, true AS q90_ok
+         FROM events ORDER BY event_type""",
     // transformWithState keeps mapGroupsWithState's semantics bit-exactly,
     // so s14 shares s06's batch replica
     "s14_stream_running_tws" ->

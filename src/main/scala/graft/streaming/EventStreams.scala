@@ -355,6 +355,39 @@ object EventStreams {
     }
   }
 
+  /** Streaming KLL-sketch maintenance: each micro-batch's per-key quantile
+    * sketches are unioned into a persisted sketch table
+    * ([[graft.operators.IncrementalAgg.sketchRefresh]]), so the online
+    * profile ("p50/p99 per event type, so far") is always answerable from
+    * the ~KB state without replaying the stream. Same idempotent
+    * foreachBatch pattern as [[aggMaintain]] (batchId markers upgrade
+    * at-least-once replay to exactly-once merges). */
+  def sketchMaintain(
+      stream: DataFrame, statePath: String, keyCol: String, valueCol: String,
+      checkpoint: String) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sketchBatchOnce(batch, statePath, keyCol, valueCol, batchId)
+      }
+      .start()
+
+  /** The [[sketchMaintain]] batch body: union the batch's sketches into
+    * the state unless this batchId's marker already exists. */
+  def sketchBatchOnce(
+      batch: DataFrame, statePath: String, keyCol: String, valueCol: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$statePath.batch_$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      graft.operators.IncrementalAgg.sketchRefresh(
+        spark, statePath, batch, keyCol, valueCol)
+      fs.create(marker).close()
+    }
+  }
+
   /** Wire a streaming DataFrame through to a named in-memory sink; returns
     * the query (caller awaits/process-all). Update mode suits aggregations. */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =

@@ -353,6 +353,22 @@ class PlansSpec extends SparkTestBase {
       "decorrelation must produce an equi-join, not a nested loop")
   }
 
+  test("q101/q102 (sketch aggs): two-phase ObjectHashAggregate with map-side partials") {
+    // the custom TypedImperativeAggregates must ride Spark's standard
+    // partial aggregation — a partial sketch per partition BEFORE the
+    // shuffle, so shuffle volume is O(groups × sketch size), never
+    // O(rows). A regression to single-phase (e.g. losing the partial_
+    // step) silently turns the sketch build into a full-row shuffle.
+    val kll = plan("q101_kll_union")
+    assert(kll.contains("partial_kll_agg"),
+      s"kll_agg must have a map-side partial phase:\n$kll")
+    assert(kll.contains("ObjectHashAggregate"),
+      "typed sketch buffers must use ObjectHashAggregate")
+    val theta = plan("q102_theta_retention")
+    assert(theta.contains("partial_theta_agg"),
+      s"theta_agg must have a map-side partial phase:\n$theta")
+  }
+
   test("q95 (compaction): exactly one shuffle, sized by the planned output files") {
     import graft.sources.Sinks
     val tmp = java.nio.file.Files.createTempDirectory("graft_cplan").toString

@@ -341,6 +341,37 @@ class StreamingSpec extends SparkTestBase {
     assert(snap().find(_._1 == "a").get == ("a", 4L, 160L, 100L))
   }
 
+  test("sketchMaintain: per-batch sketch union, replayed batchId merges once") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.kllQuantile
+    val dir = java.nio.file.Files.createTempDirectory("sk_state")
+    val path = dir.resolve("state").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[(String, Double)]
+    val stream = input.toDF().toDF("key", "v")
+    val q = EventStreams.sketchMaintain(stream, path, "key", "v", ckpt)
+    // two batches: key a sees 1..1000 split across them
+    input.addData((1 to 500).map(i => ("a", i.toDouble)): _*)
+    q.processAllAvailable()
+    input.addData((501 to 1000).map(i => ("a", i.toDouble)): _*)
+    q.processAllAvailable()
+    q.stop()
+    def p50() = spark.read.parquet(path)
+      .select(kllQuantile(col("sk"), 0.5)).collect().head.getDouble(0)
+    // maintained sketch ≡ one stream of 1..1000 within the rank bound
+    val med = p50()
+    assert(math.abs(med / 1000.0 - 0.5) < 0.03, s"median $med")
+    // a replayed batchId must not re-union its rows into the sketch
+    val replay = Seq(("a", 1.0e9)).toDF("key", "v")
+    EventStreams.sketchBatchOnce(replay, path, "key", "v", batchId = 0L)
+    assert(p50() == med, "replayed batchId must not re-merge")
+    // a NEW batchId merges: 1000 giant values drag the median to the break
+    val fresh = (1 to 1000).map(_ => ("a", 1.0e9)).toDF("key", "v")
+    EventStreams.sketchBatchOnce(fresh, path, "key", "v", batchId = 77L)
+    assert(p50() > 1000.0, "new batch must merge into the state")
+  }
+
   test("checkpoint restart: a NEW query resumes the offsets, old files never recount") {
     // production recovery path: the maintaining query dies (here: stops),
     // data keeps landing, a fresh query starts from the SAME checkpoint —
