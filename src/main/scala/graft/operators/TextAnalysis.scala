@@ -279,6 +279,35 @@ object TextAnalysis {
       .drop("__q1", "__q3")
   }
 
+  /** Robust (median/MAD) outlier screen on a numeric column: flag rows
+    * whose absolute deviation from their stratum's median exceeds
+    * k × 1.4826 × MAD (1.4826 scales MAD to σ under normality — the
+    * standard robust z-score). Complements [[iqrFilter]]: quartile fences
+    * break down when outliers drag the quartiles themselves, while the
+    * MAD scale estimator has a 50% breakdown point — the screen for
+    * numeric quality signals (score drift, latency spikes, metric
+    * corruption) where the contamination being hunted can be heavy.
+    *
+    * Two-pass by necessity (the median must exist before deviations can
+    * be measured; the deviations' median needs a second pass). Both stat
+    * frames are one row per stratum and broadcast back — the corpus is
+    * scanned, never shuffled on a data-dependent key. Threshold
+    * arithmetic is written exactly as `mad × 1.4826 × k` so an oracle
+    * replica computes bit-identical doubles. */
+  def madOutliers(
+      df: DataFrame, stratumCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(stratumCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), stratumCol)
+      .withColumn("__ad", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(col(stratumCol))
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), stratumCol)
+      .withColumn("is_outlier", col("__ad") > col("__mad") * 1.4826 * k)
+      .drop("__med", "__ad", "__mad")
+  }
+
   /** Corpus-frequency fluency prior: for each document, the MEAN corpus
     * occurrence count of its word bigrams — the count-based language-model
     * signal (the unsmoothed heart of KenLM-style count LMs) that separates

@@ -1064,6 +1064,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d45: robust (median/MAD) outlier screen (TextAnalysis.madOutliers)
+    //     on the event value signal, stratified by type. The IQR screen
+    //     (d11's length filter family) breaks when contamination drags the
+    //     quartiles; MAD holds a 50% breakdown point, making it the screen
+    //     for numeric quality signals whose corruption can be heavy. The
+    //     events value column is heavy-tailed, so the 3×1.4826×MAD fence
+    //     flags a real ~5% tail at every SF — the gate counts per type and
+    //     hash-matches the full DuckDB replica (quantile_cont ≡ Spark
+    //     percentile interpolation, threshold arithmetic written in one
+    //     fixed order in both engines). ---------------------------------------
+    "d45_robust_outliers" -> ((s, d) => {
+      val flagged = TextAnalysis.madOutliers(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value", k = 3.0)
+      flagged.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("is_outlier").cast("long")).as("n_out"),
+          (sum(col("is_outlier").cast("long")).cast("double") / count(lit(1)))
+            .as("out_ratio"))
+        .orderBy("event_type")
+    }),
+
     // --- d41: the composed pre-training cascade (quality → dedup →
     //     decontamination → split) with a one-row per-stage audit. Bench
     //     copies are PLANTED into the corpus under a disjoint id band
@@ -2068,6 +2090,23 @@ object TextQueries {
                 strip_accents(acc) AS stripped,
                 length(dec) > length(acc) AS grew
          FROM b ORDER BY doc_id""",
+
+    "d45_robust_outliers" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+         m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+               FROM e GROUP BY event_type),
+         dv AS (SELECT e.event_type, e.value, abs(e.value - m.med) AS ad
+                FROM e JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+                FROM dv GROUP BY event_type)
+         SELECT dv.event_type,
+                count(*) AS n,
+                CAST(sum(CAST(dv.ad > md.mad * 1.4826 * 3.0 AS INT)) AS BIGINT)
+                  AS n_out,
+                CAST(sum(CAST(dv.ad > md.mad * 1.4826 * 3.0 AS INT)) AS DOUBLE)
+                  / count(*) AS out_ratio
+         FROM dv JOIN md USING (event_type)
+         GROUP BY dv.event_type ORDER BY dv.event_type""",
 
     // the full cascade composed from the d39/d05/d12/d13 oracle shapes
     "d41_pipeline_audit" ->

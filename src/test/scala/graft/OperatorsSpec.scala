@@ -1106,6 +1106,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Seq(("neg", 1, 1L), ("neg", 2, 2L), ("pos", 1, 3L)))
   }
 
+  test("madOutliers: gross two-sided outliers flagged, inliers untouched, per stratum") {
+    val rows = (1 to 20).map(i => ("a", i.toDouble)) ++
+      Seq(("a", 1000.0), ("a", -1000.0)) ++            // gross contamination
+      (1 to 10).map(i => ("b", i * 100.0))             // clean stratum
+    val df = rows.toDF("k", "v")
+    val flagged = graft.operators.TextAnalysis.madOutliers(df, "k", "v")
+    // stratum a: med 10.5, MAD 5.5 → fence ±24.5; only ±1000 cross it
+    val aOut = flagged.filter(col("k") === "a" && col("is_outlier"))
+      .select("v").collect().map(_.getDouble(0)).toSet
+    assert(aOut == Set(1000.0, -1000.0))
+    // clean uniform stratum: fence 1.4826·3·MAD exceeds the half-range
+    assert(flagged.filter(col("k") === "b" && col("is_outlier")).isEmpty)
+    // output keeps every input row exactly once
+    assert(flagged.count() == rows.size)
+  }
+
   test("prototypePrune: per-cell balanced keep, prototypicality order, narrow assignment") {
     def unit(deg: Double): Array[Float] = {
       val r = math.toRadians(deg)
