@@ -96,6 +96,17 @@ object GraftFunctions {
     spark
   }
 
+  /** The same builders via the `spark.sql.extensions` entry point
+    * ([[graft.GraftExtensions]]): injected functions materialize in every
+    * session the extended cluster creates. */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+
   // ---- Column DSL ----------------------------------------------------
 
   def product(c: Column): Column = call_function("product", c)
