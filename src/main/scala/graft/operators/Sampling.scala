@@ -119,4 +119,42 @@ object Sampling {
       .filter(h52 < rate * lit(4503599627370496.0)) // 2^52
       .drop("__dom", "__n", "__w", "__N", "__W")
   }
+
+  /** Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    * priority keys: each row draws `priority = u^(1/w)` from a
+    * deterministic per-row uniform `u`, and the global top-k by priority
+    * IS a weighted sample without replacement (a weight-2w row is ~2×
+    * likelier to make the cut than a weight-w one). This is the
+    * one-pass, mergeable form of weighted reservoir sampling — the tool
+    * for "oversample the scarce languages / domains k rows total"
+    * without first materializing per-domain pools.
+    *
+    * Determinism contract (the reason this sits under a cross-engine
+    * hash gate): `u` is an exact 32-bit md5 prefix over 2³² (both exact
+    * doubles), and weights are restricted to powers of two {1, 2, 4, 8}
+    * so the root is an ITERATED `sqrt` — IEEE 754 requires sqrt
+    * correctly rounded, so the priority is bit-identical in every
+    * engine, exactly like [[temperatureMix]]'s α = 0.5 contract
+    * (arbitrary weights go through `pow`, whose last ulp is
+    * libm-specific: fine in production, not under the gate).
+    *
+    * Scale shape: the priority is a NARROW per-row expression in the
+    * scan stage; top-k plans as TakeOrderedAndProject (per-partition
+    * heaps + one k-row merge), never a global sort. */
+  def weightedPrioritySample(
+      df: DataFrame, idCol: String, weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0) // 2^32
+    val priority = when(weightCol === 1, u)
+      .when(weightCol === 2, sqrt(u))
+      .when(weightCol === 4, sqrt(sqrt(u)))
+      .when(weightCol === 8, sqrt(sqrt(sqrt(u))))
+    df.withColumn("weight", weightCol)
+      .withColumn("priority", priority)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("priority").desc, col(idCol))))
+  }
 }

@@ -1086,6 +1086,24 @@ object TextQueries {
         .orderBy("event_type")
     }),
 
+    // --- d46: weighted sampling without replacement (Efraimidis–Spirakis
+    //     priority keys, Sampling.weightedPrioritySample): draw k=100 docs
+    //     with the scarce languages UPWEIGHTED (zh ×4, de ×2) — the "mix
+    //     more low-resource data into the next corpus release" op, done in
+    //     one pass with no per-domain pools. Deterministic by construction
+    //     (md5-prefix uniform, power-of-two weights ⇒ iterated sqrt), so
+    //     the full DuckDB replica hash-matches rank-for-rank. ----------------
+    "d46_weighted_sample" -> ((s, d) => {
+      val wt = when(col("lang") === "zh", 4)
+        .when(col("lang") === "de", 2).otherwise(1)
+      Sampling.weightedPrioritySample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", wt, k = 100)
+        .select(col("sample_rank"), col("doc_id"), col("lang"), col("weight"),
+          (floor(col("priority") * 1e6) / 1e6).as("priority_q"))
+        .orderBy("sample_rank")
+    }),
+
     // --- d41: the composed pre-training cascade (quality → dedup →
     //     decontamination → split) with a one-row per-stage audit. Bench
     //     copies are PLANTED into the corpus under a disjoint id band
@@ -2107,6 +2125,28 @@ object TextQueries {
                   / count(*) AS out_ratio
          FROM dv JOIN md USING (event_type)
          GROUP BY dv.event_type ORDER BY dv.event_type""",
+
+    "d46_weighted_sample" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+                  CASE lang WHEN 'zh' THEN 4 WHEN 'de' THEN 2 ELSE 1 END
+                    AS weight,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0 AS u
+           FROM documents),
+         p AS (
+           SELECT doc_id, lang, weight,
+                  CASE weight WHEN 1 THEN u WHEN 2 THEN sqrt(u)
+                       WHEN 4 THEN sqrt(sqrt(u)) END AS priority
+           FROM w),
+         r AS (
+           SELECT doc_id, lang, weight, priority,
+                  row_number() OVER (ORDER BY priority DESC, doc_id)
+                    AS sample_rank
+           FROM p)
+         SELECT sample_rank, doc_id, lang, weight,
+                floor(priority * 1e6) / 1e6 AS priority_q
+         FROM r WHERE sample_rank <= 100 ORDER BY sample_rank""",
 
     // the full cascade composed from the d39/d05/d12/d13 oracle shapes
     "d41_pipeline_audit" ->

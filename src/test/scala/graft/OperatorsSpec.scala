@@ -1106,6 +1106,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Seq(("neg", 1, 1L), ("neg", 2, 2L), ("pos", 1, 3L)))
   }
 
+  test("weightedPrioritySample: priorities match an independent md5 computation; weight biases the draw") {
+    val df = spark.range(0, 200).select($"id".as("doc_id"),
+      when($"id" < 20, 8).otherwise(1).as("w"))
+    val out = graft.operators.Sampling
+      .weightedPrioritySample(df, "doc_id", col("w"), k = 30)
+      .orderBy("sample_rank")
+      .select("sample_rank", "doc_id", "priority").collect()
+    // independent reimplementation of u = md5-prefix/2^32 and the
+    // iterated-sqrt root — the sample must be bit-identical
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 4294967296.0
+    }
+    def pri(id: Long, w: Int): Double = {
+      var x = u(id); var e = w
+      while (e > 1) { x = math.sqrt(x); e /= 2 }
+      x
+    }
+    val expected = (0L until 200L)
+      .map(id => (id, pri(id, if (id < 20) 8 else 1)))
+      .sortBy { case (id, p) => (-p, id) }.take(30)
+    assert(out.map(r => (r.getLong(1), r.getDouble(2))).toSeq == expected)
+    assert(out.map(_.getInt(0)).toSeq == (1 to 30))
+    // the 10%-of-rows weight-8 band must be over-represented in the draw
+    val heavy = out.count(_.getLong(1) < 20)
+    assert(heavy > 6, s"weight-8 ids should be over-represented, got $heavy/30")
+  }
+
   test("madOutliers: gross two-sided outliers flagged, inliers untouched, per stratum") {
     val rows = (1 to 20).map(i => ("a", i.toDouble)) ++
       Seq(("a", 1000.0), ("a", -1000.0)) ++            // gross contamination

@@ -366,10 +366,12 @@ class StreamingSpec extends SparkTestBase {
     val replay = Seq(("a", 1.0e9)).toDF("key", "v")
     EventStreams.sketchBatchOnce(replay, path, "key", "v", batchId = 0L)
     assert(p50() == med, "replayed batchId must not re-merge")
-    // a NEW batchId merges: 1000 giant values drag the median to the break
-    val fresh = (1 to 1000).map(_ => ("a", 1.0e9)).toDF("key", "v")
+    // a NEW batchId merges: 3000 giant values make the giants the clear
+    // majority (3000 of 4000), pushing the median deep into them — well
+    // clear of the rank-error boundary a 50/50 split would sit on
+    val fresh = (1 to 3000).map(_ => ("a", 1.0e9)).toDF("key", "v")
     EventStreams.sketchBatchOnce(fresh, path, "key", "v", batchId = 77L)
-    assert(p50() > 1000.0, "new batch must merge into the state")
+    assert(p50() > 1.0e6, "new batch must merge into the state")
   }
 
   test("checkpoint restart: a NEW query resumes the offsets, old files never recount") {
