@@ -280,6 +280,32 @@ object StreamQueries {
             .as("unmatched_click_id_sum"))
     }),
 
+    // --- s16: stream-stream FULL OUTER join, completing the join-mode
+    //     matrix (inner s05, left s07). The new semantics over s07 is the
+    //     RIGHT side's outer rows: a view's state evicts only when the
+    //     watermark passes view_ts + lookback (a later click could still
+    //     join it until then), so its null-extended row needs a DEEPER
+    //     final horizon than a click's — the oracle models both horizons
+    //     in the same ms-floored watermark arithmetic as s04/s07. -----------
+    "s16_stream_full_join" -> ((s, d) => {
+      val joined = EventStreams.clickViewFullJoin(eventsStream(s, d),
+        lookback = "30 minutes", watermark = "1 hour")
+      withStatePartitions(s, 8) {
+        drainMode(joined, org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("click_id").isNotNull && col("view_id").isNotNull, 1))
+            .as("n_matched"),
+          sum(when(col("view_id").isNull, 1).otherwise(0)).cast("long")
+            .as("n_unmatched_clicks"),
+          sum(when(col("click_id").isNull, 1).otherwise(0)).cast("long")
+            .as("n_unmatched_views"),
+          sum(when(col("view_id").isNull, col("click_id"))).cast("long")
+            .as("unmatched_click_id_sum"),
+          sum(when(col("click_id").isNull, col("view_id"))).cast("long")
+            .as("unmatched_view_id_sum"))
+    }),
+
     // --- s08: streaming materialized-view maintenance — foreachBatch
     //     merges each micro-batch into the IncrementalAgg state (with the
     //     batch-id marker making replay idempotent), so the maintained
@@ -576,6 +602,49 @@ object StreamQueries {
     // at sf0.001 the min-vs-max distinction itself is load-bearing — the
     // sides' maxima differ by minutes and the max-based model overcounts
     // evictions by one).
+    // per-side final horizons: clicks evict at the plain 1 h watermark
+    // (same as s07); views only once the watermark passes
+    // view_ts + 30 min, so their null rows need wm − 30 min
+    "s16_stream_full_join" ->
+      """WITH wm AS (SELECT least(
+             (SELECT max(epoch_us(ts)) // 1000 FROM events
+              WHERE event_type = 'click'),
+             (SELECT max(epoch_us(ts)) // 1000 FROM events
+              WHERE event_type = 'view')) * 1000 - 3600000000 AS wm_us),
+         pairs AS (
+           SELECT c.event_id AS click_id, v.event_id AS view_id
+           FROM events c JOIN events v
+             ON c.event_type = 'click' AND v.event_type = 'view'
+            AND c.user_id = v.user_id AND v.ts <= c.ts
+            AND v.ts >= c.ts - INTERVAL 30 MINUTE),
+         uc AS (
+           SELECT c.event_id AS click_id FROM events c, wm
+           WHERE c.event_type = 'click'
+             AND epoch_us(c.ts) < wm.wm_us
+             AND NOT EXISTS (SELECT 1 FROM events v
+                             WHERE v.event_type = 'view'
+                               AND v.user_id = c.user_id
+                               AND v.ts <= c.ts
+                               AND v.ts >= c.ts - INTERVAL 30 MINUTE)),
+         uv AS (
+           SELECT v.event_id AS view_id FROM events v, wm
+           WHERE v.event_type = 'view'
+             AND epoch_us(v.ts) < wm.wm_us - 1800000000
+             AND NOT EXISTS (SELECT 1 FROM events c
+                             WHERE c.event_type = 'click'
+                               AND c.user_id = v.user_id
+                               AND v.ts <= c.ts
+                               AND v.ts >= c.ts - INTERVAL 30 MINUTE))
+         SELECT (SELECT count(*) FROM pairs) + (SELECT count(*) FROM uc)
+                  + (SELECT count(*) FROM uv) AS n_rows,
+                (SELECT count(*) FROM pairs) AS n_matched,
+                (SELECT count(*) FROM uc) AS n_unmatched_clicks,
+                (SELECT count(*) FROM uv) AS n_unmatched_views,
+                (SELECT CAST(sum(click_id) AS BIGINT) FROM uc)
+                  AS unmatched_click_id_sum,
+                (SELECT CAST(sum(view_id) AS BIGINT) FROM uv)
+                  AS unmatched_view_id_sum""",
+
     "s07_stream_left_join" ->
       """WITH wm AS (SELECT least(
              (SELECT max(epoch_us(ts)) // 1000 FROM events

@@ -321,6 +321,38 @@ object EventStreams {
         col("view_id"), col("click_ts"), col("view_ts"))
   }
 
+  /** Stream-stream FULL OUTER click↔view join — both sides emit: matched
+    * pairs inner-style, and each side null-extended once ITS state
+    * watermark passes. The eviction points differ per side, derived from
+    * the join condition's time bounds: a click (state holds views with
+    * `view_ts ≤ click_ts`) evicts when the watermark passes `click_ts`;
+    * a view (joinable clicks have `click_ts ≤ view_ts + lookback`)
+    * evicts only when the watermark passes `view_ts + lookback`. So at
+    * stream end, unmatched clicks inside the final 1 h horizon and
+    * unmatched views inside the final 1 h + lookback horizon stay
+    * buffered and never emit — exactly what the s16 oracle replicates
+    * with per-side horizons. Completes the streaming join-mode matrix
+    * (inner s05, left-outer s07, full-outer s16). */
+  def clickViewFullJoin(
+      events: DataFrame,
+      lookback: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+        col("click_user") === col("view_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"),
+        "full_outer")
+      .select(col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
+  }
+
   /** Streaming materialized-view maintenance: foreachBatch merges each
     * micro-batch into the [[graft.operators.IncrementalAgg]] state. Unlike
     * [[ingestSharded]]'s upsert (naturally idempotent), an aggregate MERGE
