@@ -1104,6 +1104,37 @@ object TextQueries {
         .orderBy("sample_rank")
     }),
 
+    // --- d47: normalization-composed exact dedup — WHY d44 exists. Web
+    //     text carries the same visible string in different code-point
+    //     encodings (composed á vs a+U+0301 vs the unaccented ascii a
+    //     dirty pipeline emitted); raw digest dedup (d04) keeps all of
+    //     them forever. Keying the dedup on
+    //     strip_accents(NFC(text)) collapses each planted 3-variant
+    //     family (ascii original, composed-accent copy, NFD-decomposed
+    //     copy — all byte-different) to its lowest id. The group key is
+    //     digest-first (xxhash64 of the normalized form leads the
+    //     grouping, the form itself only breaks hash collisions) — the
+    //     same shuffle contract as exactDedup. Full DuckDB replica
+    //     (nfc_normalize/strip_accents + the d44 combining-mark
+    //     construction) hash-exact. ---------------------------------------
+    "d47_normalized_dedup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      import GraftFunctions.{normalizeText, stripAccents}
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val v1 = docs.filter(pmod(col("doc_id"), lit(40)) === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          translate(col("text"), "ae", "áé").as("text"))
+      val v2 = v1.select((col("doc_id") + 1000000L).as("doc_id"),
+        normalizeText(col("text"), "NFD").as("text"))
+      val corpus = docs.unionAll(v1).unionAll(v2)
+      val key = stripAccents(normalizeText(col("text"), "NFC"))
+      corpus.withColumn("__k", key)
+        .groupBy(xxhash64(col("__k")), col("__k"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    }),
+
     // --- d41: the composed pre-training cascade (quality → dedup →
     //     decontamination → split) with a one-row per-stage audit. Bench
     //     copies are PLANTED into the corpus under a disjoint id band
@@ -2147,6 +2178,27 @@ object TextQueries {
          SELECT sample_rank, doc_id, lang, weight,
                 floor(priority * 1e6) / 1e6 AS priority_q
          FROM r WHERE sample_rank <= 100 ORDER BY sample_rank""",
+
+    "d47_normalized_dedup" ->
+      """WITH v1 AS (
+           SELECT doc_id + 5000000 AS doc_id,
+                  translate(text, 'ae', 'áé') AS text
+           FROM documents WHERE doc_id % 40 = 0),
+         v2 AS (
+           SELECT doc_id + 1000000 AS doc_id,
+                  replace(replace(text,
+                    'á', 'a' || chr(769)),
+                    'é', 'e' || chr(769)) AS text
+           FROM v1),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM v1
+           UNION ALL SELECT doc_id, text FROM v2),
+         keyed AS (
+           SELECT doc_id, strip_accents(nfc_normalize(text)) AS k
+           FROM corpus)
+         SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+         FROM keyed GROUP BY k ORDER BY doc_id""",
 
     // the full cascade composed from the d39/d05/d12/d13 oracle shapes
     "d41_pipeline_audit" ->
