@@ -68,10 +68,16 @@ object GraftFunctions {
     // and unioned later — the q98 HLL pattern for quantiles / heavy hitters
     "kll_agg" -> (es => KllSketchAgg(es.head)),
     "kll_merge_agg" -> (es => KllMergeAgg(es.head)),
+    // accept any numeric literal: SQL `0.5` parses as a Decimal, the
+    // Column DSL passes a Double
     "kll_quantile" -> (es => KllQuantile(es(0), es(1) match {
       case Literal(v: Double, _) => v
+      case Literal(v: Float, _) => v.toDouble
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case Literal(v: Int, _) => v.toDouble
+      case Literal(v: Long, _) => v.toDouble
       case other => throw new IllegalArgumentException(
-        s"kll_quantile expects a double literal rank, got $other")
+        s"kll_quantile expects a numeric literal rank, got $other")
     })),
     "freq_agg" -> (es => FreqItemsAgg(es(0), intLit(es(1), "freq_agg.maxMapSize"))),
     "freq_merge_agg" -> (es => FreqMergeAgg(es(0), intLit(es(1), "freq_merge_agg.maxMapSize"))),

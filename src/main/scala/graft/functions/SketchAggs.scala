@@ -5,6 +5,7 @@ import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -36,6 +37,35 @@ abstract class SketchAgg[S] extends TypedImperativeAggregate[S]
     with UnaryLike[Expression] {
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+
+  /** Required input type, enforced at ANALYSIS time — a wrong-typed
+    * column must fail the plan, not a task-side asInstanceOf deep in
+    * update() after the scan already ran. */
+  protected def requiredInputType: DataType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == requiredInputType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ${requiredInputType.simpleString} input, " +
+        s"got ${child.dataType.simpleString}")
+}
+
+/** Shared KLL machinery: the two KLL aggregates differ only in how a row
+  * reaches the buffer (raw value vs serialized-sketch union). */
+abstract class KllAggBase extends SketchAgg[KllDoublesSketch] {
+  protected def k: Int
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
+    a.merge(b); a
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
 }
 
 /** `kll_agg(x)` — KLL quantile sketch over a DOUBLE column; returns the
@@ -48,27 +78,16 @@ case class KllSketchAgg(
     k: Int = 200,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends SketchAgg[KllDoublesSketch] {
+  extends KllAggBase {
 
   override def prettyName: String = "kll_agg"
-
-  override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(k)
+  override protected def requiredInputType: DataType = DoubleType
 
   override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
     if (v != null) buf.update(v.asInstanceOf[Double])
     buf
   }
-
-  override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
-    a.merge(b); a
-  }
-
-  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
-  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
-  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
 
   override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
     copy(mutableAggBufferOffset = o)
@@ -85,12 +104,10 @@ case class KllMergeAgg(
     k: Int = 200,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends SketchAgg[KllDoublesSketch] {
+  extends KllAggBase {
 
   override def prettyName: String = "kll_merge_agg"
-
-  override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(k)
+  override protected def requiredInputType: DataType = BinaryType
 
   override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
@@ -99,15 +116,6 @@ case class KllMergeAgg(
     }
     buf
   }
-
-  override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
-    a.merge(b); a
-  }
-
-  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
-  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
-  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
 
   override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
     copy(mutableAggBufferOffset = o)
@@ -158,6 +166,7 @@ case class ThetaSketchAgg(
   require(lgK >= 4 && lgK <= 26, "lgK out of range")
 
   override def prettyName: String = "theta_agg"
+  override protected def requiredInputType: DataType = LongType
 
   private def newUnion(): Union =
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
@@ -236,6 +245,23 @@ private object FreqSerde {
     ItemsSketch.getInstance(Memory.wrap(bytes), serde)
 }
 
+/** Shared frequent-items machinery (see [[KllAggBase]]). */
+abstract class FreqAggBase extends SketchAgg[ItemsSketch[String]] {
+  protected def maxMapSize: Int
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def merge(a: ItemsSketch[String], b: ItemsSketch[String]): ItemsSketch[String] =
+    a.merge(b)
+
+  override def eval(buf: ItemsSketch[String]): Any = buf.toByteArray(FreqSerde.serde)
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(FreqSerde.serde)
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    FreqSerde.read(bytes)
+}
+
 /** `freq_agg(term, maxMapSize)` — Misra-Gries frequent-items sketch over a
   * STRING column. State is at most `maxMapSize` counters (power of 2)
   * regardless of vocabulary size; deterministic (no randomness), with the
@@ -249,29 +275,18 @@ case class FreqItemsAgg(
     maxMapSize: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends SketchAgg[ItemsSketch[String]] {
+  extends FreqAggBase {
   require(maxMapSize >= 2 && Integer.bitCount(maxMapSize) == 1,
     "maxMapSize must be a power of 2")
 
   override def prettyName: String = "freq_agg"
-
-  override def createAggregationBuffer(): ItemsSketch[String] =
-    new ItemsSketch[String](maxMapSize)
+  override protected def requiredInputType: DataType = StringType
 
   override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
     val v = child.eval(input)
     if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
     buf
   }
-
-  override def merge(a: ItemsSketch[String], b: ItemsSketch[String]): ItemsSketch[String] =
-    a.merge(b)
-
-  override def eval(buf: ItemsSketch[String]): Any = buf.toByteArray(FreqSerde.serde)
-  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
-    buf.toByteArray(FreqSerde.serde)
-  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
-    FreqSerde.read(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg =
     copy(mutableAggBufferOffset = o)
@@ -289,29 +304,18 @@ case class FreqMergeAgg(
     maxMapSize: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends SketchAgg[ItemsSketch[String]] {
+  extends FreqAggBase {
   require(maxMapSize >= 2 && Integer.bitCount(maxMapSize) == 1,
     "maxMapSize must be a power of 2")
 
   override def prettyName: String = "freq_merge_agg"
-
-  override def createAggregationBuffer(): ItemsSketch[String] =
-    new ItemsSketch[String](maxMapSize)
+  override protected def requiredInputType: DataType = BinaryType
 
   override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
     val v = child.eval(input)
     if (v != null) buf.merge(FreqSerde.read(v.asInstanceOf[Array[Byte]]))
     else buf
   }
-
-  override def merge(a: ItemsSketch[String], b: ItemsSketch[String]): ItemsSketch[String] =
-    a.merge(b)
-
-  override def eval(buf: ItemsSketch[String]): Any = buf.toByteArray(FreqSerde.serde)
-  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
-    buf.toByteArray(FreqSerde.serde)
-  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
-    FreqSerde.read(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): FreqMergeAgg =
     copy(mutableAggBufferOffset = o)

@@ -20,18 +20,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * fallback in the corpus-scan hot path.
   */
 object TextNormKernels {
-  def normalize(s: String, form: String): String =
-    Normalizer.normalize(s, Normalizer.Form.valueOf(form))
+  // the form enum is a compile-time constant of the expression; the
+  // generated code passes its ordinal so the hot path never does a
+  // per-row valueOf lookup
+  private val forms: Array[Normalizer.Form] = Normalizer.Form.values()
 
-  /** NFD-decompose, drop combining marks, NFC-recompose what remains. */
+  def formOrdinal(form: String): Int = Normalizer.Form.valueOf(form).ordinal
+
+  def normalize(s: String, formOrdinal: Int): String =
+    Normalizer.normalize(s, forms(formOrdinal))
+
+  /** NFD-decompose, drop combining marks, NFC-recompose what remains.
+    * Iterates by CODE POINT so supplementary-plane combining marks
+    * (non-BMP Mn, e.g. U+1DA00) strip too — matching utf8proc. */
   def stripAccents(s: String): String = {
     val d = Normalizer.normalize(s, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
     var i = 0
     while (i < d.length) {
-      val c = d.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) {
+        sb.appendCodePoint(cp)
+      }
+      i += Character.charCount(cp)
     }
     Normalizer.normalize(sb, Normalizer.Form.NFC)
   }
@@ -44,17 +55,19 @@ case class NormalizeText(child: Expression, form: String)
   require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
     s"unknown normalization form $form")
 
+  private val formOrd: Int = TextNormKernels.formOrdinal(form)
+
   override def prettyName: String = "normalize_text"
   override def dataType: DataType = StringType
 
   override def nullSafeEval(v: Any): Any =
     UTF8String.fromString(
-      TextNormKernels.normalize(v.asInstanceOf[UTF8String].toString, form))
+      TextNormKernels.normalize(v.asInstanceOf[UTF8String].toString, formOrd))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-         |  graft.functions.TextNormKernels.normalize($c.toString(), "$form"));
+         |  graft.functions.TextNormKernels.normalize($c.toString(), $formOrd));
          |""".stripMargin)
 
   override protected def withNewChildInternal(c: Expression): NormalizeText =

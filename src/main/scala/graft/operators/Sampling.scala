@@ -150,6 +150,11 @@ object Sampling {
       .when(weightCol === 2, sqrt(u))
       .when(weightCol === 4, sqrt(sqrt(u)))
       .when(weightCol === 8, sqrt(sqrt(sqrt(u))))
+      // fail fast instead of silently null-sorting an invalid weight out
+      // of every sample
+      .otherwise(raise_error(concat(
+        lit("weightedPrioritySample: weight must be one of {1, 2, 4, 8}, got "),
+        weightCol.cast("string"))))
     df.withColumn("weight", weightCol)
       .withColumn("priority", priority)
       .orderBy(col("priority").desc, col(idCol))

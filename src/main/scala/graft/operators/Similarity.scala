@@ -825,11 +825,14 @@ object Similarity {
       .sortBy(_._1)
     // row-local argmax over the baked codebook: struct ordering compares
     // cosine first, then -seed_id, so ties resolve to the smallest seed
-    val best = greatest(seeds.map { case (sid, vec) =>
+    // (greatest() needs ≥2 args — a single-seed codebook is its own argmax)
+    val candidates = seeds.map { case (sid, vec) =>
       struct(
         cosineF32(col(vecCol), typedLit(vec)).as("cos"),
         lit(-sid).as("negid"))
-    }: _*)
+    }
+    val best =
+      if (candidates.length == 1) candidates.head else greatest(candidates: _*)
     val assigned = emb.select(col(idCol), col(vecCol))
       .withColumn("__best", best)
       .select(col(idCol),

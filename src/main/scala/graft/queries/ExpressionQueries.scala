@@ -13,6 +13,32 @@ import org.apache.spark.sql.types.DecimalType
 object ExpressionQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared q101/s15 gate: each KLL quantile estimate (columns e10/e50/e90
+    * per event_type) must be an exact data value whose true rank lies
+    * within ±3% of the requested rank — asserted via exact percentiles at
+    * rank ± 0.03 (value between them ⇔ rank within the margin). One
+    * definition so the batch (q101) and streaming-maintained (s15) gates
+    * can never drift apart. */
+  private[queries] def kllRankGate(
+      s: SparkSession, d: String,
+      est: DataFrame): DataFrame = {
+    val exact = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.07)").as("lo10"),
+        expr("percentile(value, 0.13)").as("hi10"),
+        expr("percentile(value, 0.47)").as("lo50"),
+        expr("percentile(value, 0.53)").as("hi50"),
+        expr("percentile(value, 0.87)").as("lo90"),
+        expr("percentile(value, 0.93)").as("hi90"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        col("e10").between(col("lo10"), col("hi10")).as("q10_ok"),
+        col("e50").between(col("lo50"), col("hi50")).as("q50_ok"),
+        col("e90").between(col("lo90"), col("hi90")).as("q90_ok"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, Q] = Map(
     // --- predicates: In / NullSafeEq / IsNull / Not / 3-valued logic -------
     "q42_predicates" -> ((s, d) => {
@@ -211,25 +237,10 @@ object ExpressionQueries {
       val unioned = daily
         .groupBy(col("event_type"))
         .agg(kllMergeAgg(col("sk")).as("sk"))
-      val est = unioned.select(col("event_type"),
+      kllRankGate(s, d, unioned.select(col("event_type"),
         kllQuantile(col("sk"), 0.10).as("e10"),
         kllQuantile(col("sk"), 0.50).as("e50"),
-        kllQuantile(col("sk"), 0.90).as("e90"))
-      val exact = Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(
-          expr("percentile(value, 0.07)").as("lo10"),
-          expr("percentile(value, 0.13)").as("hi10"),
-          expr("percentile(value, 0.47)").as("lo50"),
-          expr("percentile(value, 0.53)").as("hi50"),
-          expr("percentile(value, 0.87)").as("lo90"),
-          expr("percentile(value, 0.93)").as("hi90"))
-      est.join(exact, Seq("event_type"))
-        .select(col("event_type"),
-          col("e10").between(col("lo10"), col("hi10")).as("q10_ok"),
-          col("e50").between(col("lo50"), col("hi50")).as("q50_ok"),
-          col("e90").between(col("lo90"), col("hi90")).as("q90_ok"))
-        .orderBy("event_type")
+        kllQuantile(col("sk"), 0.90).as("e90")))
     }),
 
     // --- Theta sketch set algebra (q102): what the mergeable HLL/KLL rows

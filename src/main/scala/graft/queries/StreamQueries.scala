@@ -443,13 +443,6 @@ object StreamQueries {
             .as("sum_value"))
     }),
 
-    // --- s14: per-user running counters on Spark 4's transformWithState
-    //     (the arbitrary-stateful API replacing mapGroupsWithState: typed
-    //     state handles, per-state TTL, timers, RocksDB-backed store so
-    //     keyed state is disk-bound, not heap-bound — the 100 TB-keys
-    //     path). Bit-identical semantics to s06's mapGroupsWithState
-    //     kernel, so both rows share one oracle; TWS requires the RocksDB
-    //     provider, set for this query and restored after. ------------------
     // --- s15: streaming KLL-sketch maintenance — the q101 quantile
     //     sketches kept CURRENT as events stream in. Each micro-batch's
     //     per-type sketches are unioned into a persisted ~KB state
@@ -475,28 +468,22 @@ object StreamQueries {
         try q.processAllAvailable() finally q.stop()
         path
       })
-      val est = s.read.parquet(state)
+      // one gate definition shared with q101 — batch-built and
+      // streaming-maintained sketches answer to the same contract
+      ExpressionQueries.kllRankGate(s, d, s.read.parquet(state)
         .select(col("event_type"),
           kllQuantile(col("sk"), 0.10).as("e10"),
           kllQuantile(col("sk"), 0.50).as("e50"),
-          kllQuantile(col("sk"), 0.90).as("e90"))
-      val exact = Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(
-          expr("percentile(value, 0.07)").as("lo10"),
-          expr("percentile(value, 0.13)").as("hi10"),
-          expr("percentile(value, 0.47)").as("lo50"),
-          expr("percentile(value, 0.53)").as("hi50"),
-          expr("percentile(value, 0.87)").as("lo90"),
-          expr("percentile(value, 0.93)").as("hi90"))
-      est.join(exact, Seq("event_type"))
-        .select(col("event_type"),
-          col("e10").between(col("lo10"), col("hi10")).as("q10_ok"),
-          col("e50").between(col("lo50"), col("hi50")).as("q50_ok"),
-          col("e90").between(col("lo90"), col("hi90")).as("q90_ok"))
-        .orderBy("event_type")
+          kllQuantile(col("sk"), 0.90).as("e90")))
     }),
 
+    // --- s14: per-user running counters on Spark 4's transformWithState
+    //     (the arbitrary-stateful API replacing mapGroupsWithState: typed
+    //     state handles, per-state TTL, timers, RocksDB-backed store so
+    //     keyed state is disk-bound, not heap-bound — the 100 TB-keys
+    //     path). Bit-identical semantics to s06's mapGroupsWithState
+    //     kernel, so both rows share one oracle; TWS requires the RocksDB
+    //     provider, set for this query and restored after. ------------------
     "s14_stream_running_tws" -> ((s, d) => {
       import s.implicits._
       val ev = eventsStream(s, d)

@@ -1007,10 +1007,14 @@ object TextQueries {
       val background = docs.select(col("source"),
           explode(split(lower(col("text")), wordsRe)).as("term"))
         .filter(length(col("term")) > 0)
+      // planted ids are multiples of 50 (always even), so the hot-term
+      // index must key on the FAMILY ordinal (id div 50), not id parity —
+      // this alternates the plants across hot_0/hot_1
       val planted = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("source"),
           explode(array_repeat(
-            concat(lit("hot_"), pmod(col("doc_id"), lit(2))), 4000)).as("term"))
+            concat(lit("hot_"),
+              pmod(expr("doc_id div 50"), lit(2))), 4000)).as("term"))
       val stream = background.unionAll(planted)
       val perSource = stream.groupBy("source")
         .agg(freqAgg(col("term"), 32).as("sk"))

@@ -235,6 +235,18 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(viaUnion / 100000.0 - 0.9) < 0.03, s"p90-via-union $viaUnion")
     // estimates are exact data values, not interpolations
     assert(oneShot == math.floor(oneShot) && viaUnion == math.floor(viaUnion))
+    // wrong-typed input fails at ANALYSIS (checkInputDataTypes), not as a
+    // task-side ClassCastException after the scan ran
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(5).agg(kllAgg($"id")).collect() // long, requires double
+    }
+    // the SQL surface accepts a plain decimal literal rank (0.5 parses as
+    // Decimal, not Double)
+    spark.range(0, 101).select($"id".cast("double").as("v"))
+      .createOrReplaceTempView("kll_in")
+    val viaSql = spark.sql("SELECT kll_quantile(kll_agg(v), 0.5) AS q FROM kll_in")
+      .collect().head.getDouble(0)
+    assert(viaSql >= 40.0 && viaSql <= 60.0)
   }
 
   test("freq_agg: no-false-negative + bracketing guarantees under purge and merge") {

@@ -1134,6 +1134,15 @@ class OperatorsSpec extends SparkTestBase {
     // the 10%-of-rows weight-8 band must be over-represented in the draw
     val heavy = out.count(_.getLong(1) < 20)
     assert(heavy > 6, s"weight-8 ids should be over-represented, got $heavy/30")
+    // a weight outside {1,2,4,8} fails fast instead of silently
+    // null-sorting the row out of every sample
+    val bad = intercept[Exception] {
+      graft.operators.Sampling.weightedPrioritySample(
+        spark.range(0, 10).select($"id".as("doc_id"), lit(3).as("w")),
+        "doc_id", col("w"), k = 5).collect()
+    }
+    assert(bad.getMessage.contains("weight must be one of"),
+      s"unexpected error: ${bad.getMessage}")
   }
 
   test("madOutliers: gross two-sided outliers flagged, inliers untouched, per stratum") {
@@ -1183,6 +1192,12 @@ class OperatorsSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected one cell exchange, got $exchanges:\n$plan")
+    // degenerate single-prototype codebook: everything lands in cell 0
+    // (greatest() needs two args — the 1-seed path must not crash)
+    val one = Similarity.prototypePrune(emb, "vec_id", "embedding",
+        numSeeds = 1, keepFrac = 1.0)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(0L))
   }
 
   test("knnLabelAgreement: majority vote, deterministic tie-break, agree flag") {
