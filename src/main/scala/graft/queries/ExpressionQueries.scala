@@ -294,6 +294,51 @@ object ExpressionQueries {
         .orderBy("event_type")
     }),
 
+    // --- one-pass table profiling (q103): the ANALYZE/data-quality shape —
+    //     per-column null counts, min/max, and distinct-cardinality health
+    //     in ONE scan of the table. All per-column aggregates fuse into a
+    //     single HashAggregate with map-side partials, and the per-column
+    //     output rows come from inline(array(struct...)) over the one
+    //     aggregated row — the 1-row frame is never recomputed per column.
+    //     NDV is the sketch estimate (the only single-pass option — exact
+    //     distinct per column would expand the scan per column); its gate
+    //     compares against in-Spark exact counts at ±10% (~2σ of the HLL++
+    //     default 5% rsd), the q60 calibration. min/max surface as strings
+    //     so the row schema is uniform; profiled columns are restricted to
+    //     int/long/varchar, whose string casts are engine-identical. ---------
+    //     The exact NDVs exist only for the GATE and run as four separate
+    //     single-column 2-phase aggregates — mixing countDistinct across 4
+    //     columns into the profile pass triggers Catalyst's multi-distinct
+    //     rewrite (5-way Expand + SortAggregate over the expanded rows:
+    //     measured 6 s vs ~1 s at sf0.1), exactly the shape the profile
+    //     pass itself must avoid. -----------------------------------------------
+    "q103_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        approx_count_distinct(col(c)).as(s"${c}__acd")))
+      val profile = li.agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), inline(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__min").as("min_s"),
+          col(s"${c}__max").as("max_s"),
+          col(s"${c}__acd").as("acd"))): _*)))
+      val exactNdv = cols.map(c =>
+          li.agg(countDistinct(col(c)).as("cd"))
+            .select(lit(c).as("col_name"), col("cd")))
+        .reduce(_ unionAll _)
+      profile.join(broadcast(exactNdv), Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("min_s"), col("max_s"),
+          (col("acd").cast("double") / col("cd")).between(0.90, 1.10)
+            .as("ndv_ok"))
+        .orderBy("col_name")
+    }),
+
     // --- statistical aggregates (stddev/var/corr/covar; quantized because
     //     both engines accumulate doubles differently at the last ulp) ----------
     "q50_stats" -> ((s, d) => {
@@ -394,6 +439,30 @@ object ExpressionQueries {
       """SELECT DISTINCT event_type,
                 true AS union_ok, true AS inter_ok, true AS anotb_ok
          FROM events ORDER BY event_type""",
+    "q103_profile" ->
+      """SELECT count(*) AS n_rows, 'l_orderkey' AS col_name,
+                CAST(sum(CAST(l_orderkey IS NULL AS INT)) AS BIGINT) AS n_nulls,
+                CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+                CAST(max(l_orderkey) AS VARCHAR) AS max_s,
+                true AS ndv_ok
+         FROM lineitem
+         UNION ALL
+         SELECT count(*), 'l_linenumber',
+                CAST(sum(CAST(l_linenumber IS NULL AS INT)) AS BIGINT),
+                CAST(min(l_linenumber) AS VARCHAR),
+                CAST(max(l_linenumber) AS VARCHAR), true
+         FROM lineitem
+         UNION ALL
+         SELECT count(*), 'l_returnflag',
+                CAST(sum(CAST(l_returnflag IS NULL AS INT)) AS BIGINT),
+                min(l_returnflag), max(l_returnflag), true
+         FROM lineitem
+         UNION ALL
+         SELECT count(*), 'l_linestatus',
+                CAST(sum(CAST(l_linestatus IS NULL AS INT)) AS BIGINT),
+                min(l_linestatus), max(l_linestatus), true
+         FROM lineitem
+         ORDER BY col_name""",
     "q50_stats" ->
       """SELECT l_returnflag,
                 floor(stddev_samp(l_quantity) * 1e6) / 1e6 AS sd_q,
