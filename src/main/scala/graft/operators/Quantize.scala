@@ -60,4 +60,42 @@ object Quantize {
       transform(v, x => floor(x / absmax * lit(127.0)).cast("tinyint"))
         .as("codes"))
   }
+
+  /** The deterministic ±1 Johnson–Lindenstrauss sign matrix: entry (j, i)
+    * is +1 iff the first 8 hex chars of md5("j:i") parse to an even
+    * integer — a pure function any engine reproduces, no RNG state. */
+  def jlSign(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction with a ±1 sign matrix:
+    * `reduced_j = (Σ_i sign(j,i) · v_i) / √k`. The JL lemma bounds pairwise
+    * distance distortion at O(√(log n / k)), which is what makes a reduced
+    * table the cheap FIRST tier of vector serving — brute-force/IVF scans
+    * read k doubles per row instead of d, with e01-style re-ranking on the
+    * full vectors for the shortlist (the same two-tier shape as e10's ADC).
+    *
+    * Scale + determinism: the k×d matrix is a pure md5 function baked into
+    * the projection expression at plan time (driver-computed literals —
+    * ~k·d signs, no per-row hashing), so the projection is a NARROW
+    * codegen'd map on the scan with no shuffle. Each output coordinate is
+    * a fixed left-to-right sum of exact float→double products divided by
+    * the correctly-rounded √k — bit-identical in any engine that sums the
+    * same list order (the e01 cosine-parity contract). Output is long
+    * format (id, j, r) so callers can pivot or re-assemble arrays. */
+  def randomProjection(
+      emb: DataFrame, idCol: String, vecCol: String,
+      sourceDim: Int, targetDim: Int): DataFrame = {
+    require(targetDim > 0 && sourceDim >= targetDim)
+    val invSqrtK = 1.0 / math.sqrt(targetDim.toDouble)
+    val reduced = (0 until targetDim).map { j =>
+      (0 until sourceDim)
+        .map(i => element_at(col(vecCol), i + 1).cast("double") * lit(jlSign(j, i)))
+        .reduce(_ + _) * lit(invSqrtK)
+    }
+    emb.select(col(idCol), posexplode(array(reduced: _*)))
+      .select(col(idCol), col("pos").as("j"), col("col").as("r"))
+  }
 }

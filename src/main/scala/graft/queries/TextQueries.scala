@@ -832,6 +832,24 @@ object TextQueries {
         .orderBy("cell", "rank")
     }),
 
+    // --- e16: Johnson–Lindenstrauss random projection (64 → 16 dims,
+    //     Quantize.randomProjection) — the cheap first tier of vector
+    //     serving: a 4×-narrower table whose pairwise distances are
+    //     JL-distortion-bounded, scanned first with full-vector re-rank on
+    //     the shortlist (the e10 two-tier shape). The ±1 sign matrix is a
+    //     pure md5 function (no RNG state) baked into the plan as
+    //     literals, so the projection is a narrow codegen'd map; k = 16
+    //     makes the 1/√k scale exactly 0.25, so every output coordinate
+    //     is bit-identical to the DuckDB replica (fixed-order sum of
+    //     exact float→double products × a power of two). ---------------------
+    "e16_rp_reduce" -> ((s, d) => {
+      Quantize.randomProjection(Tables.embeddings(s, d),
+          "vec_id", "embedding", sourceDim = 64, targetDim = 16)
+        .select(col("vec_id"), col("j"),
+          (floor(col("r") * 1e4) / 1e4).as("r_q"))
+        .orderBy("vec_id", "j")
+    }),
+
     "e12_knn_label_agreement" -> ((s, d) => {
       GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
@@ -1827,6 +1845,25 @@ object TextQueries {
            FROM scored)
          SELECT probe_id, rank, neighbor_id, floor(dot * 10000) / 10000 AS dot_q
          FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""",
+
+    // the sign matrix rebuilt from the same md5 formula; list built with
+    // ORDER BY i so list_sum folds in index order (the e01 parity contract)
+    "e16_rp_reduce" ->
+      """WITH m AS (
+           SELECT j, i,
+                  CASE WHEN ('0x' || substr(md5(j || ':' || i), 1, 8))::BIGINT
+                            % 2 = 0
+                       THEN 1.0 ELSE -1.0 END AS s
+           FROM range(0, 16) t1(j), range(0, 64) t2(i)),
+         srows AS (SELECT j, list(s ORDER BY i) AS srow FROM m GROUP BY j),
+         proj AS (
+           SELECT e.vec_id, r.j,
+                  list_sum(list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * r.srow[i]))
+                    / sqrt(16.0) AS r
+           FROM embeddings e, srows r)
+         SELECT vec_id, CAST(j AS INT) AS j, floor(r * 1e4) / 1e4 AS r_q
+         FROM proj ORDER BY vec_id, j""",
 
     // full replica: same per-element double cosine as e01, argmax by
     // (cos DESC, seed_id ASC), per-cell rank by (cos DESC, vec_id ASC)

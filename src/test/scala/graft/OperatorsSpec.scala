@@ -1145,6 +1145,31 @@ class OperatorsSpec extends SparkTestBase {
       s"unexpected error: ${bad.getMessage}")
   }
 
+  test("randomProjection: exact linearity, JL norm preservation, deterministic matrix") {
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.tabulate(5)(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val doubled = vecs.map { case (id, v) => (id + 100, v.map(x => x * 2.0f)) }
+    val df = (vecs ++ doubled).toDF("vec_id", "embedding")
+    val out = Quantize.randomProjection(df, "vec_id", "embedding", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 10 * 16)
+    // linearity is BIT-exact: float doubling and power-of-two scaling
+    // commute with IEEE rounding, so proj(2v) == 2·proj(v) exactly
+    for (i <- 0 until 5; j <- 0 until 16)
+      assert(out((i + 100L, j)) == 2.0 * out((i.toLong, j)))
+    // JL norm preservation: ||proj v||² ≈ ||v||² within generous k=16
+    // distortion on the deterministic fixture
+    for (i <- 0 until 5) {
+      val orig = vecs(i)._2.map(x => x.toDouble * x).sum
+      val red = (0 until 16).map { j => val r = out((i.toLong, j)); r * r }.sum
+      assert(red / orig > 0.3 && red / orig < 2.0, s"norm ratio ${red / orig}")
+    }
+    // the sign matrix is a pure function — a second invocation bit-matches
+    val again = Quantize.randomProjection(df, "vec_id", "embedding", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again == out)
+  }
+
   test("madOutliers: gross two-sided outliers flagged, inliers untouched, per stratum") {
     val rows = (1 to 20).map(i => ("a", i.toDouble)) ++
       Seq(("a", 1000.0), ("a", -1000.0)) ++            // gross contamination
