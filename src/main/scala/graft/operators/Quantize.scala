@@ -87,6 +87,15 @@ object Quantize {
     * format (id, j, r) so callers can pivot or re-assemble arrays. */
   def randomProjection(
       emb: DataFrame, idCol: String, vecCol: String,
+      sourceDim: Int, targetDim: Int): DataFrame =
+    randomProjectionVec(emb, idCol, vecCol, sourceDim, targetDim)
+      .select(col(idCol), posexplode(col("rvec")))
+      .select(col(idCol), col("pos").as("j"), col("col").as("r"))
+
+  /** [[randomProjection]] keeping the reduced vector as one array column —
+    * the shape the tiered kNN serving path consumes. */
+  def randomProjectionVec(
+      emb: DataFrame, idCol: String, vecCol: String,
       sourceDim: Int, targetDim: Int): DataFrame = {
     require(targetDim > 0 && sourceDim >= targetDim)
     val invSqrtK = 1.0 / math.sqrt(targetDim.toDouble)
@@ -95,7 +104,6 @@ object Quantize {
         .map(i => element_at(col(vecCol), i + 1).cast("double") * lit(jlSign(j, i)))
         .reduce(_ + _) * lit(invSqrtK)
     }
-    emb.select(col(idCol), posexplode(array(reduced: _*)))
-      .select(col(idCol), col("pos").as("j"), col("col").as("r"))
+    emb.select(col(idCol), array(reduced: _*).as("rvec"))
   }
 }

@@ -797,6 +797,55 @@ object Similarity {
         .filter(col("rank") <= k)
   }
 
+  /** Two-tier kNN served from the JL-reduced table
+    * ([[Quantize.randomProjectionVec]], e16): the SHORTLIST ranks on the
+    * 4×-narrower reduced vectors — one reduced-corpus scan against
+    * broadcast reduced probes — and only shortlist rows touch the full
+    * vectors for exact cosine re-ranking. At 100 TB this is the
+    * bytes-scanned lever: the first tier reads k doubles per row instead
+    * of d, and the full-width read is `shortlist × probes` rows, not the
+    * corpus. Recall degrades with JL distortion (O(√(log n / k))) — e17
+    * MEASURES it against the exact ranking rather than assuming it. Plan
+    * shape matches [[bruteForceTopK]]/[[int8TopK]]: broadcast probes, one
+    * corpus scan per tier, WindowGroupLimit heaps. */
+  def jlTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, shortlist: Int,
+      sourceDim: Int = 64, targetDim: Int = 16): DataFrame = {
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+    // norms computed ONCE per side in the projection scan — the pair loop
+    // pays one dot product, not three
+    val red = Quantize.randomProjectionVec(
+        corpus, idCol, vecCol, sourceDim, targetDim)
+      .select(col(idCol).as("neighbor_id"), col("rvec").as("__rc"),
+        sqrt(dotD(col("rvec"), col("rvec"))).as("__rcn"))
+    val pRed = Quantize.randomProjectionVec(
+        probes, idCol, vecCol, sourceDim, targetDim)
+      .select(col(idCol).as("probe_id"), col("rvec").as("__rp"),
+        sqrt(dotD(col("rvec"), col("rvec"))).as("__rpn"))
+    val wS = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__rcos").desc, col("neighbor_id").asc)
+    val short = red.crossJoin(broadcast(pRed))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dotD(col("__rp"), col("__rc")) / (col("__rpn") * col("__rcn")))
+          .as("__rcos"))
+      .withColumn("__rn", row_number().over(wS))
+      .filter(col("__rn") <= shortlist)
+      .select("probe_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short.join(c, "neighbor_id")
+      .join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineF32(col("__pv"), col("__nv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Nearest-prototype balanced curation (the SSL-prototypes / cluster-
     * balanced selection family): assign every vector to its most similar
     * prototype, then keep only the top `keepFrac` most PROTOTYPICAL

@@ -850,6 +850,35 @@ object TextQueries {
         .orderBy("vec_id", "j")
     }),
 
+    // --- e17: recall gate for the JL two-tier serving path (e16 + re-rank)
+    //     — same gate algebra as e02/e13: overlap@5 of the tiered ranking
+    //     vs the exact brute force, plus per-probe completeness. Shortlist
+    //     is 20% of the corpus; measured recall@5 is 0.66 / 0.72 / 0.71 at
+    //     sf0.001/0.01/0.1 (tools/JlProbe — the random-vector hard regime,
+    //     same as e02's), so the 0.5 floor carries ≥ 24% SF-drift margin
+    //     while still failing a broken projection (shortlist-free chance
+    //     overlap is ~20%). -----------------------------------------------------
+    "e17_jl_recall" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      // shortlist = 20% of the corpus (driver scalar, the serving-config
+      // decision an offline tier build makes once) — a FIXED shortlist
+      // would silently shrink on a 10× corpus and recall with it
+      val shortlist = math.max(100, (emb.count() / 5).toInt)
+      val jl = Similarity.jlTopK(emb, probes, "vec_id", "embedding",
+          k = 5, shortlist = shortlist)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_jl"))
+      val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+          k = 5)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+      jl.join(bf, Seq("probe_id", "neighbor_id"), "full_outer")
+        .agg(
+          (sum(col("in_jl")) === count(col("in_bf"))).as("complete"),
+          ((count(when(col("in_jl") === 1 && col("in_bf") === 1, 1)).cast("double") /
+            count(col("in_bf"))) >= 0.5).as("recall_ge_050"))
+    }),
+
     "e12_knn_label_agreement" -> ((s, d) => {
       GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
@@ -1289,6 +1318,8 @@ object TextQueries {
                 CAST(0 AS BIGINT) AS n_spurious""",
     "e02_srp_recall" ->
       """SELECT true AS complete, true AS recall_ge_060""",
+    "e17_jl_recall" ->
+      """SELECT true AS complete, true AS recall_ge_050""",
     "e13_int8_recall" ->
       """SELECT true AS complete, true AS recall_ge_080""",
     "e08_pq_recall" ->

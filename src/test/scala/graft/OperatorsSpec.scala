@@ -1170,6 +1170,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(again == out)
   }
 
+  test("jlTopK: a full-corpus shortlist reduces to the exact ranking") {
+    val rnd = new scala.util.Random(7)
+    val emb = Seq.tabulate(40)(i =>
+        (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 3)
+    // with shortlist = |corpus| the first tier filters nothing, so the
+    // full-vector re-rank must reproduce the exact top-k bit-for-bit
+    val jl = Similarity.jlTopK(emb, probes, "vec_id", "embedding",
+        k = 3, shortlist = 40)
+      .select("probe_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 3)
+      .select("probe_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(jl == bf)
+    assert(jl.size == 9) // 3 probes × full k
+  }
+
   test("madOutliers: gross two-sided outliers flagged, inliers untouched, per stratum") {
     val rows = (1 to 20).map(i => ("a", i.toDouble)) ++
       Seq(("a", 1000.0), ("a", -1000.0)) ++            // gross contamination
