@@ -99,10 +99,17 @@ object Quantize {
       sourceDim: Int, targetDim: Int): DataFrame = {
     require(targetDim > 0 && sourceDim >= targetDim)
     val invSqrtK = 1.0 / math.sqrt(targetDim.toDouble)
+    // one zip_with/aggregate HOF per output dim over a LITERAL sign row —
+    // compiled loops over the array. The unrolled d-term expression tree
+    // (k·d element_at + multiplies) blows past the codegen method-size
+    // limit and silently falls back to interpreted eval (measured ~3×
+    // slower at d=64, k=16). aggregate folds left in index order, so the
+    // cross-engine sum-order contract is unchanged.
     val reduced = (0 until targetDim).map { j =>
-      (0 until sourceDim)
-        .map(i => element_at(col(vecCol), i + 1).cast("double") * lit(jlSign(j, i)))
-        .reduce(_ + _) * lit(invSqrtK)
+      val signs = typedLit((0 until sourceDim).map(i => jlSign(j, i)).toArray)
+      aggregate(
+        zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, e) => acc + e) * lit(invSqrtK)
     }
     emb.select(col(idCol), array(reduced: _*).as("rvec"))
   }
