@@ -54,5 +54,6 @@ object SparkEntry {
       "e06_ivf_kmeans_recall", "e08_pq_recall",
       "e10_ivfpq_recall", // coarse+PQ codebooks + cell-partitioned index
       "s08_stream_mv", // one-time foreachBatch MV maintenance per (JVM, sf)
-      "s15_stream_sketch") // one-time foreachBatch sketch maintenance
+      "s15_stream_sketch", // one-time foreachBatch sketch maintenance
+      "s17_stream_heavyhitters") // one-time foreachBatch freq-sketch state
 }

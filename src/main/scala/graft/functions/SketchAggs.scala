@@ -238,28 +238,61 @@ case class ThetaSetOpSummary(left: Expression, right: Expression, op: String)
     copy(left = l, right = r)
 }
 
-/** Shared serde for string frequent-items sketches. */
+/** Mutable buffer for frequent-items aggregation: the live sketch plus
+  * the error offset lost to serialization quirks (see [[FreqSerde]]). */
+final class FreqBuf(val sk: ItemsSketch[String], var extraErr: Long)
+
+/** Envelope serde for string frequent-items sketches.
+  *
+  * DataSketches quirk (measured): an ItemsSketch whose counter map has
+  * purged down to EMPTY serializes as a fully-empty sketch — the error
+  * offset and stream length are silently dropped. Under heavy uniform
+  * streams (vocab >> maxMapSize) an empty map is a legitimate end state,
+  * and this repo serializes at every partial-aggregation and storage
+  * boundary, so the no-false-negatives bound would silently shrink. The
+  * envelope prefixes 8 bytes of `extraErr` that absorb the offset of any
+  * empty-map sketch at serialize time; [[FreqMaxError]] reports
+  * sketch-offset + extraErr, restoring the guarantee: any item whose
+  * true count exceeds the REPORTED bound is present (items can only be
+  * lost alongside an offset that the envelope preserves). */
 private object FreqSerde {
   val serde = new ArrayOfStringsSerDe
-  def read(bytes: Array[Byte]): ItemsSketch[String] =
-    ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+
+  def write(buf: FreqBuf): Array[Byte] = {
+    val lost =
+      buf.extraErr + (if (buf.sk.getNumActiveItems == 0) buf.sk.getMaximumError else 0L)
+    val skBytes = buf.sk.toByteArray(serde)
+    val out = java.nio.ByteBuffer.allocate(8 + skBytes.length)
+    out.putLong(lost).put(skBytes)
+    out.array()
+  }
+
+  def read(bytes: Array[Byte]): FreqBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val extra = bb.getLong()
+    val rest = new Array[Byte](bytes.length - 8)
+    bb.get(rest)
+    new FreqBuf(ItemsSketch.getInstance(Memory.wrap(rest), serde), extra)
+  }
 }
 
-/** Shared frequent-items machinery (see [[KllAggBase]]). */
-abstract class FreqAggBase extends SketchAgg[ItemsSketch[String]] {
+/** Shared frequent-items machinery (see [[KllAggBase]]); buffers carry
+  * the [[FreqSerde]] envelope's lost-offset alongside the live sketch. */
+abstract class FreqAggBase extends SketchAgg[FreqBuf] {
   protected def maxMapSize: Int
 
-  override def createAggregationBuffer(): ItemsSketch[String] =
-    new ItemsSketch[String](maxMapSize)
+  override def createAggregationBuffer(): FreqBuf =
+    new FreqBuf(new ItemsSketch[String](maxMapSize), 0L)
 
-  override def merge(a: ItemsSketch[String], b: ItemsSketch[String]): ItemsSketch[String] =
-    a.merge(b)
+  override def merge(a: FreqBuf, b: FreqBuf): FreqBuf = {
+    a.sk.merge(b.sk)
+    a.extraErr += b.extraErr
+    a
+  }
 
-  override def eval(buf: ItemsSketch[String]): Any = buf.toByteArray(FreqSerde.serde)
-  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
-    buf.toByteArray(FreqSerde.serde)
-  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
-    FreqSerde.read(bytes)
+  override def eval(buf: FreqBuf): Any = FreqSerde.write(buf)
+  override def serialize(buf: FreqBuf): Array[Byte] = FreqSerde.write(buf)
+  override def deserialize(bytes: Array[Byte]): FreqBuf = FreqSerde.read(bytes)
 }
 
 /** `freq_agg(term, maxMapSize)` — Misra-Gries frequent-items sketch over a
@@ -282,9 +315,9 @@ case class FreqItemsAgg(
   override def prettyName: String = "freq_agg"
   override protected def requiredInputType: DataType = StringType
 
-  override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+  override def update(buf: FreqBuf, input: InternalRow): FreqBuf = {
     val v = child.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    if (v != null) buf.sk.update(v.asInstanceOf[UTF8String].toString)
     buf
   }
 
@@ -311,10 +344,14 @@ case class FreqMergeAgg(
   override def prettyName: String = "freq_merge_agg"
   override protected def requiredInputType: DataType = BinaryType
 
-  override def update(buf: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+  override def update(buf: FreqBuf, input: InternalRow): FreqBuf = {
     val v = child.eval(input)
-    if (v != null) buf.merge(FreqSerde.read(v.asInstanceOf[Array[Byte]]))
-    else buf
+    if (v != null) {
+      val other = FreqSerde.read(v.asInstanceOf[Array[Byte]])
+      buf.sk.merge(other.sk)
+      buf.extraErr += other.extraErr
+    }
+    buf
   }
 
   override def withNewMutableAggBufferOffset(o: Int): FreqMergeAgg =
@@ -341,11 +378,15 @@ case class FreqItemRows(child: Expression)
     containsNull = false)
 
   override def nullSafeEval(v: Any): Any = {
-    val sk = FreqSerde.read(v.asInstanceOf[Array[Byte]])
-    val rows = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+    val buf = FreqSerde.read(v.asInstanceOf[Array[Byte]])
+    val rows = buf.sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+    // widen [lb, ub] by the envelope's lost offset so bracketing still
+    // covers error absorbed outside the sketch
     new GenericArrayData(rows.map { r =>
       InternalRow(UTF8String.fromString(r.getItem),
-        r.getEstimate, r.getLowerBound, r.getUpperBound): Any
+        r.getEstimate,
+        math.max(0L, r.getLowerBound - buf.extraErr),
+        r.getUpperBound + buf.extraErr): Any
     })
   }
 
@@ -361,8 +402,10 @@ case class FreqMaxError(child: Expression)
   override def prettyName: String = "freq_max_error"
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any): Any =
-    FreqSerde.read(v.asInstanceOf[Array[Byte]]).getMaximumError
+  override def nullSafeEval(v: Any): Any = {
+    val buf = FreqSerde.read(v.asInstanceOf[Array[Byte]])
+    buf.sk.getMaximumError + buf.extraErr
+  }
 
   override protected def withNewChildInternal(c: Expression): FreqMaxError =
     copy(child = c)

@@ -79,14 +79,41 @@ object IncrementalAgg {
       keyCol: String, valueCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.{kllAgg, kllMergeAgg}
-    val delta = batch.groupBy(col(keyCol))
-      .agg(kllAgg(col(valueCol).cast("double")).as("sk"))
+    unionMergeState(spark, statePath,
+      batch.groupBy(col(keyCol))
+        .agg(kllAgg(col(valueCol).cast("double")).as("sk")),
+      keyCol, sk => kllMergeAgg(sk))
+  }
+
+  /** [[sketchRefresh]] for frequent-items sketches: the d43 heavy-hitter
+    * state maintained incrementally — each batch's per-key Misra-Gries
+    * sketches union into the stored ones, whose guarantees
+    * (no-false-negatives above the combined error bound, [lb,ub]
+    * bracketing) survive merge in ANY batching. */
+  def freqRefresh(
+      spark: SparkSession, statePath: String, batch: DataFrame,
+      keyCol: String, termCol: String, maxMapSize: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.{freqAgg, freqMergeAgg}
+    unionMergeState(spark, statePath,
+      batch.groupBy(col(keyCol))
+        .agg(freqAgg(col(termCol), maxMapSize).as("sk")),
+      keyCol, sk => freqMergeAgg(sk, maxMapSize))
+  }
+
+  /** Shared union-then-merge state body: sketch union is associative and
+    * commutative with the empty sketch as identity, so the stored and
+    * delta (key, sk) bags merge by plain group-by — no full-outer join. */
+  private def unionMergeState(
+      spark: SparkSession, statePath: String, delta: DataFrame,
+      keyCol: String,
+      mergeAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val hpath = new org.apache.hadoop.fs.Path(statePath)
     val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (!fs.exists(hpath)) delta
       else spark.read.parquet(statePath).unionAll(delta)
-        .groupBy(col(keyCol)).agg(kllMergeAgg(col("sk")).as("sk"))
+        .groupBy(col(keyCol)).agg(mergeAgg(col("sk")).as("sk"))
     val ck = merged.localCheckpoint(true)
     try ck.write.mode("overwrite").parquet(statePath)
     finally Dedup.release(ck)

@@ -33,6 +33,7 @@ object StreamQueries {
   private val ingested = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val mvMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val sketchMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val freqMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // memory-sink temp views from prior drains: each holds a full result
   // copy in driver memory, so the next drain drops them before starting
   // (every caller consumes the returned frame within its own invocation)
@@ -477,6 +478,56 @@ object StreamQueries {
           kllQuantile(col("sk"), 0.90).as("e90")))
     }),
 
+    // --- s17: streaming heavy-hitter maintenance — d43's frequent-items
+    //     sketch kept current as events stream in (the online half of the
+    //     d43/s15 sketch pair: s15 maintains quantiles, s17 the heavy
+    //     tail). The per-batch union preserves Misra-Gries' guarantees
+    //     under ANY batching, so the gate asserts them on the MAINTAINED
+    //     state against batch-exact counts: no false negatives above the
+    //     combined error bound, [lb,ub] bracketing, bounded state. The
+    //     uniform user stream needs PLANTED hot terms (every %50==0
+    //     event contributes 200 copies, family ordinal alternating
+    //     hot_0/hot_1) or the report is empty and the gate vacuous —
+    //     the d43 calibration. ---------------------------------------------
+    "s17_stream_heavyhitters" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{freqItems, freqMaxError}
+      def withPlants(ev: DataFrame): DataFrame =
+        ev.select(lit("g").as("k"),
+            concat(lit("u"), col("user_id")).as("term"))
+          .unionAll(ev.filter(pmod(col("event_id"), lit(50)) === 0)
+            .select(lit("g").as("k"),
+              explode(array_repeat(concat(lit("hot_"),
+                pmod(expr("event_id div 50"), lit(2))), 200)).as("term")))
+      val state = freqMaintained.computeIfAbsent(d, { _ =>
+        val path = tmpDir("fhstate", create = false).toString + "/state"
+        val ckpt = tmpDir("fhckpt")
+        val q = withStatePartitions(s, 8) {
+          EventStreams.freqMaintain(withPlants(eventsStream(s, d)),
+            path, "k", "term", maxMapSize = 32, ckpt.toString)
+        }
+        try q.processAllAvailable() finally q.stop()
+        path
+      })
+      val merged = s.read.parquet(state)
+        .select(freqItems(col("sk")).as("items"),
+          freqMaxError(col("sk")).as("maxerr"))
+      val exact = withPlants(Tables.events(s, d))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      exact.crossJoin(broadcast(merged))
+        .withColumn("it", try_element_at(
+          filter(col("items"), x => x.getField("term") === col("term")), lit(1)))
+        .agg(
+          bool_and(col("c") <= col("maxerr") || col("it").isNotNull)
+            .as("no_false_neg"),
+          bool_and(col("it").isNull ||
+            (col("it").getField("lb") <= col("c") &&
+              col("c") <= col("it").getField("ub"))).as("bounds_ok"),
+          (max(when(col("c") > col("maxerr"), 1).otherwise(0)) === 1)
+            .as("has_heavy"),
+          (max(size(col("items"))) <= 32).as("state_bounded"))
+    }),
+
     // --- s14: per-user running counters on Spark 4's transformWithState
     //     (the arbitrary-stateful API replacing mapGroupsWithState: typed
     //     state handles, per-state TTL, timers, RocksDB-backed store so
@@ -767,6 +818,11 @@ object StreamQueries {
                 CAST(sum(event_id) AS BIGINT) AS id_sum,
                 CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / 1000 AS sum_value
          FROM events""",
+    // the maintained heavy-hitter sketch satisfies d43's guarantee set
+    // however the stream batched — constant-row gate
+    "s17_stream_heavyhitters" ->
+      """SELECT true AS no_false_neg, true AS bounds_ok,
+                true AS has_heavy, true AS state_bounded""",
     // the maintained sketches satisfy q101's rank-bound contract however
     // the stream batched — constant-row gate
     "s15_stream_sketch" ->

@@ -420,6 +420,35 @@ object EventStreams {
     }
   }
 
+  /** Streaming heavy-hitter maintenance: the [[sketchMaintain]] pattern
+    * with frequent-items sketches ([[graft.operators.IncrementalAgg
+    * .freqRefresh]]) — "which terms/users dominate the stream, so far"
+    * answerable at any moment from ≤ maxMapSize counters per key. */
+  def freqMaintain(
+      stream: DataFrame, statePath: String, keyCol: String, termCol: String,
+      maxMapSize: Int, checkpoint: String) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        freqBatchOnce(batch, statePath, keyCol, termCol, maxMapSize, batchId)
+      }
+      .start()
+
+  /** The [[freqMaintain]] batch body with the batchId idempotence marker. */
+  def freqBatchOnce(
+      batch: DataFrame, statePath: String, keyCol: String, termCol: String,
+      maxMapSize: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$statePath.batch_$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      graft.operators.IncrementalAgg.freqRefresh(
+        spark, statePath, batch, keyCol, termCol, maxMapSize)
+      fs.create(marker).close()
+    }
+  }
+
   /** Wire a streaming DataFrame through to a named in-memory sink; returns
     * the query (caller awaits/process-all). Update mode suits aggregations. */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean = true) =

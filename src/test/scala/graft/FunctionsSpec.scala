@@ -276,6 +276,26 @@ class FunctionsSpec extends SparkTestBase {
     assert(items.size <= 16, "report must respect the state bound")
   }
 
+  test("freq_agg: error bound survives serialization when the counter map purges empty") {
+    GraftFunctions.register(spark)
+    // vocab (1500) >> map (32): the uniform stream purges the counter map
+    // down to empty, a state whose RAW DataSketches image drops the error
+    // offset entirely — the FreqSerde envelope must preserve it across
+    // the partial/final serialization boundaries
+    val me = spark.range(0, 20000).repartition(4)
+      .select(concat(lit("t"), $"id" % 1500).as("term"))
+      .agg(freqAgg($"term", 32).as("sk"))
+      .select(freqMaxError($"sk")).collect().head.getLong(0)
+    assert(me > 0, "lost-offset envelope must preserve the error bound")
+    assert(me >= 20000 / 40, s"bound $me implausibly small for 20k uniform rows")
+    // and a uniform stream legitimately reports NO heavy hitters
+    val items = spark.range(0, 20000).repartition(4)
+      .select(concat(lit("t"), $"id" % 1500).as("term"))
+      .agg(freqAgg($"term", 32).as("sk"))
+      .select(freqItems($"sk")).collect().head.getSeq[Row](0)
+    assert(items.isEmpty)
+  }
+
   test("theta_agg / theta_setop: full set algebra, exact below nominal, bounded above") {
     GraftFunctions.register(spark)
     // A = [0,150), B = [100,250): overlap 50. Below 2^12 nominal entries

@@ -374,6 +374,35 @@ class StreamingSpec extends SparkTestBase {
     assert(p50() > 1.0e6, "new batch must merge into the state")
   }
 
+  test("freqMaintain: heavy hitters survive batching; replayed batchId merges once") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.{freqItems, freqMaxError}
+    val dir = java.nio.file.Files.createTempDirectory("fh_state")
+    val path = dir.resolve("state").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("k", "term")
+    val q = EventStreams.freqMaintain(stream, path, "k", "term", 16, ckpt)
+    // two batches: 64 uniform background terms + one hot term
+    input.addData((0 until 3200).map(i => ("g", s"bg_${i % 64}")): _*)
+    q.processAllAvailable()
+    input.addData((0 until 5000).map(_ => ("g", "hot")): _*)
+    q.processAllAvailable()
+    q.stop()
+    def report() = spark.read.parquet(path)
+      .select(freqItems(col("sk")).as("items"), freqMaxError(col("sk")).as("me"))
+      .collect().head
+    val r = report()
+    val items = r.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    assert(r.getLong(1) < 5000, s"error bound ${r.getLong(1)} must stay below the hot count")
+    assert(items.contains("hot"), s"hot term missing from $items")
+    // a replayed batchId must not re-merge
+    EventStreams.freqBatchOnce(
+      Seq(("g", "ghost")).toDF("k", "term"), path, "k", "term", 16, batchId = 0L)
+    assert(report().getSeq[org.apache.spark.sql.Row](0).map(_.getString(0)) == items)
+  }
+
   test("checkpoint restart: a NEW query resumes the offsets, old files never recount") {
     // production recovery path: the maintaining query dies (here: stops),
     // data keeps landing, a fresh query starts from the SAME checkpoint —
