@@ -50,6 +50,21 @@ abstract class SketchAgg[S] extends TypedImperativeAggregate[S]
         s"got ${child.dataType.simpleString}")
 }
 
+/** Analysis-time input check for the post-aggregation extractors: sketch
+  * bytes must arrive as BinaryType or the query fails in ANALYSIS — the
+  * same policy [[SketchAgg]] enforces for the aggregates — instead of a
+  * task-side ClassCastException/sketch-deserialize error after the scan
+  * already ran. */
+private[functions] trait BinarySketchInput { self: Expression =>
+  protected def checkBinaryInputs(inputs: Seq[Expression]): TypeCheckResult =
+    inputs.find(_.dataType != BinaryType) match {
+      case Some(e) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary sketch input, " +
+          s"got ${e.dataType.simpleString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+}
+
 /** Shared KLL machinery: the two KLL aggregates differ only in how a row
   * reaches the buffer (raw value vs serialized-sketch union). */
 abstract class KllAggBase extends SketchAgg[KllDoublesSketch] {
@@ -130,11 +145,13 @@ case class KllMergeAgg(
   * rows (one heapify per call), never in a per-input-row hot path, so
   * interpreted eval is fine — hence [[CodegenFallback]]. */
 case class KllQuantile(child: Expression, rank: Double)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with BinarySketchInput {
   require(rank >= 0.0 && rank <= 1.0, "rank must be in [0, 1]")
 
   override def prettyName: String = "kll_quantile"
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkBinaryInputs(Seq(child))
 
   override def nullSafeEval(v: Any): Any = {
     val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
@@ -206,12 +223,14 @@ case class ThetaSketchAgg(
   * rows only. */
 case class ThetaSetOpSummary(left: Expression, right: Expression, op: String)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-  with CodegenFallback {
+  with CodegenFallback with BinarySketchInput {
   import org.apache.datasketches.theta.{SetOperation, Sketch}
   require(Seq("union", "intersect", "anotb").contains(op),
     s"unknown theta set op $op")
 
   override def prettyName: String = "theta_setop"
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkBinaryInputs(Seq(left, right))
   override def dataType: DataType = StructType(Seq(
     StructField("est", DoubleType, nullable = false),
     StructField("lb", DoubleType, nullable = false),
@@ -366,9 +385,11 @@ case class FreqMergeAgg(
   * frequent-items sketch as `array<struct<term, est, lb, ub>>`, ordered by
   * descending estimate. Post-aggregation extraction on group rows only. */
 case class FreqItemRows(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with BinarySketchInput {
 
   override def prettyName: String = "freq_items"
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkBinaryInputs(Seq(child))
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("term", StringType, nullable = false),
@@ -380,12 +401,13 @@ case class FreqItemRows(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val buf = FreqSerde.read(v.asInstanceOf[Array[Byte]])
     val rows = buf.sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
-    // widen [lb, ub] by the envelope's lost offset so bracketing still
-    // covers error absorbed outside the sketch
+    // widen only the UPPER bound by the envelope's lost offset: the lost
+    // offset represents additional UNDERcounting, so the true count may
+    // exceed the sketch's ub by extraErr but can never fall below its lb
     new GenericArrayData(rows.map { r =>
       InternalRow(UTF8String.fromString(r.getItem),
         r.getEstimate,
-        math.max(0L, r.getLowerBound - buf.extraErr),
+        r.getLowerBound,
         r.getUpperBound + buf.extraErr): Any
     })
   }
@@ -397,10 +419,12 @@ case class FreqItemRows(child: Expression)
 /** `freq_max_error(sk)` — the sketch's a-priori error bound: any item with
   * true count above this is guaranteed present in the report. */
 case class FreqMaxError(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with BinarySketchInput {
 
   override def prettyName: String = "freq_max_error"
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkBinaryInputs(Seq(child))
 
   override def nullSafeEval(v: Any): Any = {
     val buf = FreqSerde.read(v.asInstanceOf[Array[Byte]])

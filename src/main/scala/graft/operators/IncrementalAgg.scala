@@ -19,15 +19,91 @@ import org.apache.spark.sql.types.DecimalType
   * max forces a per-key rescan); see CDC compaction (q62) for the
   * replace-style alternative.
   *
+  * == Storage: versioned, atomically-committed state ==
+  *
+  * `statePath` is a directory of immutable version snapshots
+  * `statePath/v<id>`. A refresh writes the merged state to a staging dir
+  * (`statePath/.tmp-<id>`), then commits it with one atomic directory
+  * rename; older versions are pruned only after the rename succeeds. So
+  * at every instant there is exactly one complete committed snapshot: a
+  * crash mid-write leaves only staging garbage (overwritten on retry),
+  * a crash after the rename leaves the new snapshot committed. This is
+  * what makes the streaming `*Once` entry points exactly-once rather
+  * than at-least-once: the committed version id doubles as the replay
+  * marker, and there is no window where a marker exists without its
+  * state (or state without its marker) — the failure mode of the
+  * earlier write-then-touch-marker scheme. Versioning also removes the
+  * read-while-overwrite hazard, so no localCheckpoint staging is needed.
+  *
   * Scale shape: the delta aggregates with map-side combine before its
   * one shuffle on the key; the merge joins state with the delta on the
   * key (both already key-unique, so the join is 1:1 full-outer); state
-  * size is bounded by key cardinality, not corpus size. The
-  * localCheckpoint before the overwrite is required — Spark cannot
-  * overwrite a path it is still reading (same as Sinks.upsertSharded;
-  * for huge states, stage-and-swap instead).
+  * size is bounded by key cardinality, not corpus size. The rename
+  * commit is metadata-only on HDFS-like stores; object stores without
+  * atomic rename would swap a manifest pointer instead (same protocol
+  * as table formats' commit files).
   */
 object IncrementalAgg {
+
+  private val VersionRe = "v(\\d+)".r
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed version ids under `statePath`, ascending. */
+  private def versions(spark: SparkSession, statePath: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = fsOf(spark, statePath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionRe(id) if st.isDirectory => Some(id.toLong)
+        case _ => None
+      }
+    }.sorted
+  }
+
+  /** Latest committed version id, if any state has been committed. */
+  def latestVersion(spark: SparkSession, statePath: String): Option[Long] =
+    versions(spark, statePath).lastOption
+
+  /** Read the latest committed state snapshot. */
+  def readState(spark: SparkSession, statePath: String): DataFrame = {
+    val v = latestVersion(spark, statePath).getOrElse(
+      throw new IllegalStateException(s"no committed state under $statePath"))
+    spark.read.parquet(s"$statePath/v$v")
+  }
+
+  /** Write `merged` to staging, atomically rename it to version `id`,
+    * then prune older versions (prune only AFTER the commit, so a crash
+    * at any point leaves a complete committed snapshot). */
+  private def commit(
+      spark: SparkSession, statePath: String, id: Long,
+      merged: DataFrame): Unit = {
+    val tmp = s"$statePath/.tmp-$id"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = fsOf(spark, statePath)
+    val dest = new org.apache.hadoop.fs.Path(s"$statePath/v$id")
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dest))
+      throw new java.io.IOException(s"commit rename $tmp -> $dest failed")
+    versions(spark, statePath).filter(_ < id).foreach { old =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$old"), true)
+    }
+  }
+
+  /** Merge `delta` with the latest committed snapshot (or bootstrap from
+    * the delta alone) and commit the result as version `newId`. */
+  private def mergeCommit(
+      spark: SparkSession, statePath: String, newId: Long, delta: DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val merged = latestVersion(spark, statePath) match {
+      case None => delta
+      case Some(v) => merge(spark.read.parquet(s"$statePath/v$v"), delta)
+    }
+    commit(spark, statePath, newId, merged)
+  }
 
   private def deltaAgg(batch: DataFrame, keyCol: String, valueCol: String) =
     batch.groupBy(col(keyCol))
@@ -36,34 +112,41 @@ object IncrementalAgg {
           .as("vsum"),
         max(col(valueCol).cast("long")).as("vmax"))
 
+  private def aggMerge(keyCol: String)(state: DataFrame, delta: DataFrame) =
+    state.as("s").join(delta.as("d"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("s.cnt"), lit(0L)) + coalesce(col("d.cnt"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("s.vsum"), lit(0).cast(DecimalType(38, 2))) +
+          coalesce(col("d.vsum"), lit(0).cast(DecimalType(38, 2))))
+          .cast(DecimalType(38, 2)).as("vsum"),
+        greatest(col("s.vmax"), col("d.vmax")).as("vmax"))
+
   /** Merge `batch` into the aggregate state at `statePath` (bootstraps
-    * the state on first call) and return the refreshed state. */
+    * the state on first call) and return the refreshed state. Each call
+    * commits a new version (latest + 1) — batch-refresh semantics where
+    * every invocation merges. */
   def refresh(
       spark: SparkSession, statePath: String, batch: DataFrame,
       keyCol: String, valueCol: String): DataFrame = {
-    val delta = deltaAgg(batch, keyCol, valueCol)
-    val hpath = new org.apache.hadoop.fs.Path(statePath)
-    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (!fs.exists(hpath)) delta
-      else {
-        val state = spark.read.parquet(statePath)
-        state.as("s").join(delta.as("d"), Seq(keyCol), "full_outer")
-          .select(col(keyCol),
-            (coalesce(col("s.cnt"), lit(0L)) + coalesce(col("d.cnt"), lit(0L)))
-              .as("cnt"),
-            (coalesce(col("s.vsum"), lit(0).cast(DecimalType(38, 2))) +
-              coalesce(col("d.vsum"), lit(0).cast(DecimalType(38, 2))))
-              .cast(DecimalType(38, 2)).as("vsum"),
-            greatest(col("s.vmax"), col("d.vmax")).as("vmax"))
-      }
-    val ck = merged.localCheckpoint(true)
-    // release the checkpoint blocks once the write has consumed them —
-    // otherwise every refresh leaks one block set (QueriesSpec's leak gate)
-    try ck.write.mode("overwrite").parquet(statePath)
-    finally Dedup.release(ck)
-    spark.read.parquet(statePath)
+    val newId = latestVersion(spark, statePath).getOrElse(-1L) + 1
+    mergeCommit(spark, statePath, newId,
+      deltaAgg(batch, keyCol, valueCol), aggMerge(keyCol))
+    readState(spark, statePath)
   }
+
+  /** Exactly-once variant for streaming foreachBatch: merges only when
+    * `batchId` is NEWER than the latest committed version, so an
+    * at-least-once replay (always of the last attempted batch, ids
+    * monotone under Structured Streaming's contract) either sees its
+    * own committed snapshot or recomputes from the previous complete
+    * one — never a double merge, never partial state. */
+  def refreshOnce(
+      spark: SparkSession, statePath: String, batch: DataFrame,
+      keyCol: String, valueCol: String, batchId: Long): Unit =
+    if (latestVersion(spark, statePath).forall(_ < batchId))
+      mergeCommit(spark, statePath, batchId,
+        deltaAgg(batch, keyCol, valueCol), aggMerge(keyCol))
 
   /** Merge `batch` into a persisted per-key KLL sketch state (the q101
     * quantile sketches maintained INCREMENTALLY): delta sketches are built
@@ -77,12 +160,34 @@ object IncrementalAgg {
   def sketchRefresh(
       spark: SparkSession, statePath: String, batch: DataFrame,
       keyCol: String, valueCol: String): DataFrame = {
+    val newId = latestVersion(spark, statePath).getOrElse(-1L) + 1
+    mergeCommit(spark, statePath, newId,
+      sketchDelta(spark, batch, keyCol, valueCol), sketchMerge(spark, keyCol))
+    readState(spark, statePath)
+  }
+
+  /** [[refreshOnce]] for the KLL sketch state. */
+  def sketchRefreshOnce(
+      spark: SparkSession, statePath: String, batch: DataFrame,
+      keyCol: String, valueCol: String, batchId: Long): Unit =
+    if (latestVersion(spark, statePath).forall(_ < batchId))
+      mergeCommit(spark, statePath, batchId,
+        sketchDelta(spark, batch, keyCol, valueCol), sketchMerge(spark, keyCol))
+
+  private def sketchDelta(
+      spark: SparkSession, batch: DataFrame, keyCol: String,
+      valueCol: String) = {
     graft.functions.GraftFunctions.register(spark)
-    import graft.functions.GraftFunctions.{kllAgg, kllMergeAgg}
-    unionMergeState(spark, statePath,
-      batch.groupBy(col(keyCol))
-        .agg(kllAgg(col(valueCol).cast("double")).as("sk")),
-      keyCol, sk => kllMergeAgg(sk))
+    import graft.functions.GraftFunctions.kllAgg
+    batch.groupBy(col(keyCol))
+      .agg(kllAgg(col(valueCol).cast("double")).as("sk"))
+  }
+
+  private def sketchMerge(spark: SparkSession, keyCol: String)(
+      state: DataFrame, delta: DataFrame) = {
+    import graft.functions.GraftFunctions.kllMergeAgg
+    state.unionAll(delta).groupBy(col(keyCol))
+      .agg(kllMergeAgg(col("sk")).as("sk"))
   }
 
   /** [[sketchRefresh]] for frequent-items sketches: the d43 heavy-hitter
@@ -93,37 +198,43 @@ object IncrementalAgg {
   def freqRefresh(
       spark: SparkSession, statePath: String, batch: DataFrame,
       keyCol: String, termCol: String, maxMapSize: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    import graft.functions.GraftFunctions.{freqAgg, freqMergeAgg}
-    unionMergeState(spark, statePath,
-      batch.groupBy(col(keyCol))
-        .agg(freqAgg(col(termCol), maxMapSize).as("sk")),
-      keyCol, sk => freqMergeAgg(sk, maxMapSize))
+    val newId = latestVersion(spark, statePath).getOrElse(-1L) + 1
+    mergeCommit(spark, statePath, newId,
+      freqDelta(spark, batch, keyCol, termCol, maxMapSize),
+      freqMerge(spark, keyCol, maxMapSize))
+    readState(spark, statePath)
   }
 
-  /** Shared union-then-merge state body: sketch union is associative and
-    * commutative with the empty sketch as identity, so the stored and
-    * delta (key, sk) bags merge by plain group-by — no full-outer join. */
-  private def unionMergeState(
-      spark: SparkSession, statePath: String, delta: DataFrame,
-      keyCol: String,
-      mergeAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
-    val hpath = new org.apache.hadoop.fs.Path(statePath)
-    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (!fs.exists(hpath)) delta
-      else spark.read.parquet(statePath).unionAll(delta)
-        .groupBy(col(keyCol)).agg(mergeAgg(col("sk")).as("sk"))
-    val ck = merged.localCheckpoint(true)
-    try ck.write.mode("overwrite").parquet(statePath)
-    finally Dedup.release(ck)
-    spark.read.parquet(statePath)
+  /** [[refreshOnce]] for the frequent-items sketch state. */
+  def freqRefreshOnce(
+      spark: SparkSession, statePath: String, batch: DataFrame,
+      keyCol: String, termCol: String, maxMapSize: Int,
+      batchId: Long): Unit =
+    if (latestVersion(spark, statePath).forall(_ < batchId))
+      mergeCommit(spark, statePath, batchId,
+        freqDelta(spark, batch, keyCol, termCol, maxMapSize),
+        freqMerge(spark, keyCol, maxMapSize))
+
+  private def freqDelta(
+      spark: SparkSession, batch: DataFrame, keyCol: String, termCol: String,
+      maxMapSize: Int) = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.freqAgg
+    batch.groupBy(col(keyCol))
+      .agg(freqAgg(col(termCol), maxMapSize).as("sk"))
+  }
+
+  private def freqMerge(spark: SparkSession, keyCol: String, maxMapSize: Int)(
+      state: DataFrame, delta: DataFrame) = {
+    import graft.functions.GraftFunctions.freqMergeAgg
+    state.unionAll(delta).groupBy(col(keyCol))
+      .agg(freqMergeAgg(col("sk"), maxMapSize).as("sk"))
   }
 
   /** Drop the state (test/replay hygiene). */
   def reset(spark: SparkSession, statePath: String): Unit = {
     val hpath = new org.apache.hadoop.fs.Path(statePath)
-    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, statePath)
     if (fs.exists(hpath)) { fs.delete(hpath, true); () }
   }
 }

@@ -826,10 +826,14 @@ object Similarity {
         sqrt(dotD(col("rvec"), col("rvec"))).as("__rpn"))
     val wS = Window.partitionBy(col("probe_id"))
       .orderBy(col("__rcos").desc, col("neighbor_id").asc)
+    // zero (or zero-projecting) vectors would divide to NaN, which
+    // Spark's descending sort orders ABOVE all real cosines — null them
+    // out instead so they sort last and never seize shortlist slots
     val short = red.crossJoin(broadcast(pRed))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        (dotD(col("__rp"), col("__rc")) / (col("__rpn") * col("__rcn")))
+        when(col("__rpn") * col("__rcn") > 0,
+          dotD(col("__rp"), col("__rc")) / (col("__rpn") * col("__rcn")))
           .as("__rcos"))
       .withColumn("__rn", row_number().over(wS))
       .filter(col("__rn") <= shortlist)

@@ -328,7 +328,7 @@ object StreamQueries {
         try q.processAllAvailable() finally q.stop()
         path
       })
-      s.read.parquet(state)
+      graft.operators.IncrementalAgg.readState(s, state)
         .select(col("event_type"), col("cnt"),
           col("vsum").cast("double").as("ticks_sum"),
           col("vmax").as("ticks_max"))
@@ -471,7 +471,8 @@ object StreamQueries {
       })
       // one gate definition shared with q101 — batch-built and
       // streaming-maintained sketches answer to the same contract
-      ExpressionQueries.kllRankGate(s, d, s.read.parquet(state)
+      ExpressionQueries.kllRankGate(s, d,
+        graft.operators.IncrementalAgg.readState(s, state)
         .select(col("event_type"),
           kllQuantile(col("sk"), 0.10).as("e10"),
           kllQuantile(col("sk"), 0.50).as("e50"),
@@ -509,7 +510,7 @@ object StreamQueries {
         try q.processAllAvailable() finally q.stop()
         path
       })
-      val merged = s.read.parquet(state)
+      val merged = graft.operators.IncrementalAgg.readState(s, state)
         .select(freqItems(col("sk")).as("items"),
           freqMaxError(col("sk")).as("maxerr"))
       val exact = withPlants(Tables.events(s, d))

@@ -357,10 +357,11 @@ object EventStreams {
     * micro-batch into the [[graft.operators.IncrementalAgg]] state. Unlike
     * [[ingestSharded]]'s upsert (naturally idempotent), an aggregate MERGE
     * double-counts under foreachBatch's at-least-once replay — so each
-    * batch commit drops a `_batch_<id>` marker next to the state and a
-    * replayed id is skipped, upgrading to effectively exactly-once (the
-    * standard idempotent-foreachBatch pattern; single-writer only, like
-    * any checkpointed streaming sink). */
+    * batch commits an atomically-renamed state VERSION keyed by batchId
+    * ([[graft.operators.IncrementalAgg.refreshOnce]]): a replayed id
+    * either sees its committed snapshot (skip) or recomputes from the
+    * previous complete one, making the merge exactly-once even across a
+    * crash mid-write (single-writer only, like any checkpointed sink). */
   def aggMaintain(
       stream: DataFrame, statePath: String, keyCol: String, valueCol: String,
       checkpoint: String) =
@@ -372,28 +373,21 @@ object EventStreams {
       }
       .start()
 
-  /** The [[aggMaintain]] batch body: merge `batch` into the state unless
-    * this batchId's marker already exists (a foreachBatch replay). */
+  /** The [[aggMaintain]] batch body: exactly-once versioned merge. */
   def mergeBatchOnce(
       batch: DataFrame, statePath: String, keyCol: String, valueCol: String,
-      batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"$statePath.batch_$batchId")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      graft.operators.IncrementalAgg.refresh(
-        spark, statePath, batch, keyCol, valueCol)
-      fs.create(marker).close()
-    }
-  }
+      batchId: Long): Unit =
+    graft.operators.IncrementalAgg.refreshOnce(
+      batch.sparkSession, statePath, batch, keyCol, valueCol, batchId)
 
   /** Streaming KLL-sketch maintenance: each micro-batch's per-key quantile
     * sketches are unioned into a persisted sketch table
     * ([[graft.operators.IncrementalAgg.sketchRefresh]]), so the online
     * profile ("p50/p99 per event type, so far") is always answerable from
-    * the ~KB state without replaying the stream. Same idempotent
-    * foreachBatch pattern as [[aggMaintain]] (batchId markers upgrade
-    * at-least-once replay to exactly-once merges). */
+    * the ~KB state without replaying the stream. Same exactly-once
+    * versioned-commit pattern as [[aggMaintain]] — essential here, since
+    * sketch union is NOT idempotent (a double merge inflates weights
+    * permanently, unlike s08's keyed upsert). */
   def sketchMaintain(
       stream: DataFrame, statePath: String, keyCol: String, valueCol: String,
       checkpoint: String) =
@@ -405,20 +399,12 @@ object EventStreams {
       }
       .start()
 
-  /** The [[sketchMaintain]] batch body: union the batch's sketches into
-    * the state unless this batchId's marker already exists. */
+  /** The [[sketchMaintain]] batch body: exactly-once versioned union. */
   def sketchBatchOnce(
       batch: DataFrame, statePath: String, keyCol: String, valueCol: String,
-      batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"$statePath.batch_$batchId")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      graft.operators.IncrementalAgg.sketchRefresh(
-        spark, statePath, batch, keyCol, valueCol)
-      fs.create(marker).close()
-    }
-  }
+      batchId: Long): Unit =
+    graft.operators.IncrementalAgg.sketchRefreshOnce(
+      batch.sparkSession, statePath, batch, keyCol, valueCol, batchId)
 
   /** Streaming heavy-hitter maintenance: the [[sketchMaintain]] pattern
     * with frequent-items sketches ([[graft.operators.IncrementalAgg
@@ -435,19 +421,13 @@ object EventStreams {
       }
       .start()
 
-  /** The [[freqMaintain]] batch body with the batchId idempotence marker. */
+  /** The [[freqMaintain]] batch body: exactly-once versioned union. */
   def freqBatchOnce(
       batch: DataFrame, statePath: String, keyCol: String, termCol: String,
-      maxMapSize: Int, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"$statePath.batch_$batchId")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      graft.operators.IncrementalAgg.freqRefresh(
-        spark, statePath, batch, keyCol, termCol, maxMapSize)
-      fs.create(marker).close()
-    }
-  }
+      maxMapSize: Int, batchId: Long): Unit =
+    graft.operators.IncrementalAgg.freqRefreshOnce(
+      batch.sparkSession, statePath, batch, keyCol, termCol, maxMapSize,
+      batchId)
 
   /** Wire a streaming DataFrame through to a named in-memory sink; returns
     * the query (caller awaits/process-all). Update mode suits aggregations. */

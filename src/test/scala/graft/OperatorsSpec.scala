@@ -403,7 +403,7 @@ class OperatorsSpec extends SparkTestBase {
     val df = spark.range(0, 300)
       .select(col("id").as("k0"), (col("id") % 3).cast("string").as("key"),
         (col("id") * 7 % 100).as("v"))
-    def snap() = spark.read.parquet(state)
+    def snap() = IncrementalAgg.readState(spark, state)
       .collect().map(r => (r.getString(0), r.getLong(1),
         r.getDecimal(2).longValue(), r.getLong(3))).sortBy(_._1).toSeq
     // three uneven batches

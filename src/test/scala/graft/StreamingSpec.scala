@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.IncrementalAgg
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.UserEvent
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -326,7 +327,7 @@ class StreamingSpec extends SparkTestBase {
     input.addData(("a", 30L), ("c", 1L))
     q.processAllAvailable()
     q.stop()
-    def snap() = spark.read.parquet(path).collect()
+    def snap() = IncrementalAgg.readState(spark, path).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).longValue(),
         r.getLong(3))).sortBy(_._1).toSeq
     val maintained = snap()
@@ -357,7 +358,7 @@ class StreamingSpec extends SparkTestBase {
     input.addData((501 to 1000).map(i => ("a", i.toDouble)): _*)
     q.processAllAvailable()
     q.stop()
-    def p50() = spark.read.parquet(path)
+    def p50() = IncrementalAgg.readState(spark, path)
       .select(kllQuantile(col("sk"), 0.5)).collect().head.getDouble(0)
     // maintained sketch ≡ one stream of 1..1000 within the rank bound
     val med = p50()
@@ -390,7 +391,7 @@ class StreamingSpec extends SparkTestBase {
     input.addData((0 until 5000).map(_ => ("g", "hot")): _*)
     q.processAllAvailable()
     q.stop()
-    def report() = spark.read.parquet(path)
+    def report() = IncrementalAgg.readState(spark, path)
       .select(freqItems(col("sk")).as("items"), freqMaxError(col("sk")).as("me"))
       .collect().head
     val r = report()
@@ -422,7 +423,7 @@ class StreamingSpec extends SparkTestBase {
     Seq(("a", 20L), ("c", 1L)).toDF("key", "v")
       .write.parquet(src.resolve("f2").toString)
     val q2 = start(); q2.processAllAvailable(); q2.stop()
-    val state = spark.read.parquet(path).collect()
+    val state = IncrementalAgg.readState(spark, path).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).longValue()))
       .sortBy(_._1).toSeq
     assert(state == Seq(("a", 2L, 30L), ("b", 1L, 5L), ("c", 1L, 1L)),
