@@ -216,3 +216,128 @@ case class SrpBandKeys(child: Expression, bands: Int, bitsPerBand: Int, seed: Lo
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Shared loop kernels for the codebook-assignment expressions below;
+  * also what their generated code calls, so interpreted eval and codegen
+  * run the identical (JIT-compiled) arithmetic. */
+object VectorCodebook {
+
+  /** Index of the max-cosine centroid, replicating a sort by
+    * (cosine DESC NULLS LAST, index ASC): strict improvement replaces
+    * (ties keep the smaller index), a zero-norm pair (cosine NULL) never
+    * wins, NaN sorts above all reals (Spark double ordering), and if every
+    * candidate is null the smallest index wins. Cosine arithmetic is
+    * element-for-element the [[CosineSimF32]] kernel, so assignments match
+    * the expression-composed formulation bit-exactly. */
+  def nearestCell(a: ArrayData, cents: Array[Array[Float]]): Int = {
+    var best = -1
+    var bestCos = 0.0
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val n = math.min(a.numElements(), c.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val x = a.getFloat(j).toDouble
+        val y = c(j).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        j += 1
+      }
+      if (na != 0.0 && nb != 0.0) {
+        val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (best < 0 || cos > bestCos ||
+            (cos.isNaN && !bestCos.isNaN)) {
+          best = i; bestCos = cos
+        }
+      }
+      i += 1
+    }
+    math.max(best, 0)
+  }
+
+  /** Index of the min-||sv − c||² centroid within subspace `subId`,
+    * replicating a sort by (d2 ASC, code ASC) with d2 = |c|² − 2·sv·c
+    * (|c|² precomputed per code in `cSq` — exactly
+    * pow(l2norm(c), 2), see [[NearestPqCodeF32]]): strict improvement
+    * replaces, NaN loses to any real. Dot arithmetic matches
+    * [[DotProductF32]] element-for-element. */
+  def nearestCode(
+      sv: ArrayData, subId: Int,
+      cSq: Array[Array[Double]], cents: Array[Array[Array[Float]]]): Int = {
+    val cc = cents(subId)
+    val sq = cSq(subId)
+    var best = 0
+    var bestD2 = 0.0
+    var first = true
+    var c = 0
+    while (c < cc.length) {
+      val cent = cc(c)
+      val n = math.min(sv.numElements(), cent.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += sv.getFloat(j).toDouble * cent(j).toDouble
+        j += 1
+      }
+      val d2 = sq(c) - 2.0 * dot
+      if (first || d2 < bestD2 || (bestD2.isNaN && !d2.isNaN)) {
+        best = c; bestD2 = d2; first = false
+      }
+      c += 1
+    }
+    best
+  }
+}
+
+/** Row-local nearest-centroid assignment over a driver-held codebook baked
+  * into the expression as a REFERENCE OBJECT (not an unrolled expression
+  * tree): the generated code is one helper call, so the method stays far
+  * under HotSpot's ~8 KB JIT limit no matter how large k×dim is — an
+  * unrolled per-candidate tree compiles (under Spark's 64 KB codegen
+  * limit) but exceeds the JIT limit and runs in the bytecode interpreter,
+  * measured 5× slower on the k-means training pass. Returns the 0-based
+  * cell index (callers map index → cell id). */
+case class NearestCellF32(child: Expression, cents: Array[Array[Float]])
+    extends UnaryExpression {
+  override def prettyName: String = "nearest_cell_f32"
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorCodebook.nearestCell(v.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("cents", cents, "float[][]")
+      s"${ev.value} = graft.functions.VectorCodebook.nearestCell($a, $ref);"
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** [[NearestCellF32]] for PQ training: min-L2 code within the row's
+  * subspace. `cSq(sub)(code)` must equal `pow(l2normF32(c), 2)` of the
+  * baked centroid (callers compute it with the same sqrt-then-square
+  * double arithmetic) so distances match the expression-composed
+  * formulation bit-exactly. */
+case class NearestPqCodeF32(
+    left: Expression, right: Expression,
+    cSq: Array[Array[Double]], cents: Array[Array[Array[Float]]])
+    extends BinaryExpression {
+  override def prettyName: String = "nearest_pq_code_f32"
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(sv: Any, sid: Any): Any =
+    VectorCodebook.nearestCode(
+      sv.asInstanceOf[ArrayData], sid.asInstanceOf[Int], cSq, cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sv, sid) => {
+      val sq = ctx.addReferenceObj("cSq", cSq, "double[][]")
+      val ref = ctx.addReferenceObj("cents", cents, "float[][][]")
+      s"${ev.value} = graft.functions.VectorCodebook.nearestCode($sv, $sid, $sq, $ref);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

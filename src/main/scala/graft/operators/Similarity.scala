@@ -233,9 +233,11 @@ object Similarity {
     *
     * Determinism/scale shape: initial centroids are the `k` corpus rows
     * with the lowest `xxhash64(id, seed)` (a seeded pseudo-random draw —
-    * TakeOrderedAndProject, no full sort); each round assigns via a
-    * broadcast of the k×dim centroid table and recomputes means by
-    * `posexplode` + per-(cell, dim) average — one shuffle of k×dim groups.
+    * TakeOrderedAndProject, no full sort); each round assigns ROW-LOCALLY
+    * via the baked-argmax pattern ([[kmeansRound]] — the codebook rides
+    * the expression as literals, no join, no shuffle) and recomputes
+    * means by `posexplode` + per-(cell, dim) average — the round's ONLY
+    * exchange moves k×dim partial means, never corpus rows.
     * Centroids are collected to the driver between rounds (k×dim floats —
     * the same driver-held-centroids shape MLlib's k-means uses), which
     * also truncates lineage for free. Cells that lose every member keep
@@ -253,10 +255,6 @@ object Similarity {
   def kmeansCentroidsCollected(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3, seed: Long = 42L): Seq[(Long, Array[Float])] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    def toDF(cents: Seq[(Long, Array[Float])]): DataFrame =
-      cents.toDF("cell_id", "centroid")
     var cents: Seq[(Long, Array[Float])] =
       corpus.select(col(idCol), col(vecCol))
         .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
@@ -266,26 +264,44 @@ object Similarity {
         .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
         .toSeq
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("__vid"))
-        .orderBy(col("__cos").desc, col("cell_id").asc)
-      val means = corpus
-        .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
-        .crossJoin(broadcast(toDF(cents)))
-        .withColumn("__cos", cosineF32(col("__v"), col("centroid")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("cell_id"), posexplode(col("__v")))
-        .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
-        .groupBy(col("cell_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).cast("array<float>").as("centroid"))
+      val means = kmeansRound(corpus, vecCol, cents)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .toMap
       cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
     }
     cents
+  }
+
+  /** One spherical-k-means round: row-local baked-argmax assignment (the
+    * codebook is k×dim literals inside a `greatest()` over candidate
+    * structs — the e15 pattern: no join, NO shuffle of corpus rows)
+    * followed by the per-(cell, pos) mean aggregate, whose exchange moves
+    * only k×dim partial means. The struct compares cosine first, then
+    * -cell_id, replicating the old window's (cos DESC, cell ASC)
+    * tie-break exactly. Returns (cell_id, centroid) for cells with ≥1
+    * member. */
+  private[graft] def kmeansRound(
+      corpus: DataFrame, vecCol: String,
+      cents: Seq[(Long, Array[Float])]): DataFrame = {
+    // the codebook rides the expression as a REFERENCE OBJECT
+    // (functions.NearestCellF32) — one helper-call per row, so the
+    // generated method stays JIT-compiled at any k×dim, where an unrolled
+    // per-candidate expression tree exceeded HotSpot's ~8 KB huge-method
+    // limit and ran interpreted (measured 5× slower)
+    val sorted = cents.sortBy(_._1)
+    val idx = org.apache.spark.sql.GraftPlanBridge.ofExpr(
+      graft.functions.NearestCellF32(
+        org.apache.spark.sql.GraftPlanBridge.exprOf(col(vecCol)),
+        sorted.map(_._2).toArray))
+    val ids = typedLit(sorted.map(_._1))
+    corpus
+      .select(element_at(ids, idx + 1).as("cell_id"), posexplode(col(vecCol)))
+      .groupBy(col("cell_id"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("cell_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).cast("array<float>").as("centroid"))
   }
 
   /** Rebuild the broadcastable (cell_id, centroid) frame from a
@@ -368,14 +384,15 @@ object Similarity {
     *
     * All m subspaces train in ONE set of jobs: the corpus explodes once
     * into an (id, sub_id, subvector) frame (persisted across rounds), the
-    * assignment join is an equi-join on sub_id against the broadcast
-    * m×ksub codebook, and the mean update aggregates (sub_id, code, pos)
-    * cells. Centroids are collected to the driver between rounds (m×ksub
-    * subvectors — the same driver-held shape as [[kmeansCentroids]]),
-    * truncating lineage. Init picks the hash-lowest `ksub` subvectors per
-    * subspace — deterministic for a fixed seed. Distances use
-    * |c|² − 2·v·c (the |v|² term is constant per (row, subspace) and
-    * cannot change the argmin). */
+    * assignment is ROW-LOCAL ([[pqRound]] — per-subspace baked argmin
+    * behind a CASE on sub_id, so no join and no shuffle of corpus rows),
+    * and the mean update aggregates (sub_id, code, pos) cells — the
+    * round's only exchange. Centroids are collected to the driver between
+    * rounds (m×ksub subvectors — the same driver-held shape as
+    * [[kmeansCentroids]]), truncating lineage. Init picks the hash-lowest
+    * `ksub` subvectors per subspace — deterministic for a fixed seed.
+    * Distances use |c|² − 2·v·c (the |v|² term is constant per
+    * (row, subspace) and cannot change the argmin). */
   def pqTrain(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int = 2, seed: Long = 42L): DataFrame =
@@ -400,8 +417,6 @@ object Similarity {
           i => slice(col(vecCol), i * sd + 1, lit(sd)))))
       .toDF("__vid", "sub_id", "sv")
       .persist()
-    def toDF(c: Seq[(Int, Int, Array[Float])]): DataFrame =
-      c.toDF("sub_id", "code", "centroid")
     try {
       val wInit = Window.partitionBy(col("sub_id"))
         .orderBy(xxhash64(col("__vid"), lit(seed)), col("__vid"))
@@ -413,19 +428,7 @@ object Similarity {
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
         .toSeq
       for (_ <- 1 to iters) {
-        val wA = Window.partitionBy(col("__vid"), col("sub_id"))
-          .orderBy(col("__d2").asc, col("code").asc)
-        val means = sub.join(broadcast(toDF(cents)), "sub_id")
-          .withColumn("__d2", pow(l2normF32(col("centroid")), 2) -
-            lit(2.0) * dotF32(col("sv"), col("centroid")))
-          .withColumn("__rn", row_number().over(wA))
-          .filter(col("__rn") === 1)
-          .select(col("sub_id"), col("code"), posexplode(col("sv")))
-          .groupBy(col("sub_id"), col("code"), col("pos"))
-          .agg(avg(col("col").cast("double")).as("m"))
-          .groupBy(col("sub_id"), col("code"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => x.getField("m")).cast("array<float>").as("centroid"))
+        val means = pqRound(sub, cents)
           .collect()
           .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
           .toMap
@@ -434,6 +437,41 @@ object Similarity {
       }
       cents
     } finally sub.unpersist()
+  }
+
+  /** One PQ training round over the exploded (sub_id, sv) frame:
+    * per-subspace baked argmin behind a CASE on sub_id — only the matched
+    * branch evaluates, so each row pays its own subspace's ksub sub-dim
+    * distances (the same arithmetic the old broadcast join paid) with NO
+    * shuffle of corpus rows; the only exchange aggregates (sub_id, code,
+    * pos) partial means. `least()` on struct(d2, code) replicates the old
+    * window's (d2 ASC, code ASC) tie-break; |c|² is a literal
+    * subexpression Catalyst constant-folds. */
+  private[graft] def pqRound(
+      sub: DataFrame, cents: Seq[(Int, Int, Array[Float])]): DataFrame = {
+    // codebook as a reference object (see kmeansRound): the m×ksub
+    // centroids and their precomputed |c|² ride functions.NearestPqCodeF32,
+    // whose |c|² uses the same sqrt-then-square double arithmetic as
+    // pow(l2normF32(c), 2) so distances match the expression formulation
+    val bySub = cents.groupBy(_._1).toSeq.sortBy(_._1)
+    val centArr: Array[Array[Array[Float]]] =
+      bySub.map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    val cSq: Array[Array[Double]] = centArr.map(_.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { val x = c(i).toDouble; acc += x * x; i += 1 }
+      math.pow(math.sqrt(acc), 2)
+    })
+    val code = org.apache.spark.sql.GraftPlanBridge.ofExpr(
+      graft.functions.NearestPqCodeF32(
+        org.apache.spark.sql.GraftPlanBridge.exprOf(col("sv")),
+        org.apache.spark.sql.GraftPlanBridge.exprOf(col("sub_id")), cSq, centArr))
+    sub
+      .select(col("sub_id"), code.as("code"), posexplode(col("sv")))
+      .groupBy(col("sub_id"), col("code"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("sub_id"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).cast("array<float>").as("centroid"))
   }
 
   /** Rebuild the broadcastable (sub_id, code, centroid) frame from a

@@ -33,7 +33,7 @@ object RelationalQueries {
     * the same data dir from colliding; a shutdown hook cleans up. */
   private val runNonce = java.lang.Long.toHexString(System.nanoTime())
   private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def materialize(tag: String, d: String)(write: String => Unit): String = {
+  private[queries] def materialize(tag: String, d: String)(write: String => Unit): String = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_${runNonce}_${Integer.toHexString(d.hashCode)}").toString
     if (written.add(tmp)) {

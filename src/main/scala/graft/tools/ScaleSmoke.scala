@@ -127,7 +127,25 @@ object ScaleSmoke {
     // (dir, k): training is the offline index build, not the serving cost.
     "e11_pairs_fixedk" -> ((s, d) => semPairs(s, d, 16)),
     "e11_pairs_scaledk" -> ((s, d) =>
-      semPairs(s, d, if (d == DST) 160 else 16)))
+      semPairs(s, d, if (d == DST) 160 else 16)),
+    // codebook TRAINING passes (offline index build): with the row-local
+    // baked-argmax assignment the per-round cost is one corpus scan plus
+    // a k×dim-partial-mean exchange, so 10× data should time ~linear —
+    // the scan-bound evidence for the zero-shuffle training rewrite
+    "e06_kmeans_trainpass" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      graft.operators.Similarity.centroidsDF(s,
+        graft.operators.Similarity.kmeansCentroidsCollected(
+          emb, "vec_id", "embedding", k = 16, iters = 3, seed = 42L))
+    }),
+    "e08_pq_trainpass" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.pqCodebookDF(s,
+        graft.operators.Similarity.pqTrainNormalizedCollected(
+          emb, "vec_id", "embedding"))
+    }))
 
   private val semCodebooks =
     new java.util.concurrent.ConcurrentHashMap[(String, Int),

@@ -23,4 +23,15 @@ object GraftPlanBridge {
     val attr = df.asInstanceOf[CDataset[Row]].queryExecution.analyzed.output(i)
     classic.ExpressionUtils.column(attr)
   }
+
+  /** Column over a raw catalyst Expression — for graft's internal
+    * expressions that carry non-expression state (e.g. a driver-held
+    * codebook baked as a reference object) and so cannot route through
+    * the function registry's Seq[Expression] builders. */
+  def ofExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Inverse of [[ofExpr]]. */
+  def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -664,6 +664,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(axes == Set(0, 1, 2))
   }
 
+  test("kmeansRound/pqRound: row-local assignment — no Exchange before the partial means") {
+    val emb = Tables.embeddings(spark, sf)
+    val kc = Similarity.kmeansCentroidsCollected(
+      emb, "vec_id", "embedding", k = 4, iters = 1)
+    val kp = Similarity.kmeansRound(emb, "embedding", kc)
+      .queryExecution.executedPlan.toString
+    // the codebook is baked into the projection: corpus rows are never
+    // shuffled for assignment — the only exchanges move partial means
+    assert(!kp.contains("Window"), "assignment must not use a per-row window")
+    assert(!kp.contains("Join"), "assignment must not join the codebook")
+    assert("Exchange hashpartitioning".r.findAllIn(kp).size == 2,
+      s"expected exactly the two mean-aggregate exchanges, got:\n$kp")
+    val pc = Similarity.pqTrainNormalizedCollected(
+      emb, "vec_id", "embedding", m = 8, ksub = 4, iters = 1)
+    val dim = 64; val sd = dim / 8
+    val sub = emb.select(col("vec_id").as("__vid"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          i => slice(col("embedding"), i * sd + 1, lit(sd)))))
+      .toDF("__vid", "sub_id", "sv")
+    val pp = Similarity.pqRound(sub, pc)
+      .queryExecution.executedPlan.toString
+    assert(!pp.contains("Window"), "PQ assignment must not use a per-row window")
+    assert(!pp.contains("Join"), "PQ assignment must not join the codebook")
+    assert("Exchange hashpartitioning".r.findAllIn(pp).size == 2,
+      s"expected exactly the two mean-aggregate exchanges, got:\n$pp")
+  }
+
   test("ivfTopKKMeans produces complete ranked neighbors per probe") {
     val emb = Tables.embeddings(spark, sf)
     val probes = emb.filter(pmod($"vec_id", lit(200)) === 0)
