@@ -54,6 +54,7 @@ object SparkEntry {
       "s03_stream_dedup", // stages its two-copy events dir on first call
       "e06_ivf_kmeans_recall", "e08_pq_recall",
       "e10_ivfpq_recall", // coarse+PQ codebooks + cell-partitioned index
+      "e17_jl_recall", // one-time JL tier-1 reduced-vector index write
       "s08_stream_mv", // one-time foreachBatch MV maintenance per (JVM, sf)
       "s15_stream_sketch", // one-time foreachBatch sketch maintenance
       "s17_stream_heavyhitters") // one-time foreachBatch freq-sketch state

@@ -846,18 +846,39 @@ object Similarity {
     * MEASURES it against the exact ranking rather than assuming it. Plan
     * shape matches [[bruteForceTopK]]/[[int8TopK]]: broadcast probes, one
     * corpus scan per tier, WindowGroupLimit heaps. */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+
+  /** Build the JL tier-1 serving index: each corpus vector's reduced
+    * projection plus its norm (computed ONCE here, so the pair loop pays
+    * one dot product, not three) — the persistable artifact
+    * [[jlTopKFromIndex]] serves from. At 100 TB this table is what the
+    * shortlist scan reads: targetDim/sourceDim of the full-width bytes,
+    * built offline exactly like the e08/e10 code tables. */
+  def jlBuildIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      sourceDim: Int = 64, targetDim: Int = 16): DataFrame =
+    Quantize.randomProjectionVec(corpus, idCol, vecCol, sourceDim, targetDim)
+      .select(col(idCol).as("neighbor_id"), col("rvec"),
+        sqrt(dotD(col("rvec"), col("rvec"))).as("rnorm"))
+
   def jlTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       k: Int, shortlist: Int,
+      sourceDim: Int = 64, targetDim: Int = 16): DataFrame =
+    jlTopKFromIndex(jlBuildIndex(corpus, idCol, vecCol, sourceDim, targetDim),
+      corpus, probes, idCol, vecCol, k, shortlist, sourceDim, targetDim)
+
+  /** [[jlTopK]] served from a prebuilt (persisted) [[jlBuildIndex]] table:
+    * the shortlist ranks on the index alone (one narrow index scan against
+    * broadcast reduced probes); only shortlist rows touch the full-width
+    * corpus for the exact re-rank. */
+  def jlTopKFromIndex(
+      index: DataFrame, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
       sourceDim: Int = 64, targetDim: Int = 16): DataFrame = {
-    def dotD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
-    // norms computed ONCE per side in the projection scan — the pair loop
-    // pays one dot product, not three
-    val red = Quantize.randomProjectionVec(
-        corpus, idCol, vecCol, sourceDim, targetDim)
-      .select(col(idCol).as("neighbor_id"), col("rvec").as("__rc"),
-        sqrt(dotD(col("rvec"), col("rvec"))).as("__rcn"))
+    val red = index.select(col("neighbor_id"), col("rvec").as("__rc"),
+      col("rnorm").as("__rcn"))
     val pRed = Quantize.randomProjectionVec(
         probes, idCol, vecCol, sourceDim, targetDim)
       .select(col(idCol).as("probe_id"), col("rvec").as("__rp"),

@@ -40,6 +40,10 @@ object TextQueries {
   private val ivfPqIndexes =
     new java.util.concurrent.ConcurrentHashMap[
       String, (Seq[(Long, Array[Float])], Seq[(Int, Int, Array[Float])], String)]()
+  // JL tier-1 index = on-disk reduced-vector + norm table (what the e17
+  // shortlist scan reads; targetDim/sourceDim of the full-width bytes)
+  private val jlIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def indexTmpDir(tag: String): java.io.File = {
     val f = java.nio.file.Files.createTempDirectory(s"graft_index_$tag").toFile
@@ -869,8 +873,17 @@ object TextQueries {
       // decision an offline tier build makes once) — a FIXED shortlist
       // would silently shrink on a 10× corpus and recall with it
       val shortlist = math.max(100, (emb.count() / 5).toInt)
-      val jl = Similarity.jlTopK(emb, probes, "vec_id", "embedding",
-          k = 5, shortlist = shortlist)
+      // tier-1 index built once per (JVM, sf) and served from parquet —
+      // same offline-index semantics as e08/e10's code tables; repeat
+      // invocations time index-read serving, not the projection build
+      val indexPath = jlIndexes.computeIfAbsent(d, _ => {
+        val dir = new java.io.File(indexTmpDir("jl"), "index").toString
+        Similarity.jlBuildIndex(emb, "vec_id", "embedding")
+          .write.mode("overwrite").parquet(dir)
+        dir
+      })
+      val jl = Similarity.jlTopKFromIndex(s.read.parquet(indexPath),
+          emb, probes, "vec_id", "embedding", k = 5, shortlist = shortlist)
         .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_jl"))
       val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
           k = 5)
