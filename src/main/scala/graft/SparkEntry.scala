@@ -46,6 +46,7 @@ object SparkEntry {
     Seq("q71_orc_roundtrip", "q74_csv_roundtrip", "q90_bucketed_join",
       "q91_mv_rewrite", // summary-MV parquet write + MvRewrite registration
       "q92_mv_navigate", // second (coarser) summary MV write + registration
+      "q104_mv_joinback", // per-custkey orders MV write + registration
       "q93_partitioned_scan", // one-time dt-partitioned events layout write
       "d33_zorder_scan", // one-time Z-order layout write
       "q95_compacted_scan", // fragmented-ingest write + one-time compaction

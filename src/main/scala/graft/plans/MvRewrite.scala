@@ -5,6 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -140,18 +141,177 @@ object MvRewrite extends Rule[LogicalPlan] {
       child: LogicalPlan): Option[LogicalPlan] = {
     val scan = scanOf(child)
     if (debug) println(s"[mv] scan=${scan.map(_._1.simpleString(80))} path=${scan.flatMap(s => pathOf(s._1))} registry=${registry.keySet()}")
-    if (scan.isEmpty) return None
-    val (lr, filters) = scan.get
-    val defs = pathOf(lr).flatMap(p => Option(registry.get(p))).getOrElse(return None)
-    // Navigate the summary lattice: fewest grouping columns = most
-    // aggregated = smallest table, so try candidates coarsest-first and
-    // take the first that can answer (a coarser MV that matches always
-    // dominates a finer one — both re-aggregate exactly, the coarser scans
-    // fewer rows).
-    defs.sortBy(_.groupCols.size)
-      .iterator
-      .map(mv => rewriteWith(mv, groupings, aggExprs, filters))
+    scan match {
+      case Some((lr, filters)) =>
+        val defs =
+          pathOf(lr).flatMap(p => Option(registry.get(p))).getOrElse(return None)
+        // Navigate the summary lattice: fewest grouping columns = most
+        // aggregated = smallest table, so try candidates coarsest-first and
+        // take the first that can answer (a coarser MV that matches always
+        // dominates a finer one — both re-aggregate exactly, the coarser
+        // scans fewer rows).
+        defs.sortBy(_.groupCols.size)
+          .iterator
+          .map(mv => rewriteWith(mv, groupings, aggExprs, filters))
+          .collectFirst { case Some(plan) => plan }
+      case None => joinBack(groupings, aggExprs, child)
+    }
+  }
+
+  /** Peels attribute-only Projects and Filters down to a Join. */
+  private def joinOf(plan: LogicalPlan): Option[(Join, Seq[Expression])] =
+    plan match {
+      case j: Join => Some((j, Nil))
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        joinOf(c)
+      case Filter(cond, c) =>
+        joinOf(c).map { case (j, fs) => (j, cond +: fs) }
+      case _ => None
+    }
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  /** The JOIN-BACK case (Goldstein & Larson §2.2): an aggregate over
+    * fact ⋈ dim rewrites to MV ⋈ dim when the MV groups by the fact-side
+    * join keys — each MV group row joins to exactly the dim rows its
+    * underlying fact rows joined to, so sum/count/min/max partials
+    * re-aggregate exactly (a key with m matching dim rows multiplies the
+    * original rows and the partials identically). The dim subplan is
+    * reused verbatim; only the fact scan disappears. */
+  private def joinBack(
+      groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val (join, aboveFilters) = joinOf(child).getOrElse(return None)
+    if (join.joinType != Inner) return None
+    val conj = join.condition.map(conjunctsOf).getOrElse(return None)
+    def trySide(factSide: LogicalPlan, dimSide: LogicalPlan) =
+      rewriteJoinBack(groupings, aggExprs, aboveFilters, conj,
+        factSide, dimSide)
+    trySide(join.left, join.right).orElse(trySide(join.right, join.left))
+  }
+
+  private def rewriteJoinBack(
+      groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
+      aboveFilters: Seq[Expression], conjuncts: Seq[Expression],
+      factSide: LogicalPlan, dimSide: LogicalPlan): Option[LogicalPlan] = {
+    val (factLr, factFilters) = scanOf(factSide).getOrElse(return None)
+    val defs = pathOf(factLr)
+      .flatMap(p => Option(registry.get(p))).getOrElse(return None)
+    val factAttrs = factLr.outputSet
+    val dimAttrs = dimSide.outputSet
+    // every conjunct must be fact.key = dim.key (either orientation)
+    val factKeys: Seq[AttributeReference] = conjuncts.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+        if factAttrs.contains(a) && dimAttrs.contains(b) => a
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+        if factAttrs.contains(b) && dimAttrs.contains(a) => b
+      case other =>
+        if (debug) println(s"[mv] join-back: non-equi conjunct $other")
+        return None
+    }
+    defs.sortBy(_.groupCols.size).iterator
+      .map { mv =>
+        if (!factKeys.forall(k => mv.groupCols(k.name))) None
+        else if (!factFilters.forall(
+            _.references.forall(r => mv.groupCols(r.name)))) None
+        else if (!aboveFilters.forall(_.references.forall(r =>
+            dimAttrs.contains(r) || (factAttrs.contains(r) && mv.groupCols(r.name))))) None
+        else buildJoinBack(mv, groupings, aggExprs, aboveFilters,
+          conjuncts, factFilters, factAttrs, dimSide)
+      }
       .collectFirst { case Some(plan) => plan }
+  }
+
+  private def buildJoinBack(
+      mv: MvDef, groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
+      aboveFilters: Seq[Expression], conjuncts: Seq[Expression],
+      factFilters: Seq[Expression], factAttrs: AttributeSet,
+      dimSide: LogicalPlan): Option[LogicalPlan] = {
+    val rel = mv.mvRel.newInstance()
+    val byName = rel.output.map(a => a.name -> a).toMap
+    def isFact(a: Attribute) = factAttrs.contains(a)
+
+    // groupings: dim attrs pass through; fact attrs must be MV group cols
+    val newGroupings: Seq[Expression] = groupings.map {
+      case a: AttributeReference if isFact(a) && mv.groupCols(a.name) =>
+        byName(a.name)
+      case a: AttributeReference if dimSide.outputSet.contains(a) => a
+      case g =>
+        if (debug) println(s"[mv] join-back grouping disqualifies: $g")
+        return None
+    }
+
+    def reagg(ae: AggregateExpression): Option[Expression] =
+      if (ae.isDistinct || ae.filter.nonEmpty) None
+      else if (!ae.references.forall(isFact)) None
+      else mv.measures.get(ae.aggregateFunction.sql(isDistinct = false)).map {
+        case (rollup, mvCol) =>
+          val fn: AggregateFunction = rollup match {
+            case "sum" => Sum(byName(mvCol))
+            case "min" => Min(byName(mvCol))
+            case "max" => Max(byName(mvCol))
+          }
+          val re = AggregateExpression(fn, Complete, isDistinct = false)
+          if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+      }
+
+    var ok = true
+    val inserted = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Expression, java.lang.Boolean]())
+    val newAggs: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference if isFact(a) && mv.groupCols(a.name) =>
+        Alias(byName(a.name), a.name)(exprId = a.exprId)
+      case a: AttributeReference if dimSide.outputSet.contains(a) => a
+      case al @ Alias(body, name) =>
+        val newBody = body.transform {
+          case ae: AggregateExpression if !inserted.contains(ae) =>
+            reagg(ae) match {
+              case Some(e) =>
+                e.foreach { case x: AggregateExpression => inserted.add(x); () case _ => }
+                e
+              case None =>
+                if (debug) println(s"[mv] join-back: no measure for ${ae.aggregateFunction.sql(isDistinct = false)}")
+                ok = false; ae
+            }
+          case a: AttributeReference if isFact(a) =>
+            byName.get(a.name) match {
+              case Some(m) if mv.groupCols(a.name) => m
+              case _ =>
+                if (debug) println(s"[mv] join-back: unmapped fact attr $a")
+                ok = false; a
+            }
+        }
+        Alias(newBody, name)(exprId = al.exprId)
+      case other =>
+        if (debug) println(s"[mv] join-back aggExpr disqualifies: $other")
+        ok = false; aggExprs.head
+    }
+    if (!ok) return None
+
+    def remapFact(e: Expression): Expression = e.transform {
+      case a: AttributeReference if isFact(a) => byName(a.name)
+    }
+    // fact-side filters transfer onto the MV, below the join
+    val mvFiltered = factFilters.map(remapFact)
+      .reduceOption(And)
+      .map(Filter(_, rel): LogicalPlan)
+      .getOrElse(rel)
+    val newCond = conjuncts.map(remapFact).reduce(And)
+    // prune the MV to the columns the plan actually touches (the
+    // column-pruning batch already ran)
+    val refs = AttributeSet(
+      newCond.references ++ newGroupings.flatMap(_.references) ++
+        newAggs.flatMap(_.references))
+    val pruned = Project(rel.output.filter(refs.contains), mvFiltered)
+    val newJoin = Join(pruned, dimSide, Inner, Some(newCond), JoinHint.NONE)
+    val filtered = aboveFilters.map(remapFact)
+      .reduceOption(And)
+      .map(Filter(_, newJoin): LogicalPlan)
+      .getOrElse(newJoin)
+    Some(Aggregate(newGroupings, newAggs, filtered))
   }
 
   /** Attempts the rewrite against ONE registered summary table; None if any

@@ -1151,6 +1151,27 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // --- MV JOIN-BACK rewrite (Goldstein & Larson §2.2) — the most common
+    //     real OLAP shape the grouping-subset matcher rejects: the fact
+    //     table joins a dimension on a preserved key and groups by a DIM
+    //     attribute. An MV over orders grouped by o_custkey serves it:
+    //     the rule joins the per-custkey partials BACK to customer and
+    //     re-aggregates — the orders scan disappears (PlansSpec pins the
+    //     plan to the MV path + customer, no orders.parq). Exact because
+    //     each MV group row joins to exactly the dim rows its underlying
+    //     fact rows joined to (multiplicity multiplies partials and raw
+    //     rows identically; inner join drops the same keys both ways). -----
+    "q104_mv_joinback" -> ((s, d) => {
+      ordersMv(s, d)
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n_orders"),
+          max(col("o_orderkey")).as("max_orderkey"))
+        .orderBy("c_mktsegment")
+    }),
+
     // --- Hive-style date-partitioned event layout + partition pruning:
     //     the CANONICAL 100 TB event-lake layout (dt= directories). The
     //     write is setup (one-time per JVM+sf, like q90's buckets); the
@@ -1346,6 +1367,26 @@ object RelationalQueries {
     * `extraOptimizations` installation must follow the live session (same
     * lesson as [[bucketedTables]]'s catalog gate). Decimal sum partials keep
     * re-aggregation exact; the count partial rolls up via sum. */
+  /** Per-custkey orders roll-up for the q104 join-back rewrite: the MV
+    * keeps the JOIN KEY as a grouping column, which is what makes the
+    * fact⋈dim aggregate servable — partials join back to the dim. */
+  private def ordersMv(s: SparkSession, d: String): Unit = synchronized {
+    def mvDef = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("mv_sum_price"),
+        count(lit(1)).as("mv_cnt"),
+        max(col("o_orderkey")).as("mv_max_ok"))
+    val p = materialize("mvord", d) { path =>
+      mvDef.write.mode("overwrite").parquet(path)
+    }
+    graft.plans.MvRewrite.register(s,
+      basePath = s"$d/orders.parquet", mvDef = mvDef, mvPath = p,
+      groupCols = Seq("o_custkey"),
+      rollups = Map("mv_sum_price" -> "sum", "mv_cnt" -> "sum",
+        "mv_max_ok" -> "max"))
+  }
+
   private def lineitemMv(s: SparkSession, d: String): Unit = synchronized {
     def mvDef = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
@@ -1953,6 +1994,16 @@ object RelationalQueries {
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q104_mv_joinback" ->
+      """SELECT c_mktsegment,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price,
+              count(*) AS n_orders,
+              max(o_orderkey) AS max_orderkey
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
 
     // the layout is result-invisible: the oracle filters the raw table on
     // the same date band the pruned scan serves

@@ -281,6 +281,36 @@ class PlansSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("q104 (MV join-back): fact⋈dim aggregate served from MV + dim, no fact scan") {
+    val p = plan("q104_mv_joinback")
+    assert(p.contains("graft_mvord_"),
+      "join-back must rewrite the fact side to the per-custkey summary MV")
+    assert(!p.contains("orders.parq"),
+      "an orders FileScan means the join-back rewrite did not fire")
+    assert(p.contains("customer.parq"),
+      "the dim side must be reused verbatim")
+    // ground truth: the rule-stripped run scans orders and returns
+    // IDENTICAL rows (join-back re-aggregation is exact under key
+    // multiplicity — partials and raw rows multiply identically)
+    val mvRows = SparkEntry.queries("q104_mv_joinback")(spark, sf).collect().toSeq
+    val base = SparkEntry.queries("q104_mv_joinback")(spark, sf)
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_ == graft.plans.MvRewrite)
+      assert(base.queryExecution.executedPlan.toString.contains("orders.parq"),
+        "control run must scan the fact table once the rule is stripped")
+      assert(base.collect().toSeq == mvRows)
+    } finally spark.experimental.extraOptimizations = saved
+    // a fact-side aggregate the MV cannot serve (grouping outside the MV
+    // keys) falls through to the fact scan even through the join
+    val outside = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    assert(outside.queryExecution.executedPlan.toString.contains("orders.parq"),
+      "a fact grouping column the MV lacks must scan the fact table")
+  }
+
   test("q93 (dt-partitioned events): planning-time partition pruning") {
     val p = plan("q93_partitioned_scan")
     assert(p.contains("PartitionFilters: [isnotnull(dt") ||
