@@ -545,6 +545,95 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Separator for the BPE symbol-boundary encoding: each symbol is
+    * wrapped `␟sym␟`, so adjacent symbols read `…sym␟␟next…` and a merge
+    * (a, b) is the LITERAL replace `␟a␟␟b␟ → ␟ab␟` — boundary-aware
+    * (a later merge can only fire on adjacent whole SYMBOLS, never inside
+    * one) and identical left-to-right non-overlapping semantics in every
+    * engine's `replace`, which is what makes the d48 oracle a plain
+    * list-fold in DuckDB. U+001F never appears in text. */
+  private val SEP = "\u001F"
+
+  /** Apply an ORDERED merge list to a word: array of BPE tokens.
+    * Pure expression fold — each merge is one literal `replace` on the
+    * wrapped form; meant to run on the DISTINCT vocab (corpus-independent
+    * rows), never per corpus token. */
+  def bpeApply(word: Column, merges: Seq[(String, String)]): Column = {
+    val wrapped = regexp_replace(word, "(.)", SEP + "$1" + SEP)
+    val folded = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+      replace(c, lit(SEP + a + SEP + SEP + b + SEP), lit(SEP + a + b + SEP))
+    }
+    filter(
+      transform(split(folded, SEP + SEP), x => replace(x, lit(SEP), lit(""))),
+      x => x =!= "")
+  }
+
+  /** Classic iterative BPE learning (Sennrich et al. 2016): `numMerges`
+    * rounds of pick-most-frequent-adjacent-pair-and-merge. The corpus-
+    * sized work is ONE distributed word-count pass; the (word, count)
+    * vocabulary — corpus-independent size, the same driver-held-artifact
+    * shape as the ANN codebooks — is collected and the merge rounds run
+    * locally (how sentencepiece/HF learn too: vocab fits one machine even
+    * at 100 TB corpus scale). Pair pick order: freq DESC, then (a, b)
+    * ASC — fully deterministic. Merging is left-to-right non-overlapping,
+    * matching [[bpeApply]] exactly, so learn-then-apply round-trips. */
+  def bpeLearnCollected(
+      docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    val wc = docs.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Array[String], Long)] =
+      wc.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+    def mergeWord(syms: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pairs(k) = pairs.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val (a, b) = pairs.toSeq.minBy { case ((a, b), f) => (-f, a, b) }._1
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, c) => (mergeWord(syms, a, b), c) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Tokenize the corpus with a learned merge list — the ENCODE side of
+    * BPE (d48), the tokenizer the token-count/packing rows approximate.
+    * Scale shape: merges apply on the DISTINCT vocabulary only (greedy
+    * fold per unique word); the corpus-sized work is one word explode
+    * plus a BROADCAST vocab→corpus join — per-token corpus work never
+    * happens. Output: (id, n_words, n_bpe_tokens) per document. */
+  def bpeTokenize(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val docWords = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val vocab = docWords.select("w").distinct()
+      .select(col("w"), size(bpeApply(col("w"), merges)).as("nt"))
+    docWords.join(broadcast(vocab), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nt").cast("long")).as("n_bpe_tokens"))
+  }
+
   /** Convenience: documents table → enriched analysis frame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -997,6 +997,23 @@ object TextQueries {
       TextAnalysis.bpeMergeCandidates(Tables.documents(s, d), "text", k = 50)
     }),
 
+    // --- d48: full BPE tokenizer APPLY — the encode side the token-count
+    //     /packing rows (d10/d14/d19/d25) approximate. Merge list = the
+    //     d38-ranked top-20 pairs, collected (corpus-independent, the
+    //     broadcast-rate-table pattern); application is a boundary-aware
+    //     literal-replace fold (each symbol wrapped ␟sym␟, merge (a,b) =
+    //     replace ␟a␟␟b␟→␟ab␟ — identical left-to-right semantics in both
+    //     engines, a plain list_reduce in DuckDB) over the DISTINCT vocab,
+    //     then one broadcast vocab→corpus join: per-token corpus work
+    //     never happens. ----------------------------------------------------
+    "d48_bpe_tokenize" -> ((s, d) => {
+      val merges = TextAnalysis.bpeMergeCandidates(
+          Tables.documents(s, d), "text", k = 20)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      TextAnalysis.bpeTokenize(Tables.documents(s, d), "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // --- d39: Gopher-rules quality gate (Rae et al. 2021 App. A) — the
     //     standard pre-model heuristic filter, with per-rule flags kept
     //     visible for rejection attribution. Pure narrow map, one
@@ -2099,6 +2116,49 @@ object TextQueries {
          SELECT p.a AS a, p.b AS b, CAST(sum(c) AS BIGINT) AS freq
          FROM pairs GROUP BY 1, 2
          ORDER BY freq DESC, a, b LIMIT 50""",
+
+    // merge application replica: each symbol wrapped chr(31)||sym||chr(31),
+    // a merge is a literal replace whose replacement is the search string
+    // with the inner boundary removed; list_prepend supplies the fold init
+    "d48_bpe_tokenize" ->
+      """WITH wds AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+             x -> x <> '')) AS w
+           FROM documents),
+         wc AS (SELECT w, count(*) AS c FROM wds GROUP BY w),
+         prs AS (
+           SELECT unnest([struct_pack(
+                    a := substr(w, CAST(i AS INT), 1),
+                    b := substr(w, CAST(i AS INT) + 1, 1))
+                  for i in generate_series(1, length(w) - 1)]) AS p, c
+           FROM wc WHERE length(w) >= 2),
+         top AS (
+           SELECT p.a AS a, p.b AS b, CAST(sum(c) AS BIGINT) AS freq
+           FROM prs GROUP BY 1, 2
+           ORDER BY freq DESC, a, b LIMIT 20),
+         merges AS (
+           SELECT coalesce(list(chr(31)||a||chr(31)||chr(31)||b||chr(31)
+                                ORDER BY freq DESC, a, b), []) AS ms
+           FROM top),
+         vocab AS (
+           SELECT w, len(list_filter(
+             list_transform(
+               string_split(
+                 list_reduce(
+                   list_prepend(
+                     regexp_replace(w, '(.)', chr(31)||'\1'||chr(31), 'g'),
+                     (SELECT ms FROM merges)),
+                   (acc, m) -> replace(acc, m,
+                                       replace(m, chr(31)||chr(31), ''))),
+                 chr(31)||chr(31)),
+               x -> replace(x, chr(31), '')),
+             x -> x <> '')) AS nt
+           FROM (SELECT DISTINCT w FROM wds))
+         SELECT d.doc_id AS doc_id, count(*) AS n_words,
+                CAST(sum(v.nt) AS BIGINT) AS n_bpe_tokens
+         FROM wds d JOIN vocab v ON d.w = v.w
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
 
     "d39_gopher_filter" ->
       """WITH t AS (

@@ -664,6 +664,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(axes == Set(0, 1, 2))
   }
 
+  test("BPE apply: boundary-aware greedy merges on known vocab") {
+    def toks(w: String, merges: Seq[(String, String)]): Seq[String] =
+      Seq(w).toDF("w")
+        .select(TextAnalysis.bpeApply(col("w"), merges).as("t"))
+        .head.getSeq[String](0)
+    // ordered merges compose: (l,o) then (lo,w) builds the 3-char symbol
+    assert(toks("lower", Seq(("l", "o"), ("lo", "w"))) == Seq("low", "e", "r"))
+    // left-to-right NON-OVERLAPPING within one merge pass
+    assert(toks("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    // boundary-aware: after (a,b) merges, the b is INSIDE the symbol "ab"
+    // and a later (b,c) merge must not fire across the boundary
+    assert(toks("abc", Seq(("a", "b"), ("b", "c"))) == Seq("ab", "c"))
+    // empty merge list tokenizes to characters
+    assert(toks("ab", Nil) == Seq("a", "b"))
+  }
+
+  test("BPE learn: deterministic pair picks; learn-then-apply round-trips") {
+    val docs = Seq("aaab aaab aaab").toDF("text")
+    // pairs in "aaab": (a,a)×2, (a,b)×1, ×3 docs-words → (a,a)=6 wins;
+    // after merging: [aa,a,b] → (aa,a)=3 ties (a,b)=3 → lexicographic
+    // a < aa picks (a,b)
+    val merges = TextAnalysis.bpeLearnCollected(docs, "text", numMerges = 2)
+    assert(merges == Seq(("a", "a"), ("a", "b")))
+    val rows = TextAnalysis.bpeTokenize(
+        Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // "aaab" → [aa, ab] (2 tokens); "ab" → [ab]
+    assert(rows == Seq((1L, 2L, 4L), (2L, 1L, 1L)))
+  }
+
   test("kmeansRound/pqRound: row-local assignment — no Exchange before the partial means") {
     val emb = Tables.embeddings(spark, sf)
     val kc = Similarity.kmeansCentroidsCollected(
