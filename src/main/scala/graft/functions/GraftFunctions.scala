@@ -48,6 +48,7 @@ object GraftFunctions {
     "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle_hashes.n"))),
     "token_hashes" -> (es => TokenHashes(es.head)),
     "word_ngrams" -> (es => WordNGrams(es(0), intLit(es(1), "word_ngrams.n"))),
+    "char_ngrams" -> (es => CharNGrams(es(0), intLit(es(1), "char_ngrams.n"))),
     "hamming64" -> (es => Hamming64(es(0), es(1))),
     "band_keys64" -> (es => BandKeys64(es(0), intLit(es(1), "band_keys64.bands"))),
     "srp_band_keys" -> (es => SrpBandKeys(
@@ -127,6 +128,8 @@ object GraftFunctions {
   def tokenHashesOf(text: Column): Column = call_function("token_hashes", text)
   def wordNgramsOf(text: Column, n: Int): Column =
     call_function("word_ngrams", text, lit(n))
+  def charNgramsOf(text: Column, n: Int): Column =
+    call_function("char_ngrams", text, lit(n))
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
   def bandKeys64(sig: Column, bands: Int): Column =
     call_function("band_keys64", sig, lit(bands))

@@ -190,6 +190,37 @@ case class WordNGrams(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `char_ngrams(text, n)` → array<string>: every sliding CODEPOINT n-gram
+  * of the lowercased text, in order, multiplicity kept (frequency counting
+  * — the Cavnar–Trenkle profile input). Codepoint-indexed so multibyte
+  * text (e.g. CJK) grams match engines whose substr counts characters.
+  * Why an expression: the compositional `transform(sequence, substr…)`
+  * form re-seeks the string per element — O(len²) per document — and
+  * falls out of codegen (see [[WordNGrams]]); this is one O(len) pass. */
+case class CharNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n must be positive")
+
+  override def prettyName: String = "char_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val cps = v.toString.toLowerCase(java.util.Locale.ROOT).codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(Array.empty[AnyRef])
+    val m = cps.length - n + 1
+    val out = new Array[AnyRef](m)
+    var j = 0
+    while (j < m) {
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        new String(cps, j, n))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `token_hashes(text)` → array<bigint>: 64-bit hashes of each token in
   * order (not deduplicated) — the SimHash input stream. Same tokenizer and
   * token hash as [[ShingleHashes]]. */

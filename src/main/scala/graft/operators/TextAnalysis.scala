@@ -545,6 +545,63 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Cavnar–Trenkle rank-order language classification (d49 — "N-Gram-
+    * Based Text Categorization", 1994): per-language profiles are the
+    * `profileSize` most frequent character 3-grams of that language's
+    * labeled corpus, ranked; a document classifies to the language whose
+    * profile minimizes the OUT-OF-PLACE distance — Σ over the document's
+    * own top-`profileSize` grams of |doc rank − profile rank|, with a
+    * `profileSize` penalty for grams absent from the profile. All-integer
+    * arithmetic and (count DESC, gram ASC) rank tie-breaks make the whole
+    * pipeline hash-exact across engines — no floats anywhere.
+    *
+    * Scale shape: ONE corpus gram pass ([[graft.functions.CharNGrams]],
+    * an O(len) kernel — the compositional transform/substr form is
+    * O(len²) per doc); profile build and doc-profile ranking each
+    * map-side-combine into one shuffle; the classification join is
+    * doc-profile rows (≤ profileSize per doc) against the BROADCAST
+    * languages × profileSize profile table. Output: (id, pred_lang,
+    * dist) per document. */
+  def ctLangId(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      profileSize: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = profileSize
+    val grams = docs.select(col(idCol), col(langCol),
+      explode(graft.functions.GraftFunctions.charNgramsOf(col(textCol), 3))
+        .as("g"))
+    val wL = Window.partitionBy(col(langCol))
+      .orderBy(col("c").desc, col("g").asc)
+    val langProf = grams.groupBy(col(langCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r_lang", row_number().over(wL))
+      .filter(col("r_lang") <= n)
+      .select(col(langCol).as("plang"), col("g"), col("r_lang"))
+    val wD = Window.partitionBy(col(idCol))
+      .orderBy(col("c").desc, col("g").asc)
+    val docProf = grams.groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r_doc", row_number().over(wD))
+      .filter(col("r_doc") <= n)
+      .select(col(idCol), col("g"), col("r_doc"))
+    val docSize = docProf.groupBy(col(idCol)).agg(count(lit(1)).as("gsize"))
+    val matched = docProf.join(broadcast(langProf), "g")
+      .groupBy(col(idCol), col("plang"))
+      .agg(count(lit(1)).as("m"),
+        sum(abs(col("r_doc") - col("r_lang"))).as("sd"))
+    val langs = langProf.select("plang").distinct()
+    val dense = docSize.crossJoin(broadcast(langs))
+      .join(matched, Seq(idCol, "plang"), "left")
+      .select(col(idCol), col("plang"),
+        (coalesce(col("sd"), lit(0L)) +
+          (col("gsize") - coalesce(col("m"), lit(0L))) * n).as("dist"))
+    val wP = Window.partitionBy(col(idCol))
+      .orderBy(col("dist").asc, col("plang").asc)
+    dense.withColumn("__rn", row_number().over(wP))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("plang").as("pred_lang"), col("dist"))
+  }
+
   /** Separator for the BPE symbol-boundary encoding: each symbol is
     * wrapped `␟sym␟`, so adjacent symbols read `…sym␟␟next…` and a merge
     * (a, b) is the LITERAL replace `␟a␟␟b␟ → ␟ab␟` — boundary-aware

@@ -1014,6 +1014,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d49: Cavnar–Trenkle n-gram language ID — the pipeline-grade
+    //     rank-order classifier (profiles built in-Spark from the labeled
+    //     corpus, classification via broadcast profiles), upgrading the
+    //     d-row stopword heuristic. The raw corpus draws every doc from
+    //     ONE shared vocabulary regardless of its lang label (labels are
+    //     uncorrelated metadata), so like d43/s17 the row PLANTS signal:
+    //     each doc gets a language-marked suffix (per-lang function words;
+    //     real CJK characters for zh — exercising the codepoint path)
+    //     sized ∝ doc length. Against that corpus the classifier must
+    //     recover ≥90% of labels per language; all-integer out-of-place
+    //     distances make predictions — and the gate — hash-exact. ---------
+    "d49_ct_langid" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val phrases = Seq(
+        "de" -> "der und die nicht ein mit von zu sich das",
+        "en" -> "the and of to in is that it was for",
+        "es" -> "el la los que de en por con una del",
+        "fr" -> "le la les et est dans pour que une sur",
+        "zh" -> "的一是不了人我在有他")
+      val phrase = phrases.tail.foldLeft(
+        when(col("lang") === phrases.head._1, lit(phrases.head._2))) {
+        case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
+      }
+      val reps = greatest(lit(1), floor(length(col("text")) / 60).cast("int"))
+      val planted = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" "),
+          rtrim(call_function("repeat", concat(phrase, lit(" ")), reps)))
+          .as("text"))
+      val pred = TextAnalysis.ctLangId(planted, "doc_id", "text", "lang", 40)
+      planted.select("doc_id", "lang").join(pred, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_lang") === col("lang"), 1).otherwise(0))
+            .cast("long").as("n_correct"))
+        .withColumn("acc_ok", col("n_correct") * 10 >= col("n_docs") * 9)
+        .orderBy("lang")
+    }),
+
     // --- d39: Gopher-rules quality gate (Rae et al. 2021 App. A) — the
     //     standard pre-model heuristic filter, with per-rule flags kept
     //     visible for rejection attribution. Pure narrow map, one
@@ -2159,6 +2197,58 @@ object TextQueries {
                 CAST(sum(v.nt) AS BIGINT) AS n_bpe_tokens
          FROM wds d JOIN vocab v ON d.w = v.w
          GROUP BY d.doc_id ORDER BY d.doc_id""",
+
+    // full C-T replica: planted suffix → char 3-grams → ranked profiles →
+    // out-of-place distances (all-integer) → per-lang accuracy gate
+    "d49_ct_langid" ->
+      """WITH planted AS (
+           SELECT doc_id, lang,
+                  lower(text || ' ' || rtrim(repeat(
+                    CASE lang
+                      WHEN 'de' THEN 'der und die nicht ein mit von zu sich das '
+                      WHEN 'en' THEN 'the and of to in is that it was for '
+                      WHEN 'es' THEN 'el la los que de en por con una del '
+                      WHEN 'fr' THEN 'le la les et est dans pour que une sur '
+                      ELSE '的一是不了人我在有他 ' END,
+                    greatest(1, CAST(floor(length(text)/60) AS INT))))) AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, lang, unnest([substr(t, CAST(i AS INT), 3)
+                  for i in generate_series(1, length(t) - 2)]) AS g
+           FROM planted),
+         lp AS (
+           SELECT lang AS plang, g, row_number() OVER
+                    (PARTITION BY lang ORDER BY count(*) DESC, g) AS r_lang
+           FROM grams GROUP BY lang, g
+           QUALIFY r_lang <= 40),
+         dp AS (
+           SELECT doc_id, g, row_number() OVER
+                    (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS r_doc
+           FROM grams GROUP BY doc_id, g
+           QUALIFY r_doc <= 40),
+         ds AS (SELECT doc_id, count(*) AS gsize FROM dp GROUP BY doc_id),
+         mt AS (
+           SELECT dp.doc_id, lp.plang, count(*) AS m,
+                  sum(abs(dp.r_doc - lp.r_lang)) AS sd
+           FROM dp JOIN lp ON dp.g = lp.g
+           GROUP BY 1, 2),
+         dense AS (
+           SELECT ds.doc_id, l.plang,
+                  coalesce(mt.sd, 0) + (ds.gsize - coalesce(mt.m, 0)) * 40
+                    AS dist
+           FROM ds CROSS JOIN (SELECT DISTINCT plang FROM lp) l
+           LEFT JOIN mt ON mt.doc_id = ds.doc_id AND mt.plang = l.plang),
+         pred AS (
+           SELECT doc_id, plang AS pred_lang, row_number() OVER
+                    (PARTITION BY doc_id ORDER BY dist, plang) AS rn
+           FROM dense QUALIFY rn = 1)
+         SELECT p.lang AS lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN pred.pred_lang = p.lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct,
+                sum(CASE WHEN pred.pred_lang = p.lang THEN 1 ELSE 0 END) * 10
+                  >= count(*) * 9 AS acc_ok
+         FROM planted p JOIN pred ON p.doc_id = pred.doc_id
+         GROUP BY p.lang ORDER BY p.lang""",
 
     "d39_gopher_filter" ->
       """WITH t AS (

@@ -664,6 +664,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(axes == Set(0, 1, 2))
   }
 
+  test("ctLangId: rank-order classification recovers planted language signal") {
+    graft.functions.GraftFunctions.register(spark)
+    // char_ngrams: sliding codepoint grams, lowercased, multiplicity kept
+    val g = Seq("AbCd").toDF("t")
+      .select(graft.functions.GraftFunctions.charNgramsOf(col("t"), 3).as("g"))
+      .head.getSeq[String](0)
+    assert(g == Seq("abc", "bcd"))
+    // CJK codepoints gram correctly (the zh plant path)
+    val zh = Seq("的一是不").toDF("t")
+      .select(graft.functions.GraftFunctions.charNgramsOf(col("t"), 3).as("g"))
+      .head.getSeq[String](0)
+    assert(zh == Seq("的一是", "一是不"))
+    // two planted languages with disjoint function words classify exactly
+    val docs = Seq(
+      (1L, "en", "the cat and the dog in the house of the king"),
+      (2L, "en", "it was the end of the day and the rain"),
+      (3L, "xx", "zuz qex zuz qex vov zuz qex vov zuz qex"),
+      (4L, "xx", "vov zuz qex vov zuz qex zuz vov qex zuz"))
+      .toDF("doc_id", "lang", "text")
+    val pred = TextAnalysis.ctLangId(docs, "doc_id", "text", "lang", 20)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(pred == Seq((1L, "en"), (2L, "en"), (3L, "xx"), (4L, "xx")))
+  }
+
   test("BPE apply: boundary-aware greedy merges on known vocab") {
     def toks(w: String, merges: Seq[(String, String)]): Seq[String] =
       Seq(w).toDF("w")
