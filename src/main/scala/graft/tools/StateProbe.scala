@@ -13,11 +13,35 @@ import org.apache.spark.sql.functions._
   * query's progress metrics. This turns the RocksDB-vs-heap deployment
   * guidance into a measured table (PLANS.md).
   *
-  * Usage: scripts/run_main.sh graft.tools.StateProbe [heap|rocksdb] [sessions|tws]
+  * Usage: scripts/run_main.sh graft.tools.StateProbe [heap|rocksdb] [sessions|tws|fulljoin]
   * (`tws` runs the s14 transformWithState counters instead — RocksDB only,
-  * the API requires it.)
+  * the API requires it. `fulljoin` probes the s16 dual-sided outer-join
+  * buffer — the repo's heaviest state holder — at 1× and 100× KEYS: the
+  * 100× dir tiles sf0.01's events 100-fold with offset user/event ids, so
+  * the key space grows 100× while per-key behavior is unchanged; reported
+  * bytes/key should stay ~flat and wall time ~linear in rows.)
   */
 object StateProbe {
+
+  /** Build /tmp/graft_ev100: sf0.01's events tiled 100× with disjoint
+    * user_id/event_id offsets (100× the join-key space). Events only —
+    * the full-join kernel reads nothing else. */
+  private def ensure100x(spark: SparkSession): String = {
+    val dst = "/tmp/graft_ev100"
+    val done = new java.io.File(s"$dst/_DONE")
+    if (!done.exists()) {
+      new java.io.File(dst).mkdirs()
+      val src = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      (0 until 100).map { t =>
+        src.withColumn("event_id", col("event_id") + lit(t * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(t * 10000000L))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      done.createNewFile()
+    }
+    dst
+  }
+
   def main(args: Array[String]): Unit = {
     val provider = args.headOption.getOrElse("heap")
     val kernel = args.drop(1).headOption.getOrElse("sessions")
@@ -32,9 +56,14 @@ object StateProbe {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    for (d <- Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")) {
+    val dirs =
+      if (kernel == "fulljoin")
+        Seq("/root/testdata/sf0.01", ensure100x(spark))
+      else Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")
+    for (d <- dirs) {
       StreamQueries.prestage(d)
-      val ev = StreamQueries.eventsStreamFor(spark, d)
+      val raw = StreamQueries.eventsStreamFor(spark, d)
+      val ev = raw
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
         .as[EventStreams.UserEvent]
@@ -42,6 +71,10 @@ object StateProbe {
         if (kernel == "tws")
           (EventStreams.runningUserStatsTws(ev).toDF(),
             org.apache.spark.sql.streaming.OutputMode.Update())
+        else if (kernel == "fulljoin")
+          (EventStreams.clickViewFullJoin(raw,
+            lookback = "30 minutes", watermark = "1 hour"),
+            org.apache.spark.sql.streaming.OutputMode.Append())
         else
           (EventStreams.customSessions(ev,
             gapMs = 30L * 60 * 1000, watermark = "1 hour").toDF(),
@@ -55,9 +88,10 @@ object StateProbe {
       val peakRows = if (sos.isEmpty) 0L else sos.map(_.numRowsTotal).max
       val peakMem = if (sos.isEmpty) 0L else sos.map(_.memoryUsedBytes).max
       val emitted = spark.table(name).count()
+      val bytesPerRow = if (peakRows > 0) peakMem.toDouble / peakRows else 0.0
       println(f"[state] provider=$provider%-7s dir=$d%-25s wall=$wall%6.2f s " +
         f"peakStateRows=$peakRows%8d peakStateMem=${peakMem / 1024.0 / 1024.0}%8.1f MiB " +
-        f"sessions=$emitted%8d")
+        f"bytes/row=$bytesPerRow%7.1f emitted=$emitted%8d")
       spark.catalog.dropTempView(name)
     }
     spark.stop()
