@@ -74,11 +74,21 @@ object Bench {
     // (and the first/last ratio) lets a reader separate machine-level
     // drift between rounds (identical code, slower box → calibration moves
     // too) from real regressions (calibration steady, queries moved).
+    // MIN of 3 runs behind the standard gc+settle boundary, at BOTH ends:
+    // a single post-suite run times whatever asynchronous cleanup is still
+    // draining on top of the calibration work (r12 DragProbe: min-of-3
+    // cal is a steady ~0.07 s at every point of the sf0.1 suite — no
+    // accumulating drag anywhere; the historical 3.5× cal_last/cal_first
+    // was the single-shot transient, gone by the second run).
     def calibration(): Double = {
       import org.apache.spark.sql.functions.sum
-      val t0 = System.nanoTime()
-      spark.range(10000000L).agg(sum("id")).collect()
-      (System.nanoTime() - t0) / 1e9
+      System.gc()
+      Thread.sleep(300)
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(10000000L).agg(sum("id")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
     calibration() // untimed: compile the query shape once
     val calFirst = calibration()

@@ -758,13 +758,11 @@ object Dedup {
   def semDedupPairs(
       emb: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, tau: Double): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__cos").desc, col("cell_id").asc)
-    val assigned = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("__cos", cosineF32(col("v"), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // row-local assignment over the driver-held codebook (the kmeansRound
+    // serving kernel) — no corpus×k crossJoin, no per-row window shuffle
+    val assigned = Similarity.withNearestCell(
+        emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+        "v", Similarity.collectCents(cents))
       .select(col("cell_id"), col("vec_id"), col("v"))
       .localCheckpoint(true) // assign once; both join sides read the block
     try {

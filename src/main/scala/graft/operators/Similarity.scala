@@ -312,9 +312,39 @@ object Similarity {
     cents.toDF("cell_id", "centroid")
   }
 
+  /** Row-local nearest-cell assignment over a driver-held codebook — the
+    * training-round kernel ([[kmeansRound]]) reused on the SERVING side:
+    * the codebook rides the expression as a reference object
+    * ([[graft.functions.NearestCellF32]]), so corpus cell assignment is a
+    * narrow map over the scan — no corpus×k crossJoin expansion, no
+    * per-row window shuffle. Appends `cell_id`; tie/zero-norm semantics
+    * identical to sorting candidates by (cosine DESC NULLS LAST,
+    * cell ASC). */
+  private[operators] def withNearestCell(
+      df: DataFrame, vecCol: String,
+      cents: Seq[(Long, Array[Float])]): DataFrame = {
+    val sorted = cents.sortBy(_._1)
+    val idx = org.apache.spark.sql.GraftPlanBridge.ofExpr(
+      graft.functions.NearestCellF32(
+        org.apache.spark.sql.GraftPlanBridge.exprOf(col(vecCol)),
+        sorted.map(_._2).toArray))
+    df.withColumn("cell_id", element_at(typedLit(sorted.map(_._1)), idx + 1))
+  }
+
+  /** Driver-held form of a (cell_id, centroid) frame (k rows — bounded by
+    * construction; the codebook IS a driver-sized artifact, see
+    * [[kmeansCentroidsCollected]]). */
+  private[operators] def collectCents(cents: DataFrame): Seq[(Long, Array[Float])] =
+    cents.select(col("cell_id").cast("long").as("cell_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
   /** IVF ANN over explicit centroids: assign each corpus vector to its
     * nearest centroid, have each probe scan the `nProbe` nearest cells.
-    * The cell assignment is computed once and is bucketable/persistable. */
+    * The cell assignment is computed once and is bucketable/persistable.
+    * The corpus side — the data-proportional one — assigns ROW-LOCALLY
+    * ([[withNearestCell]]); only the small probe set still windows for
+    * its nProbe nearest cells. */
   def ivfTopKWith(
       cents: DataFrame, corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
@@ -327,9 +357,9 @@ object Similarity {
         .filter(col("cell_rank") <= n)
         .drop("centroid", "cell_cos", "cell_rank")
     }
-    val c = nearestCells(
+    val c = withNearestCell(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-      "neighbor_id", "cv", 1)
+      "cv", collectCents(cents))
     val p = nearestCells(
       probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv")),
       "probe_id", "pv", nProbe)
@@ -674,14 +704,11 @@ object Similarity {
   def ivfPqBuildIndex(
       coarse: DataFrame, cents: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, m: Int = 8): DataFrame = {
-    val w = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("__ccos").desc, col("cell_id").asc)
-    val assign = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
-      .crossJoin(broadcast(coarse))
-      .withColumn("__ccos", cosineF32(col("__v"), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // coarse assignment is row-local (withNearestCell) — the build's only
+    // shuffles are pqEncode's own
+    val assign = withNearestCell(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")),
+      "__v", collectCents(coarse))
       .select(col("neighbor_id"), col("cell_id"))
     pqEncodeNormalized(cents, corpus, idCol, vecCol, m)
       .join(assign, "neighbor_id")

@@ -34,4 +34,11 @@ object GraftPlanBridge {
   /** Inverse of [[ofExpr]]. */
   def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Unload every loaded streaming state-store provider (drops their
+    * retained state maps and maintenance work). Diagnostic/benchmark
+    * hygiene between query families — a long-lived JVM that has drained
+    * many ad-hoc streaming queries otherwise keeps every provider loaded. */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
 }

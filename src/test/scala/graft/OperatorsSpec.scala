@@ -746,6 +746,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(!pp.contains("Join"), "PQ assignment must not join the codebook")
     assert("Exchange hashpartitioning".r.findAllIn(pp).size == 2,
       s"expected exactly the two mean-aggregate exchanges, got:\n$pp")
+    // the SERVING side reuses the kernel: IVF corpus assignment is the
+    // row-local expression, not a crossJoin+window
+    val sp = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("nearest_cell_f32"),
+      "IVF corpus assignment must use the reference-object kernel")
   }
 
   test("ivfTopKKMeans produces complete ranked neighbors per probe") {
