@@ -341,3 +341,79 @@ case class NearestPqCodeF32(
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+
+/** dot(a, b) over int8 code arrays (`array<tinyint>`), exact long
+  * accumulation — the serving kernel for the quantized tier (e13). The
+  * higher-order `aggregate(zip_with(...))` formulation it replaces is
+  * CodegenFallback and re-enters the interpreter per element. */
+case class DotProductI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "dot_i8"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $a.getByte($i)) * ((long) $b.getByte($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Σ a_i² over an int8 code array, exact long accumulation. */
+case class NormSqI8(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "normsq_i8"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    while (i < a.numElements()) {
+      val x = a.getByte(i).toLong
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $x = (long) $a.getByte($i);
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -50,27 +50,27 @@ object Similarity {
     * bytes scanned per query 4× while the e13 recall gate MEASURES what
     * that costs in ranking fidelity. Plan shape identical to
     * [[bruteForceTopK]]: probes broadcast, one corpus scan, WindowGroupLimit
-    * top-k; all arithmetic is codegen'd higher-order builtins over the
-    * tinyint array. */
+    * top-k; arithmetic is the codegen'd dot_i8/normsq_i8 kernels over the
+    * tinyint array (integer-exact, norms computed once per side). */
   def int8TopK(
       corpusCodes: DataFrame, probeCodes: DataFrame,
       idCol: String, codesCol: String, k: Int): DataFrame = {
-    def dot(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, v) => acc + v)
-    def n2(a: Column): Column = aggregate(
-      transform(a, x => x.cast("long") * x.cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    // norms computed ONCE per side in the scan (integer-exact, so the
+    // cosine values are bit-identical to per-pair recomputation) and the
+    // dot is the codegen'd dot_i8 kernel — the HOF aggregate(zip_with)
+    // formulation is CodegenFallback and re-enters the interpreter per
+    // element on the corpus×probes hot path
     val c = corpusCodes.select(col(idCol).as("neighbor_id"),
-      col(codesCol).as("cq"))
+      col(codesCol).as("cq"),
+      sqrt(normSqI8(col(codesCol)).cast("double")).as("__cn"))
     val p = probeCodes.select(col(idCol).as("probe_id"),
-      col(codesCol).as("pq"))
+      col(codesCol).as("pq"),
+      sqrt(normSqI8(col(codesCol)).cast("double")).as("__pn"))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        (dot(col("pq"), col("cq")).cast("double") /
-          (sqrt(n2(col("pq")).cast("double")) *
-            sqrt(n2(col("cq")).cast("double")))).as("cosine_q"))
+        (dotI8(col("pq"), col("cq")).cast("double") /
+          (col("__pn") * col("__cn"))).as("cosine_q"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine_q").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
