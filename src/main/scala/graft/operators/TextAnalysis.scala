@@ -557,30 +557,50 @@ object TextAnalysis {
     *
     * Scale shape: ONE corpus gram pass ([[graft.functions.CharNGrams]],
     * an O(len) kernel — the compositional transform/substr form is
-    * O(len²) per doc); profile build and doc-profile ranking each
-    * map-side-combine into one shuffle; the classification join is
-    * doc-profile rows (≤ profileSize per doc) against the BROADCAST
-    * languages × profileSize profile table. Output: (id, pred_lang,
-    * dist) per document. */
+    * O(len²) per doc) producing per-(doc, gram) counts that BOTH profile
+    * builds re-aggregate from (language counts = doc counts summed by
+    * lang), materialized once so the raw text is never re-grammed; at
+    * sf0.1 the shuffles dominate either way (flat wall), but at 100 TB
+    * the counts table is orders of magnitude smaller than a second pass
+    * over the raw text. The classification join is doc-profile rows
+    * (≤ profileSize per doc) against the BROADCAST languages ×
+    * profileSize profile table. Output: (id, pred_lang, dist) per
+    * document. */
   def ctLangId(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       profileSize: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = profileSize
-    val grams = docs.select(col(idCol), col(langCol),
-      explode(graft.functions.GraftFunctions.charNgramsOf(col(textCol), 3))
-        .as("g"))
+    // ONE corpus gram pass: per-(doc, gram) counts materialize once
+    // (localCheckpoint) and both profile builds re-aggregate from them —
+    // the language counts are exactly the per-doc counts summed by lang,
+    // so the second corpus scan + gram-kernel pass disappears
+    val docCounts = docs.select(col(idCol), col(langCol),
+        explode(graft.functions.GraftFunctions.charNgramsOf(col(textCol), 3))
+          .as("g"))
+      .groupBy(col(idCol), col(langCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // checkpoint the (small, per-doc) result before releasing the gram
+    // counts it derives from — the semDedupPairs block-ownership pattern
+    try ctLangIdFromCounts(docCounts, idCol, langCol, n).localCheckpoint(true)
+    finally Dedup.release(docCounts)
+  }
+
+  private def ctLangIdFromCounts(
+      docCounts: DataFrame, idCol: String, langCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wL = Window.partitionBy(col(langCol))
       .orderBy(col("c").desc, col("g").asc)
-    val langProf = grams.groupBy(col(langCol), col("g"))
-      .agg(count(lit(1)).as("c"))
+    val langProf = docCounts.groupBy(col(langCol), col("g"))
+      .agg(sum(col("c")).as("c"))
       .withColumn("r_lang", row_number().over(wL))
       .filter(col("r_lang") <= n)
       .select(col(langCol).as("plang"), col("g"), col("r_lang"))
     val wD = Window.partitionBy(col(idCol))
       .orderBy(col("c").desc, col("g").asc)
-    val docProf = grams.groupBy(col(idCol), col("g"))
-      .agg(count(lit(1)).as("c"))
+    val docProf = docCounts
       .withColumn("r_doc", row_number().over(wD))
       .filter(col("r_doc") <= n)
       .select(col(idCol), col("g"), col("r_doc"))
