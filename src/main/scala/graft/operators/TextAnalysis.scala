@@ -555,17 +555,18 @@ object TextAnalysis {
     * arithmetic and (count DESC, gram ASC) rank tie-breaks make the whole
     * pipeline hash-exact across engines — no floats anywhere.
     *
-    * Scale shape: ONE corpus gram pass ([[graft.functions.CharNGrams]],
-    * an O(len) kernel — the compositional transform/substr form is
-    * O(len²) per doc) producing per-(doc, gram) counts that BOTH profile
-    * builds re-aggregate from (language counts = doc counts summed by
-    * lang), materialized once so the raw text is never re-grammed; at
-    * sf0.1 the shuffles dominate either way (flat wall), but at 100 TB
-    * the counts table is orders of magnitude smaller than a second pass
-    * over the raw text. The classification join is doc-profile rows
-    * (≤ profileSize per doc) against the BROADCAST languages ×
-    * profileSize profile table. Output: (id, pred_lang, dist) per
-    * document. */
+    * Scale shape: the corpus gram pass is [[graft.functions.CharNGrams]]
+    * (an O(len) kernel — the compositional transform/substr form is
+    * O(len²) per doc) aggregated to per-(doc, gram) counts that BOTH
+    * profile builds re-aggregate from (language counts = doc counts
+    * summed by lang). The counts frame is deliberately LAZY here — two
+    * cheap scans measured faster than localCheckpoint block churn at
+    * bench scale; a 100 TB deployment would write the counts table to
+    * parquet once (it is orders of magnitude smaller than the raw text)
+    * and serve both builds from it. The classification join is
+    * doc-profile rows (≤ profileSize per doc) against the BROADCAST
+    * languages × profileSize profile table. Output: (id, pred_lang,
+    * dist) per document. */
   def ctLangId(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       profileSize: Int = 40): DataFrame = {
@@ -580,11 +581,7 @@ object TextAnalysis {
           .as("g"))
       .groupBy(col(idCol), col(langCol), col("g"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
-    // checkpoint the (small, per-doc) result before releasing the gram
-    // counts it derives from — the semDedupPairs block-ownership pattern
-    try ctLangIdFromCounts(docCounts, idCol, langCol, n).localCheckpoint(true)
-    finally Dedup.release(docCounts)
+    ctLangIdFromCounts(docCounts, idCol, langCol, n)
   }
 
   private def ctLangIdFromCounts(
