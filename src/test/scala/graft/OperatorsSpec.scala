@@ -428,6 +428,40 @@ class OperatorsSpec extends SparkTestBase {
     IncrementalAgg.reset(spark, state)
   }
 
+  test("IncrementalAgg versioned commits: crash garbage is inert; stale batchIds skip") {
+    import graft.operators.IncrementalAgg
+    val state = java.nio.file.Files.createTempDirectory("aggver").toString + "/s"
+    def snap() = IncrementalAgg.readState(spark, state)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    IncrementalAgg.refreshOnce(spark, state,
+      Seq(("a", 1L)).toDF("key", "v"), "key", "v", batchId = 0L)
+    IncrementalAgg.refreshOnce(spark, state,
+      Seq(("a", 1L), ("b", 2L)).toDF("key", "v"), "key", "v", batchId = 1L)
+    val committed = snap()
+    assert(committed == Seq(("a", 2L), ("b", 1L)))
+    assert(IncrementalAgg.latestVersion(spark, state).contains(1L))
+    // a crashed attempt's staging dir must neither count as committed
+    // state nor break the next commit (it is simply overwritten)
+    val tmp = new java.io.File(s"$state/.tmp-5"); tmp.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state/.tmp-5/garbage"), "partial write")
+    assert(snap() == committed, "staging garbage must be invisible to reads")
+    IncrementalAgg.refreshOnce(spark, state,
+      Seq(("c", 9L)).toDF("key", "v"), "key", "v", batchId = 5L)
+    assert(snap() == Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+    assert(IncrementalAgg.latestVersion(spark, state).contains(5L))
+    // replays of any batchId AT OR BELOW the committed horizon are no-ops
+    // even though their version dirs were pruned (ids are monotone under
+    // Structured Streaming's replay contract)
+    IncrementalAgg.refreshOnce(spark, state,
+      Seq(("ghost", 1L)).toDF("key", "v"), "key", "v", batchId = 0L)
+    IncrementalAgg.refreshOnce(spark, state,
+      Seq(("ghost", 1L)).toDF("key", "v"), "key", "v", batchId = 5L)
+    assert(snap() == Seq(("a", 2L), ("b", 1L), ("c", 1L)),
+      "stale batchIds must never re-merge")
+    IncrementalAgg.reset(spark, state)
+  }
+
   test("tokenBudgetSample: budget cut with ≤1-doc overshoot, nonempty strata") {
     val df = spark.range(0, 100).select(col("id").as("doc_id"),
       (col("id") % 2).cast("string").as("stratum"), lit(50L).as("n_tokens"))

@@ -281,6 +281,13 @@ class PlansSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("e17 (JL two-tier): shortlist served from the persisted tier-1 index") {
+    val p = plan("e17_jl_recall")
+    assert(p.contains("graft_index_jl"),
+      "the shortlist must scan the persisted reduced-vector index, " +
+        "not re-project the corpus")
+  }
+
   test("q104 (MV join-back): fact⋈dim aggregate served from MV + dim, no fact scan") {
     val p = plan("q104_mv_joinback")
     assert(p.contains("graft_mvord_"),
