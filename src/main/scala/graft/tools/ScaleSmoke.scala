@@ -26,33 +26,49 @@ object ScaleSmoke {
   private val TILES = 10
   private val OFF = 10000000L
 
-  private def tile(df: DataFrame, idCols: Seq[String]): DataFrame =
-    (0 until TILES).map { t =>
+  private def tileN(df: DataFrame, idCols: Seq[String], tiles: Int): DataFrame =
+    (0 until tiles).map { t =>
       idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(t * OFF)))
     }.reduce(_ unionAll _)
 
-  def ensureData(spark: SparkSession): Unit = {
-    val done = new java.io.File(s"$DST/_DONE")
+  private def tile(df: DataFrame, idCols: Seq[String]): DataFrame =
+    tileN(df, idCols, TILES)
+
+  def ensureData(spark: SparkSession): Unit =
+    ensureDataAt(spark, DST, TILES)
+
+  private def ensureDataAt(spark: SparkSession, dst: String, tiles: Int): Unit = {
+    val done = new java.io.File(s"$dst/_DONE")
     if (done.exists()) return
-    new java.io.File(DST).mkdirs()
-    tile(spark.read.parquet(s"$SRC/documents.parquet"), Seq("doc_id"))
-      .write.mode("overwrite").parquet(s"$DST/documents.parquet")
-    tile(spark.read.parquet(s"$SRC/embeddings.parquet"), Seq("vec_id"))
-      .write.mode("overwrite").parquet(s"$DST/embeddings.parquet")
-    tile(spark.read.parquet(s"$SRC/events.parquet"), Seq("event_id", "user_id"))
-      .write.mode("overwrite").parquet(s"$DST/events.parquet")
+    new java.io.File(dst).mkdirs()
+    tileN(spark.read.parquet(s"$SRC/documents.parquet"), Seq("doc_id"), tiles)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    tileN(spark.read.parquet(s"$SRC/embeddings.parquet"), Seq("vec_id"), tiles)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    tileN(spark.read.parquet(s"$SRC/events.parquet"),
+        Seq("event_id", "user_id"), tiles)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
     // relational tables pass through untiled (the d/e/s rows don't read
     // them, but Tables.load warmup does)
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach { t =>
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$SRC/$t.parquet"),
-          java.nio.file.Paths.get(s"$DST/$t.parquet"),
+          java.nio.file.Paths.get(s"$dst/$t.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     done.createNewFile()
     ()
   }
+
+  // linear scale-path rows safe at 100× (no clone-clique quadratics: the
+  // 100× tiling makes every doc a 100-member dist-0 clique, so the banded
+  // dedup rows are EXCLUDED here by design — their 10× behavior with the
+  // exact-first mitigation is the documented evidence)
+  private val X100 = Seq(
+    "d01_token_stats", "d04_fingerprint", "d05_exact_dedup", "d13_hash_split",
+    "d48_bpe_tokenize", "e03_embedding_stats", "e07_int8_quant",
+    "e16_rp_reduce", "e06_kmeans_trainpass", "e08_pq_trainpass")
 
   /** Second-stage tiling (separate marker so an existing tiled dir from an
     * earlier run upgrades in place): lineitem/orders tiled on orderkey so
@@ -173,16 +189,22 @@ object ScaleSmoke {
       .config("spark.cleaner.periodicGC.interval", "900s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    ensureData(spark)
-    ensureRelationalTiles(spark)
-    val names = if (args.nonEmpty) args.toSeq else DEFAULT
+    // --x100: tile 100× instead of 10× (linear rows only, see X100)
+    val x100 = args.headOption.contains("--x100")
+    val rest = if (x100) args.drop(1).toSeq else args.toSeq
+    val dst = if (x100) "/tmp/graft_sf10" else DST
+    if (x100) ensureDataAt(spark, dst, 100)
+    else { ensureData(spark); ensureRelationalTiles(spark) }
+    val names =
+      if (rest.nonEmpty) rest else if (x100) X100 else DEFAULT
     // JIT/codegen warmup at the smallest SF
     names.foreach { n =>
       try query(n)(spark, "/root/testdata/sf0.001").count()
       catch { case t: Throwable =>
         System.err.println(s"[scale] warmup $n failed: ${t.getMessage}") }
     }
-    println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1(10x)"}%9s  ratio ${"rows0.1"}%9s ${"rows1"}%9s")
+    val tag = if (x100) "sf10(100x)" else "sf1(10x)"
+    println(f"${"query"}%-24s ${"sf0.1"}%8s $tag%10s  ratio ${"rows0.1"}%9s ${"rowsBig"}%9s")
     names.foreach { n =>
       def time(d: String): (Double, Long) = {
         // one-time event staging is done via prestage (below), outside the
@@ -205,7 +227,7 @@ object ScaleSmoke {
       }
       try {
         val (small, rowsS) = time(SRC)
-        val (big, rowsB) = time(DST)
+        val (big, rowsB) = time(dst)
         println(f"$n%-24s $small%8.2f $big%9.2f  ${big / small}%5.1fx $rowsS%9d $rowsB%9d")
       } catch { case t: Throwable =>
         println(s"$n FAILED: ${t.getMessage}")
