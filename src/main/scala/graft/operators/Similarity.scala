@@ -477,12 +477,15 @@ object Similarity {
     * pos) partial means. `least()` on struct(d2, code) replicates the old
     * window's (d2 ASC, code ASC) tie-break; |c|² is a literal
     * subexpression Catalyst constant-folds. */
-  private[graft] def pqRound(
-      sub: DataFrame, cents: Seq[(Int, Int, Array[Float])]): DataFrame = {
-    // codebook as a reference object (see kmeansRound): the m×ksub
-    // centroids and their precomputed |c|² ride functions.NearestPqCodeF32,
-    // whose |c|² uses the same sqrt-then-square double arithmetic as
-    // pow(l2normF32(c), 2) so distances match the expression formulation
+  /** Column computing the argmin PQ code for a ("sub_id", "sv") row over a
+    * driver-held codebook — the reference-object kernel (see
+    * [[kmeansRound]]): the m×ksub centroids and their precomputed |c|²
+    * ride [[graft.functions.NearestPqCodeF32]], whose |c|² uses the same
+    * sqrt-then-square double arithmetic as pow(l2normF32(c), 2) so
+    * distances match the expression formulation bit-exactly. Assumes
+    * codes 0..ksub−1 per subspace (true by construction from
+    * [[pqTrainCollected]]'s init). */
+  private def pqArgminCode(cents: Seq[(Int, Int, Array[Float])]): Column = {
     val bySub = cents.groupBy(_._1).toSeq.sortBy(_._1)
     val centArr: Array[Array[Array[Float]]] =
       bySub.map(_._2.sortBy(_._2).map(_._3).toArray).toArray
@@ -491,12 +494,18 @@ object Similarity {
       while (i < c.length) { val x = c(i).toDouble; acc += x * x; i += 1 }
       math.pow(math.sqrt(acc), 2)
     })
-    val code = org.apache.spark.sql.GraftPlanBridge.ofExpr(
+    org.apache.spark.sql.GraftPlanBridge.ofExpr(
       graft.functions.NearestPqCodeF32(
         org.apache.spark.sql.GraftPlanBridge.exprOf(col("sv")),
-        org.apache.spark.sql.GraftPlanBridge.exprOf(col("sub_id")), cSq, centArr))
+        org.apache.spark.sql.GraftPlanBridge.exprOf(col("sub_id")),
+        cSq, centArr))
+  }
+
+  private[graft] def pqRound(
+      sub: DataFrame, cents: Seq[(Int, Int, Array[Float])]): DataFrame = {
     sub
-      .select(col("sub_id"), code.as("code"), posexplode(col("sv")))
+      .select(col("sub_id"), pqArgminCode(cents).as("code"),
+        posexplode(col("sv")))
       .groupBy(col("sub_id"), col("code"), col("pos"))
       .agg(avg(col("col").cast("double")).as("m"))
       .groupBy(col("sub_id"), col("code"))
@@ -534,18 +543,19 @@ object Similarity {
       idCol: String, vecCol: String, m: Int): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     val sd = dim / m
-    val w = Window.partitionBy(col(idCol), col("sub_id"))
-      .orderBy(col("__d2").asc, col("code").asc)
+    // row-local argmin over the driver-held codebook (pqArgminCode — the
+    // training kernel reused at ENCODE time): the corpus-proportional
+    // path never expands ×ksub or shuffles for assignment
+    val held = cents
+      .select(col("sub_id").cast("int"), col("code").cast("int"),
+        col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray)).toSeq
     corpus.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           i => slice(col(vecCol), i * sd + 1, lit(sd)))))
       .toDF(idCol, "sub_id", "sv")
-      .join(broadcast(cents), "sub_id")
-      .withColumn("__d2", pow(l2normF32(col("centroid")), 2) -
-        lit(2.0) * dotF32(col("sv"), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("sub_id"), col("code"))
+      .select(col(idCol), col("sub_id"), pqArgminCode(held).as("code"))
   }
 
   /** Product-quantization ANN with asymmetric-distance (ADC) shortlist +
