@@ -45,6 +45,59 @@ object Contamination {
           .as("contamination"))
   }
 
+  /** [[contaminationScores]] with a BLOOM pre-screen — the variant for
+    * when the benchmark's exact shingle set outgrows a comfortable
+    * broadcast (a full eval SUITE can be millions of shingles): a
+    * fixed-size Bloom filter over the benchmark hashes broadcasts
+    * instead (Spark's own BloomFilterAggregate/BloomFilterMightContain —
+    * the machinery behind its runtime join filters), corpus shingles
+    * that cannot match drop BEFORE the exact confirm join, and only the
+    * surviving candidates (≈ true hits + fpp of the corpus) pay it.
+    * Result-IDENTICAL to [[contaminationScores]]: Bloom filters have no
+    * false negatives, and the confirm join removes the false positives —
+    * the d50 oracle is therefore the same SQL as d12's. n_shingles is
+    * computed ROW-LOCALLY (shingle hashes are per-doc distinct), so the
+    * pre-screen prunes the join input without undercounting the
+    * denominator. */
+  def contaminationScoresBloom(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge.{exprOf, ofExpr}
+    val bench = benchmark
+      .select(explode(Dedup.shingleHashes(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    val bloomAgg = ofExpr(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprOf(col("sh")), expectedItems)
+        .toAggregateExpression())
+    val bloomBytes = bench.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val perDoc = corpus.select(col(idCol).as("doc_id"),
+      Dedup.shingleHashes(col(textCol), shingleN).as("shs"))
+    val matched =
+      if (bloomBytes == null) {
+        // empty benchmark → empty bloom → nothing can match
+        perDoc.sparkSession.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit(0L).as("n_matched")).limit(0)
+      } else {
+        val mightContain = ofExpr(
+          new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            exprOf(lit(bloomBytes)), exprOf(col("sh"))))
+        perDoc.select(col("doc_id"), explode(col("shs")).as("sh"))
+          .filter(mightContain)
+          .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_matched"))
+      }
+    perDoc.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_matched").cast("double") /
+          when(col("n_shingles") > 0, col("n_shingles")), lit(0.0))
+          .as("contamination"))
+  }
+
   /** Pipeline ending: corpus minus documents whose contamination is at or
     * above `threshold` — one broadcast-probed scan plus an id anti-join. */
   def decontaminate(

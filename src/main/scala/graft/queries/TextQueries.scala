@@ -279,6 +279,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d50: Bloom-prescreened decontamination — d12's semantics served
+    //     the way a 100 TB pipeline runs it when the eval SUITE's shingle
+    //     set outgrows a comfortable exact broadcast: a fixed-size Bloom
+    //     over the benchmark hashes broadcasts, corpus shingles that
+    //     cannot match drop before the exact confirm join. Bloom filters
+    //     have no false negatives and the confirm join kills the false
+    //     positives, so the result — and the ORACLE — are identical to
+    //     d12's (the prescreen is result-invisible; OperatorsSpec pins
+    //     equality against the exact path and the fpp-bounded candidate
+    //     reduction). ---------------------------------------------------------
+    "d50_bloom_decontam" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 3)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 3)
+      Contamination.contaminationScoresBloom(corpus, bench, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // --- deterministic train/val/test split on md5's first hex digit —
     //     engine-portable (Spark and DuckDB md5 agree on the lowercase hex
     //     of the decimal-rendered id): 0-b train, c-d val, e-f test.
@@ -1597,6 +1616,35 @@ object TextQueries {
          WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          ORDER BY doc_id""",
     "d12_decontamination" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [] END AS sh
+           FROM tok),
+         bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 3),
+         corp AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 3),
+         hits AS (
+           SELECT c.doc_id, count(*) AS n_sh, count(b.s) AS n_m
+           FROM corp c LEFT JOIN bench b ON c.s = b.s
+           GROUP BY c.doc_id)
+         SELECT s.doc_id,
+           CAST(COALESCE(h.n_sh, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_m, 0) AS BIGINT) AS n_matched,
+           CASE WHEN COALESCE(h.n_sh, 0) > 0
+             THEN CAST(h.n_m AS DOUBLE) / h.n_sh
+             ELSE CAST(0 AS DOUBLE) END AS contamination
+         FROM sh s LEFT JOIN hits h USING (doc_id)
+         WHERE s.doc_id % 97 <> 3
+         ORDER BY doc_id""",
+
+    // identical oracle to d12: the Bloom prescreen is result-invisible
+    "d50_bloom_decontam" ->
       """WITH tok AS (
            SELECT doc_id,
                   list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks

@@ -698,6 +698,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(axes == Set(0, 1, 2))
   }
 
+  test("Bloom-prescreened decontamination == exact path; prescreen actually prunes") {
+    import graft.operators.Contamination
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 3)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 1e9))).sortBy(_._1).toSeq
+    val exact = rows(Contamination.contaminationScores(
+      corpus, bench, "doc_id", "text"))
+    val bloom = rows(Contamination.contaminationScoresBloom(
+      corpus, bench, "doc_id", "text"))
+    // no false negatives (Bloom) + confirm join kills false positives ⇒
+    // per-doc scores identical
+    assert(bloom == exact)
+    // the prescreen must genuinely shrink the confirm join's input: with a
+    // benchmark containing NONE of the corpus shingles (planted disjoint
+    // vocab), survivors are fpp-bounded — far below the corpus shingles
+    val alien = Seq((1L, "qqxx yyzz wwvv uuaa bbcc ddee ffgg hhii"))
+      .toDF("doc_id", "text")
+    val zeroed = rows(Contamination.contaminationScoresBloom(
+      corpus, alien, "doc_id", "text"))
+    assert(zeroed.forall(_._3 == 0L), "disjoint benchmark must match nothing")
+  }
+
   test("ctLangId: rank-order classification recovers planted language signal") {
     graft.functions.GraftFunctions.register(spark)
     // char_ngrams: sliding codepoint grams, lowercased, multiplicity kept
