@@ -47,6 +47,7 @@ object SparkEntry {
       "q91_mv_rewrite", // summary-MV parquet write + MvRewrite registration
       "q92_mv_navigate", // second (coarser) summary MV write + registration
       "q104_mv_joinback", // per-custkey orders MV write + registration
+      "q105_mv_snowflake", // same MV, snowflake join-back
       "q93_partitioned_scan", // one-time dt-partitioned events layout write
       "d33_zorder_scan", // one-time Z-order layout write
       "q95_compacted_scan", // fragmented-ingest write + one-time compaction

@@ -158,60 +158,82 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** Peels attribute-only Projects and Filters down to a Join. */
-  private def joinOf(plan: LogicalPlan): Option[(Join, Seq[Expression])] =
-    plan match {
-      case j: Join => Some((j, Nil))
-      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-        joinOf(c)
-      case Filter(cond, c) =>
-        joinOf(c).map { case (j, fs) => (j, cond +: fs) }
-      case _ => None
-    }
-
   private def conjunctsOf(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
     case x => Seq(x)
   }
 
-  /** The JOIN-BACK case (Goldstein & Larson §2.2): an aggregate over
-    * fact ⋈ dim rewrites to MV ⋈ dim when the MV groups by the fact-side
-    * join keys — each MV group row joins to exactly the dim rows its
-    * underlying fact rows joined to, so sum/count/min/max partials
-    * re-aggregate exactly (a key with m matching dim rows multiplies the
-    * original rows and the partials identically). The dim subplan is
-    * reused verbatim; only the fact scan disappears. */
+  /** Flattens a tree of INNER equi-joins (attribute-only Projects and
+    * Filters interleaved) into its leaf subplans, every join conjunct,
+    * and the hoisted filters. A Filter directly over a non-join fragment
+    * stays inside its leaf (the fact scan's own filters are judged by
+    * [[scanOf]]; dim leaves keep theirs verbatim); a non-inner or
+    * condition-less join becomes an opaque leaf. */
+  private def flattenJoins(
+      plan: LogicalPlan): (Seq[LogicalPlan], Seq[Expression], Seq[Expression]) =
+    plan match {
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
+        val (ll, lc, lf) = flattenJoins(j.left)
+        val (rl, rc, rf) = flattenJoins(j.right)
+        (ll ++ rl, lc ++ rc ++ conjunctsOf(j.condition.get), lf ++ rf)
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        flattenJoins(c)
+      case Filter(cond, c) =>
+        val (ls, cs, fs) = flattenJoins(c)
+        if (ls.length > 1) (ls, cs, cond +: fs) else (Seq(plan), Nil, Nil)
+      case p => (Seq(p), Nil, Nil)
+    }
+
+  /** The JOIN-BACK case (Goldstein & Larson §2.2), N-ary: an aggregate
+    * over fact ⋈ dim₁ ⋈ … ⋈ dimₙ (the star/snowflake shape) rewrites to
+    * MV ⋈ dims when the MV groups by every fact-side join key — each MV
+    * group row joins to exactly the dim rows its underlying fact rows
+    * joined to, so sum/count/min/max partials re-aggregate exactly (key
+    * multiplicity multiplies partials and raw rows identically, across
+    * any number of dims). Dim subplans are reused verbatim; only the
+    * fact scan disappears. */
   private def joinBack(
       groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    val (join, aboveFilters) = joinOf(child).getOrElse(return None)
-    if (join.joinType != Inner) return None
-    val conj = join.condition.map(conjunctsOf).getOrElse(return None)
-    def trySide(factSide: LogicalPlan, dimSide: LogicalPlan) =
-      rewriteJoinBack(groupings, aggExprs, aboveFilters, conj,
-        factSide, dimSide)
-    trySide(join.left, join.right).orElse(trySide(join.right, join.left))
+    val (leaves, conjuncts, aboveFilters) = flattenJoins(child)
+    if (leaves.length < 2) return None
+    val factIdx = leaves.indexWhere(l =>
+      scanOf(l).flatMap(s => pathOf(s._1))
+        .exists(p => registry.containsKey(p)))
+    if (factIdx < 0) return None
+    rewriteJoinBack(groupings, aggExprs, aboveFilters, conjuncts,
+      leaves(factIdx), leaves.patch(factIdx, Nil, 1))
   }
 
   private def rewriteJoinBack(
       groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
       aboveFilters: Seq[Expression], conjuncts: Seq[Expression],
-      factSide: LogicalPlan, dimSide: LogicalPlan): Option[LogicalPlan] = {
-    val (factLr, factFilters) = scanOf(factSide).getOrElse(return None)
+      factSide: LogicalPlan, dims: Seq[LogicalPlan]): Option[LogicalPlan] = {
+    val (factLr, scanFilters) = scanOf(factSide).getOrElse(return None)
     val defs = pathOf(factLr)
       .flatMap(p => Option(registry.get(p))).getOrElse(return None)
     val factAttrs = factLr.outputSet
-    val dimAttrs = dimSide.outputSet
-    // every conjunct must be fact.key = dim.key (either orientation)
-    val factKeys: Seq[AttributeReference] = conjuncts.map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-        if factAttrs.contains(a) && dimAttrs.contains(b) => a
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-        if factAttrs.contains(b) && dimAttrs.contains(a) => b
+    val dimAttrs = AttributeSet(dims.flatMap(_.output))
+    // classify each conjunct: fact.key = dim.key (either orientation —
+    // collect the fact key), dim-only (reused verbatim), fact-only (a
+    // fact filter — must transfer to the MV); anything else disqualifies
+    val factKeys = scala.collection.mutable.ArrayBuffer[AttributeReference]()
+    val joinConjs = scala.collection.mutable.ArrayBuffer[Expression]()
+    val factConjs = scala.collection.mutable.ArrayBuffer[Expression]()
+    conjuncts.foreach {
+      case eq @ EqualTo(a: AttributeReference, b: AttributeReference)
+        if factAttrs.contains(a) && dimAttrs.contains(b) =>
+        factKeys += a; joinConjs += eq
+      case eq @ EqualTo(a: AttributeReference, b: AttributeReference)
+        if factAttrs.contains(b) && dimAttrs.contains(a) =>
+        factKeys += b; joinConjs += eq
+      case c if c.references.subsetOf(dimAttrs) => joinConjs += c
+      case c if c.references.subsetOf(factAttrs) => factConjs += c
       case other =>
-        if (debug) println(s"[mv] join-back: non-equi conjunct $other")
+        if (debug) println(s"[mv] join-back: unservable conjunct $other")
         return None
     }
+    val factFilters = scanFilters ++ factConjs.toSeq
     defs.sortBy(_.groupCols.size).iterator
       .map { mv =>
         if (!factKeys.forall(k => mv.groupCols(k.name))) None
@@ -220,7 +242,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         else if (!aboveFilters.forall(_.references.forall(r =>
             dimAttrs.contains(r) || (factAttrs.contains(r) && mv.groupCols(r.name))))) None
         else buildJoinBack(mv, groupings, aggExprs, aboveFilters,
-          conjuncts, factFilters, factAttrs, dimSide)
+          joinConjs.toSeq, factFilters, factAttrs, dims)
       }
       .collectFirst { case Some(plan) => plan }
   }
@@ -229,16 +251,17 @@ object MvRewrite extends Rule[LogicalPlan] {
       mv: MvDef, groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
       aboveFilters: Seq[Expression], conjuncts: Seq[Expression],
       factFilters: Seq[Expression], factAttrs: AttributeSet,
-      dimSide: LogicalPlan): Option[LogicalPlan] = {
+      dims: Seq[LogicalPlan]): Option[LogicalPlan] = {
     val rel = mv.mvRel.newInstance()
     val byName = rel.output.map(a => a.name -> a).toMap
+    val dimAttrs = AttributeSet(dims.flatMap(_.output))
     def isFact(a: Attribute) = factAttrs.contains(a)
 
     // groupings: dim attrs pass through; fact attrs must be MV group cols
     val newGroupings: Seq[Expression] = groupings.map {
       case a: AttributeReference if isFact(a) && mv.groupCols(a.name) =>
         byName(a.name)
-      case a: AttributeReference if dimSide.outputSet.contains(a) => a
+      case a: AttributeReference if dimAttrs.contains(a) => a
       case g =>
         if (debug) println(s"[mv] join-back grouping disqualifies: $g")
         return None
@@ -264,7 +287,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     val newAggs: Seq[NamedExpression] = aggExprs.map {
       case a: AttributeReference if isFact(a) && mv.groupCols(a.name) =>
         Alias(byName(a.name), a.name)(exprId = a.exprId)
-      case a: AttributeReference if dimSide.outputSet.contains(a) => a
+      case a: AttributeReference if dimAttrs.contains(a) => a
       case al @ Alias(body, name) =>
         val newBody = body.transform {
           case ae: AggregateExpression if !inserted.contains(ae) =>
@@ -294,23 +317,34 @@ object MvRewrite extends Rule[LogicalPlan] {
     def remapFact(e: Expression): Expression = e.transform {
       case a: AttributeReference if isFact(a) => byName(a.name)
     }
-    // fact-side filters transfer onto the MV, below the join
+    // fact-side filters transfer onto the MV, below the joins
     val mvFiltered = factFilters.map(remapFact)
       .reduceOption(And)
       .map(Filter(_, rel): LogicalPlan)
       .getOrElse(rel)
-    val newCond = conjuncts.map(remapFact).reduce(And)
+    val mappedConjs = conjuncts.map(remapFact)
     // prune the MV to the columns the plan actually touches (the
     // column-pruning batch already ran)
     val refs = AttributeSet(
-      newCond.references ++ newGroupings.flatMap(_.references) ++
+      mappedConjs.flatMap(_.references) ++ newGroupings.flatMap(_.references) ++
         newAggs.flatMap(_.references))
     val pruned = Project(rel.output.filter(refs.contains), mvFiltered)
-    val newJoin = Join(pruned, dimSide, Inner, Some(newCond), JoinHint.NONE)
-    val filtered = aboveFilters.map(remapFact)
+    // rebuild left-deep: MV ⋈ dim₁ ⋈ … ⋈ dimₙ, attaching every conjunct
+    // (and hoisted filter) at the FIRST level where its references are in
+    // scope — no condition-less join ever survives, so the planner keeps
+    // hash joins, never a cartesian
+    var remaining = mappedConjs ++ aboveFilters.map(remapFact)
+    var acc: LogicalPlan = pruned
+    dims.foreach { dim =>
+      val scope = AttributeSet(acc.output) ++ dim.outputSet
+      val (now, later) = remaining.partition(_.references.subsetOf(scope))
+      acc = Join(acc, dim, Inner, now.reduceOption(And), JoinHint.NONE)
+      remaining = later
+    }
+    val filtered = remaining
       .reduceOption(And)
-      .map(Filter(_, newJoin): LogicalPlan)
-      .getOrElse(newJoin)
+      .map(Filter(_, acc): LogicalPlan)
+      .getOrElse(acc)
     Some(Aggregate(newGroupings, newAggs, filtered))
   }
 

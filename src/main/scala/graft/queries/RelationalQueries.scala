@@ -1172,6 +1172,24 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // --- N-ary join-back: the SNOWFLAKE shape — fact ⋈ dim ⋈ dim-of-dim
+    //     (orders ⋈ customer ⋈ nation), GROUP BY an attribute two hops
+    //     from the fact. The same per-custkey MV serves it: the rule
+    //     flattens the inner-join tree, swaps the fact leaf for the MV,
+    //     and reassembles the dim chain left-deep with each condition at
+    //     its binding level (PlansSpec: no orders scan, both dims
+    //     reused, hash joins throughout). ----------------------------------
+    "q105_mv_snowflake" -> ((s, d) => {
+      ordersMv(s, d)
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
     // --- Hive-style date-partitioned event layout + partition pruning:
     //     the CANONICAL 100 TB event-lake layout (dt= directories). The
     //     write is setup (one-time per JVM+sf, like q90's buckets); the
@@ -1994,6 +2012,17 @@ object RelationalQueries {
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q105_mv_snowflake" ->
+      """SELECT n_name,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price,
+              count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name
+         ORDER BY n_name""",
 
     "q104_mv_joinback" ->
       """SELECT c_mktsegment,

@@ -318,6 +318,28 @@ class PlansSpec extends SparkTestBase {
       "a fact grouping column the MV lacks must scan the fact table")
   }
 
+  test("q105 (MV snowflake): N-ary join-back — no fact scan, no cartesian") {
+    val p = plan("q105_mv_snowflake")
+    assert(p.contains("graft_mvord_"),
+      "snowflake join-back must serve the fact side from the MV")
+    assert(!p.contains("orders.parq"),
+      "an orders FileScan means the N-ary join-back did not fire")
+    assert(p.contains("customer.parq") && p.contains("nation.parq"),
+      "both dim legs must be reused verbatim")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "every rebuilt join must carry its condition (hash joins only)")
+    // ground truth: rule-stripped run scans orders, identical rows
+    val mvRows = SparkEntry.queries("q105_mv_snowflake")(spark, sf).collect().toSeq
+    val base = SparkEntry.queries("q105_mv_snowflake")(spark, sf)
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_ == graft.plans.MvRewrite)
+      assert(base.queryExecution.executedPlan.toString.contains("orders.parq"))
+      assert(base.collect().toSeq == mvRows)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("q93 (dt-partitioned events): planning-time partition pruning") {
     val p = plan("q93_partitioned_scan")
     assert(p.contains("PartitionFilters: [isnotnull(dt") ||
