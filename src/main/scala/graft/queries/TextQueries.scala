@@ -738,16 +738,25 @@ object TextQueries {
     //     candidate pair with cosine exactly 1 (recall 1 BY CONSTRUCTION,
     //     no banding luck — same-vector signatures collide in every band);
     //     distinct texts ⇒ hash-mixed 64-d features with cosine ≈ N(0, 1/8)
-    //     ⇒ never ≥ 0.999 (≈8σ). So the pair set == the identical-text
-    //     pair set, plain SQL. ---------------------------------------------
+    //     ⇒ never ≥ 0.999 (≈8σ). The payload carries an md5-of-content
+    //     HEADER (the content-address header a media store writes): it
+    //     preserves identical-text ⇒ identical-payload exactly, and makes
+    //     the independence argument airtight for PREFIX-CONTAINED texts —
+    //     without it, a doc whose text extends another's shares the
+    //     rolling-hash accumulation over the whole common prefix and the
+    //     stub cosine lands ≥ 0.999 (observed 0.99998 on a planted-free
+    //     prefix-dup pair in driver-regenerated sf0.001 data). So the
+    //     pair set == the identical-text pair set, plain SQL. --------------
     "m03_media_neardup" -> ((s, d) => {
       GraftFunctions.register(s)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val corpus = docs.unionAll(
         docs.filter(pmod(col("doc_id"), lit(40)) === 7)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val addressed = corpus.select(col("doc_id"),
+        concat(md5(col("text")), col("text")).as("text"))
       val feats = Multimodal.extractFeatures(
-          Multimodal.assetsFromDocuments(corpus))
+          Multimodal.assetsFromDocuments(addressed))
         .toDF().select(col("asset_id"), col("features"))
       Dedup.embeddingNearDups(feats, "asset_id", "features",
           threshold = 0.999)
