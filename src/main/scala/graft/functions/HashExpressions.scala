@@ -221,6 +221,61 @@ case class CharNGrams(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `char_ngram_counts(text, n)` → array<struct<g:string, c:bigint>>: the
+  * DISTINCT codepoint n-grams of the lowercased text with their counts,
+  * sorted by (c DESC, g ASC) — i.e. already in Cavnar–Trenkle rank order
+  * (array index + 1 = the gram's rank). Same tokenization as
+  * [[CharNGrams]] (codepoint-indexed, lowercased, multiplicity counted).
+  *
+  * Why an expression: a document's gram histogram is a pure per-row
+  * computation — every gram lives in the row's own text — so building it
+  * via `explode` + `groupBy(doc, gram)` pays a corpus-wide shuffle of
+  * |grams| rows (the dominant cost of the d49 bench row, ~2 s of 3.5 s
+  * at sf0.1) for something a single O(len + d·log d) pass computes in
+  * place. Ties sort by UTF8String BINARY order (not Java UTF-16 order)
+  * to match Spark's own StringType ordering and the DuckDB oracle. */
+case class CharNGramCounts(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n must be positive")
+
+  override def prettyName: String = "char_ngram_counts"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val cps = v.toString.toLowerCase(java.util.Locale.ROOT).codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(Array.empty[AnyRef])
+    val m = cps.length - n + 1
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Long](64)
+    var j = 0
+    while (j < m) {
+      val g = org.apache.spark.unsafe.types.UTF8String.fromString(new String(cps, j, n))
+      counts.merge(g, 1L, (a, b) => a + b)
+      j += 1
+    }
+    val entries = new Array[(org.apache.spark.unsafe.types.UTF8String, Long)](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) { val e = it.next(); entries(k) = (e.getKey, e.getValue); k += 1 }
+    java.util.Arrays.sort(entries, new java.util.Comparator[(org.apache.spark.unsafe.types.UTF8String, Long)] {
+      def compare(a: (org.apache.spark.unsafe.types.UTF8String, Long),
+                  b: (org.apache.spark.unsafe.types.UTF8String, Long)): Int = {
+        val byCount = java.lang.Long.compare(b._2, a._2)
+        if (byCount != 0) byCount else a._1.compareTo(b._1)
+      }
+    })
+    new GenericArrayData(entries.map { case (g, c) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](g, c)): AnyRef
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `token_hashes(text)` → array<bigint>: 64-bit hashes of each token in
   * order (not deduplicated) — the SimHash input stream. Same tokenizer and
   * token hash as [[ShingleHashes]]. */

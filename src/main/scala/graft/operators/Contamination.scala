@@ -76,9 +76,11 @@ object Contamination {
       Dedup.shingleHashes(col(textCol), shingleN).as("shs"))
     val matched =
       if (bloomBytes == null) {
-        // empty benchmark → empty bloom → nothing can match
-        perDoc.sparkSession.emptyDataFrame
-          .select(lit(0L).as("doc_id"), lit(0L).as("n_matched")).limit(0)
+        // empty benchmark → empty bloom → nothing can match; derive the
+        // empty frame from perDoc's own schema so a non-long idCol still
+        // joins without coercion
+        perDoc.select(col("doc_id")).limit(0)
+          .withColumn("n_matched", lit(0L))
       } else {
         val mightContain = ofExpr(
           new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
@@ -89,7 +91,10 @@ object Contamination {
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_matched"))
       }
-    perDoc.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+    // coalesce: a null text yields null shingles — score it 0-of-0 like
+    // contaminationScores' explode_outer path does
+    perDoc.select(col("doc_id"),
+        coalesce(size(col("shs")), lit(0)).cast("long").as("n_shingles"))
       .join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),

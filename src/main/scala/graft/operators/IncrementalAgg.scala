@@ -64,9 +64,58 @@ object IncrementalAgg {
     }.sorted
   }
 
-  /** Latest committed version id, if any state has been committed. */
-  def latestVersion(spark: SparkSession, statePath: String): Option[Long] =
+  /** One-time migration from the pre-versioning flat layout (parquet
+    * part files directly under `statePath`, optionally with `_batch_<id>`
+    * markers): without this, a legacy state dir has no `v*` subdirs, so
+    * the next refresh would silently re-bootstrap from the delta alone —
+    * discarding the existing state. Flat data files move via a staged
+    * rename into `v<max marker id>` (the legacy replay horizon — so a
+    * replay of an already-merged batchId still skips, keeping
+    * exactly-once across the migration), or `v0` when no marker
+    * survives; markers and staging leftovers are then removed. */
+  private def migrateLegacy(spark: SparkSession, statePath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = fsOf(spark, statePath)
+    if (!fs.exists(root)) return
+    val entries = fs.listStatus(root).toSeq
+    val hasVersions = entries.exists(st =>
+      st.isDirectory && VersionRe.pattern.matcher(st.getPath.getName).matches())
+    val flatData = entries.filter(st => st.isFile && {
+      val n = st.getPath.getName
+      n.endsWith(".parquet") || n == "_SUCCESS"
+    })
+    if (!hasVersions && flatData.exists(_.getPath.getName.endsWith(".parquet"))) {
+      val MarkerRe = "_batch_(\\d+)".r
+      val horizon = entries.map(_.getPath.getName).collect {
+        case MarkerRe(id) => id.toLong
+      }.maxOption.getOrElse(0L)
+      val tmp = new org.apache.hadoop.fs.Path(s"$statePath/.tmp-migrate")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      fs.mkdirs(tmp)
+      flatData.foreach { st =>
+        if (!fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(tmp, st.getPath.getName)))
+          throw new java.io.IOException(
+            s"legacy state migration: move ${st.getPath} failed")
+      }
+      if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$statePath/v$horizon")))
+        throw new java.io.IOException(
+          s"legacy state migration: commit $tmp -> $statePath/v$horizon failed")
+    }
+    // markers from the old write-then-marker scheme are dead weight now
+    entries.foreach { st =>
+      if (st.getPath.getName.startsWith("_batch_"))
+        { fs.delete(st.getPath, true); () }
+    }
+  }
+
+  /** Latest committed version id, if any state has been committed.
+    * Migrates a legacy flat-parquet state dir to `v0` first, so existing
+    * state is never silently discarded by a re-bootstrap. */
+  def latestVersion(spark: SparkSession, statePath: String): Option[Long] = {
+    migrateLegacy(spark, statePath)
     versions(spark, statePath).lastOption
+  }
 
   /** Read the latest committed state snapshot. */
   def readState(spark: SparkSession, statePath: String): DataFrame = {
@@ -90,6 +139,13 @@ object IncrementalAgg {
       throw new java.io.IOException(s"commit rename $tmp -> $dest failed")
     versions(spark, statePath).filter(_ < id).foreach { old =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$old"), true)
+    }
+    // sweep staging leftovers from crashed earlier commits (the writer is
+    // single here, so anything .tmp-* other than our just-renamed dir is
+    // garbage)
+    fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp-"))
+        { fs.delete(st.getPath, true); () }
     }
   }
 

@@ -482,11 +482,23 @@ object Similarity {
     * [[kmeansRound]]): the m×ksub centroids and their precomputed |c|²
     * ride [[graft.functions.NearestPqCodeF32]], whose |c|² uses the same
     * sqrt-then-square double arithmetic as pow(l2normF32(c), 2) so
-    * distances match the expression formulation bit-exactly. Assumes
-    * codes 0..ksub−1 per subspace (true by construction from
-    * [[pqTrainCollected]]'s init). */
+    * distances match the expression formulation bit-exactly. The kernel
+    * emits the sorted-array INDEX as the code, so the codebook MUST be
+    * contiguous — sub_ids 0..m−1 and codes 0..ksub−1 per subspace (true
+    * by construction from [[pqTrainCollected]]'s init; validated here so
+    * a gapped external codebook fails loudly instead of silently
+    * mislabeling codes). */
   private def pqArgminCode(cents: Seq[(Int, Int, Array[Float])]): Column = {
     val bySub = cents.groupBy(_._1).toSeq.sortBy(_._1)
+    bySub.zipWithIndex.foreach { case ((subId, entries), i) =>
+      require(subId == i,
+        s"PQ codebook sub_ids must be contiguous 0..${bySub.size - 1}; " +
+          s"found $subId at position $i")
+      val codes = entries.map(_._2).sorted
+      require(codes == codes.indices.toSeq,
+        s"PQ codebook codes for sub_id $subId must be contiguous " +
+          s"0..${codes.size - 1}; found ${codes.take(8).mkString(",")}…")
+    }
     val centArr: Array[Array[Array[Float]]] =
       bySub.map(_._2.sortBy(_._2).map(_._3).toArray).toArray
     val cSq: Array[Array[Double]] = centArr.map(_.map { c =>

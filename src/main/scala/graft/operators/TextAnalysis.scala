@@ -555,58 +555,68 @@ object TextAnalysis {
     * arithmetic and (count DESC, gram ASC) rank tie-breaks make the whole
     * pipeline hash-exact across engines — no floats anywhere.
     *
-    * Scale shape: the corpus gram pass is [[graft.functions.CharNGrams]]
-    * (an O(len) kernel — the compositional transform/substr form is
-    * O(len²) per doc) aggregated to per-(doc, gram) counts that BOTH
-    * profile builds re-aggregate from (language counts = doc counts
-    * summed by lang). The counts frame is deliberately LAZY here — two
-    * cheap scans measured faster than localCheckpoint block churn at
-    * bench scale; a 100 TB deployment would write the counts table to
-    * parquet once (it is orders of magnitude smaller than the raw text)
-    * and serve both builds from it. The classification join is
-    * doc-profile rows (≤ profileSize per doc) against the BROADCAST
-    * languages × profileSize profile table. Output: (id, pred_lang,
-    * dist) per document. */
+    * Scale shape: a document's gram histogram is a PURE PER-ROW
+    * computation — every gram lives in the row's own text — so the doc
+    * profile is built with [[graft.functions.CharNGramCounts]] (one
+    * O(len + d·log d) kernel emitting the distinct grams already in
+    * (count DESC, gram ASC) rank order) and a row-local `slice`: no
+    * explode, no shuffle, no window. The round-12 form built the same
+    * profile via explode + groupBy(doc, gram) + row_number window — a
+    * corpus-wide shuffle of |grams| rows that was ~2 s of the 3.5 s
+    * bench row and would be the dominant exchange at 100 TB. Only the
+    * LANGUAGE profile needs a shuffle (global sums per (lang, gram)),
+    * and that one is map-side combinable into a key space bounded by
+    * |langs| × |gram vocabulary| — corpus-independent. The finished
+    * profile (langs × profileSize rows, KBs) is collected and re-lifted
+    * as a literal relation so its subtree is never recomputed; the
+    * classification join is doc-profile rows (≤ profileSize per doc)
+    * against the BROADCAST profile table. Output: (id, pred_lang, dist)
+    * per document. */
   def ctLangId(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       profileSize: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = profileSize
-    // ONE corpus gram pass: per-(doc, gram) counts materialize once
-    // (localCheckpoint) and both profile builds re-aggregate from them —
-    // the language counts are exactly the per-doc counts summed by lang,
-    // so the second corpus scan + gram-kernel pass disappears
-    val docCounts = docs.select(col(idCol), col(langCol),
-        explode(graft.functions.GraftFunctions.charNgramsOf(col(textCol), 3))
-          .as("g"))
-      .groupBy(col(idCol), col(langCol), col("g"))
-      .agg(count(lit(1)).as("c"))
-    ctLangIdFromCounts(docCounts, idCol, langCol, n)
-  }
-
-  private def ctLangIdFromCounts(
-      docCounts: DataFrame, idCol: String, langCol: String,
-      n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    // ONE corpus pass: per-doc histograms, row-local, pre-sorted in rank
+    // order. Materialized (docs-count rows, top-n structs each) because
+    // both the lang-profile build and the classification read it.
+    val hist = docs.select(col(idCol), col(langCol),
+        graft.functions.GraftFunctions.charNgramCountsOf(col(textCol), 3)
+          .as("gc"))
+      .localCheckpoint()
+    // Language profiles: global (lang, gram) sums need the one real
+    // shuffle; partial hash-agg combines map-side into the (small)
+    // language × vocabulary key space before the exchange.
     val wL = Window.partitionBy(col(langCol))
       .orderBy(col("c").desc, col("g").asc)
-    val langProf = docCounts.groupBy(col(langCol), col("g"))
-      .agg(sum(col("c")).as("c"))
+    val langProfRows = hist.select(col(langCol), explode(col("gc")).as("e"))
+      .groupBy(col(langCol), col("e.g").as("g"))
+      .agg(sum(col("e.c")).as("c"))
       .withColumn("r_lang", row_number().over(wL))
       .filter(col("r_lang") <= n)
-      .select(col(langCol).as("plang"), col("g"), col("r_lang"))
-    val wD = Window.partitionBy(col(idCol))
-      .orderBy(col("c").desc, col("g").asc)
-    val docProf = docCounts
-      .withColumn("r_doc", row_number().over(wD))
-      .filter(col("r_doc") <= n)
-      .select(col(idCol), col("g"), col("r_doc"))
-    val docSize = docProf.groupBy(col(idCol)).agg(count(lit(1)).as("gsize"))
+      .select(col(langCol).cast("string").as("plang"), col("g"),
+        col("r_lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    import spark.implicits._
+    val langProf = langProfRows.toDF("plang", "g", "r_lang")
+    // Doc profile: top-n prefix of the pre-ranked histogram; rank is the
+    // array position. posexplode keeps it one narrow Generate.
+    val docProf = hist.select(col(idCol), posexplode(slice(col("gc"), 1, n)))
+      .select(col(idCol), col("col.g").as("g"),
+        (col("pos") + 1).cast("int").as("r_doc"))
     val matched = docProf.join(broadcast(langProf), "g")
       .groupBy(col(idCol), col("plang"))
       .agg(count(lit(1)).as("m"),
         sum(abs(col("r_doc") - col("r_lang"))).as("sd"))
-    val langs = langProf.select("plang").distinct()
+    // Dense (doc × lang) distances: langs is a literal list, so the
+    // cross join broadcasts a handful of rows; docs with no matched
+    // grams for a language fall back to the all-out-of-place distance
+    // gsize·n via the left join's null side.
+    val langs = langProfRows.map(_._1).distinct.sorted.toDF("plang")
+    val docSize = hist.select(col(idCol),
+      least(size(col("gc")), lit(n)).cast("long").as("gsize"))
     val dense = docSize.crossJoin(broadcast(langs))
       .join(matched, Seq(idCol, "plang"), "left")
       .select(col(idCol), col("plang"),
@@ -618,6 +628,21 @@ object TextAnalysis {
       .filter(col("__rn") === 1)
       .select(col(idCol), col("plang").as("pred_lang"), col("dist"))
   }
+
+  /** Driver-bounded (word, count) vocabulary — the distributed cut that
+    * keeps [[bpeLearnCollected]]'s collect finite at any corpus size: drop
+    * words below `minFreq`, keep the `maxVocab` most frequent (ties: word
+    * ASC), all DISTRIBUTED-side via a map-side top-k
+    * (TakeOrderedAndProject), so the driver never holds more than
+    * `maxVocab` rows however unbounded the distinct-word tail grows. */
+  def bpeVocab(
+      docs: DataFrame, textCol: String,
+      minFreq: Long = 1L, maxVocab: Int = 1 << 20): DataFrame =
+    docs.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minFreq)
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
 
   /** Separator for the BPE symbol-boundary encoding: each symbol is
     * wrapped `␟sym␟`, so adjacent symbols read `…sym␟␟next…` and a merge
@@ -650,11 +675,22 @@ object TextAnalysis {
     * locally (how sentencepiece/HF learn too: vocab fits one machine even
     * at 100 TB corpus scale). Pair pick order: freq DESC, then (a, b)
     * ASC — fully deterministic. Merging is left-to-right non-overlapping,
-    * matching [[bpeApply]] exactly, so learn-then-apply round-trips. */
+    * matching [[bpeApply]] exactly, so learn-then-apply round-trips.
+    *
+    * The collect is BOUNDED distributed-side: words below `minFreq` drop
+    * and only the `maxVocab` most frequent (ties: word ASC, so the cut is
+    * deterministic) survive, via a map-side top-k (TakeOrderedAndProject)
+    * — at 100 TB the distinct-"word" tail (typos, URLs, hashes) is
+    * unbounded, and an uncapped collect is a driver OOM. Effect on merge
+    * picks: a dropped word only removes its own ≤ minFreq (or
+    * below-cut-frequency) contribution from pair counts, so picks can
+    * only change where two pair frequencies sit within the truncated
+    * tail's total mass of each other — on any corpus whose vocabulary
+    * fits the cap (every test SF), picks are IDENTICAL. */
   def bpeLearnCollected(
-      docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
-    val wc = docs.select(explode(words(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
+      docs: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 1L, maxVocab: Int = 1 << 20): Seq[(String, String)] = {
+    val wc = bpeVocab(docs, textCol, minFreq, maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var vocab: Array[(Array[String], Long)] =
       wc.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }

@@ -329,17 +329,36 @@ object MvRewrite extends Rule[LogicalPlan] {
       mappedConjs.flatMap(_.references) ++ newGroupings.flatMap(_.references) ++
         newAggs.flatMap(_.references))
     val pruned = Project(rel.output.filter(refs.contains), mvFiltered)
-    // rebuild left-deep: MV ⋈ dim₁ ⋈ … ⋈ dimₙ, attaching every conjunct
-    // (and hoisted filter) at the FIRST level where its references are in
-    // scope — no condition-less join ever survives, so the planner keeps
-    // hash joins, never a cartesian
+    // rebuild left-deep, ordering dims GREEDILY BY CONNECTIVITY: the next
+    // dim must bind at least one remaining conjunct against what's built
+    // so far (flatten order is not enough — a bushy source like
+    // fact ⋈ (dimA ⋈ dimB) with the fact key into dimB would hand dimA a
+    // condition-less join, i.e. a cartesian). Every conjunct (and hoisted
+    // filter) attaches at the first level its references are in scope; if
+    // some dim never binds, the rewrite is skipped rather than emitting
+    // an unconditioned Inner join.
     var remaining = mappedConjs ++ aboveFilters.map(remapFact)
     var acc: LogicalPlan = pruned
-    dims.foreach { dim =>
-      val scope = AttributeSet(acc.output) ++ dim.outputSet
-      val (now, later) = remaining.partition(_.references.subsetOf(scope))
-      acc = Join(acc, dim, Inner, now.reduceOption(And), JoinHint.NONE)
-      remaining = later
+    var pending = dims
+    while (pending.nonEmpty) {
+      val accOut = AttributeSet(acc.output)
+      val pick = pending.find { dim =>
+        val scope = accOut ++ dim.outputSet
+        remaining.exists(c =>
+          c.references.subsetOf(scope) && !c.references.subsetOf(accOut))
+      }
+      pick match {
+        case None =>
+          if (debug) println(
+            "[mv] join-back: no dim binds a conjunct (bushy/cross source) — skipping rewrite")
+          return None
+        case Some(dim) =>
+          val scope = accOut ++ dim.outputSet
+          val (now, later) = remaining.partition(_.references.subsetOf(scope))
+          acc = Join(acc, dim, Inner, now.reduceOption(And), JoinHint.NONE)
+          remaining = later
+          pending = pending.filterNot(_ eq dim)
+      }
     }
     val filtered = remaining
       .reduceOption(And)

@@ -67,8 +67,9 @@ object ScaleSmoke {
   // exact-first mitigation is the documented evidence)
   private val X100 = Seq(
     "d01_token_stats", "d04_fingerprint", "d05_exact_dedup", "d13_hash_split",
-    "d48_bpe_tokenize", "e03_embedding_stats", "e07_int8_quant",
-    "e16_rp_reduce", "e06_kmeans_trainpass", "e08_pq_trainpass")
+    "d48_bpe_tokenize", "d48_vocab_bound", "e03_embedding_stats",
+    "e07_int8_quant", "e16_rp_reduce", "e06_kmeans_trainpass",
+    "e08_pq_trainpass")
 
   /** Second-stage tiling (separate marker so an existing tiled dir from an
     * earlier run upgrades in place): lineitem/orders tiled on orderkey so
@@ -161,6 +162,21 @@ object ScaleSmoke {
       graft.operators.Similarity.pqCodebookDF(s,
         graft.operators.Similarity.pqTrainNormalizedCollected(
           emb, "vec_id", "embedding"))
+    }),
+    // BPE learn's driver-bytes bound under UNBOUNDED vocabulary growth:
+    // salting every word with its doc_id makes distinct "words" ∝ corpus
+    // rows (the typo/URL/hash tail a 100 TB crawl actually has), yet the
+    // distributed cut caps the collectable frame at maxVocab rows at any
+    // input size — compare the rows columns (both = cap) while input
+    // vocab grows 10×/100×
+    "d48_vocab_bound" -> ((s, d) => {
+      graft.operators.TextAnalysis.bpeVocab(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat_ws(" ",
+              transform(split(col("text"), " "),
+                w => concat(w, lit("_"), col("doc_id")))).as("text")),
+        "text", minFreq = 1L, maxVocab = 4096)
     }))
 
   private val semCodebooks =

@@ -462,6 +462,39 @@ class OperatorsSpec extends SparkTestBase {
     IncrementalAgg.reset(spark, state)
   }
 
+  test("IncrementalAgg: legacy flat-parquet state migrates, never re-bootstraps") {
+    import graft.operators.IncrementalAgg
+    val state = java.nio.file.Files.createTempDirectory("agglegacy").toString + "/s"
+    // fabricate the pre-versioning layout: part files at the root plus the
+    // old write-then-marker scheme's replay marker at horizon 3
+    Seq(("a", 2L, java.math.BigDecimal.valueOf(10.50), 7L),
+        ("b", 1L, java.math.BigDecimal.valueOf(3.00), 3L))
+      .toDF("key", "cnt", "vsum", "vmax")
+      .select(col("key"), col("cnt"),
+        col("vsum").cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("vsum"),
+        col("vmax"))
+      .write.mode("overwrite").parquet(state)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$state/_batch_3"))
+    // first touch migrates: latest version = legacy horizon, state intact
+    assert(IncrementalAgg.latestVersion(spark, state).contains(3L))
+    def snap() = IncrementalAgg.readState(spark, state)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue(), r.getLong(3))).sortBy(_._1).toSeq
+    assert(snap() == Seq(("a", 2L, 10.5, 7L), ("b", 1L, 3.0, 3L)))
+    assert(!new java.io.File(s"$state/_batch_3").exists,
+      "legacy markers must be swept")
+    // a replay AT the legacy horizon skips (exactly-once preserved)
+    IncrementalAgg.refreshOnce(spark, state,
+      Seq(("ghost", 1L)).toDF("key", "v"), "key", "v", batchId = 3L)
+    assert(snap() == Seq(("a", 2L, 10.5, 7L), ("b", 1L, 3.0, 3L)))
+    // the next refresh MERGES into migrated state (no re-bootstrap)
+    IncrementalAgg.refresh(spark, state, Seq(("a", 4L)).toDF("key", "v"),
+      "key", "v")
+    assert(snap() == Seq(("a", 3L, 14.5, 7L), ("b", 1L, 3.0, 3L)),
+      "migrated legacy state must merge, not be discarded")
+    IncrementalAgg.reset(spark, state)
+  }
+
   test("tokenBudgetSample: budget cut with ≤1-doc overshoot, nonempty strata") {
     val df = spark.range(0, 100).select(col("id").as("doc_id"),
       (col("id") % 2).cast("string").as("stratum"), lit(50L).as("n_tokens"))
@@ -722,6 +755,18 @@ class OperatorsSpec extends SparkTestBase {
     val zeroed = rows(Contamination.contaminationScoresBloom(
       corpus, alien, "doc_id", "text"))
     assert(zeroed.forall(_._3 == 0L), "disjoint benchmark must match nothing")
+    // EMPTY benchmark (no bloom at all): every doc scores 0-of-n; a null
+    // text scores 0-of-0 (no null n_shingles), and a STRING id survives
+    // the empty-frame join without coercion
+    val strCorpus = Seq(("alpha", "the cat sat on the mat today"),
+        ("beta", null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val emptyBench = strCorpus.filter(lit(false))
+    val emptied = Contamination.contaminationScoresBloom(
+        strCorpus, emptyBench, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(emptied == Seq(("alpha", 5L, 0L, 0.0), ("beta", 0L, 0L, 0.0)))
   }
 
   test("ctLangId: rank-order classification recovers planted language signal") {
@@ -747,6 +792,30 @@ class OperatorsSpec extends SparkTestBase {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(pred == Seq((1L, "en"), (2L, "en"), (3L, "xx"), (4L, "xx")))
+  }
+
+  test("ctLangId plan: doc profile is row-local (no corpus gram shuffle)") {
+    graft.functions.GraftFunctions.register(spark)
+    // char_ngram_counts: distinct grams pre-sorted (count DESC, gram ASC)
+    val cnt = Seq("ababa").toDF("t")
+      .select(graft.functions.GraftFunctions.charNgramCountsOf(col("t"), 3).as("gc"))
+      .selectExpr("explode(gc) as e").selectExpr("e.g", "e.c")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(cnt == Seq(("aba", 2L), ("bab", 1L)))
+    val docs = Seq(
+      (1L, "en", "the cat and the dog in the house of the king"),
+      (2L, "xx", "zuz qex zuz qex vov zuz qex vov zuz qex"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.ctLangId(docs, "doc_id", "text", "lang", 20)
+    val plan = out.queryExecution.executedPlan.toString
+    // the serving plan re-reads the checkpointed histograms — the gram
+    // kernel itself must not appear (it ran exactly once, at checkpoint)
+    assert(!plan.contains("char_ngram"),
+      s"gram kernel leaked into the serving plan:\n$plan")
+    // doc profiles come from a slice of the pre-ranked histogram: the
+    // only Window left is the per-doc argmin over |langs| rows
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"expected exactly the argmin window, got $windows:\n$plan")
   }
 
   test("BPE apply: boundary-aware greedy merges on known vocab") {
@@ -779,6 +848,31 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // "aaab" → [aa, ab] (2 tokens); "ab" → [ab]
     assert(rows == Seq((1L, 2L, 4L), (2L, 1L, 1L)))
+  }
+
+  test("BPE learn: driver vocab bound — identical picks on the real corpus") {
+    // the distributed-side truncation (minFreq / top-maxVocab) exists to
+    // bound the collect at 100 TB; on a corpus whose vocabulary fits the
+    // cap the merge picks must be IDENTICAL to the unbounded defaults
+    val docs = Tables.documents(spark, sf)
+    val unbounded = TextAnalysis.bpeLearnCollected(docs, "text", numMerges = 5)
+    val bounded = TextAnalysis.bpeLearnCollected(docs, "text", numMerges = 5,
+      minFreq = 1L, maxVocab = 100000)
+    assert(bounded == unbounded)
+    // a cap SMALLER than the vocab learns only from the most frequent
+    // words — still deterministic, still non-empty
+    val tight = TextAnalysis.bpeLearnCollected(docs, "text", numMerges = 5,
+      minFreq = 1L, maxVocab = 10)
+    assert(tight.nonEmpty && tight == TextAnalysis.bpeLearnCollected(
+      docs, "text", numMerges = 5, minFreq = 1L, maxVocab = 10))
+    // the truncation happens DISTRIBUTED-side: the collected plan is a
+    // map-side top-k, never a full-vocab global sort
+    val plan = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cut must be a top-k, not a global sort:\n$plan")
   }
 
   test("kmeansRound/pqRound: row-local assignment — no Exchange before the partial means") {
@@ -831,6 +925,36 @@ class OperatorsSpec extends SparkTestBase {
     val rows = got.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("pqEncode: a gapped external codebook fails loudly, not silently") {
+    // the row-local argmin kernel emits the sorted-array INDEX as the
+    // code, so contiguity (sub_ids 0..m-1, codes 0..ksub-1) is a hard
+    // precondition — a gapped persisted codebook must throw, never
+    // silently mislabel
+    val emb = Tables.embeddings(spark, sf).limit(4)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    def book(rows: Seq[(Int, Int)]) = rows
+      .map { case (s, c) => (s, c, Array.fill(dim / 2)(0.1f * (c + 1))) }
+      .toDF("sub_id", "code", "centroid")
+    // contiguous: encodes fine
+    val ok = Similarity.pqEncode(
+      book(Seq((0, 0), (0, 1), (1, 0), (1, 1))), emb, "vec_id", "embedding", m = 2)
+    assert(ok.count() == 8)
+    // gapped codes within a subspace: rejected
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(
+        book(Seq((0, 0), (0, 2), (1, 0), (1, 1))), emb, "vec_id", "embedding", m = 2)
+        .count()
+    }
+    assert(e1.getMessage.contains("contiguous"))
+    // gapped sub_ids: rejected
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(
+        book(Seq((0, 0), (0, 1), (2, 0), (2, 1))), emb, "vec_id", "embedding", m = 2)
+        .count()
+    }
+    assert(e2.getMessage.contains("contiguous"))
   }
 
   test("pqTopK: planted duplicate is top-1 through the ADC shortlist") {

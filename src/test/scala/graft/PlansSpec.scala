@@ -340,6 +340,40 @@ class PlansSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("MV join-back on a BUSHY source: greedy dim ordering, no cartesian") {
+    // fact ⋈ (dimA ⋈ dimB) with the fact key into dimB: flatten order puts
+    // nation (dimA) before customer (dimB), so a flatten-order rebuild
+    // would hand nation a condition-less join (a CartesianProduct). The
+    // greedy-by-connectivity rebuild must pick customer first — the
+    // rewrite still fires AND stays hash-joins-only.
+    plan("q105_mv_snowflake") // registers the per-custkey orders MV
+    import org.apache.spark.sql.functions.max
+    def bushy = Tables.orders(spark, sf)
+      .join(
+        Tables.nation(spark, sf).join(Tables.customer(spark, sf),
+          col("n_nationkey") === col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_orderkey")).as("max_ok"))
+      .orderBy("n_name")
+    val p = bushy.queryExecution.executedPlan.toString
+    assert(p.contains("graft_mvord_"),
+      "bushy join-back must still serve the fact side from the MV")
+    assert(!p.contains("orders.parq"), "fact scan must disappear")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      "greedy dim ordering must never emit a condition-less join")
+    // ground truth vs the rule-stripped plan
+    val mvRows = bushy.collect().toSeq
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_ == graft.plans.MvRewrite)
+      val base = bushy
+      assert(base.queryExecution.executedPlan.toString.contains("orders.parq"))
+      assert(base.collect().toSeq == mvRows)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("q93 (dt-partitioned events): planning-time partition pruning") {
     val p = plan("q93_partitioned_scan")
     assert(p.contains("PartitionFilters: [isnotnull(dt") ||
