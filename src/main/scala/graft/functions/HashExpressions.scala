@@ -276,6 +276,56 @@ case class CharNGramCounts(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `word_counts(text)` → array<struct<g:string, c:bigint>>: the DISTINCT
+  * words of the text with their counts, sorted by g ASC (deterministic).
+  * Tokenization matches [[graft.operators.TextAnalysis.words]] exactly:
+  * lowercase, split on non-letter/non-number runs, empties dropped — so
+  * `explode(word_counts(t))` ≡ `explode(words(t))` grouped per row.
+  *
+  * Why an expression: a document's word histogram is a pure per-row
+  * computation, so building it here instead of explode + groupBy(doc, w)
+  * turns the corpus-side input of any downstream join/aggregate from
+  * per-TOKEN rows into per-(doc, distinct word) rows — no corpus-wide
+  * (doc, word) shuffle, and a Generate that emits vocabulary-bounded
+  * rows per doc (the d48 BPE-tokenize hot path). */
+case class WordCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "word_counts"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  private val splitRe = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = splitRe.split(v.toString.toLowerCase(java.util.Locale.ROOT))
+    val counts = new java.util.TreeMap[org.apache.spark.unsafe.types.UTF8String, Long]()
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty)
+        counts.merge(
+          org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)),
+          1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `token_hashes(text)` → array<bigint>: 64-bit hashes of each token in
   * order (not deduplicated) — the SimHash input stream. Same tokenizer and
   * token hash as [[ShingleHashes]]. */

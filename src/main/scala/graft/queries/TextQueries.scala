@@ -1035,6 +1035,7 @@ object TextQueries {
     //     then one broadcast vocab→corpus join: per-token corpus work
     //     never happens. ----------------------------------------------------
     "d48_bpe_tokenize" -> ((s, d) => {
+      GraftFunctions.register(s)
       val merges = TextAnalysis.bpeMergeCandidates(
           Tables.documents(s, d), "text", k = 20)
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq

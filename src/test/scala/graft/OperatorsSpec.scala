@@ -835,6 +835,7 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("BPE learn: deterministic pair picks; learn-then-apply round-trips") {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Seq("aaab aaab aaab").toDF("text")
     // pairs in "aaab": (a,a)×2, (a,b)×1, ×3 docs-words → (a,a)=6 wins;
     // after merging: [aa,a,b] → (aa,a)=3 ties (a,b)=3 → lexicographic
@@ -848,6 +849,15 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // "aaab" → [aa, ab] (2 tokens); "ab" → [ab]
     assert(rows == Seq((1L, 2L, 4L), (2L, 1L, 1L)))
+    // plan pin: the corpus side explodes the row-local word HISTOGRAM
+    // (per-(doc, distinct word) rows), never per-token rows
+    val plan = TextAnalysis.bpeTokenize(
+        Tables.documents(spark, sf), "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("word_counts"),
+      s"corpus side must explode the row-local histogram:\n$plan")
+    assert(!plan.contains("split("),
+      s"a per-token split explode leaked into the tokenize plan:\n$plan")
   }
 
   test("BPE learn: driver vocab bound — identical picks on the real corpus") {
