@@ -58,6 +58,7 @@ object SparkEntry {
       "e10_ivfpq_recall", // coarse+PQ codebooks + cell-partitioned index
       "e17_jl_recall", // one-time JL tier-1 reduced-vector index write
       "s08_stream_mv", // one-time foreachBatch MV maintenance per (JVM, sf)
+      "s18_stream_mv_joinback", // one-time streamed-MV maintenance + registration
       "s15_stream_sketch", // one-time foreachBatch sketch maintenance
       "s17_stream_heavyhitters") // one-time foreachBatch freq-sketch state
 }

@@ -204,6 +204,26 @@ object IncrementalAgg {
       mergeCommit(spark, statePath, batchId,
         deltaAgg(batch, keyCol, valueCol), aggMerge(keyCol))
 
+  /** The [[refreshOnce]] exactly-once versioned-commit protocol with a
+    * CALLER-SUPPLIED merge — the generalization that lets any state
+    * algebra ride the same storage contract (e.g.
+    * [[MvMaintain.merge]] for a registered MV's full rollup set).
+    * `delta` must already be the key-unique roll-up of the batch;
+    * `merge(state, delta)` must return the new state with the state's
+    * schema. Bootstraps from `delta` alone when no state is committed. */
+  def refreshOnceWith(
+      spark: SparkSession, statePath: String, delta: DataFrame,
+      batchId: Long, merge: (DataFrame, DataFrame) => DataFrame): Unit =
+    if (latestVersion(spark, statePath).forall(_ < batchId))
+      mergeCommit(spark, statePath, batchId, delta, merge)
+
+  /** Directory of the latest committed snapshot — an IMMUTABLE parquet
+    * dir until the next commit prunes it, so it can be handed to readers
+    * that bind concrete files (e.g. [[graft.plans.MvRewrite.register]]'s
+    * `mvPath`); re-point such readers after each refresh. */
+  def latestStateDir(spark: SparkSession, statePath: String): Option[String] =
+    latestVersion(spark, statePath).map(v => s"$statePath/v$v")
+
   /** Merge `batch` into a persisted per-key KLL sketch state (the q101
     * quantile sketches maintained INCREMENTALLY): delta sketches are built
     * from the batch alone and unioned into the stored sketches, so a

@@ -107,6 +107,13 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** Test/benchmark hook: forget every registered MV. */
   def clear(): Unit = registry.clear()
 
+  /** Drop every MV registered over `basePath` — the serving-layer "replace
+    * the summary table" operation: an incrementally-maintained MV commits
+    * a NEW immutable version dir per refresh (the old one is pruned), so
+    * the maintainer unregisters the stale version and registers the fresh
+    * one; a stale def left behind would serve a deleted directory. */
+  def unregister(basePath: String): Unit = { registry.remove(basePath); () }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (registry.isEmpty) plan
     else plan.transformUp {

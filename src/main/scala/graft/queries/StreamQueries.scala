@@ -32,6 +32,7 @@ object StreamQueries {
   // keys share a bin)
   private val ingested = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val mvMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mvJoinback = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val sketchMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val freqMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // memory-sink temp views from prior drains: each holds a full result
@@ -335,6 +336,81 @@ object StreamQueries {
         .orderBy("event_type")
     }),
 
+    // --- s18: MV join-back SERVED UNDER STREAMING MAINTENANCE — the
+    //     composition q104 (join-back rewrite) and s08 (foreachBatch
+    //     maintenance) each prove half of. The orders fact arrives as a
+    //     file stream (base file, then a delta file, one per micro-batch);
+    //     each batch rolls up per o_custkey and merges into the MV state
+    //     via MvMaintain under the exactly-once versioned commit, and the
+    //     post-commit hook re-points the MvRewrite registration at the
+    //     fresh version dir — so the fact⋈customer aggregate below is
+    //     answered from the MAINTAINED summary + dim (no fact scan;
+    //     PlansSpec pins it) at every instant between batches. Streamed
+    //     base∪delta = the full orders table, so the oracle is q104's SQL
+    //     over the raw tables: a dropped/double-merged delta row or a
+    //     stale registration flips the hash. ------------------------------
+    "s18_stream_mv_joinback" -> ((s, d) => {
+      val factDir = mvJoinback.computeIfAbsent(d, { _ =>
+        val fact = tmpDir("mvfact")
+        val orders = Tables.orders(s, d)
+        def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
+          val tmp = tmpDir("mvfw")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(fact, name)
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(lastMod); ()
+        }
+        val now = System.currentTimeMillis()
+        stage(orders.filter(pmod(col("o_orderkey"), lit(5)) =!= 0),
+          "orders_base.parquet", now - 60000)
+        stage(orders.filter(pmod(col("o_orderkey"), lit(5)) === 0),
+          "orders_delta.parquet", now)
+        val statePath = tmpDir("mvjbstate", create = false).toString + "/state"
+        val ckpt = tmpDir("mvjbckpt")
+        val rollups = Map("mv_sum_price" -> "sum", "mv_cnt" -> "sum",
+          "mv_max_ok" -> "max")
+        def rollup(df: DataFrame): DataFrame = df
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .as("mv_sum_price"),
+            count(lit(1)).as("mv_cnt"),
+            max(col("o_orderkey")).as("mv_max_ok"))
+        val factPath = fact.toString
+        val stream = s.readStream
+          .schema(s.read.parquet(factPath).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(factPath)
+        val q = withStatePartitions(s, 8) {
+          EventStreams.mvMaintain(stream, statePath, Seq("o_custkey"),
+            rollup, rollups, ckpt.toString,
+            onRefresh = { _ =>
+              // re-point the serving registration at the new immutable
+              // version dir (the previous one is pruned by the commit)
+              graft.plans.MvRewrite.unregister(factPath)
+              graft.operators.IncrementalAgg.latestStateDir(s, statePath)
+                .foreach { vdir =>
+                  graft.plans.MvRewrite.register(s, factPath,
+                    rollup(s.read.parquet(factPath)), vdir,
+                    Seq("o_custkey"), rollups)
+                }
+            })
+        }
+        try q.processAllAvailable() finally q.stop()
+        factPath
+      })
+      s.read.parquet(factDir)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_price"),
+          count(lit(1)).as("n_orders"),
+          max(col("o_orderkey")).as("max_orderkey"))
+        .orderBy("c_mktsegment")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -606,6 +682,18 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // streamed base∪delta files = the full orders table, and the
+    // maintained MV must serve the join-back exactly — so the oracle is
+    // q104's SQL over the raw tables
+    "s18_stream_mv_joinback" ->
+      """SELECT c_mktsegment,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_price,
+              count(*) AS n_orders,
+              max(o_orderkey) AS max_orderkey
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
     "s01_stream_windowed" ->
       """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS window_us,
                 event_type, count(*) AS n,

@@ -380,6 +380,31 @@ object EventStreams {
     graft.operators.IncrementalAgg.refreshOnce(
       batch.sparkSession, statePath, batch, keyCol, valueCol, batchId)
 
+  /** [[aggMaintain]] generalized to a SERVABLE materialized view: each
+    * micro-batch rolls up with `rollup` and merges into the persisted MV
+    * via [[graft.operators.MvMaintain.merge]] under the same exactly-once
+    * versioned commit, so at every instant the committed snapshot equals
+    * the MV rebuilt over everything ingested (MvSpec's equivalence) AND
+    * is an immutable parquet dir [[graft.plans.MvRewrite.register]] can
+    * serve join-back rewrites from between batches. `onRefresh(batchId)`
+    * fires after each commit — the hook where a serving layer re-points
+    * the registered MV at the new version
+    * ([[graft.operators.IncrementalAgg.latestStateDir]]). */
+  def mvMaintain(
+      stream: DataFrame, statePath: String, keys: Seq[String],
+      rollup: DataFrame => DataFrame, rollups: Map[String, String],
+      checkpoint: String, onRefresh: Long => Unit = _ => ()) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IncrementalAgg.refreshOnceWith(
+          batch.sparkSession, statePath, rollup(batch), batchId,
+          (st, dl) => graft.operators.MvMaintain.merge(st, dl, keys, rollups))
+        onRefresh(batchId)
+      }
+      .start()
+
   /** Streaming KLL-sketch maintenance: each micro-batch's per-key quantile
     * sketches are unioned into a persisted sketch table
     * ([[graft.operators.IncrementalAgg.sketchRefresh]]), so the online

@@ -374,6 +374,29 @@ class PlansSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("s18 (streamed MV): post-refresh join-back serves the maintained version, no fact scan") {
+    val p = plan("s18_stream_mv_joinback")
+    assert(p.contains("mvjbstate"),
+      "the aggregate must be served from the streaming-maintained MV version dir")
+    assert(!p.contains("mvfact"),
+      "a staged-fact FileScan means the post-refresh registration is stale")
+    assert(p.contains("customer.parq"), "the dim side must be reused verbatim")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"))
+    // ground truth: the rule-stripped run scans the staged fact and
+    // returns IDENTICAL rows (maintained MV ≡ rebuilt-from-union MV)
+    val mvRows = SparkEntry.queries("s18_stream_mv_joinback")(spark, sf)
+      .collect().toSeq
+    val base = SparkEntry.queries("s18_stream_mv_joinback")(spark, sf)
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_ == graft.plans.MvRewrite)
+      assert(base.queryExecution.executedPlan.toString.contains("mvfact"),
+        "control run must scan the staged fact once the rule is stripped")
+      assert(base.collect().toSeq == mvRows)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("q93 (dt-partitioned events): planning-time partition pruning") {
     val p = plan("q93_partitioned_scan")
     assert(p.contains("PartitionFilters: [isnotnull(dt") ||

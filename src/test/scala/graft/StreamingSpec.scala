@@ -342,6 +342,70 @@ class StreamingSpec extends SparkTestBase {
     assert(snap().find(_._1 == "a").get == ("a", 4L, 160L, 100L))
   }
 
+  test("mvMaintain: MV keeps serving the join-back BETWEEN micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("mvserve")
+    val statePath = dir.resolve("state").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // the fact TABLE is the stream's source dir: every ingested file is
+    // part of the table the instant it lands, so the maintained MV always
+    // equals the rebuilt one and the rewrite is result-preserving
+    val factPath = dir.resolve("factdir").toString
+    new java.io.File(factPath).mkdirs()
+    def land(rows: Seq[(Long, Long)], name: String): Unit = {
+      val tmp = dir.resolve(s"w_$name")
+      rows.toDF("k", "amount").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(factPath, name)); ()
+    }
+    land(Seq((1L, 10L), (2L, 20L)), "f0.parquet")
+    val dim = Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("k", "seg")
+    val rollups = Map("mv_sum" -> "sum", "mv_cnt" -> "sum")
+    def rollup(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("k"))
+      .agg(sum(col("amount")).as("mv_sum"), count(lit(1)).as("mv_cnt"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(factPath).schema)
+      .option("maxFilesPerTrigger", 1).parquet(factPath)
+    val q = EventStreams.mvMaintain(
+      stream, statePath, Seq("k"), rollup, rollups, ckpt,
+      onRefresh = { _ =>
+        graft.plans.MvRewrite.unregister(factPath)
+        IncrementalAgg.latestStateDir(spark, statePath).foreach { vdir =>
+          graft.plans.MvRewrite.register(spark, factPath,
+            rollup(spark.read.parquet(factPath)), vdir, Seq("k"), rollups)
+        }
+      })
+    def serve() = spark.read.parquet(factPath)
+      .join(dim, "k").groupBy(col("seg"))
+      .agg(sum(col("amount")).as("amt"), count(lit(1)).as("n"))
+      .orderBy("seg")
+    try {
+      // batch 0 (f0) commits v0 — the query must be MV-served NOW, while
+      // the stream is still running
+      q.processAllAvailable()
+      val p0 = serve().queryExecution.executedPlan.toString
+      assert(p0.contains("state/v0") && !p0.contains("factdir"),
+        s"between batches the aggregate must serve from v0:\n$p0")
+      assert(serve().collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSeq == Seq(("x", 10L, 1L), ("y", 20L, 1L)))
+      // a delta file lands: the refresh commits v1, registration
+      // re-points, and the same query serves the UPDATED summary — still
+      // no fact scan
+      land(Seq((1L, 5L), (3L, 7L)), "f1.parquet")
+      q.processAllAvailable()
+      val p1 = serve().queryExecution.executedPlan.toString
+      assert(p1.contains("state/v1") && !p1.contains("factdir"),
+        s"post-refresh the aggregate must serve from v1:\n$p1")
+      assert(serve().collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSeq == Seq(("x", 15L, 2L), ("y", 27L, 2L)))
+    } finally {
+      q.stop()
+      graft.plans.MvRewrite.unregister(factPath)
+    }
+  }
+
   test("sketchMaintain: per-batch sketch union, replayed batchId merges once") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.GraftFunctions.register(spark)
