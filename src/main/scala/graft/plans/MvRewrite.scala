@@ -58,13 +58,17 @@ object MvRewrite extends Rule[LogicalPlan] {
     *                  rewrite so exprIds never collide across matches)
     * @param groupCols MV grouping columns (stored under base-table names)
     * @param measures  canonical-SQL aggregate key → (rollup fn, mv column)
+    * @param bytes     measured on-disk size of the MV parquet at register
+    *                  time — the lattice-navigation cost (re-registration
+    *                  after a refresh re-measures)
     */
   final case class MvDef(
       basePath: String,
       mvPath: String,
       mvRel: LogicalRelation,
       groupCols: Set[String],
-      measures: Map[String, (String, String)])
+      measures: Map[String, (String, String)],
+      bytes: Long)
 
   /** base path → ALL registered summary tables over that base. Real OLAP
     * serving layers hold several roll-ups per fact table (a lattice of
@@ -95,7 +99,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     val mvRel = spark.read.parquet(mvPath).queryExecution.analyzed.collectFirst {
       case lr: LogicalRelation => lr
     }.getOrElse(throw new IllegalStateException(s"$mvPath is not a file relation"))
-    val defn = MvDef(basePath, mvPath, mvRel, groupCols.toSet, measures)
+    val defn = MvDef(basePath, mvPath, mvRel, groupCols.toSet, measures,
+      graft.sources.Sinks.dirBytes(spark, mvPath))
     registry.compute(basePath, (_, prev) =>
       Option(prev).getOrElse(Vector.empty).filterNot(_.mvPath == mvPath) :+ defn)
     if (!spark.experimental.extraOptimizations.contains(MvRewrite))
@@ -152,12 +157,14 @@ object MvRewrite extends Rule[LogicalPlan] {
       case Some((lr, filters)) =>
         val defs =
           pathOf(lr).flatMap(p => Option(registry.get(p))).getOrElse(return None)
-        // Navigate the summary lattice: fewest grouping columns = most
-        // aggregated = smallest table, so try candidates coarsest-first and
-        // take the first that can answer (a coarser MV that matches always
-        // dominates a finer one — both re-aggregate exactly, the coarser
-        // scans fewer rows).
-        defs.sortBy(_.groupCols.size)
+        // Navigate the summary lattice by MEASURED bytes, not grouping
+        // arity: fewer grouping columns usually means fewer rows, but a
+        // coarse MV carrying many wide measure columns can out-weigh a
+        // finer-but-narrower one — and every candidate that can answer
+        // re-aggregates exactly, so the only cost difference is the scan.
+        // Bytes are measured once at register time (ties: coarsest first,
+        // then path, for determinism).
+        defs.sortBy(mv => (mv.bytes, mv.groupCols.size, mv.mvPath))
           .iterator
           .map(mv => rewriteWith(mv, groupings, aggExprs, filters))
           .collectFirst { case Some(plan) => plan }
@@ -241,7 +248,8 @@ object MvRewrite extends Rule[LogicalPlan] {
         return None
     }
     val factFilters = scanFilters ++ factConjs.toSeq
-    defs.sortBy(_.groupCols.size).iterator
+    // same measured-bytes lattice navigation as the scan path
+    defs.sortBy(mv => (mv.bytes, mv.groupCols.size, mv.mvPath)).iterator
       .map { mv =>
         if (!factKeys.forall(k => mv.groupCols(k.name))) None
         else if (!factFilters.forall(

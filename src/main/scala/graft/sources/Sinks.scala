@@ -186,6 +186,16 @@ object Sinks {
 
   // ---- small-file compaction --------------------------------------------
 
+  /** Total data bytes under `path`, any layout (flat or partitioned) —
+    * the MEASURED size cost-based readers rank alternatives by (e.g.
+    * [[graft.plans.MvRewrite]]'s summary-lattice navigation). Metadata-only
+    * (one recursive LIST), like [[fileStats]]. */
+  def dirBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }
+
   /** Per-partition-directory (fileCount, totalBytes) of a Hive-layout
     * parquet path — the compaction decision input and the test assertion
     * surface. Listing is metadata-only (no file is opened); at object-store

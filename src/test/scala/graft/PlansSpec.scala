@@ -340,6 +340,56 @@ class PlansSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("MV lattice navigation is by MEASURED bytes: a finer-but-smaller MV beats a coarse-but-wide one") {
+    import org.apache.spark.sql.functions.{concat, concat_ws, max, md5, sequence, sum => fsum, transform => ftransform}
+    val dir = java.nio.file.Files.createTempDirectory("mvcost")
+    val factPath = dir.resolve("fact").toString
+    // fact: g2 refines g1; bigstr is ~64 KB of incompressible hex per row
+    spark.range(0, 2000)
+      .select(col("id"), (col("id") % 4).as("g1"), (col("id") % 500).as("g2"),
+        col("id").as("v"),
+        concat_ws("", ftransform(sequence(lit(1), lit(2000)),
+          i => md5(concat(col("id").cast("string"), i.cast("string")))))
+          .as("bigstr"))
+      .write.mode("overwrite").parquet(factPath)
+    val fact = spark.read.parquet(factPath)
+    // COARSE MV: 4 rows, but drags a max(bigstr) measure — byte-heavy
+    val coarsePath = dir.resolve("mv_coarse").toString
+    def coarseDef = fact.groupBy(col("g1"))
+      .agg(fsum(col("v")).as("mv_sum"), max(col("bigstr")).as("mv_big"))
+    coarseDef.write.mode("overwrite").parquet(coarsePath)
+    // FINE MV: 500 (g1, g2) rows, narrow — byte-light
+    val finePath = dir.resolve("mv_fine").toString
+    def fineDef = fact.groupBy(col("g1"), col("g2"))
+      .agg(fsum(col("v")).as("mv_sum"))
+    fineDef.write.mode("overwrite").parquet(finePath)
+    assert(graft.sources.Sinks.dirBytes(spark, coarsePath) >
+      graft.sources.Sinks.dirBytes(spark, finePath),
+      "test setup: the coarse MV must be byte-heavier")
+    try {
+      graft.plans.MvRewrite.register(spark, factPath, coarseDef, coarsePath,
+        Seq("g1"), Map("mv_sum" -> "sum", "mv_big" -> "max"))
+      graft.plans.MvRewrite.register(spark, factPath, fineDef, finePath,
+        Seq("g1", "g2"), Map("mv_sum" -> "sum"))
+      def q = fact.groupBy(col("g1")).agg(fsum(col("v")).as("sv")).orderBy("g1")
+      val p = q.queryExecution.executedPlan.toString
+      // coarsest-first would pick mv_coarse; measured bytes must pick
+      // mv_fine (both answer exactly — only the scan cost differs)
+      assert(p.contains("mv_fine"),
+        s"byte-ordered navigation must choose the smaller fine MV:\n$p")
+      assert(!p.contains("mv_coarse") && !p.contains("fact"),
+        s"neither the wide MV nor the fact may be scanned:\n$p")
+      // exactness: rule-stripped control returns identical rows
+      val served = q.collect().toSeq
+      val saved = spark.experimental.extraOptimizations
+      try {
+        spark.experimental.extraOptimizations =
+          saved.filterNot(_ == graft.plans.MvRewrite)
+        assert(q.collect().toSeq == served)
+      } finally spark.experimental.extraOptimizations = saved
+    } finally graft.plans.MvRewrite.unregister(factPath)
+  }
+
   test("MV join-back on a BUSHY source: greedy dim ordering, no cartesian") {
     // fact ⋈ (dimA ⋈ dimB) with the fact key into dimB: flatten order puts
     // nation (dimA) before customer (dimB), so a flatten-order rebuild
