@@ -49,6 +49,7 @@ object SparkEntry {
       "q104_mv_joinback", // per-custkey orders MV write + registration
       "q105_mv_snowflake", // same MV, snowflake join-back
       "q93_partitioned_scan", // one-time dt-partitioned events layout write
+      "q106_aqe_skew_join", // one-time skew-split execution → parquet
       "d33_zorder_scan", // one-time Z-order layout write
       "q95_compacted_scan", // fragmented-ingest write + one-time compaction
       "s02_stream_ingest",

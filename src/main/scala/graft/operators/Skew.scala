@@ -6,18 +6,72 @@ import org.apache.spark.sql.functions._
 /** Skew-mitigation utilities for hot keys at cluster scale.
   *
   * AQE's skew-join splitting handles most cases at runtime
-  * (`spark.sql.adaptive.skewJoin.enabled`); these helpers cover the two
-  * patterns AQE can't fix:
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default — see
+  * [[withSkewJoinSplit]] and the q106 row for the split actually firing);
+  * these helpers cover the patterns AQE can't fix:
   *
   *  - [[saltedAggregate]]: a two-phase aggregate for heavily-skewed GROUP BY
   *    keys — phase 1 aggregates (key, salt) partials across `buckets`
   *    reducers, phase 2 merges per key. Works for any algebraic aggregate
   *    (sum/count/min/max) expressed as (partial, merge) column pairs.
+  *    (AQE's skew handling is JOIN-only: a skewed aggregate never splits.)
   *  - [[saltedJoin]]: fact⋈dim equi-join where a handful of fact keys
   *    dominate — fact side gets a random salt in [0, buckets), dim side is
   *    exploded ×buckets, so one hot key spreads over `buckets` tasks.
+  *
+  * == When AQE's split is enough, and when to salt (the 100 TB decision) ==
+  *
+  * AQE splits a skewed reduce partition into chunks of whole MAP outputs
+  * and replicates the other side's matching partition — zero code change,
+  * correct for inner/outer joins, and the right default. It does NOT help
+  * when:
+  *  - the skewed partition's bytes come from FEW map tasks (split
+  *    granularity is one mapper's output — a single upstream file/stage
+  *    writing the hot key leaves nothing to split; real 100 TB tables have
+  *    thousands of mappers, so this bites mostly in funnels after a
+  *    coalesce(1)-shaped stage);
+  *  - the join sits under an operator that REQUIRES the join's hash
+  *    partitioning (e.g. a same-key aggregate directly above): splitting
+  *    would break co-partitioning, so AQE declines unless
+  *    `spark.sql.adaptive.forceOptimizeSkewedJoin` accepts the extra
+  *    shuffle — salting keeps the one-shuffle shape instead;
+  *  - the hot side feeds a skewed AGGREGATE, not a join
+  *    ([[saltedAggregate]]'s case).
+  * Pattern caveat (PlansSpec-pinned): the rule matches Sort directly over
+  * the shuffle stage, so a dim side carrying its own aggregate (e.g. a
+  * `distinct` between scan and join) suppresses the split — pre-materialize
+  * such dims.
   */
 object Skew {
+
+  /** Run `body` with the AQE skew-join thresholds lowered so the split
+    * fires on test-scale data (production defaults: 256 MB partition
+    * threshold, 64 MB advisory target — correct for real clusters, far
+    * above any local SF). Restores prior values afterwards. Both the
+    * detection threshold and the split target scale together: a partition
+    * is skewed if > max(threshold, 5 × median) and splits into
+    * ~advisory-sized chunks of whole map outputs. */
+  def withSkewJoinSplit[T](
+      spark: org.apache.spark.sql.SparkSession,
+      thresholdBytes: Long = 2048, advisoryBytes: Long = 1024)(body: => T): T = {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      // -1 broadcast thresholds: the split only exists for shuffle joins
+      conf.set(keys(0), "-1")
+      conf.set(keys(1), "-1")
+      conf.set(keys(2), thresholdBytes.toString)
+      conf.set(keys(3), advisoryBytes.toString)
+      body
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 
   /** Two-phase skew-safe aggregation.
     * `partials`: aggregates computed per (key, salt);

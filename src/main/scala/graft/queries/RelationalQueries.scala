@@ -409,6 +409,23 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // --- AQE skew-join split, the NATIVE alternative to q56's salting:
+    //     a planted hot key (80% of orders hash to k=0) joins nation under
+    //     Skew.withSkewJoinSplit (test-scale thresholds; production keeps
+    //     the 256 MB defaults). The materialized rows COME FROM the
+    //     skew-split execution, so a split that dropped/duplicated a row
+    //     flips the hash; PlansSpec asserts skew=true actually fired.
+    //     The fact repartitions upstream so the hot partition spans many
+    //     map outputs — the split granularity (Skew.scala scaladoc). ------
+    "q106_aqe_skew_join" -> ((s, d) => {
+      val p = materialize("aqeskew", d) { path =>
+        graft.operators.Skew.withSkewJoinSplit(s) {
+          aqeSkewJoinDF(s, d).write.mode("overwrite").parquet(path)
+        }
+      }
+      s.read.parquet(p).orderBy("o_orderkey")
+    }),
+
     // salted fact⋈dim join: salt spreads hot fact keys, dim replicated ×16
     "q56_skew_salted_join" -> ((s, d) => {
       graft.operators.Skew.saltedJoin(
@@ -1388,6 +1405,23 @@ object RelationalQueries {
   /** Per-custkey orders roll-up for the q104 join-back rewrite: the MV
     * keeps the JOIN KEY as a grouping column, which is what makes the
     * fact⋈dim aggregate servable — partials join back to the dim. */
+  /** The q106 planted-skew join, exposed so PlansSpec can execute it under
+    * [[graft.operators.Skew.withSkewJoinSplit]] and assert the split fired
+    * (`skew=true` on the SMJ). 80% of orders map to k=0; nation is the
+    * key-unique dim (no aggregate between its scan and the join — an agg
+    * there suppresses the rule, see Skew.scala). The upstream repartition
+    * gives the hot reduce partition many map outputs to split along. */
+  private[graft] def aqeSkewJoinDF(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.orders(s, d).select(
+        when(pmod(col("o_orderkey"), lit(25)) < lit(20), lit(0L))
+          .otherwise(pmod(col("o_orderkey"), lit(25))).as("k"),
+        col("o_orderkey"))
+      .repartition(8)
+    val dim = Tables.nation(s, d)
+      .select(col("n_nationkey").as("k"), col("n_name"))
+    fact.join(dim, "k").select(col("o_orderkey"), col("k"), col("n_name"))
+  }
+
   private def ordersMv(s: SparkSession, d: String): Unit = synchronized {
     def mvDef = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
@@ -1671,6 +1705,17 @@ object RelationalQueries {
     "q56_skew_salted_join" ->
       """SELECT o_orderkey, o_custkey, c_mktsegment
          FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    // the skew split is result-invisible: the oracle is the plain join
+    // over the same planted key
+    "q106_aqe_skew_join" ->
+      """SELECT o_orderkey,
+              CAST(CASE WHEN o_orderkey % 25 < 20 THEN 0
+                        ELSE o_orderkey % 25 END AS BIGINT) AS k,
+              n_name
+         FROM orders JOIN nation
+           ON (CASE WHEN o_orderkey % 25 < 20 THEN 0
+                    ELSE o_orderkey % 25 END) = n_nationkey
          ORDER BY o_orderkey""",
     "q63_tpch_q3" ->
       """SELECT l_orderkey,

@@ -447,6 +447,27 @@ class PlansSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("q106 (AQE skew join): the split actually fires — skew=true on the SMJ") {
+    // execute the planted-skew join under the test-scale thresholds and
+    // read the FINAL adaptive plan: the hot partition must be detected
+    // and split (salting — q56 — is the fallback for the cases the rule
+    // declines; Skew.scala scaladoc enumerates them)
+    val df = graft.queries.RelationalQueries.aqeSkewJoinDF(spark, sf)
+    val p = graft.operators.Skew.withSkewJoinSplit(spark) {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(p.contains("SortMergeJoin(skew=true)"),
+      s"AQE skew-join split did not fire:\n$p")
+    assert(p.contains("skewed"),
+      s"expected a skewed AQEShuffleRead on the hot side:\n$p")
+    // and the row's materialized output equals the un-split plain join
+    val viaRow = SparkEntry.queries("q106_aqe_skew_join")(spark, sf)
+      .collect().toSeq
+    val plain = df.orderBy("o_orderkey").collect().toSeq
+    assert(viaRow == plain, "skew split must be result-invisible")
+  }
+
   test("q93 (dt-partitioned events): planning-time partition pruning") {
     val p = plan("q93_partitioned_scan")
     assert(p.contains("PartitionFilters: [isnotnull(dt") ||
