@@ -911,6 +911,28 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("rvec"),
         sqrt(dotD(col("rvec"), col("rvec"))).as("rnorm"))
 
+  /** Incrementally maintain a persisted [[jlBuildIndex]] table under
+    * [[IncrementalAgg.refreshOnceWith]]'s exactly-once versioned commits:
+    * each batch encodes ONLY its own rows (the projection is row-local, so
+    * a delta's index rows are bit-identical to what a full rebuild would
+    * compute for them) and appends them to the committed index — vector
+    * ids are append-only, so the merge is a bag union, no keyed join. A
+    * replayed batchId is a no-op; after any batching the committed index
+    * EQUALS [[jlBuildIndex]] over everything ingested (the e18 gate
+    * proves it row-for-row). At 100 TB the refresh cost is
+    * O(delta encode + index rewrite) on the NARROW index table
+    * (targetDim/sourceDim of corpus bytes); an object-store deployment
+    * would append a file per batch instead of rewriting — the versioned
+    * dir here buys atomic serve-while-refresh, which is what
+    * [[jlTopKFromIndex]] needs to keep serving between commits. */
+  def jlExtendIndex(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      delta: DataFrame, idCol: String, vecCol: String, batchId: Long,
+      sourceDim: Int = 64, targetDim: Int = 16): Unit =
+    graft.operators.IncrementalAgg.refreshOnceWith(spark, statePath,
+      jlBuildIndex(delta, idCol, vecCol, sourceDim, targetDim), batchId,
+      (st, dl) => st.unionByName(dl))
+
   def jlTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       k: Int, shortlist: Int,

@@ -923,6 +923,59 @@ object TextQueries {
             count(col("in_bf"))) >= 0.5).as("recall_ge_050"))
     }),
 
+    // --- e18: INCREMENTAL ANN index maintenance — the d30 pattern applied
+    //     to the e17 JL tier-1 index. A corpus delta appends; only the NEW
+    //     rows encode (the projection is row-local) and union into the
+    //     committed index under IncrementalAgg's exactly-once versioned
+    //     commits (a replayed batchId is a deliberate no-op, exercised
+    //     in-row). Gates: (a) the two-snapshot index EQUALS the full
+    //     rebuild row-for-row — the d30 equivalence-proof shape; (b) the
+    //     e17 recall gate, served from the INCREMENTAL index, holds the
+    //     same 0.5 floor. Constant-row oracle like every recall row. ------
+    "e18_jl_incremental" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val statePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_jlinc_${Integer.toHexString(d.hashCode)}").toString
+      val sp = new org.apache.hadoop.fs.Path(statePath)
+      val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(sp)) fs.delete(sp, true)
+      val cut = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) * 3 / 5
+      Similarity.jlExtendIndex(s, statePath,
+        emb.filter(col("vec_id") <= cut), "vec_id", "embedding", batchId = 0L)
+      Similarity.jlExtendIndex(s, statePath,
+        emb.filter(col("vec_id") > cut), "vec_id", "embedding", batchId = 1L)
+      // at-least-once replay of the last batch: must merge NOTHING
+      Similarity.jlExtendIndex(s, statePath,
+        emb.filter(col("vec_id") > cut), "vec_id", "embedding", batchId = 1L)
+      val idx = graft.operators.IncrementalAgg.readState(s, statePath)
+      // (a) incremental index ≡ full rebuild, row-for-row (null-safe
+      // equality over the full outer join catches missing/extra/changed)
+      val rebuilt = Similarity.jlBuildIndex(emb, "vec_id", "embedding")
+      val eq = idx
+        .select(col("neighbor_id"), col("rvec").as("rv_i"),
+          col("rnorm").as("rn_i"))
+        .join(rebuilt.select(col("neighbor_id"), col("rvec").as("rv_r"),
+          col("rnorm").as("rn_r")), Seq("neighbor_id"), "full_outer")
+        .agg(bool_and(col("rv_i") <=> col("rv_r") &&
+          col("rn_i") <=> col("rn_r")).as("index_equals_rebuild"))
+      // (b) e17's recall gate served from the INCREMENTAL index
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val shortlist = math.max(100, (emb.count() / 5).toInt)
+      val jl = Similarity.jlTopKFromIndex(idx, emb, probes,
+          "vec_id", "embedding", k = 5, shortlist = shortlist)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_jl"))
+      val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+          k = 5)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+      jl.join(bf, Seq("probe_id", "neighbor_id"), "full_outer")
+        .agg(
+          (sum(col("in_jl")) === count(col("in_bf"))).as("complete"),
+          ((count(when(col("in_jl") === 1 && col("in_bf") === 1, 1)).cast("double") /
+            count(col("in_bf"))) >= 0.5).as("recall_ge_050"))
+        .crossJoin(eq)
+    }),
+
     "e12_knn_label_agreement" -> ((s, d) => {
       GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
@@ -1420,6 +1473,9 @@ object TextQueries {
       """SELECT true AS complete, true AS recall_ge_060""",
     "e17_jl_recall" ->
       """SELECT true AS complete, true AS recall_ge_050""",
+    "e18_jl_incremental" ->
+      """SELECT true AS complete, true AS recall_ge_050,
+                true AS index_equals_rebuild""",
     "e13_int8_recall" ->
       """SELECT true AS complete, true AS recall_ge_080""",
     "e08_pq_recall" ->

@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   * query's progress metrics. This turns the RocksDB-vs-heap deployment
   * guidance into a measured table (PLANS.md).
   *
-  * Usage: scripts/run_main.sh graft.tools.StateProbe [heap|rocksdb] [sessions|tws|fulljoin]
+  * Usage: scripts/run_main.sh graft.tools.StateProbe [heap|rocksdb] [sessions|tws|fulljoin|restore]
   * (`tws` runs the s14 transformWithState counters instead — RocksDB only,
   * the API requires it. `fulljoin` probes the s16 dual-sided outer-join
   * buffer — the repo's heaviest state holder — at 1× and 100× KEYS: the
   * 100× dir tiles sf0.01's events 100-fold with offset user/event ids, so
   * the key space grows 100× while per-key behavior is unchanged; reported
-  * bytes/key should stay ~flat and wall time ~linear in rows.)
+  * bytes/key should stay ~flat and wall time ~linear in rows. `restore`
+  * measures RESTART cost at 100× keys with RocksDB changelog
+  * checkpointing on vs off — see [[restoreProbe]].)
   */
 object StateProbe {
 
@@ -42,6 +44,78 @@ object StateProbe {
     dst
   }
 
+  /** `restore` mode: the RESTART-cost lever at 100× keys — RocksDB
+    * changelog checkpointing on vs off. Build phase drains most of the
+    * 100× events through the s04 sessionization kernel across several
+    * micro-batches (checkpointed, no-op foreachBatch sink); then ONE
+    * held-out file lands and a NEW query restarts from the checkpoint —
+    * the measured wall is provider init + state restore (load the last
+    * snapshot, replay changelogs if enabled) + one small batch, identical
+    * input either way. With changelog checkpointing OFF every commit
+    * uploads a full RocksDB snapshot (restore = load it); ON, commits
+    * write cheap per-batch changelogs against periodic snapshots
+    * (restore = snapshot + replay) — the trade a 100 TB deployment tunes
+    * with `minDeltasForSnapshot`. */
+  private def restoreProbe(spark: SparkSession): Unit = {
+    val d = ensure100x(spark)
+    // list the 100x events part files once; hold out the lexicographically
+    // last for the post-restart batch
+    val src = new java.io.File(s"$d/events.parquet")
+    val parts = src.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(parts.length >= 2, s"need >=2 part files under $src")
+    val (build, heldOut) = (parts.init, parts.last)
+    def measure(changelog: Boolean): (Double, Double) = {
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        changelog.toString)
+      val probeDir = java.nio.file.Files.createTempDirectory("restoreprobe")
+      val srcDir = probeDir.resolve("in").toString
+      new java.io.File(srcDir).mkdirs()
+      val ckpt = probeDir.resolve("ckpt").toString
+      build.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(srcDir, f"part_$i%03d.parquet"))
+      }
+      def run(): Double = {
+        // the s16 full-join kernel: watermark-managed dual-sided buffer —
+        // the repo's heaviest state, and robust to the arbitrary
+        // event-time order of per-file batches (late rows drop at the
+        // watermark; a timeout-setting kernel would throw instead)
+        val raw = StreamQueries.eventsStreamOver(spark, d, srcDir,
+          Map("maxFilesPerTrigger" -> math.max(1, build.length / 6).toString))
+        val out = EventStreams.clickViewFullJoin(raw,
+          lookback = "30 minutes", watermark = "1 hour")
+        val t0 = System.nanoTime()
+        val q = out.writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            // must CONSUME every partition or the state stores never
+            // commit (STATE_STORE_COMMIT_VALIDATION_FAILED)
+            b.count(); ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val buildWall = run()
+      java.nio.file.Files.copy(heldOut.toPath,
+        java.nio.file.Paths.get(srcDir, "part_zzz_late.parquet"))
+      val restoreWall = run()
+      (buildWall, restoreWall)
+    }
+    // one full warmup sequence first — the initial streaming run in a
+    // fresh JVM pays ~5 s of codegen/classloading that would otherwise
+    // masquerade as a changelog-mode difference (measured both orders)
+    measure(changelog = true)
+    for (changelog <- Seq(false, true)) {
+      val (buildWall, restoreWall) = measure(changelog)
+      println(f"[restore] changelog=$changelog%-5s buildWall=$buildWall%7.2f s " +
+        f"restartWall=$restoreWall%6.2f s (restore + 1 small batch)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val provider = args.headOption.getOrElse("heap")
     val kernel = args.drop(1).headOption.getOrElse("sessions")
@@ -55,6 +129,10 @@ object StateProbe {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (kernel == "restore") {
+      require(provider == "rocksdb", "restore mode compares RocksDB modes")
+      restoreProbe(spark); spark.stop(); return
+    }
     import spark.implicits._
     val dirs =
       if (kernel == "fulljoin")
