@@ -937,6 +937,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id")))
   }
 
+  test("jlExtendIndex: batched index == rebuild; replayed batchId is a no-op") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val state = java.nio.file.Files.createTempDirectory("jlinc").toString + "/s"
+    val cut = emb.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+      .head.getLong(0) / 2
+    Similarity.jlExtendIndex(spark, state,
+      emb.filter(col("vec_id") <= cut), "vec_id", "embedding", batchId = 0L)
+    Similarity.jlExtendIndex(spark, state,
+      emb.filter(col("vec_id") > cut), "vec_id", "embedding", batchId = 1L)
+    val n1 = graft.operators.IncrementalAgg.readState(spark, state).count()
+    // replay: nothing merges
+    Similarity.jlExtendIndex(spark, state,
+      emb.filter(col("vec_id") > cut), "vec_id", "embedding", batchId = 1L)
+    assert(graft.operators.IncrementalAgg.readState(spark, state).count() == n1)
+    // row-for-row equality with the one-shot build (projection row-local)
+    val idx = graft.operators.IncrementalAgg.readState(spark, state)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val rebuilt = Similarity.jlBuildIndex(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(idx == rebuilt)
+    graft.operators.IncrementalAgg.reset(spark, state)
+  }
+
   test("pqEncode: a gapped external codebook fails loudly, not silently") {
     // the row-local argmin kernel emits the sorted-array INDEX as the
     // code, so contiguity (sub_ids 0..m-1, codes 0..ksub-1) is a hard
