@@ -31,6 +31,33 @@ class FacadeSpec extends SparkTestBase {
     assert(viaSql.schema.fieldNames.toSeq == dsl.schema.fieldNames.toSeq)
   }
 
+  test("explainSpear: reference section headers over Spark's four stages (golden)") {
+    val df = context.lift(Seq(Person("alice", 30), Person("bob", 40)))
+      .select('name)
+    // golden text modulo volatile ids: expr ids (#12) and plan ids vary
+    // per session, everything else must render exactly
+    def norm(s: String): String = s
+      .replaceAll("#\\d+", "#N").replaceAll("plan_id=\\d+", "plan_id=N")
+    val got = norm(df.explanationSpear(extended = true))
+    val headers = Seq("══ Parsed logical plan ══", "══ Analyzed logical plan ══",
+      "══ Optimized logical plan ══", "══ Physical plan ══")
+    // all four sections present, in order
+    val idxs = headers.map(got.indexOf)
+    assert(idxs.forall(_ >= 0) && idxs == idxs.sorted, got)
+    // each stage renders its actual plan: the parsed/analyzed stages show
+    // the projection, the optimized stage the pruned LocalRelation, the
+    // physical stage the executed LocalTableScan
+    val sections = got.split("══ [A-Za-z ]+ ══\n").filter(_.nonEmpty)
+    assert(sections.length == 4, got)
+    assert(sections(0).contains("'Project") || sections(0).contains("Project [name#N]"), got)
+    assert(sections(1).startsWith("Project [name#N]"), got)
+    assert(sections(2).startsWith("LocalRelation [name#N]"), got)
+    assert(sections(3).startsWith("LocalTableScan [name#N]"), got)
+    // the short form is the physical section alone
+    assert(norm(df.explanationSpear(extended = false)) ==
+      "══ Physical plan ══\n" + sections(3))
+  }
+
   test("identifier case sensitivity: delimited identifiers are per-identifier sensitive") {
     // Reference semantics (Name.scala:14-23, IdentifierParser.scala:50-62):
     // unquoted identifiers are case-insensitive, delimited ones
