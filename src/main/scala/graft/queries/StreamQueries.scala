@@ -358,7 +358,25 @@ object StreamQueries {
     //     over the raw tables: a dropped/double-merged delta row or a
     //     stale registration flips the hash. ------------------------------
     "s18_stream_mv_joinback" -> ((s, d) => {
-      val factDir = mvJoinback.computeIfAbsent(d, { _ =>
+      val rollups = Map("mv_sum_price" -> "sum", "mv_cnt" -> "sum",
+        "mv_max_ok" -> "max")
+      def rollup(df: DataFrame): DataFrame = df
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .as("mv_sum_price"),
+          count(lit(1)).as("mv_cnt"),
+          max(col("o_orderkey")).as("mv_max_ok"))
+      def register(factPath: String, statePath: String): Unit = {
+        graft.plans.MvRewrite.unregister(factPath)
+        graft.operators.IncrementalAgg.latestStateDir(s, statePath)
+          .foreach { vdir =>
+            graft.plans.MvRewrite.register(s, factPath,
+              rollup(s.read.parquet(factPath)), vdir,
+              Seq("o_custkey"), rollups)
+          }
+      }
+      val memo = mvJoinback.computeIfAbsent(d, { _ =>
         val fact = tmpDir("mvfact")
         val orders = Tables.orders(s, d)
         def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
@@ -376,15 +394,6 @@ object StreamQueries {
           "orders_delta.parquet", now)
         val statePath = tmpDir("mvjbstate", create = false).toString + "/state"
         val ckpt = tmpDir("mvjbckpt")
-        val rollups = Map("mv_sum_price" -> "sum", "mv_cnt" -> "sum",
-          "mv_max_ok" -> "max")
-        def rollup(df: DataFrame): DataFrame = df
-          .groupBy(col("o_custkey"))
-          .agg(sum(col("o_totalprice")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-              .as("mv_sum_price"),
-            count(lit(1)).as("mv_cnt"),
-            max(col("o_orderkey")).as("mv_max_ok"))
         val factPath = fact.toString
         val stream = s.readStream
           .schema(s.read.parquet(factPath).schema)
@@ -393,21 +402,19 @@ object StreamQueries {
         val q = withStatePartitions(s, 8) {
           EventStreams.mvMaintain(stream, statePath, Seq("o_custkey"),
             rollup, rollups, ckpt.toString,
-            onRefresh = { _ =>
-              // re-point the serving registration at the new immutable
-              // version dir (the previous one is pruned by the commit)
-              graft.plans.MvRewrite.unregister(factPath)
-              graft.operators.IncrementalAgg.latestStateDir(s, statePath)
-                .foreach { vdir =>
-                  graft.plans.MvRewrite.register(s, factPath,
-                    rollup(s.read.parquet(factPath)), vdir,
-                    Seq("o_custkey"), rollups)
-                }
-            })
+            // re-point the serving registration at the new immutable
+            // version dir (the previous one is pruned by the commit)
+            onRefresh = _ => register(factPath, statePath))
         }
         try q.processAllAvailable() finally q.stop()
-        factPath
+        s"$factPath|$statePath"
       })
+      val Array(factDir, statePath) = memo.split('|')
+      // re-register on EVERY invocation: a registered MvDef binds a
+      // relation to the session that registered it — a later session (the
+      // shared test context is stopped and rebuilt mid-suite) must not
+      // serve a relation bound to a dead SparkContext
+      register(factDir, statePath)
       s.read.parquet(factDir)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
