@@ -1143,6 +1143,51 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d51: MODEL-BASED quality curation — the classifier-filtering
+    //     stage (FineWeb-Edu / DCLM family) the heuristic rows (d02/d11/
+    //     d39) hand-weight. Logistic regression trained on a DRIVER-SIZED
+    //     sample (one collect of the narrow (label, features) matrix —
+    //     classifier quality saturates orders of magnitude below corpus
+    //     scale; Classifier.logisticTrain keeps the fully-distributed
+    //     one-scan-per-iteration variant for larger labeled sets), then
+    //     full-corpus scoring as a pure per-row map with the weights
+    //     broadcast as literals. Ground truth is PLANTED: labels
+    //     come from a known linear rule over the quality features (split
+    //     at the exact score median, so both classes are ~balanced at
+    //     every SF) — the trained model must recover the rule with ≥95%
+    //     accuracy. Float-bearing training weights are partition-order
+    //     sensitive (Spark sum), so the gate asserts RECOVERY, not
+    //     bitwise weights — the recall-row pattern. ------------------------
+    "d51_quality_classifier" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val feats = TextAnalysis.qualityFeatures(col("text"))
+      val featCols = feats.map(_._1)
+      val withF = feats.foldLeft(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+      val lin = col("n_tokens") * 0.2 + col("stopword_ratio") * 10.0 -
+        col("punct_ratio") * 5.0
+      val med = withF.select(lin.as("lin"))
+        .agg(expr("percentile(lin, 0.5)")).head.getDouble(0)
+      // training matrix is a driver-sized sample (the driver-held-artifact
+      // pattern — see Classifier.logisticTrainCollected); scoring below is
+      // the distributed pass
+      val labeled = withF
+        .withColumn("y", (lin > med).cast("int"))
+        .drop("text")
+        .localCheckpoint()
+      val w = graft.operators.Classifier.logisticTrainCollected(
+        labeled, featCols, "y", iters = 200, learningRate = 1.0)
+      val p = graft.operators.Classifier.logisticScore(featCols, w)
+      labeled.select(col("y"), p.as("p"))
+        .agg(
+          ((sum(col("y")) > 0) && (sum(lit(1) - col("y")) > 0))
+            .as("both_classes"),
+          (avg(when((col("p") > 0.5).cast("int") === col("y"), 1.0)
+            .otherwise(0.0)) >= 0.95).as("accuracy_ge_095"))
+    }),
+
     // --- d40: corpus snapshot diff (dataset versioning) — v2 is derived
     //     deterministically from v1 (every 10th doc deleted, every 7th
     //     edited, a disjoint id band appended), then classified by digest
@@ -2363,6 +2408,9 @@ object TextQueries {
                   >= count(*) * 9 AS acc_ok
          FROM planted p JOIN pred ON p.doc_id = pred.doc_id
          GROUP BY p.lang ORDER BY p.lang""",
+
+    "d51_quality_classifier" ->
+      """SELECT true AS both_classes, true AS accuracy_ge_095""",
 
     "d39_gopher_filter" ->
       """WITH t AS (

@@ -937,6 +937,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id")))
   }
 
+  test("Classifier: logistic GD recovers a planted linear rule; scoring is row-local") {
+    import graft.operators.Classifier
+    // two features on wildly different scales (standardization must make
+    // the fixed learning rate work anyway); y = 1 iff 3*x1 - x2/100 > 1
+    val rows = (0 until 400).map { i =>
+      val x1 = (i % 20) * 0.1          // 0.0 .. 1.9
+      val x2 = ((i * 7) % 400) * 1.0   // 0 .. 399
+      (i.toLong, x1, x2, if (3 * x1 - x2 / 100.0 > 1.0) 1 else 0)
+    }
+    val df = rows.toDF("id", "x1", "x2", "y")
+    assert(rows.count(_._4 == 1) > 50 && rows.count(_._4 == 0) > 50)
+    val w = Classifier.logisticTrain(df, Seq("x1", "x2"), "y",
+      iters = 60, learningRate = 1.0)
+    // sign recovery: positive on x1, negative on x2
+    assert(w(1) > 0 && w(2) < 0, w.toSeq.toString)
+    // the collected trainer is the same algebra run locally: same signs,
+    // same separation (bitwise weights differ — float order); cap honored
+    val wc = Classifier.logisticTrainCollected(df, Seq("x1", "x2"), "y",
+      iters = 60, learningRate = 1.0)
+    assert(wc(1) > 0 && wc(2) < 0, wc.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      Classifier.logisticTrainCollected(df, Seq("x1", "x2"), "y",
+        iters = 1, maxRows = 100)
+    }
+    // separable data → near-perfect training accuracy
+    val acc = df.select(
+        avg(when((Classifier.logisticScore(Seq("x1", "x2"), w) > 0.5)
+          .cast("int") === col("y"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(acc >= 0.97, s"accuracy $acc")
+    // scoring plan: a pure per-row projection — no join, no exchange
+    val plan = df.select(Classifier.logisticScore(Seq("x1", "x2"), w).as("p"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"scoring must be a narrow map:\n$plan")
+  }
+
   test("jlExtendIndex: batched index == rebuild; replayed batchId is a no-op") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sf)
