@@ -141,6 +141,75 @@ object Sampling {
     * Scale shape: the priority is a NARROW per-row expression in the
     * scan stage; top-k plans as TakeOrderedAndProject (per-partition
     * heaps + one k-row merge), never a global sort. */
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every source
+    * document by how target-like its hashed-unigram distribution is —
+    * log w(x) = Σ_words [log p̂_T(b(w)) − log p̂_S(b(w))] under a
+    * product-of-unigrams model over `buckets` hash buckets — and keep the
+    * highest-weight slice. The practical curation move when you have a
+    * small high-quality TARGET corpus (textbooks, wiki) and a huge raw
+    * SOURCE pool.
+    *
+    * Scale shape: two bucket-count aggregates (target and source — key
+    * space = `buckets`, corpus-independent, map-side combinable), the
+    * smoothed log-ratio table collected (≤ buckets doubles — the
+    * driver-held-artifact pattern) and broadcast; per-doc scoring rides
+    * the row-local [[graft.functions.WordCounts]] histogram (per-(doc,
+    * distinct word) rows, the d48 shape), one broadcast join, one per-doc
+    * sum. Returns (idCol, dsir_score) for every source doc; selection is
+    * the caller's ORDER BY score LIMIT k (map-side top-k). Bucket hash =
+    * first 8 md5 hex digits mod buckets — engine-replicable (the d13
+    * sampling recipe), though gates use the recall-row pattern since the
+    * float log-sum is partition-order sensitive.
+    *
+    * `lengthNormalize` (default true) scores the MEAN per-token log
+    * ratio instead of the raw sum. The raw likelihood-ratio sum is
+    * length-dominated on mixed-length corpora: any systematic per-token
+    * offset between the two vocabulary distributions (even the dilution
+    * introduced by the target's own distinctive tokens) multiplies by
+    * document length and buries the distinctive-token signal — measured
+    * on the planted d52 corpus, raw-sum scores correlate −0.9995 with
+    * doc length; normalized scores rank by target affinity. */
+  def dsirScores(
+      source: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 4096, alpha: Double = 1.0,
+      lengthNormalize: Boolean = true): DataFrame = {
+    require(buckets > 0 && alpha > 0)
+    val spark = source.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.wordCountsOf
+    def bucketOf(w: Column): Column =
+      pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), lit(buckets))
+    def bucketCounts(df: DataFrame): Array[Long] = {
+      val rows = df.select(explode(wordCountsOf(col(textCol))).as("e"))
+        .groupBy(bucketOf(col("e.g")).as("b"))
+        .agg(sum(col("e.c")).as("c"))
+        .collect()
+      val arr = Array.fill(buckets)(0L)
+      rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr
+    }
+    val t = bucketCounts(target)
+    val s = bucketCounts(source)
+    val tTot = t.sum + alpha * buckets
+    val sTot = s.sum + alpha * buckets
+    // smoothed per-bucket log ratio, broadcast as ONE array literal —
+    // element_at is a codegen'd O(1) lookup per (doc, word) row
+    val logRatio: Array[Double] = Array.tabulate(buckets) { b =>
+      math.log((t(b) + alpha) / tTot) - math.log((s(b) + alpha) / sTot)
+    }
+    val perDoc = source
+      .select(col(idCol), explode(wordCountsOf(col(textCol))).as("e"))
+      .select(col(idCol), col("e.c").as("c"),
+        (col("e.c") * element_at(typedLit(logRatio),
+          (bucketOf(col("e.g")) + 1).cast("int"))).as("contrib"))
+      .groupBy(col(idCol))
+    if (lengthNormalize)
+      perDoc.agg((sum(col("contrib")) / sum(col("c"))).as("dsir_score"))
+    else
+      perDoc.agg(sum(col("contrib")).as("dsir_score"))
+  }
+
   def weightedPrioritySample(
       df: DataFrame, idCol: String, weightCol: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")

@@ -1188,6 +1188,40 @@ object TextQueries {
             .otherwise(0.0)) >= 0.95).as("accuracy_ge_095"))
     }),
 
+    // --- d52: DSIR importance-weighted data selection (Xie et al. 2023)
+    //     — "pick source docs whose hashed-unigram distribution looks
+    //     like the target corpus", the targeted-curation counterpart to
+    //     d51's supervised classifier. Planted ground truth: a small
+    //     target corpus carries an 8-token vocabulary the shared corpus
+    //     lacks; 1-in-5 source docs secretly carry the same vocabulary.
+    //     Top-k selection by DSIR score (k = the planted count) must
+    //     recover ≥95% planted docs — the recall-row gate, since the
+    //     per-doc log-weight sum is float. Scale shape: two
+    //     bucket-count aggregates + a broadcast log-ratio array literal
+    //     + the row-local word_counts histogram (d48's kernel). ------------
+    "d52_dsir_selection" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val tgtVocab = lit(" qq ww ee rr tt yy uu oo")
+      val target = docs.filter(pmod(col("doc_id"), lit(13)) === 2)
+        .select(col("doc_id"), concat(col("text"), tgtVocab).as("text"))
+      val src = docs.filter(pmod(col("doc_id"), lit(13)) =!= 2)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), tgtVocab)).otherwise(col("text")).as("text"))
+      val planted = src.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id")).withColumn("is_planted", lit(1))
+      val k = planted.count()
+      Sampling.dsirScores(src, target, "doc_id", "text")
+        .orderBy(col("dsir_score").desc, col("doc_id").asc)
+        .limit(k.toInt)
+        .join(planted, Seq("doc_id"), "left")
+        .agg(
+          (count(lit(1)) === lit(k)).as("k_selected"),
+          ((sum(coalesce(col("is_planted"), lit(0))).cast("double") / k) >=
+            0.95).as("precision_ge_095"))
+    }),
+
     // --- d40: corpus snapshot diff (dataset versioning) — v2 is derived
     //     deterministically from v1 (every 10th doc deleted, every 7th
     //     edited, a disjoint id band appended), then classified by digest
@@ -2411,6 +2445,9 @@ object TextQueries {
 
     "d51_quality_classifier" ->
       """SELECT true AS both_classes, true AS accuracy_ge_095""",
+
+    "d52_dsir_selection" ->
+      """SELECT true AS k_selected, true AS precision_ge_095""",
 
     "d39_gopher_filter" ->
       """WITH t AS (

@@ -974,6 +974,31 @@ class OperatorsSpec extends SparkTestBase {
       s"scoring must be a narrow map:\n$plan")
   }
 
+  test("dsirScores: target-affine docs outrank, length-normalized by default") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Sampling
+    val base = "the cat sat on the mat and the dog ran"
+    val target = (0 until 20)
+      .map(i => (1000L + i, s"$base zz xx vv")).toDF("doc_id", "text")
+    // source: two target-affine docs (one SHORT, one LONG) + long plain docs
+    val source = (Seq(
+      (1L, s"$base zz xx vv"),
+      (2L, (base + " ") * 20 + "zz xx vv")) ++
+      (3L to 12L).map(i => (i, (base + " ") * 20))).toDF("doc_id", "text")
+    val ranked = Sampling.dsirScores(source, target, "doc_id", "text",
+        buckets = 512)
+      .orderBy(col("dsir_score").desc, col("doc_id").asc)
+      .collect().map(_.getLong(0)).toSeq
+    // both affine docs lead regardless of their lengths
+    assert(ranked.take(2).toSet == Set(1L, 2L), ranked.toString)
+    // the un-normalized likelihood-ratio sum is length-dominated: the
+    // SHORT affine doc beats every long doc (fewer negative base tokens)
+    val raw = Sampling.dsirScores(source, target, "doc_id", "text",
+        buckets = 512, lengthNormalize = false)
+      .orderBy(col("dsir_score").desc).collect().map(_.getLong(0)).toSeq
+    assert(raw.head == 1L, raw.toString)
+  }
+
   test("jlExtendIndex: batched index == rebuild; replayed batchId is a no-op") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sf)
