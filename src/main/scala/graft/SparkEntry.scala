@@ -60,6 +60,7 @@ object SparkEntry {
       "e17_jl_recall", // one-time JL tier-1 reduced-vector index write
       "s08_stream_mv", // one-time foreachBatch MV maintenance per (JVM, sf)
       "s18_stream_mv_joinback", // one-time streamed-MV maintenance + registration
+      "s19_stream_quality_routing", // one-time streamed routing per (JVM, sf)
       "s15_stream_sketch", // one-time foreachBatch sketch maintenance
       "s17_stream_heavyhitters") // one-time foreachBatch freq-sketch state
 }

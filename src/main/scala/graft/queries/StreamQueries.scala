@@ -33,6 +33,7 @@ object StreamQueries {
   private val ingested = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val mvMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val mvJoinback = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val qualityRouted = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val sketchMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val freqMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // memory-sink temp views from prior drains: each holds a full result
@@ -426,6 +427,71 @@ object StreamQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // --- s19: STREAMING QUALITY ROUTING — the batch-trained d51
+    //     classifier served in a document stream: each micro-batch scores
+    //     row-locally (features + σ(w·x) are pure projections, weights
+    //     broadcast as literals) and routes keep/reject to two parquet
+    //     sinks via idempotent per-batch overwrite dirs
+    //     (EventStreams.routeBinary — replay rewrites the same dir, no
+    //     marker protocol). Gate: the streamed routing must EQUAL the
+    //     batch routing of the same corpus with the SAME memoized weights
+    //     (exact id-set equality — the d30/e18 equivalence shape), plus
+    //     totality and disjointness. Constant-row oracle. ------------------
+    "s19_stream_quality_routing" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val (featCols, w, _) = graft.queries.TextQueries.qualityModel(s, d)
+      def score(df: DataFrame): DataFrame = {
+        val withF = graft.operators.TextAnalysis
+          .qualityFeatures(col("text"))
+          .foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+        withF.withColumn("p",
+          graft.operators.Classifier.logisticScore(featCols, w))
+      }
+      val memo = qualityRouted.computeIfAbsent(d, { _ =>
+        val srcDir = tmpDir("qroutesrc")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        def stage(df: DataFrame, name: String): Unit = {
+          val tmp = tmpDir("qroutew")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(srcDir, name).toPath); ()
+        }
+        stage(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "docs_0.parquet")
+        stage(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "docs_1.parquet")
+        val keepDir = tmpDir("qroutekeep", create = false).toString
+        val rejDir = tmpDir("qroutere", create = false).toString
+        val ckpt = tmpDir("qrouteckpt")
+        val stream = s.readStream
+          .schema(s.read.parquet(srcDir.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+        val q = EventStreams.routeBinary(
+          score(stream).select(col("doc_id"), col("p")),
+          col("p") > 0.5, keepDir, rejDir, ckpt.toString)
+        try q.processAllAvailable() finally q.stop()
+        s"$keepDir|$rejDir"
+      })
+      val Array(keepDir, rejDir) = memo.split('|')
+      val streamedKeep = s.read.parquet(keepDir).select(col("doc_id"))
+      val streamedRej = s.read.parquet(rejDir).select(col("doc_id"))
+      val batchKeep = score(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .filter(col("p") > 0.5).select(col("doc_id"))
+      val nDocs = Tables.documents(s, d).count()
+      val overlap = streamedKeep.withColumn("in_s", lit(1))
+        .join(batchKeep.withColumn("in_b", lit(1)), Seq("doc_id"), "full_outer")
+      streamedKeep.unionAll(streamedRej)
+        .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("nd"))
+        .crossJoin(overlap.agg(
+          bool_and(col("in_s").isNotNull && col("in_b").isNotNull)
+            .as("equals_batch")))
+        .select(
+          (col("n") === lit(nDocs)).as("routed_all"),
+          (col("nd") === lit(nDocs)).as("disjoint"),
+          col("equals_batch"))
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -697,6 +763,11 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // streamed routing ≡ batch routing with the shared memoized weights —
+    // an in-row equivalence proof, so the oracle is the constant row
+    "s19_stream_quality_routing" ->
+      """SELECT true AS routed_all, true AS disjoint,
+                true AS equals_batch""",
     // streamed base∪delta files = the full orders table, and the
     // maintained MV must serve the join-back exactly — so the oracle is
     // q104's SQL over the raw tables

@@ -45,6 +45,44 @@ object TextQueries {
   private val jlIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // d51/s19 shared quality model, memoized per (JVM, sf dir): the batch
+  // gate and the streaming router must score with the SAME trained
+  // weights (float GD weights are partition-order sensitive, so sharing
+  // the artifact — not retraining — is what makes stream ≡ batch an
+  // exact-equality gate)
+  private val qualityModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[String], Array[Double])]()
+
+  /** Train (once per JVM+dir) the d51 quality classifier: labels planted
+    * from a known linear rule over the quality features, split at the
+    * exact score median. Returns (featureCols, raw-space weights,
+    * checkpointed labeled frame). */
+  private[queries] def qualityModel(
+      s: SparkSession, d: String): (Seq[String], Array[Double], DataFrame) = {
+    val feats = TextAnalysis.qualityFeatures(col("text"))
+    val featCols = feats.map(_._1)
+    val withF = feats.foldLeft(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
+    val lin = col("n_tokens") * 0.2 + col("stopword_ratio") * 10.0 -
+      col("punct_ratio") * 5.0
+    val med = withF.select(lin.as("lin"))
+      .agg(expr("percentile(lin, 0.5)")).head.getDouble(0)
+    // training matrix is a driver-sized sample (the driver-held-artifact
+    // pattern — see Classifier.logisticTrainCollected); scoring is the
+    // distributed pass
+    val labeled = withF
+      .withColumn("y", (lin > med).cast("int"))
+      .drop("text")
+      .localCheckpoint()
+    val (cols, w) = qualityModels.computeIfAbsent(d, { _ =>
+      (featCols, graft.operators.Classifier.logisticTrainCollected(
+        labeled, featCols, "y", iters = 200, learningRate = 1.0))
+    })
+    (cols, w, labeled)
+  }
+
   private def indexTmpDir(tag: String): java.io.File = {
     val f = java.nio.file.Files.createTempDirectory(s"graft_index_$tag").toFile
     sys.addShutdownHook {
@@ -1160,25 +1198,7 @@ object TextQueries {
     //     bitwise weights — the recall-row pattern. ------------------------
     "d51_quality_classifier" -> ((s, d) => {
       GraftFunctions.register(s)
-      val feats = TextAnalysis.qualityFeatures(col("text"))
-      val featCols = feats.map(_._1)
-      val withF = feats.foldLeft(
-        Tables.documents(s, d).select(col("doc_id"), col("text"))) {
-        case (df, (name, c)) => df.withColumn(name, c)
-      }
-      val lin = col("n_tokens") * 0.2 + col("stopword_ratio") * 10.0 -
-        col("punct_ratio") * 5.0
-      val med = withF.select(lin.as("lin"))
-        .agg(expr("percentile(lin, 0.5)")).head.getDouble(0)
-      // training matrix is a driver-sized sample (the driver-held-artifact
-      // pattern — see Classifier.logisticTrainCollected); scoring below is
-      // the distributed pass
-      val labeled = withF
-        .withColumn("y", (lin > med).cast("int"))
-        .drop("text")
-        .localCheckpoint()
-      val w = graft.operators.Classifier.logisticTrainCollected(
-        labeled, featCols, "y", iters = 200, learningRate = 1.0)
+      val (featCols, w, labeled) = qualityModel(s, d)
       val p = graft.operators.Classifier.logisticScore(featCols, w)
       labeled.select(col("y"), p.as("p"))
         .agg(

@@ -405,6 +405,33 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming BINARY ROUTING: every micro-batch row goes to exactly one
+    * of two parquet sinks by a row-local predicate — the
+    * curation-pipeline shape where a batch-trained model (d51 weights, a
+    * bloom, a rule set) scores a document stream and routes keep/reject.
+    * The batch materializes ONCE (localCheckpoint) so the two filtered
+    * writes don't recompute the source; each write lands in a
+    * `batch=<id>` subdir with overwrite, so an at-least-once replay
+    * rewrites the same directory — idempotent without any marker
+    * protocol, and a crash mid-batch leaves a partial dir the replay
+    * overwrites. Readers see `keepDir`/`rejectDir` as ordinary
+    * batch-partitioned parquet tables. */
+  def routeBinary(
+      stream: DataFrame, keep: org.apache.spark.sql.Column,
+      keepDir: String, rejectDir: String, checkpoint: String) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.withColumn("__keep", keep).localCheckpoint()
+        b.filter(col("__keep")).drop("__keep")
+          .write.mode("overwrite").parquet(s"$keepDir/batch=$batchId")
+        b.filter(!col("__keep")).drop("__keep")
+          .write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Streaming KLL-sketch maintenance: each micro-batch's per-key quantile
     * sketches are unioned into a persisted sketch table
     * ([[graft.operators.IncrementalAgg.sketchRefresh]]), so the online
