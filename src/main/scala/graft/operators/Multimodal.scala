@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
@@ -70,6 +70,23 @@ object Multimodal {
     }
     out
   }
+
+  /** 64-bit perceptual hash of a decoded feature vector: bit i = sign of
+    * feature i — the DCT-sign construction real pHash uses, here over the
+    * stub decode (the Spark-side plumbing is real; the codec is the
+    * documented stub). Identical payloads give identical hashes;
+    * independent payloads' stub features carry ~iid signs, so unrelated
+    * assets sit ~32±4 bits apart — far outside any banded search radius.
+    * Folded MSB-first (shift-and-or — bitwise, so the top bit lands in
+    * the sign without tripping ANSI overflow) — no variable shift
+    * needed, stable 64-bit key. */
+  def perceptualHash64(features: Column): Column =
+    aggregate(
+      sequence(lit(63), lit(0), lit(-1)),
+      lit(0L),
+      (acc, i) => shiftleft(acc, 1).bitwiseOR(
+        when(element_at(features, (i + 1).cast("int")) > 0f, 1L)
+          .otherwise(0L)))
 
   /** Decode + feature-extract, partition-local with batch shape:
     * the Scala analogue of `mapInPandas` — each partition is processed as a

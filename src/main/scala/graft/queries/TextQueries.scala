@@ -802,6 +802,34 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- m05: perceptual-hash media dedup — the PRODUCTION image-dedup
+    //     path (pHash + banded Hamming search), complementing m03's
+    //     embedding-cosine path: payload → stub-decoded features → 64-bit
+    //     sign hash (the DCT-sign construction) → the d07 4-block
+    //     pigeonhole banding, so any pair within Hamming ≤ 3 collides in
+    //     ≥1 bucket — one shuffle, no O(n²). Same planted clones and
+    //     content-address header as m03, same sharp oracle: identical
+    //     text ⇒ identical payload ⇒ identical pHash (Hamming 0, found in
+    //     every band); independent payloads sit ~32±4 bits apart, so the
+    //     pair set == the identical-text pair set, plain SQL. --------------
+    "m05_phash_neardup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(pmod(col("doc_id"), lit(40)) === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val addressed = corpus.select(col("doc_id"),
+        concat(md5(col("text")), col("text")).as("text"))
+      val sig = Multimodal.extractFeatures(
+          Multimodal.assetsFromDocuments(addressed))
+        .toDF()
+        .select(col("asset_id").as("doc_id"),
+          Multimodal.perceptualHash64(col("features")).as("sh"))
+      Dedup.simhashNearDupsFromSig(sig, maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- m04: content-defined chunking (CDC) blob dedup accounting —
     //     rsync/restic/LBFS-style chunk-addressed storage. Boundaries fall
     //     at content anchors (md5-of-token prefix), so an insertion
@@ -2093,6 +2121,18 @@ object TextQueries {
                                    ELSE 1 END AS INT) AS sampled_frames,
                 count(*) AS n
          FROM a GROUP BY 1, 2 ORDER BY modality, sampled_frames""",
+
+    // identical construction to m03's: identical text ⇒ identical pHash;
+    // independent stub features ⇒ ~32-bit distances, never ≤ 3
+    "m05_phash_neardup" ->
+      """WITH c AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 40 = 7)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM c a JOIN c b ON a.doc_id < b.doc_id AND a.text = b.text
+         ORDER BY id_a, id_b""",
 
     "m03_media_neardup" ->
       """WITH c AS (

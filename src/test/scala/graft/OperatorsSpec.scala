@@ -974,6 +974,33 @@ class OperatorsSpec extends SparkTestBase {
       s"scoring must be a narrow map:\n$plan")
   }
 
+  test("perceptualHash64: sign bits MSB-first; clones collide, strangers far apart") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Multimodal
+    // known vector: bit i = sign of feature i, folded MSB-first
+    val f = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val expected = (63 to 0 by -1).foldLeft(0L) { (acc, i) =>
+      (acc << 1) | (if (i % 3 == 0) 1L else 0L)
+    }
+    val got = Seq(Tuple1(f)).toDF("features")
+      .select(Multimodal.perceptualHash64(col("features"))).head.getLong(0)
+    assert(got == expected, f"got=$got%x expected=$expected%x")
+    // corpus-level: identical texts → Hamming 0; distinct texts ~32 bits
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .limit(50)
+    val sig = Multimodal.extractFeatures(Multimodal.assetsFromDocuments(
+        docs.select(col("doc_id"), concat(md5(col("text")), col("text")).as("text"))))
+      .toDF().select(col("asset_id"),
+        Multimodal.perceptualHash64(col("features")).as("sh"))
+    val dists = sig.as("a").crossJoin(sig.as("b"))
+      .filter(col("a.asset_id") < col("b.asset_id"))
+      .select(graft.functions.GraftFunctions
+        .hamming64(col("a.sh"), col("b.sh")).as("h"))
+      .agg(min("h"), avg("h")).head
+    assert(dists.getInt(0) > 10, s"distinct docs too close: ${dists.getInt(0)}")
+    assert(math.abs(dists.getDouble(1) - 32.0) < 8.0)
+  }
+
   test("dsirScores: target-affine docs outrank, length-normalized by default") {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.Sampling
