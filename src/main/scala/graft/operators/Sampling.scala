@@ -210,6 +210,44 @@ object Sampling {
       perDoc.agg(sum(col("contrib")).as("dsir_score"))
   }
 
+  /** CCNet-style perplexity filtering score: per-doc cross-entropy under
+    * a hashed-unigram language model of the corpus itself — −mean
+    * log p̂(bucket(w)) per token. CCNet ranks Common-Crawl docs by LM
+    * perplexity and drops the worst tail (gibberish, boilerplate,
+    * non-language bytes); a product-of-unigrams model over hash buckets
+    * is the engine-friendly degenerate case with the identical serving
+    * shape to a real KenLM pass (per-doc mean token logprob). Same
+    * machinery as [[dsirScores]]: ONE bucket-count aggregate
+    * (corpus-independent key space), the smoothed logprob table broadcast
+    * as an array literal, per-doc scores over the row-local word
+    * histogram with one per-doc sum. Higher = more surprising = worse.
+    * Gates use the recall-row pattern (float log means). */
+  def unigramCrossEntropy(
+      docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0 && alpha > 0)
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.wordCountsOf
+    def bucketOf(w: Column): Column =
+      pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), lit(buckets))
+    val rows = docs.select(explode(wordCountsOf(col(textCol))).as("e"))
+      .groupBy(bucketOf(col("e.g")).as("b"))
+      .agg(sum(col("e.c")).as("c"))
+      .collect()
+    val cnt = Array.fill(buckets)(0L)
+    rows.foreach(r => cnt(r.getLong(0).toInt) = r.getLong(1))
+    val tot = cnt.sum + alpha * buckets
+    val negLogP: Array[Double] =
+      Array.tabulate(buckets)(b => -math.log((cnt(b) + alpha) / tot))
+    docs.select(col(idCol), explode(wordCountsOf(col(textCol))).as("e"))
+      .select(col(idCol), col("e.c").as("c"),
+        (col("e.c") * element_at(typedLit(negLogP),
+          (bucketOf(col("e.g")) + 1).cast("int"))).as("contrib"))
+      .groupBy(col(idCol))
+      .agg((sum(col("contrib")) / sum(col("c"))).as("cross_entropy"))
+  }
+
   def weightedPrioritySample(
       df: DataFrame, idCol: String, weightCol: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")

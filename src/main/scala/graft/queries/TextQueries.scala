@@ -1270,6 +1270,33 @@ object TextQueries {
             0.95).as("precision_ge_095"))
     }),
 
+    // --- d53: perplexity filtering (CCNet) — rank docs by cross-entropy
+    //     under a hashed-unigram LM of the corpus itself and drop the
+    //     most-surprising tail. Planted ground truth: 1-in-9 docs are
+    //     REPLACED by doc-unique gibberish (every token OOV → near-empty
+    //     buckets → ~−log(α/total) per token); top-k by cross-entropy
+    //     must recover ≥95% of them. Recall-row gate (float log means);
+    //     same broadcast-LM + row-local-histogram shape as d52. ------------
+    "d53_perplexity_filter" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(9)) === 4,
+          concat_ws(" ", (0 until 12).map(i =>
+            concat(lit(s"zzq${i}x"), col("doc_id"))): _*))
+          .otherwise(col("text")).as("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id")).withColumn("is_planted", lit(1))
+      val k = planted.count()
+      Sampling.unigramCrossEntropy(docs, "doc_id", "text")
+        .orderBy(col("cross_entropy").desc, col("doc_id").asc)
+        .limit(k.toInt)
+        .join(planted, Seq("doc_id"), "left")
+        .agg(
+          (count(lit(1)) === lit(k)).as("k_selected"),
+          ((sum(coalesce(col("is_planted"), lit(0))).cast("double") / k) >=
+            0.95).as("recall_ge_095"))
+    }),
+
     // --- d40: corpus snapshot diff (dataset versioning) — v2 is derived
     //     deterministically from v1 (every 10th doc deleted, every 7th
     //     edited, a disjoint id band appended), then classified by digest
@@ -2508,6 +2535,9 @@ object TextQueries {
 
     "d52_dsir_selection" ->
       """SELECT true AS k_selected, true AS precision_ge_095""",
+
+    "d53_perplexity_filter" ->
+      """SELECT true AS k_selected, true AS recall_ge_095""",
 
     "d39_gopher_filter" ->
       """WITH t AS (

@@ -1001,6 +1001,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(dists.getDouble(1) - 32.0) < 8.0)
   }
 
+  test("unigramCrossEntropy: gibberish surprises, common text does not") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Sampling
+    val base = "the cat sat on the mat and the dog ran"
+    val docs = ((1L to 10L).map(i => (i, base)) :+
+      (99L, "qqz1 qqz2 qqz3 qqz4 qqz5")).toDF("doc_id", "text")
+    val scored = Sampling.unigramCrossEntropy(docs, "doc_id", "text",
+        buckets = 512)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // the OOV doc is strictly more surprising than every common doc
+    val gib = scored(99L)
+    assert((1L to 10L).forall(i => scored(i) < gib), scored.toString)
+    // and by a wide margin: near-empty buckets cost ~ -log(alpha/total)
+    assert(gib > scored(1L) + 1.0)
+  }
+
   test("dsirScores: target-affine docs outrank, length-normalized by default") {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.Sampling
