@@ -52,6 +52,7 @@ object GraftFunctions {
     "char_ngram_counts" -> (es =>
       CharNGramCounts(es(0), intLit(es(1), "char_ngram_counts.n"))),
     "word_counts" -> (es => WordCounts(es.head)),
+    "value_counts" -> (es => ValueCounts(es.head)),
     "dot_i8" -> (es => DotProductI8(es(0), es(1))),
     "normsq_i8" -> (es => NormSqI8(es.head)),
     "hamming64" -> (es => Hamming64(es(0), es(1))),
@@ -138,6 +139,7 @@ object GraftFunctions {
   def charNgramCountsOf(text: Column, n: Int): Column =
     call_function("char_ngram_counts", text, lit(n))
   def wordCountsOf(text: Column): Column = call_function("word_counts", text)
+  def valueCountsOf(arr: Column): Column = call_function("value_counts", arr)
   def dotI8(a: Column, b: Column): Column = call_function("dot_i8", a, b)
   def normSqI8(a: Column): Column = call_function("normsq_i8", a)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)

@@ -326,6 +326,47 @@ case class WordCounts(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `value_counts(arr)` → array<struct<g:string, c:bigint>>: the DISTINCT
+  * string values of the input array with their multiplicities, sorted by
+  * g ASC (UTF8String binary order, matching Spark's own StringType
+  * ordering). The array-input sibling of [[WordCounts]]: one row-local
+  * pass instead of explode + groupBy(id, value) — the repetition-signal
+  * rows (d54) read per-doc n-gram multiplicities from it without a
+  * corpus-wide (doc, gram) shuffle. */
+case class ValueCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "value_counts"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val counts = new java.util.TreeMap[org.apache.spark.unsafe.types.UTF8String, Long]()
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i))
+        counts.merge(arr.getUTF8String(i).clone(), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `token_hashes(text)` → array<bigint>: 64-bit hashes of each token in
   * order (not deduplicated) — the SimHash input stream. Same tokenizer and
   * token hash as [[ShingleHashes]]. */

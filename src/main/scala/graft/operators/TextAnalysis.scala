@@ -515,6 +515,47 @@ object TextAnalysis {
         col("ok_count") && col("ok_len") && col("ok_alpha") && col("ok_stop"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) — the
+    * repetition half of the quality filter, complementing
+    * [[gopherRules]]' length/alpha/stopword half: per doc, the fraction
+    * of 2-gram occurrences taken by the MOST FREQUENT 2-gram (boilerplate
+    * and spam repeat one phrase) and the fraction of 5-gram occurrences
+    * that are duplicates of an earlier 5-gram (templated text repeats
+    * long spans). Occurrence fractions, not Gopher's character fractions
+    * — same signal, integer counts, exact in any engine. Entirely
+    * ROW-LOCAL: n-gram multiplicities come from one
+    * [[graft.functions.ValueCounts]] pass over the per-doc n-gram array
+    * (no corpus-wide (doc, gram) shuffle — the d49/d48 kernel shape), so
+    * the whole audit is a narrow map. One output row per input doc with
+    * per-rule flags, the [[gopherRules]] audit contract. Fractions
+    * degenerate on tiny docs (a 2-token doc's single 2-gram is 100%
+    * concentrated by necessity) — Gopher applies these only past its
+    * ≥50-word gate, so compose with [[gopherRules]]' ok_count. */
+  def repetitionSignals(
+      docs: DataFrame, idCol: String, textCol: String,
+      top2Max: Double = 0.20, dup5Max: Double = 0.30): DataFrame = {
+    import graft.functions.GraftFunctions.{valueCountsOf, wordNgramsOf}
+    docs
+      .select(col(idCol), wordNgramsOf(col(textCol), 2).as("g2"),
+        wordNgramsOf(col(textCol), 5).as("g5"))
+      .select(col(idCol),
+        size(col("g2")).cast("long").as("n2"),
+        coalesce(array_max(transform(valueCountsOf(col("g2")),
+          x => x.getField("c"))), lit(0L)).as("top2"),
+        size(col("g5")).cast("long").as("n5"),
+        (size(col("g5")) - size(array_distinct(col("g5"))))
+          .cast("long").as("dup5"))
+      .select(col(idCol), col("n2"), col("top2"),
+        when(col("n2") > 0, col("top2").cast("double") / col("n2"))
+          .otherwise(lit(0.0)).as("top2_frac"),
+        col("n5"), col("dup5"),
+        when(col("n5") > 0, col("dup5").cast("double") / col("n5"))
+          .otherwise(lit(0.0)).as("dup5_frac"))
+      .withColumn("ok_top2", col("top2_frac") <= top2Max)
+      .withColumn("ok_dup5", col("dup5_frac") <= dup5Max)
+      .withColumn("keep", col("ok_top2") && col("ok_dup5"))
+  }
+
   /** BPE vocabulary induction, one merge iteration (Sennrich et al. 2016
     * §3.2): the top-k most frequent adjacent symbol pairs across the
     * corpus, ranked as merge candidates. Uses the classic BPE scaling

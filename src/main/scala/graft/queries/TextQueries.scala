@@ -1297,6 +1297,25 @@ object TextQueries {
             0.95).as("recall_ge_095"))
     }),
 
+    // --- d54: Gopher REPETITION rules — the half of the Gopher filter
+    //     d39 doesn't carry (top-2-gram concentration, duplicated-5-gram
+    //     fraction; occurrence-fraction variant, integer-exact). Spam is
+    //     PLANTED — 1-in-11 docs become a repeated 4-word phrase sized to
+    //     the original length — so both flag polarities exist at every
+    //     SF; the oracle replicates every count, fraction, and flag in
+    //     plain SQL (no recall gate needed: the signals are pure integer
+    //     ratios). Row-local end to end (value_counts kernel). --------------
+    "d54_repetition_filter" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 5,
+          expr("repeat('spam spam click here ', " +
+            "CAST(greatest(1, length(text) div 21) AS INT))"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.repetitionSignals(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // --- d40: corpus snapshot diff (dataset versioning) — v2 is derived
     //     deterministically from v1 (every 10th doc deleted, every 7th
     //     edited, a disjoint id band appended), then classified by digest
@@ -2538,6 +2557,58 @@ object TextQueries {
 
     "d53_perplexity_filter" ->
       """SELECT true AS k_selected, true AS recall_ge_095""",
+
+    // DuckDB range(a, b) is end-exclusive: 2-gram starts run to len-1
+    // (range(1, len)), 5-gram starts to len-4 (range(1, len-3)) — the
+    // d18 3-gram convention extended
+    "d54_repetition_filter" ->
+      """WITH src AS (
+           SELECT doc_id, CASE WHEN doc_id % 11 = 5
+             THEN repeat('spam spam click here ',
+                         CAST(greatest(1, length(text) // 21) AS INT))
+             ELSE text END AS text
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM src),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])
+                   ELSE [] END AS g2,
+                 CASE WHEN len(toks) >= 5
+                   THEN list_transform(range(1, len(toks) - 3),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4])
+                   ELSE [] END AS g5
+               FROM tok),
+         t2 AS (SELECT doc_id, max(c) AS top2 FROM (
+                  SELECT doc_id, g, count(*) AS c
+                  FROM (SELECT doc_id, unnest(g2) AS g FROM g)
+                  GROUP BY doc_id, g) GROUP BY doc_id),
+         a5 AS (SELECT doc_id, count(*) AS n5, count(DISTINCT g) AS d5
+                FROM (SELECT doc_id, unnest(g5) AS g FROM g)
+                GROUP BY doc_id),
+         m AS (SELECT g.doc_id,
+                 CAST(len(g2) AS BIGINT) AS n2,
+                 CAST(coalesce(top2, 0) AS BIGINT) AS top2,
+                 CAST(coalesce(n5, 0) AS BIGINT) AS n5,
+                 CAST(coalesce(n5 - d5, 0) AS BIGINT) AS dup5
+               FROM g LEFT JOIN t2 ON g.doc_id = t2.doc_id
+                      LEFT JOIN a5 ON g.doc_id = a5.doc_id),
+         f AS (SELECT doc_id, n2, top2,
+                 CASE WHEN n2 > 0 THEN CAST(top2 AS DOUBLE) / n2
+                      ELSE 0.0 END AS top2_frac,
+                 n5, dup5,
+                 CASE WHEN n5 > 0 THEN CAST(dup5 AS DOUBLE) / n5
+                      ELSE 0.0 END AS dup5_frac
+               FROM m)
+         SELECT doc_id, n2, top2, top2_frac, n5, dup5, dup5_frac,
+                top2_frac <= 0.20 AS ok_top2,
+                dup5_frac <= 0.30 AS ok_dup5,
+                (top2_frac <= 0.20 AND dup5_frac <= 0.30) AS keep
+         FROM f ORDER BY doc_id""",
 
     "d39_gopher_filter" ->
       """WITH t AS (

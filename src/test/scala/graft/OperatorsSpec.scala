@@ -1001,6 +1001,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(dists.getDouble(1) - 32.0) < 8.0)
   }
 
+  test("repetitionSignals: spam concentrates, varied text passes; row-local plan") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near a river bank today"),
+      (2L, "spam spam click here spam spam click here spam spam click here"),
+      (3L, "one two"), // no 5-grams: dup5 vacuously 0, flags pass
+      (4L, "x")        // no 2-grams either
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(5),
+        r.getBoolean(9))).toSeq
+    // doc 1: "the" twice gives top2=1 (all 2-grams distinct? "the lazy"/
+    // "the quick" differ) → keep; doc 2: "spam spam" dominates → reject
+    assert(got(0)._4, got.toString)   // varied text keeps
+    assert(!got(1)._4, got.toString)  // spam rejected
+    assert(got(1)._2 >= 3)            // top 2-gram multiplicity high
+    // tiny docs: a 2-token doc's single 2-gram is trivially 100%
+    // concentrated (fraction rules degenerate below Gopher's ≥50-word
+    // gate — compose with gopherRules' ok_count); a 1-token doc has no
+    // n-grams at all and passes vacuously
+    assert(got(2) == (3L, 1L, 0L, false) && got(3) == (4L, 0L, 0L, true))
+    // the whole audit is one narrow map: no Exchange except the orderBy
+    val plan = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"repetition audit must be row-local:\n$plan")
+  }
+
   test("unigramCrossEntropy: gibberish surprises, common text does not") {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.Sampling
