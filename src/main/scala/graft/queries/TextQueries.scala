@@ -75,10 +75,18 @@ object TextQueries {
     val labeled = withF
       .withColumn("y", (lin > med).cast("int"))
       .drop("text")
-      .localCheckpoint()
     val (cols, w) = qualityModels.computeIfAbsent(d, { _ =>
-      (featCols, graft.operators.Classifier.logisticTrainCollected(
-        labeled, featCols, "y", iters = 200, learningRate = 1.0))
+      // checkpoint only for the training collect, and RELEASE it — a
+      // caller (s19) that keeps just the weights must not strand a
+      // persisted block (QueriesSpec's suite-wide leak gate)
+      val ck = labeled.localCheckpoint()
+      try (featCols, graft.operators.Classifier.logisticTrainCollected(
+        ck, featCols, "y", iters = 200, learningRate = 1.0))
+      finally ck.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false); ()
+        case _ =>
+      }
     })
     (cols, w, labeled)
   }

@@ -97,6 +97,8 @@ object ScaleSmoke {
     "d23_salient_terms", "d25_chunking", "d26_pii_scrub",
     "d27_fuzzy_fullcorpus", "d27_fuzzy_postexact", "d29_cascade_dedup",
     "d32_temperature_mix", "d33_zorder_scan", "d34_incremental_agg",
+    "d51_quality_classifier", "d52_dsir_selection", "d53_perplexity_filter",
+    "d54_repetition_filter",
     "d06_cands_raw", "d06_cands_postexact",
     "e03_embedding_stats", "e04_embedding_neardup", "e07_int8_quant",
     "q39_time_agg", "q40_sessionize",
