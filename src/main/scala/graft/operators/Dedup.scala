@@ -611,17 +611,34 @@ object Dedup {
         "batch ids must be strictly greater than every indexed id " +
           "(monotone crawl snapshots); otherwise incremental != full recompute")
     }
-    val bNew = banded(newSig.select(col("doc_id"), col("sig")),
+    val losers = incrementalLosers(oldSig, newSig, idCol, threshold,
       bands, numHashes / bands)
+    // every batch signature enters the index, losers included (see above)
+    Sinks.upsertSharded(spark, indexPath,
+      newSig.select(col("doc_id"), col("sh"), col("sig")), "doc_id", nShards)
+    release(newSig)
+    batch.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Core of the incremental step, shared by the sharded-index batch path
+    * ([[incrementalDedup]]) and the versioned streaming path
+    * ([[incrementalDedupOnce]]): candidates = banded(new)×banded(new) ∪
+    * banded(old)×banded(new) (old ids are all smaller — caller-checked —
+    * so the old side is always id_a and the greedy direction comes for
+    * free), exact-Jaccard verify, losers = id_b at/above threshold.
+    * Returned frame is eagerly checkpointed; caller releases. */
+  private def incrementalLosers(
+      oldSig: Option[DataFrame], newSig: DataFrame, idCol: String,
+      threshold: Double, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bNew = banded(newSig.select(col("doc_id"), col("sig")),
+      bands, rowsPerBand)
     val newNew = bNew.as("a").join(bNew.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    // old ids are all smaller than new ids (checked above), so the old
-    // side is always id_a — the greedy direction comes for free
     val cands = oldSig.map { old =>
       val bOld = banded(old.select(col("doc_id"), col("sig")),
-        bands, numHashes / bands)
+        bands, rowsPerBand)
       bOld.as("a").join(bNew.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -633,16 +650,65 @@ object Dedup {
       .map(_.select(col("doc_id"), col("sh"))
         .unionByName(newSig.select(col("doc_id"), col("sh"))))
       .getOrElse(newSig.select(col("doc_id"), col("sh")))
-    val losers = try verifyJaccardFromHashes(allHashes, cands)
+    try verifyJaccardFromHashes(allHashes, cands)
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
       .localCheckpoint(true)
     finally release(cands)
-    // every batch signature enters the index, losers included (see above)
-    Sinks.upsertSharded(spark, indexPath,
-      newSig.select(col("doc_id"), col("sh"), col("sig")), "doc_id", nShards)
+  }
+
+  /** Exactly-once STREAMING variant of [[incrementalDedup]] — the
+    * foreachBatch body for near-dup-suppressed corpus ingestion: dedup
+    * `batch` against the signature state (and within itself), hand the
+    * kept rows to `sink`, then commit the batch's signatures. The index
+    * lives in [[IncrementalAgg]]'s versioned-commit state instead of the
+    * sharded layout, which buys replay idempotence (a committed batchId
+    * is a no-op) and one-rename atomicity — the trade is a full
+    * narrow-index rewrite per batch (an object-store deployment appends
+    * a file per batch instead; the batch pipeline keeps
+    * [[incrementalDedup]]'s per-shard upserts).
+    *
+    * `sink(kept)` runs BEFORE the commit, so the at-least-once crash
+    * matrix closes: crash before/inside sink → replay recomputes against
+    * the unchanged previous state and overwrites identically (sinks must
+    * be idempotent per batch, e.g. [[graft.streaming.EventStreams
+    * .routeBinary]]-style `batch=<id>` overwrite dirs); crash after sink
+    * but before commit → same; crash after commit → the whole body skips
+    * (the sink output is known complete — it preceded the commit). */
+  def incrementalDedupOnce(
+      spark: SparkSession, statePath: String, batch: DataFrame,
+      idCol: String, textCol: String, batchId: Long,
+      sink: DataFrame => Unit, threshold: Double = 0.8,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Long = 42L): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import graft.operators.IncrementalAgg
+    if (!IncrementalAgg.latestVersion(spark, statePath).forall(_ < batchId))
+      return
+    val newSig = batch.select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .localCheckpoint(true)
+    val oldSig: Option[DataFrame] =
+      IncrementalAgg.latestVersion(spark, statePath)
+        .map(_ => IncrementalAgg.readState(spark, statePath))
+    oldSig.foreach { old =>
+      val maxOld = old.agg(max(col("doc_id"))).collect()(0)
+      val minNew = newSig.agg(min(col("doc_id"))).collect()(0)
+      require(maxOld.isNullAt(0) || minNew.isNullAt(0) ||
+        maxOld.getLong(0) < minNew.getLong(0),
+        "batch ids must be strictly greater than every indexed id " +
+          "(monotone ingestion); otherwise incremental != full recompute")
+    }
+    val losers = incrementalLosers(oldSig, newSig, idCol, threshold,
+      bands, numHashes / bands)
+    try sink(batch.join(losers, Seq(idCol), "left_anti"))
+    finally release(losers)
+    IncrementalAgg.refreshOnceWith(spark, statePath,
+      newSig.select(col("doc_id"), col("sh"), col("sig")), batchId,
+      (st, dl) => st.unionByName(dl))
     release(newSig)
-    batch.join(losers, Seq(idCol), "left_anti")
   }
 
   /** The end-to-end dedup cascade — the production pipeline ending a

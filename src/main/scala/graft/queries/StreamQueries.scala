@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Dedup
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,6 +35,7 @@ object StreamQueries {
   private val mvMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val mvJoinback = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val qualityRouted = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamDedup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val sketchMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val freqMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // memory-sink temp views from prior drains: each holds a full result
@@ -492,6 +494,60 @@ object StreamQueries {
           col("equals_batch"))
     }),
 
+    // --- s20: streaming NEAR-DUP-SUPPRESSED corpus ingestion — the d30
+    //     incremental-dedup step driven by foreachBatch with exactly-once
+    //     semantics: each micro-batch dedups against the versioned MinHash
+    //     signature state (and within itself, greedy by id), kept rows
+    //     land in an idempotent per-batch overwrite dir BEFORE the
+    //     signatures commit, so every crash point replays safely
+    //     (Dedup.incrementalDedupOnce's crash matrix). Files are staged
+    //     in monotone id order — the crawl-snapshot contract the
+    //     incremental ≡ full-recompute equivalence needs. The streamed
+    //     union of kept batches must equal d30's kept set (same corpus,
+    //     same threshold), so the ORACLE IS d30's SQL verbatim. -------------
+    "s20_stream_incremental_dedup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val outDir = streamDedup.computeIfAbsent(d, { _ =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
+        val srcDir = tmpDir("sdedupsrc")
+        def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
+          val tmp = tmpDir("sdedupw")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(srcDir, name)
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(lastMod); ()
+        }
+        val now = System.currentTimeMillis()
+        stage(docs.filter(col("doc_id") <= cut), "snap_0.parquet", now - 60000)
+        stage(docs.filter(col("doc_id") > cut), "snap_1.parquet", now)
+        val statePath = tmpDir("sdedupstate", create = false).toString + "/state"
+        val out = tmpDir("sdedupout", create = false).toString
+        val ckpt = tmpDir("sdedupckpt")
+        val stream = s.readStream
+          .schema(s.read.parquet(srcDir.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            Dedup.incrementalDedupOnce(s, statePath, batch,
+              "doc_id", "text", batchId,
+              kept => kept.write.mode("overwrite")
+                .parquet(s"$out/batch=$batchId"))
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        out
+      })
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -763,6 +819,10 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // streamed monotone batches ≡ d30's two-snapshot replay ≡ the full
+    // greedy dedup — so the oracle IS d30's SQL, shared verbatim
+    "s20_stream_incremental_dedup" ->
+      graft.queries.TextQueries.oracle("d30_incremental_dedup"),
     // streamed routing ≡ batch routing with the shared memoized weights —
     // an in-row equivalence proof, so the oracle is the constant row
     "s19_stream_quality_routing" ->

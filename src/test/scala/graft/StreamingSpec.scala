@@ -406,6 +406,43 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalDedupOnce: batched kept == full greedy; replayed batchId is a no-op") {
+    import graft.operators.Dedup
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("sdedup")
+    val state = dir.resolve("state").toString
+    val out = dir.resolve("out").toString
+    // near-dups across the batch boundary: 2 ≈ 1 (lives in batch 0),
+    // 12 ≈ 1 (arrives in batch 1 — must still lose to the indexed 1),
+    // 13 is novel
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val b0 = Seq((1L, t1), (2L, t1 + " iota"), (3L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((12L, t1 + " kappa"), (13L, "seven eight nine ten eleven dozen"))
+      .toDF("doc_id", "text")
+    def sink(id: Long)(kept: org.apache.spark.sql.DataFrame): Unit =
+      kept.write.mode("overwrite").parquet(s"$out/batch=$id")
+    Dedup.incrementalDedupOnce(spark, state, b0, "doc_id", "text", 0L,
+      sink(0L), threshold = 0.5)
+    Dedup.incrementalDedupOnce(spark, state, b1, "doc_id", "text", 1L,
+      sink(1L), threshold = 0.5)
+    def keptIds() = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // greedy by id over the union: 2 loses to 1, 12 loses to 1, 13 kept
+    assert(keptIds() == Seq(1L, 3L, 13L), keptIds().toString)
+    // equivalence with the one-shot greedy dedup over the union
+    val full = Dedup.dropNearDupsGreedy(b0.unionByName(b1),
+        "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds() == full)
+    // a replayed batchId must not touch state or output (the sink isn't
+    // even invoked — poison it to prove the skip)
+    Dedup.incrementalDedupOnce(spark, state, b1, "doc_id", "text", 1L,
+      _ => fail("replayed batchId must skip the whole body"),
+      threshold = 0.5)
+    assert(keptIds() == Seq(1L, 3L, 13L))
+  }
+
   test("routeBinary: disjoint total routing; replay overwrites, never duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("route")
     val srcDir = dir.resolve("src").toString
