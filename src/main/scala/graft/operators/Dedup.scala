@@ -701,14 +701,17 @@ object Dedup {
         "batch ids must be strictly greater than every indexed id " +
           "(monotone ingestion); otherwise incremental != full recompute")
     }
-    val losers = incrementalLosers(oldSig, newSig, idCol, threshold,
-      bands, numHashes / bands)
-    try sink(batch.join(losers, Seq(idCol), "left_anti"))
-    finally release(losers)
-    IncrementalAgg.refreshOnceWith(spark, statePath,
-      newSig.select(col("doc_id"), col("sh"), col("sig")), batchId,
-      (st, dl) => st.unionByName(dl))
-    release(newSig)
+    try {
+      val losers = incrementalLosers(oldSig, newSig, idCol, threshold,
+        bands, numHashes / bands)
+      try sink(batch.join(losers, Seq(idCol), "left_anti"))
+      finally release(losers)
+      // a sink failure skips the commit: the replay recomputes against
+      // the unchanged previous state and overwrites the sink output
+      IncrementalAgg.refreshOnceWith(spark, statePath,
+        newSig.select(col("doc_id"), col("sh"), col("sig")), batchId,
+        (st, dl) => st.unionByName(dl))
+    } finally release(newSig)
   }
 
   /** The end-to-end dedup cascade — the production pipeline ending a

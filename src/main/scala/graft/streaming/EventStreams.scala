@@ -424,11 +424,12 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.withColumn("__keep", keep).localCheckpoint()
-        b.filter(col("__keep")).drop("__keep")
-          .write.mode("overwrite").parquet(s"$keepDir/batch=$batchId")
-        b.filter(!col("__keep")).drop("__keep")
-          .write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
-        ()
+        try {
+          b.filter(col("__keep")).drop("__keep")
+            .write.mode("overwrite").parquet(s"$keepDir/batch=$batchId")
+          b.filter(!col("__keep")).drop("__keep")
+            .write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
+        } finally graft.operators.Dedup.release(b)
       }
       .start()
 
