@@ -41,13 +41,20 @@ object Classifier {
       iters: Int = 40, learningRate: Double = 1.0): Array[Double] = {
     require(featureCols.nonEmpty && iters > 0)
     val d = featureCols.length
+    // null label/feature cells would poison the aggregate sums (sum
+    // skips nulls per-column, desynchronizing the gradient components) —
+    // train only on fully-populated rows, and fail loudly when none exist
+    val clean = df.filter((labelCol +: featureCols)
+      .map(c => col(c).isNotNull).reduce(_ && _))
     // one pass: n, mean, std per feature (population std; ±0-guard)
-    val statRow = df.select(
+    val statRow = clean.select(
       (count(lit(1)).cast("double") +: featureCols.flatMap { c =>
         Seq(avg(col(c).cast("double")),
           coalesce(stddev_pop(col(c).cast("double")), lit(0.0)))
       }): _*).head
     val n = statRow.getDouble(0)
+    require(n > 0,
+      "empty training set (after dropping rows with null label/features)")
     val mu = Array.tabulate(d)(j => statRow.getDouble(1 + 2 * j))
     val sd = Array.tabulate(d)(j => math.max(statRow.getDouble(2 + 2 * j), 1e-12))
     def z(j: Int): Column =
@@ -60,7 +67,7 @@ object Classifier {
       }
       val p = lit(1.0) / (lit(1.0) + exp(-margin))
       val err = p - col(labelCol).cast("double")
-      val g = df.select(
+      val g = clean.select(
         (sum(err) +: (0 until d).map(j => sum(err * z(j)))): _*).head
       var j = 0
       while (j <= d) {
@@ -91,13 +98,19 @@ object Classifier {
       maxRows: Int = 1 << 20): Array[Double] = {
     require(featureCols.nonEmpty && iters > 0)
     val d = featureCols.length
-    val rows = df.select(
+    // drop rows with any null label/feature BEFORE collecting — a single
+    // null cell would otherwise surface as a bare NullPointerException
+    // from getDouble deep in the GD loop
+    val rows = df.filter((labelCol +: featureCols)
+        .map(c => col(c).isNotNull).reduce(_ && _))
+      .select(
         (col(labelCol).cast("double") +: featureCols.map(c => col(c).cast("double"))): _*)
       .limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"training set exceeds maxRows=$maxRows — sample upstream")
     val n = rows.length
-    require(n > 0, "empty training set")
+    require(n > 0,
+      "empty training set (after dropping rows with null label/features)")
     val y = rows.map(_.getDouble(0))
     val x = rows.map(r => Array.tabulate(d)(j => r.getDouble(1 + j)))
     val mu = Array.tabulate(d)(j => x.map(_(j)).sum / n)

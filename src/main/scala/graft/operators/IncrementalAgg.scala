@@ -47,6 +47,15 @@ object IncrementalAgg {
 
   private val VersionRe = "v(\\d+)".r
 
+  /** State paths already migration-checked this JVM: migrateLegacy is a
+    * one-time layout upgrade, but latestVersion runs on EVERY micro-batch
+    * (incrementalDedupOnce calls it three times per batch) — without the
+    * memo each call pays 2-3 recursive listings plus a `_batch_*` marker
+    * sweep even on an already-versioned dir, overhead that multiplies on
+    * object stores where LIST is a paid round-trip. */
+  private val migrationChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def fsOf(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -113,7 +122,7 @@ object IncrementalAgg {
     * Migrates a legacy flat-parquet state dir to `v0` first, so existing
     * state is never silently discarded by a re-bootstrap. */
   def latestVersion(spark: SparkSession, statePath: String): Option[Long] = {
-    migrateLegacy(spark, statePath)
+    if (migrationChecked.add(statePath)) migrateLegacy(spark, statePath)
     versions(spark, statePath).lastOption
   }
 

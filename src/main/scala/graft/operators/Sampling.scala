@@ -198,16 +198,24 @@ object Sampling {
     val logRatio: Array[Double] = Array.tabulate(buckets) { b =>
       math.log((t(b) + alpha) / tTot) - math.log((s(b) + alpha) / sTot)
     }
+    // explode_outer: a token-less doc (null/empty text) keeps one row with
+    // a null entry, so every source doc gets a score instead of silently
+    // vanishing from the output. The pinned score is -Inf — "no tokens,
+    // no evidence of target affinity" — so ORDER BY score DESC LIMIT k
+    // selection can never pick one (0.0 would rank them ABOVE real docs
+    // on corpora where even affine text nets a negative mean log ratio)
     val perDoc = source
-      .select(col(idCol), explode(wordCountsOf(col(textCol))).as("e"))
+      .select(col(idCol), explode_outer(wordCountsOf(col(textCol))).as("e"))
       .select(col(idCol), col("e.c").as("c"),
         (col("e.c") * element_at(typedLit(logRatio),
           (bucketOf(col("e.g")) + 1).cast("int"))).as("contrib"))
       .groupBy(col(idCol))
     if (lengthNormalize)
-      perDoc.agg((sum(col("contrib")) / sum(col("c"))).as("dsir_score"))
+      perDoc.agg(coalesce(sum(col("contrib")) / sum(col("c")),
+        lit(Double.NegativeInfinity)).as("dsir_score"))
     else
-      perDoc.agg(sum(col("contrib")).as("dsir_score"))
+      perDoc.agg(coalesce(sum(col("contrib")),
+        lit(Double.NegativeInfinity)).as("dsir_score"))
   }
 
   /** CCNet-style perplexity filtering score: per-doc cross-entropy under
@@ -240,12 +248,17 @@ object Sampling {
     val tot = cnt.sum + alpha * buckets
     val negLogP: Array[Double] =
       Array.tabulate(buckets)(b => -math.log((cnt(b) + alpha) / tot))
-    docs.select(col(idCol), explode(wordCountsOf(col(textCol))).as("e"))
+    // explode_outer + coalesce: token-less docs score +Inf explicitly
+    // (higher = worse — a doc with no tokens is maximal gibberish for a
+    // perplexity FILTER and must never pass it) instead of vanishing —
+    // see dsirScores for the explode_outer rationale
+    docs.select(col(idCol), explode_outer(wordCountsOf(col(textCol))).as("e"))
       .select(col(idCol), col("e.c").as("c"),
         (col("e.c") * element_at(typedLit(negLogP),
           (bucketOf(col("e.g")) + 1).cast("int"))).as("contrib"))
       .groupBy(col(idCol))
-      .agg((sum(col("contrib")) / sum(col("c"))).as("cross_entropy"))
+      .agg(coalesce(sum(col("contrib")) / sum(col("c")),
+        lit(Double.PositiveInfinity)).as("cross_entropy"))
   }
 
   def weightedPrioritySample(

@@ -931,7 +931,20 @@ object Similarity {
       sourceDim: Int = 64, targetDim: Int = 16): Unit =
     graft.operators.IncrementalAgg.refreshOnceWith(spark, statePath,
       jlBuildIndex(delta, idCol, vecCol, sourceDim, targetDim), batchId,
-      (st, dl) => st.unionByName(dl))
+      (st, dl) => {
+        // the bag-union merge is only correct under append-only ids —
+        // mirror the dedup path's monotone guard so a replay under a NEW
+        // batchId (or any id overlap) fails loudly instead of silently
+        // duplicating index rows (and thus jlTopKFromIndex neighbors)
+        val maxOld = st.agg(max(col("neighbor_id"))).collect()(0)
+        val minNew = dl.agg(min(col("neighbor_id"))).collect()(0)
+        require(maxOld.isNullAt(0) || minNew.isNullAt(0) ||
+          maxOld.getLong(0) < minNew.getLong(0),
+          "delta ids must be strictly greater than every indexed id " +
+            "(append-only vectors); otherwise the merged index would " +
+            "contain duplicate neighbor rows")
+        st.unionByName(dl)
+      })
 
   def jlTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,

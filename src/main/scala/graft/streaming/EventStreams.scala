@@ -423,7 +423,12 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.withColumn("__keep", keep).localCheckpoint()
+        // a NULL-evaluating predicate (e.g. a null-scoring feature) would
+        // satisfy neither filter(__keep) nor filter(!__keep) and vanish
+        // from BOTH sinks — coalesce pins null to the reject side so the
+        // contract ("every row lands in exactly one sink") holds
+        val b = batch.withColumn("__keep", coalesce(keep, lit(false)))
+          .localCheckpoint()
         try {
           b.filter(col("__keep")).drop("__keep")
             .write.mode("overwrite").parquet(s"$keepDir/batch=$batchId")

@@ -961,6 +961,28 @@ class OperatorsSpec extends SparkTestBase {
       Classifier.logisticTrainCollected(df, Seq("x1", "x2"), "y",
         iters = 1, maxRows = 100)
     }
+    // null feature/label cells are dropped up front (same signs), and an
+    // all-null set fails with an actionable message, not a bare NPE
+    val withNulls = df.select(col("id"),
+      when(col("id") % 50 === 0, lit(null)).otherwise(col("x1")).as("x1"),
+      col("x2"),
+      when(col("id") % 70 === 0, lit(null)).otherwise(col("y")).as("y"))
+    val wn = Classifier.logisticTrainCollected(withNulls, Seq("x1", "x2"), "y",
+      iters = 60, learningRate = 1.0)
+    assert(wn(1) > 0 && wn(2) < 0, wn.toSeq.toString)
+    val wnd = Classifier.logisticTrain(withNulls, Seq("x1", "x2"), "y",
+      iters = 20, learningRate = 1.0)
+    assert(wnd(1) > 0 && wnd(2) < 0, wnd.toSeq.toString)
+    val allNull = df.select(col("id"), lit(null).cast("double").as("x1"),
+      col("x2"), col("y"))
+    val eEmpty = intercept[IllegalArgumentException] {
+      Classifier.logisticTrain(allNull, Seq("x1", "x2"), "y", iters = 1)
+    }
+    assert(eEmpty.getMessage.contains("empty training set"), eEmpty.getMessage)
+    val eEmptyC = intercept[IllegalArgumentException] {
+      Classifier.logisticTrainCollected(allNull, Seq("x1", "x2"), "y", iters = 1)
+    }
+    assert(eEmptyC.getMessage.contains("empty training set"), eEmptyC.getMessage)
     // separable data → near-perfect training accuracy
     val acc = df.select(
         avg(when((Classifier.logisticScore(Seq("x1", "x2"), w) > 0.5)
@@ -1034,8 +1056,10 @@ class OperatorsSpec extends SparkTestBase {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.Sampling
     val base = "the cat sat on the mat and the dog ran"
-    val docs = ((1L to 10L).map(i => (i, base)) :+
-      (99L, "qqz1 qqz2 qqz3 qqz4 qqz5")).toDF("doc_id", "text")
+    val docs = ((1L to 10L).map(i => (i, Option(base))) ++ Seq(
+      (99L, Option("qqz1 qqz2 qqz3 qqz4 qqz5")),
+      (100L, Option("")), (101L, Option.empty[String])))
+      .toDF("doc_id", "text")
     val scored = Sampling.unigramCrossEntropy(docs, "doc_id", "text",
         buckets = 512)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
@@ -1044,6 +1068,10 @@ class OperatorsSpec extends SparkTestBase {
     assert((1L to 10L).forall(i => scored(i) < gib), scored.toString)
     // and by a wide margin: near-empty buckets cost ~ -log(alpha/total)
     assert(gib > scored(1L) + 1.0)
+    // token-less docs are present and maximally surprising (+Inf): a
+    // perplexity filter drops them instead of never seeing them
+    assert(scored(100L) == Double.PositiveInfinity &&
+      scored(101L) == Double.PositiveInfinity, scored.toString)
   }
 
   test("dsirScores: target-affine docs outrank, length-normalized by default") {
@@ -1053,16 +1081,30 @@ class OperatorsSpec extends SparkTestBase {
     val target = (0 until 20)
       .map(i => (1000L + i, s"$base zz xx vv")).toDF("doc_id", "text")
     // source: two target-affine docs (one SHORT, one LONG) + long plain docs
-    val source = (Seq(
+    val source = ((Seq(
       (1L, s"$base zz xx vv"),
       (2L, (base + " ") * 20 + "zz xx vv")) ++
-      (3L to 12L).map(i => (i, (base + " ") * 20))).toDF("doc_id", "text")
+      (3L to 12L).map(i => (i, (base + " ") * 20)))
+        .map { case (i, t) => (i, Option(t)) } ++
+      // token-less docs must still get a score (0.0), not vanish
+      Seq((98L, Option("")), (99L, Option.empty[String])))
+      .toDF("doc_id", "text")
     val ranked = Sampling.dsirScores(source, target, "doc_id", "text",
         buckets = 512)
       .orderBy(col("dsir_score").desc, col("doc_id").asc)
       .collect().map(_.getLong(0)).toSeq
     // both affine docs lead regardless of their lengths
     assert(ranked.take(2).toSet == Set(1L, 2L), ranked.toString)
+    // every source doc is scored — token-less docs pin to -Inf (present
+    // in the output but unselectable by any top-k), so they rank LAST
+    assert(ranked.size == 14 && ranked.takeRight(2).toSet == Set(98L, 99L),
+      ranked.toString)
+    val infScores = Sampling.dsirScores(source, target, "doc_id", "text",
+        buckets = 512)
+      .filter(col("doc_id") >= 98L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(infScores == Map(98L -> Double.NegativeInfinity,
+      99L -> Double.NegativeInfinity), infScores.toString)
     // the un-normalized likelihood-ratio sum is length-dominated: the
     // SHORT affine doc beats every long doc (fewer negative base tokens)
     val raw = Sampling.dsirScores(source, target, "doc_id", "text",
@@ -1094,6 +1136,14 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1).toSeq
     assert(idx == rebuilt)
+    // the same delta under a NEW batchId is an id overlap — the monotone
+    // guard must refuse it (a silent bag-union would duplicate neighbors)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.jlExtendIndex(spark, state,
+        emb.filter(col("vec_id") > cut), "vec_id", "embedding", batchId = 2L)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    assert(graft.operators.IncrementalAgg.readState(spark, state).count() == n1)
     graft.operators.IncrementalAgg.reset(spark, state)
   }
 

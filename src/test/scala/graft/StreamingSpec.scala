@@ -457,6 +457,16 @@ class StreamingSpec extends SparkTestBase {
     }
     land((1L to 10L).map(i => (i, i * 10)), "f0.parquet")
     land((11L to 20L).map(i => (i, i * 10)), "f1.parquet")
+    // a NULL-evaluating predicate row must land in the reject sink, not
+    // vanish from both (routing is total: null coalesces to false)
+    locally {
+      val tmp = dir.resolve("w_null")
+      Seq((21L, Option.empty[Long])).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, "f2.parquet")); ()
+    }
     val keepDir = dir.resolve("keep").toString
     val rejDir = dir.resolve("rej").toString
     def runOnce(ckptName: String): Unit = {
@@ -471,11 +481,11 @@ class StreamingSpec extends SparkTestBase {
     def ids(p: String) = spark.read.parquet(p)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids(keepDir) == (10L to 20L))
-    assert(ids(rejDir) == (1L to 9L))
+    assert(ids(rejDir) == ((1L to 9L) :+ 21L))
     // full REPLAY (fresh checkpoint, same sinks): per-batch overwrite
     // dirs make it idempotent — identical contents, no duplicates
     runOnce("ckpt2")
-    assert(ids(keepDir) == (10L to 20L) && ids(rejDir) == (1L to 9L))
+    assert(ids(keepDir) == (10L to 20L) && ids(rejDir) == ((1L to 9L) :+ 21L))
   }
 
   test("sketchMaintain: per-batch sketch union, replayed batchId merges once") {
