@@ -397,6 +397,94 @@ object TextAnalysis {
           .as("dup_frac"))
   }
 
+  /** Exact-substring span REMOVAL (the transform of Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better", §4 —
+    * their suffix-array ExactSubstr dedup, re-expressed distributed):
+    * where [[duplicateSpans]] only MEASURES the duplicated-gram fraction,
+    * this emits, per document, the maximal duplicated token spans and the
+    * text with those spans removed.
+    *
+    * Distributed approximation of the suffix-array method: a token span
+    * is duplicated iff every word `n`-gram inside it appears in ≥
+    * `minDocs` distinct documents. Per doc, the shared gram POSITIONS
+    * form intervals [pos, pos+n−1]; merging overlapping-or-adjacent
+    * intervals (classic gaps-and-islands with a running max) yields the
+    * maximal duplicated spans — any shared token run of length ≥ n is
+    * found exactly (its every window is shared corpus-wide), runs shorter
+    * than n are below the detection floor by construction (Lee et al. use
+    * the same minimum-length threshold, 50 BPE tokens). Within-doc
+    * repetition is deliberately out of scope (that is d54/d15's domain);
+    * `minDocs` counts DISTINCT docs, matching [[duplicateSpans]].
+    *
+    * Output per input doc: `n_tokens`, `n_spans`, `dup_tokens` (tokens
+    * covered by some span), and `cleaned_text` — the NORMALIZED token
+    * stream (lowercased, whitespace-collapsed: the same stream the grams
+    * are computed over) minus covered tokens, space-joined. Docs with no
+    * duplicated span keep their full normalized stream.
+    *
+    * Scale shape: gram frequency and the join back key on xxhash64
+    * digests, never gram strings (the [[duplicateSpans]] contract — 8-byte
+    * shuffle keys); the interval merge is two windows + one aggregate
+    * over ONLY the shared positions (at healthy corpora a small fraction
+    * of all gram positions); the mask is a per-row HOF over the doc's own
+    * token array against its own span list (row-local, no shuffle). All
+    * span arithmetic is integer-exact — engine-portable bit-for-bit. */
+  def removeDuplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2)
+    val gp = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode_outer(graft.functions.GraftFunctions
+          .wordNgramsOf(col(textCol), n)))
+      .select(col("doc_id"), col("pos"),
+        when(col("col").isNotNull, xxhash64(col("col"))).as("gh"))
+    val common = gp
+      .filter(col("gh").isNotNull)
+      .groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gh"))
+    val shared = gp
+      .filter(col("gh").isNotNull)
+      .join(common, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + (n - 1)).as("end"))
+    // gaps-and-islands: a position starts a new span iff its interval
+    // neither overlaps nor touches the running max end of its predecessors
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = shared
+      .withColumn("__pme", max(col("end")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", (col("__pme").isNull ||
+        col("pos") > col("__pme") + 1).cast("int"))
+      .withColumn("__isl", sum(col("__new")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = islands
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("s_start"), max(col("end")).as("s_end"))
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("s_end") - col("s_start") + 1).as("dup_tokens"),
+        sort_array(collect_list(struct(col("s_start"), col("s_end"))))
+          .as("__spans"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("__toks"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        array_join(filter(col("__toks"), (_, i) =>
+          !exists(coalesce(col("__spans"),
+            array().cast("array<struct<s_start:int,s_end:int>>")),
+            sp => i >= sp.getField("s_start") && i <= sp.getField("s_end"))),
+          " ").as("cleaned_text"))
+  }
+
   /** BM25 keyword retrieval: rank documents for a FIXED query-term list
     * (Robertson & Spärck Jones; the Okapi BM25 scoring used by Lucene /
     * Elasticsearch and sparse-retrieval data pipelines).

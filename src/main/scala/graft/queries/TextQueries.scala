@@ -1324,6 +1324,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d55: exact-substring span REMOVAL (Lee et al. 2022 ExactSubstr,
+    //     distributed gram-position chain-merge) — where d35 measures the
+    //     duplicated-gram fraction, this emits per-doc maximal shared
+    //     spans and the cleaned text. Every span boundary is integer
+    //     arithmetic over gram positions (gaps-and-islands), so the whole
+    //     row — counts, span masks, reconstructed text — replicates in
+    //     plain SQL byte-for-byte. Digests shuffle, gram strings never
+    //     (the d35 contract). -------------------------------------------
+    "d55_dupspan_removal" -> ((s, d) => {
+      GraftFunctions.register(s)
+      TextAnalysis.removeDuplicateSpans(Tables.documents(s, d),
+          "doc_id", "text", n = 5, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
     // --- d40: corpus snapshot diff (dataset versioning) — v2 is derived
     //     deterministically from v1 (every 10th doc deleted, every 7th
     //     edited, a disjoint id band appended), then classified by digest
@@ -2565,6 +2580,62 @@ object TextQueries {
 
     "d53_perplexity_filter" ->
       """SELECT true AS k_selected, true AS recall_ge_095""",
+
+    // the d35 gram table extended with POSITIONS (j-1 converts DuckDB's
+    // 1-based starts to Spark's 0-based posexplode), then classic
+    // gaps-and-islands: running max-end window → island ids → per-island
+    // min/max = maximal shared spans; kept tokens are the anti-join of
+    // token positions against span coverage, reassembled in position
+    // order. sum(int) is CAST to BIGINT (DuckDB widens to HUGEINT).
+    "d55_dupspan_removal" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> t <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, j - 1 AS pos, array_to_string(toks[j:j+4], ' ') AS gram
+           FROM tok, LATERAL unnest(range(1, len(toks) - 3)) AS t(j)
+           WHERE len(toks) >= 5),
+         cnt AS (SELECT gram FROM g GROUP BY gram
+                 HAVING count(DISTINCT doc_id) >= 2),
+         shared AS (SELECT doc_id, pos, pos + 4 AS e FROM g JOIN cnt USING (gram)),
+         isl AS (
+           SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+           FROM shared),
+         isl2 AS (
+           SELECT doc_id, pos, e,
+             sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM isl),
+         spans AS (
+           SELECT doc_id, island, min(pos) AS s_start, max(e) AS s_end
+           FROM isl2 GROUP BY doc_id, island),
+         agg AS (
+           SELECT doc_id, count(*) AS n_spans,
+                  CAST(sum(s_end - s_start + 1) AS BIGINT) AS dup_tokens
+           FROM spans GROUP BY doc_id),
+         tu AS (
+           SELECT doc_id, i - 1 AS ti, toks[i] AS w
+           FROM tok, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
+         kept AS (
+           SELECT t.doc_id, t.ti, t.w FROM tu t
+           WHERE NOT EXISTS (SELECT 1 FROM spans s
+                             WHERE s.doc_id = t.doc_id
+                               AND t.ti BETWEEN s.s_start AND s.s_end)),
+         clean AS (
+           SELECT doc_id, string_agg(w, ' ' ORDER BY ti) AS ct
+           FROM kept GROUP BY doc_id)
+         SELECT tok.doc_id,
+                CAST(len(tok.toks) AS BIGINT) AS n_tokens,
+                coalesce(agg.n_spans, 0) AS n_spans,
+                coalesce(agg.dup_tokens, 0) AS dup_tokens,
+                coalesce(clean.ct, '') AS cleaned_text
+         FROM tok LEFT JOIN agg USING (doc_id) LEFT JOIN clean USING (doc_id)
+         ORDER BY tok.doc_id""",
 
     // DuckDB range(a, b) is end-exclusive: 2-gram starts run to len-1
     // (range(1, len)), 5-gram starts to len-4 (range(1, len-3)) — the

@@ -1423,6 +1423,51 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((3L, 1L, 1.0 / 3.0)))
   }
 
+  test("removeDuplicateSpans: a planted shared span is excised exactly, singletons untouched") {
+    graft.functions.GraftFunctions.register(spark)
+    // a 50-token span planted inside two otherwise-distinct documents
+    val span = (1 to 50).map(i => s"shared$i").mkString(" ")
+    val aHead = (1 to 7).map(i => s"ahead$i").mkString(" ")
+    val aTail = (1 to 9).map(i => s"atail$i").mkString(" ")
+    val bHead = (1 to 11).map(i => s"bhead$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$aHead $span $aTail"),
+      (2L, s"$bHead $span"),
+      (3L, "a fully unique document with enough tokens to carry grams"),
+      (4L, "tiny doc"), // below the n-gram floor: no spans possible
+      (5L, s"$span")    // the span IS the whole doc → cleaned to empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicateSpans(docs, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_tokens"),
+      out(i).getAs[Long]("n_spans"), out(i).getAs[Long]("dup_tokens"),
+      out(i).getAs[String]("cleaned_text"))
+    // doc 1: exactly the 50 shared tokens go; head and tail survive intact
+    assert(row(0) == ((66L, 1L, 50L, s"$aHead $aTail")), row(0).toString)
+    // doc 2: span at the end — head survives
+    assert(row(1) == ((61L, 1L, 50L, bHead)), row(1).toString)
+    // doc 3: no shared grams → full normalized stream back, zero spans
+    assert(row(2) == ((10L, 0L, 0L,
+      "a fully unique document with enough tokens to carry grams")))
+    assert(row(3) == ((2L, 0L, 0L, "tiny doc")))
+    // doc 5: wholly duplicated → cleaned to the empty string
+    assert(row(4) == ((50L, 1L, 50L, "")), row(4).toString)
+    // two DISJOINT shared spans in one doc stay two spans (no over-merge:
+    // the 6-token unique gap is wider than any n-gram bridge)
+    val span2 = (1 to 20).map(i => s"dup$i").mkString(" ")
+    val gap = (1 to 6).map(i => s"gap$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, s"$span2 $gap $span"),
+      (2L, span2), (3L, span)).toDF("doc_id", "text")
+    val two = TextAnalysis.removeDuplicateSpans(docs2, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .filter(col("doc_id") === 1L).collect()(0)
+    assert(two.getAs[Long]("n_spans") == 2L &&
+      two.getAs[Long]("dup_tokens") == 70L &&
+      two.getAs[String]("cleaned_text") == gap, two.toString)
+  }
+
   test("bigramFluency: copied docs double their freq, unique stay 1.0, short docs zero") {
     val docs = Seq(
       (1L, "alpha beta gamma"),   // bigrams: (alpha beta), (beta gamma)
