@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain-level curation — the FIRST stage of C4/RefinedWeb-style web
+  * pipelines, which curate by host before any content-based signal is
+  * computed: parse the host out of each document's URL, drop blocklisted
+  * domains, and cap each domain's document count so no single host
+  * dominates the corpus (RefinedWeb §3.1 "URL filtering"; C4's blocklist
+  * pass; Gopher's per-domain caps).
+  *
+  * Everything here is pure string/integer algebra — engine-portable
+  * bit-for-bit, no UDF, no network:
+  *
+  *  - [[hostOf]] extracts the authority host with one anchored regex
+  *    (scheme optional, userinfo stripped, port/path/query/fragment
+  *    excluded, lowercased). RFC 3986's authority grammar, restricted to
+  *    what a crawl URL column actually contains.
+  *  - [[blocklisted]] matches a host against a blocklist at REGISTRABLE
+  *    granularity: `host == b` or `host.endsWith("." + b)` — blocking
+  *    `blocked.example` also blocks `spam.blocked.example`, the standard
+  *    blocklist semantics. The list bakes into the plan as a literal
+  *    predicate chain (fine for the usual 10³–10⁴-entry lists; a
+  *    million-entry list would broadcast-anti-join a host table instead —
+  *    config, not a different algorithm).
+  *  - [[domainCap]] rides [[Sampling.quotaSample]]: rank docs per host in
+  *    deterministic (md5(id), id) hash-priority order and keep the first
+  *    `maxPerDomain`. The `row_number <= k` shape compiles to
+  *    WindowGroupLimit — map-side trim before the shuffle, so a 10⁹-doc
+  *    spam domain moves O(partitions × k) rows, never its whole mass.
+  *
+  * Scale shape: host extraction is a narrow map in the scan stage;
+  * [[domainCounts]] is one tiny aggregate (key space = distinct hosts);
+  * the blocklist filter is narrow; the cap's shuffle is the group-limited
+  * host partitioning. Nothing corpus-sized moves except the one capped
+  * exchange.
+  */
+object UrlCuration {
+
+  /** Host of a URL: optional scheme and userinfo stripped, authority cut
+    * at the first `/ ? # :` (so ports never leak into the host), result
+    * lowercased. An unparseable value yields the empty string. */
+  def hostOf(url: Column): Column =
+    regexp_extract(lower(url),
+      "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)", 1)
+
+  /** True iff `host` is a blocklisted domain or any subdomain of one. */
+  def blocklisted(host: Column, blocklist: Seq[String]): Column =
+    blocklist.map(b => host === b || host.endsWith("." + b))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Per-host document counts (descending) — the curation audit table. */
+  def domainCounts(docs: DataFrame, urlCol: String): DataFrame =
+    docs.select(hostOf(col(urlCol)).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Blocklist pass: keep docs whose host matches no blocklist entry.
+    * Adds the parsed `host` column. */
+  def blocklistFilter(
+      docs: DataFrame, urlCol: String, blocklist: Seq[String]): DataFrame =
+    docs.withColumn("host", hostOf(col(urlCol)))
+      .filter(!blocklisted(col("host"), blocklist))
+
+  /** Per-domain cap: at most `maxPerDomain` docs per host, chosen in the
+    * deterministic hash-priority order (layout-independent, engine-exact).
+    * Emits `sample_rank` (1-based within host). */
+  def domainCap(
+      docs: DataFrame, idCol: String, hostCol: String,
+      maxPerDomain: Int): DataFrame =
+    Sampling.quotaSample(docs, idCol, hostCol, maxPerDomain)
+
+  /** The full first-stage pipeline: parse host → drop blocklisted →
+    * cap per domain. */
+  def curate(
+      docs: DataFrame, idCol: String, urlCol: String,
+      blocklist: Seq[String], maxPerDomain: Int): DataFrame =
+    domainCap(blocklistFilter(docs, urlCol, blocklist),
+      idCol, "host", maxPerDomain)
+}

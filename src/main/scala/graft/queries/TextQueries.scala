@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Contamination, Dedup, Multimodal, Packing, Pipelines, Quantize, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Packing, Pipelines, Quantize, Sampling, Similarity, TextAnalysis, UrlCuration}
 import graft.sources.Sinks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1339,6 +1339,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d56: URL/domain-level curation — the C4/RefinedWeb FIRST stage:
+    //     host parse → blocklist drop → per-domain cap. URLs are
+    //     synthesized deterministically from doc_id (the d44 derived-
+    //     corpus pattern) with every parsing hazard planted: scheme
+    //     variation, mixed-case hosts, ports, userinfo, one mega-domain
+    //     (cap binds), a blocklisted domain plus a subdomain of it, and a
+    //     long tail (cap doesn't bind at small SF). Pure string/int
+    //     algebra — hash-exact in any engine. -----------------------------
+    "d56_domain_curation" -> ((s, d) => {
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("https://"))
+            .otherwise(lit("http://")),
+          when(pmod(col("doc_id"), lit(9)) === 4, lit("crawler:pw@"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(100)) < 40, lit("cdn.bigfarm.example"))
+            .when(pmod(col("doc_id"), lit(100)) < 55, lit("Assets.BigFarm.Example"))
+            .when(pmod(col("doc_id"), lit(100)) < 63, lit("spam.blocked.example"))
+            .when(pmod(col("doc_id"), lit(100)) < 70, lit("blocked.example"))
+            .otherwise(concat(lit("site"),
+              pmod(col("doc_id"), lit(17)).cast("string"), lit(".example"))),
+          when(pmod(col("doc_id"), lit(7)) === 3, lit(":8080")).otherwise(lit("")),
+          lit("/p/"), col("doc_id").cast("string")).as("url"))
+      UrlCuration.curate(urls, "doc_id", "url",
+          blocklist = Seq("blocked.example"), maxPerDomain = 10)
+        .select(col("host"), col("sample_rank"), col("doc_id"))
+        .orderBy("host", "sample_rank")
+    }),
+
     // --- d40: corpus snapshot diff (dataset versioning) — v2 is derived
     //     deterministically from v1 (every 10th doc deleted, every 7th
     //     edited, a disjoint id band appended), then classified by digest
@@ -2636,6 +2665,41 @@ object TextQueries {
                 coalesce(clean.ct, '') AS cleaned_text
          FROM tok LEFT JOIN agg USING (doc_id) LEFT JOIN clean USING (doc_id)
          ORDER BY tok.doc_id""",
+
+    // the URL synthesis is replicated verbatim; host extraction is the
+    // same anchored RE2-compatible regex; blocklist-at-registrable-
+    // granularity = equality OR '%.domain' LIKE; the cap is d17's
+    // hash-priority row_number
+    "d56_domain_curation" ->
+      """WITH urls AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+             || (CASE WHEN doc_id % 9 = 4 THEN 'crawler:pw@' ELSE '' END)
+             || (CASE WHEN doc_id % 100 < 40 THEN 'cdn.bigfarm.example'
+                      WHEN doc_id % 100 < 55 THEN 'Assets.BigFarm.Example'
+                      WHEN doc_id % 100 < 63 THEN 'spam.blocked.example'
+                      WHEN doc_id % 100 < 70 THEN 'blocked.example'
+                      ELSE 'site' || CAST(doc_id % 17 AS VARCHAR) || '.example'
+                 END)
+             || (CASE WHEN doc_id % 7 = 3 THEN ':8080' ELSE '' END)
+             || '/p/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             regexp_extract(lower(url),
+               '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1) AS host
+           FROM urls),
+         kept AS (
+           SELECT doc_id, host FROM h
+           WHERE NOT (host = 'blocked.example'
+                      OR host LIKE '%.blocked.example')),
+         r AS (
+           SELECT host, doc_id,
+             row_number() OVER (PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+           FROM kept)
+         SELECT host, sample_rank, doc_id FROM r WHERE sample_rank <= 10
+         ORDER BY host, sample_rank""",
 
     // DuckDB range(a, b) is end-exclusive: 2-gram starts run to len-1
     // (range(1, len)), 5-gram starts to len-4 (range(1, len-3)) — the

@@ -1468,6 +1468,41 @@ class OperatorsSpec extends SparkTestBase {
       two.getAs[String]("cleaned_text") == gap, two.toString)
   }
 
+  test("UrlCuration: host parse hazards, registrable blocklist, cap binds only above it") {
+    import graft.operators.UrlCuration
+    // every parsing hazard once: scheme variants, no scheme, userinfo,
+    // port, mixed case, path/query/fragment
+    val parsed = Seq(
+      "https://Example.COM/path",
+      "http://user:pw@example.com:8080/p?q=1",
+      "example.com/no-scheme",
+      "ftp://sub.example.com#frag",
+      "https://example.com?query-right-after-host",
+      "weird"
+    ).toDF("url").select(UrlCuration.hostOf(col("url")).as("h"))
+      .collect().map(_.getString(0)).toSeq
+    assert(parsed == Seq("example.com", "example.com", "example.com",
+      "sub.example.com", "example.com", "weird"), parsed.toString)
+    // corpus: a mega-host (cap binds), a small host (cap doesn't), a
+    // blocklisted domain and a subdomain of it, and a LOOKALIKE host that
+    // merely ends in the same string (must survive: not a subdomain)
+    val docs = ((1L to 40L).map(i => (i, s"https://big.example/p/$i")) ++
+      (41L to 43L).map(i => (i, s"https://small.example/p/$i")) ++
+      Seq((50L, "https://blocked.example/x"),
+        (51L, "https://deep.spam.blocked.example/y"),
+        (52L, "https://notblocked.example/z"))).toDF("doc_id", "url")
+    val out = UrlCuration.curate(docs, "doc_id", "url",
+      blocklist = Seq("blocked.example"), maxPerDomain = 10)
+    val byHost = out.groupBy("host").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byHost == Map("big.example" -> 10L, "small.example" -> 3L,
+      "notblocked.example" -> 1L), byHost.toString)
+    // the cap's rank shape must stay the map-side-trimmed WindowGroupLimit
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"domain cap must compile to WindowGroupLimit:\n$plan")
+  }
+
   test("bigramFluency: copied docs double their freq, unique stay 1.0, short docs zero") {
     val docs = Seq(
       (1L, "alpha beta gamma"),   // bigrams: (alpha beta), (beta gamma)
