@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Contamination, Dedup, Multimodal, Packing, Pipelines, Quantize, Sampling, Similarity, TextAnalysis, UrlCuration}
+import graft.operators.{Contamination, Dedup, HtmlExtract, Multimodal, Packing, Pipelines, Quantize, Sampling, Similarity, TextAnalysis, UrlCuration}
 import graft.sources.Sinks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1368,6 +1368,33 @@ object TextQueries {
         .orderBy("host", "sample_rank")
     }),
 
+    // --- d57: HTML → text extraction with Boilerpipe-lite main-content
+    //     selection — the stage upstream of every quality signal. Markup
+    //     is PLANTED around each doc (the d44 derived-corpus pattern):
+    //     script/style/comment subtrees, a nav block, a link farm (word-
+    //     rich but anchor-dominated — only the density rule kills it),
+    //     and an entity block proving strip-then-decode order. Pure
+    //     regexp/replace chains; the density test is integer. -------------
+    "d57_html_extract" -> ((s, d) => {
+      val marked = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><script type=\"text/javascript\">var a="),
+          col("doc_id").cast("string"),
+          lit(";</script><style>p{margin:0}</style></head><body>"),
+          lit("<div id=\"nav\"><a href=\"/\">Home</a> " +
+            "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>"),
+          lit("<!-- build "), col("doc_id").cast("string"), lit(" -->"),
+          lit("<p>"), col("text"), lit("</p>"),
+          lit("<div class=\"links\"><a href=\"/a\">alpha beta</a> " +
+            "<a href=\"/b\">gamma delta</a> <a href=\"/c\">epsilon zeta</a> " +
+            "<a href=\"/d\">eta theta</a></div>"),
+          lit("<p>Tags &lt;b&gt; decode &amp; survive</p>"),
+          lit("</body></html>")).as("html"))
+      HtmlExtract.extractBlocks(marked, "doc_id", "html", minWords = 4)
+        .orderBy("doc_id")
+    }),
+
     // --- d40: corpus snapshot diff (dataset versioning) — v2 is derived
     //     deterministically from v1 (every 10th doc deleted, every 7th
     //     edited, a disjoint id band appended), then classified by digest
@@ -2700,6 +2727,81 @@ object TextQueries {
            FROM kept)
          SELECT host, sample_rank, doc_id FROM r WHERE sample_rank <= 10
          ORDER BY host, sample_rank""",
+
+    // same regex chain as HtmlExtract (DuckDB regexp_replace needs the
+    // explicit 'g' flag — Spark's is global by default); entity decode
+    // runs AFTER tag strip in both engines; the keep rule is the integer
+    // 3*link_words <= words; string_agg skips the CASE's NULLs exactly as
+    // collect_list does
+    "d57_html_extract" ->
+      """WITH marked AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><script type="text/javascript">var a='
+             || CAST(doc_id AS VARCHAR)
+             || ';</script><style>p{margin:0}</style></head><body>'
+             || '<div id="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>'
+             || '<!-- build ' || CAST(doc_id AS VARCHAR) || ' -->'
+             || '<p>' || text || '</p>'
+             || '<div class="links"><a href="/a">alpha beta</a> <a href="/b">gamma delta</a> <a href="/c">epsilon zeta</a> <a href="/d">eta theta</a></div>'
+             || '<p>Tags &lt;b&gt; decode &amp; survive</p>'
+             || '</body></html>' AS html
+           FROM documents),
+         pre AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(html,
+               '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS h
+           FROM marked),
+         seg0 AS (
+           SELECT doc_id, regexp_split_to_array(h,
+             '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|br|section|article|header|footer|nav)\b[^>]*>') AS bs
+           FROM pre),
+         seg AS (
+           SELECT doc_id, i - 1 AS pos, bs[i] AS b
+           FROM seg0, LATERAL unnest(range(1, len(bs) + 1)) AS t(i)),
+         cln AS (
+           SELECT doc_id, pos,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(b, '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                 '&amp;', '&'),
+               '\s+', ' ', 'g')) AS btxt,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 regexp_replace(array_to_string(
+                   regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                   ' '), '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                 '&amp;', '&'),
+               '\s+', ' ', 'g')) AS ltxt
+           FROM seg),
+         flt AS (
+           SELECT doc_id, pos, btxt,
+             len(string_split(btxt, ' ')) AS words,
+             CASE WHEN coalesce(ltxt, '') = '' THEN 0
+                  ELSE len(string_split(ltxt, ' ')) END AS lwords
+           FROM cln WHERE btxt <> ''),
+         k AS (
+           SELECT doc_id, pos, btxt,
+             (words >= 4 AND lwords * 3 <= words) AS keep
+           FROM flt),
+         agg AS (
+           SELECT doc_id, count(*) AS n_blocks,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN keep THEN btxt END,
+               ' ' ORDER BY pos), '') AS extracted
+           FROM k GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(agg.n_blocks, 0) AS n_blocks,
+                coalesce(agg.n_kept, 0) AS n_kept,
+                coalesce(agg.extracted, '') AS extracted
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // DuckDB range(a, b) is end-exclusive: 2-gram starts run to len-1
     // (range(1, len)), 5-gram starts to len-4 (range(1, len-3)) — the

@@ -1503,6 +1503,40 @@ class OperatorsSpec extends SparkTestBase {
       s"domain cap must compile to WindowGroupLimit:\n$plan")
   }
 
+  test("HtmlExtract: subtrees die, entities decode after strip, density kills link farms") {
+    import graft.operators.HtmlExtract
+    // stripHtml: the flatten baseline
+    val flat = Seq(Tuple1(
+      "<html><head><script>var x='<p>evil</p>';</script><style>p{}</style>" +
+        "</head><body><!-- c --><P CLASS=\"x\">A &amp; B&nbsp;&lt;tag&gt;</p>" +
+        "</body></html>")).toDF("h")
+      .select(HtmlExtract.stripHtml(col("h"))).head.getString(0)
+    assert(flat == "A & B <tag>", s"[$flat]")
+    val docs = Seq(
+      (1L, "<body><div><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+        "<p>real body prose with plenty of words here</p>" +
+        "<div><a>one two</a> <a>three four</a> <a>five six</a> <a>seven eight</a></div>" +
+        "<p>short</p></body>"),
+      (2L, "<div></div>"), // markup-only: present with zero counts
+      (3L, "no markup at all just plain prose flowing along")
+    ).toDF("doc_id", "html")
+    val out = HtmlExtract.extractBlocks(docs, "doc_id", "html", minWords = 4)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getLong(2), out(i).getString(3))
+    // doc 1: nav (2 link words) dies on minWords, prose kept, the 8-word
+    // all-anchor farm dies ONLY on density, "short" dies on minWords
+    assert(row(0) == ((4L, 1L, "real body prose with plenty of words here")),
+      row(0).toString)
+    assert(row(1) == ((0L, 0L, "")), row(1).toString)
+    assert(row(2) == ((1L, 1L, "no markup at all just plain prose flowing along")))
+    // the whole extraction is scan-stage narrow work: one doc_id-keyed
+    // aggregation, no join of payload against payload
+    val plan = HtmlExtract.extractBlocks(docs, "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"extraction must not payload-join:\n$plan")
+  }
+
   test("bigramFluency: copied docs double their freq, unique stay 1.0, short docs zero") {
     val docs = Seq(
       (1L, "alpha beta gamma"),   // bigrams: (alpha beta), (beta gamma)
