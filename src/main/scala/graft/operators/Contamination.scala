@@ -103,6 +103,44 @@ object Contamination {
           .as("contamination"))
   }
 
+  /** VECTOR decontamination — the embedding-space complement of the
+    * shingle paths above: shingle matching is exact-overlap only, so a
+    * PARAPHRASED benchmark passage (reworded, re-punctuated, translated
+    * back) sails through [[contaminationScores]] while its embedding stays
+    * nearly collinear with the benchmark's. Flag every corpus row whose
+    * max cosine against ANY benchmark vector reaches `threshold` — the
+    * embedding-similarity decontamination pass of modern eval-hygiene
+    * pipelines (e.g. the fuzzy dedup stage of GPT-3 appendix C, done in
+    * vector space).
+    *
+    * Scale shape: identical to [[Similarity.bruteForceTopK]] — the
+    * benchmark side is an eval set (small by construction) and broadcasts;
+    * ONE corpus scan computes the pairwise cosines row-locally; the
+    * per-pair filter at `threshold` prunes before the doc-id max-agg, so
+    * the only shuffle carries already-flagged (id, cos) rows. No corpus
+    * self-join.
+    *
+    * Determinism: the threshold compares the floor-quantized cosine
+    * (`floor(cos·10⁴)/10⁴` — the e01 recipe), so flag decisions and the
+    * reported `max_cos_q` are bit-identical in any engine; thresholds
+    * should sit away from attainable quantized values (0.9 against ≈1.0
+    * planted copies and ≤0.5 natural neighbors). Output: (idCol,
+    * max_cos_q) of flagged rows only. */
+  def vectorContaminated(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val b = benchmark.select(col(vecCol).as("__bv"))
+    corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(b))
+      .select(col(idCol),
+        (floor(graft.functions.GraftFunctions.cosineF32(
+          col("__cv"), col("__bv")) * 10000) / 10000).as("cos_q"))
+      .filter(col("cos_q") >= threshold)
+      .groupBy(col(idCol))
+      .agg(max(col("cos_q")).as("max_cos_q"))
+  }
+
   /** Pipeline ending: corpus minus documents whose contamination is at or
     * above `threshold` — one broadcast-probed scan plus an id anti-join. */
   def decontaminate(

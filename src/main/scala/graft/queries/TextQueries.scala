@@ -1050,6 +1050,37 @@ object TextQueries {
         .crossJoin(eq)
     }),
 
+    // --- e19: VECTOR decontamination — the embedding-space complement of
+    //     d12/d50's shingle-exact matching: paraphrased benchmark leakage
+    //     has near-collinear embeddings with zero shingle overlap.
+    //     Planted paraphrase analogues (a scaled copy — direction exactly
+    //     preserved — and an additively-shifted copy) of a deterministic
+    //     benchmark slice join the corpus; flagging is max-benchmark-
+    //     cosine ≥ 0.9 on the floor-quantized value (the e01 float
+    //     recipe), so the full flagged set replicates hash-exact —
+    //     `is_planted` in the output IS the precision/recall evidence
+    //     (natural max inter-cosine on this corpus ≈ 0.35). ---------------
+    "e19_vector_decontam" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val bench = emb.filter(pmod(col("vec_id"), lit(50)) === 13)
+        .select(col("vec_id"), col("embedding"))
+      val natural = emb.filter(pmod(col("vec_id"), lit(50)) =!= 13)
+        .select(col("vec_id"), col("embedding"), lit(0).as("is_planted"))
+      val scaled = bench.select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => lit(3.0f) * x).as("embedding"),
+        lit(1).as("is_planted"))
+      val noised = bench.select((col("vec_id") + 20000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.03125f)).as("embedding"),
+        lit(1).as("is_planted"))
+      val corpus = natural.unionByName(scaled).unionByName(noised)
+      Contamination.vectorContaminated(corpus, bench,
+          "vec_id", "embedding", threshold = 0.9)
+        .join(corpus.select(col("vec_id"), col("is_planted")), Seq("vec_id"))
+        .select(col("vec_id"), col("is_planted"), col("max_cos_q"))
+        .orderBy("vec_id")
+    }),
+
     "e12_knn_label_agreement" -> ((s, d) => {
       GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
@@ -1730,6 +1761,40 @@ object TextQueries {
                 true AS index_equals_rebuild""",
     "e13_int8_recall" ->
       """SELECT true AS complete, true AS recall_ge_080""",
+
+    // the e01 cosine replica over a derived corpus: planted analogues are
+    // float-exact transforms (REAL ops whose exact double value rounds to
+    // the identical float in any IEEE engine); flagging compares the
+    // floor-quantized cosine so the flag set is integer-stable
+    "e19_vector_decontam" ->
+      """WITH bench AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 13),
+         corpus AS (
+           SELECT vec_id, embedding, 0 AS is_planted
+           FROM embeddings WHERE vec_id % 50 <> 13
+           UNION ALL
+           SELECT vec_id + 10000000, list_transform(embedding,
+             x -> CAST(CAST(3.0 AS REAL) * x AS REAL)), 1
+           FROM bench
+           UNION ALL
+           SELECT vec_id + 20000000, list_transform(embedding,
+             x -> CAST(x + CAST(0.03125 AS REAL) AS REAL)), 1
+           FROM bench),
+         scored AS (
+           SELECT c.vec_id, c.is_planted,
+             floor(10000 *
+               (list_sum(list_transform(range(1, len(c.embedding) + 1),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(c.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(b.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))) / 10000
+               AS cos_q
+           FROM corpus c, bench b)
+         SELECT vec_id, is_planted, max(cos_q) AS max_cos_q
+         FROM scored WHERE cos_q >= 0.9
+         GROUP BY vec_id, is_planted
+         ORDER BY vec_id""",
     "e08_pq_recall" ->
       """SELECT true AS complete, true AS recall_ge_070""",
     "e06_ivf_kmeans_recall" ->

@@ -1503,6 +1503,37 @@ class OperatorsSpec extends SparkTestBase {
       s"domain cap must compile to WindowGroupLimit:\n$plan")
   }
 
+  test("vectorContaminated: planted analogues all flagged, natural corpus clean, bench broadcast") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Contamination
+    val emb = Tables.embeddings(spark, sf)
+    val bench = emb.filter(pmod(col("vec_id"), lit(50)) === 13)
+      .select(col("vec_id"), col("embedding"))
+    val nBench = bench.count()
+    assert(nBench >= 5, s"bench too small: $nBench")
+    val natural = emb.filter(pmod(col("vec_id"), lit(50)) =!= 13)
+      .select(col("vec_id"), col("embedding"))
+    val scaled = bench.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => lit(3.0f) * x).as("embedding"))
+    val noised = bench.select((col("vec_id") + 2000000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.03125f)).as("embedding"))
+    val corpus = natural.unionByName(scaled).unionByName(noised)
+    val flagged = Contamination.vectorContaminated(corpus, bench,
+      "vec_id", "embedding", threshold = 0.9)
+    val ids = flagged.select("vec_id").collect().map(_.getLong(0)).toSet
+    // RECALL: every planted analogue (both kinds) is flagged
+    val plantedIds = (scaled.select("vec_id").collect() ++
+      noised.select("vec_id").collect()).map(_.getLong(0)).toSet
+    assert(plantedIds.subsetOf(ids),
+      s"missed planted: ${plantedIds -- ids}")
+    // PRECISION: nothing natural is flagged (corpus max inter-cos ~0.4)
+    assert(ids == plantedIds, s"natural FPs: ${ids -- plantedIds}")
+    // plan: benchmark side broadcast, no shuffle of corpus-vs-corpus
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"bench must broadcast:\n$plan")
+  }
+
   test("HtmlExtract: subtrees die, entities decode after strip, density kills link farms") {
     import graft.operators.HtmlExtract
     // stripHtml: the flatten baseline
