@@ -106,6 +106,38 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .persist()
 
+  /** Candidate probability of the (bands, rowsPerBand) MinHash banding at
+    * Jaccard `j` — the LSH S-curve 1 − (1 − j^r)^b. */
+  def lshRecallAt(bands: Int, rowsPerBand: Int, jaccard: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(jaccard, rowsPerBand), bands)
+
+  /** S-curve parameter solver: among the exact factorizations
+    * b·r = numHashes, return the (bands, rowsPerBand) with the LARGEST r
+    * whose S-curve still clears `recallFloor` at Jaccard `threshold`.
+    * Larger r = steeper curve = exponentially fewer sub-threshold
+    * candidate pairs (per-band collision probability j^r), so the largest
+    * feasible r minimizes candidate mass — the standard MMDS §3.4 tuning,
+    * replacing hand-picked band constants. Fails loudly when no
+    * factorization reaches the floor (add hashes or lower the floor).
+    *
+    * Floors are use-case-specific: a recall GATE row verified against an
+    * exact oracle needs near-certainty (e.g. 1−1e−7 — a single missed
+    * pair fails the gate), while a best-effort curation pass can trade
+    * recall 0.9 for a much steeper curve. */
+  def lshParams(
+      numHashes: Int, threshold: Double, recallFloor: Double): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1 &&
+      recallFloor > 0 && recallFloor < 1)
+    val feasible = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+      .filter { case (b, r) => lshRecallAt(b, r, threshold) >= recallFloor }
+    require(feasible.nonEmpty,
+      s"no (bands, rows) factorization of $numHashes hashes reaches " +
+        s"recall $recallFloor at J=$threshold - add hashes or lower the floor")
+    feasible.maxBy(_._2)
+  }
+
   /** Band keys from a MinHash signature: bucket = hash-combine of each band
     * slice, computed by the single-pass [[graft.functions.BandKeys64]]
     * kernel (the HOF slice→stringify→xxhash64 formulation allocated 32

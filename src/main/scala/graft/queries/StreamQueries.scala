@@ -534,10 +534,14 @@ object StreamQueries {
           .option("checkpointLocation", ckpt.toString)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // S-curve-solved banding (d06's near-certainty floor): the
+            // oracle replays a full recompute, so candidates can't miss
             Dedup.incrementalDedupOnce(s, statePath, batch,
               "doc_id", "text", batchId,
               kept => kept.write.mode("overwrite")
-                .parquet(s"$out/batch=$batchId"))
+                .parquet(s"$out/batch=$batchId"),
+              bands = Dedup.lshParams(numHashes = 128,
+                threshold = 0.8, recallFloor = 1 - 1e-7)._1)
           }
           .start()
         try q.processAllAvailable() finally q.stop()

@@ -162,11 +162,17 @@ object TextQueries {
         .orderBy("keep_id")
     }),
 
-    // --- MinHash-LSH near-dup (verified by exact Jaccard) ----------------------
+    // --- MinHash-LSH near-dup (verified by exact Jaccard). Banding comes
+    //     from the S-curve solver, not a hand constant: this row's oracle
+    //     is the EXACT J>=0.8 pair list, so the floor demands
+    //     near-certainty (a single missed pair fails the gate) — solved
+    //     (32 bands x 4 rows) over 128 hashes, miss prob 4.7e-8/pair. ------
     "d06_minhash_neardup" -> ((s, d) => {
       GraftFunctions.register(s)
+      val (bands, _) = Dedup.lshParams(numHashes = 128,
+        threshold = 0.8, recallFloor = 1 - 1e-7)
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.8)
+          threshold = 0.8, bands = bands)
         .orderBy("id_a", "id_b")
     }),
 
@@ -304,10 +310,16 @@ object TextQueries {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
       val cut = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) * 3 / 5
+      // S-curve-solved banding (same near-certainty floor as d06: the
+      // oracle is a full greedy recompute, so candidates can't miss)
+      val (bands, _) = Dedup.lshParams(numHashes = 128,
+        threshold = 0.8, recallFloor = 1 - 1e-7)
       val kept1 = Dedup.incrementalDedup(s, idx,
-        docs.filter(col("doc_id") <= cut), "doc_id", "text", threshold = 0.8)
+        docs.filter(col("doc_id") <= cut), "doc_id", "text", threshold = 0.8,
+        bands = bands)
       val kept2 = Dedup.incrementalDedup(s, idx,
-        docs.filter(col("doc_id") > cut), "doc_id", "text", threshold = 0.8)
+        docs.filter(col("doc_id") > cut), "doc_id", "text", threshold = 0.8,
+        bands = bands)
       kept1.select(col("doc_id"), col("n_chars"))
         .unionByName(kept2.select(col("doc_id"), col("n_chars")))
         .orderBy("doc_id")

@@ -388,4 +388,30 @@ class FunctionsSpec extends SparkTestBase {
       "SELECT product(v) FROM VALUES (2.0), (4.0) AS t(v)").collect().head.getDouble(0)
     assert(got == 8.0)
   }
+
+  test("lshParams: S-curve solver picks the steepest feasible banding") {
+    import graft.operators.Dedup.{lshParams, lshRecallAt}
+    // curve math: closed form, endpoints, monotonicity in j
+    assert(math.abs(lshRecallAt(1, 1, 0.3) - 0.3) < 1e-15)
+    assert(math.abs(lshRecallAt(32, 4, 0.8) -
+      (1 - math.pow(1 - math.pow(0.8, 4), 32))) == 0.0)
+    val curve = (1 to 9).map(i => lshRecallAt(16, 8, i / 10.0))
+    assert(curve == curve.sorted, "S-curve must be monotone in j")
+    // the production tuning: 128 hashes, J=0.8, near-certainty floor
+    // (exact-oracle gates) solves to the steeper of the feasible set
+    assert(lshParams(128, 0.8, 1 - 1e-7) == ((32, 4)))
+    // r=8 clears a 0.9 floor at J=0.8 (recall 0.947) and is preferred
+    // to r=4 there — fewer candidates when near-certainty isn't needed
+    assert(lshParams(128, 0.8, 0.9) == ((16, 8)))
+    // high threshold lets much steeper curves through
+    assert(lshParams(128, 0.95, 0.99)._2 > 4)
+    // infeasible floor fails loudly, not silently
+    val e = intercept[IllegalArgumentException] {
+      lshParams(4, 0.05, 0.9999)
+    }
+    assert(e.getMessage.contains("add hashes"), e.getMessage)
+    // the solution is always an exact factorization
+    val (b, r) = lshParams(96, 0.7, 0.99)
+    assert(b * r == 96 && lshRecallAt(b, r, 0.7) >= 0.99)
+  }
 }
