@@ -37,6 +37,13 @@ object ScaleSmoke {
   def ensureData(spark: SparkSession): Unit =
     ensureDataAt(spark, DST, TILES)
 
+  /** 100× tile dir (documents/embeddings/events tiled; relational tables
+    * untiled) — shared by the --x100 mode and SpillProbe. */
+  def ensureData100(spark: SparkSession): String = {
+    ensureDataAt(spark, "/tmp/graft_sf10", 100)
+    "/tmp/graft_sf10"
+  }
+
   private def ensureDataAt(spark: SparkSession, dst: String, tiles: Int): Unit = {
     val done = new java.io.File(s"$dst/_DONE")
     if (done.exists()) return

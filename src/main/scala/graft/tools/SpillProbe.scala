@@ -28,16 +28,45 @@ import org.apache.spark.sql.functions._
   */
 object SpillProbe {
 
-  private val DEFAULT = Seq("d05_exact_dedup", "d28_canonical_dedup",
-    "q75_tpch_q9", "q90_bucketed_join", "d35_dupspan")
+  /** (row, expectSpill): d05 proper is EXPECTED NOT to spill — map-side
+    * combine bounds its aggregation state by per-task DISTINCT digests,
+    * so clone-heavy tilings at any size never grow it (measured: zero
+    * spill bytes even at the 100× tile under a 0.05 fraction). That
+    * boundedness is the d05 scale design; the spill-path exercise for the
+    * exact-dedup SHAPE is d05_salted_dedup, where per-tile-salted texts
+    * make distinct keys ∝ input rows and the starved pool must spill. */
+  private val DEFAULT = Seq(
+    "d05_exact_dedup" -> false,
+    "d05_salted_dedup" -> true,
+    "d28_canonical_dedup" -> true,
+    "q75_tpch_q9" -> true,
+    "q90_bucketed_join" -> true,
+    "d35_dupspan" -> true)
 
-  /** Order-independent digest: sum of 60-bit md5 prefixes of each row's
-    * JSON. Identical plans under both sessions → comparable bytes. */
+  /** Rows that need the 100× tile to generate real memory pressure. */
+  private val X100_ROWS = Set("d05_exact_dedup", "d05_salted_dedup")
+
+  /** Probe-local variants (the ScaleSmoke EXTRA pattern). */
+  private val EXTRA: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d05_salted_dedup" -> ((s, d) =>
+      graft.operators.Dedup.exactDedup(
+        graft.Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" #"), col("doc_id").cast("string"))
+            .as("text")),
+        "doc_id", "text")))
+
+  private def query(n: String): (SparkSession, String) => DataFrame =
+    EXTRA.getOrElse(n, SparkEntry.queries(n))
+
+  /** Order-independent digest: XOR of 60-bit md5 prefixes of each row's
+    * JSON (XOR never overflows ANSI arithmetic and is commutative, so
+    * partition order can't matter). Identical plans under both sessions →
+    * comparable bytes. */
   private def digest(df: DataFrame): Long =
     df.select(conv(substring(md5(to_json(struct(
         df.columns.map(col).toIndexedSeq: _*))), 1, 15), 16, 10)
         .cast("long").as("h"))
-      .agg(sum(col("h"))).head.getLong(0)
+      .agg(expr("bit_xor(h)")).head.getLong(0)
 
   private def session(memoryFraction: Option[Double]): SparkSession = {
     val b = SparkSession.builder().master("local[32]")
@@ -52,6 +81,10 @@ object SpillProbe {
         // starve storage too: unified memory lets execution borrow idle
         // storage; capping the storage share keeps the squeeze honest
         .config("spark.memory.storageFraction", "0.1")
+        // the 100 TB posture the starved run models: dim tables too big
+        // to broadcast — every join must take the sort path, which is
+        // exactly the path that has to spill correctly
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -60,19 +93,22 @@ object SpillProbe {
 
   def main(args: Array[String]): Unit = {
     val frac = args.headOption.flatMap(_.toDoubleOption).getOrElse(0.05)
-    val names0 = if (args.exists(a => a.toDoubleOption.isEmpty))
-      args.filter(_.toDoubleOption.isEmpty).toSeq else DEFAULT
-    val names = names0
+    val names: Seq[(String, Boolean)] =
+      if (args.exists(a => a.toDoubleOption.isEmpty))
+        args.filter(_.toDoubleOption.isEmpty).toSeq.map(_ -> true)
+      else DEFAULT
     val dst = "/tmp/graft_sf1"
 
     // pass 1: reference digests under a normal session (also tiles data)
     val ref = session(None)
     ScaleSmoke.ensureData(ref)
     ScaleSmoke.ensureRelationalTiles(ref)
-    val refDigests = names.map { n =>
+    val x100 = ScaleSmoke.ensureData100(ref)
+    def dirOf(n: String): String = if (X100_ROWS(n)) x100 else dst
+    val refDigests = names.map { case (n, _) =>
       if (SparkEntry.setupQueries.contains(n))
-        SparkEntry.queries(n)(ref, dst).count()
-      val df = SparkEntry.queries(n)(ref, dst)
+        query(n)(ref, dirOf(n)).count()
+      val df = query(n)(ref, dirOf(n))
       n -> ((digest(df), df.count()))
     }.toMap
     ref.stop()
@@ -95,13 +131,13 @@ object SpillProbe {
     })
     println(f"${"query"}%-22s ${"wall_s"}%7s ${"spill_mem_MB"}%13s ${"spill_disk_MB"}%14s ${"rows"}%9s  match")
     var bad = 0
-    names.foreach { n =>
+    names.foreach { case (n, expectSpill) =>
       if (SparkEntry.setupQueries.contains(n))
-        SparkEntry.queries(n)(starved, dst).count()
+        query(n)(starved, dirOf(n)).count()
       System.gc(); Thread.sleep(200)
       val m0 = memSpill.get(); val d0 = diskSpill.get()
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(n)(starved, dst)
+      val df = query(n)(starved, dirOf(n))
       val dg = digest(df)
       val rows = df.count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -110,7 +146,7 @@ object SpillProbe {
       val sd = (diskSpill.get() - d0) / 1e6
       val ok = refDigests(n) == ((dg, rows))
       if (!ok) bad += 1
-      if (sm + sd == 0) {
+      if (expectSpill && sm + sd == 0) {
         println(s"[spill] WARNING: $n did not spill at fraction=$frac")
         bad += 1
       }
