@@ -485,6 +485,58 @@ object TextAnalysis {
           " ").as("cleaned_text"))
   }
 
+  /** C4-style LINE-level dedup (Raffel et al. 2020 §2.2 "we discarded all
+    * but one of any three-sentence span occurring more than once";
+    * RefinedWeb's line-dedup stage): sub-document deduplication at a
+    * fixed granularity — the corpus keeps exactly ONE occurrence of each
+    * distinct line, the globally-first one, and every other document
+    * loses it. Complements [[removeDuplicateSpans]] (arbitrary-position
+    * spans) with the cheaper aligned-unit semantics real pipelines run
+    * first.
+    *
+    * Lines here are fixed `lineTokens`-token chunks of the normalized
+    * token stream ([[Packing.chunkTokens]] with zero overlap) — the
+    * deterministic unit this corpus supports (no newlines). "First"
+    * means smallest (doc_id, chunk_id), encoded as the single integer
+    * doc_id·10⁶ + chunk_id so the winner is one map-side-combinable MIN —
+    * integer-exact in any engine.
+    *
+    * Output per input doc: n_lines, n_kept, cleaned_text (surviving
+    * lines in document order; empty when everything deduped away).
+    *
+    * Scale shape: one chunking pass (explode+slice over the per-doc token
+    * array), one MIN aggregate keyed on the line digest (8-byte shuffle
+    * keys — xxhash64(line), never line strings, the d35 contract), one
+    * digest-keyed join back, one per-doc reassembly agg. Everything
+    * corpus-sized that shuffles carries digests. */
+  def dedupLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 10): DataFrame = {
+    require(lineTokens > 0)
+    val lines = Packing.chunkTokens(docs, idCol, textCol, lineTokens, 0)
+      .select(col(idCol).as("doc_id"), col("chunk_id"),
+        col("chunk_text"), xxhash64(col("chunk_text")).as("lh"),
+        (col(idCol) * 1000000L + col("chunk_id")).as("okey"))
+    val winners = lines.groupBy(col("lh"))
+      .agg(min(col("okey")).as("wkey"))
+    val kept = lines.join(winners, Seq("lh"))
+      .filter(col("okey") === col("wkey"))
+    val cnt = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"))
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(sort_array(collect_list(
+          struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("cleaned_text"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(cnt, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** BM25 keyword retrieval: rank documents for a FIXED query-term list
     * (Robertson & Spärck Jones; the Okapi BM25 scoring used by Lucene /
     * Elasticsearch and sparse-retrieval data pipelines).

@@ -1438,6 +1438,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d58: C4-style LINE-level dedup — sub-document dedup at aligned
+    //     fixed-token units (the cheap stage pipelines run before span
+    //     dedup): the corpus keeps ONE occurrence of each distinct line
+    //     (globally first by (doc_id, chunk_id)), every other doc loses
+    //     it. Clone-prefix docs are PLANTED (2-in-10 docs get their
+    //     decade-head's text prepended), so aligned duplicated lines
+    //     exist at every SF with both polarities. Integer-exact winner
+    //     selection; full SQL replica. ------------------------------------
+    "d58_line_dedup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val heads = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id").as("h_id"), col("text").as("h_text"))
+      val planted = docs
+        .withColumn("h_id", col("doc_id") - pmod(col("doc_id"), lit(10)))
+        .join(heads, Seq("h_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) >= 8 && col("h_text").isNotNull,
+            concat(col("h_text"), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+      TextAnalysis.dedupLines(planted, "doc_id", "text", lineTokens = 10)
+        .orderBy("doc_id")
+    }),
+
     // --- d40: corpus snapshot diff (dataset versioning) — v2 is derived
     //     deterministically from v1 (every 10th doc deleted, every 7th
     //     edited, a disjoint id band appended), then classified by digest
@@ -2713,6 +2737,45 @@ object TextQueries {
 
     "d53_perplexity_filter" ->
       """SELECT true AS k_selected, true AS recall_ge_095""",
+
+    // fixed 10-token chunking replicated with end-exclusive range over
+    // ceil(n/10) = (n+9)//10; the global winner per line is the integer
+    // min of doc_id*1e6 + chunk_id — the same map-side-combinable MIN
+    "d58_line_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         heads AS (SELECT doc_id AS h_id, text AS h_text FROM base
+                   WHERE doc_id % 10 = 0),
+         planted AS (
+           SELECT b.doc_id,
+             CASE WHEN b.doc_id % 10 >= 8 AND h.h_text IS NOT NULL
+                  THEN h.h_text || ' ' || b.text ELSE b.text END AS text
+           FROM base b LEFT JOIN heads h
+             ON h.h_id = b.doc_id - (b.doc_id % 10)),
+         tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> t <> '') AS toks
+           FROM planted),
+         lines AS (
+           SELECT doc_id, c AS chunk_id,
+             array_to_string(toks[(c*10+1):(c*10+10)], ' ') AS chunk_text,
+             doc_id*1000000 + c AS okey
+           FROM tok, LATERAL unnest(range(0, (len(toks) + 9) // 10)) AS t(c)
+           WHERE len(toks) > 0),
+         w AS (SELECT chunk_text, min(okey) AS wkey FROM lines
+               GROUP BY chunk_text),
+         kept AS (SELECT l.doc_id, l.chunk_id, l.chunk_text FROM lines l
+                  JOIN w ON l.chunk_text = w.chunk_text AND l.okey = w.wkey),
+         cnt AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(chunk_text, ' ' ORDER BY chunk_id) AS ct
+                 FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(cnt.n_lines, 0) AS n_lines,
+                coalesce(agg.n_kept, 0) AS n_kept,
+                coalesce(agg.ct, '') AS cleaned_text
+         FROM documents d LEFT JOIN cnt USING (doc_id)
+                          LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // the d35 gram table extended with POSITIONS (j-1 converts DuckDB's
     // 1-based starts to Spark's 0-based posexplode), then classic

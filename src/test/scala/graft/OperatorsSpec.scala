@@ -1568,6 +1568,27 @@ class OperatorsSpec extends SparkTestBase {
       s"extraction must not payload-join:\n$plan")
   }
 
+  test("dedupLines: global first occurrence wins, clones excised, order kept") {
+    graft.functions.GraftFunctions.register(spark)
+    val t20 = (1 to 20).map(i => s"w$i").mkString(" ") // exactly 2 lines
+    val rep = ("x " * 10).trim                          // one 10-token line
+    val docs = Seq(
+      (1L, t20),                            // owns both lines
+      (2L, s"$t20 extra tail tokens here"), // prefix clone + own tail
+      (3L, "totally different and unique tokens"),
+      (4L, t20),                            // full clone → empty
+      (5L, s"$rep $rep")                    // within-doc repeat → keeps one
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text", lineTokens = 10)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getLong(2), out(i).getString(3))
+    assert(row(0) == ((2L, 2L, t20)), row(0).toString)
+    assert(row(1) == ((3L, 1L, "extra tail tokens here")), row(1).toString)
+    assert(row(2) == ((1L, 1L, "totally different and unique tokens")))
+    assert(row(3) == ((2L, 0L, "")), row(3).toString)
+    assert(row(4) == ((2L, 1L, rep)), row(4).toString)
+  }
+
   test("bigramFluency: copied docs double their freq, unique stay 1.0, short docs zero") {
     val docs = Seq(
       (1L, "alpha beta gamma"),   // bigrams: (alpha beta), (beta gamma)
