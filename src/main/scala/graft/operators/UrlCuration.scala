@@ -78,4 +78,56 @@ object UrlCuration {
       blocklist: Seq[String], maxPerDomain: Int): DataFrame =
     domainCap(blocklistFilter(docs, urlCol, blocklist),
       idCol, "host", maxPerDomain)
+
+  /** One micro-batch of STREAMING domain-capped ingestion — [[curate]]
+    * driven by foreachBatch with the cap enforced ACROSS batches: a doc is
+    * kept iff its host's already-accepted count (all committed batches)
+    * plus its within-batch arrival rank stays ≤ `maxPerDomain`. With
+    * monotone-id staging the streamed union of kept batches EQUALS the
+    * batch-global arrival-order cap (row_number per host by id) — the
+    * oracle-provable equivalence.
+    *
+    * Exactly-once via [[Dedup.incrementalDedupOnce]]'s crash matrix: a
+    * committed batchId skips the whole body (sink output is known
+    * complete); otherwise kept rows are computed against the PREVIOUS
+    * committed per-host counts, handed to an idempotent per-batch sink,
+    * and only then the updated counts commit
+    * ([[IncrementalAgg.refreshOnceWith]], sum-merge). Every crash point
+    * replays against unchanged state and overwrites identically.
+    *
+    * State is one (host, n_accepted) row per domain — bounded by domain
+    * cardinality, not corpus size; the per-batch shuffle is the
+    * WindowGroupLimit-style host partitioning of the BATCH only. */
+  def domainCapOnce(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      batch: DataFrame, idCol: String, urlCol: String, batchId: Long,
+      sink: DataFrame => Unit, blocklist: Seq[String],
+      maxPerDomain: Int): Unit = {
+    require(maxPerDomain > 0)
+    if (!IncrementalAgg.latestVersion(spark, statePath).forall(_ < batchId))
+      return
+    val prev = IncrementalAgg.latestVersion(spark, statePath)
+      .map(_ => IncrementalAgg.readState(spark, statePath))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col(idCol))
+    val ranked = blocklistFilter(batch, urlCol, blocklist)
+      .withColumn("__rk", row_number().over(w))
+    val withPrev = prev match {
+      case Some(st) => ranked
+        .join(st.select(col("host"), col("n_accepted").as("__before")),
+          Seq("host"), "left")
+        .withColumn("__before", coalesce(col("__before"), lit(0L)))
+      case None => ranked.withColumn("__before", lit(0L))
+    }
+    val kept = withPrev
+      .filter(col("__before") + col("__rk") <= maxPerDomain)
+      .drop("__rk", "__before")
+    sink(kept)
+    // commit AFTER the sink (crash → replay recomputes identically)
+    val delta = kept.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_accepted"))
+    IncrementalAgg.refreshOnceWith(spark, statePath, delta, batchId,
+      (st, dl) => st.unionByName(dl).groupBy(col("host"))
+        .agg(sum(col("n_accepted")).as("n_accepted")))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, UrlCuration}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -36,6 +36,7 @@ object StreamQueries {
   private val mvJoinback = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val qualityRouted = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamDedup = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamDomcap = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val sketchMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val freqMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // memory-sink temp views from prior drains: each holds a full result
@@ -552,6 +553,58 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // --- s21: streaming DOMAIN-CAPPED ingestion — d56's C4/RefinedWeb
+    //     first stage driven by foreachBatch with the per-domain cap
+    //     enforced ACROSS micro-batches: versioned (host, n_accepted)
+    //     state, kept rows land in an idempotent per-batch overwrite dir
+    //     BEFORE the counts commit (UrlCuration.domainCapOnce's crash
+    //     matrix). Files are staged in monotone doc_id order — under
+    //     which the streamed union of kept batches EQUALS the
+    //     batch-global ARRIVAL-ORDER cap (row_number per host by
+    //     doc_id), which the oracle replays in SQL. ----------------------
+    "s21_stream_domain_cap" -> ((s, d) => {
+      val outDir = streamDomcap.computeIfAbsent(d, { _ =>
+        val urls = graft.queries.TextQueries.syntheticUrls(
+          Tables.documents(s, d))
+        val cut = urls.agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
+        val srcDir = tmpDir("sdomcapsrc")
+        def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
+          val tmp = tmpDir("sdomcapw")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(srcDir, name)
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(lastMod); ()
+        }
+        val now = System.currentTimeMillis()
+        stage(urls.filter(col("doc_id") <= cut), "snap_0.parquet", now - 60000)
+        stage(urls.filter(col("doc_id") > cut), "snap_1.parquet", now)
+        val statePath = tmpDir("sdomcapstate", create = false).toString + "/state"
+        val out = tmpDir("sdomcapout", create = false).toString
+        val ckpt = tmpDir("sdomcapckpt")
+        val stream = s.readStream
+          .schema(s.read.parquet(srcDir.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            UrlCuration.domainCapOnce(s, statePath, batch,
+              "doc_id", "url", batchId,
+              kept => kept.write.mode("overwrite")
+                .parquet(s"$out/batch=$batchId"),
+              blocklist = Seq("blocked.example"), maxPerDomain = 10)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        out
+      })
+      s.read.parquet(outDir)
+        .select(col("host"), col("doc_id"))
+        .orderBy("host", "doc_id")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -827,6 +880,40 @@ object StreamQueries {
     // greedy dedup — so the oracle IS d30's SQL, shared verbatim
     "s20_stream_incremental_dedup" ->
       graft.queries.TextQueries.oracle("d30_incremental_dedup"),
+    // streamed monotone batches with cross-batch (host, n_accepted) state
+    // ≡ the batch-global ARRIVAL-ORDER cap: row_number per host by doc_id
+    // (NOT d56's hash-priority rank — the streamed cap keeps the first
+    // arrivals). Same synthesized URLs, same host regex, same
+    // registrable-granularity blocklist as d56's oracle.
+    "s21_stream_domain_cap" ->
+      """WITH urls AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+             || (CASE WHEN doc_id % 9 = 4 THEN 'crawler:pw@' ELSE '' END)
+             || (CASE WHEN doc_id % 100 < 40 THEN 'cdn.bigfarm.example'
+                      WHEN doc_id % 100 < 55 THEN 'Assets.BigFarm.Example'
+                      WHEN doc_id % 100 < 63 THEN 'spam.blocked.example'
+                      WHEN doc_id % 100 < 70 THEN 'blocked.example'
+                      ELSE 'site' || CAST(doc_id % 17 AS VARCHAR) || '.example'
+                 END)
+             || (CASE WHEN doc_id % 7 = 3 THEN ':8080' ELSE '' END)
+             || '/p/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             regexp_extract(lower(url),
+               '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1) AS host
+           FROM urls),
+         kept AS (
+           SELECT doc_id, host FROM h
+           WHERE NOT (host = 'blocked.example'
+                      OR host LIKE '%.blocked.example')),
+         r AS (
+           SELECT host, doc_id,
+             row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+           FROM kept)
+         SELECT host, doc_id FROM r WHERE rk <= 10
+         ORDER BY host, doc_id""",
     // streamed routing ≡ batch routing with the shared memoized weights —
     // an in-row equivalence proof, so the oracle is the constant row
     "s19_stream_quality_routing" ->

@@ -91,6 +91,28 @@ object TextQueries {
     (cols, w, labeled)
   }
 
+  /** Deterministic synthetic URL per document (the d44 derived-corpus
+    * pattern) with every parsing hazard planted: scheme variation,
+    * userinfo, mixed-case hosts, ports, one mega-domain (so a per-domain
+    * cap binds), a blocklisted domain plus a subdomain of it, and a long
+    * tail. Shared by d56 (batch curation) and s21 (streamed cap). */
+  def syntheticUrls(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("https://"))
+          .otherwise(lit("http://")),
+        when(pmod(col("doc_id"), lit(9)) === 4, lit("crawler:pw@"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(100)) < 40, lit("cdn.bigfarm.example"))
+          .when(pmod(col("doc_id"), lit(100)) < 55, lit("Assets.BigFarm.Example"))
+          .when(pmod(col("doc_id"), lit(100)) < 63, lit("spam.blocked.example"))
+          .when(pmod(col("doc_id"), lit(100)) < 70, lit("blocked.example"))
+          .otherwise(concat(lit("site"),
+            pmod(col("doc_id"), lit(17)).cast("string"), lit(".example"))),
+        when(pmod(col("doc_id"), lit(7)) === 3, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string")).as("url"))
+
   private def indexTmpDir(tag: String): java.io.File = {
     val f = java.nio.file.Files.createTempDirectory(s"graft_index_$tag").toFile
     sys.addShutdownHook {
@@ -1391,20 +1413,7 @@ object TextQueries {
     //     long tail (cap doesn't bind at small SF). Pure string/int
     //     algebra — hash-exact in any engine. -----------------------------
     "d56_domain_curation" -> ((s, d) => {
-      val urls = Tables.documents(s, d).select(col("doc_id"),
-        concat(
-          when(pmod(col("doc_id"), lit(2)) === 0, lit("https://"))
-            .otherwise(lit("http://")),
-          when(pmod(col("doc_id"), lit(9)) === 4, lit("crawler:pw@"))
-            .otherwise(lit("")),
-          when(pmod(col("doc_id"), lit(100)) < 40, lit("cdn.bigfarm.example"))
-            .when(pmod(col("doc_id"), lit(100)) < 55, lit("Assets.BigFarm.Example"))
-            .when(pmod(col("doc_id"), lit(100)) < 63, lit("spam.blocked.example"))
-            .when(pmod(col("doc_id"), lit(100)) < 70, lit("blocked.example"))
-            .otherwise(concat(lit("site"),
-              pmod(col("doc_id"), lit(17)).cast("string"), lit(".example"))),
-          when(pmod(col("doc_id"), lit(7)) === 3, lit(":8080")).otherwise(lit("")),
-          lit("/p/"), col("doc_id").cast("string")).as("url"))
+      val urls = syntheticUrls(Tables.documents(s, d))
       UrlCuration.curate(urls, "doc_id", "url",
           blocklist = Seq("blocked.example"), maxPerDomain = 10)
         .select(col("host"), col("sample_rank"), col("doc_id"))

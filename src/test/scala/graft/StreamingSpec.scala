@@ -443,6 +443,57 @@ class StreamingSpec extends SparkTestBase {
     assert(keptIds() == Seq(1L, 3L, 13L))
   }
 
+  test("domainCapOnce: cross-batch cap == arrival-order cap; crash+replay safe") {
+    import graft.operators.UrlCuration
+    val dir = java.nio.file.Files.createTempDirectory("domcap")
+    val state = dir.resolve("state").toString
+    val out = dir.resolve("out").toString
+    def urls(ids: Seq[Long], host: Long => String) =
+      ids.map(i => (i, s"http://${host(i)}/p/$i")).toDF("doc_id", "url")
+    // host a: 4 docs in batch 0 (cap=3 trims the 4th), 2 more in batch 1
+    //   (both must be dropped — the cross-batch count is already full)
+    // host b: 1 in batch 0 + 2 in batch 1 (all kept, total 3)
+    // blocked.example: one direct hit + one subdomain, both dropped
+    val b0 = urls(Seq(1L, 2L, 3L, 4L), i => if (i <= 4) "a.example" else "?")
+      .unionByName(urls(Seq(5L), _ => "b.example"))
+      .unionByName(urls(Seq(6L), _ => "blocked.example"))
+    val b1 = urls(Seq(11L, 12L), _ => "a.example")
+      .unionByName(urls(Seq(13L, 14L), _ => "b.example"))
+      .unionByName(urls(Seq(15L), _ => "spam.blocked.example"))
+    def sink(id: Long)(kept: org.apache.spark.sql.DataFrame): Unit =
+      kept.write.mode("overwrite").parquet(s"$out/batch=$id")
+    val block = Seq("blocked.example")
+    UrlCuration.domainCapOnce(spark, state, b0, "doc_id", "url", 0L,
+      sink(0L), block, maxPerDomain = 3)
+    // crash AFTER the sink, BEFORE the commit: batch 1's kept rows land
+    // but the counts never commit — the replay must recompute against
+    // UNCHANGED state and overwrite identically
+    intercept[RuntimeException] {
+      UrlCuration.domainCapOnce(spark, state, b1, "doc_id", "url", 1L,
+        kept => { sink(1L)(kept); throw new RuntimeException("crash") },
+        block, maxPerDomain = 3)
+    }
+    assert(graft.operators.IncrementalAgg.latestVersion(spark, state)
+      .contains(0L), "a crash before commit must leave state at v0")
+    UrlCuration.domainCapOnce(spark, state, b1, "doc_id", "url", 1L,
+      sink(1L), block, maxPerDomain = 3)
+    def keptIds() = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds() == Seq(1L, 2L, 3L, 5L, 13L, 14L), keptIds().toString)
+    // equivalence: streamed union == batch-global arrival-order cap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("doc_id"))
+    val full = UrlCuration.blocklistFilter(b0.unionByName(b1), "url", block)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds() == full)
+    // a replayed committed batchId must skip the whole body
+    UrlCuration.domainCapOnce(spark, state, b1, "doc_id", "url", 1L,
+      _ => fail("replayed batchId must skip the whole body"),
+      block, maxPerDomain = 3)
+    assert(keptIds() == Seq(1L, 2L, 3L, 5L, 13L, 14L))
+  }
+
   test("routeBinary: disjoint total routing; replay overwrites, never duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("route")
     val srcDir = dir.resolve("src").toString
