@@ -130,4 +130,60 @@ object UrlCuration {
       (st, dl) => st.unionByName(dl).groupBy(col("host"))
         .agg(sum(col("n_accepted")).as("n_accepted")))
   }
+
+  private val UrlParts =
+    "^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?(?:([^/?#@]*)@)?" +
+      "([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+
+  /** Tracking parameters every crawl pipeline strips before URL identity
+    * is decided (C4/CCNet dedup by canonical URL): Google/Facebook click
+    * ids and the utm_* campaign family, plus the bare `ref` referrer. */
+  private val TrackingParam = "^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
+
+  /** Canonical form of a URL — the identity under which crawl pipelines
+    * dedup re-crawls of the same page (CCNet dedups by URL; C4 relies on
+    * the crawler's canonicalization). One deterministic string rewrite,
+    * pure regexp/array algebra (no UDF, engine-portable bit-for-bit):
+    *
+    *  - scheme lowercased, defaulting to `http` when absent;
+    *  - userinfo and fragment dropped (never part of page identity);
+    *  - host lowercased; an explicit default port (`:80` for http,
+    *    `:443` for https) dropped, any other port kept;
+    *  - trailing slashes trimmed off the path (empty path → `/`);
+    *  - query params split on `&`, tracking params ([[TrackingParam]])
+    *    and empty fragments dropped, survivors SORTED so param order
+    *    never splits identity, re-joined (no survivors → no `?`).
+    *
+    * An unparseable value canonicalizes to `http://<value>/`-ish via the
+    * permissive host group — garbage in, deterministic garbage out. */
+  def canonicalizeUrl(url: Column): Column = {
+    def part(i: Int) = regexp_extract(url, UrlParts, i)
+    val scheme =
+      when(part(1) === "", lit("http")).otherwise(lower(part(1)))
+    val host = lower(part(3))
+    val port = part(4)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val trimmedPath = regexp_replace(part(5), "/+$", "")
+    val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    val keptParams = array_sort(filter(split(part(6), "&"),
+      p => p =!= "" && !p.rlike(TrackingParam)))
+    val queryPart = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, portPart, path, queryPart)
+  }
+
+  /** URL-level exact dedup — group docs by [[canonicalizeUrl]] identity
+    * and keep the lowest id per canonical URL (the re-crawl winner).
+    * Emits one row per canonical URL: `(canon_url, keep_id, n_dups)`.
+    * Scale shape: the rewrite is a narrow map in the scan stage; the one
+    * shuffle groups by canonical-URL string (bounded by distinct pages,
+    * and map-side combine collapses per-partition re-crawls first). */
+  def canonicalDedup(
+      docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 }

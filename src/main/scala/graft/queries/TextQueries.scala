@@ -1471,6 +1471,38 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d59: canonical-URL dedup — the re-crawl identity stage upstream
+    //     of d56's domain curation: lowercase scheme/host, drop
+    //     userinfo/fragment/default ports, trim trailing slashes, strip
+    //     tracking params, SORT survivors — then keep one doc per
+    //     canonical URL. Five URL variants of the same page are planted
+    //     per doc-id family (clean, shouty+default-port+fragment,
+    //     trailing-slash+utm, userinfo+:443+gclid, reordered kept
+    //     params); the first four collapse, the fifth keeps a distinct
+    //     sorted query. Pure regexp/array algebra — hash-exact. ----------
+    "d59_url_canonical_dedup" -> ((s, d) => {
+      val fam = expr("doc_id div 5")
+      val siteN = pmod(fam, lit(50)).cast("string")
+      val famS = fam.cast("string")
+      val url = when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("https://www.site"), siteN, lit(".example/article/"), famS))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(lit("HTTPS://WWW.Site"), siteN, lit(".EXAMPLE:443/article/"),
+            famS, lit("#sec2")))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          concat(lit("https://www.site"), siteN, lit(".example/article/"),
+            famS, lit("/?utm_source=feed&utm_campaign=x")))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          concat(lit("https://crawler:pw@www.site"), siteN,
+            lit(".example:443/article/"), famS, lit("?gclid=abc")))
+        .otherwise(
+          concat(lit("https://www.site"), siteN, lit(".example/article/"),
+            famS, lit("?b=2&a=1")))
+      val urls = Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+      UrlCuration.canonicalDedup(urls, "doc_id", "url")
+        .orderBy("canon_url")
+    }),
+
     // --- d40: corpus snapshot diff (dataset versioning) — v2 is derived
     //     deterministically from v1 (every 10th doc deleted, every 7th
     //     edited, a disjoint id band appended), then classified by digest
@@ -2785,6 +2817,55 @@ object TextQueries {
          FROM documents d LEFT JOIN cnt USING (doc_id)
                           LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+
+    // the same anchored authority regex as d56 plus port/path/query
+    // groups; canonical form rebuilt with identical pieces: lowercased
+    // scheme (http default) and host, default ports dropped, trailing
+    // slashes trimmed (empty -> '/'), tracking params filtered and
+    // survivors list_sort'ed — ASCII binary order in both engines
+    "d59_url_canonical_dedup" ->
+      """WITH urls AS (
+           SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'https://www.site' || CAST((doc_id // 5) % 50 AS VARCHAR)
+                 || '.example/article/' || CAST(doc_id // 5 AS VARCHAR)
+               WHEN 1 THEN 'HTTPS://WWW.Site' || CAST((doc_id // 5) % 50 AS VARCHAR)
+                 || '.EXAMPLE:443/article/' || CAST(doc_id // 5 AS VARCHAR) || '#sec2'
+               WHEN 2 THEN 'https://www.site' || CAST((doc_id // 5) % 50 AS VARCHAR)
+                 || '.example/article/' || CAST(doc_id // 5 AS VARCHAR)
+                 || '/?utm_source=feed&utm_campaign=x'
+               WHEN 3 THEN 'https://crawler:pw@www.site' || CAST((doc_id // 5) % 50 AS VARCHAR)
+                 || '.example:443/article/' || CAST(doc_id // 5 AS VARCHAR) || '?gclid=abc'
+               ELSE 'https://www.site' || CAST((doc_id // 5) % 50 AS VARCHAR)
+                 || '.example/article/' || CAST(doc_id // 5 AS VARCHAR) || '?b=2&a=1'
+             END AS url
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             regexp_extract(url, '^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?(?:([^/?#@]*)@)?([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1) AS scheme0,
+             regexp_extract(url, '^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?(?:([^/?#@]*)@)?([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS host0,
+             regexp_extract(url, '^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?(?:([^/?#@]*)@)?([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS port,
+             regexp_extract(url, '^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?(?:([^/?#@]*)@)?([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 5) AS path0,
+             regexp_extract(url, '^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?(?:([^/?#@]*)@)?([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 6) AS query0
+           FROM urls),
+         c AS (
+           SELECT doc_id,
+             (CASE WHEN scheme0 = '' THEN 'http' ELSE lower(scheme0) END)
+             || '://' || lower(host0)
+             || (CASE WHEN port = ''
+                       OR ((CASE WHEN scheme0 = '' THEN 'http' ELSE lower(scheme0) END) = 'http' AND port = '80')
+                       OR ((CASE WHEN scheme0 = '' THEN 'http' ELSE lower(scheme0) END) = 'https' AND port = '443')
+                      THEN '' ELSE ':' || port END)
+             || (CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                      ELSE regexp_replace(path0, '/+$', '') END)
+             || (CASE WHEN len(list_filter(string_split(query0, '&'),
+                        q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))) > 0
+                      THEN '?' || array_to_string(list_sort(list_filter(string_split(query0, '&'),
+                        q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))), '&')
+                      ELSE '' END) AS canon_url
+           FROM p)
+         SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM c GROUP BY canon_url ORDER BY canon_url""",
 
     // the d35 gram table extended with POSITIONS (j-1 converts DuckDB's
     // 1-based starts to Spark's 0-based posexplode), then classic

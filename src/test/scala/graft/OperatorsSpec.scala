@@ -1503,6 +1503,54 @@ class OperatorsSpec extends SparkTestBase {
       s"domain cap must compile to WindowGroupLimit:\n$plan")
   }
 
+  test("canonicalizeUrl: identity under case/ports/tracking/order/fragment noise") {
+    import graft.operators.UrlCuration
+    val cases = Seq(
+      // case + default port + fragment + userinfo all erase
+      "HTTPS://User:pw@WWW.Site7.EXAMPLE:443/Article/9#frag" ->
+        "https://www.site7.example/Article/9",
+      // path case is PRESERVED (paths are case-sensitive); host case isn't
+      "https://www.site7.example/Article/9" ->
+        "https://www.site7.example/Article/9",
+      // non-default port survives
+      "http://a.example:8080/x" -> "http://a.example:8080/x",
+      // default http port dropped; https:80 is NOT a default — kept
+      "http://a.example:80/x" -> "http://a.example/x",
+      "https://a.example:80/x" -> "https://a.example:80/x",
+      // trailing slashes trim; bare host gets '/'
+      "https://a.example/x///" -> "https://a.example/x",
+      "https://a.example" -> "https://a.example/",
+      "https://a.example/" -> "https://a.example/",
+      // tracking params drop, survivors sort, all-tracking query vanishes
+      "https://a.example/x?b=2&utm_source=f&a=1" -> "https://a.example/x?a=1&b=2",
+      "https://a.example/x?gclid=1&fbclid=2&ref=h&utm_campaign=c" ->
+        "https://a.example/x",
+      // bare tracking name (no '=') drops too; lookalike param survives
+      "https://a.example/x?ref&reference=1" -> "https://a.example/x?reference=1",
+      // schemeless input defaults to http
+      "a.example/x?z=1" -> "http://a.example/x?z=1"
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlCuration.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    cases.map(_._2).zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(g == want, s"case ${cases(i)._1}: got $g want $want")
+    }
+    // canonicalDedup keeps the lowest id per canonical identity
+    val docs = Seq(
+      (1L, "https://a.example/x?b=2&a=1"),
+      (2L, "https://A.EXAMPLE:443/x/?a=1&b=2&utm_source=s"),
+      (3L, "https://a.example/x"),
+      (4L, "http://a.example/x?a=1&b=2")).toDF("doc_id", "url")
+    val out = UrlCuration.canonicalDedup(docs, "doc_id", "url")
+      .orderBy("canon_url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("http://a.example/x?a=1&b=2", 4L, 1L),
+      ("https://a.example/x", 3L, 1L),
+      ("https://a.example/x?a=1&b=2", 1L, 2L)), out.toString)
+  }
+
   test("vectorContaminated: planted analogues all flagged, natural corpus clean, bench broadcast") {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.Contamination
