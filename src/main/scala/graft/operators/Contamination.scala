@@ -63,6 +63,21 @@ object Contamination {
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
       expectedItems: Long = 1000000L): DataFrame = {
+    val (bench, bloomBytes) =
+      prepBenchmark(benchmark, textCol, shingleN, expectedItems)
+    contaminationScoresPrepped(corpus, bench, bloomBytes, idCol, textCol,
+      shingleN)
+  }
+
+  /** The benchmark side prepped ONCE for a long-lived gate (e.g. a
+    * streaming decontamination serving path, where recomputing the
+    * benchmark aggregate per micro-batch would waste a full benchmark
+    * scan each trigger): the distinct shingle-hash frame plus its
+    * fixed-size Bloom bytes (null when the benchmark has no shingles).
+    * Hand both to [[contaminationScoresPrepped]] per batch. */
+  def prepBenchmark(
+      benchmark: DataFrame, textCol: String, shingleN: Int = 3,
+      expectedItems: Long = 1000000L): (DataFrame, Array[Byte]) = {
     import org.apache.spark.sql.GraftPlanBridge.{exprOf, ofExpr}
     val bench = benchmark
       .select(explode(Dedup.shingleHashes(col(textCol), shingleN)).as("sh"))
@@ -71,7 +86,16 @@ object Contamination {
       new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(exprOf(col("sh")), expectedItems)
         .toAggregateExpression())
-    val bloomBytes = bench.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    (bench, bench.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0))
+  }
+
+  /** [[contaminationScoresBloom]]'s scoring body against an already-
+    * prepped benchmark — no benchmark-side action, so it is safe to call
+    * per micro-batch. */
+  def contaminationScoresPrepped(
+      corpus: DataFrame, bench: DataFrame, bloomBytes: Array[Byte],
+      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge.{exprOf, ofExpr}
     val perDoc = corpus.select(col(idCol).as("doc_id"),
       Dedup.shingleHashes(col(textCol), shingleN).as("shs"))
     val matched =

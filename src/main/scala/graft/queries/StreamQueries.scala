@@ -37,6 +37,7 @@ object StreamQueries {
   private val qualityRouted = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamDedup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamDomcap = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamDecontam = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val sketchMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val freqMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // memory-sink temp views from prior drains: each holds a full result
@@ -605,6 +606,68 @@ object StreamQueries {
         .orderBy("host", "doc_id")
     }),
 
+    // --- s22: streaming DECONTAMINATION gate — d12's benchmark-overlap
+    //     removal served in-stream: the benchmark side (Bloom bytes +
+    //     distinct shingle frame) is prepped ONCE before the stream
+    //     starts, each micro-batch scores its docs with the Bloom
+    //     prescreen + exact confirm join and routes keep/reject to
+    //     idempotent per-batch overwrite dirs. Contamination is PLANTED
+    //     (1-in-13 corpus docs get their 97-block's bench doc text, so
+    //     both polarities exist at every SF). Scoring is stateless per
+    //     doc ⇒ streamed keep union == batch decontaminate — the SQL
+    //     oracle replays the planting + scoring + threshold. -------------
+    "s22_stream_decontam_gate" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val keepDir = streamDecontam.computeIfAbsent(d, { _ =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 3)
+        val anchors = bench.select(col("doc_id").as("a_id"),
+          col("text").as("a_text"))
+        val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 3)
+          .withColumn("a_id",
+            col("doc_id") - pmod(col("doc_id"), lit(97)) + 3)
+          .join(anchors, Seq("a_id"), "left")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(13)) === 5 && col("a_text").isNotNull,
+              concat(col("a_text"), lit(" planted leak tail")))
+              .otherwise(col("text")).as("text"),
+            col("n_chars"))
+        val cut = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+        val srcDir = tmpDir("sdecontamsrc")
+        def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
+          val tmp = tmpDir("sdecontamw")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(srcDir, name)
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(lastMod); ()
+        }
+        val now = System.currentTimeMillis()
+        stage(corpus.filter(col("doc_id") <= cut), "snap_0.parquet", now - 60000)
+        stage(corpus.filter(col("doc_id") > cut), "snap_1.parquet", now)
+        val keep = tmpDir("sdecontamkeep", create = false).toString
+        val rej = tmpDir("sdecontamrej", create = false).toString
+        val ckpt = tmpDir("sdecontamckpt")
+        val (benchSh, bloomBytes) = graft.operators.Contamination
+          .prepBenchmark(bench, "text")
+        val benchCk = benchSh.localCheckpoint()
+        try {
+          val stream = s.readStream
+            .schema(s.read.parquet(srcDir.toString).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcDir.toString)
+          val q = EventStreams.decontamGate(stream, benchCk, bloomBytes,
+            "doc_id", "text", keep, rej, ckpt.toString, threshold = 0.5)
+          try q.processAllAvailable() finally q.stop()
+        } finally Dedup.release(benchCk)
+        keep
+      })
+      s.read.parquet(keepDir)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -914,6 +977,46 @@ object StreamQueries {
            FROM kept)
          SELECT host, doc_id FROM r WHERE rk <= 10
          ORDER BY host, doc_id""",
+    // stateless per-doc scoring ⇒ streamed keep union == batch
+    // decontaminate; the oracle replays the planting (97-block bench
+    // anchor text + tail), d12's string-shingle scoring, and the
+    // threshold — kept docs only
+    "s22_stream_decontam_gate" ->
+      """WITH base AS (SELECT doc_id, text, n_chars FROM documents),
+         bench0 AS (SELECT doc_id, text FROM base WHERE doc_id % 97 = 3),
+         corp0 AS (
+           SELECT b.doc_id,
+             CASE WHEN b.doc_id % 13 = 5 AND a.text IS NOT NULL
+                  THEN a.text || ' planted leak tail' ELSE b.text END AS text,
+             b.n_chars
+           FROM base b LEFT JOIN bench0 a
+             ON a.doc_id = b.doc_id - (b.doc_id % 97) + 3
+           WHERE b.doc_id % 97 <> 3),
+         tokb AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    t -> t <> '') AS toks FROM bench0),
+         shb AS (SELECT CASE WHEN len(toks) >= 3
+                   THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   ELSE [] END AS sh FROM tokb),
+         bsh AS (SELECT DISTINCT unnest(sh) AS s FROM shb),
+         tokc AS (SELECT doc_id, n_chars,
+                    list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      t -> t <> '') AS toks FROM corp0),
+         shc AS (SELECT doc_id, n_chars, CASE WHEN len(toks) >= 3
+                   THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   ELSE [] END AS sh FROM tokc),
+         corp AS (SELECT doc_id, unnest(sh) AS s FROM shc),
+         hits AS (SELECT c.doc_id, count(*) AS n_sh, count(b.s) AS n_m
+                  FROM corp c LEFT JOIN bsh b ON c.s = b.s
+                  GROUP BY c.doc_id),
+         scored AS (SELECT s.doc_id, s.n_chars,
+             CASE WHEN COALESCE(h.n_sh, 0) > 0
+               THEN CAST(h.n_m AS DOUBLE) / h.n_sh
+               ELSE CAST(0 AS DOUBLE) END AS c
+           FROM shc s LEFT JOIN hits h USING (doc_id))
+         SELECT doc_id, n_chars FROM scored WHERE c < 0.5
+         ORDER BY doc_id""",
     // streamed routing ≡ batch routing with the shared memoized weights —
     // an in-row equivalence proof, so the oracle is the constant row
     "s19_stream_quality_routing" ->

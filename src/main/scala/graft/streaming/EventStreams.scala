@@ -438,6 +438,41 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming benchmark-decontamination gate — [[routeBinary]]'s
+    * two-sink contract for a predicate that needs a JOIN, not a column:
+    * each micro-batch's docs are scored against a once-prepped benchmark
+    * ([[graft.operators.Contamination.prepBenchmark]] — Bloom bytes +
+    * distinct shingle frame computed before the stream starts, so no
+    * per-trigger benchmark scan), and rows route to keep/reject by
+    * contamination threshold via the same idempotent per-`batch=<id>`
+    * overwrite dirs (at-least-once replay rewrites identically).
+    * Scoring is stateless per doc, so the streamed keep union equals the
+    * batch [[graft.operators.Contamination.decontaminate]] of the same
+    * corpus — the s22 oracle equivalence. */
+  def decontamGate(
+      stream: DataFrame, bench: DataFrame, bloomBytes: Array[Byte],
+      idCol: String, textCol: String, keepDir: String, rejectDir: String,
+      checkpoint: String, threshold: Double = 0.5,
+      shingleN: Int = 3) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint()
+        try {
+          val flagged = graft.operators.Contamination
+            .contaminationScoresPrepped(b, bench, bloomBytes,
+              idCol, textCol, shingleN)
+            .filter(col("contamination") >= threshold)
+            .select(col("doc_id").as(idCol))
+          b.join(flagged, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(s"$keepDir/batch=$batchId")
+          b.join(flagged, Seq(idCol), "left_semi")
+            .write.mode("overwrite").parquet(s"$rejectDir/batch=$batchId")
+        } finally graft.operators.Dedup.release(b)
+      }
+      .start()
+
   /** Streaming KLL-sketch maintenance: each micro-batch's per-key quantile
     * sketches are unioned into a persisted sketch table
     * ([[graft.operators.IncrementalAgg.sketchRefresh]]), so the online

@@ -494,6 +494,60 @@ class StreamingSpec extends SparkTestBase {
     assert(keptIds() == Seq(1L, 2L, 3L, 5L, 13L, 14L))
   }
 
+  test("decontamGate: total disjoint routing == batch decontaminate; replay idempotent") {
+    import graft.operators.{Contamination, Dedup}
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("decontam")
+    val srcDir = dir.resolve("src").toString
+    new java.io.File(srcDir).mkdirs()
+    val leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((900L, leak)).toDF("doc_id", "text")
+    // batch 0: one clean doc, one carrying the full benchmark passage;
+    // batch 1: one clean doc, one null-text doc (scores 0-of-0 → kept)
+    def land(rows: Seq[(Long, Option[String])], name: String): Unit = {
+      val tmp = dir.resolve(s"w_$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, name)); ()
+    }
+    land(Seq((1L, Some("one two three four five six seven")),
+      (2L, Some(leak + " and more"))), "f0.parquet")
+    land(Seq((3L, Some("eight nine ten eleven twelve thirteen")),
+      (4L, None)), "f1.parquet")
+    val keep = dir.resolve("keep").toString
+    val rej = dir.resolve("rej").toString
+    val (benchSh, bloom) = Contamination.prepBenchmark(bench, "text")
+    val benchCk = benchSh.localCheckpoint()
+    try {
+      def runOnce(ckpt: String): Unit = {
+        val stream = spark.readStream
+          .schema(spark.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = EventStreams.decontamGate(stream, benchCk, bloom,
+          "doc_id", "text", keep, rej, dir.resolve(ckpt).toString,
+          threshold = 0.5)
+        try q.processAllAvailable() finally q.stop()
+      }
+      runOnce("ckpt1")
+      def ids(p: String) = spark.read.parquet(p)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids(keep) == Seq(1L, 3L, 4L), ids(keep).toString)
+      assert(ids(rej) == Seq(2L), ids(rej).toString)
+      // equals the batch pipeline ending over the same corpus
+      val corpus = spark.read.parquet(srcDir)
+      val batchKeep = Contamination.decontaminate(corpus, bench,
+        "doc_id", "text", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids(keep) == batchKeep)
+      // a full replay (fresh checkpoint, same sinks) overwrites
+      // identically — no duplicates, no drift
+      runOnce("ckpt2")
+      assert(ids(keep) == Seq(1L, 3L, 4L) && ids(rej) == Seq(2L))
+    } finally Dedup.release(benchCk)
+  }
+
   test("routeBinary: disjoint total routing; replay overwrites, never duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("route")
     val srcDir = dir.resolve("src").toString
