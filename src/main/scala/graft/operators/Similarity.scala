@@ -347,6 +347,65 @@ object Similarity {
     * its nProbe nearest cells. */
   def ivfTopKWith(
       cents: DataFrame, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame =
+    ivfTopKFromIndex(ivfBuildIndex(corpus, idCol, vecCol, cents),
+      cents, probes, idCol, vecCol, k, nProbe)
+
+  /** Build the IVF serving index over a FROZEN quantizer: each corpus
+    * vector's row-local nearest-cell assignment plus the vector itself —
+    * `(neighbor_id, cv, cell_id)`, the persistable cell-partitioned
+    * artifact [[ivfTopKFromIndex]] serves from. Assignment depends only
+    * on the row and the codebook, so a delta's index rows are
+    * bit-identical to what a full rebuild computes for them — the fact
+    * [[ivfExtendIndex]]'s append rides on. */
+  def ivfBuildIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    withNearestCell(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "cv", collectCents(cents))
+
+  /** Incrementally maintain a persisted [[ivfBuildIndex]] table under
+    * exactly-once versioned commits — the ANN-index half of a streaming
+    * ingest pipeline, with the quantizer FROZEN (trained offline once;
+    * re-training would re-assign every existing row, which is a rebuild,
+    * not a refresh — the standard IVF production economics). Each batch
+    * assigns ONLY its own rows row-locally and bag-union-appends under
+    * the same monotone-id guard as [[jlExtendIndex]]; a replayed batchId
+    * is a no-op, and after any batching the committed index EQUALS a full
+    * rebuild (the e20 gate proves it row-for-row). At scale the refresh
+    * is O(delta assign + index rewrite); the versioned dir buys atomic
+    * serve-while-refresh between commits. */
+  def ivfExtendIndex(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      delta: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, batchId: Long): Unit =
+    graft.operators.IncrementalAgg.refreshOnceWith(spark, statePath,
+      ivfBuildIndex(delta, idCol, vecCol, cents), batchId,
+      monotoneAppendMerge("neighbor_id"))
+
+  /** Bag-union merge for append-only index tables, guarded so a replay
+    * under a NEW batchId (or any id overlap) fails loudly instead of
+    * silently duplicating index rows. */
+  private def monotoneAppendMerge(idName: String)(
+      st: DataFrame, dl: DataFrame): DataFrame = {
+    val maxOld = st.agg(max(col(idName))).collect()(0)
+    val minNew = dl.agg(min(col(idName))).collect()(0)
+    require(maxOld.isNullAt(0) || minNew.isNullAt(0) ||
+      maxOld.getLong(0) < minNew.getLong(0),
+      "delta ids must be strictly greater than every indexed id " +
+        "(append-only vectors); otherwise the merged index would " +
+        "contain duplicate neighbor rows")
+    st.unionByName(dl)
+  }
+
+  /** [[ivfTopKWith]] served from a prebuilt (persisted) [[ivfBuildIndex]]
+    * table: probes window for their `nProbe` nearest cells against the
+    * broadcast codebook, the index joins on `cell_id` (partition-pruned
+    * when the index is written partitioned by cell), and only cell
+    * members pay the exact cosine re-rank. */
+  def ivfTopKFromIndex(
+      index: DataFrame, cents: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(
@@ -357,13 +416,10 @@ object Similarity {
         .filter(col("cell_rank") <= n)
         .drop("centroid", "cell_cos", "cell_rank")
     }
-    val c = withNearestCell(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-      "cv", collectCents(cents))
     val p = nearestCells(
       probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv")),
       "probe_id", "pv", nProbe)
-    val scored = c.join(broadcast(p), "cell_id")
+    val scored = index.join(broadcast(p), "cell_id")
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         cosineF32(col("pv"), col("cv")).as("cosine"))
@@ -931,20 +987,7 @@ object Similarity {
       sourceDim: Int = 64, targetDim: Int = 16): Unit =
     graft.operators.IncrementalAgg.refreshOnceWith(spark, statePath,
       jlBuildIndex(delta, idCol, vecCol, sourceDim, targetDim), batchId,
-      (st, dl) => {
-        // the bag-union merge is only correct under append-only ids —
-        // mirror the dedup path's monotone guard so a replay under a NEW
-        // batchId (or any id overlap) fails loudly instead of silently
-        // duplicating index rows (and thus jlTopKFromIndex neighbors)
-        val maxOld = st.agg(max(col("neighbor_id"))).collect()(0)
-        val minNew = dl.agg(min(col("neighbor_id"))).collect()(0)
-        require(maxOld.isNullAt(0) || minNew.isNullAt(0) ||
-          maxOld.getLong(0) < minNew.getLong(0),
-          "delta ids must be strictly greater than every indexed id " +
-            "(append-only vectors); otherwise the merged index would " +
-            "contain duplicate neighbor rows")
-        st.unionByName(dl)
-      })
+      monotoneAppendMerge("neighbor_id"))
 
   def jlTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,

@@ -1084,6 +1084,76 @@ object TextQueries {
         .crossJoin(eq)
     }),
 
+    // --- e20: incremental IVF index — the ANN-index half of a streaming
+    //     ingest pipeline: the quantizer is FROZEN (trained on the first
+    //     snapshot only — the offline-quantizer economics; retraining
+    //     re-assigns everything, which is a rebuild, not a refresh),
+    //     deltas assign row-locally and append under exactly-once
+    //     versioned commits with the monotone-id guard. Gates: (a) the
+    //     incremental index equals a full rebuild row-for-row; (b)
+    //     serving from it equals the one-shot IVF path exactly; (c)
+    //     recall vs brute force. Constant-row oracle (the e18 pattern). --
+    "e20_ivf_incremental" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val statePath = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivfinc_${Integer.toHexString(d.hashCode)}").toString
+      val sp = new org.apache.hadoop.fs.Path(statePath)
+      val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(sp)) fs.delete(sp, true)
+      val cut = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) * 3 / 5
+      val b0 = emb.filter(col("vec_id") <= cut)
+      val b1 = emb.filter(col("vec_id") > cut)
+      // frozen quantizer TRAINED on the first snapshot only (the offline
+      // economics: deltas never retrain; driver-held 16×64 codebook)
+      val cents = Similarity.centroidsDF(s,
+        Similarity.kmeansCentroidsCollected(b0, "vec_id", "embedding",
+          k = 16, iters = 3, seed = 42L))
+      locally {
+        Similarity.ivfExtendIndex(s, statePath, b0, "vec_id", "embedding",
+          cents, batchId = 0L)
+        Similarity.ivfExtendIndex(s, statePath, b1, "vec_id", "embedding",
+          cents, batchId = 1L)
+        // at-least-once replay of the last batch: must merge NOTHING
+        Similarity.ivfExtendIndex(s, statePath, b1, "vec_id", "embedding",
+          cents, batchId = 1L)
+        val idx = graft.operators.IncrementalAgg.readState(s, statePath)
+        // (a) incremental index ≡ full rebuild, row-for-row
+        val rebuilt = Similarity.ivfBuildIndex(emb, "vec_id", "embedding", cents)
+        val eq = idx
+          .select(col("neighbor_id"), col("cv").as("v_i"),
+            col("cell_id").as("c_i"))
+          .join(rebuilt.select(col("neighbor_id"), col("cv").as("v_r"),
+            col("cell_id").as("c_r")), Seq("neighbor_id"), "full_outer")
+          .agg(bool_and(col("v_i") <=> col("v_r") &&
+            col("c_i") <=> col("c_r")).as("index_equals_rebuild"))
+        // (b) serving from the committed index == the one-shot IVF path
+        val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val fromIdx = Similarity.ivfTopKFromIndex(idx, cents, probes,
+            "vec_id", "embedding", k = 5, nProbe = 6)
+          .select(col("probe_id"), col("neighbor_id"), col("rank"),
+            lit(1).as("in_i"))
+        val oneShot = Similarity.ivfTopKWith(cents, emb, probes,
+            "vec_id", "embedding", k = 5, nProbe = 6)
+          .select(col("probe_id"), col("neighbor_id"), col("rank"),
+            lit(1).as("in_o"))
+        val serveEq = fromIdx
+          .join(oneShot, Seq("probe_id", "neighbor_id", "rank"), "full_outer")
+          .agg(bool_and(col("in_i").isNotNull && col("in_o").isNotNull)
+            .as("serve_equals_batch"))
+        // (c) recall of the served top-5 vs brute force
+        val bf = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+            k = 5)
+          .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+        fromIdx.select(col("probe_id"), col("neighbor_id"), lit(1).as("in_i"))
+          .join(bf, Seq("probe_id", "neighbor_id"), "full_outer")
+          .agg(((count(when(col("in_i") === 1 && col("in_bf") === 1, 1))
+            .cast("double") / count(col("in_bf"))) >= 0.5)
+            .as("recall_ge_050"))
+          .crossJoin(eq).crossJoin(serveEq)
+      }
+    }),
+
     // --- e19: VECTOR decontamination — the embedding-space complement of
     //     d12/d50's shingle-exact matching: paraphrased benchmark leakage
     //     has near-collinear embeddings with zero shingle overlap.
@@ -1836,6 +1906,9 @@ object TextQueries {
     "e18_jl_incremental" ->
       """SELECT true AS complete, true AS recall_ge_050,
                 true AS index_equals_rebuild""",
+    "e20_ivf_incremental" ->
+      """SELECT true AS recall_ge_050, true AS index_equals_rebuild,
+                true AS serve_equals_batch""",
     "e13_int8_recall" ->
       """SELECT true AS complete, true AS recall_ge_080""",
 

@@ -1147,6 +1147,55 @@ class OperatorsSpec extends SparkTestBase {
     graft.operators.IncrementalAgg.reset(spark, state)
   }
 
+  test("ivfExtendIndex: batched index == rebuild; serving equal; overlap refused") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val state = java.nio.file.Files.createTempDirectory("ivfinc").toString + "/s"
+    val cut = emb.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+      .head.getLong(0) / 2
+    val b0 = emb.filter(col("vec_id") <= cut)
+    val b1 = emb.filter(col("vec_id") > cut)
+    // quantizer FROZEN from the first snapshot (deltas never retrain)
+    val cents = Similarity.centroidsDF(spark,
+      Similarity.kmeansCentroidsCollected(b0, "vec_id", "embedding",
+        k = 8, iters = 2, seed = 7L))
+    Similarity.ivfExtendIndex(spark, state, b0, "vec_id", "embedding",
+      cents, batchId = 0L)
+    Similarity.ivfExtendIndex(spark, state, b1, "vec_id", "embedding",
+      cents, batchId = 1L)
+    val n1 = graft.operators.IncrementalAgg.readState(spark, state).count()
+    assert(n1 == emb.count())
+    // replay: nothing merges
+    Similarity.ivfExtendIndex(spark, state, b1, "vec_id", "embedding",
+      cents, batchId = 1L)
+    assert(graft.operators.IncrementalAgg.readState(spark, state).count() == n1)
+    // cell assignment is row-local under a frozen codebook, so the
+    // incremental index equals the one-shot build row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("neighbor_id", "cell_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val idx = graft.operators.IncrementalAgg.readState(spark, state)
+    assert(rows(idx) == rows(
+      Similarity.ivfBuildIndex(emb, "vec_id", "embedding", cents)))
+    // serving from the committed index == the one-shot IVF path
+    val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    def served(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    assert(served(Similarity.ivfTopKFromIndex(idx, cents, probes,
+        "vec_id", "embedding", k = 3, nProbe = 3)) ==
+      served(Similarity.ivfTopKWith(cents, emb, probes,
+        "vec_id", "embedding", k = 3, nProbe = 3)))
+    // id overlap under a NEW batchId: the monotone guard refuses
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfExtendIndex(spark, state, b1, "vec_id", "embedding",
+        cents, batchId = 2L)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    graft.operators.IncrementalAgg.reset(spark, state)
+  }
+
   test("pqEncode: a gapped external codebook fails loudly, not silently") {
     // the row-local argmin kernel emits the sorted-array INDEX as the
     // code, so contiguity (sub_ids 0..m-1, codes 0..ksub-1) is a hard
