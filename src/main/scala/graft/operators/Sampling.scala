@@ -120,6 +120,69 @@ object Sampling {
       .drop("__dom", "__n", "__w", "__N", "__W")
   }
 
+  /** Largest-remainder (Hamilton) apportionment of a row budget across
+    * domains — the integer allocation step of an EXPLICIT target mixture
+    * (the Pile/Dolma recipe: "X% web, Y% code, Z% books", vs
+    * [[temperatureMix]]'s availability-derived smoothing). Each domain's
+    * quota is `floor(budget·w/W)` plus one of the `budget − Σfloor`
+    * leftovers, handed out by largest remainder (ties → domain order),
+    * then CAPPED at availability. Pure integer algebra — bit-exact in any
+    * engine. The cap can make the total land under budget; a production
+    * system iterates the apportionment over the uncapped domains —
+    * documented single-pass here, so the gate stays closed-form.
+    *
+    * `stats` is one row per domain `(domainCol, n_avail)` — bounded by
+    * domain cardinality, so the single-partition ranking window is over a
+    * driver-safe row count by construction. */
+  def mixtureAllocate(
+      stats: DataFrame, domainCol: String, weightCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    // alias the derived frames: tot shares stats' lineage (the
+    // temperatureMix self-join disambiguation pattern)
+    val w = stats.withColumn("__w", weightCol.cast("long")).as("__s")
+    val tot = stats.withColumn("__w", weightCol.cast("long"))
+      .agg(sum(col("__w")).as("__W")).as("__t")
+    val remRank = Window.orderBy(
+      ((lit(budget) * col("__s.__w")) % col("__t.__W")).desc,
+      col(domainCol).asc)
+    w.crossJoin(broadcast(tot))
+      .withColumn("__base", org.apache.spark.sql.functions
+        .expr(s"($budget * __s.__w) div __t.__W"))
+      .withColumn("__leftover",
+        lit(budget) - sum(col("__base")).over(Window.partitionBy()))
+      .withColumn("__rank", row_number().over(remRank))
+      .withColumn("alloc", least(col("n_avail"),
+        col("__base") + when(col("__rank") <= col("__leftover"), 1L)
+          .otherwise(0L)))
+      .select(col(domainCol), col("n_avail"), col("alloc"))
+  }
+
+  /** Materialize an explicit target mixture: apportion `budget` rows
+    * across domains by `weightCol` ([[mixtureAllocate]]) and keep each
+    * domain's quota in the deterministic (md5(id), id) hash-priority
+    * order ([[quotaSample]]'s contract). The global `row_number ≤
+    * max(alloc)` pre-filter is a LITERAL bound, so the window still
+    * compiles to WindowGroupLimit (map-side trim before the shuffle);
+    * the exact per-domain cut is the subsequent broadcast-join filter.
+    * Output keeps all input columns plus `sample_rank`. */
+  def mixtureMaterialize(
+      df: DataFrame, idCol: String, domainCol: String, weightCol: Column,
+      budget: Long): DataFrame = {
+    val stats = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_avail"))
+    val alloc = mixtureAllocate(stats, domainCol, weightCol, budget)
+    val maxAlloc = alloc.agg(max(col("alloc"))).head.getLong(0)
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= lit(maxAlloc))
+      .join(broadcast(alloc.select(col(domainCol), col("alloc"))),
+        Seq(domainCol))
+      .filter(col("sample_rank") <= col("alloc"))
+      .drop("alloc")
+  }
+
   /** Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
     * priority keys: each row draws `priority = u^(1/w)` from a
     * deterministic per-row uniform `u`, and the global top-k by priority

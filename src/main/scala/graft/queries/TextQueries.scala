@@ -438,6 +438,25 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // --- d60: EXPLICIT target-mixture materialization — the Pile/Dolma
+    //     recipe ("X% web, Y% books...") vs d32's availability-derived
+    //     smoothing: largest-remainder integer apportionment of a row
+    //     budget by per-domain weights, capped at availability (zh is
+    //     over-weighted 8× so its cap BINDS at every SF; en is
+    //     under-weighted so it doesn't), then per-domain hash-priority
+    //     materialization. Pure integer algebra — hash-exact. ------------
+    "d60_mixture_materialize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val budget = docs.count() / 2
+      val weight = when(col("lang") === "zh", 8L)
+        .when(col("lang") === "en", 1L).otherwise(2L)
+      Sampling.mixtureMaterialize(docs, "doc_id", "lang", weight, budget)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          max(col("sample_rank")).as("max_rank"))
+        .orderBy("lang")
+    }),
+
     // --- fixed-size per-language quota sample (hash-priority order;
     //     row_number<=k compiles to WindowGroupLimit — map-side trim) ----------
     "d17_quota_sample" -> ((s, d) => {
@@ -2259,6 +2278,38 @@ object TextQueries {
                             / (CAST(t.ww AS DOUBLE) * CAST(s.n AS DOUBLE)))
                  * 4503599627370496.0)
          SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM kept GROUP BY lang ORDER BY lang""",
+    // largest-remainder apportionment in pure integer SQL; DuckDB's //
+    // and % match Spark's div/% on positive longs; the per-domain cut is
+    // the same (md5, id) hash-priority rank as d17
+    "d60_mixture_materialize" ->
+      """WITH stats AS (SELECT lang, count(*) AS n_avail
+                        FROM documents GROUP BY lang),
+         b AS (SELECT count(*) // 2 AS budget FROM documents),
+         w AS (SELECT lang, n_avail,
+                 CASE lang WHEN 'zh' THEN 8 WHEN 'en' THEN 1 ELSE 2 END AS wt
+               FROM stats),
+         t AS (SELECT sum(wt) AS tw FROM w),
+         a0 AS (SELECT lang, n_avail,
+                  (b.budget * wt) // t.tw AS base,
+                  (b.budget * wt) % t.tw AS rem, b.budget AS budget
+                FROM w, t, b),
+         a1 AS (SELECT *, budget - sum(base) OVER () AS leftover,
+                  row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+                FROM a0),
+         alloc AS (SELECT lang,
+                     least(n_avail, base + CASE WHEN rk <= leftover
+                       THEN 1 ELSE 0 END) AS alloc FROM a1),
+         ranked AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS sample_rank
+                    FROM documents),
+         kept AS (SELECT r.* FROM ranked r JOIN alloc a USING (lang)
+                  WHERE r.sample_rank <= a.alloc)
+         SELECT lang, count(*) AS n_kept,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                max(sample_rank) AS max_rank
          FROM kept GROUP BY lang ORDER BY lang""",
     "d17_quota_sample" ->
       """WITH r AS (

@@ -1113,6 +1113,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(raw.head == 1L, raw.toString)
   }
 
+  test("mixtureAllocate/Materialize: Hamilton apportionment, caps, WindowGroupLimit") {
+    import graft.operators.Sampling
+    // budget 10, weights a:3 b:3 c:2 (W=8): bases 3,3,2 (sum 8), two
+    // leftovers go to the largest remainders — a and b tie at 30%8=6
+    // over c's 20%8=4, so both get +1 (domain order breaks the tie
+    // deterministically) → 4,4,2. c's availability then caps 2→1.
+    val stats = Seq(("a", 100L), ("b", 100L), ("c", 1L))
+      .toDF("dom", "n_avail")
+    val weight = when(col("dom") === "c", 2L).otherwise(3L)
+    val alloc = Sampling.mixtureAllocate(stats, "dom", weight, budget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(alloc == Map("a" -> 4L, "b" -> 4L, "c" -> 1L), alloc.toString)
+    // cap binds: an over-weighted scarce domain can't exceed availability
+    // (total then lands under budget — the documented single pass)
+    val capped = Sampling.mixtureAllocate(stats, "dom",
+        when(col("dom") === "c", 8L).otherwise(1L), budget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(capped("c") == 1L && capped.values.sum < 10L, capped.toString)
+    // materialization: kept counts equal the allocation, ranks are the
+    // deterministic (md5, id) order, and the window compiles to the
+    // map-side-trimmed WindowGroupLimit (the literal max-alloc bound)
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.mixtureMaterialize(docs, "doc_id", "lang",
+      when(col("lang") === "zh", 8L).otherwise(1L), budget = 100L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"mixture cut must compile to WindowGroupLimit:\n$plan")
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = Sampling.mixtureAllocate(
+        docs.groupBy(col("lang")).agg(count(lit(1)).as("n_avail")), "lang",
+        when(col("lang") === "zh", 8L).otherwise(1L), budget = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(byLang == expect.filter(_._2 > 0), s"$byLang vs $expect")
+  }
+
   test("jlExtendIndex: batched index == rebuild; replayed batchId is a no-op") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sf)
