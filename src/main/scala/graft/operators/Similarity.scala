@@ -1036,6 +1036,72 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein
+    * 1998) — retrieval that trades relevance against redundancy: after
+    * the most-relevant pick, each further slot goes to
+    * `argmax λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)`, so a probe
+    * surrounded by a clique of near-identical neighbors gets k DISTINCT
+    * results instead of k copies (the hard-negative/dedup-aware serving
+    * mode of retrieval pipelines).
+    *
+    * Distributed shape: one [[bruteForceTopK]]-style scan builds each
+    * probe's `poolSize` candidate pool (probes broadcast, WindowGroupLimit
+    * trim), then the k−1 greedy steps are UNROLLED as bounded per-probe
+    * joins — step i joins ≤poolSize candidates against ≤i selected rows
+    * per probe, all keyed by probe_id. No driver loop, no corpus
+    * self-join; everything after the pool scan is pool-sized.
+    *
+    * Determinism: BOTH cosine kinds (probe-candidate relevance and
+    * candidate-candidate similarity) are floor-quantized (the e01
+    * recipe) BEFORE the score arithmetic, and λ defaults to 0.5 so the
+    * blend is two exact halvings — scores and therefore picks replicate
+    * bit-for-bit in any engine; ties break by neighbor_id.
+    * Output: (probe_id, mmr_rank, neighbor_id, rel, mmr_score) — for
+    * rank 1 `mmr_score = rel` (no diversity term yet). */
+  def mmrTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, poolSize: Int, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need poolSize >= k >= 1")
+    def q(c: Column): Column = floor(c * 10000) / 10000
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val wPool = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    val pool = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("cv"),
+        q(cosineF32(col("pv"), col("cv"))).as("rel"))
+      .withColumn("__rn", row_number().over(wPool))
+      .filter(col("__rn") <= poolSize)
+    var all = pool.filter(col("__rn") === 1).drop("__rn")
+      .select(col("probe_id"), col("neighbor_id"), col("cv"), col("rel"),
+        lit(1).as("mmr_rank"), col("rel").as("mmr_score"))
+    for (step <- 2 to k) {
+      val rem = pool.drop("__rn")
+        .join(all.select(col("probe_id"), col("neighbor_id")),
+          Seq("probe_id", "neighbor_id"), "left_anti")
+      val wPick = Window.partitionBy(col("probe_id"))
+        .orderBy(col("mmr_score").desc, col("neighbor_id").asc)
+      val next = rem
+        .join(all.select(col("probe_id"), col("cv").as("__sv")),
+          Seq("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"), col("cv"), col("rel"),
+          q(cosineF32(col("cv"), col("__sv"))).as("__simsel"))
+        .groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(first(col("cv")).as("cv"), first(col("rel")).as("rel"),
+          max(col("__simsel")).as("__maxsim"))
+        .withColumn("mmr_score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__maxsim"))
+        .withColumn("__rk", row_number().over(wPick))
+        .filter(col("__rk") === 1)
+        .select(col("probe_id"), col("neighbor_id"), col("cv"), col("rel"),
+          lit(step).as("mmr_rank"), col("mmr_score"))
+      all = all.unionByName(next)
+    }
+    all.select(col("probe_id"), col("mmr_rank"), col("neighbor_id"),
+      col("rel"), col("mmr_score"))
+  }
+
   /** Nearest-prototype balanced curation (the SSL-prototypes / cluster-
     * balanced selection family): assign every vector to its most similar
     * prototype, then keep only the top `keepFrac` most PROTOTYPICAL

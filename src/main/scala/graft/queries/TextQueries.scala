@@ -618,6 +618,22 @@ object TextQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // --- e21: MMR diverse top-k — retrieval that trades relevance
+    //     against redundancy (Carbonell & Goldstein 1998): slot i goes to
+    //     argmax λ·rel − (1−λ)·max-sim-to-selected over the per-probe
+    //     candidate pool. Both cosine kinds floor-quantized BEFORE the
+    //     score arithmetic and λ = 0.5 (two exact halvings), so every
+    //     pick replicates bit-for-bit — the oracle unrolls the 3 greedy
+    //     steps in SQL. --------------------------------------------------
+    "e21_mmr_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.mmrTopK(emb, probes, "vec_id", "embedding",
+          k = 3, poolSize = 8)
+        .orderBy("probe_id", "mmr_rank")
+    }),
+
     // --- LSH-bucketed ANN, self-gated: srpTopK's neighbor ids depend on the
     //     custom SRP hash family (not SQL-replicable), so the row emits the
     //     recall metric against the exact in-Spark baseline instead —
@@ -2438,6 +2454,71 @@ object TextQueries {
            FROM scored)
          SELECT probe_id, rank, neighbor_id, floor(cosine * 10000) / 10000 AS cosine_q
          FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""",
+    // the e01 cosine replica with BOTH cosine kinds floor-quantized
+    // before the MMR arithmetic; the 3 greedy steps unroll as
+    // anti-join → max-sim-to-selected → argmax CTE blocks
+    "e21_mmr_topk" ->
+      """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+             e.embedding AS cv,
+             floor((list_sum(list_transform(range(1, len(p.embedding) + 1),
+               i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+               * 10000) / 10000 AS rel
+           FROM embeddings e, p
+           WHERE p.vec_id <> e.vec_id),
+         pool AS (SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY probe_id
+             ORDER BY rel DESC, neighbor_id ASC) AS rn FROM scored)
+           WHERE rn <= 8),
+         s1 AS (SELECT probe_id, neighbor_id, cv, rel,
+                  1 AS mmr_rank, rel AS mmr_score
+                FROM pool WHERE rn = 1),
+         rem1 AS (SELECT po.* FROM pool po
+                  LEFT JOIN s1 ON po.probe_id = s1.probe_id
+                    AND po.neighbor_id = s1.neighbor_id
+                  WHERE s1.neighbor_id IS NULL),
+         sc2 AS (SELECT r.probe_id, r.neighbor_id,
+                   any_value(r.cv) AS cv, any_value(r.rel) AS rel,
+                   max(floor((list_sum(list_transform(range(1, len(r.cv) + 1),
+                     i -> CAST(r.cv[i] AS DOUBLE) * CAST(s.cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(r.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(s.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+                     * 10000) / 10000) AS maxsim
+                 FROM rem1 r JOIN s1 s ON r.probe_id = s.probe_id
+                 GROUP BY r.probe_id, r.neighbor_id),
+         s2 AS (SELECT probe_id, neighbor_id, cv, rel, 2 AS mmr_rank,
+                  0.5 * rel - 0.5 * maxsim AS mmr_score
+                FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                    ORDER BY 0.5 * rel - 0.5 * maxsim DESC, neighbor_id ASC) AS rk
+                  FROM sc2) WHERE rk = 1),
+         sel2 AS (SELECT probe_id, neighbor_id, cv FROM s1
+                  UNION ALL SELECT probe_id, neighbor_id, cv FROM s2),
+         rem2 AS (SELECT po.* FROM pool po
+                  LEFT JOIN sel2 ON po.probe_id = sel2.probe_id
+                    AND po.neighbor_id = sel2.neighbor_id
+                  WHERE sel2.neighbor_id IS NULL),
+         sc3 AS (SELECT r.probe_id, r.neighbor_id,
+                   any_value(r.cv) AS cv, any_value(r.rel) AS rel,
+                   max(floor((list_sum(list_transform(range(1, len(r.cv) + 1),
+                     i -> CAST(r.cv[i] AS DOUBLE) * CAST(s.cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(r.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(s.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+                     * 10000) / 10000) AS maxsim
+                 FROM rem2 r JOIN sel2 s ON r.probe_id = s.probe_id
+                 GROUP BY r.probe_id, r.neighbor_id),
+         s3 AS (SELECT probe_id, neighbor_id, cv, rel, 3 AS mmr_rank,
+                  0.5 * rel - 0.5 * maxsim AS mmr_score
+                FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                    ORDER BY 0.5 * rel - 0.5 * maxsim DESC, neighbor_id ASC) AS rk
+                  FROM sc3) WHERE rk = 1)
+         SELECT probe_id, mmr_rank, neighbor_id, rel, mmr_score
+         FROM (SELECT probe_id, mmr_rank, neighbor_id, rel, mmr_score FROM s1
+               UNION ALL SELECT probe_id, mmr_rank, neighbor_id, rel, mmr_score FROM s2
+               UNION ALL SELECT probe_id, mmr_rank, neighbor_id, rel, mmr_score FROM s3)
+         ORDER BY probe_id, mmr_rank""",
     "e05_knn_ivf" ->
       """WITH cents AS (
            SELECT vec_id AS cell_id, embedding AS centroid

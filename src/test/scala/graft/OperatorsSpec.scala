@@ -1183,6 +1183,40 @@ class OperatorsSpec extends SparkTestBase {
     graft.operators.IncrementalAgg.reset(spark, state)
   }
 
+  test("mmrTopK: a clone clique yields distinct picks where plain top-k repeats") {
+    graft.functions.GraftFunctions.register(spark)
+    // probe q; a and its EXACT clone (sim 1) are most relevant; b is
+    // slightly less relevant but diverse. Plain top-2 = {a, clone};
+    // MMR top-2 must swap the clone for b (clone score 0.5·0.9−0.5·1 < 0,
+    // b score 0.5·0.85−0.5·0.54 ≈ +0.16).
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.436f, 0f)),
+      (2L, Array(0.9f, 0.436f, 0f)),
+      (3L, Array(0.85f, -0.527f, 0f)),
+      (100L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") === 100L)
+    val plain = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding",
+        k = 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 2L), plain.toString)
+    val mmr = Similarity.mmrTopK(vecs, probes, "vec_id", "embedding",
+        k = 2, poolSize = 3)
+      .orderBy("mmr_rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(mmr == Seq((1, 1L), (2, 3L)), mmr.toString)
+    // ranks 1..k per probe on real data, no duplicate picks
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.mmrTopK(emb,
+      emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+      "vec_id", "embedding", k = 3, poolSize = 8)
+    val perProbe = out.groupBy("probe_id")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("neighbor_id")).as("nd"),
+        max(col("mmr_rank")).as("mx"))
+    assert(perProbe.filter(col("n") =!= 3 || col("nd") =!= 3 ||
+      col("mx") =!= 3).count() == 0)
+  }
+
   test("ivfExtendIndex: batched index == rebuild; serving equal; overlap refused") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sf)
