@@ -165,6 +165,68 @@ object Contamination {
       .agg(max(col("cos_q")).as("max_cos_q"))
   }
 
+  /** Leak ATTRIBUTION — the report behind [[contaminationScores]]'s
+    * number: not just "this doc overlaps the eval suite" but WHICH
+    * benchmark document it carries, so the eval owner knows which task
+    * is compromised. For every corpus doc sharing at least `minShared`
+    * distinct shingles with some benchmark doc, emit the best-matching
+    * benchmark doc (most shared shingles; ties → lowest bench id):
+    * `(doc_id, bench_id, n_shared)`.
+    *
+    * Scale shape: the benchmark's (shingle, bench_id) table broadcasts
+    * (eval-suite-sized); one corpus scan explodes per-doc distinct
+    * shingles into the broadcast join; the only shuffle is the
+    * (doc, bench) count — bounded by actual overlap pairs, not the
+    * corpus. Integer counts + deterministic tie-break → hash-exact. */
+  def leakAttribution(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    require(minShared >= 1)
+    val bench = benchmark
+      .select(col(idCol).as("bench_id"),
+        explode(Dedup.shingleHashes(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("n_shared").desc, col("bench_id").asc)
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shingleHashes(col(textCol), shingleN)).as("sh"))
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
+  /** Leakage-FREE train/test split — the eval-hygiene split step: a
+    * deterministic hash split ([[Sampling.bernoulliSample]]'s md5-digit
+    * contract) assigns each doc to test (`hex < testSixteenths`) or
+    * train, then train docs contaminated by the TEST side (shingle
+    * containment ≥ `threshold`, the d12 scoring) are DROPPED — near-dups
+    * of test documents never reach training, so eval numbers measure
+    * generalization, not memorization of split-straddling duplicates.
+    * Output: surviving rows with a `split` column. */
+  def leakFreeSplit(
+      docs: DataFrame, idCol: String, textCol: String,
+      testSixteenths: Int, threshold: Double = 0.5,
+      shingleN: Int = 3): DataFrame = {
+    require(testSixteenths >= 1 && testSixteenths <= 15)
+    // the d13/bernoulliSample character-comparison contract
+    val cutoff = "0123456789abcdefg".charAt(testSixteenths).toString
+    val tagged = docs.withColumn("split",
+      when(substring(md5(col(idCol).cast("string")), 1, 1) < lit(cutoff),
+        lit("test")).otherwise(lit("train")))
+    val test = tagged.filter(col("split") === "test")
+    val train = tagged.filter(col("split") === "train")
+    val clean = decontaminate(train, test, idCol, textCol,
+      threshold, shingleN)
+    clean.unionByName(test)
+  }
+
   /** Pipeline ending: corpus minus documents whose contamination is at or
     * above `threshold` — one broadcast-probed scan plus an id anti-join. */
   def decontaminate(

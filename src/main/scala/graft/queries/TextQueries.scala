@@ -359,6 +359,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d61: leak ATTRIBUTION — the report behind d12's score: WHICH
+    //     benchmark doc each contaminated corpus doc carries (most shared
+    //     distinct shingles, ties → lowest bench id). Same planting as
+    //     s22 (1-in-13 corpus docs get their 97-block's bench text), so
+    //     every planted doc must attribute to its OWN anchor. Integer
+    //     counts — hash-exact. -------------------------------------------
+    "d61_leak_attribution" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 3)
+      val anchors = bench.select(col("doc_id").as("a_id"),
+        col("text").as("a_text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 3)
+        .withColumn("a_id", col("doc_id") - pmod(col("doc_id"), lit(97)) + 3)
+        .join(anchors, Seq("a_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 5 && col("a_text").isNotNull,
+            concat(col("a_text"), lit(" planted leak tail")))
+            .otherwise(col("text")).as("text"))
+      Contamination.leakAttribution(corpus, bench, "doc_id", "text",
+          minShared = 3)
+        .orderBy("doc_id")
+    }),
+
+    // --- d62: leakage-FREE train/test split — the eval-hygiene split:
+    //     deterministic d13 hash split (4/16 test), then train docs
+    //     contaminated by the TEST side (d12 scoring ≥ 0.5) are DROPPED,
+    //     so split-straddling near-dups never let eval measure
+    //     memorization. Full membership listing — hash-exact. ------------
+    "d62_leakfree_split" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Contamination.leakFreeSplit(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", testSixteenths = 4)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // --- d50: Bloom-prescreened decontamination — d12's semantics served
     //     the way a 100 TB pipeline runs it when the eval SUITE's shingle
     //     set outgrows a comfortable exact broadcast: a fixed-size Bloom
@@ -2209,6 +2247,76 @@ object TextQueries {
              ELSE CAST(0 AS DOUBLE) END AS contamination
          FROM sh s LEFT JOIN hits h USING (doc_id)
          WHERE s.doc_id % 97 <> 3
+         ORDER BY doc_id""",
+
+    // the s22 planting replayed, then per-(doc, bench) DISTINCT-shingle
+    // intersection counts and the (n_shared DESC, bench_id ASC) argmax
+    "d61_leak_attribution" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         bench0 AS (SELECT doc_id, text FROM base WHERE doc_id % 97 = 3),
+         corp0 AS (
+           SELECT b.doc_id,
+             CASE WHEN b.doc_id % 13 = 5 AND a.text IS NOT NULL
+                  THEN a.text || ' planted leak tail' ELSE b.text END AS text
+           FROM base b LEFT JOIN bench0 a
+             ON a.doc_id = b.doc_id - (b.doc_id % 97) + 3
+           WHERE b.doc_id % 97 <> 3),
+         tokb AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    t -> t <> '') AS toks FROM bench0),
+         shb AS (SELECT doc_id AS bench_id, unnest(
+                   CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     ELSE [] END) AS s FROM tokb),
+         tokc AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    t -> t <> '') AS toks FROM corp0),
+         shc AS (SELECT doc_id, unnest(
+                   CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     ELSE [] END) AS s FROM tokc),
+         pairs AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+                   FROM shc c JOIN shb b ON c.s = b.s
+                   GROUP BY c.doc_id, b.bench_id
+                   HAVING count(*) >= 3),
+         best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY n_shared DESC, bench_id ASC) AS rk FROM pairs)
+         SELECT doc_id, bench_id, n_shared FROM best WHERE rk = 1
+         ORDER BY doc_id""",
+
+    // d13's character-comparison hash split, then d12's scoring drops
+    // train docs whose containment by the TEST side reaches 0.5
+    "d62_leakfree_split" ->
+      """WITH tagged AS (
+           SELECT doc_id, text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+                  THEN 'test' ELSE 'train' END AS split
+           FROM documents),
+         tokt AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    t -> t <> '') AS toks FROM tagged WHERE split = 'test'),
+         sht AS (SELECT DISTINCT unnest(
+                   CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     ELSE [] END) AS s FROM tokt),
+         tokr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    t -> t <> '') AS toks FROM tagged WHERE split = 'train'),
+         shr AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+                   THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   ELSE [] END AS sh FROM tokr),
+         rsh AS (SELECT doc_id, unnest(sh) AS s FROM shr),
+         hits AS (SELECT r.doc_id, count(*) AS n_sh, count(t.s) AS n_m
+                  FROM rsh r LEFT JOIN sht t ON r.s = t.s
+                  GROUP BY r.doc_id),
+         kept_train AS (
+           SELECT s.doc_id FROM shr s LEFT JOIN hits h USING (doc_id)
+           WHERE CASE WHEN COALESCE(h.n_sh, 0) > 0
+                   THEN CAST(h.n_m AS DOUBLE) / h.n_sh
+                   ELSE CAST(0 AS DOUBLE) END < 0.5)
+         SELECT doc_id, 'train' AS split FROM kept_train
+         UNION ALL
+         SELECT doc_id, 'test' AS split FROM tagged WHERE split = 'test'
          ORDER BY doc_id""",
 
     // identical oracle to d12: the Bloom prescreen is result-invisible

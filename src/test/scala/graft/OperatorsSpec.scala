@@ -1183,6 +1183,48 @@ class OperatorsSpec extends SparkTestBase {
     graft.operators.IncrementalAgg.reset(spark, state)
   }
 
+  test("leakAttribution: planted leaks attribute to their own anchor; floor binds") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Contamination
+    val b1 = "alpha beta gamma delta epsilon zeta"
+    val b2 = "one two three four five six seven"
+    val bench = Seq((100L, b1), (200L, b2)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, b1 + " with a tail"), // carries b1 → attributes to 100
+      (2L, "prefix here " + b2), // carries b2 → attributes to 200
+      // shares shingles with BOTH; more with b1 → argmax picks 100
+      (3L, b1 + " " + "one two three"),
+      (4L, "nothing in common at all here")).toDF("doc_id", "text")
+    val out = Contamination.leakAttribution(corpus, bench, "doc_id", "text",
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out == Seq((1L, 100L), (2L, 200L), (3L, 100L)), out.toString)
+  }
+
+  test("leakFreeSplit: test intact, contaminated train dropped, rest tagged") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Contamination
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val out = Contamination.leakFreeSplit(docs, "doc_id", "text",
+      testSixteenths = 4)
+    val cutoff = "0123456789abcdefg".charAt(4).toString
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) < cutoff
+    // every test doc survives with split='test'; no train doc is mislabeled
+    val test = docs.filter(isTest)
+    assert(out.filter(col("split") === "test").count() == test.count())
+    assert(out.filter(col("split") === "test")
+      .join(test, Seq("doc_id"), "left_anti").count() == 0)
+    // dropped train docs are exactly those contaminated by the test side
+    val train = docs.filter(!isTest)
+    val dirty = Contamination.contaminationScores(train, test,
+        "doc_id", "text")
+      .filter(col("contamination") >= 0.5)
+    assert(out.filter(col("split") === "train").count() ==
+      train.count() - dirty.count())
+    assert(out.join(dirty.select(col("doc_id")), Seq("doc_id"),
+      "left_semi").count() == 0)
+  }
+
   test("mmrTopK: a clone clique yields distinct picks where plain top-k repeats") {
     graft.functions.GraftFunctions.register(spark)
     // probe q; a and its EXACT clone (sim 1) are most relevant; b is
