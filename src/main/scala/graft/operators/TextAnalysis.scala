@@ -935,6 +935,37 @@ object TextAnalysis {
   }
 
   /** Convenience: documents table → enriched analysis frame. */
+  /** ONE-SCAN per-document quality-signal bundle — the RedPajama-V2
+    * "quality signals" table pattern: at 100 TB the only sane way to
+    * produce N per-doc signals is ONE pass emitting all of them, not N
+    * passes re-reading the corpus. Emits the d02/d11 quality features and
+    * score, d03 language id, d04 fingerprint key, and d54's repetition
+    * fractions, all ROW-LOCAL (the ValueCounts kernel keeps the 2-gram
+    * histogram inside the row) — the whole bundle is a narrow map with no
+    * Exchange and no Join, plan-pinned in OperatorsSpec. */
+  def signalBundle(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.GraftFunctions.{valueCountsOf, wordNgramsOf}
+    val t = col(textCol)
+    val base = qualityFeatures(t).foldLeft(docs.select(col(idCol), t)) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
+    base
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fp_key", fingerprintKey(t))
+      .withColumn("__g2", wordNgramsOf(t, 2))
+      .withColumn("__g5", wordNgramsOf(t, 5))
+      .withColumn("top2_frac", when(size(col("__g2")) > 0,
+        coalesce(array_max(transform(valueCountsOf(col("__g2")),
+          x => x.getField("c"))), lit(0L)).cast("double") /
+          size(col("__g2"))).otherwise(lit(0.0)))
+      .withColumn("dup5_frac", when(size(col("__g5")) > 0,
+        (size(col("__g5")) - size(array_distinct(col("__g5"))))
+          .cast("double") / size(col("__g5"))).otherwise(lit(0.0)))
+      .drop("__g2", "__g5", textCol)
+  }
+
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val withFeats = qualityFeatures(t).foldLeft(docs) {

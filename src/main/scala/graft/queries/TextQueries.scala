@@ -397,6 +397,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d63: ONE-SCAN quality-signal bundle — the RedPajama-V2 signals
+    //     table: all per-doc curation signals (d02/d11 features + score,
+    //     d03 lang id, d04 fingerprint key, d54 repetition fractions)
+    //     emitted in a single narrow pass, no Exchange, no Join — the
+    //     only way N signals get computed over 100 TB. Oracle assembles
+    //     the individual rows' replicas into one SQL pass. ---------------
+    "d63_signal_bundle" -> ((s, d) => {
+      GraftFunctions.register(s)
+      TextAnalysis.signalBundle(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // --- d50: Bloom-prescreened decontamination — d12's semantics served
     //     the way a 100 TB pipeline runs it when the eval SUITE's shingle
     //     set outgrows a comfortable exact broadcast: a fixed-size Bloom
@@ -2248,6 +2260,89 @@ object TextQueries {
          FROM sh s LEFT JOIN hits h USING (doc_id)
          WHERE s.doc_id % 97 <> 3
          ORDER BY doc_id""",
+
+    // the d02/d11/d03/d04/d54 replicas assembled into one SQL pass;
+    // every ratio quantized exactly as the Spark side (q4 on features,
+    // raw int/int division on the repetition fractions)
+    "d63_signal_bundle" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks,
+                  list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS ws
+           FROM documents),
+         f AS (
+           SELECT doc_id, toks, ws,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CASE WHEN len(toks) > 0
+               THEN floor(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                          / len(toks) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS mean_token_len,
+             CASE WHEN length(text) > 0
+               THEN floor(CAST(length(text) - length(regexp_replace(text, '[\p{P}]', '', 'g')) AS DOUBLE)
+                          / length(text) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+             CASE WHEN length(text) > 0
+               THEN floor(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                          / length(text) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS digit_ratio,
+             CASE WHEN len(toks) > 0
+               THEN floor(CAST(len(list_filter(toks, x -> x IN
+                      ('the','and','of','to','a','in','is','it','that','for','on',
+                       'with','as','was','at','by','an','be','this','are','or','from')))
+                    AS DOUBLE) / len(toks) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS stopword_ratio
+           FROM t),
+         langed AS (
+           SELECT *,
+             len(list_filter(ws, x -> list_contains(['the','and','of','to','a','in','is','it','that','for','on','with','as','was','at','by','an','be','this','are','or','from'], x))) AS h_en,
+             len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','zu','den','mit','von','auf','im','für','des','dem','sich'], x))) AS h_de,
+             len(list_filter(ws, x -> list_contains(['le','la','les','et','est','pas','un','une','de','des','du','dans','pour','que','qui','sur','avec','au'], x))) AS h_fr,
+             len(list_filter(ws, x -> list_contains(['el','la','los','las','y','es','no','un','una','de','en','que','por','para','con','del','se','su'], x))) AS h_es
+           FROM f),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])
+                   ELSE [] END AS g2,
+                 CASE WHEN len(toks) >= 5
+                   THEN list_transform(range(1, len(toks) - 3),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4])
+                   ELSE [] END AS g5
+               FROM t),
+         t2 AS (SELECT doc_id, max(c) AS top2 FROM (
+                  SELECT doc_id, gg, count(*) AS c
+                  FROM (SELECT doc_id, unnest(g2) AS gg FROM g)
+                  GROUP BY doc_id, gg) GROUP BY doc_id),
+         a5 AS (SELECT doc_id, count(*) AS n5, count(DISTINCT gg) AS d5
+                FROM (SELECT doc_id, unnest(g5) AS gg FROM g)
+                GROUP BY doc_id),
+         rep AS (SELECT g.doc_id,
+                   CASE WHEN len(g2) > 0
+                     THEN CAST(coalesce(top2, 0) AS DOUBLE) / len(g2)
+                     ELSE CAST(0 AS DOUBLE) END AS top2_frac,
+                   CASE WHEN coalesce(n5, 0) > 0
+                     THEN CAST(n5 - d5 AS DOUBLE) / n5
+                     ELSE CAST(0 AS DOUBLE) END AS dup5_frac
+                 FROM g LEFT JOIN t2 ON g.doc_id = t2.doc_id
+                        LEFT JOIN a5 ON g.doc_id = a5.doc_id)
+         SELECT l.doc_id, l.n_tokens, l.mean_token_len, l.punct_ratio,
+           l.digit_ratio, l.stopword_ratio,
+           floor(((CASE WHEN l.n_tokens BETWEEN 10 AND 100000
+                     THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+             + (1 - least(l.punct_ratio * 4, CAST(1 AS DOUBLE)))
+             + (1 - least(l.digit_ratio * 4, CAST(1 AS DOUBLE)))
+             + least(l.stopword_ratio * 4, CAST(1 AS DOUBLE))) / 4 * 10000) / 10000
+             AS quality_score,
+           CASE WHEN greatest(l.h_en, l.h_de, l.h_fr, l.h_es) = 0 THEN 'und'
+                WHEN l.h_fr = greatest(l.h_en, l.h_de, l.h_fr, l.h_es) THEN 'fr'
+                WHEN l.h_es = greatest(l.h_en, l.h_de, l.h_fr, l.h_es) THEN 'es'
+                WHEN l.h_en = greatest(l.h_en, l.h_de, l.h_fr, l.h_es) THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           array_to_string(list_sort(l.ws), ' ') AS fp_key,
+           rep.top2_frac, rep.dup5_frac
+         FROM langed l JOIN rep ON l.doc_id = rep.doc_id
+         ORDER BY l.doc_id""",
 
     // the s22 planting replayed, then per-(doc, bench) DISTINCT-shingle
     // intersection counts and the (n_shared DESC, bench_id ASC) argmax

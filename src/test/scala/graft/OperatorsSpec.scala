@@ -1183,6 +1183,30 @@ class OperatorsSpec extends SparkTestBase {
     graft.operators.IncrementalAgg.reset(spark, state)
   }
 
+  test("signalBundle: one narrow pass — no Exchange, no Join; signals agree with singles") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.signalBundle(docs, "doc_id", "text")
+    // THE point of the bundle: every signal in one scan-stage map
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"signal bundle must be a narrow map:\n$plan")
+    // spot-agreement with the single-signal operators on a sample
+    val sample = out.orderBy("doc_id").limit(20).collect()
+    val lang = docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("l"))
+      .orderBy("doc_id").limit(20).collect()
+    sample.zip(lang).foreach { case (b, l) =>
+      assert(b.getAs[String]("lang_pred") == l.getString(1))
+    }
+    val score = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("s"))
+      .orderBy("doc_id").limit(20).collect()
+    sample.zip(score).foreach { case (b, s) =>
+      assert(b.getAs[Double]("quality_score") == s.getDouble(1))
+    }
+  }
+
   test("leakAttribution: planted leaks attribute to their own anchor; floor binds") {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.Contamination
