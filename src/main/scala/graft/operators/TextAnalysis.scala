@@ -537,6 +537,58 @@ object TextAnalysis {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  /** C4-style line + document rule filtering (Raffel et al. 2020 §2.2 —
+    * the heuristic cleaning applied to Common Crawl before any learned
+    * signal; RefinedWeb and Dolma run near-identical rule sets). Lines
+    * (newline-delimited) are kept iff they end in terminal punctuation,
+    * carry at least `minLineWords` words, and do not contain
+    * "javascript"; the whole document is dropped iff it contains "lorem
+    * ipsum", a curly brace, any word from `badwords` (word-boundary
+    * match via the tokenizer, not substring — "class" never trips
+    * "ass"), or fewer than `minKeptLines` surviving lines. One output
+    * row per input doc with the audit columns visible (the
+    * [[gopherRules]] contract): n_lines, n_kept, doc_kept, and the
+    * reassembled `cleaned_text` (kept lines re-joined by newline; empty
+    * when the doc is dropped).
+    *
+    * Scale shape: entirely ROW-LOCAL — the line split, per-line word
+    * counts, and doc-level scans are array ops inside one narrow
+    * projection; no Exchange, no Join, nothing leaves the row. At
+    * 100 TB this stage is scan-bound, which is the point: C4 runs it
+    * before anything that shuffles. Pure string/integer algebra, so an
+    * engine replica hash-matches exactly. */
+  def c4LineRules(
+      docs: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minKeptLines: Int = 2,
+      // production callers pass the full blocklist (C4 uses the LDNOOBW
+      // word list); the default is empty, not a toy list
+      badwords: Seq[String] = Seq.empty): DataFrame = {
+    require(minLineWords > 0 && minKeptLines >= 0)
+    val lines = split(col(textCol), "\n")
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?]$") &&
+        size(words(l)) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val badHit =
+      if (badwords.isEmpty) lit(false)
+      else arrays_overlap(words(col("__page")),
+        array(badwords.map(b => lit(b.toLowerCase)): _*))
+    docs
+      .select(col(idCol), col(textCol).as("__page"), lines.as("__lines"),
+        keptLines.as("__kept"))
+      .select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (!(lower(col("__page")).contains("lorem ipsum") ||
+          col("__page").contains("{") || badHit ||
+          size(col("__kept")) < minKeptLines)).as("doc_kept"),
+        col("__kept").as("__kept"))
+      .withColumn("cleaned_text",
+        when(col("doc_kept"), array_join(col("__kept"), "\n"))
+          .otherwise(lit("")))
+      .drop("__kept")
+  }
+
   /** BM25 keyword retrieval: rank documents for a FIXED query-term list
     * (Robertson & Spärck Jones; the Okapi BM25 scoring used by Lucene /
     * Elasticsearch and sparse-retrieval data pipelines).

@@ -409,6 +409,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d64: C4-style line + document RULE filtering (Raffel et al.
+    //     2020 §2.2) — the heuristic Common-Crawl cleaning stage every
+    //     web pipeline runs first: keep lines ending in terminal
+    //     punctuation with ≥5 words and no "javascript"; drop whole docs
+    //     containing "lorem ipsum", "{", a blocklisted word, or <2
+    //     surviving lines. The corpus has no line structure, so pages
+    //     are SYNTHESIZED (the d44/d57 derived-corpus pattern): 10-token
+    //     chunks decorated by chunk_id%4 (terminal-punct / no-punct /
+    //     javascript / "!"), plus doc_id%13 hazard lines planting every
+    //     doc-level drop class. Entirely row-local string algebra —
+    //     hash-exact in any engine. ---------------------------------------
+    "d64_c4_filter" -> ((s, d) => {
+      val withToks = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      val n = size(col("toks"))
+      val nc = expr("(size(toks) + 9) div 10")
+      val body = when(n > 0,
+        transform(sequence(lit(0L), nc - 1), c =>
+          concat(
+            array_join(slice(col("toks"), (c * 10 + 1).cast("int"), lit(10)), " "),
+            when(pmod(c, lit(4)) === 0, lit("."))
+              .when(pmod(c, lit(4)) === 1, lit(""))
+              .when(pmod(c, lit(4)) === 2, lit(" enable javascript now."))
+              .otherwise(lit("!")))))
+        .otherwise(array().cast("array<string>"))
+      val hazard = when(pmod(col("doc_id"), lit(13)) === 3,
+          array(lit("hidden boilerplate template { display:none }.")))
+        .when(pmod(col("doc_id"), lit(13)) === 7,
+          array(lit("lorem ipsum dolor sit amet.")))
+        .when(pmod(col("doc_id"), lit(13)) === 11,
+          array(lit("now with added badword content.")))
+        .otherwise(array().cast("array<string>"))
+      val paged = withToks.select(col("doc_id"),
+        array_join(concat(body, hazard), "\n").as("page"))
+      TextAnalysis.c4LineRules(paged, "doc_id", "page",
+          badwords = Seq("badword"))
+        .orderBy("doc_id")
+    }),
+
     // --- d50: Bloom-prescreened decontamination — d12's semantics served
     //     the way a 100 TB pipeline runs it when the eval SUITE's shingle
     //     set outgrows a comfortable exact broadcast: a fixed-size Bloom
@@ -3186,6 +3225,60 @@ object TextQueries {
 
     "d53_perplexity_filter" ->
       """SELECT true AS k_selected, true AS recall_ge_095""",
+
+    // the same 10-token chunk grid as d58's replica, decorated per
+    // chunk_id%4 and per doc_id%13 hazard class; every rule is the same
+    // regexp/array lambda on both sides, so the page, the kept-line set,
+    // and the reassembled text are byte-identical
+    "d64_c4_filter" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> t <> '') AS toks
+           FROM documents),
+         body AS (
+           SELECT doc_id,
+             list_transform(range(0, (len(toks) + 9) // 10), c ->
+               array_to_string(toks[(c*10+1):(c*10+10)], ' ') ||
+               CASE c % 4 WHEN 0 THEN '.' WHEN 1 THEN ''
+                 WHEN 2 THEN ' enable javascript now.' ELSE '!' END) AS ls
+           FROM tok),
+         paged AS (
+           SELECT doc_id,
+             array_to_string(
+               ls || CASE doc_id % 13
+                 WHEN 3 THEN ['hidden boilerplate template { display:none }.']
+                 WHEN 7 THEN ['lorem ipsum dolor sit amet.']
+                 WHEN 11 THEN ['now with added badword content.']
+                 ELSE [] END, chr(10)) AS page
+           FROM body),
+         sp AS (
+           SELECT doc_id, page,
+             string_split(page, chr(10)) AS lines,
+             list_filter(string_split(page, chr(10)), l ->
+               regexp_matches(l, '[.!?]$')
+               AND len(list_filter(
+                     regexp_split_to_array(lower(l), '[^\p{L}\p{N}]+'),
+                     w -> w <> '')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS keptls
+           FROM paged),
+         k AS (
+           SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(keptls) AS BIGINT) AS n_kept,
+             NOT (contains(lower(page), 'lorem ipsum')
+               OR contains(page, '{')
+               OR list_has_any(
+                    list_filter(
+                      regexp_split_to_array(lower(page), '[^\p{L}\p{N}]+'),
+                      w -> w <> ''), ['badword'])
+               OR len(keptls) < 2) AS doc_kept,
+             keptls
+           FROM sp)
+         SELECT doc_id, n_lines, n_kept, doc_kept,
+           CASE WHEN doc_kept THEN array_to_string(keptls, chr(10))
+                ELSE '' END AS cleaned_text
+         FROM k ORDER BY doc_id""",
 
     // fixed 10-token chunking replicated with end-exclusive range over
     // ceil(n/10) = (n+9)//10; the global winner per line is the integer

@@ -1822,6 +1822,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((2L, 1L, rep)), row(4).toString)
   }
 
+  test("c4LineRules: line matrix, doc-level drops, word-boundary badwords, narrow plan") {
+    val good = "alpha beta gamma delta epsilon."   // kept: punct + 5 words
+    val good2 = "one two three four five six!"     // kept
+    val noPunct = "alpha beta gamma delta epsilon" // dropped: no terminal punct
+    val short = "tiny line."                       // dropped: <5 words
+    val js = "please enable JavaScript to view this."  // dropped: javascript
+    val docs = Seq(
+      (1L, s"$good\n$noPunct\n$short\n$js\n$good2"), // kept: 2 surviving lines
+      (2L, s"$good\nlorem IPSUM dolor sit amet.\n$good2"), // doc drop: lorem ipsum
+      (3L, s"$good\ncss { display:none }\n$good2"),  // doc drop: curly brace
+      (4L, s"$good\nthis has a badword inside it.\n$good2"), // doc drop: blocklist
+      (5L, s"$good\nbadwording is not a badword hit here ok.\n$good2"), // kept:
+      // "badwording" tokenizes to its own word — no substring trip... but the
+      // line itself contains the bare word, so use a doc WITHOUT it:
+      (6L, s"$good\nbadwordish compounds do not trip the rule ok.\n$good2"),
+      (7L, s"$good\n$noPunct")                       // doc drop: only 1 kept line
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineRules(docs, "doc_id", "text",
+        badwords = Seq("badword"))
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getLong(2),
+      out(i).getBoolean(3), out(i).getString(4))
+    assert(row(0) == ((5L, 2L, true, s"$good\n$good2")), row(0).toString)
+    assert(row(1) == ((3L, 3L, false, "")), row(1).toString)
+    assert(row(2)._3 == false && row(2)._4 == "")
+    assert(row(3)._3 == false, "bare blocklisted word must drop the doc")
+    assert(row(4)._3 == false, "doc 5 carries the bare word too")
+    assert(row(5)._3 == true, "compound words must NOT trip the blocklist")
+    assert(row(6) == ((2L, 1L, false, "")), row(6).toString)
+    // the whole stage is one narrow projection: no Exchange, no Join
+    val plan = TextAnalysis.c4LineRules(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"c4LineRules must stay row-local:\n$plan")
+  }
+
   test("bigramFluency: copied docs double their freq, unique stay 1.0, short docs zero") {
     val docs = Seq(
       (1L, "alpha beta gamma"),   // bigrams: (alpha beta), (beta gamma)
