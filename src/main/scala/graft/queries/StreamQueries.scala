@@ -38,6 +38,7 @@ object StreamQueries {
   private val streamDedup = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamDomcap = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamDecontam = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val signalIngested = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val sketchMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val freqMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // memory-sink temp views from prior drains: each holds a full result
@@ -668,6 +669,44 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // --- s23: streaming SIGNAL-BUNDLE ingestion — d63's one-scan
+    //     quality-signals table computed AT INGEST (how RedPajama-V2
+    //     actually ships: signals ride along with the crawl, not as a
+    //     later full-corpus pass): each micro-batch maps through the
+    //     row-local signalBundle and lands in an idempotent per-batch
+    //     overwrite dir (EventStreams.transformIngest — stateless, so
+    //     exactly-once falls out of idempotence). Because the bundle is
+    //     per-row, the streamed union over batches EQUALS the batch
+    //     bundle of the full corpus — the ORACLE IS d63's SQL verbatim. ----
+    "s23_stream_signal_ingest" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val sigDir = signalIngested.computeIfAbsent(d, { _ =>
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val srcDir = tmpDir("ssignalsrc")
+        def stage(df: DataFrame, name: String): Unit = {
+          val tmp = tmpDir("ssignalw")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(srcDir, name).toPath); ()
+        }
+        stage(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "docs_0.parquet")
+        stage(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "docs_1.parquet")
+        val out = tmpDir("ssignalout", create = false).toString
+        val ckpt = tmpDir("ssignalckpt")
+        val stream = s.readStream
+          .schema(s.read.parquet(srcDir.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+        val q = EventStreams.transformIngest(stream,
+          b => graft.operators.TextAnalysis.signalBundle(b, "doc_id", "text"),
+          out, ckpt.toString)
+        try q.processAllAvailable() finally q.stop()
+        out
+      })
+      s.read.parquet(sigDir).drop("batch").orderBy("doc_id")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -1017,6 +1056,10 @@ object StreamQueries {
            FROM shc s LEFT JOIN hits h USING (doc_id))
          SELECT doc_id, n_chars FROM scored WHERE c < 0.5
          ORDER BY doc_id""",
+    // stateless per-row bundle ⇒ streamed union over batches == the batch
+    // signals table: the oracle IS d63's SQL verbatim
+    "s23_stream_signal_ingest" ->
+      graft.queries.TextQueries.oracle("d63_signal_bundle"),
     // streamed routing ≡ batch routing with the shared memoized weights —
     // an in-row equivalence proof, so the oracle is the constant row
     "s19_stream_quality_routing" ->

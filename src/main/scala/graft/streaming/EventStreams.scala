@@ -438,6 +438,26 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming STATELESS TRANSFORM ingestion — the "compute signals at
+    * ingest" shape (RedPajama-V2 ships its quality-signals table this
+    * way): each micro-batch maps through a row-local transform `f` and
+    * lands in an idempotent per-`batch=<id>` overwrite dir, so an
+    * at-least-once replay rewrites the same directory and readers see
+    * one batch-partitioned parquet table. No state, no marker protocol —
+    * exactly-once falls out of idempotence. Because `f` is per-row, the
+    * streamed union over batches EQUALS the batch `f` of the full corpus
+    * — the s23 oracle equivalence. */
+  def transformIngest(
+      stream: DataFrame, f: DataFrame => DataFrame,
+      outDir: String, checkpoint: String) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        f(batch).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   /** Streaming benchmark-decontamination gate — [[routeBinary]]'s
     * two-sink contract for a predicate that needs a JOIN, not a column:
     * each micro-batch's docs are scored against a once-prepped benchmark

@@ -593,6 +593,50 @@ class StreamingSpec extends SparkTestBase {
     assert(ids(keepDir) == (10L to 20L) && ids(rejDir) == ((1L to 9L) :+ 21L))
   }
 
+  test("transformIngest: streamed bundle == batch bundle; fresh-checkpoint replay idempotent") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("tingest")
+    val srcDir = dir.resolve("src").toString
+    new java.io.File(srcDir).mkdirs()
+    def land(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = dir.resolve(s"w_$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, name)); ()
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spam spam spam spam spam spam"),
+      (3L, "der hund und die katze sind nicht da"),
+      (4L, "numbers 123 and 456 with punctuation, lots of it!"))
+    land(docs.take(2), "f0.parquet")
+    land(docs.drop(2), "f1.parquet")
+    val out = dir.resolve("out").toString
+    def runOnce(ckptName: String): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = EventStreams.transformIngest(stream,
+        b => graft.operators.TextAnalysis.signalBundle(b, "doc_id", "text"),
+        out, dir.resolve(ckptName).toString)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce("ckpt1")
+    val batch = graft.operators.TextAnalysis.signalBundle(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    def streamed() = spark.read.parquet(out).drop("batch")
+      .select(batch.head.schema.fieldNames.map(col): _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed() == batch, "streamed signals must equal the batch bundle")
+    // full replay with a fresh checkpoint into the SAME out dir: the
+    // per-batch overwrite dirs rewrite identically — no duplicates
+    runOnce("ckpt2")
+    assert(streamed() == batch, "replay must overwrite, never duplicate")
+  }
+
   test("sketchMaintain: per-batch sketch union, replayed batchId merges once") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.GraftFunctions.register(spark)
