@@ -88,6 +88,71 @@ object Multimodal {
         when(element_at(features, (i + 1).cast("int")) > 0f, 1L)
           .otherwise(0L)))
 
+  /** CLIP-score-style image–text pair filtering — the LAION curation gate
+    * (Schuhmann et al. 2021 keep a crawled (image, caption) pair only when
+    * CLIP cosine ≥ 0.28; every large image-text dataset since runs the
+    * same shape). The encoders are the documented STUB (this environment
+    * has no vision model): the payload decodes as UTF-8 and both sides
+    * embed via a signed hashed bag-of-words (feature hashing, Weinberger
+    * et al. 2009) over `buckets` md5 buckets — bucket = first-8-hex-digits
+    * mod buckets (the d13/d52 recipe), sign = parity of the 9th hex digit,
+    * value = signed token count. A real deployment swaps ONLY the
+    * embedding columns for model outputs; the pair plumbing, scoring, and
+    * threshold gate are production-shaped.
+    *
+    * Engine-parity: embeddings are INTEGER vectors, so dot and
+    * squared-norms are exact in any engine (order-independent integer
+    * sums); cosine = dot / (sqrt(ss_i)·sqrt(ss_c)) uses only
+    * correctly-rounded IEEE ops and is floor-quantized to 1e-4 BEFORE the
+    * threshold (the e19/e21 contract), so the keep set is hash-exact.
+    * Disjoint vocabularies give expected-zero cosine (signs cancel) —
+    * mismatched captions score near 0, aligned captions near 1.
+    *
+    * Scale shape: entirely ROW-LOCAL — one [[graft.functions.WordCounts]]
+    * histogram per side, bucket/sign mapping via transform, dot/norms as
+    * nested in-array folds (O(|vocab_i|·|vocab_c|) per row on ~31-entry
+    * arrays); no Exchange, no Join, payloads never shuffle. At 100 TB the
+    * gate is scan-bound, which is how LAION actually ran it. */
+  def clipScorePairs(
+      pairs: DataFrame, idCol: String, payloadCol: String,
+      captionCol: String, buckets: Int = 64,
+      threshold: Double = 0.8): DataFrame = {
+    require(buckets > 0)
+    import graft.functions.GraftFunctions.wordCountsOf
+    def bucketOf(w: Column): Column =
+      pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), lit(buckets))
+    def signOf(w: Column): Column =
+      when(pmod(conv(substring(md5(w), 9, 1), 16, 10).cast("long"),
+        lit(2)) === 0, 1L).otherwise(-1L)
+    def mapped(text: Column): Column =
+      transform(wordCountsOf(text), e => struct(
+        bucketOf(e.getField("g")).as("b"),
+        (signOf(e.getField("g")) * e.getField("c")).as("v")))
+    // Σ_b (Σ_{w∈b} v_a)(Σ_{w∈b} v_b) as a nested fold over the two
+    // MATERIALIZED arrays (bounded quadratic per row — vocab-sized, the
+    // intended inner loop, not the HOF re-inlining trap)
+    def dotOf(a: Column, b: Column): Column =
+      aggregate(a, lit(0L), (acc, x) =>
+        acc + x.getField("v") * aggregate(b, lit(0L), (a2, y) =>
+          a2 + when(y.getField("b") === x.getField("b"), y.getField("v"))
+            .otherwise(0L)))
+    pairs
+      .withColumn("__img", mapped(decode(col(payloadCol), "UTF-8")))
+      .withColumn("__cap", mapped(col(captionCol)))
+      .withColumn("dot", dotOf(col("__img"), col("__cap")))
+      .withColumn("img_ss", dotOf(col("__img"), col("__img")))
+      .withColumn("cap_ss", dotOf(col("__cap"), col("__cap")))
+      .withColumn("clip_cos",
+        when(col("img_ss") > 0 && col("cap_ss") > 0,
+          floor(col("dot").cast("double") /
+            (sqrt(col("img_ss").cast("double")) *
+              sqrt(col("cap_ss").cast("double"))) * 10000) / 10000)
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("clip_cos") >= lit(threshold))
+      .select(col(idCol), col("dot"), col("img_ss"), col("cap_ss"),
+        col("clip_cos"), col("keep"))
+  }
+
   /** Decode + feature-extract, partition-local with batch shape:
     * the Scala analogue of `mapInPandas` — each partition is processed as a
     * stream of rows with no driver involvement, so it scales linearly with

@@ -996,6 +996,33 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- m06: CLIP-score-style image–text pair filtering — the LAION
+    //     curation gate: keep a crawled (image, caption) pair only when
+    //     the two embeddings' cosine clears a threshold. Encoders are
+    //     the documented stub (signed hashed bag-of-words over the
+    //     utf-8-decoded payload — integer vectors, exact in any engine);
+    //     captions are PLANTED: 1-in-7 docs get a doc-unique gibberish
+    //     caption (disjoint vocabulary → cosine ≈ 0), the rest
+    //     "a photo of " + their own text (cosine ≈ 1), so both flag
+    //     polarities exist at every SF. Cosine floor-quantized before
+    //     the threshold — the full scored table is hash-exact. -------------
+    "m06_clipscore_filter" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val idS = col("doc_id").cast("string")
+      val pairs = Tables.documents(s, d).select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        when(pmod(col("doc_id"), lit(7)) === 2,
+          concat_ws(" ",
+            concat(lit("zz"), idS), concat(lit("qq"), idS),
+            concat(lit("xj"), idS), concat(lit("vv"), idS),
+            concat(lit("kk"), idS), concat(lit("mm"), idS),
+            concat(lit("ww"), idS), concat(lit("rr"), idS)))
+          .otherwise(concat(lit("a photo of "), col("text")))
+          .as("caption"))
+      Multimodal.clipScorePairs(pairs, "doc_id", "payload", "caption")
+        .orderBy("doc_id")
+    }),
+
     // --- m04: content-defined chunking (CDC) blob dedup accounting —
     //     rsync/restic/LBFS-style chunk-addressed storage. Boundaries fall
     //     at content anchors (md5-of-token prefix), so an insertion
@@ -2838,6 +2865,70 @@ object TextQueries {
 
     // identical construction to m03's: identical text ⇒ identical pHash;
     // independent stub features ⇒ ~32-bit distances, never ≤ 3
+    // full replica of the stub-CLIP gate: signed hashed BoW per side
+    // (md5 bucket + 9th-hex-digit sign — the d13/d52 hash recipe), dot
+    // and squared norms as integer GROUP BY sums (≡ Spark's in-array
+    // folds: both compute Σ_b (Σv_img)(Σv_cap)), cosine floor-quantized
+    // before the threshold
+    "m06_clipscore_filter" ->
+      """WITH pairs AS (
+           SELECT doc_id, text AS img_text,
+             CASE WHEN doc_id % 7 = 2 THEN
+               'zz'||CAST(doc_id AS VARCHAR)||' qq'||CAST(doc_id AS VARCHAR)
+               ||' xj'||CAST(doc_id AS VARCHAR)||' vv'||CAST(doc_id AS VARCHAR)
+               ||' kk'||CAST(doc_id AS VARCHAR)||' mm'||CAST(doc_id AS VARCHAR)
+               ||' ww'||CAST(doc_id AS VARCHAR)||' rr'||CAST(doc_id AS VARCHAR)
+             ELSE 'a photo of ' || text END AS caption
+           FROM documents),
+         wi AS (SELECT doc_id, w, count(*) AS c FROM (
+                  SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(img_text), '[^\p{L}\p{N}]+'),
+                    x -> x <> '')) AS w
+                  FROM pairs) GROUP BY doc_id, w),
+         wcap AS (SELECT doc_id, w, count(*) AS c FROM (
+                  SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(caption), '[^\p{L}\p{N}]+'),
+                    x -> x <> '')) AS w
+                  FROM pairs) GROUP BY doc_id, w),
+         mi AS (SELECT doc_id,
+                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
+                  (CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) * c AS v FROM wi),
+         mc AS (SELECT doc_id,
+                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
+                  (CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) * c AS v FROM wcap),
+         bi AS (SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS v
+                FROM mi GROUP BY doc_id, b),
+         bc AS (SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS v
+                FROM mc GROUP BY doc_id, b),
+         dots AS (SELECT bi.doc_id, CAST(sum(bi.v * bc.v) AS BIGINT) AS dot
+                  FROM bi JOIN bc ON bi.doc_id = bc.doc_id AND bi.b = bc.b
+                  GROUP BY bi.doc_id),
+         ni AS (SELECT doc_id, CAST(sum(v*v) AS BIGINT) AS img_ss
+                FROM bi GROUP BY doc_id),
+         nc AS (SELECT doc_id, CAST(sum(v*v) AS BIGINT) AS cap_ss
+                FROM bc GROUP BY doc_id),
+         scored AS (
+           SELECT p.doc_id, COALESCE(d.dot, 0) AS dot,
+                  COALESCE(ni.img_ss, 0) AS img_ss,
+                  COALESCE(nc.cap_ss, 0) AS cap_ss
+           FROM pairs p LEFT JOIN dots d USING (doc_id)
+                        LEFT JOIN ni USING (doc_id)
+                        LEFT JOIN nc USING (doc_id))
+         SELECT doc_id, dot, img_ss, cap_ss,
+           CASE WHEN img_ss > 0 AND cap_ss > 0
+             THEN floor(CAST(dot AS DOUBLE) /
+                    (sqrt(CAST(img_ss AS DOUBLE)) * sqrt(CAST(cap_ss AS DOUBLE)))
+                    * 10000) / 10000
+             ELSE CAST(0 AS DOUBLE) END AS clip_cos,
+           (CASE WHEN img_ss > 0 AND cap_ss > 0
+             THEN floor(CAST(dot AS DOUBLE) /
+                    (sqrt(CAST(img_ss AS DOUBLE)) * sqrt(CAST(cap_ss AS DOUBLE)))
+                    * 10000) / 10000
+             ELSE CAST(0 AS DOUBLE) END) >= 0.8 AS keep
+         FROM scored ORDER BY doc_id""",
+
     "m05_phash_neardup" ->
       """WITH c AS (
            SELECT doc_id, text FROM documents

@@ -1822,6 +1822,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((2L, 1L, rep)), row(4).toString)
   }
 
+  test("clipScorePairs: aligned kept at 1.0, disjoint-vocab rejected, empty caption safe, narrow plan") {
+    import graft.operators.Multimodal
+    graft.functions.GraftFunctions.register(spark)
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val pairs = Seq(
+      (1L, text, text),                       // identical: cosine exactly 1
+      (2L, text, s"a photo of $text"),        // aligned: near 1
+      (3L, text, "zzq one qqx two jjv three kkw four"), // mostly disjoint vocab
+      (4L, text, ""),                          // empty caption: cos 0, rejected
+      (5L, text, text.toUpperCase)             // case-folded: still 1
+    ).toDF("doc_id", "text", "caption")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        col("caption"))
+    val out = Multimodal.clipScorePairs(pairs, "doc_id", "payload", "caption")
+      .orderBy("doc_id").collect()
+    def cosOf(i: Int) = out(i).getAs[Double]("clip_cos")
+    def keepOf(i: Int) = out(i).getAs[Boolean]("keep")
+    assert(cosOf(0) == 0.9999 || cosOf(0) == 1.0, s"identical: ${cosOf(0)}")
+    assert(keepOf(0) && keepOf(1) && cosOf(1) > 0.9)
+    assert(!keepOf(2) && math.abs(cosOf(2)) < 0.8, s"disjoint: ${cosOf(2)}")
+    assert(!keepOf(3) && cosOf(3) == 0.0, "empty caption must score 0, not NaN")
+    assert(keepOf(4) && cosOf(4) == cosOf(0), "embedding is case-folded")
+    // the whole gate is row-local: no Exchange, no Join, payload never shuffles
+    val plan = Multimodal.clipScorePairs(pairs, "doc_id", "payload", "caption")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"clipScorePairs must stay row-local:\n$plan")
+  }
+
   test("c4LineRules: line matrix, doc-level drops, word-boundary badwords, narrow plan") {
     val good = "alpha beta gamma delta epsilon."   // kept: punct + 5 words
     val good2 = "one two three four five six!"     // kept
