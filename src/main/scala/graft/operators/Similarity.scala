@@ -331,6 +331,37 @@ object Similarity {
     df.withColumn("cell_id", element_at(typedLit(sorted.map(_._1)), idx + 1))
   }
 
+  /** Public serving-side cell assignment — [[withNearestCell]] exposed
+    * for composition (cluster-balanced sampling, cell audits): appends
+    * `cell_id` via the row-local reference-object kernel, no shuffle. */
+  def assignCells(
+      corpus: DataFrame, vecCol: String,
+      cents: Seq[(Long, Array[Float])]): DataFrame =
+    withNearestCell(corpus, vecCol, cents)
+
+  /** Cluster-balanced subsampling — the "cluster then cap" diversity
+    * selection stage (the DataComp/SemDeDup-family move: k-means the
+    * embedding space, cap each cell's contribution so dense
+    * near-duplicate regions cannot dominate the sample; the quota
+    * complement of [[graft.operators.Dedup.semDedupPairs]]' removal
+    * path). Assignment is the row-local [[assignCells]] kernel over the
+    * driver-held codebook; within each cell the deterministic
+    * (md5(id), id) hash-priority order keeps the first `perCellCap` rows
+    * ([[graft.operators.Sampling.quotaSample]]'s contract — reproducible
+    * across runs, engines, and partitionings).
+    *
+    * Scale shape: one narrow assignment pass (no corpus×k expansion),
+    * then quotaSample's WindowGroupLimit — per-partition top-cap heaps
+    * before the one cell-keyed shuffle. Output = input columns +
+    * `cell_id` + `sample_rank`. */
+  def clusterBalancedSample(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Array[Float])], perCellCap: Int): DataFrame = {
+    require(perCellCap > 0)
+    graft.operators.Sampling.quotaSample(
+      assignCells(corpus, vecCol, cents), idCol, "cell_id", perCellCap)
+  }
+
   /** Driver-held form of a (cell_id, centroid) frame (k rows — bounded by
     * construction; the codebook IS a driver-sized artifact, see
     * [[kmeansCentroidsCollected]]). */

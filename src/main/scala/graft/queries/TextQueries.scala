@@ -707,6 +707,41 @@ object TextQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // --- e22: cluster-balanced subsampling — the "cluster then cap"
+    //     diversity selection stage (DataComp-family): k-means cells
+    //     (the e06 memoized codebook), per-cell quota in deterministic
+    //     hash-priority order (d17's contract). Float k-means keeps the
+    //     codebook engine-specific, so the gate is the recall-row
+    //     pattern: total = Σ min(cap, n_cell), cap respected, cap
+    //     actually binds, and the selection replays identically. ----------
+    "e22_cluster_balanced" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val cents = ivfCodebooks.computeIfAbsent(d, _ =>
+        Similarity.kmeansCentroidsCollected(emb, "vec_id", "embedding",
+          k = 16, iters = 3, seed = 42L))
+      val cap = 20
+      def sample() = Similarity.clusterBalancedSample(
+        emb, "vec_id", "embedding", cents, perCellCap = cap)
+      val expected = Similarity.assignCells(emb, "embedding", cents)
+        .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+        .agg(sum(least(col("n"), lit(cap.toLong))).as("exp_total"),
+          max(col("n")).as("max_cell"))
+      val got = sample().groupBy(col("cell_id")).agg(count(lit(1)).as("k"))
+        .agg(sum(col("k")).as("tot"), max(col("k")).as("max_k"))
+      val replayEq = sample().select(col("vec_id"), lit(1).as("in_a"))
+        .join(sample().select(col("vec_id"), lit(1).as("in_b")),
+          Seq("vec_id"), "full_outer")
+        .agg(bool_and(col("in_a").isNotNull && col("in_b").isNotNull)
+          .as("deterministic"))
+      got.crossJoin(expected).crossJoin(replayEq)
+        .select(
+          (col("tot") === col("exp_total")).as("total_matches"),
+          (col("max_k") <= lit(cap.toLong)).as("cap_respected"),
+          (col("max_cell") > lit(cap.toLong)).as("cap_binds"),
+          col("deterministic"))
+    }),
+
     // --- e21: MMR diverse top-k — retrieval that trades relevance
     //     against redundancy (Carbonell & Goldstein 1998): slot i goes to
     //     argmax λ·rel − (1−λ)·max-sim-to-selected over the per-probe
@@ -2726,6 +2761,11 @@ object TextQueries {
     // the e01 cosine replica with BOTH cosine kinds floor-quantized
     // before the MMR arithmetic; the 3 greedy steps unroll as
     // anti-join → max-sim-to-selected → argmax CTE blocks
+    // engine-specific float k-means ⇒ recall-row gate (see the query doc)
+    "e22_cluster_balanced" ->
+      """SELECT true AS total_matches, true AS cap_respected,
+                true AS cap_binds, true AS deterministic""",
+
     "e21_mmr_topk" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
          scored AS (

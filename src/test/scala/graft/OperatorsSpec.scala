@@ -1822,6 +1822,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((2L, 1L, rep)), row(4).toString)
   }
 
+  test("clusterBalancedSample: dense cell capped, sparse cell intact, deterministic, WindowGroupLimit plan") {
+    import graft.operators.Similarity
+    // two orthogonal directions; 6 vectors near +x (dense), 2 near +y (sparse)
+    val cents = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f))
+    val vecs = ((1L to 6L).map(i => (i, Seq(1f, i * 0.01f))) ++
+      Seq((7L, Seq(0.01f, 1f)), (8L, Seq(0.02f, 1f)))).toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(
+        vecs, "vec_id", "embedding", cents, perCellCap = 4)
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val byCell = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCell(0L) == 4, s"dense cell must be capped at 4: $byCell")
+    assert(byCell(1L) == 2, s"sparse cell keeps all its rows: $byCell")
+    // the kept-4 subset is the deterministic hash-priority prefix: replay equal
+    val again = Similarity.clusterBalancedSample(
+        vecs, "vec_id", "embedding", cents, perCellCap = 4)
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+    // quota trim plans as WindowGroupLimit (map-side heaps before the shuffle)
+    val plan = Similarity.clusterBalancedSample(
+        vecs, "vec_id", "embedding", cents, perCellCap = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"quota must map-side trim:\n$plan")
+  }
+
   test("clipScorePairs: aligned kept at 1.0, disjoint-vocab rejected, empty caption safe, narrow plan") {
     import graft.operators.Multimodal
     graft.functions.GraftFunctions.register(spark)
