@@ -1018,6 +1018,41 @@ object TextAnalysis {
       .drop("__g2", "__g5", textCol)
   }
 
+  /** Corpus datasheet — the dataset-card rollup every released corpus
+    * ships (Dolma's summary tables, RedPajama's per-source counts, the
+    * "Datasheets for Datasets" accounting of Gebru et al. 2021): per
+    * (source, lang) cell plus ROLLUP margins, one scan emits doc count,
+    * token and char totals, the quality-kept count at `qualityThreshold`,
+    * and the fixed-point quality-score sum (so a mean is derivable
+    * without an order-dependent double accumulation — the exact-integer
+    * contract that makes the whole table engine-portable).
+    *
+    * Scale shape: the per-row signals are the narrow [[signalBundle]]
+    * projections; ROLLUP is one partial-aggregable Expand×3 over the
+    * tiny (source, lang) key space — the only shuffle carries
+    * |sources|×|langs| rows. `grouping()` flags disambiguate margin rows
+    * from literal values. */
+  def datasheet(
+      docs: DataFrame, srcCol: String, langCol: String, textCol: String,
+      qualityThreshold: Double = 0.5): DataFrame = {
+    val t = col(textCol)
+    docs
+      .select(col(srcCol), col(langCol),
+        tokenCount(t).cast("long").as("__nt"),
+        length(t).cast("long").as("__nc"),
+        qualityScore(t).as("__q"))
+      .rollup(col(srcCol), col(langCol))
+      .agg(
+        grouping(col(srcCol)).cast("int").as("g_src"),
+        grouping(col(langCol)).cast("int").as("g_lang"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"),
+        sum(when(col("__q") >= lit(qualityThreshold), 1L).otherwise(0L))
+          .as("n_quality_kept"),
+        sum(floor(col("__q") * 10000).cast("long")).as("q_sum_fp"))
+  }
+
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val withFeats = qualityFeatures(t).foldLeft(docs) {

@@ -448,6 +448,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d65: corpus DATASHEET — the dataset-card rollup every released
+    //     corpus ships (Dolma/RedPajama summary tables): per (source,
+    //     lang) cell + ROLLUP margins in ONE scan — doc/token/char
+    //     totals, quality-kept count, fixed-point score sum. Integer
+    //     aggregates only, so the whole card is hash-exact. ----------------
+    "d65_datasheet" -> ((s, d) => {
+      TextAnalysis.datasheet(Tables.documents(s, d),
+          "source", "lang", "text")
+        .orderBy(col("g_src"), col("g_lang"), col("source"), col("lang"))
+    }),
+
     // --- d50: Bloom-prescreened decontamination — d12's semantics served
     //     the way a 100 TB pipeline runs it when the eval SUITE's shingle
     //     set outgrows a comfortable exact broadcast: a fixed-size Bloom
@@ -2041,6 +2052,54 @@ object TextQueries {
          WHERE len(a.sh) > 0 AND len(b.sh) > 0
            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8
          ORDER BY id_a, id_b""",
+    // d11's quality-score replica feeding a GROUP BY ROLLUP — integer
+    // aggregates (fixed-point score sum), GROUPING() flags for margins
+    "d65_datasheet" ->
+      """WITH t AS (
+           SELECT doc_id, source, lang, text,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, source, lang,
+             CAST(len(toks) AS BIGINT) AS nt,
+             CAST(length(text) AS BIGINT) AS nc,
+             len(toks) AS n_tokens,
+             CASE WHEN length(text) > 0
+               THEN floor(CAST(length(text) - length(regexp_replace(text, '[\p{P}]', '', 'g')) AS DOUBLE)
+                          / length(text) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+             CASE WHEN length(text) > 0
+               THEN floor(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                          / length(text) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS digit_ratio,
+             CASE WHEN len(toks) > 0
+               THEN floor(CAST(len(list_filter(toks, x -> x IN
+                      ('the','and','of','to','a','in','is','it','that','for','on',
+                       'with','as','was','at','by','an','be','this','are','or','from')))
+                    AS DOUBLE) / len(toks) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS stopword_ratio
+           FROM t),
+         q AS (
+           SELECT source, lang, nt, nc,
+             floor(((CASE WHEN n_tokens BETWEEN 10 AND 100000
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+               + (1 - least(punct_ratio * 4, CAST(1 AS DOUBLE)))
+               + (1 - least(digit_ratio * 4, CAST(1 AS DOUBLE)))
+               + least(stopword_ratio * 4, CAST(1 AS DOUBLE))) / 4 * 10000) / 10000
+               AS qs
+           FROM f)
+         SELECT source, lang,
+           CAST(GROUPING(source) AS INT) AS g_src,
+           CAST(GROUPING(lang) AS INT) AS g_lang,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN qs >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_kept,
+           CAST(sum(CAST(floor(qs * 10000) AS BIGINT)) AS BIGINT) AS q_sum_fp
+         FROM q
+         GROUP BY ROLLUP (source, lang)
+         ORDER BY g_src, g_lang, source, lang""",
+
     "d11_quality_score" ->
       """WITH t AS (
            SELECT doc_id, text,

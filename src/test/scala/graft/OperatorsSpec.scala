@@ -1822,6 +1822,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((2L, 1L, rep)), row(4).toString)
   }
 
+  test("datasheet: cells, rollup margins, grouping flags, integer-exact totals") {
+    val docs = Seq(
+      ("web", "en", "the cat and the dog sat on the mat again and again"),
+      ("web", "en", "a b c"),                   // <10 tokens: low quality
+      ("web", "de", "der hund und die katze laufen durch den park heute ja"),
+      ("book", "en", "it was the best of times it was the worst of times")
+    ).toDF("source", "lang", "text")
+    val out = graft.operators.TextAnalysis.datasheet(docs, "source", "lang", "text")
+      .orderBy("g_src", "g_lang", "source", "lang").collect()
+    // 4 cells? (web,en),(web,de),(book,en) = 3 cells + 2 source margins + 1 total
+    assert(out.length == 6, out.mkString("\n"))
+    val total = out.last
+    assert(total.getInt(2) == 1 && total.getInt(3) == 1, "grand total flags")
+    assert(total.getLong(4) == 4L, "grand total n_docs")
+    val cells = out.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)
+    assert(cells.map(_.getLong(4)).sum == 4L, "cells partition the corpus")
+    // margins are exact sums of their cells (integer arithmetic)
+    assert(total.getLong(5) == cells.map(_.getLong(5)).sum, "token margin")
+    assert(total.getLong(8) == cells.map(_.getLong(8)).sum, "score-sum margin")
+    val webEn = cells.find(r => r.getString(0) == "web" && r.getString(1) == "en").get
+    assert(webEn.getLong(4) == 2L && webEn.getLong(6) >= 1L,
+      "web/en has one quality-kept doc at least")
+  }
+
   test("clusterBalancedSample: dense cell capped, sparse cell intact, deterministic, WindowGroupLimit plan") {
     import graft.operators.Similarity
     // two orthogonal directions; 6 vectors near +x (dense), 2 near +y (sparse)
