@@ -1032,25 +1032,50 @@ object TextAnalysis {
     * tiny (source, lang) key space — the only shuffle carries
     * |sources|×|langs| rows. `grouping()` flags disambiguate margin rows
     * from literal values. */
+  private def datasheetBase(
+      docs: DataFrame, srcCol: String, langCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(srcCol), col(langCol),
+      tokenCount(t).cast("long").as("__nt"),
+      length(t).cast("long").as("__nc"),
+      qualityScore(t).as("__q"))
+  }
+
+  private def datasheetAggs(qualityThreshold: Double) = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("__nt")).as("n_tokens"),
+    sum(col("__nc")).as("n_chars"),
+    sum(when(col("__q") >= lit(qualityThreshold), 1L).otherwise(0L))
+      .as("n_quality_kept"),
+    sum(floor(col("__q") * 10000).cast("long")).as("q_sum_fp"))
+
   def datasheet(
       docs: DataFrame, srcCol: String, langCol: String, textCol: String,
       qualityThreshold: Double = 0.5): DataFrame = {
-    val t = col(textCol)
-    docs
-      .select(col(srcCol), col(langCol),
-        tokenCount(t).cast("long").as("__nt"),
-        length(t).cast("long").as("__nc"),
-        qualityScore(t).as("__q"))
+    val aggs = Seq(
+      grouping(col(srcCol)).cast("int").as("g_src"),
+      grouping(col(langCol)).cast("int").as("g_lang")) ++
+      datasheetAggs(qualityThreshold)
+    datasheetBase(docs, srcCol, langCol, textCol)
       .rollup(col(srcCol), col(langCol))
-      .agg(
-        grouping(col(srcCol)).cast("int").as("g_src"),
-        grouping(col(langCol)).cast("int").as("g_lang"),
-        count(lit(1)).as("n_docs"),
-        sum(col("__nt")).as("n_tokens"),
-        sum(col("__nc")).as("n_chars"),
-        sum(when(col("__q") >= lit(qualityThreshold), 1L).otherwise(0L))
-          .as("n_quality_kept"),
-        sum(floor(col("__q") * 10000).cast("long")).as("q_sum_fp"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The LEAF CELLS of [[datasheet]] (no ROLLUP margins, no grouping
+    * flags) — the key-unique roll-up shape streaming maintenance needs:
+    * every measure is a plain integer sum, so per-batch cells merge into
+    * maintained state by column-wise addition
+    * ([[graft.operators.MvMaintain.merge]] "sum" algebra) and the
+    * maintained card equals the batch card at every commit. Margins are
+    * derivable from the cells, so the stream never carries them. */
+  def datasheetCells(
+      docs: DataFrame, srcCol: String, langCol: String, textCol: String,
+      qualityThreshold: Double = 0.5): DataFrame = {
+    val aggs = datasheetAggs(qualityThreshold)
+    datasheetBase(docs, srcCol, langCol, textCol)
+      .groupBy(col(srcCol), col(langCol))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

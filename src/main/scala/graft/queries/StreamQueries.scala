@@ -39,6 +39,7 @@ object StreamQueries {
   private val streamDomcap = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamDecontam = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val signalIngested = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val datasheetMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val sketchMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val freqMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // memory-sink temp views from prior drains: each holds a full result
@@ -707,6 +708,48 @@ object StreamQueries {
       s.read.parquet(sigDir).drop("batch").orderBy("doc_id")
     }),
 
+    // --- s24: streamed DATASHEET maintenance — d65's dataset card kept
+    //     LIVE while the corpus ingests: each micro-batch rolls up its
+    //     leaf cells (datasheetCells — every measure an integer sum) and
+    //     merges into versioned state via the exactly-once MvMaintain
+    //     "sum" algebra, so at any commit the maintained card EQUALS the
+    //     batch card over everything ingested. The oracle is d65's leaf
+    //     GROUP BY — margins derive from cells and never ride the stream. --
+    "s24_stream_datasheet" -> ((s, d) => {
+      val rollups = Map("n_docs" -> "sum", "n_tokens" -> "sum",
+        "n_chars" -> "sum", "n_quality_kept" -> "sum", "q_sum_fp" -> "sum")
+      val statePath = datasheetMaintained.computeIfAbsent(d, { _ =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        val srcDir = tmpDir("sdsheetsrc")
+        def stage(df: DataFrame, name: String): Unit = {
+          val tmp = tmpDir("sdsheetw")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(srcDir, name).toPath); ()
+        }
+        stage(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "docs_0.parquet")
+        stage(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "docs_1.parquet")
+        val state = tmpDir("sdsheetstate", create = false).toString + "/state"
+        val ckpt = tmpDir("sdsheetckpt")
+        val stream = s.readStream
+          .schema(s.read.parquet(srcDir.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+        val q = withStatePartitions(s, 8) {
+          EventStreams.mvMaintain(stream, state, Seq("source", "lang"),
+            b => graft.operators.TextAnalysis.datasheetCells(
+              b, "source", "lang", "text"),
+            rollups, ckpt.toString)
+        }
+        try q.processAllAvailable() finally q.stop()
+        state
+      })
+      graft.operators.IncrementalAgg.readState(s, statePath)
+        .orderBy("source", "lang")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -1056,6 +1099,53 @@ object StreamQueries {
            FROM shc s LEFT JOIN hits h USING (doc_id))
          SELECT doc_id, n_chars FROM scored WHERE c < 0.5
          ORDER BY doc_id""",
+    // integer-sum algebra ⇒ the maintained card equals the batch card:
+    // the oracle is d65's leaf GROUP BY (no ROLLUP margins — they derive
+    // from cells and never ride the stream)
+    "s24_stream_datasheet" ->
+      """WITH t AS (
+           SELECT doc_id, source, lang, text,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, source, lang,
+             CAST(len(toks) AS BIGINT) AS nt,
+             CAST(length(text) AS BIGINT) AS nc,
+             len(toks) AS n_tokens,
+             CASE WHEN length(text) > 0
+               THEN floor(CAST(length(text) - length(regexp_replace(text, '[\p{P}]', '', 'g')) AS DOUBLE)
+                          / length(text) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+             CASE WHEN length(text) > 0
+               THEN floor(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                          / length(text) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS digit_ratio,
+             CASE WHEN len(toks) > 0
+               THEN floor(CAST(len(list_filter(toks, x -> x IN
+                      ('the','and','of','to','a','in','is','it','that','for','on',
+                       'with','as','was','at','by','an','be','this','are','or','from')))
+                    AS DOUBLE) / len(toks) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS stopword_ratio
+           FROM t),
+         q AS (
+           SELECT source, lang, nt, nc,
+             floor(((CASE WHEN n_tokens BETWEEN 10 AND 100000
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+               + (1 - least(punct_ratio * 4, CAST(1 AS DOUBLE)))
+               + (1 - least(digit_ratio * 4, CAST(1 AS DOUBLE)))
+               + least(stopword_ratio * 4, CAST(1 AS DOUBLE))) / 4 * 10000) / 10000
+               AS qs
+           FROM f)
+         SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN qs >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_kept,
+           CAST(sum(CAST(floor(qs * 10000) AS BIGINT)) AS BIGINT) AS q_sum_fp
+         FROM q
+         GROUP BY source, lang
+         ORDER BY source, lang""",
+
     // stateless per-row bundle ⇒ streamed union over batches == the batch
     // signals table: the oracle IS d63's SQL verbatim
     "s23_stream_signal_ingest" ->

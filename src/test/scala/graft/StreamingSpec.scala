@@ -637,6 +637,44 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed() == batch, "replay must overwrite, never duplicate")
   }
 
+  test("streamed datasheet: maintained card equals batch card, replayed batchId no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("dsheet")
+    val state = dir.resolve("state").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val rollups = Map("n_docs" -> "sum", "n_tokens" -> "sum",
+      "n_chars" -> "sum", "n_quality_kept" -> "sum", "q_sum_fp" -> "sum")
+    val input = MemoryStream[(String, String, String)]
+    val q = EventStreams.mvMaintain(
+      input.toDF().toDF("source", "lang", "text"), state,
+      Seq("source", "lang"),
+      b => TextAnalysis.datasheetCells(b, "source", "lang", "text"),
+      rollups, ckpt)
+    val b1 = Seq(("web", "en", "the cat sat on the mat and looked at the dog"),
+      ("web", "de", "der hund und die katze laufen durch den park heute"))
+    val b2 = Seq(("web", "en", "a second english doc with plenty of the words in it"),
+      ("book", "en", "it was the best of times it was the worst of times"))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def stateRows = IncrementalAgg.readState(spark, state)
+      .orderBy("source", "lang").collect().toSeq
+    val batch = TextAnalysis.datasheetCells(
+        (b1 ++ b2).toDF("source", "lang", "text"), "source", "lang", "text")
+      .select(stateRows.head.schema.fieldNames.map(col): _*)
+      .orderBy("source", "lang").collect().toSeq
+    assert(stateRows == batch, "maintained card must equal the batch card")
+    // a replayed batchId must skip the whole merge (poison delta untouched)
+    val poison = Seq(("poison", "xx", 999L, 999L, 999L, 999L, 999L))
+      .toDF("source", "lang", "n_docs", "n_tokens", "n_chars",
+        "n_quality_kept", "q_sum_fp")
+    IncrementalAgg.refreshOnceWith(spark, state, poison, batchId = 1L,
+      (st, dl) => graft.operators.MvMaintain.merge(st, dl,
+        Seq("source", "lang"), rollups))
+    assert(stateRows == batch, "replayed batchId must be a no-op")
+  }
+
   test("sketchMaintain: per-batch sketch union, replayed batchId merges once") {
     implicit val sqlCtx = spark.sqlContext
     graft.functions.GraftFunctions.register(spark)
