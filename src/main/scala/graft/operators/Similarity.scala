@@ -382,6 +382,36 @@ object Similarity {
     ivfTopKFromIndex(ivfBuildIndex(corpus, idCol, vecCol, cents),
       cents, probes, idCol, vecCol, k, nProbe)
 
+  /** IVF recall-vs-nProbe OPERATING CURVE — the tuning table an engineer
+    * reads to pick nProbe (every ANN deployment publishes one: recall@k
+    * against probe budget). One [[ivfBuildIndex]] over the frozen
+    * quantizer, then recall@k of [[ivfTopKFromIndex]] vs
+    * [[bruteForceTopK]] at each setting.
+    *
+    * Two properties make the curve GATEABLE, not just reportable:
+    * (1) overlap@k is provably monotone in nProbe — the candidate set
+    * grows with probed cells, and under the global (cosine DESC, id ASC)
+    * total order the top-k of a superset can only displace an
+    * exact-top-k member with a higher-ranked element, which is itself
+    * exact-top-k; (2) at nProbe = |cells| the probe is exhaustive, so
+    * the shortlist is the whole corpus and recall is exactly 1. */
+  def ivfRecallCurve(
+      cents: DataFrame, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbes: Seq[Int]): DataFrame = {
+    require(nProbes.nonEmpty)
+    val index = ivfBuildIndex(corpus, idCol, vecCol, cents)
+    val bf = bruteForceTopK(corpus, probes, idCol, vecCol, k)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+    nProbes.map { np =>
+      val ivf = ivfTopKFromIndex(index, cents, probes, idCol, vecCol, k, np)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_ivf"))
+      ivf.join(bf, Seq("probe_id", "neighbor_id"), "full_outer")
+        .agg((count(when(col("in_ivf") === 1 && col("in_bf") === 1, 1))
+          .cast("double") / count(col("in_bf"))).as("recall"))
+        .select(lit(np).as("n_probe"), col("recall"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Build the IVF serving index over a FROZEN quantizer: each corpus
     * vector's row-local nearest-cell assignment plus the vector itself —
     * `(neighbor_id, cv, cell_id)`, the persistable cell-partitioned

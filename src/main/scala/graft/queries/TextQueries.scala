@@ -753,6 +753,32 @@ object TextQueries {
           col("deterministic"))
     }),
 
+    // --- e23: IVF recall-vs-nProbe OPERATING CURVE — the tuning table
+    //     every ANN deployment publishes: recall@5 against probe budget
+    //     over the e06 memoized codebook. Gated on the two PROVABLE
+    //     properties (see Similarity.ivfRecallCurve): overlap@k monotone
+    //     in nProbe, exhaustive probe (16 = all cells) exactly 1.0; plus
+    //     e06's empirical floor at the mid-budget setting. ----------------
+    "e23_ivf_recall_curve" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val cents = ivfCodebooks.computeIfAbsent(d, _ =>
+        Similarity.kmeansCentroidsCollected(emb, "vec_id", "embedding",
+          k = 16, iters = 3, seed = 42L))
+      val curve = Similarity.ivfRecallCurve(Similarity.centroidsDF(s, cents),
+        emb, probes, "vec_id", "embedding", k = 5, Seq(1, 2, 4, 8, 16))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_probe"))
+      curve.withColumn("prev", lag(col("recall"), 1).over(w))
+        .agg(
+          bool_and(col("prev").isNull || col("recall") >= col("prev"))
+            .as("monotone"),
+          (max(when(col("n_probe") === 16, col("recall"))) === 1.0)
+            .as("exhaustive_exact"),
+          (max(when(col("n_probe") === 8, col("recall"))) >= 0.5)
+            .as("mid_budget_ge_050"))
+    }),
+
     // --- e21: MMR diverse top-k — retrieval that trades relevance
     //     against redundancy (Carbonell & Goldstein 1998): slot i goes to
     //     argmax λ·rel − (1−λ)·max-sim-to-selected over the per-probe
@@ -2820,6 +2846,11 @@ object TextQueries {
     // the e01 cosine replica with BOTH cosine kinds floor-quantized
     // before the MMR arithmetic; the 3 greedy steps unroll as
     // anti-join → max-sim-to-selected → argmax CTE blocks
+    // provable-curve gate (monotone overlap, exhaustive-probe exactness)
+    "e23_ivf_recall_curve" ->
+      """SELECT true AS monotone, true AS exhaustive_exact,
+                true AS mid_budget_ge_050""",
+
     // engine-specific float k-means ⇒ recall-row gate (see the query doc)
     "e22_cluster_balanced" ->
       """SELECT true AS total_matches, true AS cap_respected,

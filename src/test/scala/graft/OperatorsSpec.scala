@@ -1822,6 +1822,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((2L, 1L, rep)), row(4).toString)
   }
 
+  test("ivfRecallCurve: monotone in nProbe, exhaustive probe exact") {
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    // two tight clusters around +x and +y; probes pulled from both
+    val vecs = ((1L to 10L).map(i => (i, Seq(1f, i * 0.01f))) ++
+      (11L to 20L).map(i => (i, Seq((i - 10) * 0.01f, 1f))))
+      .toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id").isin(1L, 11L))
+    val cents = Similarity.centroidsDF(spark,
+      Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f)))
+    val curve = Similarity.ivfRecallCurve(cents, vecs, probes,
+        "vec_id", "embedding", k = 5, Seq(1, 2))
+      .orderBy("n_probe").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(curve.length == 2)
+    assert(curve(0)._2 <= curve(1)._2, s"monotone: ${curve.toSeq}")
+    assert(curve(1)._2 == 1.0, "probing every cell is the exact search")
+    // with these tight clusters even nProbe=1 finds all true neighbors
+    assert(curve(0)._2 == 1.0, s"in-cluster neighbors: ${curve.toSeq}")
+  }
+
   test("datasheet: cells, rollup margins, grouping flags, integer-exact totals") {
     val docs = Seq(
       ("web", "en", "the cat and the dog sat on the mat again and again"),
