@@ -76,7 +76,10 @@ object ScaleSmoke {
     "d01_token_stats", "d04_fingerprint", "d05_exact_dedup", "d13_hash_split",
     "d48_bpe_tokenize", "d48_vocab_bound", "e03_embedding_stats",
     "e07_int8_quant", "e16_rp_reduce", "e06_kmeans_trainpass",
-    "e08_pq_trainpass")
+    "e08_pq_trainpass",
+    // round-14 narrow-map rows: all linear by construction
+    "d63_signal_bundle", "d64_c4_filter", "m06_clipscore_filter",
+    "d65_datasheet")
 
   /** Second-stage tiling (separate marker so an existing tiled dir from an
     * earlier run upgrades in place): lineitem/orders tiled on orderkey so
