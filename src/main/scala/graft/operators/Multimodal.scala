@@ -136,9 +136,13 @@ object Multimodal {
         acc + x.getField("v") * aggregate(b, lit(0L), (a2, y) =>
           a2 + when(y.getField("b") === x.getField("b"), y.getField("v"))
             .otherwise(0L)))
+    // a null payload or caption must still produce a full scored row
+    // (rejected at cos 0 with zero norms, not null-flagged): embed the
+    // empty string — WordCounts gives the empty histogram, every fold 0
     pairs
-      .withColumn("__img", mapped(decode(col(payloadCol), "UTF-8")))
-      .withColumn("__cap", mapped(col(captionCol)))
+      .withColumn("__img",
+        mapped(coalesce(decode(col(payloadCol), "UTF-8"), lit(""))))
+      .withColumn("__cap", mapped(coalesce(col(captionCol), lit(""))))
       .withColumn("dot", dotOf(col("__img"), col("__cap")))
       .withColumn("img_ss", dotOf(col("__img"), col("__img")))
       .withColumn("cap_ss", dotOf(col("__cap"), col("__cap")))

@@ -564,7 +564,10 @@ object TextAnalysis {
       // word list); the default is empty, not a toy list
       badwords: Seq[String] = Seq.empty): DataFrame = {
     require(minLineWords > 0 && minKeptLines >= 0)
-    val lines = split(col(textCol), "\n")
+    // a null page must still produce a full audit row (dropped, not
+    // null-flagged): treat it as the empty page — 1 empty line, 0 kept
+    val page = coalesce(col(textCol), lit(""))
+    val lines = split(page, "\n")
     val keptLines = filter(lines, l =>
       l.rlike("[.!?]$") &&
         size(words(l)) >= minLineWords &&
@@ -574,7 +577,7 @@ object TextAnalysis {
       else arrays_overlap(words(col("__page")),
         array(badwords.map(b => lit(b.toLowerCase)): _*))
     docs
-      .select(col(idCol), col(textCol).as("__page"), lines.as("__lines"),
+      .select(col(idCol), page.as("__page"), lines.as("__lines"),
         keptLines.as("__kept"))
       .select(col(idCol),
         size(col("__lines")).cast("long").as("n_lines"),

@@ -1906,6 +1906,8 @@ class OperatorsSpec extends SparkTestBase {
     ).toDF("doc_id", "text", "caption")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
         col("caption"))
+      .unionAll(Seq((6L, Option.empty[Array[Byte]], Option.empty[String]))
+        .toDF("doc_id", "payload", "caption"))
     val out = Multimodal.clipScorePairs(pairs, "doc_id", "payload", "caption")
       .orderBy("doc_id").collect()
     def cosOf(i: Int) = out(i).getAs[Double]("clip_cos")
@@ -1915,6 +1917,11 @@ class OperatorsSpec extends SparkTestBase {
     assert(!keepOf(2) && math.abs(cosOf(2)) < 0.8, s"disjoint: ${cosOf(2)}")
     assert(!keepOf(3) && cosOf(3) == 0.0, "empty caption must score 0, not NaN")
     assert(keepOf(4) && cosOf(4) == cosOf(0), "embedding is case-folded")
+    // a NULL payload/caption pair still yields a full scored row: rejected
+    // at cos 0 with zero norms and integer (not null) dot/norm columns
+    assert(!keepOf(5) && cosOf(5) == 0.0 &&
+      out(5).getLong(1) == 0L && out(5).getLong(2) == 0L,
+      "null pair must score 0, never null-flag")
     // the whole gate is row-local: no Exchange, no Join, payload never shuffles
     val plan = Multimodal.clipScorePairs(pairs, "doc_id", "payload", "caption")
       .queryExecution.executedPlan.toString
@@ -1939,6 +1946,7 @@ class OperatorsSpec extends SparkTestBase {
       (6L, s"$good\nbadwordish compounds do not trip the rule ok.\n$good2"),
       (7L, s"$good\n$noPunct")                       // doc drop: only 1 kept line
     ).toDF("doc_id", "text")
+      .unionAll(Seq((8L, Option.empty[String])).toDF("doc_id", "text"))
     val out = TextAnalysis.c4LineRules(docs, "doc_id", "text",
         badwords = Seq("badword"))
       .orderBy("doc_id").collect()
@@ -1951,6 +1959,8 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4)._3 == false, "doc 5 carries the bare word too")
     assert(row(5)._3 == true, "compound words must NOT trip the blocklist")
     assert(row(6) == ((2L, 1L, false, "")), row(6).toString)
+    // a NULL page still yields a full audit row: dropped, never null-flagged
+    assert(row(7) == ((1L, 0L, false, "")), row(7).toString)
     // the whole stage is one narrow projection: no Exchange, no Join
     val plan = TextAnalysis.c4LineRules(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
