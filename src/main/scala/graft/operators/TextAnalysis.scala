@@ -1038,7 +1038,10 @@ object TextAnalysis {
   private def datasheetBase(
       docs: DataFrame, srcCol: String, langCol: String,
       textCol: String): DataFrame = {
-    val t = col(textCol)
+    // a null text must count as an empty doc (0 tokens/chars, lowest
+    // quality), not silently drop out of the SUM aggregates while still
+    // counting in n_docs — the card's columns must stay consistent
+    val t = coalesce(col(textCol), lit(""))
     docs.select(col(srcCol), col(langCol),
       tokenCount(t).cast("long").as("__nt"),
       length(t).cast("long").as("__nc"),

@@ -1850,15 +1850,19 @@ class OperatorsSpec extends SparkTestBase {
       ("web", "de", "der hund und die katze laufen durch den park heute ja"),
       ("book", "en", "it was the best of times it was the worst of times")
     ).toDF("source", "lang", "text")
+      // a null-text doc counts as an empty doc in EVERY column (n_docs +1,
+      // sums +0), keeping the card self-consistent
+      .unionAll(Seq(("book", "en", Option.empty[String]))
+        .toDF("source", "lang", "text"))
     val out = graft.operators.TextAnalysis.datasheet(docs, "source", "lang", "text")
       .orderBy("g_src", "g_lang", "source", "lang").collect()
     // 4 cells? (web,en),(web,de),(book,en) = 3 cells + 2 source margins + 1 total
     assert(out.length == 6, out.mkString("\n"))
     val total = out.last
     assert(total.getInt(2) == 1 && total.getInt(3) == 1, "grand total flags")
-    assert(total.getLong(4) == 4L, "grand total n_docs")
+    assert(total.getLong(4) == 5L, "grand total n_docs")
     val cells = out.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)
-    assert(cells.map(_.getLong(4)).sum == 4L, "cells partition the corpus")
+    assert(cells.map(_.getLong(4)).sum == 5L, "cells partition the corpus")
     // margins are exact sums of their cells (integer arithmetic)
     assert(total.getLong(5) == cells.map(_.getLong(5)).sum, "token margin")
     assert(total.getLong(8) == cells.map(_.getLong(8)).sum, "score-sum margin")
