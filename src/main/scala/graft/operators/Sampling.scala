@@ -136,7 +136,23 @@ object Sampling {
     * driver-safe row count by construction. */
   def mixtureAllocate(
       stats: DataFrame, domainCol: String, weightCol: Column,
-      budget: Long): DataFrame = {
+      budget: Long): DataFrame =
+    hamiltonAllocate(stats, domainCol, weightCol, budget,
+      capAtAvailability = true)
+
+  /** [[mixtureAllocate]] WITHOUT the availability cap — the allocation
+    * the epoch-upsampling recipe needs: a scarce domain's target may
+    * exceed its pool (alloc > n_avail means the domain REPEATS —
+    * epochs > 1), so Σ alloc = budget always holds exactly. */
+  def epochAllocate(
+      stats: DataFrame, domainCol: String, weightCol: Column,
+      budget: Long): DataFrame =
+    hamiltonAllocate(stats, domainCol, weightCol, budget,
+      capAtAvailability = false)
+
+  private def hamiltonAllocate(
+      stats: DataFrame, domainCol: String, weightCol: Column,
+      budget: Long, capAtAvailability: Boolean): DataFrame = {
     require(budget > 0, "budget must be positive")
     // alias the derived frames: tot shares stats' lineage (the
     // temperatureMix self-join disambiguation pattern)
@@ -146,16 +162,57 @@ object Sampling {
     val remRank = Window.orderBy(
       ((lit(budget) * col("__s.__w")) % col("__t.__W")).desc,
       col(domainCol).asc)
+    val raw = col("__base") +
+      when(col("__rank") <= col("__leftover"), 1L).otherwise(0L)
     w.crossJoin(broadcast(tot))
       .withColumn("__base", org.apache.spark.sql.functions
         .expr(s"($budget * __s.__w) div __t.__W"))
       .withColumn("__leftover",
         lit(budget) - sum(col("__base")).over(Window.partitionBy()))
       .withColumn("__rank", row_number().over(remRank))
-      .withColumn("alloc", least(col("n_avail"),
-        col("__base") + when(col("__rank") <= col("__leftover"), 1L)
-          .otherwise(0L)))
+      .withColumn("alloc",
+        if (capAtAvailability) least(col("n_avail"), raw) else raw)
       .select(col(domainCol), col("n_avail"), col("alloc"))
+  }
+
+  /** Epoch-upsampled mixture materialization — the LLaMA-style data
+    * recipe realized as rows (Touvron et al. 2023 list epochs per source:
+    * scarce high-value domains repeat — Wikipedia 2.45 epochs, Books
+    * 2.23 — while the web crawl is subsampled): apportion the row budget
+    * by weight WITHOUT the availability cap ([[epochAllocate]]), then
+    * each domain materializes `alloc div n_avail` FULL passes over all
+    * its rows plus a partial pass of its first `alloc mod n_avail` rows
+    * in the deterministic (md5(id), id) hash-priority order — so
+    * Σ output = budget exactly, every copy carries a 0-based `epoch`
+    * index (downstream epoch-aware shuffles — d42 — interleave on it),
+    * and a domain's copies are maximally balanced (row multiplicities
+    * within a domain differ by at most 1).
+    *
+    * Scale shape: one tiny per-domain aggregate, the Hamilton table as a
+    * broadcast join, ONE rank window over the corpus keyed by domain
+    * (every row may repeat, so no pre-filter applies — this is the one
+    * unavoidable shuffle), then a row-local sequence-explode that emits
+    * each row's copies without ever re-scanning. Pure integer + md5
+    * algebra — engine-exact. */
+  def epochMaterialize(
+      df: DataFrame, idCol: String, domainCol: String, weightCol: Column,
+      budget: Long): DataFrame = {
+    val stats = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_avail"))
+    val alloc = epochAllocate(stats, domainCol, weightCol, budget)
+      .withColumn("__full", expr("alloc div n_avail"))
+      .withColumn("__part", col("alloc") % col("n_avail"))
+      .select(col(domainCol), col("__full"), col("__part"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .join(broadcast(alloc), Seq(domainCol))
+      .withColumn("__copies", col("__full") +
+        when(col("sample_rank") <= col("__part"), 1L).otherwise(0L))
+      .withColumn("epoch", explode(when(col("__copies") > 0,
+        sequence(lit(0L), col("__copies") - 1))
+        .otherwise(array().cast("array<long>"))))
+      .drop("__full", "__part", "__copies")
   }
 
   /** Materialize an explicit target mixture: apportion `budget` rows

@@ -557,6 +557,28 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // --- d66: EPOCH-upsampled mixture materialization — the LLaMA-style
+    //     data recipe realized as rows: the budget apportions WITHOUT the
+    //     availability cap, so the over-weighted scarce domain (zh, 8×)
+    //     REPEATS — full passes + a deterministic hash-priority partial
+    //     pass, each copy carrying its 0-based epoch index — while the
+    //     under-weighted abundant one (en) subsamples to a partial
+    //     epoch. Pure integer + md5 algebra — hash-exact. -----------------
+    "d66_epoch_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val budget = docs.count()
+      val weight = when(col("lang") === "zh", 8L)
+        .when(col("lang") === "en", 1L).otherwise(2L)
+      Sampling.epochMaterialize(docs, "doc_id", "lang", weight, budget)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          max(col("epoch")).as("max_epoch"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("epoch")).as("epoch_sum"))
+        .orderBy("lang")
+    }),
+
     // --- fixed-size per-language quota sample (hash-priority order;
     //     row_number<=k compiles to WindowGroupLimit — map-side trim) ----------
     "d17_quota_sample" -> ((s, d) => {
@@ -2716,6 +2738,46 @@ object TextQueries {
                 CAST(sum(doc_id) AS BIGINT) AS id_sum,
                 max(sample_rank) AS max_rank
          FROM kept GROUP BY lang ORDER BY lang""",
+    // d60's Hamilton replica WITHOUT the least(n_avail, ...) cap, then
+    // full-pass + partial-pass copy counts exploded via range(n_copies)
+    "d66_epoch_mixture" ->
+      """WITH stats AS (SELECT lang, count(*) AS n_avail
+                        FROM documents GROUP BY lang),
+         b AS (SELECT count(*) AS budget FROM documents),
+         w AS (SELECT lang, n_avail,
+                 CASE lang WHEN 'zh' THEN 8 WHEN 'en' THEN 1 ELSE 2 END AS wt
+               FROM stats),
+         t AS (SELECT sum(wt) AS tw FROM w),
+         a0 AS (SELECT lang, n_avail,
+                  (b.budget * wt) // t.tw AS base,
+                  (b.budget * wt) % t.tw AS rem, b.budget AS budget
+                FROM w, t, b),
+         a1 AS (SELECT *, budget - sum(base) OVER () AS leftover,
+                  row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+                FROM a0),
+         alloc AS (SELECT lang, n_avail,
+                     base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                       AS alloc FROM a1),
+         ap AS (SELECT lang, alloc // n_avail AS fullp,
+                  alloc % n_avail AS part FROM alloc),
+         ranked AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS sample_rank
+                    FROM documents),
+         copies AS (SELECT r.doc_id, r.lang,
+                      ap.fullp + CASE WHEN r.sample_rank <= ap.part
+                        THEN 1 ELSE 0 END AS n_copies
+                    FROM ranked r JOIN ap USING (lang)),
+         exploded AS (SELECT doc_id, lang, e AS epoch
+                      FROM copies, LATERAL unnest(range(0, CAST(n_copies AS BIGINT))) AS t(e))
+         SELECT lang, count(*) AS n_rows,
+                count(DISTINCT doc_id) AS n_docs,
+                max(epoch) AS max_epoch,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                CAST(sum(epoch) AS BIGINT) AS epoch_sum
+         FROM exploded GROUP BY lang ORDER BY lang""",
+
     "d17_quota_sample" ->
       """WITH r AS (
            SELECT doc_id, lang,

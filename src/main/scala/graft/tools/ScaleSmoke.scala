@@ -115,6 +115,7 @@ object ScaleSmoke {
     "d60_mixture_materialize", "d61_leak_attribution", "d62_leakfree_split",
     "d63_signal_bundle", "d64_c4_filter", "s23_stream_signal_ingest",
     "m06_clipscore_filter", "d65_datasheet", "s24_stream_datasheet",
+    "d66_epoch_mixture",
     "d06_cands_raw", "d06_cands_postexact",
     "e03_embedding_stats", "e04_embedding_neardup", "e07_int8_quant",
     "q39_time_agg", "q40_sessionize",

@@ -1822,6 +1822,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((2L, 1L, rep)), row(4).toString)
   }
 
+  test("epochMaterialize: scarce domain repeats with epoch indexes, abundant subsamples, budget exact") {
+    import graft.operators.Sampling
+    val docs = (Seq((1L, "a"), (2L, "a")) ++ (3L to 6L).map(i => (i, "b")))
+      .toDF("doc_id", "domain")
+    val weight = when(col("domain") === "a", 3L).otherwise(1L)
+    // W=4, budget=8: a -> 8*3/4 = 6 = 3 full passes of its 2 rows;
+    // b -> 2 = partial pass of its first 2 hash-priority rows
+    val out = Sampling.epochMaterialize(docs, "doc_id", "domain", weight, 8L)
+      .select("domain", "doc_id", "epoch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.size == 8, s"budget must be exact: $out")
+    val a = out.filter(_._1 == "a")
+    assert(a.size == 6 && Seq(1L, 2L).forall(id =>
+      a.filter(_._2 == id).map(_._3).sorted == Seq(0L, 1L, 2L)),
+      s"each scarce-domain row appears once per epoch 0..2: $a")
+    val bOut = out.filter(_._1 == "b")
+    assert(bOut.size == 2 && bOut.forall(_._3 == 0L) &&
+      bOut.map(_._2).distinct.size == 2,
+      s"abundant domain subsamples 2 distinct rows at epoch 0: $bOut")
+    // multiplicities within a domain differ by at most 1 (balanced copies)
+    val mult = out.groupBy(t => (t._1, t._2)).view.mapValues(_.size).toMap
+    Seq("a", "b").foreach { dom =>
+      val ms = mult.collect { case ((d2, _), m) if d2 == dom => m }
+      assert(ms.max - ms.min <= 1, s"$dom multiplicities: $ms")
+    }
+  }
+
   test("ivfRecallCurve: monotone in nProbe, exhaustive probe exact") {
     import graft.operators.Similarity
     graft.functions.GraftFunctions.register(spark)
