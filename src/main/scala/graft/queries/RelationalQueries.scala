@@ -605,6 +605,32 @@ object RelationalQueries {
     //     vectorized scan + pushdown machinery as parquet; the oracle reads
     //     the original parquet, so the row proves the ORC path is
     //     content-lossless (types, timestamps, nulls) end to end. ------------
+    // --- q107: SCHEMA-EVOLUTION scan — the ingest reality at 100 TB: a
+    //     long-lived table's early shards predate columns its later
+    //     shards carry. Two parquet vintages land in ONE directory (v1:
+    //     doc_id + n_chars; v2: + lang) and `mergeSchema` unifies them —
+    //     v1 rows surface the added column as NULL, no rewrite of old
+    //     shards. The aggregate groups by the evolved column, so a
+    //     dropped/misfilled vintage flips the hash. ------------------------
+    "q107_schema_evolution" -> ((s, d) => {
+      val tmp = materialize("schemaevo", d) { p =>
+        val docs = Tables.documents(s, d)
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("n_chars"))
+          .write.mode("overwrite").parquet(p)
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.mode("append").parquet(p)
+      }
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
     "q71_orc_roundtrip" -> ((s, d) => {
       val tmp = materialize("orc", d) { p =>
         Tables.orders(s, d)
@@ -1811,6 +1837,15 @@ object RelationalQueries {
                   event_type := event_type, value := value)).value AS last_value,
                 count(*) AS n_versions
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // the v1 vintage (even doc_ids) predates the lang column, so its rows
+    // group under NULL — exactly what mergeSchema must surface
+    "q107_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents GROUP BY 1 ORDER BY lang""",
+
     "q71_orc_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

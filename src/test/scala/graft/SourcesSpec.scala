@@ -14,6 +14,28 @@ class SourcesSpec extends SparkTestBase {
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
     .select($"doc_id", $"lang", $"n_chars")
 
+  test("schema evolution: mergeSchema unifies vintages, old rows null-fill the new column") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"n_chars")
+      .write.mode("overwrite").parquet(tmp)
+    docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"n_chars", $"lang")
+      .write.mode("append").parquet(tmp)
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert(merged.schema.fieldNames.toSet == Set("doc_id", "n_chars", "lang"))
+    val n = docs.count()
+    assert(merged.count() == n, "both vintages read")
+    assert(merged.filter($"lang".isNull).count() == n - n / 2 &&
+      merged.filter($"lang".isNull && $"doc_id" % 2 =!= 0).count() == 0,
+      "exactly the pre-evolution vintage null-fills the added column")
+    // old shards are untouched on disk: evolution costs zero rewrites
+    val files = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // pruning still reaches the scan on the merged relation
+    val plan = merged.select($"doc_id").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"projection must prune to doc_id:\n$plan")
+  }
+
   test("csv roundtrip with explicit schema preserves rows and types") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
     docs.write.mode("overwrite").option("header", "true").csv(tmp)
