@@ -631,6 +631,51 @@ object RelationalQueries {
         .orderBy("lang")
     }),
 
+    // --- q108: XML roundtrip — Spark 4's NATIVE xml source (the spark-xml
+    //     donation): row-per-element write with rowTag, schema-inferred
+    //     read-back. The aggregate groups by the roundtripped string and
+    //     sums the roundtripped int, so any escaping/typing defect flips
+    //     the hash. -----------------------------------------------------------
+    "q108_xml_roundtrip" -> ((s, d) => {
+      val tmp = materialize("xml", d) { p =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").option("rowTag", "doc").xml(p)
+      }
+      s.read.option("rowTag", "doc").xml(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
+    // --- q109: raw TEXT-source ingest — the original crawl shape (one
+    //     record per line, no schema): lines written via the text sink,
+    //     read back as `value`, fields re-parsed with a split projection.
+    //     The whole parse is a narrow map over the scan; the aggregate
+    //     replays the source table, so a mangled line flips the hash. -------
+    "q109_text_source" -> ((s, d) => {
+      val tmp = materialize("textsrc", d) { p =>
+        Tables.documents(s, d)
+          .select(concat_ws("\t", col("doc_id"), col("lang"),
+            col("n_chars")).as("value"))
+          .write.mode("overwrite").text(p)
+      }
+      val parts = split(col("value"), "\t")
+      s.read.text(tmp)
+        .select(parts.getItem(0).cast("long").as("doc_id"),
+          parts.getItem(1).as("lang"),
+          parts.getItem(2).cast("long").as("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
     "q71_orc_roundtrip" -> ((s, d) => {
       val tmp = materialize("orc", d) { p =>
         Tables.orders(s, d)
@@ -1837,6 +1882,20 @@ object RelationalQueries {
                   event_type := event_type, value := value)).value AS last_value,
                 count(*) AS n_versions
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // XML/text roundtrips replay the aggregate over the source table —
+    // the roundtrip is correct iff the written-then-read rows are the rows
+    "q108_xml_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q109_text_source" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents GROUP BY lang ORDER BY lang""",
+
     // the v1 vintage (even doc_ids) predates the lang column, so its rows
     // group under NULL — exactly what mergeSchema must surface
     "q107_schema_evolution" ->

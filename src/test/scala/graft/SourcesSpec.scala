@@ -14,6 +14,21 @@ class SourcesSpec extends SparkTestBase {
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
     .select($"doc_id", $"lang", $"n_chars")
 
+  test("xml roundtrip: markup-significant characters escape and restore byte-exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    val rows = Seq(
+      (1L, "a < b & c > d"),
+      (2L, "quotes \" and ' inside"),
+      (3L, "<doc>nested markup-looking text</doc>"),
+      (4L, "plain"))
+    rows.toDF("id", "txt").write.mode("overwrite")
+      .option("rowTag", "doc").xml(tmp)
+    val back = spark.read.option("rowTag", "doc").xml(tmp)
+      .select($"id", $"txt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(back == rows, s"xml roundtrip must escape+restore exactly: $back")
+  }
+
   test("schema evolution: mergeSchema unifies vintages, old rows null-fill the new column") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
     docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"n_chars")
