@@ -50,6 +50,8 @@ object TextQueries {
   // weights (float GD weights are partition-order sensitive, so sharing
   // the artifact — not retraining — is what makes stream ≡ batch an
   // exact-equality gate)
+  private val binaryStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val qualityModels = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[String], Array[Double])]()
 
@@ -1114,6 +1116,36 @@ object TextQueries {
           .otherwise(concat(lit("a photo of "), col("text")))
           .as("caption"))
       Multimodal.clipScorePairs(pairs, "doc_id", "payload", "caption")
+        .orderBy("doc_id")
+    }),
+
+    // --- m07: binaryFile INGEST — the actual multimodal ingestion shape:
+    //     media lands as FILES in object storage and `format("binaryFile")`
+    //     reads (path, length, content) with no decode; identity comes
+    //     from the path, integrity from a content digest. Files are
+    //     staged once per (JVM, sf) from a doc subset (payload = utf-8
+    //     text bytes, the m01 stand-in); the row emits per-file byte
+    //     length + md5, both replicable from the source table since the
+    //     corpus is pure ASCII (byte length = strlen). ---------------------
+    "m07_binary_ingest" -> ((s, d) => {
+      val dir = binaryStaged.computeIfAbsent(d, { _ =>
+        val f = indexTmpDir("binfiles")
+        Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              new java.io.File(f, s"doc_${r.getLong(0)}.bin").toPath,
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        f.toString
+      })
+      s.read.format("binaryFile").load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("byte_len"),
+          md5(col("content")).as("content_md5"))
         .orderBy("doc_id")
     }),
 
@@ -3057,6 +3089,13 @@ object TextQueries {
 
     // identical construction to m03's: identical text ⇒ identical pHash;
     // independent stub features ⇒ ~32-bit distances, never ≤ 3
+    // pure-ASCII corpus ⇒ byte length = strlen and md5(utf8 bytes) =
+    // md5(text); the path-derived id replays as the subset filter
+    "m07_binary_ingest" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+                md5(text) AS content_md5
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+
     // full replica of the stub-CLIP gate: signed hashed BoW per side
     // (md5 bucket + 9th-hex-digit sign — the d13/d52 hash recipe), dot
     // and squared norms as integer GROUP BY sums (≡ Spark's in-array

@@ -14,6 +14,19 @@ class SourcesSpec extends SparkTestBase {
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
     .select($"doc_id", $"lang", $"n_chars")
 
+  test("binaryFile source: arbitrary bytes read back exactly, glob filters apply") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin")
+    val payload = Array.tabulate[Byte](256)(i => i.toByte) // every byte value
+    java.nio.file.Files.write(tmp.resolve("a.bin"), payload)
+    java.nio.file.Files.write(tmp.resolve("skip.txt"), "not binary".getBytes)
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(tmp.toString).collect()
+    assert(rows.length == 1, "glob must exclude the .txt file")
+    assert(rows.head.getAs[Long]("length") == 256L)
+    assert(rows.head.getAs[Array[Byte]]("content").toSeq == payload.toSeq,
+      "content must be the exact bytes, no charset mangling")
+  }
+
   test("xml roundtrip: markup-significant characters escape and restore byte-exact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
     val rows = Seq(
