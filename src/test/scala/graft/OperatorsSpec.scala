@@ -1849,6 +1849,78 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("c4LineRules and clipScorePairs: totality and invariants over randomized text") {
+    import graft.operators.{Multimodal, TextAnalysis}
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42L)
+    val vocab = Vector("the", "quick", "fox!", "a.b", "{", "lorem", "ipsum",
+      "JavaScript", "badword", "one?", "\"q\"", "x", "123", "&amp;")
+    def randText(): Option[String] =
+      if (rnd.nextInt(10) == 0) None
+      else Some((0 until rnd.nextInt(30)).map { _ =>
+        if (rnd.nextInt(8) == 0) "\n"
+        else vocab(rnd.nextInt(vocab.size))
+      }.mkString(" "))
+    val rows = (1L to 60L).map(i => (i, randText()))
+    val docs = rows.toDF("doc_id", "text")
+    val c4 = TextAnalysis.c4LineRules(docs, "doc_id", "text",
+      badwords = Seq("badword")).collect()
+    assert(c4.length == rows.size, "one audit row per input doc, always")
+    c4.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"n_kept ≤ n_lines: $r")
+      assert(!r.isNullAt(3) && !r.isNullAt(4), s"audit never null-flags: $r")
+      if (!r.getBoolean(3)) assert(r.getString(4) == "", s"dropped ⇒ empty: $r")
+    }
+    val pairs = docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      reverse(col("text")).as("caption"))
+    val clip = Multimodal.clipScorePairs(pairs, "doc_id", "payload", "caption")
+      .collect()
+    assert(clip.length == rows.size, "one scored row per pair, always")
+    clip.foreach { r =>
+      val cos = r.getDouble(4)
+      assert(cos >= -1.0001 && cos <= 1.0001, s"cosine bounded: $r")
+      assert(r.getBoolean(5) == (cos >= 0.8), s"keep ⇔ threshold: $r")
+      assert(!r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3),
+        s"integer columns never null: $r")
+    }
+  }
+
+  test("epochMaterialize: budget exactness and balance hold over randomized corpora") {
+    import graft.operators.Sampling
+    val rnd = new scala.util.Random(20260815L)
+    for (kase <- 1 to 6) {
+      val nDomains = 1 + rnd.nextInt(4)
+      val docs = (0 until nDomains).flatMap { dIdx =>
+        val n = 1 + rnd.nextInt(7)
+        (0 until n).map(i => (dIdx * 100L + i, s"dom$dIdx"))
+      }.toDF("doc_id", "domain")
+      val wts = (0 until nDomains).map(i => s"dom$i" -> (1L + rnd.nextInt(8)))
+      val weight = wts.tail.foldLeft(when(col("domain") === wts.head._1, wts.head._2)) {
+        case (acc, (dom, wv)) => acc.when(col("domain") === dom, wv)
+      }.otherwise(1L)
+      // budgets below, at, and above corpus size — incl. budget < #domains
+      val budget = 1L + rnd.nextInt(40)
+      val out = Sampling.epochMaterialize(docs, "doc_id", "domain", weight, budget)
+        .select("domain", "doc_id", "epoch").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(out.size == budget, s"case $kase: budget $budget, got ${out.size}")
+      // within every domain, per-row multiplicities (incl. zero) differ ≤1
+      val byDom = docs.collect().map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      byDom.foreach { case (dom, ids) =>
+        val mult = ids.map(id => out.count(t => t._1 == dom && t._2 == id))
+        assert(mult.max - mult.min <= 1,
+          s"case $kase dom $dom multiplicities $mult")
+      }
+      // each row's epochs are exactly 0..copies-1 (no gaps, no dups)
+      out.groupBy(t => (t._1, t._2)).foreach { case (k, copies) =>
+        assert(copies.map(_._3).sorted == (0L until copies.size).toSeq,
+          s"case $kase $k epochs ${copies.map(_._3)}")
+      }
+    }
+  }
+
   test("ivfRecallCurve: monotone in nProbe, exhaustive probe exact") {
     import graft.operators.Similarity
     graft.functions.GraftFunctions.register(spark)
