@@ -394,7 +394,11 @@ object Similarity {
     * total order the top-k of a superset can only displace an
     * exact-top-k member with a higher-ranked element, which is itself
     * exact-top-k; (2) at nProbe = |cells| the probe is exhaustive, so
-    * the shortlist is the whole corpus and recall is exactly 1. */
+    * the shortlist is the whole corpus and recall is exactly 1.
+    *
+    * Callers pass a non-empty probe set: with zero probes every recall
+    * denominator is an empty count and the settings report null recall
+    * (a visible signal, not a crash). */
   def ivfRecallCurve(
       cents: DataFrame, corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbes: Seq[Int]): DataFrame = {
