@@ -1084,6 +1084,26 @@ object TextAnalysis {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Reconstruct the FULL [[datasheet]] card (cells + ROLLUP margins +
+    * grouping flags) from leaf cells alone — the proof behind the s24
+    * contract that margins never need to ride the stream: every measure
+    * is a sum (n_docs included), so margins are re-aggregations of the
+    * cells. `datasheetFromCells(datasheetCells(docs)) ≡ datasheet(docs)`
+    * row-for-row (OperatorsSpec pins it), which is also why the
+    * maintained streaming state can serve the whole card at any commit. */
+  def datasheetFromCells(cells: DataFrame, srcCol: String,
+      langCol: String): DataFrame =
+    cells
+      .rollup(col(srcCol), col(langCol))
+      .agg(
+        grouping(col(srcCol)).cast("int").as("g_src"),
+        grouping(col(langCol)).cast("int").as("g_lang"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_quality_kept")).as("n_quality_kept"),
+        sum(col("q_sum_fp")).as("q_sum_fp"))
+
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val withFeats = qualityFeatures(t).foldLeft(docs) {

@@ -1970,6 +1970,27 @@ class OperatorsSpec extends SparkTestBase {
       "web/en has one quality-kept doc at least")
   }
 
+  test("datasheetFromCells: the full rollup card reconstructs from leaf cells exactly") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      ("web", "en", "the cat sat on the mat and looked at the dog there"),
+      ("web", "de", "der hund und die katze laufen durch den park heute ja"),
+      ("web", "en", "a b c"),
+      ("book", "en", "it was the best of times it was the worst of times"),
+      ("book", "fr", "le chat est sur la table avec le chien aussi oui")
+    ).toDF("source", "lang", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "lang", "g_src", "g_lang", "n_docs", "n_tokens",
+        "n_chars", "n_quality_kept", "q_sum_fp")
+      .orderBy("g_src", "g_lang", "source", "lang").collect().toSeq
+    val direct = norm(TextAnalysis.datasheet(docs, "source", "lang", "text"))
+    val viaCells = norm(TextAnalysis.datasheetFromCells(
+      TextAnalysis.datasheetCells(docs, "source", "lang", "text"),
+      "source", "lang"))
+    assert(viaCells == direct,
+      "margins must reconstruct from cells row-for-row — the s24 contract")
+  }
+
   test("clusterBalancedSample: dense cell capped, sparse cell intact, deterministic, WindowGroupLimit plan") {
     import graft.operators.Similarity
     // two orthogonal directions; 6 vectors near +x (dense), 2 near +y (sparse)
