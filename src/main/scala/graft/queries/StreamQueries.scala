@@ -746,8 +746,14 @@ object StreamQueries {
         try q.processAllAvailable() finally q.stop()
         state
       })
-      graft.operators.IncrementalAgg.readState(s, statePath)
-        .orderBy("source", "lang")
+      // serve the FULL card (cells + ROLLUP margins + grouping flags)
+      // from the maintained leaf-cell state alone — the oracle is d65's
+      // complete rollup SQL, so a margin that fails to reconstruct from
+      // cells flips the hash
+      graft.operators.TextAnalysis.datasheetFromCells(
+          graft.operators.IncrementalAgg.readState(s, statePath),
+          "source", "lang")
+        .orderBy(col("g_src"), col("g_lang"), col("source"), col("lang"))
     }),
 
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
@@ -1099,9 +1105,9 @@ object StreamQueries {
            FROM shc s LEFT JOIN hits h USING (doc_id))
          SELECT doc_id, n_chars FROM scored WHERE c < 0.5
          ORDER BY doc_id""",
-    // integer-sum algebra ⇒ the maintained card equals the batch card:
-    // the oracle is d65's leaf GROUP BY (no ROLLUP margins — they derive
-    // from cells and never ride the stream)
+    // integer-sum algebra ⇒ the maintained cells equal the batch cells,
+    // and the served card reconstructs margins from them
+    // (datasheetFromCells) — so the oracle is d65's COMPLETE rollup SQL
     "s24_stream_datasheet" ->
       """WITH t AS (
            SELECT doc_id, source, lang, text,
@@ -1137,14 +1143,16 @@ object StreamQueries {
                AS qs
            FROM f)
          SELECT source, lang,
+           CAST(GROUPING(source) AS INT) AS g_src,
+           CAST(GROUPING(lang) AS INT) AS g_lang,
            count(*) AS n_docs,
            CAST(sum(nt) AS BIGINT) AS n_tokens,
            CAST(sum(nc) AS BIGINT) AS n_chars,
            CAST(sum(CASE WHEN qs >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_kept,
            CAST(sum(CAST(floor(qs * 10000) AS BIGINT)) AS BIGINT) AS q_sum_fp
          FROM q
-         GROUP BY source, lang
-         ORDER BY source, lang""",
+         GROUP BY ROLLUP (source, lang)
+         ORDER BY g_src, g_lang, source, lang""",
 
     // stateless per-row bundle ⇒ streamed union over batches == the batch
     // signals table: the oracle IS d63's SQL verbatim
