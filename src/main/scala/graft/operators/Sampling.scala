@@ -154,10 +154,17 @@ object Sampling {
       stats: DataFrame, domainCol: String, weightCol: Column,
       budget: Long, capAtAvailability: Boolean): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // weights quantize to ×10⁶ fixed point (the temperatureMix contract)
+    // BEFORE the long cast: Hamilton is scale-invariant — floor(B·kw/kW)
+    // = floor(B·w/W) and remainders scale by k, preserving quotients and
+    // tie-break order exactly — so integer weights allocate identically
+    // while fractional weights (0.5, 2.7) stop silently truncating to 0.
+    // An all-zero weight total still fails loudly (ANSI DIVIDE_BY_ZERO).
+    val wq = (weightCol * lit(1000000L)).cast("long")
     // alias the derived frames: tot shares stats' lineage (the
     // temperatureMix self-join disambiguation pattern)
-    val w = stats.withColumn("__w", weightCol.cast("long")).as("__s")
-    val tot = stats.withColumn("__w", weightCol.cast("long"))
+    val w = stats.withColumn("__w", wq).as("__s")
+    val tot = stats.withColumn("__w", wq)
       .agg(sum(col("__w")).as("__W")).as("__t")
     val remRank = Window.orderBy(
       ((lit(budget) * col("__s.__w")) % col("__t.__W")).desc,

@@ -1886,6 +1886,24 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("mixtureAllocate: fractional weights allocate proportionally, not truncate to zero") {
+    import graft.operators.Sampling
+    val stats = Seq(("a", 100L), ("b", 100L)).toDF("domain", "n_avail")
+    // 0.5 : 1.5 = 1 : 3 — a raw long cast would truncate 0.5 to weight 0
+    val weight = when(col("domain") === "a", 0.5).otherwise(1.5)
+    val alloc = Sampling.mixtureAllocate(stats, "domain", weight, budget = 80L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(alloc == Map("a" -> 20L, "b" -> 60L), alloc.toString)
+    // integer weights are unchanged by the fixed-point quantization
+    // (Hamilton is scale-invariant): 8:1:2 over three domains
+    val stats3 = Seq(("x", 10L), ("y", 10L), ("z", 10L)).toDF("domain", "n_avail")
+    val w3 = when(col("domain") === "x", 8L)
+      .when(col("domain") === "y", 1L).otherwise(2L)
+    val a3 = Sampling.epochAllocate(stats3, "domain", w3, budget = 11L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(a3.values.sum == 11L && a3("x") == 8L, a3.toString)
+  }
+
   test("epochMaterialize: budget exactness and balance hold over randomized corpora") {
     import graft.operators.Sampling
     val rnd = new scala.util.Random(20260815L)
