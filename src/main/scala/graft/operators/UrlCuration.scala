@@ -40,9 +40,10 @@ object UrlCuration {
 
   /** Host of a URL: optional scheme and userinfo stripped, authority cut
     * at the first `/ ? # :` (so ports never leak into the host), result
-    * lowercased. An unparseable value yields the empty string. */
+    * lowercased. An unparseable OR NULL value yields the empty string —
+    * never null, so downstream filters cannot silently drop the row. */
   def hostOf(url: Column): Column =
-    regexp_extract(lower(url),
+    regexp_extract(lower(coalesce(url, lit(""))),
       "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)", 1)
 
   /** True iff `host` is a blocklisted domain or any subdomain of one. */
@@ -156,7 +157,10 @@ object UrlCuration {
     *
     * An unparseable value canonicalizes to `http://<value>/`-ish via the
     * permissive host group — garbage in, deterministic garbage out. */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url0: Column): Column = {
+    // a NULL url canonicalizes like any other unparseable value
+    // (deterministic "http:///"), never to a null identity
+    val url = coalesce(url0, lit(""))
     def part(i: Int) = regexp_extract(url, UrlParts, i)
     val scheme =
       when(part(1) === "", lit("http")).otherwise(lower(part(1)))

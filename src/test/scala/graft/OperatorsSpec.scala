@@ -1664,10 +1664,13 @@ class OperatorsSpec extends SparkTestBase {
       "ftp://sub.example.com#frag",
       "https://example.com?query-right-after-host",
       "weird"
-    ).toDF("url").select(UrlCuration.hostOf(col("url")).as("h"))
+    ).map(Option(_)).:+(Option.empty[String])
+      .toDF("url").select(UrlCuration.hostOf(col("url")).as("h"))
       .collect().map(_.getString(0)).toSeq
+    // a NULL url parses to "" (the unparseable contract) — never to a
+    // null that a downstream filter would silently drop
     assert(parsed == Seq("example.com", "example.com", "example.com",
-      "sub.example.com", "example.com", "weird"), parsed.toString)
+      "sub.example.com", "example.com", "weird", ""), parsed.toString)
     // corpus: a mega-host (cap binds), a small host (cap doesn't), a
     // blocklisted domain and a subdomain of it, and a LOOKALIKE host that
     // merely ends in the same string (must survive: not a subdomain)
@@ -1713,7 +1716,10 @@ class OperatorsSpec extends SparkTestBase {
       // bare tracking name (no '=') drops too; lookalike param survives
       "https://a.example/x?ref&reference=1" -> "https://a.example/x?reference=1",
       // schemeless input defaults to http
-      "a.example/x?z=1" -> "http://a.example/x?z=1"
+      "a.example/x?z=1" -> "http://a.example/x?z=1",
+      // NULL canonicalizes like any unparseable value — a deterministic
+      // identity, never a null group key
+      (null: String) -> "http:///"
     )
     val got = cases.map(_._1).toDF("url")
       .select(UrlCuration.canonicalizeUrl(col("url")).as("c"))
