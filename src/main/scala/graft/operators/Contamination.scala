@@ -91,10 +91,33 @@ object Contamination {
 
   /** [[contaminationScoresBloom]]'s scoring body against an already-
     * prepped benchmark — no benchmark-side action, so it is safe to call
-    * per micro-batch. */
+    * per micro-batch. The confirm join broadcasts the exact benchmark
+    * shingle set — right when the benchmark is an eval suite. */
   def contaminationScoresPrepped(
       corpus: DataFrame, bench: DataFrame, bloomBytes: Array[Byte],
-      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+      idCol: String, textCol: String, shingleN: Int = 3): DataFrame =
+    contaminationScoresPreppedImpl(corpus, bench, bloomBytes, idCol,
+      textCol, shingleN, broadcastConfirm = true)
+
+  /** [[contaminationScoresPrepped]] with the confirm join UNHINTED — the
+    * variant for a CORPUS-SIZED "benchmark" (e.g. [[leakFreeSplit]]'s test
+    * split, ~6% of the corpus itself): the fixed-size Bloom still
+    * broadcasts and prunes non-candidates before any exchange, but the
+    * exact confirm join carries no `broadcast()` hint, so Catalyst/AQE is
+    * free to pick a shuffled (sort-merge) join when the bench side
+    * outgrows the broadcast threshold. Result-identical to the hinted
+    * path (same no-false-negatives + exact-confirm argument as d50;
+    * OperatorsSpec pins equality, PlansSpec pins the no-hint plan shape). */
+  def contaminationScoresPreppedShuffled(
+      corpus: DataFrame, bench: DataFrame, bloomBytes: Array[Byte],
+      idCol: String, textCol: String, shingleN: Int = 3): DataFrame =
+    contaminationScoresPreppedImpl(corpus, bench, bloomBytes, idCol,
+      textCol, shingleN, broadcastConfirm = false)
+
+  private def contaminationScoresPreppedImpl(
+      corpus: DataFrame, bench: DataFrame, bloomBytes: Array[Byte],
+      idCol: String, textCol: String, shingleN: Int,
+      broadcastConfirm: Boolean): DataFrame = {
     import org.apache.spark.sql.GraftPlanBridge.{exprOf, ofExpr}
     val perDoc = corpus.select(col(idCol).as("doc_id"),
       Dedup.shingleHashes(col(textCol), shingleN).as("shs"))
@@ -109,9 +132,11 @@ object Contamination {
         val mightContain = ofExpr(
           new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
             exprOf(lit(bloomBytes)), exprOf(col("sh"))))
+        val confirm = bench.withColumn("__hit", lit(1))
         perDoc.select(col("doc_id"), explode(col("shs")).as("sh"))
           .filter(mightContain)
-          .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("sh"))
+          .join(if (broadcastConfirm) broadcast(confirm) else confirm,
+            Seq("sh"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_matched"))
       }
@@ -222,7 +247,7 @@ object Contamination {
         lit("test")).otherwise(lit("train")))
     val test = tagged.filter(col("split") === "test")
     val train = tagged.filter(col("split") === "train")
-    val clean = decontaminate(train, test, idCol, textCol,
+    val clean = decontaminateScaled(train, test, idCol, textCol,
       threshold, shingleN)
     clean.unionByName(test)
   }
@@ -234,6 +259,30 @@ object Contamination {
       idCol: String, textCol: String,
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
     val dirty = contaminationScores(corpus, benchmark, idCol, textCol, shingleN)
+      .filter(col("contamination") >= threshold)
+      .select(col("doc_id").as(idCol))
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+
+  /** [[decontaminate]] for a benchmark that is itself corpus-sized (the
+    * [[leakFreeSplit]] case — the "benchmark" is the corpus's own test
+    * split, which at 100 TB is terabytes of text whose exact shingle set
+    * CANNOT broadcast): the only driver-held benchmark artifact is the
+    * fixed-size Bloom from [[prepBenchmark]] (size set by `expectedItems`,
+    * not by the data), and the exact confirm join runs UNHINTED
+    * ([[contaminationScoresPreppedShuffled]]) so it degrades to a shuffled
+    * sort-merge join instead of a driver OOM. Result-identical to
+    * [[decontaminate]] at every scale (Bloom has no false negatives; the
+    * confirm join is exact). */
+  def decontaminateScaled(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleN: Int = 3,
+      expectedItems: Long = 1000000L): DataFrame = {
+    val (bench, bloomBytes) =
+      prepBenchmark(benchmark, textCol, shingleN, expectedItems)
+    val dirty = contaminationScoresPreppedShuffled(corpus, bench, bloomBytes,
+        idCol, textCol, shingleN)
       .filter(col("contamination") >= threshold)
       .select(col("doc_id").as(idCol))
     corpus.join(dirty, Seq(idCol), "left_anti")

@@ -403,17 +403,25 @@ object Similarity {
       cents: DataFrame, corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbes: Seq[Int]): DataFrame = {
     require(nProbes.nonEmpty)
+    // both the index and the brute-force baseline are shared by every
+    // nProbe setting's subtree — materialize each ONCE instead of
+    // re-deriving them |nProbes| times in the unioned plan
     val index = ivfBuildIndex(corpus, idCol, vecCol, cents)
+      .localCheckpoint(true)
     val bf = bruteForceTopK(corpus, probes, idCol, vecCol, k)
       .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
-    nProbes.map { np =>
-      val ivf = ivfTopKFromIndex(index, cents, probes, idCol, vecCol, k, np)
-        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_ivf"))
-      ivf.join(bf, Seq("probe_id", "neighbor_id"), "full_outer")
-        .agg((count(when(col("in_ivf") === 1 && col("in_bf") === 1, 1))
-          .cast("double") / count(col("in_bf"))).as("recall"))
-        .select(lit(np).as("n_probe"), col("recall"))
-    }.reduce(_ unionAll _)
+      .localCheckpoint(true)
+    try {
+      nProbes.map { np =>
+        val ivf = ivfTopKFromIndex(index, cents, probes, idCol, vecCol, k, np)
+          .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_ivf"))
+        ivf.join(bf, Seq("probe_id", "neighbor_id"), "full_outer")
+          .agg((count(when(col("in_ivf") === 1 && col("in_bf") === 1, 1))
+            .cast("double") / count(col("in_bf"))).as("recall"))
+          .select(lit(np).as("n_probe"), col("recall"))
+      }.reduce(_ unionAll _)
+        .localCheckpoint(true) // |nProbes| rows; free the shared blocks
+    } finally { Dedup.release(index); Dedup.release(bf) }
   }
 
   /** Build the IVF serving index over a FROZEN quantizer: each corpus
@@ -1132,12 +1140,18 @@ object Similarity {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
     val wPool = Window.partitionBy(col("probe_id"))
       .orderBy(col("rel").desc, col("neighbor_id").asc)
+    // the pool (corpus scan × broadcast probes × window) is referenced by
+    // EVERY greedy step's plan plus the seed row — materialize it ONCE so
+    // the final plan pays one corpus scan, not k (pool is poolSize rows
+    // per probe, the smallest thing in this operator)
     val pool = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), col("cv"),
         q(cosineF32(col("pv"), col("cv"))).as("rel"))
       .withColumn("__rn", row_number().over(wPool))
       .filter(col("__rn") <= poolSize)
+      .localCheckpoint(true)
+    try {
     var all = pool.filter(col("__rn") === 1).drop("__rn")
       .select(col("probe_id"), col("neighbor_id"), col("cv"), col("rel"),
         lit(1).as("mmr_rank"), col("rel").as("mmr_score"))
@@ -1163,8 +1177,12 @@ object Similarity {
           lit(step).as("mmr_rank"), col("mmr_score"))
       all = all.unionByName(next)
     }
+    // materialize the (probes × k)-row result before releasing the pool
+    // blocks it is built from
     all.select(col("probe_id"), col("mmr_rank"), col("neighbor_id"),
       col("rel"), col("mmr_score"))
+      .localCheckpoint(true)
+    } finally Dedup.release(pool)
   }
 
   /** Nearest-prototype balanced curation (the SSL-prototypes / cluster-

@@ -41,7 +41,12 @@ object SpillProbe {
     "d28_canonical_dedup" -> true,
     "q75_tpch_q9" -> true,
     "q90_bucketed_join" -> true,
-    "d35_dupspan" -> true)
+    "d35_dupspan" -> true,
+    // the round-15 scale fix: leakFreeSplit's confirm join is UNHINTED, so
+    // under the starved (-1 broadcast) session it takes the sort-merge
+    // path — the very degradation the fix buys — and must stay
+    // digest-identical while spilling
+    "d62_leakfree_split" -> true)
 
   /** Rows that need the 100× tile to generate real memory pressure. */
   private val X100_ROWS = Set("d05_exact_dedup", "d05_salted_dedup")

@@ -767,6 +767,12 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).sortBy(_._1).toSeq
     assert(emptied == Seq(("alpha", 5L, 0L, 0.0), ("beta", 0L, 0L, 0.0)))
+    // the UNHINTED confirm variant (the leakFreeSplit path for a
+    // corpus-sized bench side) is result-identical to both
+    val (b, bb) = Contamination.prepBenchmark(bench, "text")
+    val shuffled = rows(Contamination.contaminationScoresPreppedShuffled(
+      corpus, b, bb, "doc_id", "text"))
+    assert(shuffled == exact)
   }
 
   test("ctLangId: rank-order classification recovers planted language signal") {

@@ -580,4 +580,61 @@ class PlansSpec extends SparkTestBase {
         .findFirstIn(p).isDefined,
       s"shuffle width must equal the planned $planned output files:\n$p")
   }
+
+  test("e21/e23: greedy/curve steps reuse ONE materialized pool, no per-step corpus rescan") {
+    // mmrTopK's pool (corpus scan × broadcast probes × window) used to be
+    // referenced lazily by all k−1 greedy-step plans plus the seed row, so
+    // the final plan paid k corpus scans. The pool is now localCheckpoint'd:
+    // the returned frame must be served from checkpoint blocks with ZERO
+    // FileScans of the embeddings table left in its plan. Same property for
+    // ivfRecallCurve's shared index + brute-force baseline.
+    for (name <- Seq("e21_mmr_topk", "e23_ivf_recall_curve")) {
+      val p = plan(name)
+      assert(p.contains("ExistingRDD"),
+        s"$name must be served from the materialized checkpoint:\n$p")
+      assert(!p.contains("embeddings.parquet"),
+        s"$name's final plan must not rescan the corpus per greedy step/setting:\n$p")
+    }
+  }
+
+  test("d62 confirm join degrades to SMJ when the bench side can't broadcast") {
+    // leakFreeSplit's "benchmark" is the corpus's own test split — at
+    // 100 TB that side cannot broadcast. The fix routes the split's
+    // decontamination through contaminationScoresPreppedShuffled: the
+    // fixed-size Bloom still broadcasts (scalar literal, not a join), but
+    // the exact confirm join is UNHINTED. Simulate "bench exceeds the
+    // broadcast threshold" with autoBroadcastJoinThreshold=-1 and pin:
+    // the hinted path still forces BroadcastHashJoin (hints ignore the
+    // threshold — that is the OOM), the shuffled path plans SortMergeJoin.
+    import graft.operators.Contamination
+    graft.functions.GraftFunctions.register(spark)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val (b, bloom) = Contamination.prepBenchmark(bench, "text")
+      val hinted = Contamination.contaminationScoresPrepped(
+        corpus, b, bloom, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      val shuffled = Contamination.contaminationScoresPreppedShuffled(
+        corpus, b, bloom, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"hinted confirm join must broadcast regardless of threshold:\n$hinted")
+      assert(!shuffled.contains("BroadcastHashJoin"),
+        s"unhinted confirm join must not broadcast a corpus-sized bench:\n$shuffled")
+      assert(shuffled.contains("SortMergeJoin"),
+        s"expected a sort-merge confirm join:\n$shuffled")
+      // the Bloom prescreen survives in the shuffled plan: candidates are
+      // pruned by might_contain BEFORE the exchange
+      assert(shuffled.contains("might_contain"),
+        s"Bloom prescreen must still gate the corpus scan:\n$shuffled")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
