@@ -90,6 +90,22 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
+    // pre-flight load gate (the round-14 idle-box lesson, PLANS.md): a box
+    // still draining a prior suite reads stream rows up to 3.5x steady
+    // state. Surface the 1-min loadavg NOW so a loaded-box run is caught
+    // when it is recorded, not re-litigated rounds later. Warn-only: the
+    // driver's run must still complete on a busy box.
+    val loadGate = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val load = os.getSystemLoadAverage
+      val cores = Runtime.getRuntime.availableProcessors()
+      if (load >= 0 && load > cores * 0.25)
+        System.err.println(f"[bench] WARNING: 1-min loadavg $load%.1f on " +
+          s"$cores cores before measuring — numbers may read high; " +
+          "prefer an idle box")
+      load
+    }
+    System.err.println(f"[bench] pre-flight 1-min loadavg: $loadGate%.2f")
     calibration() // untimed: compile the query shape once
     val calFirst = calibration()
     // a failed query must not masquerade as a normal-looking time: log it,
@@ -144,7 +160,10 @@ object Bench {
         best = math.min(best, dt)
         rep += 1
       }
-      name -> best
+      // a query that failed every rep must not leak Double.MaxValue into
+      // its time (or 1.8e308 into the total): record 0.0 — errors>0
+      // already fails the run and flags the row by name on stderr
+      name -> (if (best == Double.MaxValue) 0.0 else best)
     }
     System.err.println(s"[bench] GC time inside timed regions: $gcInQuery ms")
     val calLast = calibration()

@@ -159,21 +159,34 @@ object Sampling {
     // = floor(B·w/W) and remainders scale by k, preserving quotients and
     // tie-break order exactly — so integer weights allocate identically
     // while fractional weights (0.5, 2.7) stop silently truncating to 0.
-    // An all-zero weight total still fails loudly (ANSI DIVIDE_BY_ZERO).
-    val wq = (weightCol * lit(1000000L)).cast("long")
+    // An all-zero weight total still fails loudly (ANSI DIVIDE_BY_ZERO),
+    // and a POSITIVE weight below the 1e-6 quantum fails loudly too
+    // (raise_error) instead of silently starving its domain.
+    val wq0 = (weightCol * lit(1000000L)).cast("long")
+    val wq = when(weightCol > lit(0) && wq0 === lit(0L),
+        raise_error(concat(lit("hamiltonAllocate: positive weight "),
+          weightCol.cast("string"),
+          lit(" quantizes to zero at the 1e-6 fixed-point quantum — " +
+            "rescale the weight column"))).cast("long"))
+      .otherwise(wq0)
     // alias the derived frames: tot shares stats' lineage (the
     // temperatureMix self-join disambiguation pattern)
     val w = stats.withColumn("__w", wq).as("__s")
     val tot = stats.withColumn("__w", wq)
       .agg(sum(col("__w")).as("__W")).as("__t")
+    // budget·__w rides DECIMAL(38,0): two longs multiply to ≤ 8.5e37 —
+    // always in range — so huge budget × weight products can neither
+    // overflow (ANSI abort) nor corrupt quotients/remainders. Quotients
+    // are identical to long arithmetic wherever that didn't overflow.
+    val prod = (lit(budget).cast("decimal(38,0)") * col("__s.__w"))
     val remRank = Window.orderBy(
-      ((lit(budget) * col("__s.__w")) % col("__t.__W")).desc,
+      (prod % col("__t.__W")).desc,
       col(domainCol).asc)
     val raw = col("__base") +
       when(col("__rank") <= col("__leftover"), 1L).otherwise(0L)
     w.crossJoin(broadcast(tot))
       .withColumn("__base", org.apache.spark.sql.functions
-        .expr(s"($budget * __s.__w) div __t.__W"))
+        .expr(s"CAST($budget AS DECIMAL(38,0)) * __s.__w div __t.__W"))
       .withColumn("__leftover",
         lit(budget) - sum(col("__base")).over(Window.partitionBy()))
       .withColumn("__rank", row_number().over(remRank))

@@ -462,10 +462,22 @@ object Similarity {
     * silently duplicating index rows. */
   private def monotoneAppendMerge(idName: String)(
       st: DataFrame, dl: DataFrame): DataFrame = {
-    val maxOld = st.agg(max(col(idName))).collect()(0)
-    val minNew = dl.agg(min(col(idName))).collect()(0)
-    require(maxOld.isNullAt(0) || minNew.isNullAt(0) ||
-      maxOld.getLong(0) < minNew.getLong(0),
+    // one driver action for both extremes (a 2-row tagged union instead of
+    // two collects per refresh); the explicit long cast makes a
+    // non-numeric id column fail with a clear ANSI cast error at the
+    // contract boundary instead of a bare ClassCastException here
+    val rows = st.agg(max(col(idName).cast("long")).as("__v"))
+      .withColumn("__side", lit("old"))
+      .unionByName(dl.agg(min(col(idName).cast("long")).as("__v"))
+        .withColumn("__side", lit("new")))
+      .collect()
+    def v(side: String): Option[Long] = rows.find(_.getString(1) == side)
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val monotone = (v("old"), v("new")) match {
+      case (Some(maxOld), Some(minNew)) => maxOld < minNew
+      case _ => true // either side empty — nothing can collide
+    }
+    require(monotone,
       "delta ids must be strictly greater than every indexed id " +
         "(append-only vectors); otherwise the merged index would " +
         "contain duplicate neighbor rows")

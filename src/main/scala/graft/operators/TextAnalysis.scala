@@ -470,8 +470,15 @@ object TextAnalysis {
         sum(col("s_end") - col("s_start") + 1).as("dup_tokens"),
         sort_array(collect_list(struct(col("s_start"), col("s_end"))))
           .as("__spans"))
+    // __toks MUST be the same token stream the gram positions index into:
+    // wordNgramsOf(text, 1) is the WordNGrams kernel itself at n=1
+    // (Character.isWhitespace tokenization, lowercased). A regex
+    // split(lower, "\\s+") is ASCII-whitespace only — on U+2028/U+2029 or
+    // U+001C-001F input its indices would misalign with the kernel's and
+    // the mask would remove the WRONG tokens (pinned in FunctionsSpec).
     val toks = docs.select(col(idCol).as("doc_id"),
-      filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("__toks"))
+      graft.functions.GraftFunctions.wordNgramsOf(col(textCol), 1)
+        .as("__toks"))
     toks.join(perDoc, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -497,9 +504,11 @@ object TextAnalysis {
     * Lines here are fixed `lineTokens`-token chunks of the normalized
     * token stream ([[Packing.chunkTokens]] with zero overlap) — the
     * deterministic unit this corpus supports (no newlines). "First"
-    * means smallest (doc_id, chunk_id), encoded as the single integer
-    * doc_id·10⁶ + chunk_id so the winner is one map-side-combinable MIN —
-    * integer-exact in any engine.
+    * means smallest (doc_id, chunk_id) under lexicographic struct
+    * ordering — one map-side-combinable MIN over a 16-byte struct,
+    * integer-exact in any engine and correct for ANY chunk count or id
+    * range (a packed doc_id·10⁶+chunk_id integer would silently alias
+    * across documents once a doc exceeds 10⁶ chunks).
     *
     * Output per input doc: n_lines, n_kept, cleaned_text (surviving
     * lines in document order; empty when everything deduped away).
@@ -516,7 +525,7 @@ object TextAnalysis {
     val lines = Packing.chunkTokens(docs, idCol, textCol, lineTokens, 0)
       .select(col(idCol).as("doc_id"), col("chunk_id"),
         col("chunk_text"), xxhash64(col("chunk_text")).as("lh"),
-        (col(idCol) * 1000000L + col("chunk_id")).as("okey"))
+        struct(col(idCol).as("doc_id"), col("chunk_id")).as("okey"))
     val winners = lines.groupBy(col("lh"))
       .agg(min(col("okey")).as("wkey"))
     val kept = lines.join(winners, Seq("lh"))

@@ -1659,6 +1659,26 @@ class OperatorsSpec extends SparkTestBase {
       two.getAs[String]("cleaned_text") == gap, two.toString)
   }
 
+  test("removeDuplicateSpans: mask indices align with the gram kernel on non-ASCII whitespace") {
+    graft.functions.GraftFunctions.register(spark)
+    // U+2028 (LINE SEPARATOR) is whitespace to the WordNGrams kernel
+    // (Character.isWhitespace) but NOT to an ASCII \s+ regex split — a
+    // regex-derived __toks would see one fewer token, shift every index,
+    // and mask the WRONG tokens. The doc's head "x y" must survive
+    // as the two tokens (x y) while exactly the shared 5-gram is excised.
+    val shared = (1 to 5).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, "x" + (0x2028).toChar + "y " + shared),
+      (2L, shared)).toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicateSpans(docs, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") == 7L &&
+      out(0).getAs[Long]("dup_tokens") == 5L &&
+      out(0).getAs[String]("cleaned_text") == "x y", out(0).toString)
+    assert(out(1).getAs[String]("cleaned_text") == "", out(1).toString)
+  }
+
   test("UrlCuration: host parse hazards, registrable blocklist, cap binds only above it") {
     import graft.operators.UrlCuration
     // every parsing hazard once: scheme variants, no scheme, userinfo,
@@ -1832,6 +1852,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(2) == ((1L, 1L, "totally different and unique tokens")))
     assert(row(3) == ((2L, 0L, "")), row(3).toString)
     assert(row(4) == ((2L, 1L, rep)), row(4).toString)
+  }
+
+  test("dedupLines: struct-min winner stays correct beyond the packed-key id domain") {
+    graft.functions.GraftFunctions.register(spark)
+    // doc ids above Long.MaxValue/1e6 ≈ 9.2e12: the former packed
+    // doc_id*1e6+chunk_id winner key overflowed (ANSI abort) — and
+    // pre-ANSI would alias across documents and elect wrong winners.
+    // The struct-min winner is ordered lexicographically on
+    // (doc_id, chunk_id), correct at any id range or chunk count.
+    val big1 = 9300000000000L
+    val big2 = 9400000000000L
+    val line = "alpha beta gamma delta"
+    val docs = Seq(
+      (big2, line), // clone with the HIGHER doc id — must lose
+      (big1, line), // global first (smaller doc id) — must win
+      (1L, "unique one two three")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text", lineTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, "unique one two three"),
+      (big1, 1L, 1L, line),
+      (big2, 1L, 0L, "")), out.toString)
   }
 
   test("epochMaterialize: scarce domain repeats with epoch indexes, abundant subsamples, budget exact") {
