@@ -1197,6 +1197,47 @@ object Similarity {
     } finally Dedup.release(pool)
   }
 
+  /** Reciprocal-Rank Fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-retrieval combiner: given N independently-ranked
+    * candidate lists for the same query (here typically
+    * [[TextAnalysis.bm25TopK]]'s keyword ranking and [[bruteForceTopK]]'s
+    * dense kNN), fuse on `score(d) = Σ_lists 1/(k₀ + rank_d(l))`, treating
+    * a list that doesn't contain d as contributing 0. k₀ = 60 is the
+    * paper's constant. A document ranked highly by only ONE modality
+    * still surfaces — the property that makes RRF the default fusion in
+    * hybrid search stacks (Elasticsearch, Vespa, most RAG pipelines).
+    *
+    * Determinism: each term is the INTEGER `10⁶ div (k₀ + rank)` — ranks
+    * are integers and k₀ + rank ≤ a few hundred, so the fixed-point floor
+    * loses nothing that reorders (distinct rationals 1/(k₀+r) for r ≤ 940
+    * stay distinct at 10⁻⁶) and the summed `rrf_score` is exact integer
+    * algebra, hash-identical in any engine. Ties break by id.
+    *
+    * Scale shape: every input is an already-ranked TOP-K list — the
+    * corpus-sized work happened upstream in the rankers — so the
+    * full-outer merge and the single global ranking window operate on
+    * ≤ Σ|lists|·k rows by construction (hundreds, not the corpus). Each
+    * input must carry (`idName`, `rank`). */
+  def rrfFuse(
+      lists: Seq[DataFrame], idName: String, k: Int,
+      k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty && k >= 1 && k0 >= 1)
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idName),
+        expr(s"1000000 div ($k0 + rank)").as(s"__rrf_$i"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq(idName), "full_outer"))
+    val contribs = joined.select(col(idName) +: tagged.indices.map(i =>
+      coalesce(col(s"__rrf_$i"), lit(0L)).as(s"__c_$i")): _*)
+    val score = tagged.indices.map(i => col(s"__c_$i")).reduceLeft(_ + _)
+    val w = Window.orderBy(col("rrf_score").desc, col(idName).asc)
+    contribs
+      .withColumn("rrf_score", score)
+      .withColumn("rrf_rank", row_number().over(w))
+      .filter(col("rrf_rank") <= k)
+      .select(col("rrf_rank"), col(idName), col("rrf_score"))
+  }
+
   /** Nearest-prototype balanced curation (the SSL-prototypes / cluster-
     * balanced selection family): assign every vector to its most similar
     * prototype, then keep only the top `keepFrac` most PROTOTYPICAL

@@ -819,6 +819,30 @@ object TextQueries {
         .orderBy("probe_id", "mmr_rank")
     }),
 
+    // --- e24: HYBRID retrieval fusion (Reciprocal-Rank Fusion, Cormack
+    //     et al. 2009) — the standard two-tower retrieval stack: d37's
+    //     BM25 keyword ranking and e01's dense cosine kNN fused on
+    //     Σ 10⁶ div (60 + rank). Ranks are integers and both underlying
+    //     rankings replicate bit-exactly (d37's fixed-order double chain,
+    //     e01's cosine order), so the fused fixed-point score is exact
+    //     integer algebra — hash-exact. Probe = doc 0's embedding; the
+    //     keyword query is d37's fixed term list. ------------------------
+    "e24_hybrid_rrf" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val wB = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val bm = TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id",
+          "text", Seq("spark", "window", "merge"), k = 20)
+        .withColumn("rank", row_number().over(wB))
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val knn = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(bm, knn), "doc_id", k = 10)
+        .orderBy("rrf_rank")
+    }),
+
     // --- LSH-bucketed ANN, self-gated: srpTopK's neighbor ids depend on the
     //     custom SRP hash family (not SQL-replicable), so the row emits the
     //     recall metric against the exact in-Spark baseline instead —
@@ -3012,6 +3036,79 @@ object TextQueries {
                UNION ALL SELECT probe_id, mmr_rank, neighbor_id, rel, mmr_score FROM s2
                UNION ALL SELECT probe_id, mmr_rank, neighbor_id, rel, mmr_score FROM s3)
          ORDER BY probe_id, mmr_rank""",
+
+    // d37's BM25 ranking (rank = row_number over the bit-identical score
+    // chain) fused with e01's cosine ranking for probe 0 via
+    // Σ 10⁶ // (60 + rank) — exact integer fixed-point RRF
+    "e24_hybrid_rrf" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         b2 AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS len, toks FROM base),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+           FROM b2),
+         tf AS (
+           SELECT doc_id, len, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, len, unnest(toks) AS term FROM b2)
+           WHERE term IN ('spark', 'window', 'merge')
+           GROUP BY doc_id, len, term),
+         dft AS (
+           SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM tf GROUP BY term),
+         contrib AS (
+           SELECT tf.doc_id, tf.term,
+                  ((s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                  (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 +
+                     0.75 * (CAST(tf.len AS DOUBLE) / s.avgdl)))) AS c
+           FROM tf JOIN dft d USING (term) CROSS JOIN stats s),
+         pv AS (
+           SELECT doc_id,
+                  sum(CASE WHEN term = 'spark' THEN c END) AS c_spark,
+                  sum(CASE WHEN term = 'window' THEN c END) AS c_window,
+                  sum(CASE WHEN term = 'merge' THEN c END) AS c_merge
+           FROM contrib GROUP BY doc_id),
+         bm_scored AS (
+           SELECT doc_id,
+                  coalesce(c_spark, 0.0) + coalesce(c_window, 0.0)
+                    + coalesce(c_merge, 0.0) AS score
+           FROM pv),
+         bm AS (
+           SELECT doc_id, rank FROM (
+             SELECT doc_id, row_number() OVER (
+               ORDER BY score DESC, doc_id ASC) AS rank
+             FROM bm_scored)
+           WHERE rank <= 20),
+         p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+         knn_scored AS (
+           SELECT e.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(p.embedding) + 1),
+               i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+           FROM embeddings e, p
+           WHERE p.vec_id <> e.vec_id),
+         knn AS (
+           SELECT neighbor_id AS doc_id, rank FROM (
+             SELECT neighbor_id, row_number() OVER (
+               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM knn_scored)
+           WHERE rank <= 20),
+         fused AS (
+           SELECT COALESCE(b.doc_id, k.doc_id) AS doc_id,
+                  COALESCE(1000000 // (60 + b.rank), 0)
+                    + COALESCE(1000000 // (60 + k.rank), 0) AS rrf_score
+           FROM bm b FULL OUTER JOIN knn k ON b.doc_id = k.doc_id)
+         SELECT rrf_rank, doc_id, rrf_score FROM (
+           SELECT row_number() OVER (
+             ORDER BY rrf_score DESC, doc_id ASC) AS rrf_rank,
+             doc_id, rrf_score
+           FROM fused)
+         WHERE rrf_rank <= 10 ORDER BY rrf_rank""",
     "e05_knn_ivf" ->
       """WITH cents AS (
            SELECT vec_id AS cell_id, embedding AS centroid

@@ -1854,6 +1854,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((2L, 1L, rep)), row(4).toString)
   }
 
+  test("rrfFuse: a doc top-ranked by only one modality still surfaces; scores exact") {
+    import graft.operators.Similarity
+    // list A (keyword): docs 10,11,12; list B (vector): docs 20,11,21.
+    // Doc 10 is rank 1 in A ONLY — it must surface in the fused top-k
+    // ahead of every doc that appears mid-list in a single modality.
+    // Doc 11 appears in BOTH (ranks 2 and 2) and must fuse to the top.
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (11L, 2), (21L, 3)).toDF("doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), "doc_id", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    def c(rank: Int) = 1000000L / (60 + rank)
+    // doc 11: both lists at rank 2; docs 10/20: one list at rank 1 (tie →
+    // id asc); docs 12/21: one list at rank 3
+    assert(out == Seq(
+      (1, 11L, 2 * c(2)),
+      (2, 10L, c(1)),
+      (3, 20L, c(1)),
+      (4, 12L, c(3)),
+      (5, 21L, c(3))), out.toString)
+  }
+
   test("dedupLines: struct-min winner stays correct beyond the packed-key id domain") {
     graft.functions.GraftFunctions.register(spark)
     // doc ids above Long.MaxValue/1e6 ≈ 9.2e12: the former packed
