@@ -84,4 +84,55 @@ object Packing {
         array_join(slice(col("__toks"), (start + 1L).cast("int"), lit(chunkSize)), " ")
           .as("chunk_text"))
   }
+
+  /** Assign every document to a fixed-token-budget TRAINING SHARD in the
+    * deterministic (md5(id), id) shuffled order — the d42 epoch-shuffle
+    * order composed with [[packTokens]]' concat-and-chunk rule at shard
+    * granularity: a doc belongs to the shard holding its FIRST token,
+    * `shard_id = global_token_offset div tokensPerShard`. This is the
+    * export layout an LM training job consumes: shards are contiguous
+    * slices of one deterministically-shuffled token stream, so any prefix
+    * of shards is itself an unbiased sample, and a loader can stream
+    * shard k without knowing k−1.
+    *
+    * Scale shape: the global running token offset is the [[GlobalOrder]]
+    * two-pass — range-partition on the order key, per-partition token
+    * totals collapse to ONE row each (a broadcast frame), and each row
+    * adds its within-partition running sum to its partition's offset. No
+    * global-funnel window; three shuffles of which none carries more than
+    * the corpus once. Pure integer + md5 algebra — engine-exact.
+    *
+    * Output: all input columns plus (n_tokens, pos, token_offset,
+    * shard_id); `pos` is the 1-based global position in the shuffled
+    * order (the manifest's order-digest input). */
+  def shardByTokenBudget(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0)
+    val keyed = docs
+      .withColumn("__k", md5(col(idCol).cast("string")))
+      .withColumn("n_tokens", // null text = zero tokens (null-total rule)
+        coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)))
+    val parted = keyed.repartitionByRange(col("__k"), col(idCol))
+      .sortWithinPartitions("__k", idCol)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__t"), count(lit(1)).as("__c"))
+      .withColumn("__toff",
+        coalesce(sum(col("__t")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__roff",
+        coalesce(sum(col("__c")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__toff"), col("__roff"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__k"), col(idCol))
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn("token_offset", col("__toff") +
+        sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)) - col("n_tokens"))
+      .withColumn("pos", col("__roff") + row_number().over(w))
+      .withColumn("shard_id",
+        call_function("div", col("token_offset"), lit(tokensPerShard)))
+      .drop("__pid", "__toff", "__roff", "__k")
+  }
 }

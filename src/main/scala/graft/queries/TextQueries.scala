@@ -581,6 +581,36 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // --- d67: TRAINING-SHARD EXPORT, the pipeline's last mile — d42's
+    //     deterministic (md5(id), id) shuffle order, fixed-token-budget
+    //     shard assignment (shard = global token offset div budget, the
+    //     d14 concat-and-chunk rule at shard granularity), and the d20
+    //     sharded sink with a per-shard manifest (n_docs, n_tokens,
+    //     order digest). The row writes, READS BACK, and recomputes the
+    //     manifest values from the read-back rows — a doc lost, moved,
+    //     duplicated, or reordered anywhere in the write→read path flips
+    //     the digest vs the pure window-SQL replica. Resume idempotence
+    //     is SourcesSpec's pin. ------------------------------------------
+    "d67_training_shards" -> ((s, d) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_train_shards_${Integer.toHexString(d.hashCode)}").toString
+      // full deterministic rebuild: wipe so a stale export (older code,
+      // different budget) can never leak rows into the read-back
+      val p = java.nio.file.Paths.get(out)
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      Sinks.writeTrainingShards(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        out, "doc_id", "text", tokensPerShard = 4096L)
+      Sinks.trainingShardManifest(Sinks.readTrainingShards(s, out))
+        .select(col("shard_id").cast("long").as("shard_id"),
+          col("n_docs"), col("n_tokens"), col("order_digest"))
+        .orderBy("shard_id")
+    }),
+
     // --- fixed-size per-language quota sample (hash-priority order;
     //     row_number<=k compiles to WindowGroupLimit — map-side trim) ----------
     "d17_quota_sample" -> ((s, d) => {
@@ -2796,6 +2826,32 @@ object TextQueries {
          FROM kept GROUP BY lang ORDER BY lang""",
     // d60's Hamilton replica WITHOUT the least(n_avail, ...) cap, then
     // full-pass + partial-pass copy counts exploded via range(n_copies)
+    // d42's (md5(id), id) order + running token offsets + div-budget
+    // shard ids + per-shard ordered id digest — the pure window replica
+    // of write → read back → manifest recompute
+    "d67_training_shards" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR)) AS k,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY k, doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS token_offset,
+                  CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+           FROM t),
+         sh AS (
+           SELECT doc_id, n_tokens, pos,
+                  token_offset // 4096 AS shard_id
+           FROM o)
+         SELECT CAST(shard_id AS BIGINT) AS shard_id,
+                count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+                  AS order_digest
+         FROM sh GROUP BY shard_id ORDER BY shard_id""",
     "d66_epoch_mixture" ->
       """WITH stats AS (SELECT lang, count(*) AS n_avail
                         FROM documents GROUP BY lang),

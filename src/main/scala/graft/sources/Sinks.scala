@@ -303,4 +303,63 @@ object Sinks {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     }
   }
+
+  /** Per-shard manifest of a [[graft.operators.Packing.shardByTokenBudget]]
+    * plan: `(shard_id, n_docs, n_tokens, order_digest)` where the digest is
+    * md5 over the shard's doc ids joined in global-order position — the
+    * loader-checkable proof that a shard holds exactly the right docs in
+    * exactly the right order. One hash-aggregate over the plan; per-shard
+    * digest state is bounded by docs-per-shard (budget/avg-doc-tokens —
+    * tens of KB at a typical 100M-token shard), never by the corpus. */
+  def trainingShardManifest(plan: DataFrame): DataFrame =
+    plan.groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("doc_id")))),
+            s => s.getField("doc_id").cast("string")))).as("order_digest"))
+
+  /** Training-shard EXPORT — the pipeline's last mile: the deterministic
+    * epoch-shuffle order (d42), fixed-token-budget shard assignment
+    * ([[graft.operators.Packing.shardByTokenBudget]]), and the sharded
+    * parquet sink composed into one operator that writes
+    * `path/shard_id=k/` slices plus a `path/_manifest` parquet
+    * (shard_id, n_docs, n_tokens, order_digest).
+    *
+    * RESUME is manifest-driven and idempotent: a manifest row means that
+    * shard is durable, so a rerun writes ONLY shards absent from the
+    * manifest (dynamic partition overwrite — recorded shard directories
+    * are never touched) and then rewrites the full manifest. Because the
+    * plan is a pure function of the input, a resumed run's bytes equal a
+    * fresh full run's (pinned in SourcesSpec). A crash between a shard
+    * write and its manifest row costs one shard rewrite — never
+    * duplication. Rows carry (idCol, textCol, n_tokens, pos). */
+  def writeTrainingShards(
+      spark: SparkSession, docs: DataFrame, path: String,
+      idCol: String, textCol: String, tokensPerShard: Long): Unit = {
+    val plan = graft.operators.Packing
+      .shardByTokenBudget(docs, idCol, textCol, tokensPerShard)
+      .select(col(idCol), col(textCol), col("n_tokens"), col("pos"),
+        col("token_offset"), col("shard_id"))
+    val manifestPath = new java.io.File(path, "_manifest").toString
+    val done: DataFrame =
+      if (new java.io.File(manifestPath).isDirectory)
+        spark.read.parquet(manifestPath).select(col("shard_id"))
+      else plan.select(col("shard_id")).limit(0)
+    val toWrite = plan.join(done, Seq("shard_id"), "left_anti")
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try toWrite.write.mode("overwrite").partitionBy("shard_id")
+      .parquet(new java.io.File(path, "shards").toString)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    trainingShardManifest(plan.withColumnRenamed(idCol, "doc_id"))
+      .write.mode("overwrite").parquet(manifestPath)
+  }
+
+  /** Read a [[writeTrainingShards]] export back (the shard slices; the
+    * partition column returns as `shard_id`, pruned when filtered on). */
+  def readTrainingShards(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(new java.io.File(path, "shards").toString)
 }

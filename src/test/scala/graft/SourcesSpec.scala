@@ -374,4 +374,57 @@ class SourcesSpec extends SparkTestBase {
       assert(joined.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("writeTrainingShards: budget respected; resume from a partial manifest is idempotent") {
+    import graft.sources.Sinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tshards").toString
+    val input = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val B = 2048L
+    Sinks.writeTrainingShards(spark, input, tmp, "doc_id", "text", B)
+    val back = Sinks.readTrainingShards(spark, tmp)
+    // every row once; the shard split loses/duplicates nothing
+    assert(back.count() == input.count())
+    // budget respected: a doc's first token lands inside its shard's
+    // [k·B, (k+1)·B) token window — the concat-and-chunk shard rule
+    val sid = col("shard_id").cast("long")
+    assert(back.filter(col("token_offset") < sid * B ||
+      col("token_offset") >= (sid + 1L) * B).count() == 0)
+    // stored manifest == manifest recomputed from the read-back rows
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard_id").cast("long"), col("n_docs"),
+        col("n_tokens"), col("order_digest"))
+      .collect().map(_.toString).sorted.toSeq
+    val stored = spark.read.parquet(s"$tmp/_manifest")
+    val recomputed = Sinks.trainingShardManifest(back)
+    assert(canon(stored) == canon(recomputed))
+    val fullManifest = canon(stored)
+    val fullRows = back.collect().map(_.toString).sorted.toSeq
+
+    // simulate a crash that lost one shard: drop the LAST shard's dir and
+    // its manifest row (manifest row present == shard durable)
+    val lost = stored.agg(max(col("shard_id"))).head.getLong(0)
+    val lostDir = new java.io.File(s"$tmp/shards/shard_id=$lost")
+    assert(lostDir.isDirectory)
+    lostDir.listFiles.foreach(_.delete()); lostDir.delete()
+    val partial = stored.filter(col("shard_id") =!= lost)
+      .collect().toSeq // materialize BEFORE overwriting the dir we read
+    import spark.implicits._
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(partial), stored.schema)
+      .write.mode("overwrite").parquet(s"$tmp/_manifest")
+    // record a surviving shard's file mtimes: resume must not rewrite it
+    val keptDir = new java.io.File(s"$tmp/shards/shard_id=0")
+    val mtimes = keptDir.listFiles.map(f => f.getName -> f.lastModified).toMap
+
+    Sinks.writeTrainingShards(spark, input, tmp, "doc_id", "text", B)
+    // resumed export == fresh full export, bit-for-bit rows + manifest
+    assert(canon(spark.read.parquet(s"$tmp/_manifest")) == fullManifest)
+    assert(Sinks.readTrainingShards(spark, tmp)
+      .collect().map(_.toString).sorted.toSeq == fullRows)
+    // recorded shards were skipped, not rewritten
+    keptDir.listFiles.foreach(f =>
+      assert(mtimes(f.getName) == f.lastModified,
+        s"resume must not touch durable shard file ${f.getName}"))
+  }
 }
