@@ -260,6 +260,40 @@ object Sampling {
       .drop("alloc")
   }
 
+  /** QUALITY-WEIGHTED mixture — the learned-curation tier composed into
+    * the mixture recipe: instead of hand weights, each domain's Hamilton
+    * weight is its MEASURED mean quality (`scoreCol`, any per-doc score in
+    * [0,1] — d02/d11's heuristic score, d51's classifier probability,
+    * 1−normalized d53 perplexity), so the apportionment upweights domains
+    * the scorer likes at equal availability. Weight = the fixed-point
+    * integer `floor(Σ floor(score·10⁶)) div n` (a ×10⁶ floor-quantized
+    * mean): integer algebra end-to-end, so with an engine-replicable
+    * score the whole allocation is hash-exact. A domain whose every doc
+    * scores < 10⁻⁶ weighs 0 and allocates 0 (documented semantics — a
+    * zero-quality domain earns nothing; Hamilton's loud guard covers the
+    * positive-weight-quantizes-to-0 case).
+    *
+    * Scale shape: ONE corpus scan folds into the domain-cardinality stats
+    * frame (count + integer score sum — map-side combinable); the frame is
+    * localCheckpoint'd so the Hamilton pass and the weight join-back reuse
+    * it instead of re-scanning; everything after is domain-sized. Output:
+    * (domainCol, n_avail, w_q, alloc). */
+  def qualityWeightedAllocate(
+      docs: DataFrame, domainCol: String, scoreCol: Column,
+      budget: Long): DataFrame = {
+    val stats = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_avail"),
+        sum(floor(scoreCol * 1000000).cast("long")).as("__sq"))
+      .withColumn("w_q", call_function("div", col("__sq"), col("n_avail")))
+      .localCheckpoint(true)
+    try {
+      mixtureAllocate(stats, domainCol, col("w_q"), budget)
+        .join(stats.select(col(domainCol), col("w_q")), Seq(domainCol))
+        .select(col(domainCol), col("n_avail"), col("w_q"), col("alloc"))
+        .localCheckpoint(true)
+    } finally Dedup.release(stats)
+  }
+
   /** Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
     * priority keys: each row draws `priority = u^(1/w)` from a
     * deterministic per-row uniform `u`, and the global top-k by priority

@@ -581,6 +581,22 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // --- d68: QUALITY-WEIGHTED mixture — the learned-curation tier
+    //     composed into the recipe: each language's Hamilton weight is
+    //     its MEASURED mean d11 quality score (×10⁶ fixed-point floor
+    //     mean — integer algebra end-to-end), so the apportionment
+    //     upweights measured quality instead of hand weights. The d11
+    //     score is engine-replicable, so the full chain — per-doc score →
+    //     per-domain integer weight → Hamilton allocation — is
+    //     hash-exact. ------------------------------------------------------
+    "d68_quality_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val budget = docs.count() / 2
+      Sampling.qualityWeightedAllocate(docs, "lang",
+          TextAnalysis.qualityScore(col("text")), budget)
+        .orderBy("lang")
+    }),
+
     // --- d67: TRAINING-SHARD EXPORT, the pipeline's last mile — d42's
     //     deterministic (md5(id), id) shuffle order, fixed-token-budget
     //     shard assignment (shard = global token offset div budget, the
@@ -2826,6 +2842,58 @@ object TextQueries {
          FROM kept GROUP BY lang ORDER BY lang""",
     // d60's Hamilton replica WITHOUT the least(n_avail, ...) cap, then
     // full-pass + partial-pass copy counts exploded via range(n_copies)
+    // the d11 quality-score replica folded to a ×10⁶ fixed-point integer
+    // mean per language, then d60's Hamilton replica over those weights
+    "d68_quality_mixture" ->
+      """WITH t AS (
+           SELECT doc_id, lang, text,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, lang, len(toks) AS n_tokens,
+             CASE WHEN length(text) > 0
+               THEN floor(CAST(length(text) - length(regexp_replace(text, '[\p{P}]', '', 'g')) AS DOUBLE)
+                          / length(text) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+             CASE WHEN length(text) > 0
+               THEN floor(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                          / length(text) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS digit_ratio,
+             CASE WHEN len(toks) > 0
+               THEN floor(CAST(len(list_filter(toks, x -> x IN
+                      ('the','and','of','to','a','in','is','it','that','for','on',
+                       'with','as','was','at','by','an','be','this','are','or','from')))
+                    AS DOUBLE) / len(toks) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS stopword_ratio
+           FROM t),
+         q AS (
+           SELECT doc_id, lang,
+             floor(((CASE WHEN n_tokens BETWEEN 10 AND 100000
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+               + (1 - least(punct_ratio * 4, CAST(1 AS DOUBLE)))
+               + (1 - least(digit_ratio * 4, CAST(1 AS DOUBLE)))
+               + least(stopword_ratio * 4, CAST(1 AS DOUBLE))) / 4 * 10000) / 10000
+               AS quality_score
+           FROM f),
+         s AS (
+           SELECT lang, count(*) AS n_avail,
+                  sum(CAST(floor(quality_score * 1000000) AS BIGINT)) AS sq
+           FROM q GROUP BY lang),
+         b AS (SELECT count(*) // 2 AS budget FROM documents),
+         w AS (SELECT lang, n_avail, sq // n_avail AS w_q FROM s),
+         tt AS (SELECT sum(w_q) AS tw FROM w),
+         a0 AS (SELECT lang, n_avail, w_q,
+                  (b.budget * w_q) // tt.tw AS base,
+                  (b.budget * w_q) % tt.tw AS rem, b.budget AS budget
+                FROM w, tt, b),
+         a1 AS (SELECT *, budget - sum(base) OVER () AS leftover,
+                  row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+                FROM a0)
+         SELECT lang, n_avail, CAST(w_q AS BIGINT) AS w_q,
+                CAST(least(n_avail, base + CASE WHEN rk <= leftover
+                  THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+         FROM a1 ORDER BY lang""",
+
     // d42's (md5(id), id) order + running token offsets + div-budget
     // shard ids + per-shard ordered id digest — the pure window replica
     // of write → read back → manifest recompute

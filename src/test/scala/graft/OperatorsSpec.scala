@@ -1854,6 +1854,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((2L, 1L, rep)), row(4).toString)
   }
 
+  test("qualityWeightedAllocate: higher-scoring domain earns the larger allocation at equal availability") {
+    import graft.operators.Sampling
+    // equal availability (10 docs each); hi scores 1.0 per doc, lo 0.25 —
+    // weights 10⁶ vs 250000, so a 10-row budget splits 8:2
+    val docs = ((1 to 10).map(i => (i.toLong, "hi", 1.0)) ++
+      (11 to 20).map(i => (i.toLong, "lo", 0.25)))
+      .toDF("doc_id", "domain", "score")
+    val out = Sampling.qualityWeightedAllocate(docs, "domain",
+        col("score"), budget = 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("hi") == ((10L, 1000000L, 8L)), out.toString)
+    assert(out("lo") == ((10L, 250000L, 2L)), out.toString)
+    assert(out("hi")._3 > out("lo")._3)
+  }
+
   test("rrfFuse: a doc top-ranked by only one modality still surfaces; scores exact") {
     import graft.operators.Similarity
     // list A (keyword): docs 10,11,12; list B (vector): docs 20,11,21.
