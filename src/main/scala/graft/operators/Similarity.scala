@@ -424,6 +424,97 @@ object Similarity {
     } finally { Dedup.release(index); Dedup.release(bf) }
   }
 
+  /** Per-setting recall@k of a shortlist→exact-re-rank tier against a
+    * checkpointed brute-force baseline — the shared body of
+    * [[jlRecallCurve]]/[[pqShortlistRecallCurve]]. `bf` must carry
+    * (probe_id, neighbor_id, in_bf=1). */
+  private def recallAt(
+      tier: Int => DataFrame, bf: DataFrame,
+      shortlists: Seq[Int]): DataFrame =
+    shortlists.map { sl =>
+      tier(sl)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_t"))
+        .join(bf, Seq("probe_id", "neighbor_id"), "full_outer")
+        .agg((count(when(col("in_t") === 1 && col("in_bf") === 1, 1))
+          .cast("double") / count(col("in_bf"))).as("recall"))
+        .select(lit(sl).as("shortlist"), col("recall"))
+    }.reduce(_ unionAll _)
+
+  /** JL-tier OPERATING CURVE — recall@k vs shortlist size, the tuning
+    * table for the e17 two-stage tier (how many tier-1 candidates must
+    * pay the full-width re-rank for a target recall). Gated on the same
+    * two PROVABLE properties as [[ivfRecallCurve]]: (1) a larger
+    * shortlist is a SUPERSET of a smaller one (the tier-1 ADC/JL ranking
+    * is fixed, so top-s₁ ⊆ top-s₂ for s₁ ≤ s₂), and under the exact
+    * re-rank's global (cosine DESC, id ASC) order the top-k of a superset
+    * can only displace an exact-top-k member with a higher-ranked
+    * element — overlap@k is monotone; (2) shortlist ≥ |corpus| admits
+    * every candidate, the re-rank IS the exact ranking, recall exactly 1.
+    * Index and baseline are built ONCE (checkpointed) and shared by all
+    * settings. */
+  def jlRecallCurve(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, shortlists: Seq[Int],
+      sourceDim: Int = 64, targetDim: Int = 16,
+      prebuiltIndex: Option[DataFrame] = None): DataFrame = {
+    require(shortlists.nonEmpty)
+    val index = prebuiltIndex
+      .getOrElse(jlBuildIndex(corpus, idCol, vecCol, sourceDim, targetDim))
+      .localCheckpoint(true)
+    val bf = bruteForceTopK(corpus, probes, idCol, vecCol, k)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+      .localCheckpoint(true)
+    try {
+      recallAt(sl => jlTopKFromIndex(index, corpus, probes, idCol, vecCol,
+          k, sl, sourceDim, targetDim), bf, shortlists)
+        .localCheckpoint(true)
+    } finally { Dedup.release(index); Dedup.release(bf) }
+  }
+
+  /** PQ-tier OPERATING CURVE — recall@k vs ADC shortlist size over ONE
+    * trained codebook and code table (the e08 tier's tunable serving
+    * knob). Same provable gates as [[jlRecallCurve]]: the ADC ranking is
+    * fixed given the codebook, so shortlists nest, overlap@k is monotone,
+    * and an all-corpus shortlist re-ranks exhaustively — recall exactly 1
+    * REGARDLESS of codebook quality. The baseline ranks the same
+    * L2-normalized vectors the tier re-ranks (normalization rounding
+    * cancels, so the exhaustive point is bit-exact). Codebook, codes,
+    * normalized sides, and baseline are each built once (checkpointed)
+    * and shared across settings. */
+  def pqShortlistRecallCurve(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, shortlists: Seq[Int],
+      m: Int = 8, ksub: Int = 32, iters: Int = 2,
+      seed: Long = 42L,
+      pretrained: Option[Seq[(Int, Int, Array[Float])]] = None): DataFrame = {
+    require(shortlists.nonEmpty)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      l2normalize(col(vecCol)).as("__nv")).localCheckpoint(true)
+    val p = probes.select(col(idCol).as("probe_id"),
+      l2normalize(col(vecCol)).as("__pv")).localCheckpoint(true)
+    val bf = bruteForceTopK(
+        c.select(col("neighbor_id").as(idCol), col("__nv").as(vecCol)),
+        p.select(col("probe_id").as(idCol), col("__pv").as(vecCol)),
+        idCol, vecCol, k)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+      .localCheckpoint(true)
+    try {
+      // train ONCE to a driver-held codebook (m×ksub×subdim floats) so the
+      // per-setting plans bake a literal codebook instead of re-running
+      // the k-means subtree |shortlists| times; an offline-trained
+      // codebook (the e08 memoized tier) passes through untouched
+      val cents = pqCodebookDF(corpus.sparkSession, pretrained.getOrElse(
+        pqTrainCollected(c, "neighbor_id", "__nv", m, ksub, iters, seed)))
+      val codes = pqEncode(cents, c, "neighbor_id", "__nv", m)
+        .localCheckpoint(true)
+      try {
+        recallAt(sl => pqTopKFromIndexNormalized(cents, codes, c, p, k, m, sl),
+            bf, shortlists)
+          .localCheckpoint(true)
+      } finally Dedup.release(codes)
+    } finally { Dedup.release(c); Dedup.release(p); Dedup.release(bf) }
+  }
+
   /** Build the IVF serving index over a FROZEN quantizer: each corpus
     * vector's row-local nearest-cell assignment plus the vector itself —
     * `(neighbor_id, cv, cell_id)`, the persistable cell-partitioned

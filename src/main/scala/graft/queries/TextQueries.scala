@@ -849,6 +849,60 @@ object TextQueries {
             .as("mid_budget_ge_050"))
     }),
 
+    // --- e25: OPERATING CURVES for the other two ANN tiers — e23's
+    //     pattern applied to the JL tier (e17) and the PQ tier (e08):
+    //     recall@5 vs SHORTLIST size over one shared index/codebook per
+    //     tier. Both gates are PROVABLE (see Similarity.jlRecallCurve):
+    //     shortlists NEST (fixed tier-1 ranking), so overlap@k is
+    //     monotone under the exact re-rank's global order; an all-corpus
+    //     shortlist re-ranks exhaustively, so recall is exactly 1 there
+    //     regardless of projection distortion or codebook quality. -------
+    "e25_tier_recall_curves" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      // half the e23 probe density: the monotone/exhaustive gates are
+      // micro-averaged set identities, not statistical floors — 6 full
+      // recall sweeps don't need the dense probe set
+      val probes = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val n = emb.count().toInt
+      // e17's serving-config scaling: fractions of the corpus, not fixed
+      // counts, so the curve keeps its meaning at any SF
+      val lists = Seq(math.max(8, n / 50), math.max(100, n / 5), n)
+        .distinct.sorted
+      def gates(curve: org.apache.spark.sql.DataFrame, pfx: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("shortlist"))
+        curve.withColumn("prev", lag(col("recall"), 1).over(w))
+          .agg(
+            bool_and(col("prev").isNull || col("recall") >= col("prev"))
+              .as(s"${pfx}_monotone"),
+            (max(when(col("shortlist") === n, col("recall"))) === 1.0)
+              .as(s"${pfx}_exhaustive_exact"))
+      }
+      // reuse the memoized offline artifacts the e17/e08 tiers serve from
+      // (fresh-JVM Verify still trains/builds from scratch — the gate
+      // covers the full path); the curves then time pure serving sweeps
+      val jlIndexPath = jlIndexes.computeIfAbsent(d, _ => {
+        val dir = new java.io.File(indexTmpDir("jl"), "index").toString
+        Similarity.jlBuildIndex(emb, "vec_id", "embedding")
+          .write.mode("overwrite").parquet(dir)
+        dir
+      })
+      val (pqCodebook, _) = pqIndexes.computeIfAbsent(d, _ => {
+        val cb = Similarity.pqTrainNormalizedCollected(emb, "vec_id", "embedding")
+        val dir = new java.io.File(indexTmpDir("pq"), "codes").toString
+        Similarity.pqEncodePackedNormalized(Similarity.pqCodebookDF(s, cb), emb,
+          "vec_id", "embedding").write.mode("overwrite").parquet(dir)
+        (cb, dir)
+      })
+      gates(Similarity.jlRecallCurve(emb, probes, "vec_id", "embedding",
+          k = 5, lists,
+          prebuiltIndex = Some(s.read.parquet(jlIndexPath))), "jl")
+        .crossJoin(gates(Similarity.pqShortlistRecallCurve(emb, probes,
+          "vec_id", "embedding", k = 5, lists,
+          pretrained = Some(pqCodebook)), "pq"))
+    }),
+
     // --- e21: MMR diverse top-k — retrieval that trades relevance
     //     against redundancy (Carbonell & Goldstein 1998): slot i goes to
     //     argmax λ·rel − (1−λ)·max-sim-to-selected over the per-probe
@@ -2298,6 +2352,11 @@ object TextQueries {
       """SELECT true AS complete, true AS recall_ge_060""",
     "e17_jl_recall" ->
       """SELECT true AS complete, true AS recall_ge_050""",
+    // both gates are proof-backed (nested shortlists → monotone overlap;
+    // exhaustive shortlist ≡ exact), so the oracle is the constant row
+    "e25_tier_recall_curves" ->
+      """SELECT true AS jl_monotone, true AS jl_exhaustive_exact,
+                true AS pq_monotone, true AS pq_exhaustive_exact""",
     "e18_jl_incremental" ->
       """SELECT true AS complete, true AS recall_ge_050,
                 true AS index_equals_rebuild""",
