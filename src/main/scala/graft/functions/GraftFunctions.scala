@@ -55,6 +55,7 @@ object GraftFunctions {
     "value_counts" -> (es => ValueCounts(es.head)),
     "dot_i8" -> (es => DotProductI8(es(0), es(1))),
     "normsq_i8" -> (es => NormSqI8(es.head)),
+    "dot_i64" -> (es => DotProductI64(es(0), es(1))),
     "hamming64" -> (es => Hamming64(es(0), es(1))),
     "band_keys64" -> (es => BandKeys64(es(0), intLit(es(1), "band_keys64.bands"))),
     "srp_band_keys" -> (es => SrpBandKeys(
@@ -142,6 +143,7 @@ object GraftFunctions {
   def valueCountsOf(arr: Column): Column = call_function("value_counts", arr)
   def dotI8(a: Column, b: Column): Column = call_function("dot_i8", a, b)
   def normSqI8(a: Column): Column = call_function("normsq_i8", a)
+  def dotI64(a: Column, b: Column): Column = call_function("dot_i64", a, b)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
   def bandKeys64(sig: Column, bands: Int): Column =
     call_function("band_keys64", sig, lit(bands))

@@ -113,10 +113,13 @@ object Multimodal {
     * nested in-array folds (O(|vocab_i|·|vocab_c|) per row on ~31-entry
     * arrays); no Exchange, no Join, payloads never shuffle. At 100 TB the
     * gate is scan-bound, which is how LAION actually ran it. */
-  def clipScorePairs(
-      pairs: DataFrame, idCol: String, payloadCol: String,
-      captionCol: String, buckets: Int = 64,
-      threshold: Double = 0.8): DataFrame = {
+  /** Signed hashed bag-of-words embedding (feature hashing, Weinberger et
+    * al. 2009) as a sparse (bucket, value) struct array — bucket =
+    * first-8-hex-digits of md5 mod `buckets` (the d13/d52 recipe), sign =
+    * parity of the 9th hex digit, value = signed word count. INTEGER
+    * values ⇒ dot/norms exact in any engine. Shared by [[clipScorePairs]]
+    * and [[Similarity.chunkRetrieveTopK]]. */
+  private[operators] def hashedBowOf(text: Column, buckets: Int): Column = {
     require(buckets > 0)
     import graft.functions.GraftFunctions.wordCountsOf
     def bucketOf(w: Column): Column =
@@ -124,18 +127,43 @@ object Multimodal {
     def signOf(w: Column): Column =
       when(pmod(conv(substring(md5(w), 9, 1), 16, 10).cast("long"),
         lit(2)) === 0, 1L).otherwise(-1L)
-    def mapped(text: Column): Column =
-      transform(wordCountsOf(text), e => struct(
-        bucketOf(e.getField("g")).as("b"),
-        (signOf(e.getField("g")) * e.getField("c")).as("v")))
-    // Σ_b (Σ_{w∈b} v_a)(Σ_{w∈b} v_b) as a nested fold over the two
-    // MATERIALIZED arrays (bounded quadratic per row — vocab-sized, the
-    // intended inner loop, not the HOF re-inlining trap)
-    def dotOf(a: Column, b: Column): Column =
-      aggregate(a, lit(0L), (acc, x) =>
-        acc + x.getField("v") * aggregate(b, lit(0L), (a2, y) =>
-          a2 + when(y.getField("b") === x.getField("b"), y.getField("v"))
-            .otherwise(0L)))
+    transform(wordCountsOf(text), e => struct(
+      bucketOf(e.getField("g")).as("b"),
+      (signOf(e.getField("g")) * e.getField("c")).as("v")))
+  }
+
+  /** [[hashedBowOf]] densified to a fixed `buckets`-long bigint vector
+    * (per-bucket signed sums) — the layout pair joins want, so the
+    * per-pair dot is the codegen'd `dot_i64` kernel instead of a
+    * CodegenFallback nested fold (the measured 10×+ on e26's
+    * chunks × queries crossJoin). Densification is ONE row-local
+    * aggregate whose input is the sparse array itself (a single
+    * reference — the accumulator-array fold sidesteps the HOF
+    * re-inlining trap where a per-bucket transform would re-evaluate
+    * the md5 mapping `buckets` times per row). */
+  private[operators] def denseBowOf(text: Column, buckets: Int): Column =
+    aggregate(hashedBowOf(text, buckets),
+      array_repeat(lit(0L), buckets),
+      (acc, e) => transform(acc, (x, i) =>
+        when(i === e.getField("b").cast("int"), x + e.getField("v"))
+          .otherwise(x)))
+
+  /** Σ_b (Σ_{w∈b} v_a)(Σ_{w∈b} v_b) as a nested fold over the two
+    * MATERIALIZED sparse arrays (bounded quadratic per row — vocab-sized,
+    * the intended inner loop, not the HOF re-inlining trap). */
+  private[operators] def sparseDot(a: Column, b: Column): Column =
+    aggregate(a, lit(0L), (acc, x) =>
+      acc + x.getField("v") * aggregate(b, lit(0L), (a2, y) =>
+        a2 + when(y.getField("b") === x.getField("b"), y.getField("v"))
+          .otherwise(0L)))
+
+  def clipScorePairs(
+      pairs: DataFrame, idCol: String, payloadCol: String,
+      captionCol: String, buckets: Int = 64,
+      threshold: Double = 0.8): DataFrame = {
+    require(buckets > 0)
+    def mapped(text: Column): Column = hashedBowOf(text, buckets)
+    def dotOf(a: Column, b: Column): Column = sparseDot(a, b)
     // a null payload or caption must still produce a full scored row
     // (rejected at cos 0 with zero norms, not null-flagged): embed the
     // empty string — WordCounts gives the empty histogram, every fold 0

@@ -1288,6 +1288,52 @@ object Similarity {
     } finally Dedup.release(pool)
   }
 
+  /** CHUNK-level retrieval — the RAG serving stack end-to-end: documents
+    * split into fixed-token windows ([[Packing.chunkTokens]] — retrieval
+    * granularity finer than documents, the standard RAG prep), each chunk
+    * and each query embedded via the signed hashed bag-of-words kernel
+    * ([[Multimodal.hashedBowOf]] — the documented stand-in whose INTEGER
+    * vectors make dot/norms exact in any engine; a real deployment swaps
+    * only the embedding for model outputs), and each query's top-k chunks
+    * returned by floor-quantized cosine. Output: (query_id, rank, doc_id,
+    * chunk_id, cos_q).
+    *
+    * Scale shape: [[bruteForceTopK]]'s — queries broadcast (with their
+    * norms PRECOMPUTED, the e17 redundant-per-pair-norms lesson; chunk
+    * norms precompute row-local on the scan side too), ONE chunk scan,
+    * WindowGroupLimit top-k. Chunking is a pure narrow map, so the whole
+    * retrieval is scan-bound; swap the brute-force ranking for the
+    * IVF/JL/PQ tiers over the same chunk embedding when the chunk table
+    * outgrows a scan per query batch. */
+  def chunkRetrieveTopK(
+      docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+      k: Int, chunkSize: Int = 16, buckets: Int = 64): DataFrame = {
+    require(k >= 1)
+    import graft.functions.GraftFunctions.dotI64
+    val chunks = Packing.chunkTokens(docs, idCol, textCol, chunkSize, 0)
+      .select(col(idCol).as("doc_id"), col("chunk_id"),
+        Multimodal.denseBowOf(col("chunk_text"), buckets).as("__cv"))
+      .withColumn("__css", dotI64(col("__cv"), col("__cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        Multimodal.denseBowOf(col(textCol), buckets).as("__qv"))
+      .withColumn("__qss", dotI64(col("__qv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("doc_id").asc, col("chunk_id").asc)
+    chunks.crossJoin(broadcast(q))
+      .withColumn("__dot", dotI64(col("__cv"), col("__qv")))
+      .withColumn("cos_q",
+        when(col("__css") > 0 && col("__qss") > 0,
+          floor(col("__dot").cast("double") /
+            (sqrt(col("__css").cast("double")) *
+              sqrt(col("__qss").cast("double"))) * 10000) / 10000)
+          .otherwise(lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_id"),
+        col("cos_q"))
+  }
+
   /** Reciprocal-Rank Fusion (Cormack, Clarke & Büttcher 2009) — the
     * standard hybrid-retrieval combiner: given N independently-ranked
     * candidate lists for the same query (here typically

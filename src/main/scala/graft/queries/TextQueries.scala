@@ -903,6 +903,24 @@ object TextQueries {
           pretrained = Some(pqCodebook)), "pq"))
     }),
 
+    // --- e26: CHUNK-level retrieval — the RAG serving stack end-to-end:
+    //     corpus docs split into 16-token windows (d25's chunking),
+    //     chunks AND queries embedded via the m06 signed hashed-BoW
+    //     kernel (INTEGER vectors ⇒ dot/norms exact in any engine), each
+    //     query's top-3 chunks by floor-quantized cosine. Queries are
+    //     held-out docs (doc_id % 101 = 5), so the full ranked output is
+    //     hash-exact against the assembled chunk+embed+rank SQL. ---------
+    "e26_chunk_retrieval" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      Similarity.chunkRetrieveTopK(corpus, queries, "doc_id", "text", k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // --- e21: MMR diverse top-k — retrieval that trades relevance
     //     against redundancy (Carbonell & Goldstein 1998): slot i goes to
     //     argmax λ·rel − (1−λ)·max-sim-to-selected over the per-probe
@@ -2352,6 +2370,68 @@ object TextQueries {
       """SELECT true AS complete, true AS recall_ge_060""",
     "e17_jl_recall" ->
       """SELECT true AS complete, true AS recall_ge_050""",
+    // d25's chunk grid + m06's signed hashed-BoW buckets + the e01 rank
+    // pattern, assembled: integer dots/norms, floor-quantized cosine
+    "e26_chunk_retrieval" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 101 <> 5),
+         n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+               FROM t WHERE len(toks) > 0),
+         x AS (SELECT doc_id, toks,
+                      CAST(unnest(range((n - 1) // 16 + 1)) AS BIGINT) AS chunk_id
+               FROM n),
+         ch AS (SELECT doc_id, chunk_id,
+                  array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ') AS chunk_text
+                FROM x),
+         cw AS (SELECT doc_id, chunk_id, w, count(*) AS cnt FROM (
+                  SELECT doc_id, chunk_id, unnest(list_filter(
+                    regexp_split_to_array(lower(chunk_text), '[^\p{L}\p{N}]+'),
+                    y -> y <> '')) AS w
+                  FROM ch) GROUP BY doc_id, chunk_id, w),
+         cb AS (SELECT doc_id, chunk_id,
+                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
+                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
+                FROM cw GROUP BY doc_id, chunk_id, b),
+         css AS (SELECT doc_id, chunk_id, CAST(sum(v*v) AS BIGINT) AS css
+                 FROM cb GROUP BY doc_id, chunk_id),
+         qw AS (SELECT doc_id AS query_id, w, count(*) AS cnt FROM (
+                  SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                    y -> y <> '')) AS w
+                  FROM documents WHERE doc_id % 101 = 5) GROUP BY query_id, w),
+         qb AS (SELECT query_id,
+                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
+                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
+                FROM qw GROUP BY query_id, b),
+         qss AS (SELECT query_id, CAST(sum(v*v) AS BIGINT) AS qss
+                 FROM qb GROUP BY query_id),
+         dots AS (SELECT qb.query_id, cb.doc_id, cb.chunk_id,
+                    CAST(sum(cb.v * qb.v) AS BIGINT) AS dot
+                  FROM cb JOIN qb ON cb.b = qb.b
+                  GROUP BY qb.query_id, cb.doc_id, cb.chunk_id),
+         pairs AS (SELECT q.query_id, ch.doc_id, ch.chunk_id,
+                     COALESCE(css.css, 0) AS css, q.qss
+                   FROM ch LEFT JOIN css USING (doc_id, chunk_id)
+                   CROSS JOIN qss q),
+         scored AS (SELECT p.query_id, p.doc_id, p.chunk_id,
+                      CASE WHEN p.css > 0 AND p.qss > 0
+                        THEN floor(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                          / (sqrt(CAST(p.css AS DOUBLE)) * sqrt(CAST(p.qss AS DOUBLE)))
+                          * 10000) / 10000
+                        ELSE CAST(0 AS DOUBLE) END AS cos_q
+                    FROM pairs p LEFT JOIN dots d
+                      USING (query_id, doc_id, chunk_id)),
+         ranked AS (SELECT query_id, doc_id, chunk_id, cos_q,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_q DESC, doc_id ASC, chunk_id ASC) AS rank
+                    FROM scored)
+         SELECT query_id, rank, doc_id, chunk_id, cos_q
+         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
     // both gates are proof-backed (nested shortlists → monotone overlap;
     // exhaustive shortlist ≡ exact), so the oracle is the constant row
     "e25_tier_recall_curves" ->

@@ -17,6 +17,16 @@ object CurveProbe {
       val c = Similarity.ivfRecallCurve(Similarity.centroidsDF(s, cents), emb, probes,
         "vec_id", "embedding", 5, Seq(1, 2, 4, 8, 16)).orderBy("n_probe").collect()
       println(d + " -> " + c.map(r => s"${r.getInt(0)}:${"%.2f".format(r.getDouble(1))}").mkString(" "))
+      // round-15: the e25 shortlist curves (half probe density, k=5)
+      val p2 = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val n = emb.count().toInt
+      val lists = Seq(math.max(8, n / 50), math.max(100, n / 5), n).distinct.sorted
+      def fmt(df: org.apache.spark.sql.DataFrame) = df.orderBy("shortlist")
+        .collect().map(r => s"${r.getInt(0)}:${"%.3f".format(r.getDouble(1))}").mkString(" ")
+      println(d + " JL -> " + fmt(Similarity.jlRecallCurve(
+        emb, p2, "vec_id", "embedding", 5, lists)))
+      println(d + " PQ -> " + fmt(Similarity.pqShortlistRecallCurve(
+        emb, p2, "vec_id", "embedding", 5, lists)))
     }
     s.stop()
   }

@@ -79,7 +79,9 @@ object ScaleSmoke {
     "e08_pq_trainpass",
     // round-14 narrow-map rows: all linear by construction
     "d63_signal_bundle", "d64_c4_filter", "m06_clipscore_filter",
-    "d65_datasheet")
+    "d65_datasheet",
+    // round-15: one narrow scan + domain-sized Hamilton
+    "d68_quality_mixture")
 
   /** Second-stage tiling (separate marker so an existing tiled dir from an
     * earlier run upgrades in place): lineitem/orders tiled on orderkey so
@@ -116,6 +118,11 @@ object ScaleSmoke {
     "d63_signal_bundle", "d64_c4_filter", "s23_stream_signal_ingest",
     "m06_clipscore_filter", "d65_datasheet", "s24_stream_datasheet",
     "d66_epoch_mixture",
+    // round-15 rows: RRF is list-sized by construction but rides its two
+    // corpus-ranked inputs; shard export is the write path end-to-end;
+    // quality mixture is one narrow scan + domain-sized Hamilton
+    "e24_hybrid_rrf", "d67_training_shards", "d68_quality_mixture",
+    "e26_chunk_retrieval",
     "d06_cands_raw", "d06_cands_postexact",
     "e03_embedding_stats", "e04_embedding_neardup", "e07_int8_quant",
     "q39_time_agg", "q40_sessionize",

@@ -414,4 +414,26 @@ class FunctionsSpec extends SparkTestBase {
     val (b, r) = lshParams(96, 0.7, 0.99)
     assert(b * r == 96 && lshRecallAt(b, r, 0.7) >= 0.99)
   }
+
+  test("dot_i64: codegen kernel equals the HOF fold, handles signs/length/null") {
+    import graft.functions.GraftFunctions.dotI64
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1L, -2L, 3L), Seq(4L, 5L, -6L)),       // mixed signs: 4-10-18
+      (Seq(0L, 0L), Seq(7L, 9L)),                  // zeros
+      (Seq(2L, 3L, 5L, 7L), Seq(1L, 1L))           // length mismatch → min-length prefix
+    ).toDF("a", "b")
+    val got = df.select(dotI64(col("a"), col("b"))).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(-24L, 0L, 5L), got.toString)
+    // equals the interpreted HOF formulation on equal-length rows
+    // (zip_with pads a length mismatch with nulls, so that row is excluded)
+    val hof = df.filter(size(col("a")) === size(col("b")))
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, e) => acc + e)).collect().map(_.getLong(0)).toSeq
+    assert(got.take(2) == hof, hof.toString)
+    // null input → null out, not a crash
+    val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(dotI64(col("a"), col("b"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }

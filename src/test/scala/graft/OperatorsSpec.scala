@@ -1854,6 +1854,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((2L, 1L, rep)), row(4).toString)
   }
 
+  test("chunkRetrieveTopK: a query matching one chunk verbatim retrieves it at rank 1") {
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val c1 = (1 to 16).map(i => s"alpha$i").mkString(" ") // doc 1 chunk 0
+    val c2 = (1 to 16).map(i => s"beta$i").mkString(" ")  // doc 1 chunk 1
+    val docs = Seq(
+      (1L, s"$c1 $c2"),
+      (2L, (1 to 10).map(i => s"gamma$i").mkString(" ")) // disjoint vocab
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, c2)).toDF("doc_id", "text")
+    val out = Similarity.chunkRetrieveTopK(docs, queries, "doc_id", "text",
+        k = 2, chunkSize = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq.sortBy(_._2)
+    // verbatim chunk: identical hashed-BoW vector → cosine exactly 1.0
+    assert(out.head == ((100L, 1, 1L, 1L, 1.0)), out.toString)
+    // nothing else shares vocabulary: every other chunk scores ~0, and
+    // rank 2 goes to the deterministic (cos, doc, chunk) tie-break
+    assert(out(1)._5 < 0.5, out.toString)
+  }
+
   test("qualityWeightedAllocate: higher-scoring domain earns the larger allocation at equal availability") {
     import graft.operators.Sampling
     // equal availability (10 docs each); hi scores 1.0 per doc, lo 0.25 —
