@@ -122,7 +122,7 @@ object ScaleSmoke {
     // corpus-ranked inputs; shard export is the write path end-to-end;
     // quality mixture is one narrow scan + domain-sized Hamilton
     "e24_hybrid_rrf", "d67_training_shards", "d68_quality_mixture",
-    "e26_chunk_retrieval",
+    "e26_chunk_retrieval", "e26_fixed_query_batch",
     "d06_cands_raw", "d06_cands_postexact",
     "e03_embedding_stats", "e04_embedding_neardup", "e07_int8_quant",
     "q39_time_agg", "q40_sessionize",
@@ -141,6 +141,23 @@ object ScaleSmoke {
   // corpus back to unique texts before banding — compare the `rows`
   // column, not just the seconds
   private val EXTRA: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // e26's gate row tiles BOTH sides (queries grow with the corpus →
+    // pair count ×100 at ×10 input — the documented e01-family probe
+    // quadratic). The PRODUCTION serving shape holds the query batch
+    // fixed while the chunk table grows; this variant pins queries to
+    // the first tile (doc_id < OFF) so the ratio reads the scan side.
+    "e26_fixed_query_batch" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val queries = docs
+        .filter(pmod(col("doc_id"), lit(101)) === 5 && col("doc_id") < OFF)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Similarity.chunkRetrieveTopK(
+        corpus, queries, "doc_id", "text", k = 3)
+    }),
     "d27_fuzzy_fullcorpus" -> ((s, d) =>
       graft.operators.Dedup.fuzzyPairs(
         Tables.documents(s, d), "doc_id", "text", maxDist = 6)),
