@@ -294,6 +294,30 @@ object Sampling {
     } finally Dedup.release(stats)
   }
 
+  /** CURRICULUM ordering (Bengio et al. 2009) — the easy-first training
+    * order: every doc gets a contiguous global `curriculum_pos`, sorted
+    * by quantized quality DESCENDING (highest-quality = easiest first,
+    * the standard web-corpus proxy) with deterministic (md5(id), id)
+    * shuffling WITHIN each quality level — so equal-quality docs arrive
+    * hash-shuffled, not id-ordered (the within-level shuffle every
+    * curriculum implementation needs to avoid accidental ordering bias).
+    *
+    * Scale shape: [[GlobalOrder.withGlobalRowNumber]]'s two-pass range
+    * partition — no single-reducer sort. Fixed-point score quantization
+    * (×10⁴ floor) makes level membership and therefore the whole order
+    * engine-exact with a replicable score. Output: input columns plus
+    * (score_q, curriculum_pos). */
+  def curriculumOrder(
+      docs: DataFrame, idCol: String, scoreCol: Column): DataFrame = {
+    val keyed = docs
+      .withColumn("score_q", floor(scoreCol * 10000).cast("long"))
+      .withColumn("__lvl", -col("score_q"))
+      .withColumn("__k", md5(col(idCol).cast("string")))
+    GlobalOrder.withGlobalRowNumber(keyed, Seq("__lvl", "__k", idCol))
+      .withColumnRenamed("global_rn", "curriculum_pos")
+      .drop("__lvl", "__k")
+  }
+
   /** Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
     * priority keys: each row draws `priority = u^(1/w)` from a
     * deterministic per-row uniform `u`, and the global top-k by priority

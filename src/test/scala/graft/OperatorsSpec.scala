@@ -1854,6 +1854,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(row(4) == ((2L, 1L, rep)), row(4).toString)
   }
 
+  test("curriculumOrder: contiguous positions, easy-first levels, hash-shuffled within level") {
+    import graft.operators.Sampling
+    // three quality levels via a synthetic score column
+    val docs = (1L to 9L).map(i => (i, (i % 3).toDouble / 4)).toDF("doc_id", "s")
+    val out = Sampling.curriculumOrder(docs, "doc_id", col("s"))
+      .select(col("doc_id"), col("score_q"), col("curriculum_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // positions are a contiguous 1..n permutation
+    assert(out.map(_._3).sorted == (1L to 9L), out.toString)
+    // levels descend: every pos in a higher-score level precedes every
+    // pos in a lower one
+    val byLevel = out.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    assert(byLevel(5000L).max < byLevel(2500L).min)
+    assert(byLevel(2500L).max < byLevel(0L).min)
+    // within a level the order is the md5 hash order, not id order
+    val lvl0 = out.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    val hashOrder = lvl0.sortBy(id => (
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id))
+    assert(lvl0 == hashOrder, s"$lvl0 vs $hashOrder")
+  }
+
+  test("corpusDiff: all four statuses from a closed-form two-snapshot pair") {
+    import graft.operators.TextAnalysis
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val now = Seq((1L, "same"), (2L, "changed!"), (5L, "brand new"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusDiff(old, now, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    // two null texts digest null and compare null-safely → unchanged
+    assert(got == Seq((1L, "unchanged"), (2L, "changed"), (3L, "removed"),
+      (4L, "unchanged"), (5L, "added")), got.toString)
+  }
+
   test("chunkRetrieveTopK: a query matching one chunk verbatim retrieves it at rank 1") {
     import graft.operators.Similarity
     graft.functions.GraftFunctions.register(spark)
