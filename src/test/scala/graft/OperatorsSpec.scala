@@ -2089,6 +2089,62 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("rrfFuse: randomized lists fuse to the independently-computed reference ranking") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(20260815L)
+    for (kase <- 1 to 5) {
+      val nLists = 2 + rnd.nextInt(2)
+      val universe: List[Long] = (1L to (5L + rnd.nextInt(10))).toList
+      val lists: Seq[List[(Long, Int)]] = (0 until nLists).map { _ =>
+        val members = rnd.shuffle(universe).take(2 + rnd.nextInt(universe.size - 1))
+        members.zipWithIndex.map { case (id, i) => (id, i + 1) }
+      }
+      val k = 1 + rnd.nextInt(universe.size)
+      val got = Similarity.rrfFuse(
+          lists.map(_.toDF("doc_id", "rank")), "doc_id", k)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(_._1)
+      // reference computed independently in plain Scala
+      val score = universe.map { id =>
+        id -> lists.flatMap(_.find(_._1 == id))
+          .map { case (_, r) => 1000000L / (60L + r) }.sum
+      }.filter(_._2 > 0) ++
+        universe.filter(id => lists.forall(!_.exists(_._1 == id))).map(_ -> 0L)
+      val expect = score.sortBy { case (id, sc) => (-sc, id) }
+        .zipWithIndex.map { case ((id, sc), i) => (i + 1, id, sc) }
+        .take(k)
+      assert(got == expect, s"case $kase: $got vs $expect")
+    }
+  }
+
+  test("shardByTokenBudget: randomized corpora — totals, windows, contiguity") {
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(42L)
+    for (kase <- 1 to 4) {
+      val docs = (1L to (5L + rnd.nextInt(20))).map { id =>
+        (id, (1 to 1 + rnd.nextInt(30)).map(j => s"w${id}_$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val budget = 8L + rnd.nextInt(40)
+      val out = Packing.shardByTokenBudget(docs, "doc_id", "text", budget)
+        .select("doc_id", "n_tokens", "pos", "token_offset", "shard_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val n = out.size
+      // pos is a contiguous 1..n permutation
+      assert(out.map(_._3).sorted == (1L to n), s"case $kase")
+      // offsets are the exclusive prefix sums of n_tokens in pos order
+      val inOrder = out.sortBy(_._3)
+      var run = 0L
+      inOrder.foreach { case (_, nt, _, off, sid) =>
+        assert(off == run, s"case $kase: offset $off expected $run")
+        assert(sid == off / budget, s"case $kase: shard $sid offset $off")
+        run += nt
+      }
+      // token totals conserved
+      assert(run == out.map(_._2).sum)
+    }
+  }
+
   test("ivfRecallCurve: monotone in nProbe, exhaustive probe exact") {
     import graft.operators.Similarity
     graft.functions.GraftFunctions.register(spark)

@@ -117,6 +117,19 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("dot_i64: equals the BigInt reference fold; commutative") {
+    import graft.functions.DotProductI64
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      DotProductI64(litArr(a), litArr(b)).eval(null).asInstanceOf[Long]
+    val smallLong = Gen.chooseNum(-1000000L, 1000000L)
+    check("dot-i64-ref", Prop.forAll(
+        Gen.nonEmptyListOf(smallLong), Gen.nonEmptyListOf(smallLong)) { (a, b) =>
+      val n = math.min(a.size, b.size)
+      val ref = (0 until n).map(i => BigInt(a(i)) * BigInt(b(i))).sum
+      BigInt(dot(a, b)) == ref && dot(a, b) == dot(b, a)
+    })
+  }
+
   test("widestTypeOf: commutative, idempotent, absorbs NullType") {
     import graft.api.{types => T}
     val anyType = Gen.oneOf(
