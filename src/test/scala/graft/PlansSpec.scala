@@ -597,6 +597,16 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("d69: the curriculum's global order rides range partitioning (two-pass), not a global funnel") {
+    val p = plan("d69_curriculum")
+    assert(p.contains("rangepartitioning"),
+      s"curriculum order must range-partition on the sort key:\n$p")
+    // the corpus-sized window must be per-partition (partitioned by __pid);
+    // only the 1-row-per-partition offsets frame may funnel
+    assert("Window \\[[^\\]]*\\], \\[__pid#".r.findFirstIn(p).isDefined,
+      s"expected a __pid-partitioned window:\n$p")
+  }
+
   test("d62 confirm join degrades to SMJ when the bench side can't broadcast") {
     // leakFreeSplit's "benchmark" is the corpus's own test split — at
     // 100 TB that side cannot broadcast. The fix routes the split's
