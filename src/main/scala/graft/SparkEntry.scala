@@ -58,6 +58,8 @@ object SparkEntry {
       "e06_ivf_kmeans_recall", "e08_pq_recall",
       "e10_ivfpq_recall", // coarse+PQ codebooks + cell-partitioned index
       "e17_jl_recall", // one-time JL tier-1 reduced-vector index write
+      "d67_training_shards", // one-time shard export write per (JVM, sf)
+      "e25_tier_recall_curves", // shares e17/e08's memoized index/codebook
       "s08_stream_mv", // one-time foreachBatch MV maintenance per (JVM, sf)
       "s18_stream_mv_joinback", // one-time streamed-MV maintenance + registration
       "s19_stream_quality_routing", // one-time streamed routing per (JVM, sf)

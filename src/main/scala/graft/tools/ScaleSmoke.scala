@@ -121,7 +121,7 @@ object ScaleSmoke {
     // round-15 rows: RRF is list-sized by construction but rides its two
     // corpus-ranked inputs; shard export is the write path end-to-end;
     // quality mixture is one narrow scan + domain-sized Hamilton
-    "e24_hybrid_rrf", "d67_training_shards", "d68_quality_mixture",
+    "e24_hybrid_rrf", "d67_write_path", "d68_quality_mixture",
     "e26_chunk_retrieval", "e26_fixed_query_batch",
     "d69_curriculum", "d70_corpus_diff",
     "d06_cands_raw", "d06_cands_postexact",
@@ -147,6 +147,19 @@ object ScaleSmoke {
     // quadratic). The PRODUCTION serving shape holds the query batch
     // fixed while the chunk table grows; this variant pins queries to
     // the first tile (doc_id < OFF) so the ratio reads the scan side.
+    // d67's gate row memoizes its export per (JVM, dir) — the sink
+    // pattern — so the smoke needs an unmemoized variant to measure the
+    // WRITE path end-to-end at both scales
+    "d67_write_path" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_tshard_smoke").toString
+      graft.sources.Sinks.writeTrainingShards(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        dir, "doc_id", "text", tokensPerShard = 4096L)
+      graft.sources.Sinks.trainingShardManifest(
+        graft.sources.Sinks.readTrainingShards(s, dir))
+    }),
     "e26_fixed_query_batch" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.functions.GraftFunctions.register(s)
