@@ -1307,20 +1307,41 @@ object Similarity {
     * outgrows a scan per query batch. */
   def chunkRetrieveTopK(
       docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
-      k: Int, chunkSize: Int = 16, buckets: Int = 64): DataFrame = {
-    require(k >= 1)
+      k: Int, chunkSize: Int = 16, buckets: Int = 64): DataFrame =
+    chunkRetrieveFromIndex(chunkIndex(docs, idCol, textCol, chunkSize,
+      buckets), queries, idCol, textCol, k, buckets)
+
+  /** The persistable chunk-embedding INDEX behind [[chunkRetrieveTopK]]:
+    * `(doc_id, chunk_id, __cv dense hashed-BoW vector, __css norm²)`.
+    * Chunking, embedding, and the norm are all ROW-LOCAL, so a delta's
+    * index rows are bit-identical to what a full rebuild computes for
+    * them — the fact the streamed maintenance (s25) rides, exactly like
+    * [[jlExtendIndex]]/[[ivfExtendIndex]]. */
+  def chunkIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 16, buckets: Int = 64): DataFrame = {
     import graft.functions.GraftFunctions.dotI64
-    val chunks = Packing.chunkTokens(docs, idCol, textCol, chunkSize, 0)
+    Packing.chunkTokens(docs, idCol, textCol, chunkSize, 0)
       .select(col(idCol).as("doc_id"), col("chunk_id"),
         Multimodal.denseBowOf(col("chunk_text"), buckets).as("__cv"))
       .withColumn("__css", dotI64(col("__cv"), col("__cv")))
+  }
+
+  /** [[chunkRetrieveTopK]] served from a prebuilt (persisted or
+    * stream-maintained) [[chunkIndex]] table: queries embed + norm once,
+    * broadcast, and rank against the index's precomputed vectors. */
+  def chunkRetrieveFromIndex(
+      index: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+      k: Int, buckets: Int = 64): DataFrame = {
+    require(k >= 1)
+    import graft.functions.GraftFunctions.dotI64
     val q = queries
       .select(col(idCol).as("query_id"),
         Multimodal.denseBowOf(col(textCol), buckets).as("__qv"))
       .withColumn("__qss", dotI64(col("__qv"), col("__qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_q").desc, col("doc_id").asc, col("chunk_id").asc)
-    chunks.crossJoin(broadcast(q))
+    index.crossJoin(broadcast(q))
       .withColumn("__dot", dotI64(col("__cv"), col("__qv")))
       .withColumn("cos_q",
         when(col("__css") > 0 && col("__qss") > 0,

@@ -40,6 +40,7 @@ object StreamQueries {
   private val streamDecontam = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val signalIngested = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val datasheetMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val chunkIndexIngested = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val sketchMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val freqMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // memory-sink temp views from prior drains: each holds a full result
@@ -756,6 +757,52 @@ object StreamQueries {
         .orderBy(col("g_src"), col("g_lang"), col("source"), col("lang"))
     }),
 
+    // --- s25: streamed RAG CHUNK-INDEX maintenance — e26's retrieval
+    //     index kept live while the corpus ingests (the continuously-
+    //     indexing RAG pipeline): each micro-batch chunks + embeds ONLY
+    //     its own docs (chunking, hashed-BoW, and the norm are all
+    //     row-local, so a delta's index rows are bit-identical to a full
+    //     rebuild's — the e18/e20 fact) into idempotent per-batch dirs.
+    //     After the drain, retrieval SERVED FROM the maintained index
+    //     must equal the batch pipeline over everything ingested — the
+    //     oracle is e26's SQL verbatim, so a chunk lost, re-embedded
+    //     differently, or duplicated by the stream flips the hash. --------
+    "s25_stream_chunk_index" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val idxDir = chunkIndexIngested.computeIfAbsent(d, { _ =>
+        val corpus = docs.filter(pmod(col("doc_id"), lit(101)) =!= 5)
+          .select(col("doc_id"), col("text"))
+        val srcDir = tmpDir("schunksrc")
+        def stage(df: DataFrame, name: String): Unit = {
+          val tmp = tmpDir("schunkw")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(srcDir, name).toPath); ()
+        }
+        stage(corpus.filter(pmod(col("doc_id"), lit(2)) === 0), "docs_0.parquet")
+        stage(corpus.filter(pmod(col("doc_id"), lit(2)) === 1), "docs_1.parquet")
+        val out = tmpDir("schunkout", create = false).toString
+        val ckpt = tmpDir("schunkckpt")
+        val stream = s.readStream
+          .schema(s.read.parquet(srcDir.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+        val q = EventStreams.transformIngest(stream,
+          b => graft.operators.Similarity.chunkIndex(b, "doc_id", "text"),
+          out, ckpt.toString)
+        try q.processAllAvailable() finally q.stop()
+        out
+      })
+      val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Similarity.chunkRetrieveFromIndex(
+          s.read.parquet(idxDir).drop("batch"),
+          queries, "doc_id", "text", k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -1031,6 +1078,11 @@ object StreamQueries {
     // greedy dedup — so the oracle IS d30's SQL, shared verbatim
     "s20_stream_incremental_dedup" ->
       graft.queries.TextQueries.oracle("d30_incremental_dedup"),
+    // per-batch chunk+embed is row-local, so the streamed-maintained
+    // index serves retrieval identical to the batch pipeline — the
+    // oracle IS e26's SQL, shared verbatim
+    "s25_stream_chunk_index" ->
+      graft.queries.TextQueries.oracle("e26_chunk_retrieval"),
     // streamed monotone batches with cross-batch (host, n_accepted) state
     // ≡ the batch-global ARRIVAL-ORDER cap: row_number per host by doc_id
     // (NOT d56's hash-priority rank — the streamed cap keeps the first

@@ -637,6 +637,53 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed() == batch, "replay must overwrite, never duplicate")
   }
 
+  test("streamed chunk index: maintained index equals full rebuild; served retrieval equals batch") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("cidx")
+    val srcDir = dir.resolve("src").toString
+    new java.io.File(srcDir).mkdirs()
+    def land(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = dir.resolve(s"w_$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, name)); ()
+    }
+    val c1 = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val docs = Seq(
+      (1L, c1),
+      (2L, (1 to 25).map(i => s"beta$i").mkString(" ")),
+      (3L, (1 to 9).map(i => s"gamma$i").mkString(" ")))
+    land(docs.take(2), "f0.parquet")
+    land(docs.drop(2), "f1.parquet")
+    val out = dir.resolve("out").toString
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = EventStreams.transformIngest(stream,
+      b => Similarity.chunkIndex(b, "doc_id", "text"),
+      out, dir.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    // per-batch chunk+embed is row-local ⇒ the maintained index equals a
+    // full rebuild row-for-row (the e18/e20 delta-equivalence fact)
+    val maintained = spark.read.parquet(out).drop("batch")
+    val rebuilt = Similarity.chunkIndex(docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(maintained.count() == rebuilt.count())
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty,
+      "streamed-maintained chunk index must equal the batch rebuild")
+    // and retrieval served from it equals the batch pipeline
+    val queries = Seq((100L, c1)).toDF("doc_id", "text")
+    val served = Similarity.chunkRetrieveFromIndex(maintained, queries,
+      "doc_id", "text", k = 2).collect().map(_.toString).sorted.toSeq
+    val batch = Similarity.chunkRetrieveTopK(docs.toDF("doc_id", "text"),
+      queries, "doc_id", "text", k = 2).collect().map(_.toString).sorted.toSeq
+    assert(served == batch)
+  }
+
   test("streamed datasheet: maintained card equals batch card, replayed batchId no-op") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextAnalysis
