@@ -597,6 +597,14 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("e26: queries broadcast; per-query top-k trims map-side before the shuffle") {
+    val p = plan("e26_chunk_retrieval")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the query batch must broadcast against the chunk scan:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank<=k must trim map-side (partial) AND post-shuffle (final):\n$p")
+  }
+
   test("d69: the curriculum's global order rides range partitioning (two-pass), not a global funnel") {
     val p = plan("d69_curriculum")
     assert(p.contains("rangepartitioning"),
