@@ -1124,31 +1124,4 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprint64(t))
   }
 
-  /** Corpus SNAPSHOT DIFF — the release-governance report between two
-    * corpus versions (what a dataset changelog actually states: how many
-    * docs were added, removed, rewritten, untouched — and WHICH): a
-    * full-outer id join comparing content digests. Status per id:
-    * `added` (only in `newer`), `removed` (only in `older`), `changed`
-    * (both, digests differ), `unchanged`.
-    *
-    * Scale shape: each side collapses to (id, md5 digest) row-locally
-    * BEFORE the join, so the only shuffle carries ids + 32-char digests,
-    * never text; the join is a plain equi-key sort-merge at corpus scale
-    * (no hint — AQE broadcasts if one snapshot is small). Null text
-    * digests null and compares null-safely (two null texts =
-    * `unchanged`). md5 keeps the digest engine-replicable, so the full
-    * listing is hash-exact. */
-  def corpusDiff(
-      older: DataFrame, newer: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    def sig(df: DataFrame, side: String): DataFrame =
-      df.select(col(idCol).as("doc_id"), md5(col(textCol)).as(s"__d_$side"),
-        lit(1).as(s"__in_$side"))
-    sig(older, "old").join(sig(newer, "new"), Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        when(col("__in_old").isNull, lit("added"))
-          .when(col("__in_new").isNull, lit("removed"))
-          .when(col("__d_old") <=> col("__d_new"), lit("unchanged"))
-          .otherwise(lit("changed")).as("status"))
-  }
 }

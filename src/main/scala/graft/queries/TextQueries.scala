@@ -614,26 +614,6 @@ object TextQueries {
         .orderBy("curriculum_pos")
     }),
 
-    // --- d70: corpus SNAPSHOT DIFF — the release-governance changelog
-    //     between two corpus versions: full-outer id join of row-local
-    //     md5 digests → added/removed/changed/unchanged per doc. v2 is
-    //     synthesized deterministically (1-in-11 rewritten, 1-in-13
-    //     removed, a shifted id block added), so every status arises and
-    //     the full listing is hash-exact. Only ids + digests shuffle —
-    //     never text. ------------------------------------------------------
-    "d70_corpus_diff" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val newer = docs.filter(pmod(col("doc_id"), lit(13)) =!= 7)
-        .select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(11)) === 3,
-            concat(col("text"), lit(" [edited v2]")))
-            .otherwise(col("text")).as("text"))
-        .unionAll(docs.filter(pmod(col("doc_id"), lit(17)) === 2)
-          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
-      TextAnalysis.corpusDiff(docs, newer, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
     // --- d67: TRAINING-SHARD EXPORT, the pipeline's last mile — d42's
     //     deterministic (md5(id), id) shuffle order, fixed-token-budget
     //     shard assignment (shard = global token offset div budget, the
@@ -3115,30 +3095,6 @@ object TextQueries {
                   md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
                   AS curriculum_pos
          FROM q ORDER BY curriculum_pos""",
-
-    // v2 synthesized from v1 (rewrite/remove/add), then a full-outer
-    // digest comparison — the same md5 on both engines
-    "d70_corpus_diff" ->
-      """WITH old AS (SELECT doc_id, md5(text) AS dg FROM documents),
-         new AS (
-           SELECT doc_id,
-                  md5(CASE WHEN doc_id % 11 = 3 THEN text || ' [edited v2]'
-                      ELSE text END) AS dg
-           FROM documents WHERE doc_id % 13 <> 7
-           UNION ALL
-           SELECT doc_id + 1000000000, md5(text)
-           FROM documents WHERE doc_id % 17 = 2),
-         j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-                 o.dg AS odg, n.dg AS ndg,
-                 o.doc_id IS NOT NULL AS in_old,
-                 n.doc_id IS NOT NULL AS in_new
-               FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
-         SELECT doc_id,
-           CASE WHEN NOT in_old THEN 'added'
-                WHEN NOT in_new THEN 'removed'
-                WHEN odg IS NOT DISTINCT FROM ndg THEN 'unchanged'
-                ELSE 'changed' END AS status
-         FROM j ORDER BY doc_id""",
 
     // d42's (md5(id), id) order + running token offsets + div-budget
     // shard ids + per-shard ordered id digest — the pure window replica

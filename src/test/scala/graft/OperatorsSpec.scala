@@ -1877,19 +1877,6 @@ class OperatorsSpec extends SparkTestBase {
     assert(lvl0 == hashOrder, s"$lvl0 vs $hashOrder")
   }
 
-  test("corpusDiff: all four statuses from a closed-form two-snapshot pair") {
-    import graft.operators.TextAnalysis
-    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"),
-      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    val now = Seq((1L, "same"), (2L, "changed!"), (5L, "brand new"),
-      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    val got = TextAnalysis.corpusDiff(old, now, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
-    // two null texts digest null and compare null-safely → unchanged
-    assert(got == Seq((1L, "unchanged"), (2L, "changed"), (3L, "removed"),
-      (4L, "unchanged"), (5L, "added")), got.toString)
-  }
-
   test("chunkRetrieveTopK: a query matching one chunk verbatim retrieves it at rank 1") {
     import graft.operators.Similarity
     graft.functions.GraftFunctions.register(spark)
