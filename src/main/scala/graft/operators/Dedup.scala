@@ -915,6 +915,41 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  // ---- attribution ----------------------------------------------------
+
+  /** Per-source exact-duplication ATTRIBUTION — the governance report a
+    * corpus release publishes next to its dedup step (Dolma/RedPajama
+    * style): for every source, how many of its docs are surplus COPIES
+    * (their payload's keeper — global min id — is some other doc), and
+    * how many of those copies duplicate content whose keeper lives in a
+    * DIFFERENT source (cross-source syndication, the mirror/scrape
+    * signal). Output: (source, n_docs, n_dup_copies,
+    * n_cross_source_copies).
+    *
+    * Scale shape: one row-local digest projection (md5 so any engine —
+    * or a release manifest — reproduces it; null payloads digest as ''
+    * per the null-total rule, so no row silently drops from its source's
+    * accounting), a map-side-combinable MIN-struct keeper aggregate per
+    * digest, one digest-keyed join back, and a source-sized final
+    * aggregate. Text never shuffles — digests and ids only. */
+  def dedupAttribution(
+      docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val sig = docs.select(col(sourceCol).as("source"),
+      col(idCol).as("doc_id"), md5(coalesce(col(textCol), lit(""))).as("dg"))
+    val keep = sig.groupBy(col("dg"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("__k"))
+    sig.join(keep, Seq("dg"))
+      .select(col("source"),
+        (col("doc_id") === col("__k.doc_id")).as("__is_keeper"),
+        (col("source") =!= col("__k.source")).as("__cross"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("__is_keeper"), 1L).otherwise(0L)).as("n_dup_copies"),
+        sum(when(!col("__is_keeper") && col("__cross"), 1L).otherwise(0L))
+          .as("n_cross_source_copies"))
+  }
+
   // ---- snapshot diff --------------------------------------------------
 
   /** Dataset-versioning diff: classify every id across two corpus

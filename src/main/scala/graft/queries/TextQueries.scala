@@ -614,6 +614,28 @@ object TextQueries {
         .orderBy("curriculum_pos")
     }),
 
+    // --- d71: per-source DEDUP ATTRIBUTION — the governance report next
+    //     to every release's dedup step: which sources carry surplus
+    //     copies, and how many of those duplicate content whose keeper
+    //     (global min id) lives in a DIFFERENT source. The 31-term corpus
+    //     has almost no natural exact dups, so dup families are PLANTED
+    //     (every id≡4 mod 19 copies the text of id−4 — sources assigned
+    //     independently, so cross-source copies arise guaranteed). Pure
+    //     digest + integer algebra — hash-exact. --------------------------
+    "d71_dedup_attribution" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val heads = docs.select(col("doc_id").as("hid"), col("text").as("htext"))
+      val planted = docs
+        .join(heads, col("doc_id") - 4 === col("hid") &&
+          pmod(col("doc_id"), lit(19)) === 4, "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(when(pmod(col("doc_id"), lit(19)) === 4, col("htext")),
+            col("text")).as("text"))
+      Dedup.dedupAttribution(planted, "doc_id", "text", "source")
+        .orderBy("source")
+    }),
+
     // --- d67: TRAINING-SHARD EXPORT, the pipeline's last mile — d42's
     //     deterministic (md5(id), id) shuffle order, fixed-token-budget
     //     shard assignment (shard = global token offset div budget, the
@@ -3095,6 +3117,32 @@ object TextQueries {
                   md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
                   AS curriculum_pos
          FROM q ORDER BY curriculum_pos""",
+
+    // planted dup families (id≡4 mod 19 copies id−4's text), then keeper
+    // = min doc_id per md5 digest, keeper-source join-back, per-source
+    // copy counts — all integers
+    "d71_dedup_attribution" ->
+      """WITH planted AS (
+           SELECT d.doc_id, d.source,
+             CASE WHEN d.doc_id % 19 = 4 AND h.text IS NOT NULL
+               THEN h.text ELSE d.text END AS text
+           FROM documents d LEFT JOIN documents h
+             ON d.doc_id - 4 = h.doc_id AND d.doc_id % 19 = 4),
+         sig AS (SELECT source, doc_id,
+                   md5(COALESCE(text, '')) AS dg FROM planted),
+         k AS (SELECT dg, min(doc_id) AS kid FROM sig GROUP BY dg),
+         ks AS (SELECT k.dg, k.kid, s.source AS ksource
+                FROM k JOIN sig s ON s.dg = k.dg AND s.doc_id = k.kid),
+         j AS (SELECT s.source,
+                 (s.doc_id = ks.kid) AS is_keeper,
+                 (s.source <> ks.ksource) AS crosssrc
+               FROM sig s JOIN ks ON s.dg = ks.dg)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_copies,
+           CAST(sum(CASE WHEN NOT is_keeper AND crosssrc THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_cross_source_copies
+         FROM j GROUP BY source ORDER BY source""",
 
     // d42's (md5(id), id) order + running token offsets + div-budget
     // shard ids + per-shard ordered id digest — the pure window replica

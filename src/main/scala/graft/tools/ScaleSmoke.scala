@@ -123,7 +123,7 @@ object ScaleSmoke {
     // quality mixture is one narrow scan + domain-sized Hamilton
     "e24_hybrid_rrf", "d67_write_path", "d68_quality_mixture",
     "e26_chunk_retrieval", "e26_fixed_query_batch",
-    "d69_curriculum",
+    "d69_curriculum", "d71_dedup_attribution",
     "d06_cands_raw", "d06_cands_postexact",
     "e03_embedding_stats", "e04_embedding_neardup", "e07_int8_quant",
     "q39_time_agg", "q40_sessionize",

@@ -1877,6 +1877,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(lvl0 == hashOrder, s"$lvl0 vs $hashOrder")
   }
 
+  test("dedupAttribution: copies charged to their source, cross-source flagged, nulls accounted") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "A", "original text here"),
+      (2L, "B", "original text here"),  // cross-source copy of 1
+      (3L, "A", "original text here"),  // same-source copy of 1
+      (4L, "B", "unique b content"),
+      (5L, "C", null.asInstanceOf[String]), // null digests as '' — keeper
+      (6L, "C", "")                          // '' copies the null doc
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.dedupAttribution(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(out == Seq(
+      ("A", 2L, 1L, 0L),  // doc 3 is a copy; keeper (doc 1) same source
+      ("B", 2L, 1L, 1L),  // doc 2 is a copy of A's keeper — cross-source
+      ("C", 2L, 1L, 0L)), // doc 6 copies doc 5 ('' ≡ null), same source
+      out.toString)
+  }
+
   test("chunkRetrieveTopK: a query matching one chunk verbatim retrieves it at rank 1") {
     import graft.operators.Similarity
     graft.functions.GraftFunctions.register(spark)
