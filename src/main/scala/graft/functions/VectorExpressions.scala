@@ -18,7 +18,8 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 }
 
-/** dot(a, b) = sum_i a_i * b_i (double accumulation). */
+/** dot(a, b) = sum_i a_i * b_i (double accumulation). Raises on a length
+  * mismatch ([[VectorCodebook.requireSameLength]]) — never truncates. */
 case class DotProductF32(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "dot_f32"
@@ -26,7 +27,8 @@ case class DotProductF32(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    VectorCodebook.requireSameLength(n, b.numElements(), prettyName)
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -42,7 +44,8 @@ case class DotProductF32(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |graft.functions.VectorCodebook.requireSameLength($n, $b.numElements(), "dot_f32");
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
@@ -65,7 +68,8 @@ case class CosineSimF32(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    VectorCodebook.requireSameLength(n, b.numElements(), prettyName)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -90,7 +94,8 @@ case class CosineSimF32(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |graft.functions.VectorCodebook.requireSameLength($n, $b.numElements(), "cosine_f32");
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.getFloat($i);
@@ -222,6 +227,21 @@ case class SrpBandKeys(child: Expression, bands: Int, bitsPerBand: Int, seed: Lo
   * run the identical (JIT-compiled) arithmetic. */
 object VectorCodebook {
 
+  /** Loud contract guard shared by every binary vector kernel (and the
+    * codebook kernels below): a length mismatch between the two sides is
+    * corrupt or schema-drifted data — one 48-wide row among 64-wide
+    * embeddings — and silently min-truncating it yields
+    * plausible-but-wrong scores in every ANN/retrieval operator at once.
+    * The repo's convention is loud guards at contract boundaries
+    * (dedupLines, monotoneAppendMerge, hamiltonAllocate), so the kernels
+    * raise here instead. Called from both the interpreted path and the
+    * generated code (one static call — no codegen bloat). */
+  def requireSameLength(a: Int, b: Int, op: String): Unit =
+    if (a != b) throw new IllegalArgumentException(
+      s"$op: ragged vector inputs ($a vs $b elements) — embedding " +
+        "columns must be fixed-width; a mismatched row is corrupt or " +
+        "schema-drifted data, not a shorter vector to truncate against")
+
   /** Index of the max-cosine centroid, replicating a sort by
     * (cosine DESC NULLS LAST, index ASC): strict improvement replaces
     * (ties keep the smaller index), a zero-norm pair (cosine NULL) never
@@ -235,7 +255,8 @@ object VectorCodebook {
     var i = 0
     while (i < cents.length) {
       val c = cents(i)
-      val n = math.min(a.numElements(), c.length)
+      requireSameLength(a.numElements(), c.length, "nearest_cell_f32")
+      val n = c.length
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var j = 0
       while (j < n) {
@@ -273,7 +294,8 @@ object VectorCodebook {
     var c = 0
     while (c < cc.length) {
       val cent = cc(c)
-      val n = math.min(sv.numElements(), cent.length)
+      requireSameLength(sv.numElements(), cent.length, "nearest_pq_code_f32")
+      val n = cent.length
       var dot = 0.0
       var j = 0
       while (j < n) {
@@ -354,7 +376,8 @@ case class DotProductI8(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    VectorCodebook.requireSameLength(n, b.numElements(), prettyName)
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -370,7 +393,8 @@ case class DotProductI8(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |graft.functions.VectorCodebook.requireSameLength($n, $b.numElements(), "dot_i8");
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((long) $a.getByte($i)) * ((long) $b.getByte($i));
@@ -423,7 +447,15 @@ case class NormSqI8(child: Expression) extends UnaryExpression {
   * rationale as [[DotProductI8]]: the HOF `aggregate(zip_with(...))`
   * formulation is CodegenFallback and re-enters the interpreter per
   * element, which on a chunks × queries crossJoin is the measured 10×+
-  * difference. */
+  * difference. Raises on a length mismatch — never truncates.
+  *
+  * Null-ELEMENT contract (pinned in FunctionsSpec): a null array element
+  * contributes 0 to the sum — `getLong` reads a zeroed slot in both the
+  * unsafe and generic representations. Producers in this repo
+  * ([[graft.operators.Multimodal]]'s dense BoW) never emit null
+  * elements; the documented semantics exist so a `transform(...)`-built
+  * input whose TYPE says containsNull=true behaves deterministically
+  * rather than being rejected. */
 case class DotProductI64(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "dot_i64"
@@ -432,7 +464,8 @@ case class DotProductI64(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    VectorCodebook.requireSameLength(n, b.numElements(), prettyName)
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -448,7 +481,8 @@ case class DotProductI64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |graft.functions.VectorCodebook.requireSameLength($n, $b.numElements(), "dot_i64");
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getLong($i) * $b.getLong($i);

@@ -1329,7 +1329,10 @@ object Similarity {
 
   /** [[chunkRetrieveTopK]] served from a prebuilt (persisted or
     * stream-maintained) [[chunkIndex]] table: queries embed + norm once,
-    * broadcast, and rank against the index's precomputed vectors. */
+    * broadcast, and rank against the index's precomputed vectors.
+    * `buckets` must equal the index's build-time buckets: a mismatch
+    * fails LOUDLY on the first scored pair (the dot_i64 kernel raises on
+    * ragged inputs — never a silently truncated dot product). */
   def chunkRetrieveFromIndex(
       index: DataFrame, queries: DataFrame, idCol: String, textCol: String,
       k: Int, buckets: Int = 64): DataFrame = {

@@ -2453,8 +2453,15 @@ object TextQueries {
                   CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
                         THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
                 FROM qw GROUP BY query_id, b),
-         qss AS (SELECT query_id, CAST(sum(v*v) AS BIGINT) AS qss
-                 FROM qb GROUP BY query_id),
+         qss0 AS (SELECT query_id, CAST(sum(v*v) AS BIGINT) AS qss
+                  FROM qb GROUP BY query_id),
+         -- LEFT-derive over ALL query docs: a query whose text has no
+         -- \p{L}\p{N} word produces no qb rows, but the Spark side still
+         -- embeds it (zero vector, qss = 0 -> cos_q = 0 rows) — without
+         -- this frame the CROSS JOIN would drop that query entirely
+         qss AS (SELECT d.doc_id AS query_id, COALESCE(q.qss, 0) AS qss
+                 FROM documents d LEFT JOIN qss0 q ON d.doc_id = q.query_id
+                 WHERE d.doc_id % 101 = 5),
          dots AS (SELECT qb.query_id, cb.doc_id, cb.chunk_id,
                     CAST(sum(cb.v * qb.v) AS BIGINT) AS dot
                   FROM cb JOIN qb ON cb.b = qb.b

@@ -415,25 +415,65 @@ class FunctionsSpec extends SparkTestBase {
     assert(b * r == 96 && lshRecallAt(b, r, 0.7) >= 0.99)
   }
 
-  test("dot_i64: codegen kernel equals the HOF fold, handles signs/length/null") {
+  test("dot_i64: codegen kernel equals the HOF fold, handles signs/null") {
     import graft.functions.GraftFunctions.dotI64
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(
       (Seq(1L, -2L, 3L), Seq(4L, 5L, -6L)),       // mixed signs: 4-10-18
-      (Seq(0L, 0L), Seq(7L, 9L)),                  // zeros
-      (Seq(2L, 3L, 5L, 7L), Seq(1L, 1L))           // length mismatch → min-length prefix
+      (Seq(0L, 0L), Seq(7L, 9L))                   // zeros
     ).toDF("a", "b")
     val got = df.select(dotI64(col("a"), col("b"))).collect().map(_.getLong(0)).toSeq
-    assert(got == Seq(-24L, 0L, 5L), got.toString)
-    // equals the interpreted HOF formulation on equal-length rows
-    // (zip_with pads a length mismatch with nulls, so that row is excluded)
-    val hof = df.filter(size(col("a")) === size(col("b")))
+    assert(got == Seq(-24L, 0L), got.toString)
+    // equals the interpreted HOF formulation
+    val hof = df
       .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
         lit(0L), (acc, e) => acc + e)).collect().map(_.getLong(0)).toSeq
-    assert(got.take(2) == hof, hof.toString)
+    assert(got == hof, hof.toString)
     // null input → null out, not a crash
     val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
       .select(dotI64(col("a"), col("b"))).collect()(0)
     assert(n.isNullAt(0))
+    // null ELEMENT contributes 0 (the documented contract on the
+    // expression — getLong reads a zeroed slot in both representations):
+    // 1·3 + 0·4 + 2·5 = 13
+    val ne = spark.sql(
+      "SELECT dot_i64(array(1L, CAST(NULL AS BIGINT), 2L), array(3L, 4L, 5L))")
+      .collect()(0).getLong(0)
+    assert(ne == 13L, ne.toString)
+  }
+
+  test("vector kernels raise on ragged inputs — never min-truncate") {
+    // a corrupt or schema-drifted embedding column (one 48-wide row among
+    // 64-wide) must fail loudly in every kernel of the family, not yield
+    // plausible-but-wrong scores (r15 verdict finding #2)
+    graft.functions.GraftFunctions.register(spark)
+    def raggedMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && !c.getMessage.contains("ragged")) c = c.getCause
+      c.getMessage
+    }
+    for (fn <- Seq(
+        "dot_f32(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))",
+        "cosine_f32(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))",
+        "dot_i8(array(CAST(1 AS TINYINT)), array(CAST(1 AS TINYINT), CAST(2 AS TINYINT)))",
+        "dot_i64(array(1L), array(1L, 2L))")) {
+      val e = intercept[Throwable] { spark.sql(s"SELECT $fn").collect() }
+      assert(raggedMsg(e).contains("ragged vector inputs"),
+        s"$fn: ${raggedMsg(e)}")
+    }
+    // the reference-object codebook kernels guard too: a 2-wide codebook
+    // against a 3-wide row raises through assignCells
+    import spark.implicits._
+    val emb = Seq((0L, Array(1.0f, 0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Throwable] {
+      graft.operators.Similarity.assignCells(
+        emb, "embedding", Seq((0L, Array(1.0f, 0.0f)))).collect()
+    }
+    assert(raggedMsg(e).contains("ragged vector inputs"), raggedMsg(e))
+    // equal-length inputs still flow (no false positives on the hot path)
+    val ok = spark.sql(
+      "SELECT dot_f32(array(CAST(3.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
+      .collect()(0).getDouble(0)
+    assert(ok == 6.0)
   }
 }
