@@ -1358,6 +1358,128 @@ object Similarity {
         col("cos_q"))
   }
 
+  // ---- chunk-level IVF serving tier (e27) -------------------------------
+  //
+  // chunkRetrieveFromIndex is the right plan for BATCH scoring (one scan
+  // amortized over a broadcast query batch) but the wrong one for RAG
+  // SERVING at 100 TB, where the chunk table is corpus-sized × (tokens /
+  // chunkSize) and a full scan per query batch cannot stand. These three
+  // functions make the "swap in the IVF tier" escape hatch REAL: the
+  // bigint chunk vectors cast row-locally to float for the coarse
+  // quantizer (counts ≤ chunk token count — exactly representable), cell
+  // assignment rides the NearestCellF32 reference-object kernel (a narrow
+  // map, so s25's streamed maintenance carries over unchanged: a delta's
+  // (vector, cell) rows are bit-identical to a rebuild's), and serving
+  // joins only the probed cells — partition-pruned (DPP) when the index
+  // is persisted partitioned by cell_id, the e10 pattern.
+
+  /** [[chunkIndex]] + a row-local coarse-quantizer cell assignment —
+    * the persistable, cell-partitioned chunk ANN index. Write it
+    * `.partitionBy("cell_id")` so [[chunkRetrieveFromIvfIndex]]'s
+    * cell join prunes the scan to probed cells. Assignment depends only
+    * on the row and the frozen codebook, so incremental maintenance
+    * (s25) composes: extending the index assigns only delta rows. */
+  def chunkIvfIndex(
+      index: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame =
+    withNearestCell(
+      index.withColumn("__cvf", col("__cv").cast("array<float>")),
+      "__cvf", cents)
+      .drop("__cvf")
+
+  /** Train the chunk-space coarse quantizer (seeded k-means over the
+    * float-cast chunk vectors) to a driver-held codebook — the offline
+    * step of the chunk ANN tier, memoized per corpus snapshot exactly
+    * like the e06/e10 codebooks. The synthesized `doc:chunk` key only
+    * seeds the deterministic init order. */
+  def chunkIvfCentroidsCollected(
+      index: DataFrame, nCells: Int, iters: Int = 2,
+      seed: Long = 42L): Seq[(Long, Array[Float])] =
+    kmeansCentroidsCollected(
+      index.select(
+        concat_ws(":", col("doc_id"), col("chunk_id")).as("__ck"),
+        col("__cv").cast("array<float>").as("__cvf")),
+      "__ck", "__cvf", nCells, iters, seed)
+
+  /** [[chunkRetrieveFromIndex]] served through the cell-pruned IVF path:
+    * the query batch embeds + norms once, windows for its `nProbe`
+    * nearest cells against the broadcast codebook, and ONLY those cells'
+    * index rows pay the exact dot_i64 re-rank — identical scoring
+    * arithmetic to the brute-force path (floor-quantized cosine over the
+    * integer vectors, zero-norm → 0.0), so at nProbe = |cells| the output
+    * EQUALS the exact ranking row-for-row (the e27 gate's exhaustive
+    * point). Output: (query_id, rank, doc_id, chunk_id, cos_q). */
+  def chunkRetrieveFromIvfIndex(
+      ivfIndex: DataFrame, cents: Seq[(Long, Array[Float])],
+      queries: DataFrame, idCol: String, textCol: String,
+      k: Int, nProbe: Int, buckets: Int = 64): DataFrame = {
+    require(k >= 1 && nProbe >= 1)
+    import graft.functions.GraftFunctions.dotI64
+    val centsDf = centroidsDF(ivfIndex.sparkSession, cents)
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        Multimodal.denseBowOf(col(textCol), buckets).as("__qv"))
+      .withColumn("__qss", dotI64(col("__qv"), col("__qv")))
+      .withColumn("__qvf", col("__qv").cast("array<float>"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("cell_id").asc)
+    val probes = q.crossJoin(broadcast(centsDf))
+      .withColumn("__ccos", cosineF32(col("__qvf"), col("centroid")))
+      .withColumn("__crk", row_number().over(wc))
+      .filter(col("__crk") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__qss"), col("cell_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("doc_id").asc, col("chunk_id").asc)
+    ivfIndex.join(broadcast(probes), Seq("cell_id"))
+      .withColumn("__dot", dotI64(col("__cv"), col("__qv")))
+      .withColumn("cos_q",
+        when(col("__css") > 0 && col("__qss") > 0,
+          floor(col("__dot").cast("double") /
+            (sqrt(col("__css").cast("double")) *
+              sqrt(col("__qss").cast("double"))) * 10000) / 10000)
+          .otherwise(lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_id"),
+        col("cos_q"))
+  }
+
+  /** Recall-vs-nProbe OPERATING CURVE for the chunk IVF tier —
+    * [[ivfRecallCurve]]'s construction over the chunk index: recall@k of
+    * the cell-pruned serve against the exact brute-force ranking from
+    * the SAME index rows. The same two properties make it gateable:
+    * (1) probed-cell sets NEST in nProbe (window top-n of one fixed
+    * cell ranking), so the candidate set grows and — under the global
+    * (cos_q DESC, doc_id, chunk_id) total order — overlap@k is monotone;
+    * (2) nProbe = |cells| admits every index row and the scoring
+    * arithmetic is identical, so recall is exactly 1. `ivfIndex` is NOT
+    * checkpointed here: when it is a cell-partitioned parquet read, each
+    * setting's plan must keep the partitioned scan so DPP prunes it
+    * (PlansSpec pins the pruned shape on the e27 row). */
+  def chunkIvfRecallCurve(
+      ivfIndex: DataFrame, cents: Seq[(Long, Array[Float])],
+      queries: DataFrame, idCol: String, textCol: String,
+      k: Int, nProbes: Seq[Int], buckets: Int = 64): DataFrame = {
+    require(nProbes.nonEmpty)
+    val exact = chunkRetrieveFromIndex(ivfIndex, queries, idCol, textCol,
+        k, buckets)
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        lit(1).as("in_bf"))
+      .localCheckpoint(true)
+    try {
+      nProbes.map { np =>
+        chunkRetrieveFromIvfIndex(ivfIndex, cents, queries, idCol, textCol,
+            k, np, buckets)
+          .select(col("query_id"), col("doc_id"), col("chunk_id"),
+            lit(1).as("in_t"))
+          .join(exact, Seq("query_id", "doc_id", "chunk_id"), "full_outer")
+          .agg((count(when(col("in_t") === 1 && col("in_bf") === 1, 1))
+            .cast("double") / count(col("in_bf"))).as("recall"))
+          .select(lit(np).as("n_probe"), col("recall"))
+      }.reduce(_ unionAll _)
+        .localCheckpoint(true)
+    } finally Dedup.release(exact)
+  }
+
   /** Reciprocal-Rank Fusion (Cormack, Clarke & Büttcher 2009) — the
     * standard hybrid-retrieval combiner: given N independently-ranked
     * candidate lists for the same query (here typically

@@ -47,6 +47,12 @@ object TextQueries {
   // d67 training-shard export dir, written once per (JVM, sf dir)
   private val trainShardExports =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // e27 chunk ANN tier = chunk-space coarse codebook + on-disk chunk
+  // index partitioned by cell (the artifact a RAG serving tier reads;
+  // cell assignment is row-local so s25's maintenance composes)
+  private val chunkIvfIndexes =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[(Long, Array[Float])], String)]()
 
   // d51/s19 shared quality model, memoized per (JVM, sf dir): the batch
   // gate and the streaming router must score with the SAME trained
@@ -965,6 +971,47 @@ object TextQueries {
         .select(col("doc_id"), col("text"))
       Similarity.chunkRetrieveTopK(corpus, queries, "doc_id", "text", k = 3)
         .orderBy("query_id", "rank")
+    }),
+
+    // --- e27: the chunk ANN SERVING tier — e26's scan-per-batch replaced
+    //     by the cell-pruned IVF path over the SAME chunk index (the r15
+    //     "swap in the IVF tier" escape hatch made real): chunk vectors
+    //     cast row-locally to float for the coarse quantizer, the index
+    //     persisted partitioned by cell_id (DPP prunes the serve scan —
+    //     PlansSpec pins it), and recall@3 vs e26's exact ranking gated
+    //     on the two PROVABLE properties (probed cells nest → monotone;
+    //     exhaustive probes run the identical scoring arithmetic over
+    //     every row → recall exactly 1). --------------------------------
+    "e27_chunk_ivf_recall" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val (cents, indexPath) = chunkIvfIndexes.computeIfAbsent(d, _ => {
+        val index = Similarity.chunkIndex(corpus, "doc_id", "text")
+          .localCheckpoint(true)
+        try {
+          val cb = Similarity.chunkIvfCentroidsCollected(index,
+            nCells = 8, iters = 2, seed = 42L)
+          val dir = new java.io.File(indexTmpDir("chunkivf"), "index").toString
+          Similarity.chunkIvfIndex(index, cb)
+            .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+          (cb, dir)
+        } finally graft.operators.Dedup.release(index)
+      })
+      val curve = Similarity.chunkIvfRecallCurve(s.read.parquet(indexPath),
+        cents, queries, "doc_id", "text", k = 3, Seq(1, 2, 4, 8))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_probe"))
+      curve.withColumn("prev", lag(col("recall"), 1).over(w))
+        .agg(
+          bool_and(col("prev").isNull || col("recall") >= col("prev"))
+            .as("monotone"),
+          (max(when(col("n_probe") === 8, col("recall"))) === 1.0)
+            .as("exhaustive_exact"),
+          (max(when(col("n_probe") === 4, col("recall"))) >= 0.5)
+            .as("mid_budget_ge_050"))
     }),
 
     // --- e21: MMR diverse top-k — retrieval that trades relevance
@@ -2485,6 +2532,13 @@ object TextQueries {
          SELECT query_id, rank, doc_id, chunk_id, cos_q
          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
 
+    // probed-cell sets nest → monotone overlap; exhaustive probes run the
+    // identical arithmetic over every index row → recall exactly 1; the
+    // mid-budget floor is the empirical tuning point (measured ≥ 0.5 at
+    // every SF on this corpus)
+    "e27_chunk_ivf_recall" ->
+      """SELECT true AS monotone, true AS exhaustive_exact,
+                true AS mid_budget_ge_050""",
     // both gates are proof-backed (nested shortlists → monotone overlap;
     // exhaustive shortlist ≡ exact), so the oracle is the constant row
     "e25_tier_recall_curves" ->

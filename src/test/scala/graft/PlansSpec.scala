@@ -107,6 +107,36 @@ class PlansSpec extends SparkTestBase {
         "every cell's codes and IVF adds nothing over plain PQ")
   }
 
+  test("e27 (chunk IVF): probed cells prune the persisted chunk-index scan dynamically") {
+    // the e27 row's curve is checkpointed (settings share the exact
+    // baseline), so pin the SERVE plan directly: persist the cell-
+    // partitioned index, serve a query batch, and require the broadcast
+    // (query, cell) probe pairs to dynamically prune the index scan —
+    // without DPP every serve reads the whole chunk table and the tier
+    // adds nothing over e26's scan-per-batch (the r15 weak this closes)
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Similarity
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 5)
+    val index = Similarity.chunkIndex(
+      docs.filter(pmod(col("doc_id"), lit(101)) =!= 5), "doc_id", "text")
+    val cents = Similarity.chunkIvfCentroidsCollected(index, nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("e27plan")
+      .resolve("index").toString
+    Similarity.chunkIvfIndex(index, cents)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+    val served = Similarity.chunkRetrieveFromIvfIndex(
+      spark.read.parquet(dir), cents, queries, "doc_id", "text",
+      k = 3, nProbe = 2)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      "probed cells must prune the cell_id-partitioned index scan: " +
+        p.take(4000))
+    assert(!p.contains("CartesianProduct"),
+      "the serve join must be the cell equi-join, never a cross product")
+  }
+
   test("d14 (token packing): one hash shuffle on shard, never a global sort partition") {
     val p = plan("d14_token_packing")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,

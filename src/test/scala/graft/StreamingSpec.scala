@@ -682,6 +682,22 @@ class StreamingSpec extends SparkTestBase {
     val batch = Similarity.chunkRetrieveTopK(docs.toDF("doc_id", "text"),
       queries, "doc_id", "text", k = 2).collect().map(_.toString).sorted.toSeq
     assert(served == batch)
+    // e27 composition: the maintained index serves the cell-pruned IVF
+    // tier identically to a full rebuild (cell assignment is row-local
+    // over the frozen codebook), and exhaustive probes (nProbe = nCells)
+    // equal the exact scan ranking
+    val rebuiltCk = rebuilt.localCheckpoint(true)
+    val cents = Similarity.chunkIvfCentroidsCollected(rebuiltCk, nCells = 2)
+    def ivfServe(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.chunkRetrieveFromIvfIndex(
+        Similarity.chunkIvfIndex(idx, cents), cents, queries,
+        "doc_id", "text", k = 2, nProbe = 2)
+        .collect().map(_.toString).sorted.toSeq
+    val servedIvf = ivfServe(maintained)
+    assert(servedIvf == ivfServe(rebuiltCk),
+      "maintained-index IVF serve must equal the rebuilt-index serve")
+    assert(servedIvf == batch,
+      "exhaustive probes must reproduce the exact scan ranking")
   }
 
   test("streamed datasheet: maintained card equals batch card, replayed batchId no-op") {
