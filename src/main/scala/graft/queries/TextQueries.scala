@@ -47,6 +47,9 @@ object TextQueries {
   // d67 training-shard export dir, written once per (JVM, sf dir)
   private val trainShardExports =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // d72 two-batch (write + append) export dir, written once per (JVM, sf)
+  private val appendShardExports =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   // e27 chunk ANN tier = chunk-space coarse codebook + on-disk chunk
   // index partitioned by cell (the artifact a RAG serving tier reads;
   // cell assignment is row-local so s25's maintenance composes)
@@ -671,6 +674,40 @@ object TextQueries {
         Sinks.writeTrainingShards(s,
           Tables.documents(s, d).select(col("doc_id"), col("text")),
           dir, "doc_id", "text", tokensPerShard = 4096L)
+        dir
+      })
+      Sinks.trainingShardManifest(Sinks.readTrainingShards(s, out))
+        .select(col("shard_id").cast("long").as("shard_id"),
+          col("n_docs"), col("n_tokens"), col("order_digest"))
+        .orderBy("shard_id")
+    }),
+
+    // --- d72: APPEND-ONLY shard export — the re-export path for a
+    //     GROWING corpus (the r15 verdict's design gap): recorded shards
+    //     FROZEN (bytes + mtimes untouched — SourcesSpec), only the new
+    //     docs pack into NEW shard ids after the recorded maximum, under
+    //     the d30/e18 monotone-id guard. The row writes a base export
+    //     (ids ≤ 4/5·max), APPENDS the rest, reads everything back, and
+    //     recomputes the manifest — vs a two-batch window-SQL replica.
+    //     Full-rebuild equivalence is NOT claimed (a rebuild would
+    //     interleave batches across every shard — that is the point). --
+    "d72_append_shards" -> ((s, d) => {
+      val out = appendShardExports.computeIfAbsent(d, _ => {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_append_shards_${Integer.toHexString(d.hashCode)}").toString
+        val p = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val t = docs.agg(call_function("div", max(col("doc_id")) * 4, lit(5L)))
+          .head.getLong(0)
+        Sinks.writeTrainingShards(s, docs.filter(col("doc_id") <= t),
+          dir, "doc_id", "text", tokensPerShard = 4096L)
+        Sinks.appendTrainingShards(s, docs.filter(col("doc_id") > t),
+          dir, "doc_id", "text")
         dir
       })
       Sinks.trainingShardManifest(Sinks.readTrainingShards(s, out))
@@ -3231,6 +3268,54 @@ object TextQueries {
                 md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
                   AS order_digest
          FROM sh GROUP BY shard_id ORDER BY shard_id""",
+    // d67's replica applied per BATCH: base = ids ≤ (4·max) div 5 shards
+    // from offset 0; the appended batch shards batch-relatively from
+    // shard s0 = max(base shard)+1 with pos continuing the global
+    // sequence — exactly appendTrainingShards' contract
+    "d72_append_shards" ->
+      """WITH tmax AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents),
+         t1 AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR)) AS k,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents, tmax WHERE doc_id <= t),
+         o1 AS (
+           SELECT doc_id, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY k, doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS token_offset,
+                  CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+           FROM t1),
+         sh1 AS (SELECT doc_id, n_tokens, pos,
+                   token_offset // 4096 AS shard_id
+                 FROM o1),
+         b1 AS (SELECT COALESCE(max(shard_id) + 1, 0) AS s0,
+                       count(*) AS nd
+                FROM sh1),
+         t2 AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR)) AS k,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents, tmax WHERE doc_id > t),
+         o2 AS (
+           SELECT doc_id, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY k, doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS token_offset,
+                  CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+           FROM t2),
+         sh2 AS (SELECT doc_id, n_tokens, pos + b1.nd AS pos,
+                   (token_offset // 4096) + b1.s0 AS shard_id
+                 FROM o2, b1),
+         un AS (SELECT doc_id, n_tokens, pos, shard_id FROM sh1
+                UNION ALL
+                SELECT doc_id, n_tokens, pos, shard_id FROM sh2)
+         SELECT CAST(shard_id AS BIGINT) AS shard_id,
+                count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+                  AS order_digest
+         FROM un GROUP BY shard_id ORDER BY shard_id""",
     "d66_epoch_mixture" ->
       """WITH stats AS (SELECT lang, count(*) AS n_avail
                         FROM documents GROUP BY lang),

@@ -321,20 +321,62 @@ object Sinks {
             sort_array(collect_list(struct(col("pos"), col("doc_id")))),
             s => s.getField("doc_id").cast("string")))).as("order_digest"))
 
+  // Export paths go through hadoop-fs Path/FileSystem, never java.io.File:
+  // the 100 TB deployment writes to hdfs:// or s3a://, and the manifest /
+  // resume machinery must behave identically there (an explicit file:/ URI
+  // export is pinned in SourcesSpec).
+  private def subPath(base: String, child: String): String =
+    new org.apache.hadoop.fs.Path(base, child).toString
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  /** One-row input fingerprint of a shard plan: exact-integer totals plus
+    * an order-independent id checksum (sum of each id's 32-bit md5
+    * prefix — map-side combinable, never a corpus-sized string on one
+    * reducer). Equal fingerprints ⇒ same id set with overwhelming
+    * probability; what the resume guard compares. */
+  private def shardPlanMeta(
+      plan: DataFrame, idCol: String, tokensPerShard: Long): DataFrame =
+    plan.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+      max(col(idCol).cast("long")).as("max_doc_id"),
+      coalesce(sum(conv(substring(md5(col(idCol).cast("string")), 1, 8),
+        16, 10).cast("long")), lit(0L)).as("id_checksum"))
+      .withColumn("tokens_per_shard", lit(tokensPerShard))
+
+  private def withDynamicOverwrite(spark: SparkSession)(body: => Unit): Unit = {
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try body
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
+
   /** Training-shard EXPORT — the pipeline's last mile: the deterministic
     * epoch-shuffle order (d42), fixed-token-budget shard assignment
     * ([[graft.operators.Packing.shardByTokenBudget]]), and the sharded
     * parquet sink composed into one operator that writes
     * `path/shard_id=k/` slices plus a `path/_manifest` parquet
-    * (shard_id, n_docs, n_tokens, order_digest).
+    * (shard_id, n_docs, n_tokens, order_digest) and a one-row
+    * `path/_meta` parquet recording the shard budget and an input
+    * fingerprint (n_docs, n_tokens, max id, order-independent id
+    * checksum).
     *
     * RESUME is manifest-driven and idempotent: a manifest row means that
     * shard is durable, so a rerun writes ONLY shards absent from the
     * manifest (dynamic partition overwrite — recorded shard directories
     * are never touched) and then rewrites the full manifest. Because the
     * plan is a pure function of the input, a resumed run's bytes equal a
-    * fresh full run's (pinned in SourcesSpec). A crash between a shard
-    * write and its manifest row costs one shard rewrite — never
+    * fresh full run's (pinned in SourcesSpec) — PROVIDED the rerun sees
+    * the same budget and input, which the `_meta` fingerprint now
+    * enforces LOUDLY: a resume with a different tokensPerShard or a
+    * changed input would silently mix shard layouts (recorded shards
+    * keep old-budget contents while the manifest is recomputed from the
+    * new plan), so it raises instead; wipe the directory — or
+    * [[appendTrainingShards]] for monotone growth. A crash between a
+    * shard write and its manifest row costs one shard rewrite — never
     * duplication. Rows carry (idCol, textCol, n_tokens, pos). */
   def writeTrainingShards(
       spark: SparkSession, docs: DataFrame, path: String,
@@ -343,23 +385,120 @@ object Sinks {
       .shardByTokenBudget(docs, idCol, textCol, tokensPerShard)
       .select(col(idCol), col(textCol), col("n_tokens"), col("pos"),
         col("token_offset"), col("shard_id"))
-    val manifestPath = new java.io.File(path, "_manifest").toString
+    val manifestPath = subPath(path, "_manifest")
+    val metaPath = subPath(path, "_meta")
+    val meta = shardPlanMeta(plan, idCol, tokensPerShard).localCheckpoint(true)
+    try {
     val done: DataFrame =
-      if (new java.io.File(manifestPath).isDirectory)
+      if (pathExists(spark, manifestPath)) {
+        require(pathExists(spark, metaPath),
+          s"$path has a manifest but no _meta fingerprint — the export is " +
+            "from an older layout or a crash window; wipe the directory " +
+            "and re-export")
+        val rec = spark.read.parquet(metaPath).head
+        val now = meta.head
+        val fields = Seq("tokens_per_shard", "n_docs", "n_tokens",
+          "max_doc_id", "id_checksum")
+        val diffs = fields.filter(f =>
+          rec.getAs[Any](f) != now.getAs[Any](f))
+        require(diffs.isEmpty,
+          s"resume fingerprint mismatch at $path on ${diffs.mkString(", ")}" +
+            s" (recorded $rec vs input $now): resuming would mix shard " +
+            "layouts — recorded shards keep their old contents while the " +
+            "manifest is recomputed from the new plan. Wipe the directory " +
+            "for a changed budget/input, or appendTrainingShards for " +
+            "monotone growth")
         spark.read.parquet(manifestPath).select(col("shard_id"))
-      else plan.select(col("shard_id")).limit(0)
+      } else plan.select(col("shard_id")).limit(0)
     val toWrite = plan.join(done, Seq("shard_id"), "left_anti")
-    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try toWrite.write.mode("overwrite").partitionBy("shard_id")
-      .parquet(new java.io.File(path, "shards").toString)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    withDynamicOverwrite(spark) {
+      toWrite.write.mode("overwrite").partitionBy("shard_id")
+        .parquet(subPath(path, "shards"))
+    }
     trainingShardManifest(plan.withColumnRenamed(idCol, "doc_id"))
       .write.mode("overwrite").parquet(manifestPath)
+    meta.write.mode("overwrite").parquet(metaPath)
+    } finally graft.operators.Dedup.release(meta)
+  }
+
+  /** APPEND-ONLY growth of a [[writeTrainingShards]] export — the
+    * re-export path for a GROWING corpus: recorded shards are FROZEN
+    * (bytes and mtimes untouched — pinned in SourcesSpec), and only the
+    * new docs pack into NEW shard ids after the recorded maximum. The
+    * delta must be strictly id-ABOVE everything exported (the d30/e18
+    * monotone-append guard; overlap raises — an overlapping id would
+    * either duplicate a doc or imply a mutation, both rebuilds). The
+    * budget comes from the export's `_meta` (no parameter to mismatch).
+    *
+    * Contract vs a full re-export: NOT byte-equivalent, by design — a
+    * full rebuild would md5-interleave old and new docs across ALL
+    * shards (rewriting every byte); append keeps each batch its own
+    * deterministically-shuffled contiguous stream, so old shard bytes
+    * stay stable and a loader consumes batches in export order. The
+    * stored `pos`/`token_offset` continue the global sequence; the new
+    * shard ids are batch-relative (`s0 + delta_offset div budget`). An
+    * empty delta is a no-op. */
+  def appendTrainingShards(
+      spark: SparkSession, delta: DataFrame, path: String,
+      idCol: String, textCol: String): Unit = {
+    val manifestPath = subPath(path, "_manifest")
+    val metaPath = subPath(path, "_meta")
+    require(pathExists(spark, manifestPath) && pathExists(spark, metaPath),
+      s"appendTrainingShards needs an existing fingerprinted export at " +
+        s"$path — writeTrainingShards creates one")
+    val rec = spark.read.parquet(metaPath).head
+    val budget = rec.getAs[Long]("tokens_per_shard")
+    val plan0 = graft.operators.Packing
+      .shardByTokenBudget(delta, idCol, textCol, budget)
+    val dMeta = shardPlanMeta(plan0, idCol, budget).localCheckpoint(true)
+    try {
+    val d = dMeta.head
+    if (d.getAs[Long]("n_docs") == 0L) return
+    val dMin = plan0.agg(min(col(idCol).cast("long"))).head.getLong(0)
+    require(rec.isNullAt(rec.fieldIndex("max_doc_id")) ||
+      dMin > rec.getAs[Long]("max_doc_id"),
+      s"delta ids must be strictly greater than every exported id " +
+        s"(append-only corpus): delta min $dMin vs exported max " +
+        s"${rec.getAs[Long]("max_doc_id")} — an overlapping id means a " +
+        "duplicate or a mutation; both need a fresh export")
+    // manifest is shard-count-sized; checkpoint it so the rewrite below
+    // doesn't read the path it overwrites
+    val oldManifest = spark.read.parquet(manifestPath)
+      .select(col("shard_id").cast("long").as("shard_id"), col("n_docs"),
+        col("n_tokens"), col("order_digest"))
+      .localCheckpoint(true)
+    try {
+    val s0 = oldManifest.agg(max(col("shard_id"))).head.getLong(0) + 1L
+    val plan = plan0
+      .withColumn("shard_id", col("shard_id") + lit(s0))
+      .withColumn("pos", col("pos") + lit(rec.getAs[Long]("n_docs")))
+      .withColumn("token_offset",
+        col("token_offset") + lit(rec.getAs[Long]("n_tokens")))
+      .select(col(idCol), col(textCol), col("n_tokens"), col("pos"),
+        col("token_offset"), col("shard_id"))
+    withDynamicOverwrite(spark) {
+      // dynamic overwrite touches only the NEW shard directories present
+      // in the frame — every recorded dir is invisible to this write
+      plan.write.mode("overwrite").partitionBy("shard_id")
+        .parquet(subPath(path, "shards"))
+    }
+    oldManifest
+      .unionByName(trainingShardManifest(plan.withColumnRenamed(idCol, "doc_id")))
+      .write.mode("overwrite").parquet(manifestPath)
+    dMeta.select(
+        (col("n_docs") + lit(rec.getAs[Long]("n_docs"))).as("n_docs"),
+        (col("n_tokens") + lit(rec.getAs[Long]("n_tokens"))).as("n_tokens"),
+        col("max_doc_id"),
+        (col("id_checksum") + lit(rec.getAs[Long]("id_checksum")))
+          .as("id_checksum"),
+        col("tokens_per_shard"))
+      .write.mode("overwrite").parquet(metaPath)
+    } finally graft.operators.Dedup.release(oldManifest)
+    } finally graft.operators.Dedup.release(dMeta)
   }
 
   /** Read a [[writeTrainingShards]] export back (the shard slices; the
     * partition column returns as `shard_id`, pruned when filtered on). */
   def readTrainingShards(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(new java.io.File(path, "shards").toString)
+    spark.read.parquet(subPath(path, "shards"))
 }

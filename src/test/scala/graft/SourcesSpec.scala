@@ -427,4 +427,107 @@ class SourcesSpec extends SparkTestBase {
       assert(mtimes(f.getName) == f.lastModified,
         s"resume must not touch durable shard file ${f.getName}"))
   }
+
+  test("writeTrainingShards: resume fingerprint guards budget and input drift") {
+    import graft.sources.Sinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsguard").toString
+    val input = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    Sinks.writeTrainingShards(spark, input, tmp, "doc_id", "text", 2048L)
+    // a rerun over the same path with a DIFFERENT budget would mix shard
+    // layouts (recorded shards keep old-budget contents while the
+    // manifest is recomputed from the new plan) — must raise, not mix
+    val e1 = intercept[IllegalArgumentException] {
+      Sinks.writeTrainingShards(spark, input, tmp, "doc_id", "text", 4096L)
+    }
+    assert(e1.getMessage.contains("fingerprint mismatch") &&
+      e1.getMessage.contains("tokens_per_shard"), e1.getMessage)
+    // ... and so would a CHANGED input under the same budget
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.writeTrainingShards(spark, input.filter($"doc_id" % 2 === 0),
+        tmp, "doc_id", "text", 2048L)
+    }
+    assert(e2.getMessage.contains("fingerprint mismatch"), e2.getMessage)
+    // the matching rerun still resumes cleanly (idempotence unchanged)
+    Sinks.writeTrainingShards(spark, input, tmp, "doc_id", "text", 2048L)
+  }
+
+  test("appendTrainingShards: recorded shards frozen; new docs land once in new shards") {
+    import graft.sources.Sinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsappend").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val t = docs.agg(expr("max(doc_id) div 2")).head.getLong(0)
+    val base = docs.filter($"doc_id" <= t)
+    val delta = docs.filter($"doc_id" > t)
+    val B = 2048L
+    Sinks.writeTrainingShards(spark, base, tmp, "doc_id", "text", B)
+    val baseManifest = spark.read.parquet(s"$tmp/_manifest")
+      .collect().map(_.toString).sorted.toSeq
+    val s0 = spark.read.parquet(s"$tmp/_manifest")
+      .agg(max(col("shard_id").cast("long"))).head.getLong(0) + 1
+    // record EVERY base shard file's (name → mtime): append must not
+    // touch any recorded byte
+    def shardFiles() = new java.io.File(s"$tmp/shards").listFiles
+      .filter(_.getName.startsWith("shard_id=")).flatMap(d =>
+        d.listFiles.map(f => s"${d.getName}/${f.getName}" -> f.lastModified))
+      .toMap
+    val before = shardFiles()
+    Sinks.appendTrainingShards(spark, delta, tmp, "doc_id", "text")
+    val after = shardFiles()
+    before.foreach { case (name, mt) =>
+      assert(after(name) == mt, s"append must not touch recorded $name") }
+    // every doc lands exactly once; new docs only in shards ≥ s0
+    val back = Sinks.readTrainingShards(spark, tmp)
+    assert(back.count() == docs.count())
+    assert(back.select($"doc_id").exceptAll(docs.select($"doc_id")).isEmpty)
+    assert(docs.select($"doc_id").exceptAll(back.select($"doc_id")).isEmpty)
+    assert(back.filter(col("shard_id").cast("long") >= s0 &&
+      $"doc_id" <= t).count() == 0)
+    assert(back.filter(col("shard_id").cast("long") < s0 &&
+      $"doc_id" > t).count() == 0)
+    // budget respected batch-relatively for the appended shards: stored
+    // token_offset continues the global sequence, shard ids are
+    // s0 + (batch-relative offset div B)
+    val baseTokens = spark.read.parquet(s"$tmp/_manifest")
+      .filter(col("shard_id").cast("long") < s0)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    val sid = col("shard_id").cast("long")
+    val rel = col("token_offset") - lit(baseTokens)
+    assert(back.filter(sid >= s0).filter(
+      rel < (sid - s0) * B || rel >= (sid - s0 + 1L) * B).count() == 0)
+    // stored manifest == manifest recomputed from read-back rows, and the
+    // base rows of the manifest are byte-for-byte the pre-append ones
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard_id").cast("long"), col("n_docs"), col("n_tokens"),
+        col("order_digest")).collect().map(_.toString).sorted.toSeq
+    val stored = spark.read.parquet(s"$tmp/_manifest")
+    assert(canon(stored) == canon(Sinks.trainingShardManifest(back)))
+    assert(stored.filter(col("shard_id").cast("long") < s0)
+      .collect().map(_.toString).sorted.toSeq == baseManifest,
+      "append must not alter recorded manifest rows")
+    // monotone guard: overlapping ids raise, never duplicate
+    val e = intercept[IllegalArgumentException] {
+      Sinks.appendTrainingShards(spark, docs.limit(5), tmp, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("strictly greater"), e.getMessage)
+    // empty delta is a no-op
+    Sinks.appendTrainingShards(spark, docs.filter(lit(false)), tmp,
+      "doc_id", "text")
+    assert(canon(spark.read.parquet(s"$tmp/_manifest")) == canon(stored))
+  }
+
+  test("training-shard export works against an explicit file:/ URI (hadoop-fs paths)") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsuri")
+    val uri = dir.toUri.toString.stripSuffix("/") // file:///tmp/...
+    val input = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(50)
+    Sinks.writeTrainingShards(spark, input, uri, "doc_id", "text", 2048L)
+    // resume through the URI exercises pathExists on the hadoop FS
+    Sinks.writeTrainingShards(spark, input, uri, "doc_id", "text", 2048L)
+    assert(Sinks.readTrainingShards(spark, uri).count() == 50)
+    assert(spark.read.parquet(s"$uri/_meta").head
+      .getAs[Long]("tokens_per_shard") == 2048L)
+  }
 }
