@@ -950,6 +950,55 @@ object Dedup {
           .as("n_cross_source_copies"))
   }
 
+  /** Per-source NEAR-duplication attribution — [[dedupAttribution]]'s
+    * governance report extended from exact copies to near-dup CLUSTERS
+    * (real syndication reports count lightly-edited mirrors, not just
+    * byte copies): MinHash near-dup pairs ([[minhashNearDups]], exact-
+    * Jaccard-verified), connected components, every unclustered doc its
+    * own singleton, and the cluster KEEPER is the canonical by
+    * (`scoreCol` DESC, id ASC) — [[keepCanonical]]'s rule, so the report
+    * attributes copies to the member a canonical dedup would keep, not
+    * blindly to the min id. Output per source: total docs, surplus
+    * near-dup copies (keeper is some other doc), and copies whose keeper
+    * lives in a DIFFERENT source (the cross-source syndication signal).
+    *
+    * Scale shape: text shuffles only as shingle digests (the d06
+    * machinery); components run on the verified pair set (pairs-sized,
+    * O(log d) rounds); the keeper is a map-side-combinable MAX-struct per
+    * label ((score, −id, source) — lexicographic, id unique so the source
+    * field never decides); everything after is id/label-keyed. */
+  def nearDupAttribution(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      scoreCol: Column, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, threshold)
+    val labels = try connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      finally release(pairs)
+    try {
+      val lab = docs
+        .select(col(idCol).as("id"), col(sourceCol).as("source"),
+          scoreCol.as("__score"))
+        .join(labels, Seq("id"), "left")
+        .withColumn("label", coalesce(col("label"), col("id")))
+      val keep = lab.groupBy(col("label"))
+        .agg(max(struct(col("__score"), (-col("id")).as("nid"),
+          col("source"))).as("__k"))
+        .select(col("label"), (-col("__k.nid")).as("__kid"),
+          col("__k.source").as("__ksource"))
+      // the rollup is source-cardinality-sized — materialize it before
+      // releasing the label blocks it is computed from
+      lab.join(keep, Seq("label"))
+        .select(col("source"),
+          (col("id") === col("__kid")).as("__is_keeper"),
+          (col("source") =!= col("__ksource")).as("__cross"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("__is_keeper"), 1L).otherwise(0L)).as("n_dup_copies"),
+          sum(when(!col("__is_keeper") && col("__cross"), 1L).otherwise(0L))
+            .as("n_cross_source_copies"))
+        .localCheckpoint(true)
+    } finally release(labels)
+  }
+
   // ---- snapshot diff --------------------------------------------------
 
   /** Dataset-versioning diff: classify every id across two corpus

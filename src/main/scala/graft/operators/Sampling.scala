@@ -318,6 +318,39 @@ object Sampling {
       .drop("__lvl", "__k")
   }
 
+  /** CURRICULUM × EPOCH composition — the LLaMA-style recipe realized as
+    * one global training order: [[curriculumOrder]] sequences a single
+    * pass, but an epoch-upsampled mixture ([[epochMaterialize]]) trains
+    * SEVERAL passes, and the standard composition is EPOCH-MAJOR
+    * (epochs stay contiguous — pass k finishes before pass k+1 starts),
+    * easy-first WITHIN each epoch (quantized quality DESC), and a
+    * PER-EPOCH reshuffle within each quality level — the shuffle key is
+    * md5(epoch ':' id), so equal-quality docs arrive in a different
+    * deterministic order every pass (re-presenting an epoch in the same
+    * order is the classic ordering-bias the per-epoch reshuffle
+    * removes; d42's epoch-salted key, applied within levels).
+    *
+    * Input rows carry `epochCol` (0-based pass index — one row per
+    * copy, [[epochMaterialize]]'s output shape). Scale shape:
+    * [[GlobalOrder.withGlobalRowNumber]]'s two-pass range partition over
+    * (epoch, level, salted hash, id) — no single-reducer sort; pure
+    * integer + md5 algebra, engine-exact with a replicable score.
+    * Output: input columns plus (score_q, curriculum_pos). */
+  def curriculumEpochOrder(
+      docs: DataFrame, idCol: String, epochCol: String,
+      scoreCol: Column): DataFrame = {
+    val keyed = docs
+      .withColumn("score_q", floor(scoreCol * 10000).cast("long"))
+      .withColumn("__lvl", -col("score_q"))
+      .withColumn("__k",
+        md5(concat_ws(":", col(epochCol).cast("string"),
+          col(idCol).cast("string"))))
+    GlobalOrder.withGlobalRowNumber(keyed,
+        Seq(epochCol, "__lvl", "__k", idCol))
+      .withColumnRenamed("global_rn", "curriculum_pos")
+      .drop("__lvl", "__k")
+  }
+
   /** Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
     * priority keys: each row draws `priority = u^(1/w)` from a
     * deterministic per-row uniform `u`, and the global top-k by priority

@@ -623,6 +623,29 @@ object TextQueries {
         .orderBy("curriculum_pos")
     }),
 
+    // --- d74: CURRICULUM × EPOCH composition — the LLaMA-style recipe's
+    //     full training order: d66's epoch-upsampled mixture (zh 8× —
+    //     repeats; en 1× — subsamples) sequenced EPOCH-MAJOR, easy-first
+    //     (d11 quality DESC) within each epoch, and md5(epoch:id)
+    //     reshuffled within each quality level — equal-quality docs
+    //     arrive in a DIFFERENT deterministic order every pass. Pure
+    //     integer + md5 algebra over the GlobalOrder two-pass; the full
+    //     listing is hash-exact. -----------------------------------------
+    "d74_curriculum_epochs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val budget = docs.count()
+      val weight = when(col("lang") === "zh", 8L)
+        .when(col("lang") === "en", 1L).otherwise(2L)
+      val mat = Sampling.epochMaterialize(docs, "doc_id", "lang", weight,
+        budget)
+      Sampling.curriculumEpochOrder(mat, "doc_id", "epoch",
+          TextAnalysis.qualityScore(col("text")))
+        .select(col("doc_id"), col("epoch"), col("score_q"),
+          col("curriculum_pos"))
+        .orderBy("curriculum_pos")
+    }),
+
     // --- d71: per-source DEDUP ATTRIBUTION — the governance report next
     //     to every release's dedup step: which sources carry surplus
     //     copies, and how many of those duplicate content whose keeper
@@ -642,6 +665,35 @@ object TextQueries {
           coalesce(when(pmod(col("doc_id"), lit(19)) === 4, col("htext")),
             col("text")).as("text"))
       Dedup.dedupAttribution(planted, "doc_id", "text", "source")
+        .orderBy("source")
+    }),
+
+    // --- d73: per-source NEAR-dup attribution — d71's governance report
+    //     extended from exact copies to near-dup CLUSTERS via d06/d28's
+    //     machinery (MinHash pairs → connected components → canonical
+    //     keeper by (length DESC, id ASC)). Families are PLANTED with
+    //     both shapes: id≡4 mod 19 copies id−4's text EXACTLY, id≡8
+    //     mod 19 copies id−8's text with one appended token (a true
+    //     near-dup, J=(n−2)/(n−1) — and the longer copy WINS the
+    //     canonical rule, so keeper ≠ min id binds). Exact-Jaccard
+    //     verification makes the pair set SQL-replicable; hash-exact. --
+    "d73_neardup_attribution" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val heads = docs.select(col("doc_id").as("hid"), col("text").as("htext"))
+      val planted = docs
+        .withColumn("__hoff",
+          when(pmod(col("doc_id"), lit(19)) === 4, 4L)
+            .when(pmod(col("doc_id"), lit(19)) === 8, 8L))
+        .join(heads, col("doc_id") - col("__hoff") === col("hid"), "left")
+        .select(col("doc_id"), col("source"),
+          when(col("__hoff") === 4 && col("htext").isNotNull, col("htext"))
+            .when(col("__hoff") === 8 && col("htext").isNotNull,
+              concat(col("htext"), lit(" zqxneardupmarker")))
+            .otherwise(col("text")).as("text"))
+      Dedup.nearDupAttribution(planted, "doc_id", "text", "source",
+          length(col("text")), threshold = 0.8)
         .orderBy("source")
     }),
 
@@ -3216,6 +3268,77 @@ object TextQueries {
                   AS curriculum_pos
          FROM q ORDER BY curriculum_pos""",
 
+    // d66's Hamilton/epoch chain (copies per doc, epoch indexes) joined
+    // with d69's d11-score replica, ordered by (epoch, score DESC,
+    // md5(epoch:id), id) in one window — the composed-order replica
+    "d74_curriculum_epochs" ->
+      """WITH stats AS (SELECT lang, count(*) AS n_avail
+                        FROM documents GROUP BY lang),
+         b AS (SELECT count(*) AS budget FROM documents),
+         w AS (SELECT lang, n_avail,
+                 CASE lang WHEN 'zh' THEN 8 WHEN 'en' THEN 1 ELSE 2 END AS wt
+               FROM stats),
+         t AS (SELECT sum(wt) AS tw FROM w),
+         a0 AS (SELECT lang, n_avail,
+                  (b.budget * wt) // t.tw AS base,
+                  (b.budget * wt) % t.tw AS rem, b.budget AS budget
+                FROM w, t, b),
+         a1 AS (SELECT *, budget - sum(base) OVER () AS leftover,
+                  row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+                FROM a0),
+         alloc AS (SELECT lang, n_avail,
+                     base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                       AS alloc FROM a1),
+         ap AS (SELECT lang, alloc // n_avail AS fullp,
+                  alloc % n_avail AS part FROM alloc),
+         ranked AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS sample_rank
+                    FROM documents),
+         copies AS (SELECT r.doc_id, r.lang,
+                      ap.fullp + CASE WHEN r.sample_rank <= ap.part
+                        THEN 1 ELSE 0 END AS n_copies
+                    FROM ranked r JOIN ap USING (lang)),
+         exploded AS (SELECT doc_id, e AS epoch
+                      FROM copies, LATERAL unnest(range(0, CAST(n_copies AS BIGINT))) AS t(e)),
+         qt AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         qf AS (
+           SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN length(text) > 0
+               THEN floor(CAST(length(text) - length(regexp_replace(text, '[\p{P}]', '', 'g')) AS DOUBLE)
+                          / length(text) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+             CASE WHEN length(text) > 0
+               THEN floor(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                          / length(text) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS digit_ratio,
+             CASE WHEN len(toks) > 0
+               THEN floor(CAST(len(list_filter(toks, x -> x IN
+                      ('the','and','of','to','a','in','is','it','that','for','on',
+                       'with','as','was','at','by','an','be','this','are','or','from')))
+                    AS DOUBLE) / len(toks) * 10000) / 10000
+               ELSE CAST(0 AS DOUBLE) END AS stopword_ratio
+           FROM qt),
+         qsc AS (
+           SELECT doc_id,
+             CAST(floor(floor(((CASE WHEN n_tokens BETWEEN 10 AND 100000
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+               + (1 - least(punct_ratio * 4, CAST(1 AS DOUBLE)))
+               + (1 - least(digit_ratio * 4, CAST(1 AS DOUBLE)))
+               + least(stopword_ratio * 4, CAST(1 AS DOUBLE))) / 4 * 10000) / 10000
+               * 10000) AS BIGINT) AS score_q
+           FROM qf)
+         SELECT e.doc_id, CAST(e.epoch AS BIGINT) AS epoch, q.score_q,
+                CAST(row_number() OVER (ORDER BY e.epoch, q.score_q DESC,
+                  md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(e.doc_id AS VARCHAR)),
+                  e.doc_id) AS BIGINT) AS curriculum_pos
+         FROM exploded e JOIN qsc q USING (doc_id)
+         ORDER BY curriculum_pos""",
+
     // planted dup families (id≡4 mod 19 copies id−4's text), then keeper
     // = min doc_id per md5 digest, keeper-source join-back, per-source
     // copy counts — all integers
@@ -3242,6 +3365,62 @@ object TextQueries {
              AS BIGINT) AS n_cross_source_copies
          FROM j GROUP BY source ORDER BY source""",
 
+    // the d28 recursive-CC replica over the planted near-dup corpus +
+    // d71's source rollup, keeper = canonical by (length DESC, id ASC)
+    "d73_neardup_attribution" ->
+      """WITH RECURSIVE planted AS (
+           SELECT d.doc_id, d.source,
+             CASE WHEN d.doc_id % 19 = 4 AND h4.text IS NOT NULL THEN h4.text
+                  WHEN d.doc_id % 19 = 8 AND h8.text IS NOT NULL
+                    THEN h8.text || ' zqxneardupmarker'
+                  ELSE d.text END AS text
+           FROM documents d
+           LEFT JOIN documents h4
+             ON d.doc_id - 4 = h4.doc_id AND d.doc_id % 19 = 4
+           LEFT JOIN documents h8
+             ON d.doc_id - 8 = h8.doc_id AND d.doc_id % 19 = 8),
+         tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM planted),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [] END AS sh
+           FROM tok),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(a.sh) > 0 AND len(b.sh) > 0
+             AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8),
+         edges AS (
+           SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, label) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.b, r.label FROM reach r JOIN edges e ON r.id = e.a),
+         labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+         lab AS (SELECT p.doc_id AS id, p.source,
+                   length(p.text) AS score,
+                   COALESCE(l.label, p.doc_id) AS label
+                 FROM planted p LEFT JOIN labels l ON l.id = p.doc_id),
+         k AS (SELECT label, id AS kid, source AS ksource FROM (
+                 SELECT lab.*, row_number() OVER (PARTITION BY label
+                   ORDER BY score DESC, id ASC) AS rn FROM lab)
+               WHERE rn = 1),
+         j AS (SELECT lab.source,
+                 (lab.id = k.kid) AS is_keeper,
+                 (lab.source <> k.ksource) AS crosssrc
+               FROM lab JOIN k ON lab.label = k.label)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_copies,
+           CAST(sum(CASE WHEN NOT is_keeper AND crosssrc THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_cross_source_copies
+         FROM j GROUP BY source ORDER BY source""",
     // d42's (md5(id), id) order + running token offsets + div-budget
     // shard ids + per-shard ordered id digest — the pure window replica
     // of write → read back → manifest recompute

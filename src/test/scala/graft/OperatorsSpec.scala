@@ -1897,6 +1897,63 @@ class OperatorsSpec extends SparkTestBase {
       out.toString)
   }
 
+  test("curriculumEpochOrder: epoch-major, quality-desc within, per-epoch reshuffle") {
+    import graft.operators.Sampling
+    // 6 docs × 2 epochs, two quality levels (score 0.9 / 0.1 → levels
+    // 9000 / 1000); all ids present in both epochs
+    val rows = for (id <- 1L to 6L; e <- 0L to 1L)
+      yield (id, e, if (id <= 3) 0.9 else 0.1)
+    val df = rows.toDF("doc_id", "epoch", "score")
+    val out = Sampling.curriculumEpochOrder(df, "doc_id", "epoch",
+        col("score"))
+      .select($"doc_id", $"epoch", $"score_q", $"curriculum_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._4).toSeq
+    // contiguous 1..12
+    assert(out.map(_._4) == (1L to 12L), out.toString)
+    // epoch-major: all of epoch 0 precedes all of epoch 1
+    assert(out.take(6).forall(_._2 == 0L) && out.drop(6).forall(_._2 == 1L))
+    // quality-desc within each epoch
+    for (ep <- Seq(out.take(6), out.drop(6)))
+      assert(ep.take(3).forall(_._3 == 9000L) &&
+        ep.drop(3).forall(_._3 == 1000L), ep.toString)
+    // within-level order is the md5(epoch:id) hash order — and therefore
+    // DIFFERS across epochs (the per-epoch reshuffle)
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def lvl(ep: Long, hi: Boolean) = out.filter(r => r._2 == ep &&
+      (r._3 == 9000L) == hi).sortBy(_._4).map(_._1)
+    for (ep <- 0L to 1L; hi <- Seq(true, false)) {
+      val ids = lvl(ep, hi)
+      assert(ids == ids.sortBy(id => (md5(s"$ep:$id"), id)),
+        s"epoch $ep level $hi must follow the salted hash order")
+    }
+    assert(lvl(0L, true) != lvl(1L, true) || lvl(0L, false) != lvl(1L, false),
+      "per-epoch reshuffle must change at least one level's order")
+  }
+
+  test("nearDupAttribution: cluster keeper by score; near-dup copies charged cross-source") {
+    import graft.operators.Dedup
+    graft.functions.GraftFunctions.register(spark)
+    val base = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, "s1", base),            // exact-dup cluster member
+      (2L, "s2", base),            // cross-source exact copy of 1
+      (3L, "s1", s"$base tail"),   // near-dup (J = 4/5 = 0.8), LONGEST —
+                                   // wins the canonical (score DESC) rule
+      (4L, "s2", "totally different words here entirely now")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.nearDupAttribution(docs, "doc_id", "text", "source",
+        org.apache.spark.sql.functions.length(col("text")), threshold = 0.8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    // cluster {1,2,3}: keeper = 3 (longest, NOT the min id) — so doc 1 is
+    // a same-source copy and doc 2 a cross-source copy; doc 4 = singleton
+    assert(out == Seq(
+      ("s1", 2L, 1L, 0L),
+      ("s2", 2L, 1L, 1L)), out.toString)
+  }
+
   test("chunkRetrieveTopK: a query matching one chunk verbatim retrieves it at rank 1") {
     import graft.operators.Similarity
     graft.functions.GraftFunctions.register(spark)
