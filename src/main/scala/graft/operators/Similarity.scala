@@ -1319,10 +1319,19 @@ object Similarity {
     * [[jlExtendIndex]]/[[ivfExtendIndex]]. */
   def chunkIndex(
       docs: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int = 16, buckets: Int = 64): DataFrame = {
+      chunkSize: Int = 16, buckets: Int = 64): DataFrame =
+    chunkIndexOfChunks(
+      Packing.chunkTokens(docs, idCol, textCol, chunkSize, 0)
+        .select(col(idCol).as("doc_id"), col("chunk_id"), col("chunk_text")),
+      buckets)
+
+  /** [[chunkIndex]] over an ALREADY-CHUNKED frame (doc_id, chunk_id,
+    * chunk_text) — for pipelines that share one chunking pass across
+    * several consumers (e28 feeds the same chunks to the BM25 and dense
+    * rankers). Embedding + norm stay row-local. */
+  def chunkIndexOfChunks(chunks: DataFrame, buckets: Int = 64): DataFrame = {
     import graft.functions.GraftFunctions.dotI64
-    Packing.chunkTokens(docs, idCol, textCol, chunkSize, 0)
-      .select(col(idCol).as("doc_id"), col("chunk_id"),
+    chunks.select(col("doc_id"), col("chunk_id"),
         Multimodal.denseBowOf(col("chunk_text"), buckets).as("__cv"))
       .withColumn("__css", dotI64(col("__cv"), col("__cv")))
   }
@@ -1519,6 +1528,44 @@ object Similarity {
       .withColumn("rrf_rank", row_number().over(w))
       .filter(col("rrf_rank") <= k)
       .select(col("rrf_rank"), col(idName), col("rrf_score"))
+  }
+
+  /** [[rrfFuse]] generalized to a QUERY BATCH — the production hybrid-
+    * retrieval shape: every input list carries a query column plus the
+    * ranked item's key columns (`queryName`, `idNames...`, `rank`), and
+    * fusion happens PER QUERY in one pass — one full-outer merge on
+    * (query, item) and one query-partitioned ranking window, instead of
+    * one [[rrfFuse]] invocation (and one plan) per probe. Identical
+    * fixed-point arithmetic (`10⁶ div (k₀ + rank)` summed as exact
+    * integers; a list missing the item contributes 0 — the
+    * single-modality-surfaces property, per query).
+    *
+    * Scale shape: inputs are per-query TOP-K lists, so the merge and the
+    * window operate on ≤ |queries|·Σ|lists|·k rows, hash-partitioned by
+    * query — no global funnel (the window partitions by `queryName`,
+    * unlike [[rrfFuse]]'s documented list-sized global window). Output:
+    * (queryName, rrf_rank, idNames..., rrf_score). */
+  def rrfFusePerQuery(
+      lists: Seq[DataFrame], queryName: String, idNames: Seq[String],
+      k: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty && idNames.nonEmpty && k >= 1 && k0 >= 1)
+    val keys = queryName +: idNames
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(keys.map(col) :+
+        expr(s"1000000 div ($k0 + rank)").as(s"__rrf_$i"): _*)
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, keys, "full_outer"))
+    val contribs = joined.select(keys.map(col) ++ tagged.indices.map(i =>
+      coalesce(col(s"__rrf_$i"), lit(0L)).as(s"__c_$i")): _*)
+    val score = tagged.indices.map(i => col(s"__c_$i")).reduceLeft(_ + _)
+    val w = Window.partitionBy(col(queryName))
+      .orderBy(col("rrf_score").desc +: idNames.map(col(_).asc): _*)
+    contribs
+      .withColumn("rrf_score", score)
+      .withColumn("rrf_rank", row_number().over(w))
+      .filter(col("rrf_rank") <= k)
+      .select(col(queryName) +: col("rrf_rank") +: idNames.map(col) :+
+        col("rrf_score"): _*)
   }
 
   /** Nearest-prototype balanced curation (the SSL-prototypes / cluster-

@@ -676,6 +676,80 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** [[bm25TopK]] for a QUERY BATCH over arbitrary item keys — the
+    * keyword half of the batch hybrid-retrieval stack (e28): every query
+    * doc's DISTINCT tokens are its term set, and each (query, item) pair
+    * scores Σ_terms idf·saturation over the items (chunks, docs — any
+    * `keyCols`) containing that term.
+    *
+    * Engine-parity design: the per-(term, item) contribution is the same
+    * exact-rational idf surrogate × tf-saturation expression tree as
+    * [[bm25TopK]] (bit-identical doubles in any engine), but the
+    * PER-QUERY summation cannot use d37's fixed-order pivot (term sets
+    * vary per query), so each contribution FLOOR-QUANTIZES to a ×10⁹
+    * fixed-point BIGINT first and the per-(query, item) score is an
+    * exact INTEGER sum — order-independent, hash-exact. Ties break by
+    * the item keys.
+    *
+    * Scale shape: ONE corpus tokenization pass into the (item, term) tf
+    * frame (the wordcount shape); the batch's distinct term set
+    * broadcast-prunes it BEFORE the df window (so the term-keyed window
+    * shuffles only matching tf rows, the d37 trick at batch width); the
+    * query join is a broadcast of the (query, term) pairs; the final
+    * top-k is a query-partitioned WindowGroupLimit. Corpus statistics
+    * (N, avgdl) are one text-only scan reduced to a broadcast row —
+    * precomputed per corpus snapshot in production. Only items sharing
+    * ≥1 term with a query are ranked — the score-0 tail never
+    * materializes. */
+  def bm25TopKBatch(
+      corpus: DataFrame, queries: DataFrame, keyCols: Seq[String],
+      textCol: String, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(keyCols.nonEmpty && k >= 1)
+    val base = corpus.select(keyCols.map(col) :+
+      tokens(col(textCol)).as("toks"): _*)
+      .select(keyCols.map(col) :+ size(col("toks")).cast("long").as("len") :+
+        col("toks"): _*)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = base
+      .select(keyCols.map(col) :+ col("len") :+
+        explode(col("toks")).as("term"): _*)
+      .groupBy(keyCols.map(col) :+ col("len") :+ col("term"): _*)
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+    // prune the tf frame to the batch's term set BEFORE the df window —
+    // df is per-term over the corpus, so the filtered frame computes it
+    // identically while the window shuffles only matching rows
+    val tfq = tf.join(broadcast(qterms.select(col("term")).distinct()),
+      Seq("term"))
+    val withDf = tfq.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))).cast("double"))
+    // the contribution is QUERY-INDEPENDENT (query tf is ignored, the
+    // standard short-query BM25), so quantize it per (term, item) BEFORE
+    // the query join — the joined frame (|matching items| × |queries|)
+    // then only sums longs instead of re-deriving the double tree per pair
+    val perTerm = withDf
+      .crossJoin(broadcast(stats))
+      .select(col("term") +: keyCols.map(col) :+
+        floor((((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") / (col("tf") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * (col("len").cast("double") / col("avgdl"))))))
+          * 1000000000L).cast("long").as("__c_fp"): _*)
+    val contrib = perTerm.join(broadcast(qterms), Seq("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25_fp").desc +: keyCols.map(col(_).asc): _*)
+    contrib.groupBy(col("query_id") +: keyCols.map(col): _*)
+      .agg(sum(col("__c_fp")).as("bm25_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Gopher-rules document quality filter (Rae et al. 2021, Appendix A):
     * the reference heuristic gate every web-scale corpus build applies
     * before model-based scoring. Per doc: word-count bounds, mean word

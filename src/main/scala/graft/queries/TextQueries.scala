@@ -1103,6 +1103,39 @@ object TextQueries {
             .as("mid_budget_ge_050"))
     }),
 
+    // --- e28: BATCH chunk-level HYBRID retrieval — the actual RAG
+    //     retrieval stack (e24 fused one probe at doc granularity): for
+    //     the full held-out query batch, chunk-level BM25 (each query's
+    //     distinct tokens as its term set; contributions floor-quantized
+    //     ×10⁹ so the per-query sum is exact integers) fuses with e26's
+    //     dense chunk ranking via per-query RRF in ONE pass. Both
+    //     underlying rankings replicate bit-exactly, so the fused
+    //     fixed-point output is hash-exact. ------------------------------
+    "e28_hybrid_chunk_batch" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      // ONE chunking pass feeds both rankers (checkpointed; it appears in
+      // the returned plan, so the caller's release covers it)
+      val chunks = graft.operators.Packing
+        .chunkTokens(corpus, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+        .localCheckpoint(true)
+      val bm = TextAnalysis.bm25TopKBatch(chunks, queries,
+          Seq("doc_id", "chunk_id"), "chunk_text", "doc_id", "text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+      val dense = Similarity.chunkRetrieveFromIndex(
+          Similarity.chunkIndexOfChunks(chunks), queries,
+          "doc_id", "text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+      Similarity.rrfFusePerQuery(Seq(bm, dense), "query_id",
+          Seq("doc_id", "chunk_id"), k = 5)
+        .orderBy("query_id", "rrf_rank")
+    }),
+
     // --- e21: MMR diverse top-k — retrieval that trades relevance
     //     against redundancy (Carbonell & Goldstein 1998): slot i goes to
     //     argmax λ·rel − (1−λ)·max-sim-to-selected over the per-probe
@@ -2621,6 +2654,119 @@ object TextQueries {
          SELECT query_id, rank, doc_id, chunk_id, cos_q
          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
 
+    // the e26 dense chain at k=10 + the chunk-level BM25 chain (d37's
+    // exact-rational contribution tree, ×10⁹ floor-quantized so the
+    // per-query sum is exact integers) + e24's fixed-point RRF, per query
+    "e28_hybrid_chunk_batch" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 101 <> 5),
+         n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+               FROM t WHERE len(toks) > 0),
+         x AS (SELECT doc_id, toks,
+                      CAST(unnest(range((n - 1) // 16 + 1)) AS BIGINT) AS chunk_id
+               FROM n),
+         ch AS (SELECT doc_id, chunk_id,
+                  array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ') AS chunk_text
+                FROM x),
+         cw AS (SELECT doc_id, chunk_id, w, count(*) AS cnt FROM (
+                  SELECT doc_id, chunk_id, unnest(list_filter(
+                    regexp_split_to_array(lower(chunk_text), '[^\p{L}\p{N}]+'),
+                    y -> y <> '')) AS w
+                  FROM ch) GROUP BY doc_id, chunk_id, w),
+         cb AS (SELECT doc_id, chunk_id,
+                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
+                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
+                FROM cw GROUP BY doc_id, chunk_id, b),
+         css AS (SELECT doc_id, chunk_id, CAST(sum(v*v) AS BIGINT) AS css
+                 FROM cb GROUP BY doc_id, chunk_id),
+         qw AS (SELECT doc_id AS query_id, w, count(*) AS cnt FROM (
+                  SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                    y -> y <> '')) AS w
+                  FROM documents WHERE doc_id % 101 = 5) GROUP BY query_id, w),
+         qb AS (SELECT query_id,
+                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
+                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
+                FROM qw GROUP BY query_id, b),
+         qss0 AS (SELECT query_id, CAST(sum(v*v) AS BIGINT) AS qss
+                  FROM qb GROUP BY query_id),
+         qss AS (SELECT d.doc_id AS query_id, COALESCE(q.qss, 0) AS qss
+                 FROM documents d LEFT JOIN qss0 q ON d.doc_id = q.query_id
+                 WHERE d.doc_id % 101 = 5),
+         dots AS (SELECT qb.query_id, cb.doc_id, cb.chunk_id,
+                    CAST(sum(cb.v * qb.v) AS BIGINT) AS dot
+                  FROM cb JOIN qb ON cb.b = qb.b
+                  GROUP BY qb.query_id, cb.doc_id, cb.chunk_id),
+         pairs AS (SELECT q.query_id, ch.doc_id, ch.chunk_id,
+                     COALESCE(css.css, 0) AS css, q.qss
+                   FROM ch LEFT JOIN css USING (doc_id, chunk_id)
+                   CROSS JOIN qss q),
+         scored AS (SELECT p.query_id, p.doc_id, p.chunk_id,
+                      CASE WHEN p.css > 0 AND p.qss > 0
+                        THEN floor(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                          / (sqrt(CAST(p.css AS DOUBLE)) * sqrt(CAST(p.qss AS DOUBLE)))
+                          * 10000) / 10000
+                        ELSE CAST(0 AS DOUBLE) END AS cos_q
+                    FROM pairs p LEFT JOIN dots d
+                      USING (query_id, doc_id, chunk_id)),
+         dn AS (SELECT query_id, doc_id, chunk_id, rank FROM (
+                  SELECT query_id, doc_id, chunk_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_q DESC, doc_id ASC, chunk_id ASC) AS rank
+                  FROM scored)
+                WHERE rank <= 10),
+         ctok AS (SELECT doc_id, chunk_id,
+                    list_filter(regexp_split_to_array(lower(chunk_text), '\s+'),
+                      x -> x <> '') AS toks
+                  FROM ch),
+         cbase AS (SELECT doc_id, chunk_id,
+                     CAST(len(toks) AS BIGINT) AS len, toks
+                   FROM ctok),
+         cstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                           CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+                    FROM cbase),
+         tf AS (SELECT doc_id, chunk_id, len, term,
+                  CAST(count(*) AS DOUBLE) AS tf FROM (
+                    SELECT doc_id, chunk_id, len, unnest(toks) AS term
+                    FROM cbase)
+                GROUP BY doc_id, chunk_id, len, term),
+         qterms AS (SELECT doc_id AS query_id, unnest(list_distinct(
+                      list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x <> ''))) AS term
+                    FROM documents WHERE doc_id % 101 = 5),
+         qtermset AS (SELECT DISTINCT term FROM qterms),
+         tfq AS (SELECT tf.* FROM tf JOIN qtermset USING (term)),
+         wdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+                 FROM tfq),
+         contrib AS (SELECT q.query_id, w.doc_id, w.chunk_id,
+                       CAST(floor((((s.n_docs - w.df + 0.5) / (w.df + 0.5)) *
+                         (w.tf / (w.tf + 1.2 * (1.0 - 0.75 +
+                           0.75 * (CAST(w.len AS DOUBLE) / s.avgdl)))))
+                         * 1000000000) AS BIGINT) AS c_fp
+                     FROM wdf w JOIN qterms q USING (term), cstats s),
+         bm AS (SELECT query_id, doc_id, chunk_id, rank FROM (
+                  SELECT query_id, doc_id, chunk_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY bm25_fp DESC, doc_id ASC, chunk_id ASC) AS rank
+                  FROM (SELECT query_id, doc_id, chunk_id,
+                          sum(c_fp) AS bm25_fp
+                        FROM contrib GROUP BY query_id, doc_id, chunk_id))
+                WHERE rank <= 10),
+         fused AS (SELECT query_id, doc_id, chunk_id,
+                     COALESCE(1000000 // (60 + b.rank), 0)
+                       + COALESCE(1000000 // (60 + d.rank), 0) AS rrf_score
+                   FROM bm b FULL OUTER JOIN dn d
+                     USING (query_id, doc_id, chunk_id))
+         SELECT query_id, rrf_rank, doc_id, chunk_id, rrf_score FROM (
+           SELECT query_id, doc_id, chunk_id, rrf_score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC, chunk_id ASC) AS rrf_rank
+           FROM fused)
+         WHERE rrf_rank <= 5 ORDER BY query_id, rrf_rank""",
     // probed-cell sets nest → monotone overlap; exhaustive probes run the
     // identical arithmetic over every index row → recall exactly 1; the
     // mid-budget floor is the empirical tuning point (measured ≥ 0.5 at

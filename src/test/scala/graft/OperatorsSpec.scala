@@ -1897,6 +1897,53 @@ class OperatorsSpec extends SparkTestBase {
       out.toString)
   }
 
+  test("rrfFusePerQuery: per-query fusion; single-modality items surface per query") {
+    import graft.operators.Similarity
+    // q1: item (1,0) only in list A, item (2,0) only in list B — both must
+    // surface with the other list contributing 0; q2: (3,0) in both lists
+    // outscores (4,0) in one
+    val a = Seq((10L, 1L, 0L, 1), (20L, 3L, 0L, 1), (20L, 4L, 0L, 2))
+      .toDF("query_id", "doc_id", "chunk_id", "rank")
+    val b = Seq((10L, 2L, 0L, 1), (20L, 3L, 0L, 2))
+      .toDF("query_id", "doc_id", "chunk_id", "rank")
+    val out = Similarity.rrfFusePerQuery(Seq(a, b), "query_id",
+        Seq("doc_id", "chunk_id"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(4))).toSeq.sortBy(t => (t._1, t._2))
+    val r1 = 1000000L / 61; val r2 = 1000000L / 62
+    assert(out == Seq(
+      // q1: tie at 1/(60+1) each, broken by doc_id — both single-modality
+      (10L, 1, 1L, r1), (10L, 2, 2L, r1),
+      // q2: doc 3 scores from BOTH lists, doc 4 from one
+      (20L, 1, 3L, r1 + r2), (20L, 2, 4L, r2)), out.toString)
+  }
+
+  test("bm25TopKBatch: per-query term sets; integer fixed-point scores; no score-0 tail") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, 0L, "apple banana apple"),
+      (1L, 1L, "banana cherry"),
+      (2L, 0L, "durian elderberry fig")
+    ).toDF("doc_id", "chunk_id", "text")
+    val queries = Seq((100L, "apple"), (200L, "fig banana")).toDF("qid", "qtext")
+    val out = TextAnalysis.bm25TopKBatch(corpus, queries,
+        Seq("doc_id", "chunk_id"), "text", "qid", "qtext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq.sortBy(t => (t._1, t._5))
+    // query 100 ("apple"): only chunk (1,0) contains it — exactly one row
+    val q100 = out.filter(_._1 == 100L)
+    assert(q100.map(t => (t._2, t._3)) == Seq((1L, 0L)), out.toString)
+    // query 200: fig hits (2,0), banana hits (1,0) and (1,1) — the
+    // score-0 chunk never materializes, and scores are positive longs
+    val q200 = out.filter(_._1 == 200L)
+    assert(q200.map(t => (t._2, t._3)).toSet ==
+      Set((1L, 0L), (1L, 1L), (2L, 0L)), out.toString)
+    assert(out.forall(_._4 > 0L), out.toString)
+    // rarer term (fig: df=1 vs banana: df=2) outranks for query 200 at
+    // equal tf — idf monotone in df
+    assert(q200.head._2 == 2L, q200.toString)
+  }
+
   test("curriculumEpochOrder: epoch-major, quality-desc within, per-epoch reshuffle") {
     import graft.operators.Sampling
     // 6 docs × 2 epochs, two quality levels (score 0.9 / 0.1 → levels
