@@ -59,6 +59,8 @@ object SparkEntry {
       "e10_ivfpq_recall", // coarse+PQ codebooks + cell-partitioned index
       "e17_jl_recall", // one-time JL tier-1 reduced-vector index write
       "d67_training_shards", // one-time shard export write per (JVM, sf)
+      "d72_append_shards", // one-time base export + append per (JVM, sf)
+      "e27_chunk_ivf_recall", // chunk codebook + cell-partitioned index
       "e25_tier_recall_curves", // shares e17/e08's memoized index/codebook
       "s08_stream_mv", // one-time foreachBatch MV maintenance per (JVM, sf)
       "s18_stream_mv_joinback", // one-time streamed-MV maintenance + registration
