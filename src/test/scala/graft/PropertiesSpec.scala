@@ -117,16 +117,26 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
-  test("dot_i64: equals the BigInt reference fold; commutative") {
+  test("dot_i64: equals the BigInt reference fold; commutative; ragged raises") {
     import graft.functions.DotProductI64
     def dot(a: Seq[Long], b: Seq[Long]): Long =
       DotProductI64(litArr(a), litArr(b)).eval(null).asInstanceOf[Long]
     val smallLong = Gen.chooseNum(-1000000L, 1000000L)
-    check("dot-i64-ref", Prop.forAll(
-        Gen.nonEmptyListOf(smallLong), Gen.nonEmptyListOf(smallLong)) { (a, b) =>
-      val n = math.min(a.size, b.size)
-      val ref = (0 until n).map(i => BigInt(a(i)) * BigInt(b(i))).sum
+    val samePair = for {
+      a <- Gen.nonEmptyListOf(smallLong)
+      b <- Gen.listOfN(a.size, smallLong)
+    } yield (a, b)
+    check("dot-i64-ref", Prop.forAll(samePair) { case (a, b) =>
+      val ref = a.indices.map(i => BigInt(a(i)) * BigInt(b(i))).sum
       BigInt(dot(a, b)) == ref && dot(a, b) == dot(b, a)
+    })
+    // a length mismatch raises (the r16 ragged-input contract), never
+    // min-truncates to a plausible value
+    check("dot-i64-ragged", Prop.forAll(
+        Gen.nonEmptyListOf(smallLong), Gen.nonEmptyListOf(smallLong)) { (a, b) =>
+      if (a.size == b.size) true
+      else scala.util.Try(dot(a, b)).failed.toOption.exists(
+        _.getMessage.contains("ragged vector inputs"))
     })
   }
 
