@@ -47,6 +47,41 @@ object Packing {
       .groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
 
+  /** Per-pack SEGMENT manifest — the attention-boundary table an LM
+    * training loader consumes next to a concat-and-chunk layout
+    * ([[packTokens]]): concatenation splits documents across fixed-size
+    * packs, and the trainer must reset attention (and loss masking) at
+    * every document boundary INSIDE a pack, so each pack needs the exact
+    * list of (doc, start, length) segments tiling its token window. A
+    * doc spanning packs p..q emits one segment per pack; within a pack,
+    * segments tile [0, budget) with no gaps or overlaps (the final pack
+    * of a shard tiles a prefix).
+    *
+    * Scale shape: [[packTokens]]' one hash shuffle on the shard key plus
+    * a ROW-LOCAL explode over each doc's pack span (a doc emits
+    * ⌈len/budget⌉+1 segments at most) — no second shuffle, no join.
+    * Pure integer algebra — engine-exact. Zero-token docs emit no
+    * segment (nothing to attend to). Output: (shard, pack_id, idCol,
+    * start_in_pack, seg_tokens). */
+  def packSegments(
+      docs: DataFrame, idCol: String, textCol: String,
+      budget: Int = 2048, nShards: Int = 32): DataFrame = {
+    val b = lit(budget.toLong)
+    packTokens(docs, idCol, textCol, budget, nShards)
+      .filter(col("n_tokens") > 0)
+      .withColumn("__last_pack", call_function("div",
+        col("token_offset") + col("n_tokens") - 1, b))
+      .withColumn("pack_id",
+        explode(sequence(col("pack_id"), col("__last_pack"))))
+      .withColumn("__pack_start", col("pack_id") * b)
+      .select(col("shard"), col("pack_id"), col(idCol),
+        greatest(col("token_offset") - col("__pack_start"), lit(0L))
+          .as("start_in_pack"),
+        (least(col("token_offset") + col("n_tokens"), col("__pack_start") + b) -
+          greatest(col("token_offset"), col("__pack_start")))
+          .as("seg_tokens"))
+  }
+
   /** Per-document fixed-token-window chunking with overlap — the other
     * standard LM-training prep (long-context / RAG corpora keep document
     * boundaries and split each doc into sliding windows instead of

@@ -522,6 +522,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d75: per-pack SEGMENT manifest — the attention-boundary table a
+    //     training loader consumes next to d14's concat-and-chunk layout:
+    //     a doc straddling packs emits one (doc, start_in_pack,
+    //     seg_tokens) row per pack it touches, so the trainer can reset
+    //     attention/loss at every in-pack document boundary. Row-local
+    //     explode over the pack span after d14's one shard shuffle; pure
+    //     integer algebra — hash-exact. --------------------------------
+    "d75_pack_segments" -> ((s, d) => {
+      Packing.packSegments(Tables.documents(s, d), "doc_id", "text",
+          budget = 2048, nShards = 32)
+        .orderBy("shard", "pack_id", "start_in_pack")
+    }),
+
     // --- per-doc token repetition signals (Gopher-style repetitious-text
     //     filter): explode → two-level aggregate, linear at any doc length ------
     "d15_repetition" -> ((s, d) => {
@@ -3254,6 +3267,31 @@ object TextQueries {
                 CAST(token_offset AS BIGINT) AS token_offset,
                 CAST(token_offset // 2048 AS BIGINT) AS pack_id
          FROM c ORDER BY doc_id""",
+    // d14's per-shard offsets + a pack-span unnest per doc: segment =
+    // the doc's token interval clipped to each pack's [pB, (p+1)B)
+    "d75_pack_segments" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS token_offset
+           FROM t),
+         e AS (
+           SELECT doc_id, shard, n_tokens, token_offset,
+                  CAST(unnest(range(CAST(token_offset // 2048 AS BIGINT),
+                    CAST((token_offset + n_tokens - 1) // 2048 + 1 AS BIGINT)))
+                    AS BIGINT) AS pack_id
+           FROM c WHERE n_tokens > 0)
+         SELECT shard, pack_id, doc_id,
+                CAST(greatest(token_offset - pack_id * 2048, 0) AS BIGINT)
+                  AS start_in_pack,
+                CAST(least(token_offset + n_tokens, (pack_id + 1) * 2048)
+                  - greatest(token_offset, pack_id * 2048) AS BIGINT)
+                  AS seg_tokens
+         FROM e ORDER BY shard, pack_id, start_in_pack""",
     "d15_repetition" ->
       """WITH tok AS (
            SELECT doc_id,

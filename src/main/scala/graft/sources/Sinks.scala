@@ -501,4 +501,29 @@ object Sinks {
     * partition column returns as `shard_id`, pruned when filtered on). */
   def readTrainingShards(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(subPath(path, "shards"))
+
+  /** REBUILD an export's `_manifest` and `_meta` from the shard data —
+    * the disaster-recovery path: the shard bytes are the truth and both
+    * sidecars are pure functions of them, so a manifest lost or
+    * corrupted mid-overwrite (the one crash window `writeTrainingShards`
+    * / [[appendTrainingShards]] cannot cover, since parquet overwrite
+    * deletes before it writes) is recoverable without touching a single
+    * shard byte. `tokensPerShard` must be supplied — the budget is not
+    * derivable from an appended export's batch-relative shard ids.
+    * After repair, resume and append work exactly as before (the rebuilt
+    * fingerprint equals what the writes would have recorded — pinned in
+    * SourcesSpec). */
+  def repairTrainingShardManifest(
+      spark: SparkSession, path: String, idCol: String,
+      tokensPerShard: Long): Unit = {
+    // two independent scans of the shard parquet, NOT a checkpoint: the
+    // export is corpus-sized, and re-reading columnar data twice beats
+    // pinning it in memory
+    val back = readTrainingShards(spark, path)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+    trainingShardManifest(back.withColumnRenamed(idCol, "doc_id"))
+      .write.mode("overwrite").parquet(subPath(path, "_manifest"))
+    shardPlanMeta(back, idCol, tokensPerShard)
+      .write.mode("overwrite").parquet(subPath(path, "_meta"))
+  }
 }

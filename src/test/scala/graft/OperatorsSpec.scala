@@ -1897,6 +1897,38 @@ class OperatorsSpec extends SparkTestBase {
       out.toString)
   }
 
+  test("packSegments: segments tile each pack; straddling docs split; totals conserve") {
+    import graft.operators.Packing
+    // one shard (ids ≡ 0 mod 32), budget 8: doc 0 has 5 tokens, doc 32
+    // has 7 (straddles packs 0/1: 3 + 4), doc 64 has 9 (straddles 1/2),
+    // doc 96 is empty (no segment)
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, words(5)), (32L, words(7)), (64L, words(9)),
+      (96L, "")).toDF("doc_id", "text")
+    val out = Packing.packSegments(docs, "doc_id", "text",
+        budget = 8, nShards = 32)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(t => (t._1, t._3))
+    assert(out == Seq(
+      (0L, 0L, 0L, 5L),   // doc 0: [0,5) of pack 0
+      (0L, 32L, 5L, 3L),  // doc 32: fills pack 0 to the boundary...
+      (1L, 32L, 0L, 4L),  // ...and continues at the start of pack 1
+      (1L, 64L, 4L, 4L),  // doc 64: rest of pack 1...
+      (2L, 64L, 0L, 5L)), // ...and 5 tokens into pack 2; doc 96 absent
+      out.toString)
+    // invariants: per-doc conservation and gapless tiling per pack
+    assert(out.groupBy(_._2).map { case (id, segs) => id -> segs.map(_._4).sum }
+      == Map(0L -> 5L, 32L -> 7L, 64L -> 9L))
+    for ((_, segs) <- out.groupBy(_._1)) {
+      val sorted = segs.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._4 == b._3, s"gap in $sorted")
+        case _ =>
+      }
+    }
+  }
+
   test("rrfFusePerQuery: per-query fusion; single-modality items surface per query") {
     import graft.operators.Similarity
     // q1: item (1,0) only in list A, item (2,0) only in list B — both must

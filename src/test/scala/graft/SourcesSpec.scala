@@ -517,6 +517,36 @@ class SourcesSpec extends SparkTestBase {
     assert(canon(spark.read.parquet(s"$tmp/_manifest")) == canon(stored))
   }
 
+  test("repairTrainingShardManifest: sidecars rebuild from shard data; append continues") {
+    import graft.sources.Sinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsrepair").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val t = docs.agg(expr("max(doc_id) div 2")).head.getLong(0)
+    Sinks.writeTrainingShards(spark, docs.filter($"doc_id" <= t), tmp,
+      "doc_id", "text", 2048L)
+    def canon(p: String) = spark.read.parquet(p).collect()
+      .map(_.toString).sorted.toSeq
+    val manifest0 = canon(s"$tmp/_manifest")
+    val meta0 = canon(s"$tmp/_meta")
+    // simulate the crash window: both sidecars lost mid-overwrite
+    for (side <- Seq("_manifest", "_meta")) {
+      val p = java.nio.file.Paths.get(tmp, side)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    Sinks.repairTrainingShardManifest(spark, tmp, "doc_id", 2048L)
+    assert(canon(s"$tmp/_manifest") == manifest0,
+      "rebuilt manifest must equal the one the write recorded")
+    assert(canon(s"$tmp/_meta") == meta0,
+      "rebuilt fingerprint must equal the one the write recorded")
+    // the repaired export appends exactly as an unrepaired one would
+    Sinks.appendTrainingShards(spark, docs.filter($"doc_id" > t), tmp,
+      "doc_id", "text")
+    assert(Sinks.readTrainingShards(spark, tmp).count() == docs.count())
+  }
+
   test("training-shard export works against an explicit file:/ URI (hadoop-fs paths)") {
     import graft.sources.Sinks
     val dir = java.nio.file.Files.createTempDirectory("graft_tsuri")
