@@ -1452,6 +1452,24 @@ object Similarity {
         col("cos_q"))
   }
 
+  /** Incrementally maintain a persisted [[chunkIvfIndex]] table under
+    * exactly-once versioned commits — [[ivfExtendIndex]]'s economics at
+    * chunk granularity: the quantizer stays FROZEN, each batch chunks +
+    * embeds + cell-assigns ONLY its own docs (all row-local, so the
+    * delta's index rows are bit-identical to a rebuild's) and
+    * bag-union-appends under the monotone doc-id guard; a replayed
+    * batchId is a no-op. Serve the committed table through
+    * [[chunkRetrieveFromIvfIndex]]. */
+  def chunkIvfExtendIndex(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      deltaDocs: DataFrame, idCol: String, textCol: String,
+      cents: Seq[(Long, Array[Float])], batchId: Long,
+      chunkSize: Int = 16, buckets: Int = 64): Unit =
+    graft.operators.IncrementalAgg.refreshOnceWith(spark, statePath,
+      chunkIvfIndex(chunkIndex(deltaDocs, idCol, textCol, chunkSize,
+        buckets), cents),
+      batchId, monotoneAppendMerge("doc_id"))
+
   /** Recall-vs-nProbe OPERATING CURVE for the chunk IVF tier —
     * [[ivfRecallCurve]]'s construction over the chunk index: recall@k of
     * the cell-pruned serve against the exact brute-force ranking from
@@ -1566,6 +1584,39 @@ object Similarity {
       .filter(col("rrf_rank") <= k)
       .select(col(queryName) +: col("rrf_rank") +: idNames.map(col) :+
         col("rrf_score"): _*)
+  }
+
+  /** Retrieval EVALUATION against labeled relevance — the measurement
+    * harness every retrieval deployment runs (distinct from the e23/e27
+    * recall-vs-exact SELF-consistency gates: here relevance is ground
+    * truth, planted or human-labeled, and the metric is quality of the
+    * whole stack). Per query: the first rank at which ANY relevant item
+    * appears within the top `k` (0 = miss) and its reciprocal-rank as
+    * the exact fixed-point integer `10⁶ div rank` — integer algebra, so
+    * MRR/hit-rate aggregates replicate bit-exactly in any engine (a
+    * float 1/rank would too, but the fixed-point form keeps downstream
+    * SUMS exact — the e24 contract).
+    *
+    * `ranked` carries (queryName, rank, idName); `qrels` carries
+    * (queryName, idName) relevant pairs. Scale shape: qrels are
+    * label-set-sized (broadcast join against the top-k lists, which are
+    * |queries|·k by construction); one query-keyed aggregate. Output:
+    * (queryName, first_rel_rank, rr_fp) — one row per DISTINCT qrels
+    * query, misses included. */
+  def retrievalEval(
+      ranked: DataFrame, qrels: DataFrame, queryName: String,
+      idName: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val first = ranked.filter(col("rank") <= k)
+      .join(broadcast(qrels.select(col(queryName), col(idName)).distinct()),
+        Seq(queryName, idName))
+      .groupBy(col(queryName))
+      .agg(min(col("rank")).cast("long").as("first_rel_rank"))
+    qrels.select(col(queryName)).distinct()
+      .join(first, Seq(queryName), "left")
+      .select(col(queryName),
+        coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("rr_fp"))
   }
 
   /** Nearest-prototype balanced curation (the SSL-prototypes / cluster-

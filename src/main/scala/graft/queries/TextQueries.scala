@@ -1149,6 +1149,27 @@ object TextQueries {
         .orderBy("query_id", "rrf_rank")
     }),
 
+    // --- e29: retrieval EVALUATION harness — planted ground truth, not
+    //     self-consistency: every doc_id ≡ 3 mod 97 spawns a near-copy
+    //     query (its text + one marker token), whose RELEVANT doc is its
+    //     source. The dense chunk stack retrieves top-10; per query the
+    //     first relevant rank and its exact fixed-point reciprocal rank
+    //     (10⁶ div rank, 0 = miss) — MRR/hit aggregates stay exact
+    //     integers. Hash-exact vs the e26 chain + metrics SQL. ----------
+    "e29_retrieval_eval" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" zevalqmarker")).as("text"))
+      val ranked = Similarity.chunkRetrieveTopK(docs, queries,
+        "doc_id", "text", k = 10)
+      val qrels = queries.select(col("doc_id").as("query_id"),
+        col("doc_id"))
+      Similarity.retrievalEval(ranked, qrels, "query_id", "doc_id", k = 10)
+        .orderBy("query_id")
+    }),
+
     // --- e21: MMR diverse top-k — retrieval that trades relevance
     //     against redundancy (Carbonell & Goldstein 1998): slot i goes to
     //     argmax λ·rel − (1−λ)·max-sim-to-selected over the per-probe
@@ -2780,6 +2801,78 @@ object TextQueries {
                ORDER BY rrf_score DESC, doc_id ASC, chunk_id ASC) AS rrf_rank
            FROM fused)
          WHERE rrf_rank <= 5 ORDER BY query_id, rrf_rank""",
+    // the e26 chunk chain over the FULL corpus, queries = planted
+    // near-copies (text + marker token), then min relevant rank per
+    // query + the exact fixed-point reciprocal rank
+    "e29_retrieval_eval" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+               FROM t WHERE len(toks) > 0),
+         x AS (SELECT doc_id, toks,
+                      CAST(unnest(range((n - 1) // 16 + 1)) AS BIGINT) AS chunk_id
+               FROM n),
+         ch AS (SELECT doc_id, chunk_id,
+                  array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ') AS chunk_text
+                FROM x),
+         cw AS (SELECT doc_id, chunk_id, w, count(*) AS cnt FROM (
+                  SELECT doc_id, chunk_id, unnest(list_filter(
+                    regexp_split_to_array(lower(chunk_text), '[^\p{L}\p{N}]+'),
+                    y -> y <> '')) AS w
+                  FROM ch) GROUP BY doc_id, chunk_id, w),
+         cb AS (SELECT doc_id, chunk_id,
+                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
+                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
+                FROM cw GROUP BY doc_id, chunk_id, b),
+         css AS (SELECT doc_id, chunk_id, CAST(sum(v*v) AS BIGINT) AS css
+                 FROM cb GROUP BY doc_id, chunk_id),
+         qdocs AS (SELECT doc_id AS query_id, text || ' zevalqmarker' AS qtext
+                   FROM documents WHERE doc_id % 97 = 3),
+         qw AS (SELECT query_id, w, count(*) AS cnt FROM (
+                  SELECT query_id, unnest(list_filter(
+                    regexp_split_to_array(lower(qtext), '[^\p{L}\p{N}]+'),
+                    y -> y <> '')) AS w
+                  FROM qdocs) GROUP BY query_id, w),
+         qb AS (SELECT query_id,
+                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
+                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
+                FROM qw GROUP BY query_id, b),
+         qss0 AS (SELECT query_id, CAST(sum(v*v) AS BIGINT) AS qss
+                  FROM qb GROUP BY query_id),
+         qss AS (SELECT q.query_id, COALESCE(s.qss, 0) AS qss
+                 FROM qdocs q LEFT JOIN qss0 s USING (query_id)),
+         dots AS (SELECT qb.query_id, cb.doc_id, cb.chunk_id,
+                    CAST(sum(cb.v * qb.v) AS BIGINT) AS dot
+                  FROM cb JOIN qb ON cb.b = qb.b
+                  GROUP BY qb.query_id, cb.doc_id, cb.chunk_id),
+         pairs AS (SELECT q.query_id, ch.doc_id, ch.chunk_id,
+                     COALESCE(css.css, 0) AS css, q.qss
+                   FROM ch LEFT JOIN css USING (doc_id, chunk_id)
+                   CROSS JOIN qss q),
+         scored AS (SELECT p.query_id, p.doc_id, p.chunk_id,
+                      CASE WHEN p.css > 0 AND p.qss > 0
+                        THEN floor(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                          / (sqrt(CAST(p.css AS DOUBLE)) * sqrt(CAST(p.qss AS DOUBLE)))
+                          * 10000) / 10000
+                        ELSE CAST(0 AS DOUBLE) END AS cos_q
+                    FROM pairs p LEFT JOIN dots d
+                      USING (query_id, doc_id, chunk_id)),
+         ranked AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_q DESC, doc_id ASC, chunk_id ASC) AS rank
+                    FROM scored),
+         rel AS (SELECT query_id, min(rank) AS fr
+                 FROM ranked WHERE rank <= 10 AND doc_id = query_id
+                 GROUP BY query_id)
+         SELECT q.query_id,
+                CAST(COALESCE(r.fr, 0) AS BIGINT) AS first_rel_rank,
+                CAST(COALESCE(1000000 // r.fr, 0) AS BIGINT) AS rr_fp
+         FROM qdocs q LEFT JOIN rel r USING (query_id)
+         ORDER BY query_id""",
     // probed-cell sets nest → monotone overlap; exhaustive probes run the
     // identical arithmetic over every index row → recall exactly 1; the
     // mid-budget floor is the empirical tuning point (measured ≥ 0.5 at

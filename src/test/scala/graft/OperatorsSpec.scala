@@ -1929,6 +1929,27 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("retrievalEval: first relevant rank within k; misses 0; fixed-point rr exact") {
+    import graft.operators.Similarity
+    val ranked = Seq(
+      (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),   // q1: rel 20 at rank 2
+      (2L, 1, 40L), (2L, 2, 50L),                  // q2: rel 60 never → miss
+      (3L, 1, 60L), (3L, 2, 61L), (3L, 12, 62L)    // q3: rel 61 at 2, rel 62
+                                                   //     outside k — 2 wins
+    ).toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1L, 20L), (2L, 60L), (3L, 61L), (3L, 62L))
+      .toDF("query_id", "doc_id")
+    val out = Similarity.retrievalEval(ranked, qrels, "query_id", "doc_id",
+        k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 2L, 500000L),   // 10⁶ div 2
+      (2L, 0L, 0L),        // miss: rank 0, rr 0
+      (3L, 2L, 500000L)),  // multi-qrel: min rank inside k
+      out.toString)
+  }
+
   test("rrfFusePerQuery: per-query fusion; single-modality items surface per query") {
     import graft.operators.Similarity
     // q1: item (1,0) only in list A, item (2,0) only in list B — both must

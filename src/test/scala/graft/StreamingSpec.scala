@@ -698,6 +698,23 @@ class StreamingSpec extends SparkTestBase {
       "maintained-index IVF serve must equal the rebuilt-index serve")
     assert(servedIvf == batch,
       "exhaustive probes must reproduce the exact scan ranking")
+    // versioned-commit maintenance of the PERSISTED cell-partitioned
+    // index (chunkIvfExtendIndex — the e20 economics at chunk level):
+    // two batches commit, a replayed batchId is a no-op, and the
+    // committed table equals a full rebuild row-for-row
+    val state = dir.resolve("ivfstate").toString
+    Similarity.chunkIvfExtendIndex(spark, state,
+      docs.take(2).toDF("doc_id", "text"), "doc_id", "text", cents, 0L)
+    Similarity.chunkIvfExtendIndex(spark, state,
+      docs.drop(2).toDF("doc_id", "text"), "doc_id", "text", cents, 1L)
+    Similarity.chunkIvfExtendIndex(spark, state,
+      docs.drop(2).toDF("doc_id", "text"), "doc_id", "text", cents, 1L) // replay
+    val committed = graft.operators.IncrementalAgg.readState(spark, state)
+    val fullIvf = Similarity.chunkIvfIndex(rebuiltCk, cents)
+    assert(committed.count() == fullIvf.count())
+    assert(committed.exceptAll(fullIvf).isEmpty &&
+      fullIvf.exceptAll(committed).isEmpty,
+      "committed chunk-IVF index must equal the batch rebuild")
   }
 
   test("streamed datasheet: maintained card equals batch card, replayed batchId no-op") {
