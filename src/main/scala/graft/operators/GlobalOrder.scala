@@ -51,4 +51,39 @@ object GlobalOrder {
       .withColumn("global_rn", col("__offset") + row_number().over(w))
       .drop("__pid", "__offset")
   }
+
+  /** Append `outCol` — each row's EXCLUSIVE running total of `valueCol`
+    * within its `groupCol` group, in the total order defined by
+    * `orderCols` (a unique key within the group) — without funneling any
+    * group through one reducer. A per-group `Window.partitionBy(group)`
+    * would cap parallelism at the number of groups (a handful of strata
+    * or domains over a corpus = a funnel); the two-pass shape instead
+    * range-partitions on (group, order...) so a large group SPANS
+    * partitions, collapses each (partition, group) slice to one row,
+    * prefix-sums those within the group (a broadcast-sized frame — at
+    * most groups+partitions rows), and adds the within-slice running
+    * sum. Same determinism argument as [[withGlobalRowNumber]]. */
+  def withGroupedRunningTotal(
+      df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must not be empty")
+    val cols = (groupCol +: orderCols).map(col)
+    val parted = df.repartitionByRange(cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = parted.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(valueCol)).as("__t"))
+      .withColumn("__goff",
+        coalesce(sum(col("__t")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col(groupCol), col("__goff"))
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(orderCols.map(col): _*)
+    parted.join(broadcast(offsets), Seq("__pid", groupCol))
+      .withColumn(outCol, col("__goff") +
+        sum(col(valueCol)).over(w.rowsBetween(Window.unboundedPreceding, 0)) -
+        col(valueCol))
+      .drop("__pid", "__goff")
+  }
 }

@@ -82,6 +82,46 @@ object Packing {
           .as("seg_tokens"))
   }
 
+  /** Length-STRATIFIED packing — the padding-efficiency batching every
+    * variable-length trainer wants: rank all docs by token length (the
+    * GlobalOrder two-pass — no single-reducer sort), cut the order into
+    * `nStrata` equal-count strata (`(rank−1)·k div n` — ntile semantics,
+    * pure integers), and pack WITHIN each stratum in the deterministic
+    * (md5(id), id) hash order. Batches drawn from one pack then hold
+    * docs of similar length, so per-batch padding ≈ the within-stratum
+    * length spread instead of the corpus-wide one (the length-bucketing
+    * trick of every seq2seq/LLM data loader, as a corpus-level layout).
+    *
+    * Scale shape: one tokenize pass, the two-pass global rank, and the
+    * per-stratum running token offsets via
+    * [[GlobalOrder.withGroupedRunningTotal]] — a per-stratum window
+    * would funnel the corpus into `nStrata` reducers; the grouped
+    * two-pass keeps every shuffle range-partitioned. Pure integer + md5
+    * algebra — engine-exact. Output: (idCol, n_tokens, global_rn,
+    * stratum, token_offset, pack_id); `token_offset` restarts per
+    * stratum and `pack_id` is stratum-relative. */
+  def lengthStratifiedPacks(
+      docs: DataFrame, idCol: String, textCol: String,
+      nStrata: Int, budget: Long): DataFrame = {
+    require(nStrata > 0 && budget > 0)
+    val base = docs.select(col(idCol),
+        coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tokens"))
+      .withColumn("__k", md5(col(idCol).cast("string")))
+    val n = base.count()
+    require(n > 0, "cannot stratify an empty corpus")
+    val ranked = GlobalOrder
+      .withGlobalRowNumber(base, Seq("n_tokens", "__k", idCol))
+      .withColumn("stratum", call_function("div",
+        (col("global_rn") - 1) * nStrata, lit(n)))
+    GlobalOrder.withGroupedRunningTotal(ranked, "stratum",
+        Seq("__k", idCol), "n_tokens", "token_offset")
+      .withColumn("pack_id",
+        call_function("div", col("token_offset"), lit(budget)))
+      .select(col(idCol), col("n_tokens"), col("global_rn"), col("stratum"),
+        col("token_offset"), col("pack_id"))
+  }
+
   /** Per-document fixed-token-window chunking with overlap — the other
     * standard LM-training prep (long-context / RAG corpora keep document
     * boundaries and split each doc into sliding windows instead of

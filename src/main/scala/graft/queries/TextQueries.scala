@@ -535,6 +535,18 @@ object TextQueries {
         .orderBy("shard", "pack_id", "start_in_pack")
     }),
 
+    // --- d76: length-STRATIFIED packing — the padding-efficiency layout
+    //     (length bucketing): global length rank via the GlobalOrder
+    //     two-pass, ntile-cut into 8 equal-count strata, then per-stratum
+    //     hash-order token offsets via the GROUPED two-pass (a stratum
+    //     window would funnel the corpus into 8 reducers). Pure integer
+    //     + md5 algebra; full listing hash-exact. -----------------------
+    "d76_length_strata" -> ((s, d) => {
+      Packing.lengthStratifiedPacks(Tables.documents(s, d), "doc_id",
+          "text", nStrata = 8, budget = 2048L)
+        .orderBy("doc_id")
+    }),
+
     // --- per-doc token repetition signals (Gopher-style repetitious-text
     //     filter): explode → two-level aggregate, linear at any doc length ------
     "d15_repetition" -> ((s, d) => {
@@ -3360,6 +3372,34 @@ object TextQueries {
                 CAST(token_offset AS BIGINT) AS token_offset,
                 CAST(token_offset // 2048 AS BIGINT) AS pack_id
          FROM c ORDER BY doc_id""",
+    // global length rank → ntile-cut strata → per-stratum hash-order
+    // running offsets — the one-window replica of the two-pass layout
+    "d76_length_strata" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR)) AS k,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         nn AS (SELECT count(*) AS n FROM t),
+         r AS (
+           SELECT doc_id, k, n_tokens,
+                  CAST(row_number() OVER (ORDER BY n_tokens, k, doc_id)
+                    AS BIGINT) AS global_rn
+           FROM t),
+         s AS (
+           SELECT doc_id, k, n_tokens, global_rn,
+                  CAST(((global_rn - 1) * 8) // nn.n AS BIGINT) AS stratum
+           FROM r, nn),
+         o AS (
+           SELECT doc_id, n_tokens, global_rn, stratum,
+                  CAST(sum(n_tokens) OVER (PARTITION BY stratum
+                    ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+                    AS BIGINT) AS token_offset
+           FROM s)
+         SELECT doc_id, n_tokens, global_rn, stratum, token_offset,
+                CAST(token_offset // 2048 AS BIGINT) AS pack_id
+         FROM o ORDER BY doc_id""",
     // d14's per-shard offsets + a pack-span unnest per doc: segment =
     // the doc's token interval clipped to each pack's [pB, (p+1)B)
     "d75_pack_segments" ->

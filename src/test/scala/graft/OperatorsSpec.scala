@@ -1897,6 +1897,55 @@ class OperatorsSpec extends SparkTestBase {
       out.toString)
   }
 
+  test("withGroupedRunningTotal: equals a per-group local scan at any partitioning") {
+    import graft.operators.GlobalOrder
+    val rows = (1L to 200L).map(i => (i, i % 5, (i * 7) % 23 + 1))
+    val df = rows.toDF("id", "grp", "v").repartition(7) // adversarial layout
+    val out = GlobalOrder.withGroupedRunningTotal(df, "grp",
+        Seq("id"), "v", "run")
+      .select($"id", $"grp", $"v", $"run")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val expected = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val sorted = g.sortBy(_._1)
+      sorted.zip(sorted.scanLeft(0L)(_ + _._3)).map {
+        case ((id, grp, v), run) => (id, grp, v, run)
+      }
+    }.toSeq.sortBy(_._1)
+    assert(out.sortBy(_._1) == expected)
+  }
+
+  test("lengthStratifiedPacks: contiguous equal-count strata; per-stratum offsets pack") {
+    import graft.operators.Packing
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // 16 docs, lengths 1..16 — 4 strata of exactly 4 docs each
+    val docs = (1L to 16L).map(i => (i, words(i.toInt))).toDF("doc_id", "text")
+    val out = Packing.lengthStratifiedPacks(docs, "doc_id", "text",
+        nStrata = 4, budget = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // equal-count strata, contiguous in the length order
+    val byStratum = out.groupBy(_._4)
+    assert(byStratum.keySet == Set(0L, 1L, 2L, 3L))
+    assert(byStratum.values.forall(_.size == 4))
+    for (s <- 0L to 2L)
+      assert(byStratum(s).map(_._2).max <= byStratum(s + 1).map(_._2).min,
+        "strata must be contiguous length ranges")
+    // within a stratum: offsets are the exclusive hash-order running sum,
+    // restarting at 0, and pack = offset div budget
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((_, segs) <- byStratum) {
+      val sorted = segs.sortBy(t => (md5(t._1.toString), t._1))
+      assert(sorted.head._5 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 + a._2 == b._5)
+        case _ =>
+      }
+      segs.foreach(t => assert(t._6 == t._5 / 8L))
+    }
+  }
+
   test("packSegments: segments tile each pack; straddling docs split; totals conserve") {
     import graft.operators.Packing
     // one shard (ids ≡ 0 mod 32), budget 8: doc 0 has 5 tokens, doc 32
