@@ -645,6 +645,36 @@ class PlansSpec extends SparkTestBase {
       s"expected a __pid-partitioned window:\n$p")
   }
 
+  test("d76: strata offsets ride the grouped two-pass, never a per-stratum funnel") {
+    val p = plan("d76_length_strata")
+    assert(p.contains("rangepartitioning"),
+      s"stratified packing must range-partition on (stratum, key):\n$p")
+    // BOTH corpus-sized windows (the global rank and the per-stratum
+    // running total) must be __pid-partitioned; a Window partitioned by
+    // stratum alone would funnel the corpus into |strata| reducers
+    assert("Window \\[[^\\]]*\\], \\[__pid#".r.findAllIn(p).size >= 2,
+      s"expected two __pid-partitioned windows (rank + grouped total):\n$p")
+    // (a stratum-partitioned window DOES appear — over the per-(pid,
+    // stratum) slice frame, which is broadcast-sized by construction;
+    // the corpus-sized windows above are the ones that must stay __pid)
+  }
+
+  test("e28: batch fusion fuses broadcast-pruned lists with a query-partitioned window") {
+    val p = plan("e28_hybrid_chunk_batch")
+    // the posting frame is checkpointed once and shared; query terms,
+    // stats, and the df table all broadcast; the final per-query top-k
+    // windows compile to WindowGroupLimit (map-side trim)
+    assert(p.contains("ExistingRDD"),
+      "the shared chunk frame must be served from the checkpoint")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"qterms/stats/dfs must broadcast, never shuffle the posting frame:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must trim map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "no unplanned cross product (the dense side's query broadcast is a " +
+        "BroadcastNestedLoopJoin by design)")
+  }
+
   test("d62 confirm join degrades to SMJ when the bench side can't broadcast") {
     // leakFreeSplit's "benchmark" is the corpus's own test split — at
     // 100 TB that side cannot broadcast. The fix routes the split's
