@@ -122,6 +122,59 @@ object Packing {
         col("token_offset"), col("pack_id"))
   }
 
+  /** Padding-waste REPORT — the measurement that justifies (or refutes)
+    * [[lengthStratifiedPacks]] on a given corpus: batches of `batchSize`
+    * docs are padded to their longest member, so per batch the waste is
+    * `max_len·|batch| − Σ len`. The report forms batches under BOTH
+    * layouts — `shuffled` (the d42 hash order, what a naive loader does)
+    * and `stratified` (within-stratum hash order, [[lengthStratifiedPacks]]'
+    * cut) — and aggregates exact integer totals per layout, so the
+    * padding saved is a measured number, not a claim. Ragged tail
+    * batches pad to their own size (never to `batchSize`).
+    *
+    * Scale shape: two GlobalOrder passes (global + grouped — no
+    * funnels), batch ids by integer division on the rank, one
+    * batch-keyed aggregate each, then a 2-row final rollup. Output:
+    * (layout, n_batches, total_tokens, padded_tokens). */
+  def paddingWasteReport(
+      docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, nStrata: Int): DataFrame = {
+    require(batchSize > 0 && nStrata > 0)
+    val base = docs.select(col(idCol),
+        coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tokens"))
+      .withColumn("__k", md5(col(idCol).cast("string")))
+      .withColumn("__one", lit(1L))
+    def rollup(batched: DataFrame, layout: String): DataFrame =
+      batched
+        .groupBy(col("__b"))
+        .agg(count(lit(1)).as("__c"), max(col("n_tokens")).as("__m"),
+          sum(col("n_tokens")).as("__s"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("__s")).as("total_tokens"),
+          sum(col("__m") * col("__c") - col("__s")).as("padded_tokens"))
+        .select(lit(layout).as("layout"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"))
+    val shuffled = rollup(
+      GlobalOrder.withGlobalRowNumber(base, Seq("__k", idCol))
+        .withColumn("__b", call_function("div",
+          col("global_rn") - 1, lit(batchSize.toLong))),
+      "shuffled")
+    val n = base.count()
+    require(n > 0, "cannot report on an empty corpus")
+    val strat = GlobalOrder
+      .withGlobalRowNumber(base, Seq("n_tokens", "__k", idCol))
+      .withColumn("stratum", call_function("div",
+        (col("global_rn") - 1) * nStrata, lit(n)))
+    val stratified = rollup(
+      GlobalOrder.withGroupedRunningTotal(strat, "stratum",
+          Seq("__k", idCol), "__one", "__srn")
+        .withColumn("__b", concat_ws(":", col("stratum"),
+          call_function("div", col("__srn"), lit(batchSize.toLong)))),
+      "stratified")
+    shuffled.unionByName(stratified)
+  }
+
   /** Per-document fixed-token-window chunking with overlap — the other
     * standard LM-training prep (long-context / RAG corpora keep document
     * boundaries and split each doc into sliding windows instead of

@@ -547,6 +547,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d77: padding-waste report — the MEASUREMENT behind d76: batches
+    //     pad to their longest member, so the report forms 16-doc batches
+    //     under both the shuffled (d42 hash order) and the stratified
+    //     (d76) layouts and totals the exact integer waste per layout.
+    //     On this corpus the stratified layout cuts padded tokens ~5-10×
+    //     (the number the row emits — measured, not claimed). ------------
+    "d77_padding_waste" -> ((s, d) => {
+      Packing.paddingWasteReport(Tables.documents(s, d), "doc_id", "text",
+          batchSize = 16, nStrata = 8)
+        .orderBy("layout")
+    }),
+
     // --- per-doc token repetition signals (Gopher-style repetitious-text
     //     filter): explode → two-level aggregate, linear at any doc length ------
     "d15_repetition" -> ((s, d) => {
@@ -3372,6 +3384,50 @@ object TextQueries {
                 CAST(token_offset AS BIGINT) AS token_offset,
                 CAST(token_offset // 2048 AS BIGINT) AS pack_id
          FROM c ORDER BY doc_id""",
+    // both layouts replicated as window chains: batch = rank div 16
+    // (shuffled: global hash rank; stratified: within-stratum hash rank
+    // under the ntile cut), then per-batch max·count − sum, rolled up
+    "d77_padding_waste" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR)) AS k,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         nn AS (SELECT count(*) AS n FROM t),
+         sh AS (
+           SELECT n_tokens,
+                  (CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) - 1)
+                    // 16 AS b
+           FROM t),
+         shb AS (SELECT b, count(*) AS c, max(n_tokens) AS m,
+                        sum(n_tokens) AS s
+                 FROM sh GROUP BY b),
+         shr AS (SELECT 'shuffled' AS layout,
+                        count(*) AS n_batches,
+                        CAST(sum(s) AS BIGINT) AS total_tokens,
+                        CAST(sum(m * c - s) AS BIGINT) AS padded_tokens
+                 FROM shb),
+         st AS (
+           SELECT doc_id, k, n_tokens,
+                  CAST(((CAST(row_number() OVER (ORDER BY n_tokens, k, doc_id)
+                    AS BIGINT) - 1) * 8) // nn.n AS BIGINT) AS stratum
+           FROM t, nn),
+         stb AS (
+           SELECT n_tokens,
+                  stratum,
+                  (CAST(row_number() OVER (PARTITION BY stratum
+                    ORDER BY k, doc_id) AS BIGINT) - 1) // 16 AS b
+           FROM st),
+         stg AS (SELECT stratum, b, count(*) AS c, max(n_tokens) AS m,
+                        sum(n_tokens) AS s
+                 FROM stb GROUP BY stratum, b),
+         str AS (SELECT 'stratified' AS layout,
+                        count(*) AS n_batches,
+                        CAST(sum(s) AS BIGINT) AS total_tokens,
+                        CAST(sum(m * c - s) AS BIGINT) AS padded_tokens
+                 FROM stg)
+         SELECT * FROM shr UNION ALL SELECT * FROM str ORDER BY layout""",
     // global length rank → ntile-cut strata → per-stratum hash-order
     // running offsets — the one-window replica of the two-pass layout
     "d76_length_strata" ->

@@ -1946,6 +1946,29 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("paddingWasteReport: exact per-layout totals; stratification wins on mixed lengths") {
+    import graft.operators.Packing
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // bimodal lengths: 8 short (2 tokens), 8 long (20) — a shuffled
+    // 4-doc batch usually mixes them (pads shorts to 20); stratified
+    // batches are pure
+    val docs = (1L to 16L)
+      .map(i => (i, words(if (i % 2 == 0) 2 else 20))).toDF("doc_id", "text")
+    val out = Packing.paddingWasteReport(docs, "doc_id", "text",
+        batchSize = 4, nStrata = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    val Seq(sh, st) = out.sortBy(_._1)
+    assert(sh._1 == "shuffled" && st._1 == "stratified", out.toString)
+    // both layouts batch all 16 docs and count the same real tokens
+    assert(sh._2 == 4L && st._2 == 4L)
+    assert(sh._3 == 176L && st._3 == 176L) // 8·2 + 8·20
+    // two equal-count strata split exactly at the mode boundary → zero
+    // padding stratified; the hash order mixes lengths → positive waste
+    assert(st._4 == 0L, out.toString)
+    assert(sh._4 > 0L, out.toString)
+  }
+
   test("packSegments: segments tile each pack; straddling docs split; totals conserve") {
     import graft.operators.Packing
     // one shard (ids ≡ 0 mod 32), budget 8: doc 0 has 5 tokens, doc 32
