@@ -61,10 +61,9 @@ object TextAnalysis {
     "with", "as", "was", "at", "by", "an", "be", "this", "are", "or", "from")
 
   /** Floor-quantize to 4 decimals. Used instead of `round` throughout the
-    * quality features: Spark rounds HALF_UP, DuckDB half-even, so `round`
-    * can differ on boundary values across engines — floor quantization is
-    * bit-identical everywhere (see the verify gotchas in
-    * .claude/skills/verify). */
+    * quality features: Spark rounds HALF_UP, most other engines round
+    * half-even, so `round` can differ on boundary values across engines —
+    * floor quantization is bit-identical everywhere. */
   private def q4(c: Column): Column = floor(c * 10000) / 10000
 
   /** Heuristic quality features in one projection:
