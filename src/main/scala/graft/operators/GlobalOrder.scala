@@ -31,6 +31,19 @@ object GlobalOrder {
     * deterministic — the passes can never disagree). */
   def withGlobalRowNumber(
       df: DataFrame, orderCols: Seq[String],
+      nPartitions: Int = 0): DataFrame =
+    withGlobalRowNumberAndTotal(df, orderCols, nPartitions).drop("__n_total")
+
+  /** [[withGlobalRowNumber]] plus a `__n_total` column carrying the total
+    * row count — derived from the SAME per-partition counts frame the
+    * offsets come from (one extra tiny window over the partition-count
+    * frame, broadcast back with the offsets), so a caller that needs n
+    * for a rank cut (ntile-style strata) avoids a separate `count()`
+    * action — at 100 TB that separate action is a full extra corpus
+    * scan per layout call. Empty input yields an empty frame (there is
+    * no row to carry a total). */
+  def withGlobalRowNumberAndTotal(
+      df: DataFrame, orderCols: Seq[String],
       nPartitions: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must not be empty")
     val cols = orderCols.map(col)
@@ -45,7 +58,10 @@ object GlobalOrder {
         coalesce(sum(col("__cnt")).over(
           Window.orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__offset"))
+      .withColumn("__n_total",
+        sum(col("__cnt")).over(Window.orderBy(col("__pid")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__offset"), col("__n_total"))
     val w = Window.partitionBy(col("__pid")).orderBy(cols: _*)
     parted.join(broadcast(offsets), "__pid")
       .withColumn("global_rn", col("__offset") + row_number().over(w))

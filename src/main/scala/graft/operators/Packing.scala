@@ -108,12 +108,14 @@ object Packing {
         coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
           .as("n_tokens"))
       .withColumn("__k", md5(col(idCol).cast("string")))
-    val n = base.count()
-    require(n > 0, "cannot stratify an empty corpus")
+    // n rides the GlobalOrder offsets frame (__n_total) instead of a
+    // separate count() action — that action was a full extra corpus scan
+    // per layout call (r16 verdict). An empty corpus yields empty output.
     val ranked = GlobalOrder
-      .withGlobalRowNumber(base, Seq("n_tokens", "__k", idCol))
+      .withGlobalRowNumberAndTotal(base, Seq("n_tokens", "__k", idCol))
       .withColumn("stratum", call_function("div",
-        (col("global_rn") - 1) * nStrata, lit(n)))
+        (col("global_rn") - 1) * nStrata, col("__n_total")))
+      .drop("__n_total")
     GlobalOrder.withGroupedRunningTotal(ranked, "stratum",
         Seq("__k", idCol), "n_tokens", "token_offset")
       .withColumn("pack_id",
@@ -160,12 +162,12 @@ object Packing {
         .withColumn("__b", call_function("div",
           col("global_rn") - 1, lit(batchSize.toLong))),
       "shuffled")
-    val n = base.count()
-    require(n > 0, "cannot report on an empty corpus")
+    // same __n_total trick as lengthStratifiedPacks: no separate count()
     val strat = GlobalOrder
-      .withGlobalRowNumber(base, Seq("n_tokens", "__k", idCol))
+      .withGlobalRowNumberAndTotal(base, Seq("n_tokens", "__k", idCol))
       .withColumn("stratum", call_function("div",
-        (col("global_rn") - 1) * nStrata, lit(n)))
+        (col("global_rn") - 1) * nStrata, col("__n_total")))
+      .drop("__n_total")
     val stratified = rollup(
       GlobalOrder.withGroupedRunningTotal(strat, "stratum",
           Seq("__k", idCol), "__one", "__srn")

@@ -704,6 +704,25 @@ object TextAnalysis {
       corpus: DataFrame, queries: DataFrame, keyCols: Seq[String],
       textCol: String, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (ranked, tfq) = bm25TopKBatchPlan(corpus, queries, keyCols, textCol,
+      queryIdCol, queryTextCol, k, k1, b)
+    // the posting frame is corpus-×-term-set-sized; the RESULT is
+    // |queries|·k. Force the tiny result and free the posting block HERE
+    // (the minhashNearDups pattern) — checkpointed mid-plan it would be
+    // unreachable to any caller-side release and leak until RDD GC
+    // (r16 advice)
+    try ranked.localCheckpoint(true)
+    finally Dedup.release(tfq)
+  }
+
+  /** [[bm25TopKBatch]]'s lazy plan plus its checkpointed posting frame —
+    * split out so the plan shape (df as aggregate+broadcast, per-query
+    * WindowGroupLimit) stays pinnable in PlansSpec; the public entry
+    * forces the result and releases the posting block. */
+  private[graft] def bm25TopKBatchPlan(
+      corpus: DataFrame, queries: DataFrame, keyCols: Seq[String],
+      textCol: String, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): (DataFrame, DataFrame) = {
     require(keyCols.nonEmpty && k >= 1)
     val base = corpus.select(keyCols.map(col) :+
       tokens(col(textCol)).as("toks"): _*)
@@ -723,8 +742,8 @@ object TextAnalysis {
     // df is per-term over the corpus, so the filtered frame computes it
     // identically while touching only matching rows. The posting frame is
     // checkpointed ONCE (it feeds both the df aggregate and the scoring
-    // join; the returned plan carries the block, the caller releases it —
-    // the standard returned-checkpoint contract), and df is a TINY
+    // join; the public entry forces the result and releases this block
+    // before returning), and df is a TINY
     // (≤ batch-term-set) aggregate broadcast back — NOT a per-term window:
     // on a small-vocabulary corpus a term-partitioned window funnels the
     // whole posting frame into |terms| reducers (measured 3.9× at 10× on
@@ -751,10 +770,11 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("bm25_fp").desc +: keyCols.map(col(_).asc): _*)
-    contrib.groupBy(col("query_id") +: keyCols.map(col): _*)
+    val ranked = contrib.groupBy(col("query_id") +: keyCols.map(col): _*)
       .agg(sum(col("__c_fp")).as("bm25_fp"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+    (ranked, tfq)
   }
 
   /** Gopher-rules document quality filter (Rae et al. 2021, Appendix A):

@@ -1155,22 +1155,26 @@ object TextQueries {
         .select(col("doc_id"), col("text"))
       val corpus = docs.filter(pmod(col("doc_id"), lit(101)) =!= 5)
         .select(col("doc_id"), col("text"))
-      // ONE chunking pass feeds both rankers (checkpointed; it appears in
-      // the returned plan, so the caller's release covers it)
+      // ONE chunking pass feeds both rankers; the fused result (a
+      // |queries|·k frame) is forced below so the chunk block can be
+      // released HERE instead of leaking until RDD GC (r16 advice)
       val chunks = graft.operators.Packing
         .chunkTokens(corpus, "doc_id", "text", 16, 0)
         .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
         .localCheckpoint(true)
-      val bm = TextAnalysis.bm25TopKBatch(chunks, queries,
-          Seq("doc_id", "chunk_id"), "chunk_text", "doc_id", "text", k = 10)
-        .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
-      val dense = Similarity.chunkRetrieveFromIndex(
-          Similarity.chunkIndexOfChunks(chunks), queries,
-          "doc_id", "text", k = 10)
-        .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
-      Similarity.rrfFusePerQuery(Seq(bm, dense), "query_id",
-          Seq("doc_id", "chunk_id"), k = 5)
-        .orderBy("query_id", "rrf_rank")
+      val out = try {
+        val bm = TextAnalysis.bm25TopKBatch(chunks, queries,
+            Seq("doc_id", "chunk_id"), "chunk_text", "doc_id", "text", k = 10)
+          .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+        val dense = Similarity.chunkRetrieveFromIndex(
+            Similarity.chunkIndexOfChunks(chunks), queries,
+            "doc_id", "text", k = 10)
+          .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+        Similarity.rrfFusePerQuery(Seq(bm, dense), "query_id",
+            Seq("doc_id", "chunk_id"), k = 5)
+          .localCheckpoint(true)
+      } finally graft.operators.Dedup.release(chunks)
+      out.orderBy("query_id", "rrf_rank")
     }),
 
     // --- e29: retrieval EVALUATION harness — planted ground truth, not

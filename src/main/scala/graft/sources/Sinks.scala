@@ -342,6 +342,7 @@ object Sinks {
     plan.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+      min(col(idCol).cast("long")).as("min_doc_id"),
       max(col(idCol).cast("long")).as("max_doc_id"),
       coalesce(sum(conv(substring(md5(col(idCol).cast("string")), 1, 8),
         16, 10).cast("long")), lit(0L)).as("id_checksum"))
@@ -389,6 +390,11 @@ object Sinks {
     val metaPath = subPath(path, "_meta")
     val meta = shardPlanMeta(plan, idCol, tokensPerShard).localCheckpoint(true)
     try {
+    // shard-count-sized: computed once up front so the resume layout check
+    // and the final manifest write share one aggregation over the plan
+    val newManifest = trainingShardManifest(
+      plan.withColumnRenamed(idCol, "doc_id")).localCheckpoint(true)
+    try {
     val done: DataFrame =
       if (pathExists(spark, manifestPath)) {
         require(pathExists(spark, metaPath),
@@ -398,7 +404,7 @@ object Sinks {
         val rec = spark.read.parquet(metaPath).head
         val now = meta.head
         val fields = Seq("tokens_per_shard", "n_docs", "n_tokens",
-          "max_doc_id", "id_checksum")
+          "min_doc_id", "max_doc_id", "id_checksum")
         val diffs = fields.filter(f =>
           rec.getAs[Any](f) != now.getAs[Any](f))
         require(diffs.isEmpty,
@@ -408,16 +414,37 @@ object Sinks {
             "manifest is recomputed from the new plan. Wipe the directory " +
             "for a changed budget/input, or appendTrainingShards for " +
             "monotone growth")
-        spark.read.parquet(manifestPath).select(col("shard_id"))
+        val recorded = spark.read.parquet(manifestPath)
+          .select(col("shard_id").cast("long").as("shard_id"), col("n_docs"),
+            col("n_tokens"), col("order_digest"))
+        // layout cross-check (r16 advice): after appendTrainingShards the
+        // _meta fingerprint holds WHOLE-corpus totals, so a rerun with the
+        // full grown corpus passes the field comparison above — yet the
+        // recorded shards hold the append layout (batches contiguous)
+        // while this plan would interleave everything. Resume is valid
+        // only when every recorded shard is exactly what this plan would
+        // write: recorded rows must be a SUBSET of the recomputed manifest
+        // (a strict subset is the legitimate partial-manifest crash case).
+        val mixed = recorded.join(newManifest,
+            Seq("shard_id", "n_docs", "n_tokens", "order_digest"),
+            "left_anti")
+          .limit(1).count()
+        require(mixed == 0L,
+          s"recorded manifest rows at $path are not what this plan would " +
+            "write — the export was grown with appendTrainingShards (or " +
+            "its layout drifted), and resuming a full re-export over it " +
+            "would mix shard layouts. Keep growing it with " +
+            "appendTrainingShards, or wipe the directory for a rebuild")
+        recorded.select(col("shard_id"))
       } else plan.select(col("shard_id")).limit(0)
     val toWrite = plan.join(done, Seq("shard_id"), "left_anti")
     withDynamicOverwrite(spark) {
       toWrite.write.mode("overwrite").partitionBy("shard_id")
         .parquet(subPath(path, "shards"))
     }
-    trainingShardManifest(plan.withColumnRenamed(idCol, "doc_id"))
-      .write.mode("overwrite").parquet(manifestPath)
+    newManifest.write.mode("overwrite").parquet(manifestPath)
     meta.write.mode("overwrite").parquet(metaPath)
+    } finally graft.operators.Dedup.release(newManifest)
     } finally graft.operators.Dedup.release(meta)
   }
 
@@ -448,26 +475,47 @@ object Sinks {
         s"$path — writeTrainingShards creates one")
     val rec = spark.read.parquet(metaPath).head
     val budget = rec.getAs[Long]("tokens_per_shard")
+    // manifest is shard-count-sized; checkpoint it once — the crash-window
+    // cross-check below and the rewrite both read it (and the rewrite
+    // must not read the path it overwrites)
+    val oldManifest = spark.read.parquet(manifestPath)
+      .select(col("shard_id").cast("long").as("shard_id"), col("n_docs"),
+        col("n_tokens"), col("order_digest"))
+      .localCheckpoint(true)
+    try {
+    // crash-window guard (r16 advice): the previous append overwrites the
+    // manifest, THEN _meta. A crash between the two leaves a manifest that
+    // already contains the delta next to a stale pre-append fingerprint —
+    // a retry would then pass the strictly-greater id guard and re-append
+    // the WHOLE delta into fresh shard ids (silent duplication). The two
+    // sidecars agree on totals in every committed state, so raise on
+    // mismatch and direct to the rebuild path.
+    val mTot = oldManifest.agg(
+      coalesce(sum(col("n_docs")), lit(0L)).as("d"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("t")).head
+    require(rec.getAs[Long]("n_docs") == mTot.getLong(0) &&
+      rec.getAs[Long]("n_tokens") == mTot.getLong(1),
+      s"_meta and _manifest at $path disagree (_meta ${rec.getAs[Long](
+        "n_docs")} docs/${rec.getAs[Long]("n_tokens")} tokens vs manifest " +
+        s"${mTot.getLong(0)}/${mTot.getLong(1)}) — a crash landed between " +
+        "the two sidecar overwrites; run repairTrainingShardManifest " +
+        "before appending, or the delta would silently duplicate")
     val plan0 = graft.operators.Packing
       .shardByTokenBudget(delta, idCol, textCol, budget)
     val dMeta = shardPlanMeta(plan0, idCol, budget).localCheckpoint(true)
     try {
     val d = dMeta.head
     if (d.getAs[Long]("n_docs") == 0L) return
-    val dMin = plan0.agg(min(col(idCol).cast("long"))).head.getLong(0)
+    // min(id) rides shardPlanMeta's single aggregate (r16 verdict: the
+    // separate min() action re-ran the delta's whole two-pass shard plan
+    // for one scalar)
+    val dMin = d.getAs[Long]("min_doc_id")
     require(rec.isNullAt(rec.fieldIndex("max_doc_id")) ||
       dMin > rec.getAs[Long]("max_doc_id"),
       s"delta ids must be strictly greater than every exported id " +
         s"(append-only corpus): delta min $dMin vs exported max " +
         s"${rec.getAs[Long]("max_doc_id")} — an overlapping id means a " +
         "duplicate or a mutation; both need a fresh export")
-    // manifest is shard-count-sized; checkpoint it so the rewrite below
-    // doesn't read the path it overwrites
-    val oldManifest = spark.read.parquet(manifestPath)
-      .select(col("shard_id").cast("long").as("shard_id"), col("n_docs"),
-        col("n_tokens"), col("order_digest"))
-      .localCheckpoint(true)
-    try {
     val s0 = oldManifest.agg(max(col("shard_id"))).head.getLong(0) + 1L
     val plan = plan0
       .withColumn("shard_id", col("shard_id") + lit(s0))
@@ -488,13 +536,18 @@ object Sinks {
     dMeta.select(
         (col("n_docs") + lit(rec.getAs[Long]("n_docs"))).as("n_docs"),
         (col("n_tokens") + lit(rec.getAs[Long]("n_tokens"))).as("n_tokens"),
+        // the corpus minimum never moves under append (delta ids are
+        // strictly above the recorded max); a null recorded min means the
+        // base export was empty, so the delta's min IS the corpus min
+        (if (rec.isNullAt(rec.fieldIndex("min_doc_id"))) col("min_doc_id")
+         else lit(rec.getAs[Long]("min_doc_id"))).as("min_doc_id"),
         col("max_doc_id"),
         (col("id_checksum") + lit(rec.getAs[Long]("id_checksum")))
           .as("id_checksum"),
         col("tokens_per_shard"))
       .write.mode("overwrite").parquet(metaPath)
-    } finally graft.operators.Dedup.release(oldManifest)
     } finally graft.operators.Dedup.release(dMeta)
+    } finally graft.operators.Dedup.release(oldManifest)
   }
 
   /** Read a [[writeTrainingShards]] export back (the shard slices; the

@@ -660,19 +660,42 @@ class PlansSpec extends SparkTestBase {
   }
 
   test("e28: batch fusion fuses broadcast-pruned lists with a query-partitioned window") {
-    val p = plan("e28_hybrid_chunk_batch")
-    // the posting frame is checkpointed once and shared; query terms,
-    // stats, and the df table all broadcast; the final per-query top-k
-    // windows compile to WindowGroupLimit (map-side trim)
-    assert(p.contains("ExistingRDD"),
-      "the shared chunk frame must be served from the checkpoint")
-    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
-      s"qterms/stats/dfs must broadcast, never shuffle the posting frame:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"per-query top-k must trim map-side:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      "no unplanned cross product (the dense side's query broadcast is a " +
-        "BroadcastNestedLoopJoin by design)")
+    // the row itself now forces the fused result so its chunk/posting
+    // blocks can be released eagerly (r16 advice) — so pin the BM25
+    // batch plan SHAPE on the lazy plan builder directly, and the row
+    // only for serving from the forced result
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.{Packing, TextAnalysis}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 5)
+    val chunks = Packing
+      .chunkTokens(docs.filter(pmod(col("doc_id"), lit(101)) =!= 5),
+        "doc_id", "text", 16, 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      .localCheckpoint(true)
+    try {
+      val (ranked, tfq) = TextAnalysis.bm25TopKBatchPlan(chunks, queries,
+        Seq("doc_id", "chunk_id"), "chunk_text", "doc_id", "text", k = 10)
+      try {
+        val p = ranked.queryExecution.executedPlan.toString
+        // the posting frame is checkpointed once and shared; query terms,
+        // stats, and the df table all broadcast; the per-query top-k
+        // window compiles to WindowGroupLimit (map-side trim)
+        assert(p.contains("ExistingRDD"),
+          "the posting frame must be served from its checkpoint")
+        assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+          s"qterms/stats/dfs must broadcast, never shuffle the posting frame:\n$p")
+        assert(p.contains("WindowGroupLimit"),
+          s"per-query top-k must trim map-side:\n$p")
+        assert(!p.contains("CartesianProduct"),
+          "no unplanned cross product (the stats broadcast is a " +
+            "BroadcastNestedLoopJoin by design)")
+      } finally graft.operators.Dedup.release(tfq)
+    } finally graft.operators.Dedup.release(chunks)
+    val rowPlan = plan("e28_hybrid_chunk_batch")
+    assert(rowPlan.contains("ExistingRDD"),
+      "the row must serve the fused result from its forced checkpoint")
   }
 
   test("d62 confirm join degrades to SMJ when the bench side can't broadcast") {

@@ -517,6 +517,54 @@ class SourcesSpec extends SparkTestBase {
     assert(canon(spark.read.parquet(s"$tmp/_manifest")) == canon(stored))
   }
 
+  test("append/rebuild guards: appended exports refuse full-rebuild resume and stale-_meta retries") {
+    import graft.sources.Sinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsguard2").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val t = docs.agg(expr("max(doc_id) div 2")).head.getLong(0)
+    val B = 2048L
+    Sinks.writeTrainingShards(spark, docs.filter($"doc_id" <= t), tmp,
+      "doc_id", "text", B)
+    val metaBefore = spark.read.parquet(s"$tmp/_meta").collect()
+    Sinks.appendTrainingShards(spark, docs.filter($"doc_id" > t), tmp,
+      "doc_id", "text")
+    // (r16 advice #1) after the append, _meta holds WHOLE-corpus totals —
+    // a full-corpus rerun of writeTrainingShards passes the fingerprint
+    // fields, but its interleaved plan is NOT the on-disk append layout:
+    // the recorded-manifest cross-check must refuse instead of silently
+    // rewriting the manifest out from under the append-layout bytes
+    val manifest = spark.read.parquet(s"$tmp/_manifest").collect()
+      .map(_.toString).sorted.toSeq
+    val e1 = intercept[IllegalArgumentException] {
+      Sinks.writeTrainingShards(spark, docs, tmp, "doc_id", "text", B)
+    }
+    assert(e1.getMessage.contains("appendTrainingShards"), e1.getMessage)
+    assert(spark.read.parquet(s"$tmp/_manifest").collect()
+      .map(_.toString).sorted.toSeq == manifest,
+      "the refused rebuild must not have touched the manifest")
+    // (r16 advice #2) crash window between the manifest overwrite and the
+    // _meta overwrite: simulate by restoring the PRE-append _meta next to
+    // the post-append manifest; the retry must raise at entry (directing
+    // to repair) instead of re-appending the delta under the stale guard
+    val metaSchema = spark.read.parquet(s"$tmp/_meta").schema
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(metaBefore.toSeq), metaSchema)
+      .write.mode("overwrite").parquet(s"$tmp/_meta")
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.appendTrainingShards(spark, docs.filter($"doc_id" > t), tmp,
+        "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("repairTrainingShardManifest"), e2.getMessage)
+    // repair heals it; the corpus reads back whole with no duplication
+    Sinks.repairTrainingShardManifest(spark, tmp, "doc_id", B)
+    Sinks.appendTrainingShards(spark, docs.filter(lit(false)), tmp,
+      "doc_id", "text")
+    assert(Sinks.readTrainingShards(spark, tmp).count() == docs.count())
+    assert(Sinks.readTrainingShards(spark, tmp)
+      .select($"doc_id").distinct().count() == docs.count())
+  }
+
   test("repairTrainingShardManifest: sidecars rebuild from shard data; append continues") {
     import graft.sources.Sinks
     val tmp = java.nio.file.Files.createTempDirectory("graft_tsrepair").toString
