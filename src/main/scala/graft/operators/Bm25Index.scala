@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained BM25 posting index — the sparse
+  * half of a production retrieval serving stack (the r16 verdict's top
+  * item): [[TextAnalysis.bm25TopKBatch]] is the right plan for one-off
+  * BATCH scoring but re-tokenizes the corpus and rebuilds the (item,
+  * term) tf frame inside every invocation; every production keyword tier
+  * instead serves from a stored posting table. This module materializes
+  * that artifact — three frames under ONE versioned commit
+  * ([[IncrementalAgg.refreshOnceWithParts]], the e27/e20 economics
+  * applied to the sparse side):
+  *
+  *   - `postings` (__tb, keyCols..., len, term, tf): the per-(item, term)
+  *     frequency table, Hive-partitioned by `__tb` — a fixed hash bucket
+  *     of the term — so a serving batch's (bucket, term) broadcast join
+  *     DYNAMICALLY PRUNES the scan to the buckets its terms hash into
+  *     (the e27 cell_id pattern; PlansSpec pins `dynamicpruning`).
+  *     Bucket ids never touch scores, so the engine-specific hash is
+  *     oracle-safe.
+  *   - `terms` (term, df): document frequencies. Batches hold DISJOINT
+  *     items (the monotone-id append guard), so per-term df merges by
+  *     plain addition — the MvMaintain "sum" algebra.
+  *   - `stats` (n_docs, len_sum, n_buckets): exact-integer corpus totals;
+  *     avgdl derives at serve time with the same double division the
+  *     recompute path uses, so served scores are BIT-IDENTICAL.
+  *
+  * Incremental maintenance: each batch tokenizes ONLY its own docs (the
+  * per-item tf rows are row-local + one per-item aggregate, identical to
+  * what a full rebuild would produce for those items), postings
+  * bag-union-append under the monotone-id guard, df/len/n_docs add.
+  * A replayed batchId is a no-op (the versioned-commit contract), and
+  * the three parts commit under one atomic rename — no cross-part crash
+  * window. Maintained state ≡ full rebuild row-for-row (StreamingSpec).
+  *
+  * Serving ([[bm25TopKBatchFromIndex]]) reads the committed parts and
+  * runs [[TextAnalysis.bm25BatchRank]] — the SAME expression tree as the
+  * recompute path — with zero corpus tokenization: the only corpus-sized
+  * input is the bucket-pruned posting scan. At 100 TB the per-batch cost
+  * drops from "re-tokenize + re-aggregate the corpus" to "scan the
+  * probed posting buckets", exactly what the e30 gate row certifies
+  * (served output ≡ recompute output, hash-exact).
+  */
+object Bm25Index {
+
+  val PostingsPart = "postings"
+  val TermsPart = "terms"
+  val StatsPart = "stats"
+
+  /** The three delta frames for one batch of `corpus` docs — pure
+    * functions of the batch (tokenize → per-item tf; per-term df; corpus
+    * totals), so a delta's rows are bit-identical to the corresponding
+    * rows of a full rebuild. */
+  private def buildDelta(
+      corpus: DataFrame, keyCols: Seq[String], textCol: String,
+      nBuckets: Int): Seq[(String, DataFrame)] = {
+    require(keyCols.nonEmpty && nBuckets > 0)
+    val base = corpus.select(keyCols.map(col) :+
+        TextAnalysis.tokens(col(textCol)).as("toks"): _*)
+      .select(keyCols.map(col) :+ size(col("toks")).cast("long").as("len") :+
+        col("toks"): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("len")), lit(0L)).as("len_sum"))
+      .withColumn("n_buckets", lit(nBuckets))
+    val tf = base
+      .select(keyCols.map(col) :+ col("len") :+
+        explode(col("toks")).as("term"): _*)
+      .groupBy(keyCols.map(col) :+ col("len") :+ col("term"): _*)
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val postings = tf.withColumn("__tb",
+      pmod(hash(col("term")), lit(nBuckets)))
+    val terms = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    Seq(PostingsPart -> postings, TermsPart -> terms, StatsPart -> stats)
+  }
+
+  private def merges(
+      idName: String): Map[String, (DataFrame, DataFrame) => DataFrame] = Map(
+    PostingsPart -> Similarity.monotoneAppendMerge(idName),
+    // disjoint item sets (enforced above) make df additive per term
+    TermsPart -> ((st: DataFrame, dl: DataFrame) =>
+      st.as("s").join(dl.as("d"), Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("s.df"), lit(0L)) + coalesce(col("d.df"), lit(0L)))
+            .as("df"))),
+    // one-row exact-integer totals; a bucket-count drift would silently
+    // split a term across partitions, so it raises instead
+    StatsPart -> ((st: DataFrame, dl: DataFrame) =>
+      st.as("s").crossJoin(dl.as("d")).select(
+        (col("s.n_docs") + col("d.n_docs")).as("n_docs"),
+        (col("s.len_sum") + col("d.len_sum")).as("len_sum"),
+        when(col("s.n_buckets") === col("d.n_buckets"), col("s.n_buckets"))
+          .otherwise(raise_error(concat(lit("bm25 index bucket count " +
+            "drifted: indexed "), col("s.n_buckets"),
+            lit(" vs delta "), col("d.n_buckets"),
+            lit(" — rebuild the index")))
+            .cast("int"))
+          .as("n_buckets"))))
+
+  /** Merge one batch of docs into the index at `statePath` under the
+    * exactly-once versioned-commit protocol (bootstraps on first call).
+    * Batch ids monotone; delta item ids strictly above everything
+    * indexed (overlap raises — a duplicated item would double-count df
+    * and score wrong). */
+  def extendIndex(
+      spark: SparkSession, statePath: String, deltaCorpus: DataFrame,
+      keyCols: Seq[String], textCol: String, batchId: Long,
+      nBuckets: Int = 64): Unit =
+    IncrementalAgg.refreshOnceWithParts(spark, statePath, batchId,
+      buildDelta(deltaCorpus, keyCols, textCol, nBuckets),
+      merges(keyCols.head),
+      partitionCols = Map(PostingsPart -> Seq("__tb")))
+
+  /** [[TextAnalysis.bm25TopKBatch]] served from the committed index at
+    * `statePath`: the query batch tokenizes (batch-sized), its term set
+    * broadcast-joins the bucket-partitioned posting scan on
+    * (__tb, term) — DPP prunes unprobed buckets — df and corpus stats
+    * come from the stored parts, and the shared
+    * [[TextAnalysis.bm25BatchRank]] tail produces bit-identical scores
+    * to the recompute path. No corpus tokenization anywhere in the
+    * serving plan (PlansSpec pins it). */
+  def bm25TopKBatchFromIndex(
+      spark: SparkSession, statePath: String, queries: DataFrame,
+      keyCols: Seq[String], queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(keyCols.nonEmpty && k >= 1)
+    val postings = IncrementalAgg.readStatePart(spark, statePath, PostingsPart)
+    val terms = IncrementalAgg.readStatePart(spark, statePath, TermsPart)
+    val stats = IncrementalAgg.readStatePart(spark, statePath, StatsPart)
+    // one driver-side row: the bucket count is an index constant the
+    // query side must hash with
+    val nBuckets = stats.select(col("n_buckets")).head.getInt(0)
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol))))
+        .as("term"))
+    val qset = qterms.select(col("term")).distinct()
+      .withColumn("__tb", pmod(hash(col("term")), lit(nBuckets)))
+    val tfq = postings.join(broadcast(qset), Seq("__tb", "term"))
+      .drop("__tb")
+    val dfs = terms.join(broadcast(qset.select(col("term"))), Seq("term"))
+      .select(col("term"), col("df").cast("double").as("df"))
+    val withDf = tfq.join(broadcast(dfs), Seq("term"))
+    // same double derivation as the recompute path's one-row aggregate:
+    // count cast to double, long token sum cast to double, one IEEE divide
+    val statsD = stats.select(
+      col("n_docs").cast("double").as("n_docs"),
+      (col("len_sum").cast("double") / col("n_docs")).as("avgdl"))
+    TextAnalysis.bm25BatchRank(withDf, statsD, qterms, keyCols, k, k1, b)
+  }
+}

@@ -226,6 +226,57 @@ object IncrementalAgg {
     if (latestVersion(spark, statePath).forall(_ < batchId))
       mergeCommit(spark, statePath, batchId, delta, merge)
 
+  /** [[refreshOnceWith]] for a state whose snapshot is SEVERAL named
+    * frames ("parts") — e.g. a posting index plus its term and corpus
+    * statistics tables. All parts of a version write under one staging
+    * dir and commit with ONE atomic rename, so there is no cross-part
+    * crash window (the failure mode a sidecar-pair written by two
+    * overwrites always has — see the training-shard export's entry
+    * guards). Each part merges with its own algebra; `partitionCols`
+    * lets a part persist Hive-partitioned so readers can prune it
+    * (the e27 cell_id pattern). */
+  def refreshOnceWithParts(
+      spark: SparkSession, statePath: String, batchId: Long,
+      deltas: Seq[(String, DataFrame)],
+      merges: Map[String, (DataFrame, DataFrame) => DataFrame],
+      partitionCols: Map[String, Seq[String]] = Map.empty): Unit = {
+    val prev = latestVersion(spark, statePath)
+    if (prev.forall(_ < batchId)) {
+      val tmp = s"$statePath/.tmp-$batchId"
+      deltas.foreach { case (part, delta) =>
+        val merged = prev match {
+          case None => delta
+          case Some(v) =>
+            merges(part)(spark.read.parquet(s"$statePath/v$v/$part"), delta)
+        }
+        val w = merged.write.mode("overwrite")
+        partitionCols.get(part).filter(_.nonEmpty)
+          .fold(w)(cs => w.partitionBy(cs: _*))
+          .parquet(s"$tmp/$part")
+      }
+      val fs = fsOf(spark, statePath)
+      val dest = new org.apache.hadoop.fs.Path(s"$statePath/v$batchId")
+      if (fs.exists(dest)) fs.delete(dest, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dest))
+        throw new java.io.IOException(s"commit rename $tmp -> $dest failed")
+      versions(spark, statePath).filter(_ < batchId).foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$old"), true)
+      }
+      fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).foreach { st =>
+        if (st.getPath.getName.startsWith(".tmp-"))
+          { fs.delete(st.getPath, true); () }
+      }
+    }
+  }
+
+  /** Read one named part of the latest committed multi-part snapshot. */
+  def readStatePart(
+      spark: SparkSession, statePath: String, part: String): DataFrame = {
+    val v = latestVersion(spark, statePath).getOrElse(
+      throw new IllegalStateException(s"no committed state under $statePath"))
+    spark.read.parquet(s"$statePath/v$v/$part")
+  }
+
   /** Directory of the latest committed snapshot — an IMMUTABLE parquet
     * dir until the next commit prunes it, so it can be handed to readers
     * that bind concrete files (e.g. [[graft.plans.MvRewrite.register]]'s

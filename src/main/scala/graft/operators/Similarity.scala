@@ -551,7 +551,7 @@ object Similarity {
   /** Bag-union merge for append-only index tables, guarded so a replay
     * under a NEW batchId (or any id overlap) fails loudly instead of
     * silently duplicating index rows. */
-  private def monotoneAppendMerge(idName: String)(
+  private[graft] def monotoneAppendMerge(idName: String)(
       st: DataFrame, dl: DataFrame): DataFrame = {
     // one driver action for both extremes (a 2-row tagged union instead of
     // two collects per refresh); the explicit long cast makes a

@@ -754,10 +754,27 @@ object TextAnalysis {
     val dfs = tfq.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val withDf = tfq.join(broadcast(dfs), Seq("term"))
-    // the contribution is QUERY-INDEPENDENT (query tf is ignored, the
-    // standard short-query BM25), so quantize it per (term, item) BEFORE
-    // the query join — the joined frame (|matching items| × |queries|)
-    // then only sums longs instead of re-deriving the double tree per pair
+    (bm25BatchRank(withDf, stats, qterms, keyCols, k, k1, b), tfq)
+  }
+
+  /** The shared per-(term, item) → per-(query, item) BM25 ranking tail —
+    * ONE expression tree used by both the recompute path
+    * ([[bm25TopKBatchPlan]]) and the served-from-index path
+    * ([[Bm25Index.bm25TopKBatchFromIndex]]), so "served ≡ recompute" is
+    * exact by construction, never by parallel maintenance of two trees.
+    * `withDf` carries (term, keyCols..., len, tf, df); `stats` is the
+    * one-row (n_docs, avgdl) frame; `qterms` the (query_id, term) pairs.
+    *
+    * The contribution is QUERY-INDEPENDENT (query tf is ignored, the
+    * standard short-query BM25), so it floor-quantizes to a ×10⁹
+    * fixed-point long per (term, item) BEFORE the query join — the
+    * joined frame (|matching items| × |queries|) then only sums longs
+    * (order-independent exact integers) instead of re-deriving the
+    * double tree per pair; the final top-k is a query-partitioned
+    * WindowGroupLimit. */
+  private[graft] def bm25BatchRank(
+      withDf: DataFrame, stats: DataFrame, qterms: DataFrame,
+      keyCols: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
     val perTerm = withDf
       .crossJoin(broadcast(stats))
       .select(col("term") +: keyCols.map(col) :+
@@ -770,11 +787,10 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("bm25_fp").desc +: keyCols.map(col(_).asc): _*)
-    val ranked = contrib.groupBy(col("query_id") +: keyCols.map(col): _*)
+    contrib.groupBy(col("query_id") +: keyCols.map(col): _*)
       .agg(sum(col("__c_fp")).as("bm25_fp"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-    (ranked, tfq)
   }
 
   /** Gopher-rules document quality filter (Rae et al. 2021, Appendix A):

@@ -56,6 +56,52 @@ object TextQueries {
   private val chunkIvfIndexes =
     new java.util.concurrent.ConcurrentHashMap[
       String, (Seq[(Long, Array[Float])], String)]()
+  // e30 sparse serving tier: the persisted BM25 posting index over the
+  // held-out-split chunk corpus, committed once per (JVM, sf dir)
+  private val bm25ChunkIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Chunk-IVF codebook + cell-partitioned index dir for the held-out
+    * split of `d`'s documents — built once per (JVM, sf dir); shared by
+    * the e27 recall row and the e31 hybrid serving row (which needs the
+    * SAME artifact so its exhaustive-probe dense leg provably equals the
+    * exact scan). */
+  private def chunkIvfIndexFor(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): (Seq[(Long, Array[Float])], String) =
+    chunkIvfIndexes.computeIfAbsent(d, _ => {
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val index = Similarity.chunkIndex(corpus, "doc_id", "text")
+        .localCheckpoint(true)
+      try {
+        val cb = Similarity.chunkIvfCentroidsCollected(index,
+          nCells = 8, iters = 2, seed = 42L)
+        val dir = new java.io.File(indexTmpDir("chunkivf"), "index").toString
+        Similarity.chunkIvfIndex(index, cb)
+          .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+        (cb, dir)
+      } finally graft.operators.Dedup.release(index)
+    })
+
+  /** Versioned BM25 posting-index state dir over the SAME held-out-split
+    * chunk corpus — built once per (JVM, sf dir); shared by the e30
+    * served-ranking row and the e31 hybrid serving row. */
+  private def bm25ChunkIndexFor(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25ChunkIndexes.computeIfAbsent(d, _ => {
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val chunks = graft.operators.Packing
+        .chunkTokens(corpus, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val dir = new java.io.File(indexTmpDir("bm25"), "state").toString
+      graft.operators.Bm25Index.extendIndex(s, dir, chunks,
+        Seq("doc_id", "chunk_id"), "chunk_text", batchId = 0L)
+      dir
+    })
 
   // d51/s19 shared quality model, memoized per (JVM, sf dir): the batch
   // gate and the streaming router must score with the SAME trained
@@ -1113,20 +1159,7 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 5)
         .select(col("doc_id"), col("text"))
-      val corpus = docs.filter(pmod(col("doc_id"), lit(101)) =!= 5)
-        .select(col("doc_id"), col("text"))
-      val (cents, indexPath) = chunkIvfIndexes.computeIfAbsent(d, _ => {
-        val index = Similarity.chunkIndex(corpus, "doc_id", "text")
-          .localCheckpoint(true)
-        try {
-          val cb = Similarity.chunkIvfCentroidsCollected(index,
-            nCells = 8, iters = 2, seed = 42L)
-          val dir = new java.io.File(indexTmpDir("chunkivf"), "index").toString
-          Similarity.chunkIvfIndex(index, cb)
-            .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
-          (cb, dir)
-        } finally graft.operators.Dedup.release(index)
-      })
+      val (cents, indexPath) = chunkIvfIndexFor(s, d)
       val curve = Similarity.chunkIvfRecallCurve(s.read.parquet(indexPath),
         cents, queries, "doc_id", "text", k = 3, Seq(1, 2, 4, 8))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_probe"))
@@ -1196,6 +1229,58 @@ object TextQueries {
         col("doc_id"))
       Similarity.retrievalEval(ranked, qrels, "query_id", "doc_id", k = 10)
         .orderBy("query_id")
+    }),
+
+    // --- e30: the BM25 posting-index SERVING tier — e28's sparse leg
+    //     re-tokenized the corpus and rebuilt the tf frame on every
+    //     invocation (the r16 `weak`); here the (item, term, tf, len)
+    //     postings + per-term df + corpus stats persist as ONE versioned
+    //     artifact (three parts, one atomic commit), the posting table is
+    //     partitioned by a term hash bucket (the serve's (bucket, term)
+    //     broadcast join DPP-prunes the scan — PlansSpec pins it), and
+    //     serving runs the SAME scoring tail as the recompute path — so
+    //     this row is hash-exact against the from-scratch SQL chain with
+    //     ZERO corpus tokenization in the serving plan. ----------------
+    "e30_bm25_index_served" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
+          bm25ChunkIndexFor(s, d), queries,
+          Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("chunk_id"), col("bm25_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- e31: the PRODUCTION hybrid serving stack — e28's fusion with
+    //     BOTH legs on their serving tiers: dense = the e27 DPP-pruned
+    //     chunk IVF index at EXHAUSTIVE probes (nProbe = nCells ⇒ the
+    //     ranking equals the exact scan, provable — probed cells admit
+    //     every index row and the scoring arithmetic is identical),
+    //     sparse = the e30 posting index (served ≡ recompute, bit-exact
+    //     via the shared scoring tail). Both legs therefore replicate
+    //     e28's exact lists row-for-row, so the fused fixed-point output
+    //     is hash-exact against the same from-scratch SQL — while the
+    //     serving plans scan only probed cells / probed term buckets. --
+    "e31_hybrid_served" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      val (cents, ivfPath) = chunkIvfIndexFor(s, d)
+      val dense = Similarity.chunkRetrieveFromIvfIndex(
+          s.read.parquet(ivfPath), cents, queries, "doc_id", "text",
+          k = 10, nProbe = 8)
+        .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+      val bm = graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
+          bm25ChunkIndexFor(s, d), queries,
+          Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+      Similarity.rrfFusePerQuery(Seq(bm, dense), "query_id",
+          Seq("doc_id", "chunk_id"), k = 5)
+        .orderBy("query_id", "rrf_rank")
     }),
 
     // --- e21: MMR diverse top-k — retrieval that trades relevance
@@ -2486,6 +2571,121 @@ object TextQueries {
     })
   )
 
+  // the from-scratch hybrid chain: the e26 dense ranking at k=10 +
+  // the chunk-level BM25 chain + fixed-point RRF per query. Shared by
+  // the e28 recompute row AND the e31 served row (whose tiers provably
+  // reproduce the exact legs).
+  private val hybridChunkSql: String =
+    """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 101 <> 5),
+         n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+               FROM t WHERE len(toks) > 0),
+         x AS (SELECT doc_id, toks,
+                      CAST(unnest(range((n - 1) // 16 + 1)) AS BIGINT) AS chunk_id
+               FROM n),
+         ch AS (SELECT doc_id, chunk_id,
+                  array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ') AS chunk_text
+                FROM x),
+         cw AS (SELECT doc_id, chunk_id, w, count(*) AS cnt FROM (
+                  SELECT doc_id, chunk_id, unnest(list_filter(
+                    regexp_split_to_array(lower(chunk_text), '[^\p{L}\p{N}]+'),
+                    y -> y <> '')) AS w
+                  FROM ch) GROUP BY doc_id, chunk_id, w),
+         cb AS (SELECT doc_id, chunk_id,
+                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
+                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
+                FROM cw GROUP BY doc_id, chunk_id, b),
+         css AS (SELECT doc_id, chunk_id, CAST(sum(v*v) AS BIGINT) AS css
+                 FROM cb GROUP BY doc_id, chunk_id),
+         qw AS (SELECT doc_id AS query_id, w, count(*) AS cnt FROM (
+                  SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                    y -> y <> '')) AS w
+                  FROM documents WHERE doc_id % 101 = 5) GROUP BY query_id, w),
+         qb AS (SELECT query_id,
+                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
+                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
+                FROM qw GROUP BY query_id, b),
+         qss0 AS (SELECT query_id, CAST(sum(v*v) AS BIGINT) AS qss
+                  FROM qb GROUP BY query_id),
+         qss AS (SELECT d.doc_id AS query_id, COALESCE(q.qss, 0) AS qss
+                 FROM documents d LEFT JOIN qss0 q ON d.doc_id = q.query_id
+                 WHERE d.doc_id % 101 = 5),
+         dots AS (SELECT qb.query_id, cb.doc_id, cb.chunk_id,
+                    CAST(sum(cb.v * qb.v) AS BIGINT) AS dot
+                  FROM cb JOIN qb ON cb.b = qb.b
+                  GROUP BY qb.query_id, cb.doc_id, cb.chunk_id),
+         pairs AS (SELECT q.query_id, ch.doc_id, ch.chunk_id,
+                     COALESCE(css.css, 0) AS css, q.qss
+                   FROM ch LEFT JOIN css USING (doc_id, chunk_id)
+                   CROSS JOIN qss q),
+         scored AS (SELECT p.query_id, p.doc_id, p.chunk_id,
+                      CASE WHEN p.css > 0 AND p.qss > 0
+                        THEN floor(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                          / (sqrt(CAST(p.css AS DOUBLE)) * sqrt(CAST(p.qss AS DOUBLE)))
+                          * 10000) / 10000
+                        ELSE CAST(0 AS DOUBLE) END AS cos_q
+                    FROM pairs p LEFT JOIN dots d
+                      USING (query_id, doc_id, chunk_id)),
+         dn AS (SELECT query_id, doc_id, chunk_id, rank FROM (
+                  SELECT query_id, doc_id, chunk_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_q DESC, doc_id ASC, chunk_id ASC) AS rank
+                  FROM scored)
+                WHERE rank <= 10),
+         ctok AS (SELECT doc_id, chunk_id,
+                    list_filter(regexp_split_to_array(lower(chunk_text), '\s+'),
+                      x -> x <> '') AS toks
+                  FROM ch),
+         cbase AS (SELECT doc_id, chunk_id,
+                     CAST(len(toks) AS BIGINT) AS len, toks
+                   FROM ctok),
+         cstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                           CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+                    FROM cbase),
+         tf AS (SELECT doc_id, chunk_id, len, term,
+                  CAST(count(*) AS DOUBLE) AS tf FROM (
+                    SELECT doc_id, chunk_id, len, unnest(toks) AS term
+                    FROM cbase)
+                GROUP BY doc_id, chunk_id, len, term),
+         qterms AS (SELECT doc_id AS query_id, unnest(list_distinct(
+                      list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x <> ''))) AS term
+                    FROM documents WHERE doc_id % 101 = 5),
+         qtermset AS (SELECT DISTINCT term FROM qterms),
+         tfq AS (SELECT tf.* FROM tf JOIN qtermset USING (term)),
+         wdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+                 FROM tfq),
+         contrib AS (SELECT q.query_id, w.doc_id, w.chunk_id,
+                       CAST(floor((((s.n_docs - w.df + 0.5) / (w.df + 0.5)) *
+                         (w.tf / (w.tf + 1.2 * (1.0 - 0.75 +
+                           0.75 * (CAST(w.len AS DOUBLE) / s.avgdl)))))
+                         * 1000000000) AS BIGINT) AS c_fp
+                     FROM wdf w JOIN qterms q USING (term), cstats s),
+         bm AS (SELECT query_id, doc_id, chunk_id, rank FROM (
+                  SELECT query_id, doc_id, chunk_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY bm25_fp DESC, doc_id ASC, chunk_id ASC) AS rank
+                  FROM (SELECT query_id, doc_id, chunk_id,
+                          sum(c_fp) AS bm25_fp
+                        FROM contrib GROUP BY query_id, doc_id, chunk_id))
+                WHERE rank <= 10),
+         fused AS (SELECT query_id, doc_id, chunk_id,
+                     COALESCE(1000000 // (60 + b.rank), 0)
+                       + COALESCE(1000000 // (60 + d.rank), 0) AS rrf_score
+                   FROM bm b FULL OUTER JOIN dn d
+                     USING (query_id, doc_id, chunk_id))
+         SELECT query_id, rrf_rank, doc_id, chunk_id, rrf_score FROM (
+           SELECT query_id, doc_id, chunk_id, rrf_score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC, chunk_id ASC) AS rrf_rank
+           FROM fused)
+         WHERE rrf_rank <= 5 ORDER BY query_id, rrf_rank"""
+
   val oracle: Map[String, String] = Map(
     "d01_token_stats" ->
       """SELECT doc_id,
@@ -2719,7 +2919,16 @@ object TextQueries {
     // the e26 dense chain at k=10 + the chunk-level BM25 chain (d37's
     // exact-rational contribution tree, ×10⁹ floor-quantized so the
     // per-query sum is exact integers) + e24's fixed-point RRF, per query
-    "e28_hybrid_chunk_batch" ->
+    "e28_hybrid_chunk_batch" -> hybridChunkSql,
+    // e31 serves the SAME semantics from the e27 IVF index at exhaustive
+    // probes (≡ the exact dense ranking, provable) and the e30 posting
+    // index (≡ the recompute sparse ranking, shared scoring tail) — so
+    // its oracle IS the from-scratch hybrid chain, verbatim
+    "e31_hybrid_served" -> hybridChunkSql,
+    // the bm chain of the hybrid oracle alone, at k=10, with the exact
+    // fixed-point score exposed — recomputed from scratch in DuckDB while
+    // the Spark side serves ENTIRELY from the persisted posting index
+    "e30_bm25_index_served" ->
       """WITH t AS (
            SELECT doc_id,
                   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
@@ -2732,55 +2941,6 @@ object TextQueries {
          ch AS (SELECT doc_id, chunk_id,
                   array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ') AS chunk_text
                 FROM x),
-         cw AS (SELECT doc_id, chunk_id, w, count(*) AS cnt FROM (
-                  SELECT doc_id, chunk_id, unnest(list_filter(
-                    regexp_split_to_array(lower(chunk_text), '[^\p{L}\p{N}]+'),
-                    y -> y <> '')) AS w
-                  FROM ch) GROUP BY doc_id, chunk_id, w),
-         cb AS (SELECT doc_id, chunk_id,
-                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
-                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
-                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
-                FROM cw GROUP BY doc_id, chunk_id, b),
-         css AS (SELECT doc_id, chunk_id, CAST(sum(v*v) AS BIGINT) AS css
-                 FROM cb GROUP BY doc_id, chunk_id),
-         qw AS (SELECT doc_id AS query_id, w, count(*) AS cnt FROM (
-                  SELECT doc_id, unnest(list_filter(
-                    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
-                    y -> y <> '')) AS w
-                  FROM documents WHERE doc_id % 101 = 5) GROUP BY query_id, w),
-         qb AS (SELECT query_id,
-                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
-                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
-                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
-                FROM qw GROUP BY query_id, b),
-         qss0 AS (SELECT query_id, CAST(sum(v*v) AS BIGINT) AS qss
-                  FROM qb GROUP BY query_id),
-         qss AS (SELECT d.doc_id AS query_id, COALESCE(q.qss, 0) AS qss
-                 FROM documents d LEFT JOIN qss0 q ON d.doc_id = q.query_id
-                 WHERE d.doc_id % 101 = 5),
-         dots AS (SELECT qb.query_id, cb.doc_id, cb.chunk_id,
-                    CAST(sum(cb.v * qb.v) AS BIGINT) AS dot
-                  FROM cb JOIN qb ON cb.b = qb.b
-                  GROUP BY qb.query_id, cb.doc_id, cb.chunk_id),
-         pairs AS (SELECT q.query_id, ch.doc_id, ch.chunk_id,
-                     COALESCE(css.css, 0) AS css, q.qss
-                   FROM ch LEFT JOIN css USING (doc_id, chunk_id)
-                   CROSS JOIN qss q),
-         scored AS (SELECT p.query_id, p.doc_id, p.chunk_id,
-                      CASE WHEN p.css > 0 AND p.qss > 0
-                        THEN floor(CAST(COALESCE(d.dot, 0) AS DOUBLE)
-                          / (sqrt(CAST(p.css AS DOUBLE)) * sqrt(CAST(p.qss AS DOUBLE)))
-                          * 10000) / 10000
-                        ELSE CAST(0 AS DOUBLE) END AS cos_q
-                    FROM pairs p LEFT JOIN dots d
-                      USING (query_id, doc_id, chunk_id)),
-         dn AS (SELECT query_id, doc_id, chunk_id, rank FROM (
-                  SELECT query_id, doc_id, chunk_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY cos_q DESC, doc_id ASC, chunk_id ASC) AS rank
-                  FROM scored)
-                WHERE rank <= 10),
          ctok AS (SELECT doc_id, chunk_id,
                     list_filter(regexp_split_to_array(lower(chunk_text), '\s+'),
                       x -> x <> '') AS toks
@@ -2809,26 +2969,15 @@ object TextQueries {
                          (w.tf / (w.tf + 1.2 * (1.0 - 0.75 +
                            0.75 * (CAST(w.len AS DOUBLE) / s.avgdl)))))
                          * 1000000000) AS BIGINT) AS c_fp
-                     FROM wdf w JOIN qterms q USING (term), cstats s),
-         bm AS (SELECT query_id, doc_id, chunk_id, rank FROM (
-                  SELECT query_id, doc_id, chunk_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY bm25_fp DESC, doc_id ASC, chunk_id ASC) AS rank
-                  FROM (SELECT query_id, doc_id, chunk_id,
-                          sum(c_fp) AS bm25_fp
-                        FROM contrib GROUP BY query_id, doc_id, chunk_id))
-                WHERE rank <= 10),
-         fused AS (SELECT query_id, doc_id, chunk_id,
-                     COALESCE(1000000 // (60 + b.rank), 0)
-                       + COALESCE(1000000 // (60 + d.rank), 0) AS rrf_score
-                   FROM bm b FULL OUTER JOIN dn d
-                     USING (query_id, doc_id, chunk_id))
-         SELECT query_id, rrf_rank, doc_id, chunk_id, rrf_score FROM (
-           SELECT query_id, doc_id, chunk_id, rrf_score,
+                     FROM wdf w JOIN qterms q USING (term), cstats s)
+         SELECT query_id, rank, doc_id, chunk_id, bm25_fp FROM (
+           SELECT query_id, doc_id, chunk_id, bm25_fp,
              row_number() OVER (PARTITION BY query_id
-               ORDER BY rrf_score DESC, doc_id ASC, chunk_id ASC) AS rrf_rank
-           FROM fused)
-         WHERE rrf_rank <= 5 ORDER BY query_id, rrf_rank""",
+               ORDER BY bm25_fp DESC, doc_id ASC, chunk_id ASC) AS rank
+           FROM (SELECT query_id, doc_id, chunk_id,
+                   CAST(sum(c_fp) AS BIGINT) AS bm25_fp
+                 FROM contrib GROUP BY query_id, doc_id, chunk_id))
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     // the e26 chunk chain over the FULL corpus, queries = planted
     // near-copies (text + marker token), then min relevant rank per
     // query + the exact fixed-point reciprocal rank

@@ -280,6 +280,58 @@ object ScaleSmoke {
           .localCheckpoint(true)
       } finally graft.operators.Dedup.release(chunks)
     }),
+    // e30's PRODUCTION serving shape: a FIXED query batch served from the
+    // persisted posting index while the corpus grows 10× — the index
+    // build is the offline step (memoized, untimed); the measured number
+    // is the bucket-pruned posting scan + broadcast-joined ranking, the
+    // cost that replaced "re-tokenize the corpus per invocation"
+    "e30_fixed_serve" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val queries = docs
+        .filter(pmod(col("doc_id"), lit(101)) === 5 && col("doc_id") < OFF)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
+        bm25Smoke(s, d), queries,
+        Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+    }),
+    // e31's PRODUCTION serving shape: the full hybrid stack (DPP-pruned
+    // IVF dense leg at the gate's mid probe budget + posting-index sparse
+    // leg + per-query RRF) against a FIXED query batch on a 10× corpus
+    "e31_fixed_serve" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val queries = docs
+        .filter(pmod(col("doc_id"), lit(101)) === 5 && col("doc_id") < OFF)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val (cents, path) = chunkIvfSmoke.computeIfAbsent(d, _ => {
+        val index = graft.operators.Similarity
+          .chunkIndex(corpus, "doc_id", "text").localCheckpoint(true)
+        try {
+          val cb = graft.operators.Similarity
+            .chunkIvfCentroidsCollected(index, nCells = 8, iters = 2)
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_smoke_chunkivf").toString
+          graft.operators.Similarity.chunkIvfIndex(index, cb)
+            .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+          (cb, dir)
+        } finally graft.operators.Dedup.release(index)
+      })
+      val dense = graft.operators.Similarity.chunkRetrieveFromIvfIndex(
+          s.read.parquet(path), cents, queries, "doc_id", "text",
+          k = 10, nProbe = 2)
+        .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+      val bm = graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
+          bm25Smoke(s, d), queries,
+          Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+      graft.operators.Similarity.rrfFusePerQuery(Seq(bm, dense),
+        "query_id", Seq("doc_id", "chunk_id"), k = 5)
+    }),
     // BPE learn's driver-bytes bound under UNBOUNDED vocabulary growth:
     // salting every word with its doc_id makes distinct "words" ∝ corpus
     // rows (the typo/URL/hash tail a 100 TB crawl actually has), yet the
@@ -299,6 +351,25 @@ object ScaleSmoke {
   private val chunkIvfSmoke =
     new java.util.concurrent.ConcurrentHashMap[
       String, (Seq[(Long, Array[Float])], String)]()
+
+  private val bm25SmokeIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Persisted BM25 posting index over `d`'s held-out-split chunk corpus
+    * (the offline build the e30/e31 serving smokes read). */
+  private def bm25Smoke(s: SparkSession, d: String): String =
+    bm25SmokeIndexes.computeIfAbsent(d, _ => {
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val chunks = graft.operators.Packing
+        .chunkTokens(corpus, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_bm25").toString + "/state"
+      graft.operators.Bm25Index.extendIndex(s, dir, chunks,
+        Seq("doc_id", "chunk_id"), "chunk_text", batchId = 0L)
+      dir
+    })
 
   private val semCodebooks =
     new java.util.concurrent.ConcurrentHashMap[(String, Int),
@@ -356,7 +427,7 @@ object ScaleSmoke {
         // e11 rows: run once untimed so the measured number is the
         // steady-state serving/query side, matching Bench semantics
         if (SparkEntry.setupQueries.contains(n) || n.startsWith("e11_pairs") ||
-            n == "e27_fixed_serve") // memoized index build = offline step
+            n.endsWith("_fixed_serve")) // memoized index build = offline step
           query(n)(spark, d).count()
         System.gc(); Thread.sleep(150)
         val t0 = System.nanoTime()

@@ -2069,6 +2069,45 @@ class OperatorsSpec extends SparkTestBase {
     assert(q200.head._2 == 2L, q200.toString)
   }
 
+  test("Bm25Index: served ranking equals the recompute path bit-for-bit; bucket drift raises") {
+    import graft.operators.{Bm25Index, TextAnalysis}
+    val corpus = Seq(
+      (1L, 0L, "apple banana apple"),
+      (1L, 1L, "banana cherry"),
+      (2L, 0L, "durian elderberry fig"),
+      (3L, 0L, "apple fig cherry banana"),
+      (3L, 1L, "grape")
+    ).toDF("doc_id", "chunk_id", "text")
+    val queries = Seq((100L, "apple"), (200L, "fig banana"),
+      (300L, "grape cherry apple"), (400L, "nowhere")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25ix")
+      .resolve("state").toString
+    Bm25Index.extendIndex(spark, dir, corpus,
+      Seq("doc_id", "chunk_id"), "text", batchId = 0L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"doc_id", $"chunk_id", $"bm25_fp", $"rank")
+      .collect().map(_.toString).sorted.toSeq
+    val served = Bm25Index.bm25TopKBatchFromIndex(spark, dir, queries,
+      Seq("doc_id", "chunk_id"), "qid", "qtext", k = 5)
+    val recompute = TextAnalysis.bm25TopKBatch(corpus, queries,
+      Seq("doc_id", "chunk_id"), "text", "qid", "qtext", k = 5)
+    // same rows, same exact fixed-point scores, same ranks — the shared
+    // scoring tail plus the persisted df/stats reproduce the recompute
+    // path bit-for-bit (a no-hit query contributes no rows on both sides)
+    assert(canon(served) == canon(recompute),
+      s"served=${canon(served)} recompute=${canon(recompute)}")
+    assert(canon(served).nonEmpty)
+    // a delta indexed under a DIFFERENT bucket count would split terms
+    // across partitions — the stats merge raises instead
+    val delta = Seq((9L, 0L, "apple")).toDF("doc_id", "chunk_id", "text")
+    val e = intercept[Exception] {
+      Bm25Index.extendIndex(spark, dir, delta,
+        Seq("doc_id", "chunk_id"), "text", batchId = 1L, nBuckets = 8)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("bucket count"),
+      e.toString)
+  }
+
   test("curriculumEpochOrder: epoch-major, quality-desc within, per-epoch reshuffle") {
     import graft.operators.Sampling
     // 6 docs × 2 epochs, two quality levels (score 0.9 / 0.1 → levels

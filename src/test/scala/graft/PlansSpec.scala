@@ -137,6 +137,51 @@ class PlansSpec extends SparkTestBase {
       "the serve join must be the cell equi-join, never a cross product")
   }
 
+  test("e30 (BM25 index): serving plan prunes posting buckets and never tokenizes the corpus") {
+    // the r16 weak: bm25TopKBatch re-tokenized the corpus inside every
+    // invocation. Two pins: (a) with a CHECKPOINTED query batch, every
+    // file scan in the serving plan is an index part — no corpus read,
+    // hence no corpus tokenization anywhere (the one legitimate tokenize
+    // is batch-sized, over the in-memory queries); (b) on the PRODUCTION
+    // rows, whose query batch is the filtered parquet read (the selective
+    // predicate DPP's benefit heuristic wants — a checkpoint's unknown
+    // stats legitimately suppress it), the (bucket, term) broadcast join
+    // dynamically prunes the __tb-partitioned posting scan.
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.{Bm25Index, Packing}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 5)
+      .localCheckpoint(true)
+    val chunks = Packing
+      .chunkTokens(docs.filter(pmod(col("doc_id"), lit(101)) =!= 5),
+        "doc_id", "text", 16, 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    val state = java.nio.file.Files.createTempDirectory("e30plan")
+      .resolve("state").toString
+    Bm25Index.extendIndex(spark, state, chunks,
+      Seq("doc_id", "chunk_id"), "chunk_text", batchId = 0L)
+    val served = Bm25Index.bm25TopKBatchFromIndex(spark, state, queries,
+      Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+    // sparkPlan, not executedPlan: AQE wraps the tree and collect() would
+    // not descend into it (the q02 pushed-filters pin does the same)
+    val scans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("Location", "")
+    }
+    assert(scans.nonEmpty && scans.forall(_.contains("e30plan")),
+      s"every file scan in the serving plan must read an index part — a " +
+        s"corpus scan means serving re-tokenizes at 100 TB: $scans")
+    // the production rows must prune — without DPP every serve reads the
+    // whole posting table and the index adds nothing over the recompute
+    // path (e31's plan prunes BOTH serving tiers: posting buckets and
+    // IVF cells)
+    assert(plan("e30_bm25_index_served").contains("dynamicpruning"),
+      "query term buckets must dynamically prune the posting scan")
+    assert(plan("e31_hybrid_served").contains("dynamicpruning"),
+      "the hybrid serve must keep dynamic pruning on its index scans")
+  }
+
   test("d14 (token packing): one hash shuffle on shard, never a global sort partition") {
     val p = plan("d14_token_packing")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,

@@ -717,6 +717,56 @@ class StreamingSpec extends SparkTestBase {
       "committed chunk-IVF index must equal the batch rebuild")
   }
 
+  test("bm25 posting index: maintained state equals rebuild; replay no-op; served equals recompute") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.{Bm25Index, IncrementalAgg, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("bm25state")
+    val b0 = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "apple fig cherry banana"), (4L, "durian fig"))
+      .toDF("doc_id", "text")
+    val full = b0.unionAll(b1)
+    val state = dir.resolve("state").toString
+    Bm25Index.extendIndex(spark, state, b0, Seq("doc_id"), "text", 0L)
+    Bm25Index.extendIndex(spark, state, b1, Seq("doc_id"), "text", 1L)
+    Bm25Index.extendIndex(spark, state, b1, Seq("doc_id"), "text", 1L) // replay
+    val oneShot = dir.resolve("oneshot").toString
+    Bm25Index.extendIndex(spark, oneShot, full, Seq("doc_id"), "text", 0L)
+    // every part of the two-batch state equals the one-shot rebuild's —
+    // postings are row-local per item, df/len/n_docs are additive over
+    // the disjoint batches (and the replayed batchId merged nothing)
+    for (part <- Seq(Bm25Index.PostingsPart, Bm25Index.TermsPart,
+        Bm25Index.StatsPart)) {
+      val m = IncrementalAgg.readStatePart(spark, state, part)
+      val r = IncrementalAgg.readStatePart(spark, oneShot, part)
+      assert(m.count() == r.count(), part)
+      assert(m.exceptAll(r).isEmpty && r.exceptAll(m).isEmpty,
+        s"$part: maintained state must equal the one-shot rebuild")
+    }
+    // serving from the maintained index ≡ the from-scratch recompute path
+    val queries = Seq((100L, "fig banana"), (200L, "apple grape"))
+      .toDF("qid", "qtext")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"doc_id", $"bm25_fp", $"rank")
+      .collect().map(_.toString).sorted.toSeq
+    val served = canon(Bm25Index.bm25TopKBatchFromIndex(spark, state,
+      queries, Seq("doc_id"), "qid", "qtext", k = 3))
+    assert(served == canon(TextAnalysis.bm25TopKBatch(full, queries,
+      Seq("doc_id"), "text", "qid", "qtext", k = 3)))
+    assert(served.nonEmpty)
+    // overlapping delta ids raise (a duplicated item would double-count
+    // df and score wrong) — and the failed commit leaves the state read
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.extendIndex(spark, state,
+        Seq((2L, "banana")).toDF("doc_id", "text"), Seq("doc_id"),
+        "text", 2L)
+    }
+    assert(e.getMessage.contains("strictly greater"), e.getMessage)
+    assert(canon(Bm25Index.bm25TopKBatchFromIndex(spark, state, queries,
+      Seq("doc_id"), "qid", "qtext", k = 3)) == served,
+      "a refused delta must leave the committed state serving unchanged")
+  }
+
   test("streamed datasheet: maintained card equals batch card, replayed batchId no-op") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextAnalysis
