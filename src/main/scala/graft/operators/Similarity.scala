@@ -1619,6 +1619,73 @@ object Similarity {
         coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("rr_fp"))
   }
 
+  /** Fixed-point nDCG discount table `floor(10⁶ / log2(r+1))` for ranks
+    * 1..k — computed ONCE driver-side and baked as LITERALS into both the
+    * Spark plan and the DuckDB oracle, so the irrational log2 never has
+    * to agree bit-for-bit across engines (the same move as the d11
+    * quality quantization: pin the constants, keep the algebra integer). */
+  def ndcgDiscountsFp(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** [[retrievalEval]] extended to GRADED relevance — the full metric set
+    * a retrieval deployment reads (TREC-style): per query, first relevant
+    * rank + reciprocal rank (as in e29), plus recall@k and nDCG@k over
+    * qrels carrying an integer `gainName` (fixed-point, e.g. ×10⁶).
+    * All metrics are exact integer algebra: recall@k is
+    * `10⁶·|rel ∩ topk| div |rel|`; DCG sums `gain × disc_fp(rank)` over
+    * relevant hits with the [[ndcgDiscountsFp]] literal table; IDCG sums
+    * the k largest gains against positions 1..; nDCG@k is the integer
+    * division `(DCG·10⁶) div IDCG` — so every column hash-replicates in
+    * any engine.
+    *
+    * A ranked list finer-grained than the label unit (chunk lists vs
+    * doc-level qrels — the RAG serving shape) counts each labeled item
+    * ONCE at its BEST-ranked occurrence: without the dedup a doc whose
+    * chunks fill two top-k slots would score recall 200%.
+    *
+    * Scale shape: qrels are label-set-sized — one broadcast join against
+    * the |queries|·k top-k lists, one hit-side and one label-side
+    * aggregate (the per-query gain list for IDCG is ≤ |rel per query|,
+    * a labeling artifact, never corpus-sized). Output one row per
+    * DISTINCT qrels query, misses included (all-zero metrics). */
+  def retrievalEvalGraded(
+      ranked: DataFrame, qrels: DataFrame, queryName: String,
+      idName: String, gainName: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val disc = typedLit(ndcgDiscountsFp(k))
+    val q = qrels.select(col(queryName), col(idName),
+      col(gainName).cast("long").as("__gain"))
+    val hits = ranked.filter(col("rank") <= k)
+      .groupBy(col(queryName), col(idName))
+      .agg(min(col("rank")).cast("int").as("rank"))
+      .join(broadcast(q.select(col(queryName), col(idName), col("__gain"))
+        .distinct()), Seq(queryName, idName))
+      .groupBy(col(queryName))
+      .agg(min(col("rank")).cast("long").as("__frr"),
+        count(lit(1)).as("__hits"),
+        sum(col("__gain") * element_at(disc, col("rank").cast("int")))
+          .as("__dcg"))
+    val ideal = q.select(col(queryName), col(idName), col("__gain")).distinct()
+      .groupBy(col(queryName))
+      .agg(count(lit(1)).as("n_rel"),
+        slice(sort_array(collect_list(col("__gain")), asc = false), 1, k)
+          .as("__top_gains"))
+      .withColumn("__idcg", aggregate(
+        zip_with(col("__top_gains"), disc, (g, d) => g * d),
+        lit(0L), (acc, x) => acc + coalesce(x, lit(0L))))
+      .drop("__top_gains")
+    ideal.join(hits, Seq(queryName), "left")
+      .select(col(queryName),
+        coalesce(col("__frr"), lit(0L)).as("first_rel_rank"),
+        coalesce(expr("1000000 div __frr"), lit(0L)).as("rr_fp"),
+        col("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("n_rel_in_topk"),
+        expr("(1000000 * coalesce(__hits, 0)) div n_rel").as("recall_fp"),
+        coalesce(expr("(coalesce(__dcg, 0) * 1000000) div nullif(__idcg, 0)"),
+          lit(0L)).as("ndcg_fp"))
+  }
+
   /** Nearest-prototype balanced curation (the SSL-prototypes / cluster-
     * balanced selection family): assign every vector to its most similar
     * prototype, then keep only the top `keepFrac` most PROTOTYPICAL

@@ -85,6 +85,38 @@ object TextQueries {
       } finally graft.operators.Dedup.release(index)
     })
 
+  // e33 serving artifacts over the PLANTED eval corpus (the FULL document
+  // table — e29's construction needs every query's source doc IN the
+  // corpus, unlike the e27/e30 held-out split): chunk-IVF codebook +
+  // cell-partitioned dir + BM25 posting state, built once per (JVM, sf)
+  private val evalServingIndexes =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[(Long, Array[Float])], String, String)]()
+
+  private def evalServingIndexFor(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): (Seq[(Long, Array[Float])], String, String) =
+    evalServingIndexes.computeIfAbsent(d, _ => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val index = Similarity.chunkIndex(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val (cb, ivfDir) = try {
+        val cb = Similarity.chunkIvfCentroidsCollected(index,
+          nCells = 8, iters = 2, seed = 42L)
+        val dir = new java.io.File(indexTmpDir("evalivf"), "index").toString
+        Similarity.chunkIvfIndex(index, cb)
+          .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
+        (cb, dir)
+      } finally graft.operators.Dedup.release(index)
+      val chunks = graft.operators.Packing
+        .chunkTokens(docs, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val bmDir = new java.io.File(indexTmpDir("evalbm25"), "state").toString
+      graft.operators.Bm25Index.extendIndex(s, bmDir, chunks,
+        Seq("doc_id", "chunk_id"), "chunk_text", batchId = 0L)
+      (cb, ivfDir, bmDir)
+    })
+
   /** Versioned BM25 posting-index state dir over the SAME held-out-split
     * chunk corpus — built once per (JVM, sf dir); shared by the e30
     * served-ranking row and the e31 hybrid serving row. */
@@ -1281,6 +1313,129 @@ object TextQueries {
       Similarity.rrfFusePerQuery(Seq(bm, dense), "query_id",
           Seq("doc_id", "chunk_id"), k = 5)
         .orderBy("query_id", "rrf_rank")
+    }),
+
+    // --- e32: GRADED retrieval evaluation — e29's harness extended with
+    //     the full TREC-style metric set (recall@k, nDCG@k over graded
+    //     qrels): every metric is exact integer algebra — gains are
+    //     fixed-point ×10⁶, the nDCG discount table is floor(10⁶/log2(r+1))
+    //     computed ONCE driver-side and baked as the SAME literals into
+    //     the Spark plan and the DuckDB oracle (the irrational log2 never
+    //     has to agree across engines), and nDCG is the integer division
+    //     (DCG·10⁶) div IDCG. Hash-exact per query vs the e26 chain +
+    //     graded metrics SQL; binds (ranks 1..miss vary all columns). ---
+    "e32_graded_eval" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" zevalqmarker")).as("text"))
+      val ranked = Similarity.chunkRetrieveTopK(docs, queries,
+        "doc_id", "text", k = 10)
+      val qrels = queries.select(col("doc_id").as("query_id"),
+        col("doc_id"), lit(1000000L).as("gain"))
+      Similarity.retrievalEvalGraded(ranked, qrels, "query_id", "doc_id",
+          "gain", k = 10)
+        .orderBy("query_id")
+    }),
+
+    // --- e33: the OPERATING TABLE of the approximate serving stacks —
+    //     the question a deployment actually asks ("what does nProbe do
+    //     to retrieval quality") answered with gateable properties over
+    //     the e33 planted-eval corpus: the exact-stack eval aggregates
+    //     (hash-exact vs the e29 chain in DuckDB — these integer columns
+    //     BIND), the IVF tier's recall@10-vs-exact curve monotone in
+    //     nProbe and exactly 1 at exhaustive probes (both PROVABLE:
+    //     probed-cell sets nest; exhaustive probes admit every row under
+    //     identical arithmetic), the served-at-exhaustive eval table ≡
+    //     the exact stack's row-for-row (provable), the SERVED hybrid
+    //     eval ≡ the recompute hybrid eval (provable — both legs
+    //     replicate), and a CALIBRATED floor: even at nProbe = 1 the
+    //     planted near-copy queries keep ≥ half the exact hit count
+    //     (the near-copy's source cell is its nearest cell). -----------
+    "e33_probe_operating" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" zevalqmarker")).as("text"))
+      val qrels = queries.select(col("doc_id").as("query_id"), col("doc_id"))
+      val (cents, ivfDir, bmDir) = evalServingIndexFor(s, d)
+      val ivfIndex = s.read.parquet(ivfDir)
+      // FIVE retrieval passes (each checkpointed ONCE at |queries|·k
+      // rows), then every gate below is a list-sized join/aggregate over
+      // them — the row's cost IS the five rankings, nothing recomputes:
+      // the exact baseline, the IVF tier at nProbe 1/4/8 (8 = |cells|),
+      // and the posting-index sparse leg
+      val keep = Seq("query_id", "doc_id", "chunk_id", "rank").map(col)
+      val exact = Similarity.chunkRetrieveFromIndex(
+        ivfIndex, queries, "doc_id", "text", k = 10)
+        .select(keep: _*).localCheckpoint(true)
+      def serve(np: Int) = Similarity.chunkRetrieveFromIvfIndex(
+        ivfIndex, cents, queries, "doc_id", "text", k = 10, nProbe = np)
+        .select(keep: _*).localCheckpoint(true)
+      val s1 = serve(1); val s4 = serve(4); val s8 = serve(8)
+      val bm = graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
+          bmDir, queries, Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(keep: _*).localCheckpoint(true)
+      try {
+        // everything below is DRIVER-side algebra over the five collected
+        // |queries|·k lists (≤ a few hundred rows each) — one collect per
+        // list plus one per eval table, instead of a swarm of
+        // exceptAll/count jobs whose fixed per-job overhead dominated
+        // list-sized work (measured: ~4 s of gates → ~1.5 s)
+        def evalRows(r: org.apache.spark.sql.DataFrame): Seq[String] =
+          Similarity.retrievalEval(r, qrels, "query_id", "doc_id", k = 10)
+            .collect().map(_.toString).sorted.toSeq
+        def hitsAndMrr(ev: Seq[String]): (Long, Long, Long) = {
+          // rows are [query_id,first_rel_rank,rr_fp]
+          val parsed = ev.map(_.stripPrefix("[").stripSuffix("]").split(","))
+          (parsed.size.toLong,
+            parsed.count(_(1).toLong > 0L).toLong,
+            parsed.map(_(2).toLong).sum)
+        }
+        def listOf(t: org.apache.spark.sql.DataFrame): Set[String] =
+          t.collect().map(_.toString).toSet
+        val exactList = listOf(exact)
+        // recall@10 vs the exact list (the e27/e23 overlap identity —
+        // provably monotone: probed-cell sets nest, and exhaustive probes
+        // run identical arithmetic over every row → overlap is total)
+        def recallOf(t: org.apache.spark.sql.DataFrame): Double =
+          listOf(t).count(exactList.contains).toDouble / exactList.size
+        val recalls = Seq(recallOf(s1), recallOf(s4), recallOf(s8))
+        val exactEval = evalRows(exact)
+        val (nQ, exHits, exMrr) = hitsAndMrr(exactEval)
+        val (_, h1, _) = hitsAndMrr(evalRows(s1))
+        // the hybrid tier-substitution gate: fusing the SERVED dense leg
+        // vs fusing the EXACT dense leg (same sparse leg) must agree at
+        // exhaustive probes — with e30's served-≡-recompute hash gate on
+        // the sparse side, this closes the full e31 serving composition
+        def fused(dense: org.apache.spark.sql.DataFrame) =
+          Similarity.rrfFusePerQuery(Seq(bm, dense), "query_id",
+              Seq("doc_id", "chunk_id"), k = 5)
+            .withColumnRenamed("rrf_rank", "rank")
+        val fusedServed = fused(s8).localCheckpoint(true)
+        val hybridEq = try {
+          listOf(fusedServed) == listOf(fused(exact)) &&
+            // the hybrid stack, MEASURED by the same harness: with two
+            // strong legs the planted hit count stays within 2× of the
+            // exact dense stack's — the calibrated e27-style floor,
+            // checked at all three SFs
+            hitsAndMrr(evalRows(fusedServed))._2 * 2L >= exHits
+        } finally graft.operators.Dedup.release(fusedServed)
+        import s.implicits._
+        Seq((nQ, exHits, exMrr,
+          recalls.zip(recalls.drop(1)).forall { case (a, b) => b >= a },
+          recalls.last == 1.0,
+          evalRows(s8) == exactEval,
+          hybridEq,
+          h1 * 2L >= exHits))
+          .toDF("n_queries", "exhaustive_hits", "exhaustive_mrr_fp_sum",
+            "ivf_recall_monotone", "ivf_exhaustive_recall_exact",
+            "ivf_exhaustive_eval_exact", "hybrid_served_eval_exact",
+            "min_probe_hits_ge_half")
+      } finally Seq(exact, s1, s4, s8, bm)
+        .foreach(graft.operators.Dedup.release)
     }),
 
     // --- e21: MMR diverse top-k — retrieval that trades relevance
@@ -2571,6 +2726,76 @@ object TextQueries {
     })
   )
 
+  // shared eval-chain SQL: the e26 dense ranking over the FULL corpus
+  // with the planted near-copy queries (doc_id ≡ 3 mod 97 + marker) —
+  // the `ranked` frame the e29/e32/e33 oracles all read
+  private val evalRankedSql: String =
+    """WITH t AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+               FROM t WHERE len(toks) > 0),
+         x AS (SELECT doc_id, toks,
+                      CAST(unnest(range((n - 1) // 16 + 1)) AS BIGINT) AS chunk_id
+               FROM n),
+         ch AS (SELECT doc_id, chunk_id,
+                  array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ') AS chunk_text
+                FROM x),
+         cw AS (SELECT doc_id, chunk_id, w, count(*) AS cnt FROM (
+                  SELECT doc_id, chunk_id, unnest(list_filter(
+                    regexp_split_to_array(lower(chunk_text), '[^\p{L}\p{N}]+'),
+                    y -> y <> '')) AS w
+                  FROM ch) GROUP BY doc_id, chunk_id, w),
+         cb AS (SELECT doc_id, chunk_id,
+                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
+                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
+                FROM cw GROUP BY doc_id, chunk_id, b),
+         css AS (SELECT doc_id, chunk_id, CAST(sum(v*v) AS BIGINT) AS css
+                 FROM cb GROUP BY doc_id, chunk_id),
+         qdocs AS (SELECT doc_id AS query_id, text || ' zevalqmarker' AS qtext
+                   FROM documents WHERE doc_id % 97 = 3),
+         qw AS (SELECT query_id, w, count(*) AS cnt FROM (
+                  SELECT query_id, unnest(list_filter(
+                    regexp_split_to_array(lower(qtext), '[^\p{L}\p{N}]+'),
+                    y -> y <> '')) AS w
+                  FROM qdocs) GROUP BY query_id, w),
+         qb AS (SELECT query_id,
+                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
+                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
+                FROM qw GROUP BY query_id, b),
+         qss0 AS (SELECT query_id, CAST(sum(v*v) AS BIGINT) AS qss
+                  FROM qb GROUP BY query_id),
+         qss AS (SELECT q.query_id, COALESCE(s.qss, 0) AS qss
+                 FROM qdocs q LEFT JOIN qss0 s USING (query_id)),
+         dots AS (SELECT qb.query_id, cb.doc_id, cb.chunk_id,
+                    CAST(sum(cb.v * qb.v) AS BIGINT) AS dot
+                  FROM cb JOIN qb ON cb.b = qb.b
+                  GROUP BY qb.query_id, cb.doc_id, cb.chunk_id),
+         pairs AS (SELECT q.query_id, ch.doc_id, ch.chunk_id,
+                     COALESCE(css.css, 0) AS css, q.qss
+                   FROM ch LEFT JOIN css USING (doc_id, chunk_id)
+                   CROSS JOIN qss q),
+         scored AS (SELECT p.query_id, p.doc_id, p.chunk_id,
+                      CASE WHEN p.css > 0 AND p.qss > 0
+                        THEN floor(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                          / (sqrt(CAST(p.css AS DOUBLE)) * sqrt(CAST(p.qss AS DOUBLE)))
+                          * 10000) / 10000
+                        ELSE CAST(0 AS DOUBLE) END AS cos_q
+                    FROM pairs p LEFT JOIN dots d
+                      USING (query_id, doc_id, chunk_id)),
+         ranked AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_q DESC, doc_id ASC, chunk_id ASC) AS rank
+                    FROM scored)"""
+
+  // fixed-point nDCG discount table — the SAME driver-computed literals
+  // the Spark plan bakes in (Similarity.ndcgDiscountsFp)
+  private val ndcgDisc10: Seq[Long] =
+    graft.operators.Similarity.ndcgDiscountsFp(10)
+
   // the from-scratch hybrid chain: the e26 dense ranking at k=10 +
   // the chunk-level BM25 chain + fixed-point RRF per query. Shared by
   // the e28 recompute row AND the e31 served row (whose tiers provably
@@ -2982,66 +3207,7 @@ object TextQueries {
     // near-copies (text + marker token), then min relevant rank per
     // query + the exact fixed-point reciprocal rank
     "e29_retrieval_eval" ->
-      """WITH t AS (
-           SELECT doc_id,
-                  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
-           FROM documents),
-         n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
-               FROM t WHERE len(toks) > 0),
-         x AS (SELECT doc_id, toks,
-                      CAST(unnest(range((n - 1) // 16 + 1)) AS BIGINT) AS chunk_id
-               FROM n),
-         ch AS (SELECT doc_id, chunk_id,
-                  array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ') AS chunk_text
-                FROM x),
-         cw AS (SELECT doc_id, chunk_id, w, count(*) AS cnt FROM (
-                  SELECT doc_id, chunk_id, unnest(list_filter(
-                    regexp_split_to_array(lower(chunk_text), '[^\p{L}\p{N}]+'),
-                    y -> y <> '')) AS w
-                  FROM ch) GROUP BY doc_id, chunk_id, w),
-         cb AS (SELECT doc_id, chunk_id,
-                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
-                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
-                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
-                FROM cw GROUP BY doc_id, chunk_id, b),
-         css AS (SELECT doc_id, chunk_id, CAST(sum(v*v) AS BIGINT) AS css
-                 FROM cb GROUP BY doc_id, chunk_id),
-         qdocs AS (SELECT doc_id AS query_id, text || ' zevalqmarker' AS qtext
-                   FROM documents WHERE doc_id % 97 = 3),
-         qw AS (SELECT query_id, w, count(*) AS cnt FROM (
-                  SELECT query_id, unnest(list_filter(
-                    regexp_split_to_array(lower(qtext), '[^\p{L}\p{N}]+'),
-                    y -> y <> '')) AS w
-                  FROM qdocs) GROUP BY query_id, w),
-         qb AS (SELECT query_id,
-                  ('0x'||substr(md5(w),1,8))::BIGINT % 64 AS b,
-                  CAST(sum((CASE WHEN ('0x'||substr(md5(w),9,1))::BIGINT % 2 = 0
-                        THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS v
-                FROM qw GROUP BY query_id, b),
-         qss0 AS (SELECT query_id, CAST(sum(v*v) AS BIGINT) AS qss
-                  FROM qb GROUP BY query_id),
-         qss AS (SELECT q.query_id, COALESCE(s.qss, 0) AS qss
-                 FROM qdocs q LEFT JOIN qss0 s USING (query_id)),
-         dots AS (SELECT qb.query_id, cb.doc_id, cb.chunk_id,
-                    CAST(sum(cb.v * qb.v) AS BIGINT) AS dot
-                  FROM cb JOIN qb ON cb.b = qb.b
-                  GROUP BY qb.query_id, cb.doc_id, cb.chunk_id),
-         pairs AS (SELECT q.query_id, ch.doc_id, ch.chunk_id,
-                     COALESCE(css.css, 0) AS css, q.qss
-                   FROM ch LEFT JOIN css USING (doc_id, chunk_id)
-                   CROSS JOIN qss q),
-         scored AS (SELECT p.query_id, p.doc_id, p.chunk_id,
-                      CASE WHEN p.css > 0 AND p.qss > 0
-                        THEN floor(CAST(COALESCE(d.dot, 0) AS DOUBLE)
-                          / (sqrt(CAST(p.css AS DOUBLE)) * sqrt(CAST(p.qss AS DOUBLE)))
-                          * 10000) / 10000
-                        ELSE CAST(0 AS DOUBLE) END AS cos_q
-                    FROM pairs p LEFT JOIN dots d
-                      USING (query_id, doc_id, chunk_id)),
-         ranked AS (SELECT query_id, doc_id,
-                      row_number() OVER (PARTITION BY query_id
-                        ORDER BY cos_q DESC, doc_id ASC, chunk_id ASC) AS rank
-                    FROM scored),
+      (evalRankedSql + """,
          rel AS (SELECT query_id, min(rank) AS fr
                  FROM ranked WHERE rank <= 10 AND doc_id = query_id
                  GROUP BY query_id)
@@ -3049,7 +3215,51 @@ object TextQueries {
                 CAST(COALESCE(r.fr, 0) AS BIGINT) AS first_rel_rank,
                 CAST(COALESCE(1000000 // r.fr, 0) AS BIGINT) AS rr_fp
          FROM qdocs q LEFT JOIN rel r USING (query_id)
-         ORDER BY query_id""",
+         ORDER BY query_id"""),
+    // e29's chain + the graded metric columns; with the planted single
+    // 10⁶-gain relevance the general formulas collapse to closed forms
+    // (IDCG = 10⁶·disc[1]), written out with the SAME interpolated
+    // discount literals the Spark side uses
+    "e32_graded_eval" ->
+      (evalRankedSql + s""",
+         rel AS (SELECT query_id, min(rank) AS fr
+                 FROM ranked WHERE rank <= 10 AND doc_id = query_id
+                 GROUP BY query_id)
+         SELECT q.query_id,
+                CAST(COALESCE(r.fr, 0) AS BIGINT) AS first_rel_rank,
+                CAST(COALESCE(1000000 // r.fr, 0) AS BIGINT) AS rr_fp,
+                CAST(1 AS BIGINT) AS n_rel,
+                CAST(CASE WHEN r.fr IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS n_rel_in_topk,
+                CAST(CASE WHEN r.fr IS NULL THEN 0 ELSE 1000000 END AS BIGINT)
+                  AS recall_fp,
+                CAST(COALESCE((1000000::BIGINT * ([${ndcgDisc10.mkString(", ")}])[r.fr]
+                  * 1000000) // (1000000::BIGINT * ${ndcgDisc10.head}), 0) AS BIGINT)
+                  AS ndcg_fp
+         FROM qdocs q LEFT JOIN rel r USING (query_id)
+         ORDER BY query_id"""),
+    // the exact-stack aggregates of the same chain (these integer
+    // columns BIND the row); the operating-curve/equivalence gates are
+    // provable properties computed in the row — constant-true oracle
+    // columns, the e27 pattern
+    "e33_probe_operating" ->
+      (evalRankedSql + """,
+         rel AS (SELECT query_id, min(rank) AS fr
+                 FROM ranked WHERE rank <= 10 AND doc_id = query_id
+                 GROUP BY query_id),
+         ev AS (SELECT q.query_id, COALESCE(r.fr, 0) AS fr,
+                       COALESCE(1000000 // r.fr, 0) AS rr_fp
+                FROM qdocs q LEFT JOIN rel r USING (query_id))
+         SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                CAST(sum(CASE WHEN fr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS exhaustive_hits,
+                CAST(sum(rr_fp) AS BIGINT) AS exhaustive_mrr_fp_sum,
+                true AS ivf_recall_monotone,
+                true AS ivf_exhaustive_recall_exact,
+                true AS ivf_exhaustive_eval_exact,
+                true AS hybrid_served_eval_exact,
+                true AS min_probe_hits_ge_half
+         FROM ev"""),
     // probed-cell sets nest → monotone overlap; exhaustive probes run the
     // identical arithmetic over every index row → recall exactly 1; the
     // mid-budget floor is the empirical tuning point (measured ≥ 0.5 at

@@ -2108,6 +2108,40 @@ class OperatorsSpec extends SparkTestBase {
       e.toString)
   }
 
+  test("retrievalEvalGraded: graded gains, idcg truncation, best-rank dedup, miss zeros") {
+    import graft.operators.Similarity
+    val disc = Similarity.ndcgDiscountsFp(3)
+    // query 1: rel items 10 (gain 3M, ranks 2 AND 3 — finer-grained list,
+    // must count ONCE at rank 2) and 11 (gain 1M, rank 5 — outside k=3);
+    // plus 12 (gain 2M, never retrieved). query 2: no relevant retrieved.
+    val ranked = Seq(
+      (1L, 1, 99L), (1L, 2, 10L), (1L, 3, 10L), (1L, 4, 98L), (1L, 5, 11L),
+      (2L, 1, 97L), (2L, 2, 96L)
+    ).toDF("q", "rank", "item")
+    val qrels = Seq(
+      (1L, 10L, 3000000L), (1L, 11L, 1000000L), (1L, 12L, 2000000L),
+      (2L, 50L, 1000000L)
+    ).toDF("q", "item", "g")
+    val out = Similarity.retrievalEvalGraded(ranked, qrels, "q", "item",
+        "g", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    // query 1: first rank 2, rr 500000; 1 of 3 rels in top-3 → recall 1/3;
+    // DCG = 3M·disc(2); IDCG truncates to the 3 largest gains at
+    // positions 1..3 = 3M·disc(1) + 2M·disc(2) + 1M·disc(3)
+    val dcg = 3000000L * disc(1)
+    val idcg = 3000000L * disc(0) + 2000000L * disc(1) + 1000000L * disc(2)
+    assert(out.head == (1L, 2L, 500000L, 3L, 1L, 1000000L / 3L,
+      dcg * 1000000L / idcg), out.toString)
+    // query 2: all-zero metrics, n_rel carried
+    assert(out(1) == (2L, 0L, 0L, 1L, 0L, 0L, 0L), out.toString)
+    // the discount table is the driver-side literal contract both engines
+    // bake in: positive, strictly decreasing, disc(1) = 10⁶
+    assert(disc.head == 1000000L && disc == disc.sorted.reverse &&
+      disc.forall(_ > 0))
+  }
+
   test("curriculumEpochOrder: epoch-major, quality-desc within, per-epoch reshuffle") {
     import graft.operators.Sampling
     // 6 docs × 2 epochs, two quality levels (score 0.9 / 0.1 → levels
