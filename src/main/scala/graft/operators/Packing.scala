@@ -134,9 +134,17 @@ object Packing {
     * padding saved is a measured number, not a claim. Ragged tail
     * batches pad to their own size (never to `batchSize`).
     *
-    * Scale shape: two GlobalOrder passes (global + grouped — no
+    * A THIRD layout row, `stratified_bfd`, measures the best-fit-
+    * decreasing refinement ([[bfdStratifiedPacks]]): batches drawn from
+    * the within-stratum LENGTH-DESC order hold consecutive lengths of
+    * the sorted stratum — for fixed-count batches the sorted grouping is
+    * the minimum-padding grouping, so this row is the FLOOR the
+    * hash-order stratified layout is measured against (the residual
+    * spread is what within-stratum randomness costs).
+    *
+    * Scale shape: three GlobalOrder passes (global + two grouped — no
     * funnels), batch ids by integer division on the rank, one
-    * batch-keyed aggregate each, then a 2-row final rollup. Output:
+    * batch-keyed aggregate each, then a 3-row final rollup. Output:
     * (layout, n_batches, total_tokens, padded_tokens). */
   def paddingWasteReport(
       docs: DataFrame, idCol: String, textCol: String,
@@ -174,7 +182,67 @@ object Packing {
         .withColumn("__b", concat_ws(":", col("stratum"),
           call_function("div", col("__srn"), lit(batchSize.toLong)))),
       "stratified")
-    shuffled.unionByName(stratified)
+    // length-desc within stratum via the NEGATED key — the grouped
+    // two-pass sorts ascending, and (-len, hash, id) ascending IS
+    // (len DESC, hash, id)
+    val bfd = rollup(
+      GlobalOrder.withGroupedRunningTotal(
+          strat.withColumn("__negl", -col("n_tokens")), "stratum",
+          Seq("__negl", "__k", idCol), "__one", "__srn")
+        .withColumn("__b", concat_ws(":", col("stratum"),
+          call_function("div", col("__srn"), lit(batchSize.toLong)))),
+      "stratified_bfd")
+    shuffled.unionByName(stratified).unionByName(bfd)
+  }
+
+  /** Best-fit-DECREASING refinement of [[lengthStratifiedPacks]]: the
+    * same equal-count strata, but WITHIN each stratum documents order by
+    * length DESC (ties by the d42 hash) before batching and token
+    * packing — the classic next-fit-decreasing pass. For fixed-count
+    * batches, grouping consecutive members of the sorted order is the
+    * minimum-total-padding grouping (any swap across batches can only
+    * raise a batch max), so this layout is the padding FLOOR at a given
+    * stratum count; for token packs, consecutive similar lengths keep
+    * per-pack doc counts uniform. [[paddingWasteReport]]'s third row
+    * measures what it buys over the hash-order stratified layout.
+    *
+    * Trainers that can't accept the determinism of a fully sorted
+    * stratum keep d76's hash order and pay the measured residual —
+    * this operator is the other end of that dial.
+    *
+    * Scale shape: identical to [[lengthStratifiedPacks]] — the global
+    * two-pass rank plus TWO grouped two-pass runs (position + token
+    * offset) over the (-len, hash, id) order; no per-stratum reducer
+    * funnel. Pure integer + md5 algebra — engine-exact. Output:
+    * (idCol, n_tokens, stratum, bfd_pos, batch_id, token_offset,
+    * pack_id); positions/offsets restart per stratum. */
+  def bfdStratifiedPacks(
+      docs: DataFrame, idCol: String, textCol: String,
+      nStrata: Int, budget: Long, batchSize: Int): DataFrame = {
+    require(nStrata > 0 && budget > 0 && batchSize > 0)
+    val base = docs.select(col(idCol),
+        coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tokens"))
+      .withColumn("__k", md5(col(idCol).cast("string")))
+      .withColumn("__one", lit(1L))
+    val strat = GlobalOrder
+      .withGlobalRowNumberAndTotal(base, Seq("n_tokens", "__k", idCol))
+      .withColumn("stratum", call_function("div",
+        (col("global_rn") - 1) * nStrata, col("__n_total")))
+      .drop("__n_total")
+      .withColumn("__negl", -col("n_tokens"))
+    val order = Seq("__negl", "__k", idCol)
+    val positioned = GlobalOrder.withGroupedRunningTotal(
+      strat, "stratum", order, "__one", "__pos0")
+    GlobalOrder.withGroupedRunningTotal(
+        positioned, "stratum", order, "n_tokens", "token_offset")
+      .select(col(idCol), col("n_tokens"), col("stratum"),
+        (col("__pos0") + 1L).as("bfd_pos"),
+        call_function("div", col("__pos0"), lit(batchSize.toLong))
+          .as("batch_id"),
+        col("token_offset"),
+        call_function("div", col("token_offset"), lit(budget))
+          .as("pack_id"))
   }
 
   /** Per-document fixed-token-window chunking with overlap — the other

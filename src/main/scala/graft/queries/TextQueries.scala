@@ -637,6 +637,20 @@ object TextQueries {
         .orderBy("layout")
     }),
 
+    // --- d78: best-fit-DECREASING packing within strata — d76's layout
+    //     with the within-stratum hash order replaced by length DESC
+    //     (next-fit-decreasing): for fixed-count batches the sorted
+    //     grouping is the minimum-padding grouping, so this is the
+    //     padding FLOOR at a given stratum count (d77's report measures
+    //     the delta as its third layout row). Same GlobalOrder two-pass
+    //     machinery over the negated length key; full per-doc listing
+    //     hash-exact. ------------------------------------------------
+    "d78_bfd_packing" -> ((s, d) => {
+      Packing.bfdStratifiedPacks(Tables.documents(s, d), "doc_id", "text",
+          nStrata = 8, budget = 2048L, batchSize = 16)
+        .orderBy("doc_id")
+    }),
+
     // --- per-doc token repetition signals (Gopher-style repetitious-text
     //     filter): explode → two-level aggregate, linear at any doc length ------
     "d15_repetition" -> ((s, d) => {
@@ -3789,8 +3803,54 @@ object TextQueries {
                         count(*) AS n_batches,
                         CAST(sum(s) AS BIGINT) AS total_tokens,
                         CAST(sum(m * c - s) AS BIGINT) AS padded_tokens
-                 FROM stg)
-         SELECT * FROM shr UNION ALL SELECT * FROM str ORDER BY layout""",
+                 FROM stg),
+         bfb AS (
+           SELECT n_tokens,
+                  stratum,
+                  (CAST(row_number() OVER (PARTITION BY stratum
+                    ORDER BY n_tokens DESC, k, doc_id) AS BIGINT) - 1)
+                    // 16 AS b
+           FROM st),
+         bfg AS (SELECT stratum, b, count(*) AS c, max(n_tokens) AS m,
+                        sum(n_tokens) AS s
+                 FROM bfb GROUP BY stratum, b),
+         bfr AS (SELECT 'stratified_bfd' AS layout,
+                        count(*) AS n_batches,
+                        CAST(sum(s) AS BIGINT) AS total_tokens,
+                        CAST(sum(m * c - s) AS BIGINT) AS padded_tokens
+                 FROM bfg)
+         SELECT * FROM shr UNION ALL SELECT * FROM str
+         UNION ALL SELECT * FROM bfr ORDER BY layout""",
+    // d76's stratum cut + per-stratum LENGTH-DESC position/offset windows
+    // (the Spark side computes them with the grouped two-pass over the
+    // negated length key — the single-window replica is the oracle)
+    "d78_bfd_packing" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR)) AS k,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         nn AS (SELECT count(*) AS n FROM t),
+         st AS (
+           SELECT doc_id, k, n_tokens,
+                  CAST(((CAST(row_number() OVER (ORDER BY n_tokens, k, doc_id)
+                    AS BIGINT) - 1) * 8) // nn.n AS BIGINT) AS stratum
+           FROM t, nn),
+         o AS (
+           SELECT doc_id, n_tokens, stratum,
+                  CAST(row_number() OVER (PARTITION BY stratum
+                    ORDER BY n_tokens DESC, k, doc_id) AS BIGINT) AS bfd_pos,
+                  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY stratum
+                    ORDER BY n_tokens DESC, k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS token_offset
+           FROM st)
+         SELECT doc_id, n_tokens, stratum, bfd_pos,
+                (bfd_pos - 1) // 16 AS batch_id,
+                token_offset,
+                token_offset // 2048 AS pack_id
+         FROM o ORDER BY doc_id""",
     // global length rank → ntile-cut strata → per-stratum hash-order
     // running offsets — the one-window replica of the two-pass layout
     "d76_length_strata" ->

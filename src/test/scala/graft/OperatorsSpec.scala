@@ -1958,15 +1958,50 @@ class OperatorsSpec extends SparkTestBase {
         batchSize = 4, nStrata = 2)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq.sortBy(_._1)
-    val Seq(sh, st) = out.sortBy(_._1)
-    assert(sh._1 == "shuffled" && st._1 == "stratified", out.toString)
-    // both layouts batch all 16 docs and count the same real tokens
-    assert(sh._2 == 4L && st._2 == 4L)
-    assert(sh._3 == 176L && st._3 == 176L) // 8·2 + 8·20
+    val Seq(sh, st, bfd) = out.sortBy(_._1)
+    assert(sh._1 == "shuffled" && st._1 == "stratified" &&
+      bfd._1 == "stratified_bfd", out.toString)
+    // all layouts batch all 16 docs and count the same real tokens
+    assert(sh._2 == 4L && st._2 == 4L && bfd._2 == 4L)
+    assert(sh._3 == 176L && st._3 == 176L && bfd._3 == 176L) // 8·2 + 8·20
     // two equal-count strata split exactly at the mode boundary → zero
-    // padding stratified; the hash order mixes lengths → positive waste
-    assert(st._4 == 0L, out.toString)
+    // padding stratified (and a fortiori bfd); the hash order mixes
+    // lengths → positive waste
+    assert(st._4 == 0L && bfd._4 == 0L, out.toString)
     assert(sh._4 > 0L, out.toString)
+  }
+
+  test("bfdStratifiedPacks: length-desc within stratum is the fixed-count padding floor") {
+    import graft.operators.Packing
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // ONE stratum, graded lengths 1..8, batchSize 2: hash order mixes
+    // lengths; the desc order pairs (8,7)(6,5)(4,3)(2,1) → waste 4
+    val docs = (1L to 8L).map(i => (i, words(i.toInt))).toDF("doc_id", "text")
+    val out = Packing.bfdStratifiedPacks(docs, "doc_id", "text",
+        nStrata = 1, budget = 8L, batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._4).toSeq
+    // bfd_pos follows length DESC: doc 8 first, doc 1 last
+    assert(out.map(_._1) == Seq(8L, 7L, 6L, 5L, 4L, 3L, 2L, 1L), out.toString)
+    assert(out.map(_._4) == (1L to 8L), "contiguous per-stratum positions")
+    // batches pair consecutive sorted lengths → total padding
+    // Σ(max−min) per pair = (8−7)+(6−5)+(4−3)+(2−1) = 4, the floor
+    val waste = out.groupBy(_._5).values.map(b =>
+      b.map(_._2).max * b.size - b.map(_._2).sum).sum
+    assert(waste == 4L, out.toString)
+    // token offsets run in the SAME desc order: exclusive prefix sums of
+    // 8,7,6,... and pack = offset div budget
+    assert(out.map(_._6) == Seq(0L, 8L, 15L, 21L, 26L, 30L, 33L, 35L))
+    assert(out.map(_._7) == Seq(0L, 1L, 1L, 2L, 3L, 3L, 4L, 4L))
+    // every stratum restarts its own offsets: two strata of the same
+    // corpus each start at 0
+    val two = Packing.bfdStratifiedPacks(docs, "doc_id", "text",
+        nStrata = 2, budget = 8L, batchSize = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(two.filter(_._2 == 1L).forall(_._3 == 0L),
+      "per-stratum offsets must restart at 0")
+    assert(two.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L))
   }
 
   test("packSegments: segments tile each pack; straddling docs split; totals conserve") {
