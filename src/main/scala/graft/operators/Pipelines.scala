@@ -84,4 +84,102 @@ object Pipelines {
       sum(when(col("clean") && col("split") === "test", id)).as("s_test"))
     a1.crossJoin(a2)
   }
+
+  /** The release-ready LINEAGE table of the full cascade — what a corpus
+    * release ships next to the data ([[pretrainAudit]] is the one-row
+    * regression gate; this is the governance artifact): one row per
+    * (stage, source, reason) with exact integer counts and id-sums, so
+    * a release manager can answer "where did source X's documents go,
+    * and why" without re-running anything. Stages and reasons:
+    *
+    *   0 raw      — input              (per source)
+    *   1 quality  — kept | fail_count | fail_len | fail_alpha | fail_stop
+    *   2 dedup    — kept | exact_duplicate
+    *   3 decontam — kept | contaminated
+    *   4 split    — train | val | test
+    *
+    * Drop-reason attribution is EXCLUSIVE: a quality reject is charged
+    * to its FIRST failing Gopher flag in the fixed (count, len, alpha,
+    * stop) order, so per-source arithmetic reconciles exactly —
+    * n(raw) = n(kept) + Σ n(fail_*), n(quality kept) = n(dedup in), and
+    * so on down the cascade (OperatorsSpec pins the closed form).
+    *
+    * Scale shape: the cascade reuses the same audited kernels as
+    * [[pretrainAudit]] and is aggregated in exactly TWO corpus-sized
+    * passes — a (source, quality-reason) roll-up of the flagged frame
+    * and a (source, final-fate) roll-up of the judged frame (each doc's
+    * fate is exclusive: duplicate, contaminated, or its split) — every
+    * other row of the table DERIVES from those two stage-×-source-sized
+    * aggregates, so the lineage costs no more than the d41 audit. */
+  def releaseLineage(
+      docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      contaminationThreshold: Double = 0.5): DataFrame = {
+    val id = col(idCol)
+    val bench = docs.filter(pmod(id, lit(97)) === 3)
+      .select(id, col(textCol))
+    val corpus = docs.filter(pmod(id, lit(97)) =!= 3)
+      .select(id, col(sourceCol).as("source"), col(textCol))
+
+    val flagged = corpus.join(
+      TextAnalysis.gopherRules(corpus, idCol, textCol)
+        .select(id, col("ok_count"), col("ok_len"), col("ok_alpha"),
+          col("keep")),
+      Seq(idCol))
+    val qreason = when(col("keep"), "kept")
+      .when(!col("ok_count"), "fail_count")
+      .when(!col("ok_len"), "fail_len")
+      .when(!col("ok_alpha"), "fail_alpha")
+      .otherwise("fail_stop")
+    val qAgg = flagged.groupBy(col("source"), qreason.as("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(id).as("id_sum"))
+      .localCheckpoint(true)
+
+    val kept = flagged.filter(col("keep"))
+      .select(id, col("source"), col(textCol))
+    val reps = Dedup.exactDedup(kept, idCol, textCol)
+    val dirtyIds = Contamination
+      .contaminationScores(reps, bench, idCol, textCol)
+      .filter(col("contamination") >= contaminationThreshold)
+      .select(col("doc_id").as(idCol), lit(true).as("__dirty"))
+    val h = substring(md5(id.cast("string")), 1, 1)
+    // each quality survivor's EXCLUSIVE final fate in one frame
+    val fate = kept
+      .join(reps.select(id, lit(true).as("__rep")), Seq(idCol), "left")
+      .join(dirtyIds, Seq(idCol), "left")
+      .select(col("source"),
+        when(col("__rep").isNull, "exact_duplicate")
+          .when(col("__dirty").isNotNull, "contaminated")
+          .when(h.isin("c", "d"), "val")
+          .when(h.isin("e", "f"), "test")
+          .otherwise("train").as("reason"),
+        id)
+    val jAgg = fate.groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(id).as("id_sum"))
+      .localCheckpoint(true)
+
+    // every stage row below is algebra over the two tiny aggregates
+    def tag(df: DataFrame, ord: Int, stage: String) =
+      df.select(lit(ord).as("stage_ord"), lit(stage).as("stage"),
+        col("source"), col("reason"), col("n_docs"), col("id_sum"))
+    val raw = tag(qAgg.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("id_sum")).as("id_sum"))
+      .withColumn("reason", lit("input")), 0, "raw")
+    val quality = tag(qAgg, 1, "quality")
+    def keptOf(excluded: Seq[String]) = jAgg
+      .filter(!col("reason").isin(excluded: _*))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("id_sum")).as("id_sum"))
+      .withColumn("reason", lit("kept"))
+    val dedup = tag(jAgg.filter(col("reason") === "exact_duplicate")
+      .unionByName(keptOf(Seq("exact_duplicate"))), 2, "dedup")
+    val decontam = tag(jAgg.filter(col("reason") === "contaminated")
+      .unionByName(keptOf(Seq("exact_duplicate", "contaminated"))),
+      3, "decontam")
+    val split = tag(jAgg.filter(
+      col("reason").isin("train", "val", "test")), 4, "split")
+    try raw.unionByName(quality).unionByName(dedup).unionByName(decontam)
+      .unionByName(split)
+      .localCheckpoint(true)
+    finally { Dedup.release(qAgg); Dedup.release(jAgg) }
+  }
 }

@@ -651,6 +651,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- d79: release-ready LINEAGE table — d41 audits the cascade's
+    //     totals in one row; this is the governance artifact a corpus
+    //     release ships: one row per (stage, source, reason) with exact
+    //     integer counts/id-sums, drop reasons EXCLUSIVE (first failing
+    //     Gopher flag; duplicate/contaminated/split fates disjoint), so
+    //     per-source arithmetic reconciles at every stage. The d41
+    //     plantings make every reason class non-empty (bench copies →
+    //     contaminated; duplicate copies → exact_duplicate). TWO
+    //     corpus-sized aggregates; every other row derives from them. --
+    "d79_release_lineage" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(97)) === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+          col("text"))
+      val planted2 = docs.filter(pmod(col("doc_id"), lit(89)) === 5 &&
+          pmod(col("doc_id"), lit(97)) =!= 19)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+          col("text"))
+      Pipelines.releaseLineage(docs.unionAll(planted).unionAll(planted2),
+          "doc_id", "text", "source")
+        .orderBy("stage_ord", "source", "reason")
+    }),
+
     // --- per-doc token repetition signals (Gopher-style repetitious-text
     //     filter): explode → two-level aggregate, linear at any doc length ------
     "d15_repetition" -> ((s, d) => {
@@ -3851,6 +3876,111 @@ object TextQueries {
                 token_offset,
                 token_offset // 2048 AS pack_id
          FROM o ORDER BY doc_id""",
+    // d41's cascade replica carried per-source with per-flag quality
+    // bools, rolled up long-format: (stage, source, reason) rows
+    "d79_release_lineage" ->
+      """WITH all_docs AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, source, text FROM documents
+           WHERE doc_id % 97 = 3
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id, source, text FROM documents
+           WHERE doc_id % 89 = 5 AND doc_id % 97 <> 19),
+         corpus AS (SELECT * FROM all_docs WHERE doc_id % 97 <> 3),
+         tok AS (
+           SELECT doc_id, source, text,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '') AS toks
+           FROM corpus),
+         q AS (
+           SELECT doc_id, source, text, toks,
+                  len(toks) BETWEEN 50 AND 100000 AS ok_count,
+                  CASE WHEN len(toks) = 0 THEN false ELSE
+                    (CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                      / len(toks)) BETWEEN 3.0 AND 10.0 END AS ok_len,
+                  CASE WHEN len(toks) = 0 THEN false ELSE
+                    (CAST(len(list_filter(toks,
+                      x -> regexp_matches(x, '\p{L}'))) AS DOUBLE)
+                      / len(toks)) >= 0.80 END AS ok_alpha,
+                  len(list_intersect(list_distinct(toks), ['the','a'])) >= 2
+                    AS ok_stop
+           FROM tok),
+         qr AS (
+           SELECT *,
+                  (ok_count AND ok_len AND ok_alpha AND ok_stop) AS keep,
+                  CASE WHEN ok_count AND ok_len AND ok_alpha AND ok_stop
+                         THEN 'kept'
+                       WHEN NOT ok_count THEN 'fail_count'
+                       WHEN NOT ok_len THEN 'fail_len'
+                       WHEN NOT ok_alpha THEN 'fail_alpha'
+                       ELSE 'fail_stop' END AS reason
+           FROM q),
+         reps AS (
+           SELECT doc_id, source, text, toks,
+                  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM qr WHERE keep),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM reps WHERE rn = 1),
+         bsh AS (
+           SELECT DISTINCT unnest(
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [] END) AS s
+           FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                   x -> x <> '') AS toks
+                 FROM all_docs WHERE doc_id % 97 = 3)),
+         hitj AS (
+           SELECT c.doc_id, count(*) AS n_sh, count(b.s) AS n_m
+           FROM (SELECT doc_id, unnest(sh) AS s FROM sh) c
+           LEFT JOIN bsh b ON c.s = b.s GROUP BY c.doc_id),
+         fate AS (
+           SELECT r.doc_id, r.source,
+                  CASE WHEN r.rn > 1 THEN 'exact_duplicate'
+                       WHEN (CAST(h.n_m AS DOUBLE) / h.n_sh) >= 0.5
+                         THEN 'contaminated'
+                       WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 1)
+                         IN ('c','d') THEN 'val'
+                       WHEN substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 1)
+                         IN ('e','f') THEN 'test'
+                       ELSE 'train' END AS reason
+           FROM reps r LEFT JOIN hitj h USING (doc_id)),
+         qagg AS (SELECT source, reason, count(*) AS n_docs,
+                         CAST(sum(doc_id) AS BIGINT) AS id_sum
+                  FROM qr GROUP BY source, reason),
+         jagg AS (SELECT source, reason, count(*) AS n_docs,
+                         CAST(sum(doc_id) AS BIGINT) AS id_sum
+                  FROM fate GROUP BY source, reason)
+         SELECT * FROM (
+           SELECT 0 AS stage_ord, 'raw' AS stage, source,
+                  'input' AS reason, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                  CAST(sum(id_sum) AS BIGINT) AS id_sum
+           FROM qagg GROUP BY source
+           UNION ALL
+           SELECT 1, 'quality', source, reason, n_docs, id_sum FROM qagg
+           UNION ALL
+           SELECT 2, 'dedup', source, reason, n_docs, id_sum FROM jagg
+           WHERE reason = 'exact_duplicate'
+           UNION ALL
+           SELECT 2, 'dedup', source, 'kept', CAST(sum(n_docs) AS BIGINT),
+                  CAST(sum(id_sum) AS BIGINT)
+           FROM jagg WHERE reason <> 'exact_duplicate' GROUP BY source
+           UNION ALL
+           SELECT 3, 'decontam', source, reason, n_docs, id_sum FROM jagg
+           WHERE reason = 'contaminated'
+           UNION ALL
+           SELECT 3, 'decontam', source, 'kept', CAST(sum(n_docs) AS BIGINT),
+                  CAST(sum(id_sum) AS BIGINT)
+           FROM jagg WHERE reason NOT IN ('exact_duplicate', 'contaminated')
+           GROUP BY source
+           UNION ALL
+           SELECT 4, 'split', source, reason, n_docs, id_sum FROM jagg
+           WHERE reason IN ('train', 'val', 'test'))
+         ORDER BY stage_ord, source, reason""",
     // global length rank → ntile-cut strata → per-stratum hash-order
     // running offsets — the one-window replica of the two-pass layout
     "d76_length_strata" ->

@@ -2143,6 +2143,49 @@ class OperatorsSpec extends SparkTestBase {
       e.toString)
   }
 
+  test("releaseLineage: exclusive reasons, per-stage arithmetic, per-source breakdown") {
+    import graft.operators.Pipelines
+    graft.functions.GraftFunctions.register(spark)
+    def qual(pfx: String) =
+      "the a " + (1 to 53).map(i => s"$pfx$i").mkString(" ")
+    // id 3 ≡ 3 (mod 97) → benchmark; corpus: 1 = unique quality doc (A),
+    // 2 = exact copy of 1 (B → duplicate, rep is min id), 4 = copy of the
+    // BENCH text (A → contaminated), 5 = short (B → fail_count)
+    val docs = Seq(
+      (3L, "X", qual("bench")),
+      (1L, "A", qual("uniq")),
+      (2L, "B", qual("uniq")),
+      (4L, "A", qual("bench")),
+      (5L, "B", "too short")).toDF("doc_id", "source", "text")
+    val out = Pipelines.releaseLineage(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._3, t._4)).toSeq
+    // md5("1") starts with 'c' → doc 1 lands in the val split
+    assert(out == Seq(
+      (0, "raw", "A", "input", 2L, 5L),
+      (0, "raw", "B", "input", 2L, 7L),
+      (1, "quality", "A", "kept", 2L, 5L),
+      (1, "quality", "B", "fail_count", 1L, 5L),
+      (1, "quality", "B", "kept", 1L, 2L),
+      (2, "dedup", "A", "kept", 2L, 5L),
+      (2, "dedup", "B", "exact_duplicate", 1L, 2L),
+      (3, "decontam", "A", "contaminated", 1L, 4L),
+      (3, "decontam", "A", "kept", 1L, 1L),
+      (4, "split", "A", "val", 1L, 1L)), out.toString)
+    // reconciliation: each stage's per-source totals equal the previous
+    // stage's kept rows — the release-manager arithmetic the table exists
+    // to make checkable
+    def tot(stage: String, keep: String => Boolean) =
+      out.filter(t => t._2 == stage && keep(t._4))
+        .groupBy(_._3).view.mapValues(v => (v.map(_._5).sum, v.map(_._6).sum))
+        .toMap
+    assert(tot("raw", _ => true) == tot("quality", _ => true))
+    assert(tot("quality", _ == "kept") == tot("dedup", _ => true))
+    assert(tot("dedup", _ == "kept") == tot("decontam", _ => true))
+    assert(tot("decontam", _ == "kept") == tot("split", _ => true))
+  }
+
   test("retrievalEvalGraded: graded gains, idcg truncation, best-rank dedup, miss zeros") {
     import graft.operators.Similarity
     val disc = Similarity.ndcgDiscountsFp(3)
