@@ -1260,23 +1260,31 @@ object TextQueries {
       val corpus = docs.filter(pmod(col("doc_id"), lit(101)) =!= 5)
         .select(col("doc_id"), col("text"))
       // ONE chunking pass feeds both rankers; the fused result (a
-      // |queries|·k frame) is forced below so the chunk block can be
-      // released HERE instead of leaking until RDD GC (r16 advice)
+      // |queries|·k frame) is forced below so the chunk AND posting
+      // blocks can be released HERE instead of leaking until RDD GC
+      // (r16 advice). The row composes via the LAZY bm plan builder so
+      // the BM25 scoring tail and the dense scan stay in one job and
+      // overlap, as they always did — the public bm25TopKBatch forces
+      // its own result, which here would serialize the two rankers
+      // (measured 1.7× on this row).
       val chunks = graft.operators.Packing
         .chunkTokens(corpus, "doc_id", "text", 16, 0)
         .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
         .localCheckpoint(true)
       val out = try {
-        val bm = TextAnalysis.bm25TopKBatch(chunks, queries,
-            Seq("doc_id", "chunk_id"), "chunk_text", "doc_id", "text", k = 10)
-          .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
-        val dense = Similarity.chunkRetrieveFromIndex(
-            Similarity.chunkIndexOfChunks(chunks), queries,
-            "doc_id", "text", k = 10)
-          .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
-        Similarity.rrfFusePerQuery(Seq(bm, dense), "query_id",
-            Seq("doc_id", "chunk_id"), k = 5)
-          .localCheckpoint(true)
+        val (bmRanked, tfq) = TextAnalysis.bm25TopKBatchPlan(chunks, queries,
+          Seq("doc_id", "chunk_id"), "chunk_text", "doc_id", "text", k = 10)
+        try {
+          val bm = bmRanked
+            .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+          val dense = Similarity.chunkRetrieveFromIndex(
+              Similarity.chunkIndexOfChunks(chunks), queries,
+              "doc_id", "text", k = 10)
+            .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+          Similarity.rrfFusePerQuery(Seq(bm, dense), "query_id",
+              Seq("doc_id", "chunk_id"), k = 5)
+            .localCheckpoint(true)
+        } finally graft.operators.Dedup.release(tfq)
       } finally graft.operators.Dedup.release(chunks)
       out.orderBy("query_id", "rrf_rank")
     }),

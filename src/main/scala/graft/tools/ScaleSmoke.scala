@@ -268,16 +268,22 @@ object ScaleSmoke {
         .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
         .localCheckpoint(true)
       try {
-        val bm = graft.operators.TextAnalysis.bm25TopKBatch(chunks, queries,
+        // lazy bm plan so the two rankers overlap in one job (the e28
+        // gate row's shape)
+        val (bmRanked, tfq) = graft.operators.TextAnalysis
+          .bm25TopKBatchPlan(chunks, queries,
             Seq("doc_id", "chunk_id"), "chunk_text", "doc_id", "text", k = 10)
-          .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
-        val dense = graft.operators.Similarity.chunkRetrieveFromIndex(
-            graft.operators.Similarity.chunkIndexOfChunks(chunks), queries,
-            "doc_id", "text", k = 10)
-          .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
-        graft.operators.Similarity.rrfFusePerQuery(Seq(bm, dense),
-            "query_id", Seq("doc_id", "chunk_id"), k = 5)
-          .localCheckpoint(true)
+        try {
+          val bm = bmRanked
+            .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+          val dense = graft.operators.Similarity.chunkRetrieveFromIndex(
+              graft.operators.Similarity.chunkIndexOfChunks(chunks), queries,
+              "doc_id", "text", k = 10)
+            .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+          graft.operators.Similarity.rrfFusePerQuery(Seq(bm, dense),
+              "query_id", Seq("doc_id", "chunk_id"), k = 5)
+            .localCheckpoint(true)
+        } finally graft.operators.Dedup.release(tfq)
       } finally graft.operators.Dedup.release(chunks)
     }),
     // e30's PRODUCTION serving shape: a FIXED query batch served from the
