@@ -41,6 +41,7 @@ object StreamQueries {
   private val signalIngested = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val datasheetMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val chunkIndexIngested = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val bm25Maintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val sketchMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val freqMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   // memory-sink temp views from prior drains: each holds a full result
@@ -161,6 +162,88 @@ object StreamQueries {
     liveSinks.add(name)
     df.sparkSession.table(name)
   }
+
+  /** The s25 streamed chunk-index ingest, memoized per (JVM, sf dir):
+    * file-source micro-batches chunk + embed ONLY their own docs (all
+    * row-local, so a delta's index rows are bit-identical to a full
+    * rebuild's) into idempotent per-batch dirs. Returns the index dir;
+    * shared by s25 (dense retrieval gate) and s27 (hybrid serving). */
+  private def streamedChunkIndexFor(s: SparkSession, d: String): String =
+    chunkIndexIngested.computeIfAbsent(d, { _ =>
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val srcDir = tmpDir("schunksrc")
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = tmpDir("schunkw")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(srcDir, name).toPath); ()
+      }
+      stage(corpus.filter(pmod(col("doc_id"), lit(2)) === 0), "docs_0.parquet")
+      stage(corpus.filter(pmod(col("doc_id"), lit(2)) === 1), "docs_1.parquet")
+      val out = tmpDir("schunkout", create = false).toString
+      val ckpt = tmpDir("schunkckpt")
+      val stream = s.readStream
+        .schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+      val q = EventStreams.transformIngest(stream,
+        b => graft.operators.Similarity.chunkIndex(b, "doc_id", "text"),
+        out, ckpt.toString)
+      try q.processAllAvailable() finally q.stop()
+      out
+    })
+
+  /** The s26 streamed BM25 posting-index maintenance, memoized per
+    * (JVM, sf dir): each micro-batch tokenizes only its own chunks and
+    * merges under [[graft.operators.Bm25Index.extendIndex]]'s exactly-once
+    * versioned commit. Chunking is row-local per doc, so splitting WHOLE
+    * DOCS at a doc_id cut keeps the two snapshots' (doc_id, chunk_id)
+    * item sets disjoint AND monotone on keyCols.head — what the posting
+    * append guard and the additive-df merge both require; files are
+    * staged in monotone doc_id order (s20's crawl-snapshot staging).
+    * Returns the committed state path; shared by s26 and s27. */
+  private def streamedBm25StateFor(s: SparkSession, d: String): String =
+    bm25Maintained.computeIfAbsent(d, { _ =>
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val chunks = graft.operators.Packing
+        .chunkTokens(corpus, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val cut = corpus.agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
+      val srcDir = tmpDir("sbm25src")
+      def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
+        val tmp = tmpDir("sbm25w")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(srcDir, name)
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(lastMod); ()
+      }
+      val now = System.currentTimeMillis()
+      stage(chunks.filter(col("doc_id") <= cut), "snap_0.parquet",
+        now - 60000)
+      stage(chunks.filter(col("doc_id") > cut), "snap_1.parquet", now)
+      val state = tmpDir("sbm25state", create = false).toString + "/state"
+      val ckpt = tmpDir("sbm25ckpt")
+      val stream = s.readStream
+        .schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Bm25Index.extendIndex(s, state, batch,
+            Seq("doc_id", "chunk_id"), "chunk_text", batchId)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      state
+    })
 
   val defs: Map[String, Q] = Map(
     // --- s01: tumbling-window counts, streamed end to end. Complete output
@@ -769,38 +852,71 @@ object StreamQueries {
     //     differently, or duplicated by the stream flips the hash. --------
     "s25_stream_chunk_index" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, d)
-      val idxDir = chunkIndexIngested.computeIfAbsent(d, { _ =>
-        val corpus = docs.filter(pmod(col("doc_id"), lit(101)) =!= 5)
-          .select(col("doc_id"), col("text"))
-        val srcDir = tmpDir("schunksrc")
-        def stage(df: DataFrame, name: String): Unit = {
-          val tmp = tmpDir("schunkw")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-          java.nio.file.Files.move(part.toPath,
-            new java.io.File(srcDir, name).toPath); ()
-        }
-        stage(corpus.filter(pmod(col("doc_id"), lit(2)) === 0), "docs_0.parquet")
-        stage(corpus.filter(pmod(col("doc_id"), lit(2)) === 1), "docs_1.parquet")
-        val out = tmpDir("schunkout", create = false).toString
-        val ckpt = tmpDir("schunkckpt")
-        val stream = s.readStream
-          .schema(s.read.parquet(srcDir.toString).schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(srcDir.toString)
-        val q = EventStreams.transformIngest(stream,
-          b => graft.operators.Similarity.chunkIndex(b, "doc_id", "text"),
-          out, ckpt.toString)
-        try q.processAllAvailable() finally q.stop()
-        out
-      })
-      val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 5)
+      val idxDir = streamedChunkIndexFor(s, d)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
         .select(col("doc_id"), col("text"))
       graft.operators.Similarity.chunkRetrieveFromIndex(
           s.read.parquet(idxDir).drop("batch"),
           queries, "doc_id", "text", k = 3)
         .orderBy("query_id", "rank")
+    }),
+
+    // --- s26: streamed BM25 POSTING-INDEX maintenance — the sparse twin
+    //     of s25: e30's posting index kept live while the corpus ingests.
+    //     Each micro-batch tokenizes ONLY its own chunks and merges under
+    //     Bm25Index.extendIndex's exactly-once versioned commit (postings
+    //     append under the monotone doc-id guard, df/len/n_docs ADD —
+    //     files staged in monotone doc_id order, the crawl-snapshot
+    //     contract, exactly s20's staging). After the drain, ranking
+    //     SERVED from the maintained index must equal the from-scratch
+    //     batch recompute over everything ingested — the ORACLE IS e30's
+    //     SQL verbatim, so a chunk double-counted by an at-least-once
+    //     replay, a df drift, or a stats miss flips the exact
+    //     fixed-point scores. ------------------------------------------------
+    "s26_stream_bm25_index" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val statePath = streamedBm25StateFor(s, d)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Bm25Index.bm25TopKBatchFromIndex(s, statePath,
+          queries, Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("chunk_id"), col("bm25_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- s27: the LIVE RAG serving stack end to end — hybrid fusion over
+    //     two STREAM-MAINTAINED indexes: the dense leg serves from s25's
+    //     streamed chunk index, the sparse leg from s26's streamed posting
+    //     index, fused with the same per-query RRF as e28/e31. Both legs'
+    //     serving arithmetic is identical to the recompute paths', so the
+    //     fused fixed-point output is hash-exact against the SAME
+    //     from-scratch hybrid SQL as e28/e31 (shared verbatim) — a doc
+    //     lost or duplicated by EITHER stream, in EITHER index, flips the
+    //     hash. This is the composition a production deployment runs:
+    //     ingest maintains both artifacts per micro-batch, serving never
+    //     touches raw text. --------------------------------------------------
+    "s27_stream_hybrid_serving" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      // both memo builders run their streams on first call per (JVM, sf)
+      val denseDir = streamedChunkIndexFor(s, d)
+      val bmState = streamedBm25StateFor(s, d)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      val dense = graft.operators.Similarity.chunkRetrieveFromIndex(
+          s.read.parquet(denseDir).drop("batch"),
+          queries, "doc_id", "text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+      val bm = graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
+          bmState, queries,
+          Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+      graft.operators.Similarity.rrfFusePerQuery(Seq(bm, dense), "query_id",
+          Seq("doc_id", "chunk_id"), k = 5)
+        .orderBy("query_id", "rrf_rank")
     }),
 
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
@@ -1083,6 +1199,18 @@ object StreamQueries {
     // oracle IS e26's SQL, shared verbatim
     "s25_stream_chunk_index" ->
       graft.queries.TextQueries.oracle("e26_chunk_retrieval"),
+    // per-batch tokenization is row-local and the posting/df/len merges
+    // are additive, so the stream-maintained index serves ranking
+    // identical to the from-scratch batch recompute — the oracle IS
+    // e30's SQL (the exact-rational BM25 chain), shared verbatim
+    "s26_stream_bm25_index" ->
+      graft.queries.TextQueries.oracle("e30_bm25_index_served"),
+    // both stream-maintained legs reproduce the exact rankings (dense:
+    // row-local chunk+embed per batch; sparse: additive posting merge),
+    // so the fused fixed-point output equals the from-scratch hybrid
+    // chain — the oracle IS e28/e31's SQL, shared verbatim
+    "s27_stream_hybrid_serving" ->
+      graft.queries.TextQueries.oracle("e31_hybrid_served"),
     // streamed monotone batches with cross-batch (host, n_accepted) state
     // ≡ the batch-global ARRIVAL-ORDER cap: row_number per host by doc_id
     // (NOT d56's hash-priority rank — the streamed cap keeps the first
