@@ -999,6 +999,76 @@ object Dedup {
     } finally release(labels)
   }
 
+  // ---- substring-level dedup (duplicate-span removal) ------------------
+
+  /** Position packing for the canonical-occurrence encoding in
+    * [[dupSpanRemoval]]: occurrences order as (doc_id, pos) via the single
+    * long doc_id·2²⁰ + pos, so the canonical pick is a plain `min` with
+    * map-side partial aggregation (no struct ordering shipped through the
+    * shuffle, and the DuckDB oracle reproduces the arithmetic exactly).
+    * Bounds: pos < 2²⁰ (a one-million-token document) and doc_id < 2⁴³. */
+  private val PosBase = 1L << 20
+
+  /** Exact duplicate-SUBSTRING removal — the span-level dedup that
+    * doc-level dedup cannot express (two documents sharing a boilerplate
+    * paragraph are NOT duplicates, but the paragraph is): every length-`l`
+    * token window that occurs more than once corpus-wide is removed from
+    * every occurrence EXCEPT the canonical one (globally smallest
+    * (doc_id, pos)), and each document is reassembled from its surviving
+    * tokens. Overlapping duplicated windows merge naturally because
+    * removal is token-coverage, not span splicing.
+    *
+    * Shape: one row-local window pass (the single-pass word-n-gram kernel,
+    * then md5 so the shuffle key is a fixed 32-byte digest, never the
+    * window text), ONE aggregation keyed on the digest (count + min — both
+    * partial-aggregating, so a boilerplate shared by millions of documents
+    * arrives at its reducer as per-partition partials, not a hot key's raw
+    * occurrence list), one join of occurrences against the (much smaller,
+    * duplicated-keys-only) table — AQE broadcasts it when the duplication
+    * rate is low, the common corpus case — and one doc-keyed aggregation
+    * of the marked starts. The reassembly is row-local: a position filter
+    * against the doc's marked starts (O(tokens · marked starts per doc);
+    * marked starts are bounded by the doc's own duplicated windows).
+    *
+    * Returns (doc_id, n_tokens, n_dup_windows, n_removed, cleaned_text),
+    * one row per input document (docs with fewer than `l` tokens pass
+    * through unmarked). Tokenization is [[TextAnalysis.tokens]] (the
+    * oracle-shared lowercase whitespace split). */
+  def dupSpanRemoval(
+      docs: DataFrame, idCol: String, textCol: String, l: Int): DataFrame = {
+    require(l >= 1, s"window length must be positive, got $l")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    def enc = col("doc_id") * PosBase + col("pos")
+    val occ = base.select(col("doc_id"),
+        posexplode(TextAnalysis.ngrams(col("text"), l)).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("win")).as("wkey"))
+    val dup = occ.groupBy(col("wkey"))
+      .agg(count(lit(1)).as("cnt"), min(enc).as("canon"))
+      .filter(col("cnt") > 1)
+      .select(col("wkey"), col("canon"))
+    val marks = occ.join(dup, Seq("wkey"))
+      .filter(enc =!= col("canon"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"),
+        count(lit(1)).as("n_dup_windows"))
+    val tk = toks(col("text"))
+    val n = size(tk).cast("long")
+    val starts = coalesce(col("starts"), array().cast("array<long>"))
+    val kept = filter(
+      when(n > 0, sequence(lit(0L), n - 1L))
+        .otherwise(array().cast("array<long>")),
+      i => !exists(starts, p => p <= i && i < p + l))
+    base.join(marks, Seq("doc_id"), "left")
+      .select(col("doc_id"), n.as("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (n - size(kept)).as("n_removed"),
+        concat_ws(" ",
+          transform(kept, i => element_at(tk, (i + 1L).cast("int"))))
+          .as("cleaned_text"))
+  }
+
   // ---- snapshot diff --------------------------------------------------
 
   /** Dataset-versioning diff: classify every id across two corpus

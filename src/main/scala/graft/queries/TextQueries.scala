@@ -20,6 +20,12 @@ object TextQueries {
   // shared tokenization (must mirror the oracle SQL exactly)
   private val wordsRe = "[^\\p{L}\\p{N}]+"
 
+  // d80's planted boilerplate tail (10 tokens, leading space) — appended
+  // to every doc_id % 7 == 2 doc on BOTH sides so duplicated spans exist
+  // at window length 8 regardless of the random corpus text
+  private val DupSpanBoiler =
+    " lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor"
+
   // Memoized ANN index builds, keyed by sf dir (deterministic: seeded
   // init + fixed iteration count, so a cached codebook is bit-identical
   // to a retrained one). Index construction is an OFFLINE step at scale —
@@ -674,6 +680,28 @@ object TextQueries {
       Pipelines.releaseLineage(docs.unionAll(planted).unionAll(planted2),
           "doc_id", "text", "source")
         .orderBy("stage_ord", "source", "reason")
+    }),
+
+    // --- d80: exact duplicate-SUBSTRING removal — the span-level dedup
+    //     doc-level dedup can't express (two docs sharing a boilerplate
+    //     paragraph are NOT duplicates, but the paragraph is): every
+    //     8-token window occurring more than once corpus-wide is removed
+    //     from every occurrence except the canonical (smallest (doc, pos)),
+    //     docs reassembled from surviving tokens. Planting: docs with
+    //     doc_id % 7 == 2 gain a shared 10-token boilerplate tail — those
+    //     lose exactly the boilerplate (11 tokens when the one-token
+    //     straddle window also collides on the doc's last original word),
+    //     while the corpus's planted exact-duplicate docs surface as
+    //     full-coverage spans. Hash-exact: md5 window keys, arithmetic
+    //     (doc·2²⁰+pos) canonical — both engines replicate bit-for-bit. --
+    "d80_dup_span_removal" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 2,
+          concat(col("text"), lit(DupSpanBoiler)))
+          .otherwise(col("text")).as("text"))
+      Dedup.dupSpanRemoval(docs, "doc_id", "text", l = 8)
+        .orderBy("doc_id")
     }),
 
     // --- per-doc token repetition signals (Gopher-style repetitious-text
@@ -3989,6 +4017,55 @@ object TextQueries {
            SELECT 4, 'split', source, reason, n_docs, id_sum FROM jagg
            WHERE reason IN ('train', 'val', 'test'))
          ORDER BY stage_ord, source, reason""",
+    // windows → md5 keys → dup keys w/ arithmetic canonical → per-doc
+    // marked starts → token-coverage reassembly (the planting replicated)
+    "d80_dup_span_removal" ->
+      ("""WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 2
+               THEN text || '""" + DupSpanBoiler + """'
+               ELSE text END AS text
+           FROM documents),
+         base AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM planted),
+         nb AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+                FROM base),
+         occ AS (
+           SELECT doc_id, CAST(unnest(range(n - 8 + 1)) AS BIGINT) AS pos,
+                  toks
+           FROM nb WHERE n >= 8),
+         keyed AS (
+           SELECT doc_id, pos,
+             md5(array_to_string(toks[pos + 1 : pos + 8], ' ')) AS wkey
+           FROM occ),
+         dup AS (
+           SELECT wkey, min(doc_id * 1048576 + pos) AS canon
+           FROM keyed GROUP BY wkey HAVING count(*) > 1),
+         marks AS (
+           SELECT doc_id, keyed.pos
+           FROM keyed JOIN dup USING (wkey)
+           WHERE doc_id * 1048576 + pos <> canon),
+         spans AS (
+           SELECT doc_id, list(pos) AS starts,
+                  CAST(count(*) AS BIGINT) AS n_dup_windows
+           FROM marks GROUP BY doc_id),
+         kd AS (
+           SELECT nb.doc_id, nb.n AS n_tokens, nb.toks,
+             COALESCE(spans.n_dup_windows, 0) AS n_dup_windows,
+             list_filter(range(nb.n),
+               i -> len(list_filter(COALESCE(spans.starts, []),
+                        p -> p <= i AND i < p + 8)) = 0) AS kept
+           FROM nb LEFT JOIN spans USING (doc_id))
+         SELECT doc_id, n_tokens, n_dup_windows,
+                n_tokens - len(kept) AS n_removed,
+                COALESCE(array_to_string(
+                    list_transform(kept, i -> toks[i + 1]), ' '), '')
+                  AS cleaned_text
+         FROM kd
+         ORDER BY doc_id"""),
     // global length rank → ntile-cut strata → per-stratum hash-order
     // running offsets — the one-window replica of the two-pass layout
     "d76_length_strata" ->

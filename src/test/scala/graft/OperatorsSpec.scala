@@ -3051,6 +3051,33 @@ class OperatorsSpec extends SparkTestBase {
       tie(0).getAs[Boolean]("agrees"))
   }
 
+  test("dupSpanRemoval: canonical kept, overlaps merge, within-doc repeats, short docs pass") {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),            // canonical owner of [a..h],[b..i],[c..j]
+      (2L, "x y a b c d e f g h z"),          // one dup window -> loses 8 tokens
+      (4L, "a b c d e f g h i j k"),          // three overlapping dup windows merge
+      (5L, "m n o p q r s t m n o p q r s t"),// WITHIN-doc repeat: 2nd copy removed
+      (6L, "p q r"),                          // shorter than l -> untouched
+      (7L, "")                                // empty -> empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanRemoval(corpus, "doc_id", "text", l = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1 is the canonical occurrence of every shared window — untouched
+    assert(out(1L) == ((10L, 0L, 0L, "a b c d e f g h i j")))
+    // doc 2's single duplicated window removes exactly its 8 tokens
+    assert(out(2L) == ((11L, 1L, 8L, "x y z")))
+    // doc 4's three duplicated windows (positions 0,1,2) merge into one
+    // 10-token covered span; the unique tail survives
+    assert(out(4L) == ((11L, 3L, 10L, "k")))
+    // within-doc repeat: the second copy of [m..t] is non-canonical
+    assert(out(5L) == ((16L, 1L, 8L, "m n o p q r s t")))
+    // below window length / empty: no windows, pass through
+    assert(out(6L) == ((3L, 0L, 0L, "p q r")))
+    assert(out(7L) == ((0L, 0L, 0L, "")))
+  }
+
   test("Multimodal: deterministic stub features, schema, modality stats") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(docs), dim = 8)
