@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Contamination, Dedup, HtmlExtract, Multimodal, Packing, Pipelines, Quantize, Sampling, Similarity, TextAnalysis, UrlCuration}
+import graft.operators.{Contamination, Dedup, HtmlExtract, Multimodal, Packing, Pipelines, Quantize, Sampling, Similarity, TextAnalysis, UrlCuration, Vocab}
 import graft.sources.Sinks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,6 +25,49 @@ object TextQueries {
   // at window length 8 regardless of the random corpus text
   private val DupSpanBoiler =
     " lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor"
+
+  // d81/d82's merge count (shared by the Spark rows and the generated
+  // oracle CTE chain)
+  private val BpeMergeRounds = 12
+
+  /** The d81/d82 oracle prefix: word-frequency table + `k` BPE merge
+    * rounds as generated MATERIALIZED CTEs (non-materialized chained CTEs
+    * re-expand exponentially — each round references the previous twice).
+    * Per round: pair counts via list_zip over the current segmentations
+    * (overlapping adjacent pairs, frequency-weighted), best pair by
+    * (count desc, left, right), and the greedy left-to-right rewrite as a
+    * list_reduce fold over a '~'-separated accumulator (symbols here are
+    * alphanumeric, so the separator never collides). LEFT JOIN ON TRUE
+    * keeps the rewrite total when a round has no pairs left. */
+  private def bpeOracleCtes(k: Int): String = {
+    val sb = new StringBuilder(
+      """WITH wf AS MATERIALIZED (
+           SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS word FROM documents)
+           GROUP BY word),
+         s0 AS MATERIALIZED (SELECT word, freq,
+             list_transform(range(len(word)), i -> word[i+1]) AS sym
+           FROM wf)""")
+    for (r <- 1 to k) {
+      val p = r - 1
+      sb.append(s""",
+         p$r AS MATERIALIZED (
+           SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT freq, unnest(list_zip(sym, sym[2:])) AS pr FROM s$p)
+           WHERE pr[2] IS NOT NULL GROUP BY pr[1], pr[2]),
+         b$r AS MATERIALIZED (
+           SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         s$r AS MATERIALIZED (SELECT word, freq,
+             string_split(CASE WHEN len(sym) = 1 THEN sym[1] ELSE
+               list_reduce(sym, (acc, x) -> CASE
+                 WHEN regexp_extract(acc, '[^~]*$$') = bl AND x = br
+                 THEN regexp_replace(acc, '[^~]*$$', '') || bl || x
+                 ELSE acc || '~' || x END) END, '~') AS sym
+           FROM s$p LEFT JOIN (SELECT l AS bl, r AS br FROM b$r) ON TRUE)""")
+    }
+    sb.toString
+  }
 
   // Memoized ANN index builds, keyed by sf dir (deterministic: seeded
   // init + fixed iteration count, so a cached codebook is bit-identical
@@ -701,6 +744,31 @@ object TextQueries {
           concat(col("text"), lit(DupSpanBoiler)))
           .otherwise(col("text")).as("text"))
       Dedup.dupSpanRemoval(docs, "doc_id", "text", l = 8)
+        .orderBy("doc_id")
+    }),
+
+    // --- d81: tokenizer-vocabulary induction — corpus-scale BPE merge
+    //     learning in the GPT-2/HF trainer decomposition: ONE map-side-
+    //     combining word-frequency aggregation is the only corpus-sized
+    //     pass (100 TB reduces to ≤|distinct words| rows on the
+    //     executors), then the merge loop runs on that bounded table
+    //     driver-side. Pair pick is the total order (count desc, left,
+    //     right) — deterministic; the oracle replays all 12 rounds as
+    //     generated materialized CTEs (pair counts via list_zip, the
+    //     greedy left-to-right rewrite as a list_reduce fold). ----------
+    "d81_bpe_merges" -> ((s, d) => {
+      Vocab.bpeMerges(s, Tables.documents(s, d), "text", nMerges = 12)
+        .orderBy("rank")
+    }),
+
+    // --- d82: distributed encode under the d81 vocabulary — per doc
+    //     (n_words, n_chars, n_bpe_tokens, exact fixed-point chars/token).
+    //     Each distinct word's final symbol count resolves ONCE driver-
+    //     side; the corpus pass is explode → broadcast join → per-doc
+    //     aggregate — no per-row merge scans. ---------------------------
+    "d82_bpe_encode" -> ((s, d) => {
+      Vocab.bpeEncodeStats(s, Tables.documents(s, d), "doc_id", "text",
+          nMerges = 12)
         .orderBy("doc_id")
     }),
 
@@ -4066,6 +4134,34 @@ object TextQueries {
                   AS cleaned_text
          FROM kd
          ORDER BY doc_id"""),
+    // the 12 learned merges, one SELECT per round's best-pair CTE
+    "d81_bpe_merges" -> (bpeOracleCtes(BpeMergeRounds) + "\n" +
+      (1 to BpeMergeRounds).map(r =>
+        s"SELECT $r AS rank, l AS left_sym, r AS right_sym, " +
+          s"l || r AS merged, cnt FROM b$r")
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY rank"),
+    // encode: final per-word symbol counts joined back to the exploded
+    // corpus; exact fixed-point chars-per-token
+    "d82_bpe_encode" -> (bpeOracleCtes(BpeMergeRounds) + s""",
+         ws AS (SELECT word, CAST(len(sym) AS BIGINT) AS n_syms
+                FROM s$BpeMergeRounds),
+         dt AS (SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents),
+         agg AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(len(dt.word)) AS BIGINT) AS n_chars,
+                   CAST(sum(ws.n_syms) AS BIGINT) AS n_bpe_tokens
+                 FROM dt JOIN ws USING (word) GROUP BY dt.doc_id)
+         SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+                COALESCE(a.n_chars, 0) AS n_chars,
+                COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+                CASE WHEN COALESCE(a.n_bpe_tokens, 0) = 0 THEN 0
+                     ELSE (a.n_chars * 1000000) // a.n_bpe_tokens
+                END AS chars_per_tok_fp
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id"""),
     // global length rank → ntile-cut strata → per-stratum hash-order
     // running offsets — the one-window replica of the two-pass layout
     "d76_length_strata" ->

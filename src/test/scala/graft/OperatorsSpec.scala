@@ -3078,6 +3078,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(7L) == ((0L, 0L, 0L, "")))
   }
 
+  test("BPE induction: textbook merges, overlap rewrite, tie-breaks, encode stats") {
+    import graft.operators.Vocab
+    // greedy left-to-right, non-overlapping rewrite
+    assert(Vocab.applyMerge(Vector("a", "a", "a"), "a", "a") ==
+      Vector("aa", "a"))
+    assert(Vocab.applyMerge(Vector("a", "a", "a", "a"), "a", "a") ==
+      Vector("aa", "aa"))
+    // the classic BPE example corpus: low×5 lower×2 newest×6 widest×3
+    val corpus = Seq((1L, ("low " * 5 + "lower " * 2 + "newest " * 6 +
+      "widest " * 3).trim), (2L, "")).toDF("doc_id", "text")
+    val merges = Vocab.bpeMerges(spark, corpus, "text", nMerges = 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // ties break (count desc, left asc, right asc): (e,s)≡(s,t)@9 → e;
+    // (l,o)≡(o,w)@7 → l; (n,e)≡(e,w)≡(w,est)@6 → e; (n,ew)≡(ew,est) → ew
+    assert(merges.toSeq == Seq(
+      (1, "e", "s", "es", 9L), (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L), (4, "lo", "w", "low", 7L),
+      (5, "e", "w", "ew", 6L), (6, "ew", "est", "ewest", 6L)))
+    // encode: low→1 sym, lower→3, newest→2 (n,ewest), widest→4 (w,i,d,est)
+    val enc = Vocab.bpeEncodeStats(spark, corpus, "doc_id", "text",
+        nMerges = 6).orderBy("doc_id").collect()
+    assert(enc(0).getLong(1) == 16L && enc(0).getLong(2) == 79L &&
+      enc(0).getLong(3) == 35L &&
+      enc(0).getLong(4) == 79L * 1000000L / 35L)
+    // empty doc: all-zero row survives the left join
+    assert(enc(1).getLong(1) == 0L && enc(1).getLong(3) == 0L &&
+      enc(1).getLong(4) == 0L)
+  }
+
   test("Multimodal: deterministic stub features, schema, modality stats") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(docs), dim = 8)
