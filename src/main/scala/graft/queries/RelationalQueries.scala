@@ -676,6 +676,38 @@ object RelationalQueries {
         .orderBy("lang")
     }),
 
+    // --- q110: SCD Type-2 dimension maintenance — the warehouse classic:
+    //     the events stream as a change log on the user dimension
+    //     (tracked attribute: event_type), consecutive no-op changes
+    //     collapsed, each surviving change one version row with half-open
+    //     [valid_from, valid_to) intervals. The row runs the INCREMENTAL
+    //     path: history built from events at or before the (min+max)/2
+    //     micros midpoint, the rest applied via scdApply (touched-keys
+    //     rebuild + at-tail guard) — and the ORACLE is the one-shot
+    //     history over ALL events, so a version lost, split, or
+    //     mis-collapsed by the incremental path flips the hash (the d30
+    //     replay-equivalence pattern). Timestamps surface as unix micros
+    //     (exact in both engines). ------------------------------------------
+    "q110_scd2_apply" -> ((s, d) => {
+      import graft.operators.Dimension
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      val mm = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      val base = ev.filter(unix_micros(col("ts")) <= cut)
+      val delta = ev.filter(unix_micros(col("ts")) > cut)
+      val dim0 = Dimension.scdType2(base, "user_id", "ts", "event_id",
+        Seq("event_type"))
+      Dimension.scdApply(dim0, delta, "user_id", "ts", "event_id",
+          Seq("event_type"))
+        .select(col("user_id"), col("version"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"), col("change_id"))
+        .orderBy("user_id", "version")
+    }),
+
     "q71_orc_roundtrip" -> ((s, d) => {
       val tmp = materialize("orc", d) { p =>
         Tables.orders(s, d)
@@ -1895,6 +1927,28 @@ object RelationalQueries {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // the ONE-SHOT SCD-2 history over the full change log — the Spark row
+    // builds it incrementally (base + scdApply of the later half), so
+    // equality IS the incremental-correctness gate
+    "q110_scd2_apply" ->
+      """WITH ded AS (
+           SELECT user_id, ts, event_id, event_type FROM (
+             SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+             FROM events)
+           WHERE prev IS DISTINCT FROM event_type)
+         SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           (lead(ts) OVER w) IS NULL AS is_current,
+           event_id AS change_id
+         FROM ded
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, version""",
 
     // the v1 vintage (even doc_ids) predates the lang column, so its rows
     // group under NULL — exactly what mergeSchema must surface

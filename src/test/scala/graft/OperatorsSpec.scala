@@ -3109,6 +3109,47 @@ class OperatorsSpec extends SparkTestBase {
       enc(1).getLong(4) == 0L)
   }
 
+  test("scdType2/scdApply: no-op collapse, intervals, incremental ≡ one-shot, at-tail guard") {
+    import graft.operators.Dimension
+    def ch(rows: (Long, Long, Long, String)*) =
+      rows.toDF("k", "us", "cid", "attr")
+        .select(col("k"), timestamp_micros(col("us")).as("ts"),
+          col("cid"), col("attr"))
+    val base = ch((1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"),
+      (1L, 30L, 102L, "B"), (2L, 10L, 103L, "X"))
+    val dim = Dimension.scdType2(base, "k", "ts", "cid", Seq("attr"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("version"), col("attr"),
+        unix_micros(col("valid_from")).as("f"),
+        unix_micros(col("valid_to")).as("t"), col("is_current"),
+        col("change_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5), r.getLong(6))).sorted.toSeq
+    // the (1, 20, A) no-op collapsed; half-open intervals chain
+    assert(rows(dim) == Seq(
+      (1L, 1L, "A", 10L, 30L, false, 100L),
+      (1L, 2L, "B", 30L, -1L, true, 102L),
+      (2L, 1L, "X", 10L, -1L, true, 103L)))
+    // delta: a no-op on key 1 (B again), a real change on 2, a new key 3
+    val delta = ch((1L, 40L, 104L, "B"), (2L, 40L, 105L, "Y"),
+      (3L, 40L, 106L, "Z"))
+    val applied = Dimension.scdApply(dim, delta, "k", "ts", "cid",
+      Seq("attr"))
+    val oneShot = Dimension.scdType2(base.unionByName(delta), "k", "ts",
+      "cid", Seq("attr"))
+    assert(rows(applied) == rows(oneShot))
+    // key 1 untouched by the no-op; key 2 closed at 40; key 3 appears
+    assert(rows(applied).contains((2L, 1L, "X", 10L, 40L, false, 103L)))
+    assert(rows(applied).contains((3L, 1L, "Z", 40L, -1L, true, 106L)))
+    // at-tail guard: a delta change inside retained history raises
+    val e = intercept[IllegalArgumentException] {
+      Dimension.scdApply(dim, ch((1L, 25L, 107L, "C")), "k", "ts", "cid",
+        Seq("attr"))
+    }
+    assert(e.getMessage.contains("at or before"), e.getMessage)
+  }
+
   test("Multimodal: deterministic stub features, schema, modality stats") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(docs), dim = 8)
