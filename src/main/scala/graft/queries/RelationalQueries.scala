@@ -708,6 +708,28 @@ object RelationalQueries {
         .orderBy("user_id", "version")
     }),
 
+    // --- q111: PageRank over the customer–supplier trade graph in EXACT
+    //     fixed-point integer arithmetic (Long sums + floor divisions
+    //     only — both engines replicate bit-for-bit; no float mass).
+    //     Vertices: custkey·2 / suppkey·2+1 (disjoint encoding); edges:
+    //     each distinct trading pair, both directions. 8 iterations, each
+    //     ONE dst-keyed partial-aggregating shuffle; the rank vector is
+    //     re-checkpointed per iteration so the plan stays iteration-sized.
+    //     Oracle: the 8 rounds replayed as generated MATERIALIZED CTEs. --
+    "q111_pagerank" -> ((s, d) => {
+      import graft.operators.Graph
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRankFixedPoint(edges, "src", "dst", iters = 8)
+        .orderBy("vertex")
+    }),
+
     "q71_orc_roundtrip" -> ((s, d) => {
       val tmp = materialize("orc", d) { p =>
         Tables.orders(s, d)
@@ -1613,6 +1635,41 @@ object RelationalQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** q111's oracle prefix + `k` PageRank rounds as generated MATERIALIZED
+    * CTEs (each round references the previous twice — without the hint
+    * the chain re-expands exponentially). Arithmetic mirrors
+    * [[graft.operators.Graph.pageRankFixedPoint]] exactly: Long sums,
+    * floor divisions, 0.15·10⁹ teleport, 85/100 damping. */
+  private def pageRankOracle(k: Int): String = {
+    val sb = new StringBuilder(
+      """WITH pairs AS MATERIALIZED (
+           SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         e AS MATERIALIZED (
+           SELECT c AS src, s AS dst FROM pairs
+           UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         deg AS MATERIALIZED (
+           SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+         v AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+         r0 AS MATERIALIZED (
+           SELECT v, CAST(1000000000 AS BIGINT) AS r FROM v)""")
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s""",
+         c$i AS MATERIALIZED (
+           SELECT e.dst AS v, CAST(sum(r.r // deg.od) AS BIGINT) AS s
+           FROM e JOIN deg USING (src) JOIN r$p r ON r.v = e.src
+           GROUP BY e.dst),
+         r$i AS MATERIALIZED (
+           SELECT v.v,
+             CAST(150000000 + (COALESCE(c$i.s, 0) * 85) // 100 AS BIGINT)
+               AS r
+           FROM v LEFT JOIN c$i USING (v))""")
+    }
+    sb.append(s"\nSELECT v AS vertex, r AS rank_fp FROM r$k ORDER BY vertex")
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_project" ->
       """SELECT l_orderkey, l_linenumber,
@@ -1928,6 +1985,10 @@ object RelationalQueries {
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents GROUP BY lang ORDER BY lang""",
 
+    // the 8 PageRank rounds replayed as generated MATERIALIZED CTEs
+    // (chained CTEs re-expand exponentially otherwise); same integer
+    // teleport/damping arithmetic as the Spark loop
+    "q111_pagerank" -> pageRankOracle(8),
     // the ONE-SHOT SCD-2 history over the full change log — the Spark row
     // builds it incrementally (base + scdApply of the later half), so
     // equality IS the incremental-correctness gate

@@ -3150,6 +3150,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(e.getMessage.contains("at or before"), e.getMessage)
   }
 
+  test("pageRankFixedPoint: hand-computed star ranks, dangling sink, determinism") {
+    import graft.operators.Graph
+    val star = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter 1: hub gets 0.15e9 + 0.85·(1e9 + 1e9); leaves 0.15e9 + 0.85·(1e9 div 2)
+    val r1 = ranks(Graph.pageRankFixedPoint(star, "src", "dst", iters = 1))
+    assert(r1 == Map(1L -> 1850000000L, 2L -> 575000000L, 3L -> 575000000L))
+    // iter 2 from those: floor arithmetic throughout
+    val r2 = ranks(Graph.pageRankFixedPoint(star, "src", "dst", iters = 2))
+    assert(r2 == Map(1L -> 1127500000L, 2L -> 936250000L, 3L -> 936250000L))
+    // a dangling sink is ranked (union of endpoints) but contributes nothing
+    val dang = ranks(Graph.pageRankFixedPoint(
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", iters = 1))
+    assert(dang == Map(1L -> 150000000L, 2L -> 1000000000L))
+    // repeat run is bit-identical (pure integer arithmetic)
+    assert(ranks(Graph.pageRankFixedPoint(star, "src", "dst", 2)) == r2)
+  }
+
   test("Multimodal: deterministic stub features, schema, modality stats") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(docs), dim = 8)
