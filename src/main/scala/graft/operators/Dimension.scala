@@ -46,6 +46,18 @@ object Dimension {
           col("is_current"), col(tieCol).as("change_id")): _*)
   }
 
+  /** A dimension's retained change log — one (key, ts, tie, payload…)
+    * change per version. scdType2(dimAsChanges(dim)) ≡ dim (lossless),
+    * which is what lets a BATCH's own history ride a versioned-state
+    * commit protocol whose bootstrap commits the delta verbatim: the
+    * delta IS a dim, and the merge converts it back to changes. */
+  def dimAsChanges(
+      dim: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      payloadCols: Seq[String]): DataFrame =
+    dim.select(
+      (col(keyCol) +: col("valid_from").as(tsCol) +:
+        col("change_id").as(tieCol) +: payloadCols.map(col)): _*)
+
   /** Apply a later change batch to an existing SCD-2 dimension: rebuild
     * ONLY the keys the delta touches (their retained change log — one
     * (valid_from, change_id, payload) change per version — unioned with
@@ -75,9 +87,8 @@ object Dimension {
       "scdApply: delta contains changes at or before a touched key's " +
         "retained history — an incremental apply cannot retroactively " +
         "split collapsed runs; rebuild those keys with scdType2 instead")
-    val baseChanges = affected.select(
-      (col(keyCol) +: col("valid_from").as(tsCol) +:
-        col("change_id").as(tieCol) +: payloadCols.map(col)): _*)
+    val baseChanges =
+      dimAsChanges(affected, keyCol, tsCol, tieCol, payloadCols)
     val deltaChanges = delta.select(
       (col(keyCol) +: col(tsCol) +: col(tieCol) +:
         payloadCols.map(col)): _*)

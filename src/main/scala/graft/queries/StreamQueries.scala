@@ -245,6 +245,61 @@ object StreamQueries {
       state
     })
 
+  private val scd2Maintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The s28 streamed SCD-2 maintenance, memoized per (JVM, sf dir):
+    * events staged as two files split at the SAME (min+max)/2 micros
+    * midpoint as q110, arriving in monotone ts order (the CDC at-tail
+    * contract [[graft.operators.Dimension.scdApply]] enforces). Each
+    * micro-batch versions ONLY its own changes
+    * ([[graft.operators.Dimension.scdType2]] of the batch — a valid dim,
+    * so the commit protocol's bootstrap-from-delta is correct), and the
+    * merge replays the batch's retained change log through scdApply.
+    * Returns the committed state path. */
+  private def streamedScd2StateFor(s: SparkSession, d: String): String =
+    scd2Maintained.computeIfAbsent(d, { _ =>
+      import graft.operators.{Dimension, IncrementalAgg}
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      val mm = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      val srcDir = tmpDir("scd2src")
+      def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
+        val tmp = tmpDir("scd2w")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(srcDir, name)
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(lastMod); ()
+      }
+      val now = System.currentTimeMillis()
+      stage(ev.filter(unix_micros(col("ts")) <= cut), "half_0.parquet",
+        now - 60000)
+      stage(ev.filter(unix_micros(col("ts")) > cut), "half_1.parquet", now)
+      val state = tmpDir("scd2state", create = false).toString + "/state"
+      val ckpt = tmpDir("scd2ckpt")
+      val stream = s.readStream
+        .schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val deltaDim = Dimension.scdType2(batch, "user_id", "ts",
+            "event_id", Seq("event_type"))
+          IncrementalAgg.refreshOnceWith(s, state, deltaDim, batchId,
+            (dim, delta) => Dimension.scdApply(dim,
+              Dimension.dimAsChanges(delta, "user_id", "ts", "event_id",
+                Seq("event_type")),
+              "user_id", "ts", "event_id", Seq("event_type")))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      state
+    })
+
   val defs: Map[String, Q] = Map(
     // --- s01: tumbling-window counts, streamed end to end. Complete output
     //     mode materializes every window, so the result equals the batch
@@ -919,6 +974,23 @@ object StreamQueries {
         .orderBy("query_id", "rrf_rank")
     }),
 
+    // --- s28: streamed SCD TYPE-2 maintenance — the warehouse dimension
+    //     kept live while the change log ingests: each micro-batch
+    //     versions its own changes and merges through scdApply under the
+    //     exactly-once versioned commit (at-tail guard active per batch).
+    //     The drained state must equal the one-shot history over ALL
+    //     events — the ORACLE IS q110's SQL verbatim, so a version lost,
+    //     split, or double-applied by the stream flips the hash. ----------
+    "s28_stream_scd2" -> ((s, d) => {
+      val state = streamedScd2StateFor(s, d)
+      graft.operators.IncrementalAgg.readState(s, state)
+        .select(col("user_id"), col("version"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"), col("change_id"))
+        .orderBy("user_id", "version")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -1211,6 +1283,10 @@ object StreamQueries {
     // chain — the oracle IS e28/e31's SQL, shared verbatim
     "s27_stream_hybrid_serving" ->
       graft.queries.TextQueries.oracle("e31_hybrid_served"),
+    // monotone ts-split batches through scdApply's at-tail merge ≡ the
+    // one-shot SCD-2 history — the oracle IS q110's SQL verbatim
+    "s28_stream_scd2" ->
+      graft.queries.RelationalQueries.oracle("q110_scd2_apply"),
     // streamed monotone batches with cross-batch (host, n_accepted) state
     // ≡ the batch-global ARRIVAL-ORDER cap: row_number per host by doc_id
     // (NOT d56's hash-priority rank — the streamed cap keeps the first

@@ -573,6 +573,23 @@ class PlansSpec extends SparkTestBase {
       "the corpus statistic must broadcast, never shuffle the tf frame")
   }
 
+  test("d80 (dup-span removal): digest-keyed partial aggregation, no window-text shuffle key") {
+    val p = plan("d80_dup_span_removal")
+    // the wkey count+min and the per-doc mark aggregation both partial-
+    // aggregate map-side — a hot boilerplate key must arrive at its
+    // reducer as partials, never a raw occurrence list
+    assert(p.contains("partial_count") && p.contains("partial_min"),
+      "digest aggregation must run map-side partials")
+    // shuffle keys are the md5 digest / doc id — the window TEXT must be
+    // projected away before any exchange (fixed 32-byte keys at scale)
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9]+)"
+      .r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(k => k.startsWith("wkey") || k.startsWith("doc_id")),
+      s"expected only wkey/doc_id shuffle keys, got: $exchanges")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the dup join")
+  }
+
   test("q92 (MV lattice): coarsest matching MV wins; non-matching falls through") {
     // q92 matches BOTH registered MVs (its keys ⊂ each MV's grouping set);
     // navigation must pick the coarser rf×ls summary, not the rf×ls×qty one
