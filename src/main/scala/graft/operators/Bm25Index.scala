@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * BATCH scoring but re-tokenizes the corpus and rebuilds the (item,
   * term) tf frame inside every invocation; every production keyword tier
   * instead serves from a stored posting table. This module materializes
-  * that artifact — three frames under ONE versioned commit
+  * that artifact — four frames under ONE versioned commit
   * ([[IncrementalAgg.refreshOnceWithParts]], the e27/e20 economics
   * applied to the sparse side):
   *
@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   *   - `stats` (n_docs, len_sum, n_buckets): exact-integer corpus totals;
   *     avgdl derives at serve time with the same double division the
   *     recompute path uses, so served scores are BIT-IDENTICAL.
+  *   - `items` (keyCols..., len): one row per indexed item, INCLUDING
+  *     zero-token items (which have no posting rows but count in
+  *     n_docs) — the bookkeeping that makes [[retractFromIndex]] exact.
   *
   * Incremental maintenance: each batch tokenizes ONLY its own docs (the
   * per-item tf rows are row-local + one per-item aggregate, identical to
@@ -48,6 +51,7 @@ object Bm25Index {
   val PostingsPart = "postings"
   val TermsPart = "terms"
   val StatsPart = "stats"
+  val ItemsPart = "items"
 
   /** The three delta frames for one batch of `corpus` docs — pure
     * functions of the batch (tokenize → per-item tf; per-term df; corpus
@@ -73,7 +77,11 @@ object Bm25Index {
     val postings = tf.withColumn("__tb",
       pmod(hash(col("term")), lit(nBuckets)))
     val terms = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    Seq(PostingsPart -> postings, TermsPart -> terms, StatsPart -> stats)
+    // one row per item (INCLUDING zero-token items, which have no posting
+    // rows but do count in n_docs) — what makes retraction exact
+    val items = base.select(keyCols.map(col) :+ col("len"): _*)
+    Seq(PostingsPart -> postings, TermsPart -> terms, StatsPart -> stats,
+      ItemsPart -> items)
   }
 
   private def merges(
@@ -97,7 +105,8 @@ object Bm25Index {
             lit(" vs delta "), col("d.n_buckets"),
             lit(" — rebuild the index")))
             .cast("int"))
-          .as("n_buckets"))))
+          .as("n_buckets"))),
+    ItemsPart -> Similarity.monotoneAppendMerge(idName))
 
   /** Merge one batch of docs into the index at `statePath` under the
     * exactly-once versioned-commit protocol (bootstraps on first call).
@@ -148,5 +157,56 @@ object Bm25Index {
       col("n_docs").cast("double").as("n_docs"),
       (col("len_sum").cast("double") / col("n_docs")).as("avgdl"))
     TextAnalysis.bm25BatchRank(withDf, statsD, qterms, keyCols, k, k1, b)
+  }
+
+  /** Deletion propagation — retract a set of items from the committed
+    * index WITHOUT touching the corpus (the 100 TB deletion-request path:
+    * a takedown cannot afford a rebuild, and the index itself already
+    * knows everything a rebuild would recompute about the deleted items):
+    * postings/items anti-join the delete set, per-term df subtracts the
+    * deleted items' own posting rows (terms reaching df 0 drop — exactly
+    * what a rebuild would not emit), and the exact-integer corpus totals
+    * subtract the deleted items' count/len from the `items` part (which
+    * records zero-token items too, so totals stay exact even for items
+    * with no postings). The result commits as a NEW version under the
+    * same atomic protocol — retract ≡ rebuild on the surviving corpus,
+    * row-for-row (the e34 gate). `deleteKeys`' columns may be any prefix
+    * subset of the index keys (delete all chunks of a doc by doc_id);
+    * keys absent from the index no-op. */
+  def retractFromIndex(
+      spark: SparkSession, statePath: String, deleteKeys: DataFrame,
+      keyCols: Seq[String], batchId: Long): Unit = {
+    require(IncrementalAgg.latestVersion(spark, statePath).nonEmpty,
+      "retractFromIndex: no committed index state to retract from")
+    val dcols = deleteKeys.columns.toSeq
+    require(dcols.nonEmpty && dcols.forall(keyCols.contains),
+      s"delete-key columns $dcols must be a subset of index keys $keyCols")
+    val del = deleteKeys.distinct()
+    val postings = IncrementalAgg.readStatePart(spark, statePath, PostingsPart)
+    val terms = IncrementalAgg.readStatePart(spark, statePath, TermsPart)
+    val stats = IncrementalAgg.readStatePart(spark, statePath, StatsPart)
+    val items = IncrementalAgg.readStatePart(spark, statePath, ItemsPart)
+    val removed = items.join(broadcast(del), dcols, "left_semi")
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(col("len")), lit(0L)).as("__l"))
+    val newStats = stats.crossJoin(removed).select(
+      (col("n_docs") - col("__n")).as("n_docs"),
+      (col("len_sum") - col("__l")).as("len_sum"),
+      col("n_buckets"))
+    val dfDelta = postings.join(broadcast(del), dcols, "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("__d"))
+    val newTerms = terms.join(dfDelta, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("__d"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val newPostings = postings.join(broadcast(del), dcols, "left_anti")
+    val newItems = items.join(broadcast(del), dcols, "left_anti")
+    val replace = (_: DataFrame, dl: DataFrame) => dl
+    IncrementalAgg.refreshOnceWithParts(spark, statePath, batchId,
+      Seq(PostingsPart -> newPostings, TermsPart -> newTerms,
+        StatsPart -> newStats, ItemsPart -> newItems),
+      Map(PostingsPart -> replace, TermsPart -> replace,
+        StatsPart -> replace, ItemsPart -> replace),
+      partitionCols = Map(PostingsPart -> Seq("__tb")))
   }
 }

@@ -184,6 +184,35 @@ object TextQueries {
       dir
     })
 
+  // e34 deletion-propagation tier: a SEPARATE index state (mutating the
+  // shared e30/e31/s26 artifact would poison their gates) — full build
+  // at batch 0, then the %13-block docs retracted at batch 1
+  private val bm25RetractIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The e34 retracted posting index: e30's full chunk-corpus build, then
+    * [[graft.operators.Bm25Index.retractFromIndex]] of every chunk of the
+    * doc_id % 13 == 3 docs (delete keys by doc_id prefix — the takedown
+    * shape). Committed once per (JVM, sf dir). */
+  private def bm25RetractIndexFor(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25RetractIndexes.computeIfAbsent(d, _ => {
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val chunks = graft.operators.Packing
+        .chunkTokens(corpus, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val dir = new java.io.File(indexTmpDir("bm25r"), "state").toString
+      graft.operators.Bm25Index.extendIndex(s, dir, chunks,
+        Seq("doc_id", "chunk_id"), "chunk_text", batchId = 0L)
+      graft.operators.Bm25Index.retractFromIndex(s, dir,
+        corpus.filter(pmod(col("doc_id"), lit(13)) === 3)
+          .select(col("doc_id")),
+        Seq("doc_id", "chunk_id"), batchId = 1L)
+      dir
+    })
+
   // d51/s19 shared quality model, memoized per (JVM, sf dir): the batch
   // gate and the streaming router must score with the SAME trained
   // weights (float GD weights are partition-order sensitive, so sharing
@@ -1496,6 +1525,31 @@ object TextQueries {
     //     replicate), and a CALIBRATED floor: even at nProbe = 1 the
     //     planted near-copy queries keep ≥ half the exact hit count
     //     (the near-copy's source cell is its nearest cell). -----------
+    // --- e34: DELETION PROPAGATION on the serving index — the takedown
+    //     path a 100 TB deployment actually runs (a deletion request
+    //     cannot afford a rebuild): e30's posting index with every chunk
+    //     of the doc_id % 13 == 3 docs RETRACTED in place — postings/
+    //     items anti-joined, per-term df subtracted from the deleted
+    //     items' own posting rows (df-0 terms drop), exact-integer totals
+    //     subtracted from the items part. Serving from the retracted
+    //     index must equal the from-scratch recompute over the SURVIVING
+    //     corpus — the oracle is e30's SQL with the retraction filter
+    //     spliced into its one corpus WHERE clause, so a posting left
+    //     behind, a df off by one, or a stats drift flips the exact
+    //     fixed-point scores. ------------------------------------------
+    "e34_bm25_retract" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
+          bm25RetractIndexFor(s, d), queries,
+          Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("chunk_id"), col("bm25_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
     "e33_probe_operating" -> ((s, d) => {
       GraftFunctions.register(s)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -3054,7 +3108,7 @@ object TextQueries {
            FROM fused)
          WHERE rrf_rank <= 5 ORDER BY query_id, rrf_rank"""
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "d01_token_stats" ->
       """SELECT doc_id,
          len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS n_tokens,
@@ -6077,4 +6131,12 @@ object TextQueries {
            (SELECT CAST(sum(doc_id) AS BIGINT) FROM spl
              WHERE clean AND split = 'test') AS s_test"""
   )
+
+  // e34: e30's from-scratch bm chain with the retraction filter spliced
+  // into its single corpus WHERE clause — recompute over the SURVIVING
+  // corpus, while the Spark side serves from the retracted-in-place index
+  val oracle: Map[String, String] = oracleBase +
+    ("e34_bm25_retract" -> oracleBase("e30_bm25_index_served").replace(
+      "WHERE doc_id % 101 <> 5",
+      "WHERE doc_id % 101 <> 5 AND doc_id % 13 <> 3"))
 }

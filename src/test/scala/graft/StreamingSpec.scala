@@ -736,7 +736,7 @@ class StreamingSpec extends SparkTestBase {
     // postings are row-local per item, df/len/n_docs are additive over
     // the disjoint batches (and the replayed batchId merged nothing)
     for (part <- Seq(Bm25Index.PostingsPart, Bm25Index.TermsPart,
-        Bm25Index.StatsPart)) {
+        Bm25Index.StatsPart, Bm25Index.ItemsPart)) {
       val m = IncrementalAgg.readStatePart(spark, state, part)
       val r = IncrementalAgg.readStatePart(spark, oneShot, part)
       assert(m.count() == r.count(), part)
@@ -765,6 +765,36 @@ class StreamingSpec extends SparkTestBase {
     assert(canon(Bm25Index.bm25TopKBatchFromIndex(spark, state, queries,
       Seq("doc_id"), "qid", "qtext", k = 3)) == served,
       "a refused delta must leave the committed state serving unchanged")
+    // deletion propagation: retract doc 2 in place — the retracted index
+    // must serve EXACTLY what a from-scratch build on the surviving
+    // corpus serves (postings gone, df subtracted with df-0 terms
+    // dropped, totals subtracted)
+    Bm25Index.retractFromIndex(spark, state,
+      Seq(2L).toDF("doc_id"), Seq("doc_id"), batchId = 3L)
+    val survivors = full.filter($"doc_id" =!= 2L)
+    val surviving = dir.resolve("surviving").toString
+    Bm25Index.extendIndex(spark, surviving, survivors, Seq("doc_id"),
+      "text", 0L)
+    assert(canon(Bm25Index.bm25TopKBatchFromIndex(spark, state, queries,
+      Seq("doc_id"), "qid", "qtext", k = 3)) ==
+      canon(Bm25Index.bm25TopKBatchFromIndex(spark, surviving, queries,
+        Seq("doc_id"), "qid", "qtext", k = 3)),
+      "retract ≡ rebuild on the surviving corpus")
+    for (part <- Seq(Bm25Index.PostingsPart, Bm25Index.TermsPart,
+        Bm25Index.StatsPart, Bm25Index.ItemsPart)) {
+      val m = IncrementalAgg.readStatePart(spark, state, part)
+      val r = IncrementalAgg.readStatePart(spark, surviving, part)
+      assert(m.count() == r.count(), part)
+      assert(m.exceptAll(r).isEmpty && r.exceptAll(m).isEmpty,
+        s"$part: retracted state must equal the surviving-corpus rebuild")
+    }
+    // a delete key absent from the index is a no-op (new version, same rows)
+    Bm25Index.retractFromIndex(spark, state,
+      Seq(99L).toDF("doc_id"), Seq("doc_id"), batchId = 4L)
+    assert(canon(Bm25Index.bm25TopKBatchFromIndex(spark, state, queries,
+      Seq("doc_id"), "qid", "qtext", k = 3)) ==
+      canon(Bm25Index.bm25TopKBatchFromIndex(spark, surviving, queries,
+        Seq("doc_id"), "qid", "qtext", k = 3)))
   }
 
   test("streamed datasheet: maintained card equals batch card, replayed batchId no-op") {
