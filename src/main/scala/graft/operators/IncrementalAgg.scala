@@ -133,6 +133,31 @@ object IncrementalAgg {
     spark.read.parquet(s"$statePath/v$v")
   }
 
+  /** Retract rows from a ROW-LOCAL state (one whose rows are pure
+    * per-source-row functions — the chunk/IVF/JL index shape): commit a
+    * new version holding the current state anti-joined against the
+    * (broadcast) delete-key set. For such states this provably equals a
+    * rebuild on the surviving sources, because each row's presence
+    * depends only on its own source row. `deleteKeys`' columns may be any
+    * subset of the state's columns (delete every chunk of a doc by
+    * doc_id); absent keys no-op. NOT valid for aggregate states (df
+    * counts, sums) — those need their own subtraction algebra (see
+    * Bm25Index.retractFromIndex). */
+  def retractRows(
+      spark: SparkSession, statePath: String, deleteKeys: DataFrame,
+      batchId: Long): Unit = {
+    require(latestVersion(spark, statePath).nonEmpty,
+      s"retractRows: no committed state under $statePath")
+    val state = readState(spark, statePath)
+    val dcols = deleteKeys.columns.toSeq
+    require(dcols.nonEmpty && dcols.forall(state.columns.contains),
+      s"delete-key columns $dcols must exist in the state schema")
+    val next = state.join(
+      org.apache.spark.sql.functions.broadcast(deleteKeys.distinct()),
+      dcols, "left_anti")
+    refreshOnceWith(spark, statePath, next, batchId, (_, dl) => dl)
+  }
+
   /** Write `merged` to staging, atomically rename it to version `id`,
     * then prune older versions (prune only AFTER the commit, so a crash
     * at any point leaves a complete committed snapshot). */

@@ -134,6 +134,34 @@ object TextQueries {
       } finally graft.operators.Dedup.release(index)
     })
 
+  // e35 dense takedown tier: the chunk-IVF index as VERSIONED state
+  // (full-corpus build under e31's frozen quantizer, then the %13-block
+  // docs retracted via the generic row-local retraction) — a separate
+  // artifact so e27/e31's partitioned dir stays untouched
+  private val ivfRetractStates =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The e35 retracted chunk-IVF state: extendIndex of the full held-out
+    * corpus at batch 0 (the SAME frozen codebook as e27/e31 — a takedown
+    * never retrains the quantizer), then IncrementalAgg.retractRows of
+    * the doc_id % 13 == 3 docs at batch 1. Row-local index rows make
+    * retract ≡ rebuild-on-survivors provable. */
+  private def ivfRetractStateFor(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    ivfRetractStates.computeIfAbsent(d, _ => {
+      val (cents, _) = chunkIvfIndexFor(s, d)
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val dir = new java.io.File(indexTmpDir("ivfr"), "state").toString
+      Similarity.chunkIvfExtendIndex(s, dir, corpus, "doc_id", "text",
+        cents, batchId = 0L)
+      graft.operators.IncrementalAgg.retractRows(s, dir,
+        corpus.filter(pmod(col("doc_id"), lit(13)) === 3)
+          .select(col("doc_id")), batchId = 1L)
+      dir
+    })
+
   // e33 serving artifacts over the PLANTED eval corpus (the FULL document
   // table — e29's construction needs every query's source doc IN the
   // corpus, unlike the e27/e30 held-out split): chunk-IVF codebook +
@@ -1548,6 +1576,36 @@ object TextQueries {
         .select(col("query_id"), col("rank"), col("doc_id"),
           col("chunk_id"), col("bm25_fp"))
         .orderBy("query_id", "rank")
+    }),
+
+    // --- e35: takedown across the FULL hybrid serving stack — the e31
+    //     composition after a deletion request hits BOTH tiers in place:
+    //     dense = the chunk-IVF state with the %13-block docs retracted
+    //     (row-local rows ⇒ retract ≡ rebuild-on-survivors, provable;
+    //     frozen quantizer — a takedown never retrains), served at
+    //     exhaustive probes (≡ the exact scan over survivors), sparse =
+    //     e34's retracted posting index (≡ recompute over survivors,
+    //     gated), fused with the same fixed-point RRF. The oracle is the
+    //     from-scratch hybrid SQL over the SURVIVING corpus — a deleted
+    //     doc still served by EITHER tier flips the hash. --------------
+    "e35_hybrid_takedown" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      val (cents, _) = chunkIvfIndexFor(s, d)
+      val dense = Similarity.chunkRetrieveFromIvfIndex(
+          graft.operators.IncrementalAgg.readState(s,
+            ivfRetractStateFor(s, d)),
+          cents, queries, "doc_id", "text", k = 10, nProbe = 8)
+        .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+      val bm = graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
+          bm25RetractIndexFor(s, d), queries,
+          Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("chunk_id"), col("rank"))
+      Similarity.rrfFusePerQuery(Seq(bm, dense), "query_id",
+          Seq("doc_id", "chunk_id"), k = 5)
+        .orderBy("query_id", "rrf_rank")
     }),
 
     "e33_probe_operating" -> ((s, d) => {
@@ -6135,8 +6193,13 @@ object TextQueries {
   // e34: e30's from-scratch bm chain with the retraction filter spliced
   // into its single corpus WHERE clause — recompute over the SURVIVING
   // corpus, while the Spark side serves from the retracted-in-place index
-  val oracle: Map[String, String] = oracleBase +
-    ("e34_bm25_retract" -> oracleBase("e30_bm25_index_served").replace(
+  val oracle: Map[String, String] = oracleBase ++ Map(
+    "e34_bm25_retract" -> oracleBase("e30_bm25_index_served").replace(
+      "WHERE doc_id % 101 <> 5",
+      "WHERE doc_id % 101 <> 5 AND doc_id % 13 <> 3"),
+    // the from-scratch hybrid chain over the SURVIVING corpus — both
+    // retracted tiers provably reproduce the surviving-corpus exact legs
+    "e35_hybrid_takedown" -> oracleBase("e31_hybrid_served").replace(
       "WHERE doc_id % 101 <> 5",
       "WHERE doc_id % 101 <> 5 AND doc_id % 13 <> 3"))
 }

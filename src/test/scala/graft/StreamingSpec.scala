@@ -715,6 +715,18 @@ class StreamingSpec extends SparkTestBase {
     assert(committed.exceptAll(fullIvf).isEmpty &&
       fullIvf.exceptAll(committed).isEmpty,
       "committed chunk-IVF index must equal the batch rebuild")
+    // generic row-local retraction: dropping a doc's rows in place must
+    // equal the index rebuilt on the survivors (row-local assignment
+    // under the frozen quantizer), and an absent key is a no-op
+    graft.operators.IncrementalAgg.retractRows(spark, state,
+      Seq(docs(1)._1).toDF("doc_id"), batchId = 2L)
+    graft.operators.IncrementalAgg.retractRows(spark, state,
+      Seq(99999L).toDF("doc_id"), batchId = 3L)
+    val retracted = graft.operators.IncrementalAgg.readState(spark, state)
+    val survivorIvf = fullIvf.filter(col("doc_id") =!= docs(1)._1)
+    assert(retracted.exceptAll(survivorIvf).isEmpty &&
+      survivorIvf.exceptAll(retracted).isEmpty,
+      "retracted chunk-IVF state must equal the survivor rebuild")
   }
 
   test("bm25 posting index: maintained state equals rebuild; replay no-op; served equals recompute") {
