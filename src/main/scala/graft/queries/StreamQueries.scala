@@ -300,6 +300,57 @@ object StreamQueries {
       state
     })
 
+  private val retractMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The s29 streamed takedown, memoized per (JVM, sf dir): e34's posting
+    * index built in full at batch 0, then the %13-block deletion requests
+    * arrive as TWO micro-batched delete files; each batch retracts in
+    * place under the versioned commit (a replayed batch no-ops — the
+    * retraction recomputes from the already-retracted state but the
+    * version guard refuses the commit). Returns the state path. */
+  private def streamedRetractStateFor(s: SparkSession, d: String): String =
+    retractMaintained.computeIfAbsent(d, { _ =>
+      import graft.operators.{Bm25Index, Packing}
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val chunks = Packing.chunkTokens(corpus, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val state = tmpDir("sretrstate", create = false).toString + "/state"
+      Bm25Index.extendIndex(s, state, chunks,
+        Seq("doc_id", "chunk_id"), "chunk_text", batchId = 0L)
+      val dels = corpus.filter(pmod(col("doc_id"), lit(13)) === 3)
+        .select(col("doc_id"))
+      val cut = dels.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val srcDir = tmpDir("sretrsrc")
+      def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
+        val tmp = tmpDir("sretrw")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(srcDir, name)
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(lastMod); ()
+      }
+      val now = System.currentTimeMillis()
+      stage(dels.filter(col("doc_id") <= cut), "del_0.parquet", now - 60000)
+      stage(dels.filter(col("doc_id") > cut), "del_1.parquet", now)
+      val ckpt = tmpDir("sretrckpt")
+      val stream = s.readStream
+        .schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Bm25Index.retractFromIndex(s, state, batch,
+            Seq("doc_id", "chunk_id"), batchId + 1L)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      state
+    })
+
   val defs: Map[String, Q] = Map(
     // --- s01: tumbling-window counts, streamed end to end. Complete output
     //     mode materializes every window, so the result equals the batch
@@ -991,6 +1042,27 @@ object StreamQueries {
         .orderBy("user_id", "version")
     }),
 
+    // --- s29: STREAMED takedown — deletion requests arriving as
+    //     micro-batches, each retracting from the live posting index in
+    //     place under the versioned commit (the ingest/takedown symmetry:
+    //     s26 grows the index per batch, s29 shrinks it per batch). After
+    //     the drain, serving must equal the from-scratch recompute over
+    //     the SURVIVING corpus — the ORACLE IS e34's SQL verbatim, so a
+    //     half-applied delete batch, a double-subtracted df, or a stats
+    //     drift flips the exact fixed-point scores. ----------------------
+    "s29_stream_takedown" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val state = streamedRetractStateFor(s, d)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Bm25Index.bm25TopKBatchFromIndex(s, state,
+          queries, Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("chunk_id"), col("bm25_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -1287,6 +1359,10 @@ object StreamQueries {
     // one-shot SCD-2 history — the oracle IS q110's SQL verbatim
     "s28_stream_scd2" ->
       graft.queries.RelationalQueries.oracle("q110_scd2_apply"),
+    // micro-batched retractions ≡ one-shot retraction ≡ the recompute
+    // over the surviving corpus — the oracle IS e34's SQL verbatim
+    "s29_stream_takedown" ->
+      graft.queries.TextQueries.oracle("e34_bm25_retract"),
     // streamed monotone batches with cross-batch (host, n_accepted) state
     // ≡ the batch-global ARRIVAL-ORDER cap: row_number per host by doc_id
     // (NOT d56's hash-priority rank — the streamed cap keeps the first
