@@ -291,6 +291,35 @@ object ScaleSmoke {
     // build is the offline step (memoized, untimed); the measured number
     // is the bucket-pruned posting scan + broadcast-joined ranking, the
     // cost that replaced "re-tokenize the corpus per invocation"
+    // e34's takedown decomposed on the tiled corpus: (a) the retraction
+    // COMMIT alone — O(state) scan + anti-join + rewrite of all four
+    // parts (after the memoized first retraction the delete keys are
+    // absent, which exercises identical machinery); (b) serving from the
+    // retracted state against a FIXED query batch (the e30_fixed_serve
+    // regime — the full-gate e34 row's 10× blowup is the 31-term-vocab
+    // serving quadratic the selective-vocab smoke already characterizes,
+    // not retraction cost)
+    "e34_retract_apply" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val state = bm25RetractSmoke(s, d)
+      graft.operators.Bm25Index.retractFromIndex(s, state,
+        Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(13)) === 3 &&
+            pmod(col("doc_id"), lit(101)) =!= 5)
+          .select(col("doc_id")),
+        Seq("doc_id", "chunk_id"), retractBatchIds.incrementAndGet())
+      graft.operators.IncrementalAgg.readStatePart(s, state,
+        graft.operators.Bm25Index.StatsPart)
+    }),
+    "e34_fixed_serve" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5 && col("doc_id") < OFF)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
+        bm25RetractSmoke(s, d), queries,
+        Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+    }),
     "e30_fixed_serve" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       graft.functions.GraftFunctions.register(s)
@@ -412,6 +441,33 @@ object ScaleSmoke {
     })
   /** Persisted BM25 posting index over `d`'s held-out-split chunk corpus
     * (the offline build the e30/e31 serving smokes read). */
+  private val bm25RetractSmokeIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val retractBatchIds =
+    new java.util.concurrent.atomic.AtomicLong(10L)
+
+  /** e34's artifact on the smoke corpus: full build, then the %13-block
+    * docs retracted once. Kept separate from [[bm25Smoke]]'s state so
+    * e30_fixed_serve stays unretracted. */
+  private def bm25RetractSmoke(s: SparkSession, d: String): String =
+    bm25RetractSmokeIndexes.computeIfAbsent(d, _ => {
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val chunks = graft.operators.Packing
+        .chunkTokens(corpus, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_smoke_bm25r").toString + "/state"
+      graft.operators.Bm25Index.extendIndex(s, dir, chunks,
+        Seq("doc_id", "chunk_id"), "chunk_text", batchId = 0L)
+      graft.operators.Bm25Index.retractFromIndex(s, dir,
+        corpus.filter(pmod(col("doc_id"), lit(13)) === 3)
+          .select(col("doc_id")),
+        Seq("doc_id", "chunk_id"), batchId = 1L)
+      dir
+    })
+
   private def bm25Smoke(s: SparkSession, d: String): String =
     bm25SmokeIndexes.computeIfAbsent(d, _ => {
       val corpus = Tables.documents(s, d)
