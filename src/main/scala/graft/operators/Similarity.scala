@@ -1736,4 +1736,55 @@ object Similarity {
       .select(col("cell"), col(idCol), col("rank"),
         (floor(col("cos") * 10000) / 10000).as("cosine_q"))
   }
+
+  /** Margin-based bitext mining (the ccMatrix/LASER criterion): for each
+    * source vector, its best target by cosine, kept when the margin —
+    * cos(x,y) against the mean of both sides' top-k neighbor cosines —
+    * clears a threshold. Exactness: every pair cosine is floor-quantized
+    * ONCE to a 10⁶ fixed-point integer, and ALL downstream algebra
+    * (top-k ranking, neighborhood sums, the margin test) is integer —
+    * the ratio test margin > τ becomes the cross-multiplied
+    * `2·k·τden·cos_fp > τnum·(sum_src_fp + sum_tgt_fp)`, which is the
+    * DEFINITION here (≡ the ratio when the neighborhood sums are
+    * positive, the regime mined pairs live in), so both engines replicate
+    * bit-for-bit. Ranking orders by (cos_fp DESC, id) — on the QUANTIZED
+    * value, so quantization ties break identically everywhere.
+    *
+    * This is the exact/gate form: one cross join scored by the codegen'd
+    * cosine kernel, two window ranks (one shuffle each, keyed by either
+    * side), two top-k sum aggregates, one final join. At 100 TB the
+    * cross join is replaced by an ANN shortlist (the e27 IVF tier or SRP
+    * bands) and margins compute on the shortlist — the standard
+    * ccMatrix decomposition; the criterion and everything downstream of
+    * the candidate set is unchanged. */
+  def marginMinePairs(
+      src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
+      k: Int, tauNum: Long = 105L, tauDen: Long = 100L): DataFrame = {
+    require(k >= 1 && tauNum > 0 && tauDen > 0)
+    val a = src.select(col(idCol).as("src_id"), col(vecCol).as("__va"))
+    val b = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__vb"))
+    val pairs = a.crossJoin(b)
+      .select(col("src_id"), col("tgt_id"),
+        floor(cosineF32(col("__va"), col("__vb")) * 1000000d)
+          .cast("long").as("cos_fp"))
+    val wS = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_fp").desc, col("tgt_id"))
+    val wT = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos_fp").desc, col("src_id"))
+    val rk = pairs.withColumn("__rs", row_number().over(wS))
+      .withColumn("__rt", row_number().over(wT))
+    val sumS = rk.filter(col("__rs") <= k).groupBy(col("src_id"))
+      .agg(sum(col("cos_fp")).as("sum_src_fp"))
+    val sumT = rk.filter(col("__rt") <= k).groupBy(col("tgt_id"))
+      .agg(sum(col("cos_fp")).as("sum_tgt_fp"))
+    rk.filter(col("__rs") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos_fp"))
+      .join(sumS, Seq("src_id"))
+      .join(sumT, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos_fp"),
+        col("sum_src_fp"), col("sum_tgt_fp"),
+        (lit(2L * k * tauDen) * col("cos_fp") >
+          lit(tauNum) * (col("sum_src_fp") + col("sum_tgt_fp")))
+          .as("mined"))
+  }
 }

@@ -1608,6 +1608,25 @@ object TextQueries {
         .orderBy("query_id", "rrf_rank")
     }),
 
+    // --- e36: margin-based BITEXT MINING (the ccMatrix/LASER criterion —
+    //     the parallel-corpus op a multilingual pretraining pipeline
+    //     runs): the embeddings table split into two "languages" by
+    //     vec_id parity; per source vector its best target by cosine,
+    //     mined when the margin against both sides' top-4 neighborhoods
+    //     clears 1.05. Every pair cosine floor-quantizes ONCE to ×10⁶
+    //     fixed point; ranking, neighborhood sums, and the cross-
+    //     multiplied margin test are all integer — hash-exact. ---------
+    "e36_margin_mining" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding"))
+      Similarity.marginMinePairs(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", k = 4)
+        .orderBy("src_id")
+    }),
+
     "e33_probe_operating" -> ((s, d) => {
       GraftFunctions.register(s)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -4197,6 +4216,36 @@ object TextQueries {
            SELECT 4, 'split', source, reason, n_docs, id_sum FROM jagg
            WHERE reason IN ('train', 'val', 'test'))
          ORDER BY stage_ord, source, reason""",
+    // the e04 cosine expression floor-quantized to ×10⁶ integers, then
+    // pure integer window ranks / top-4 sums / cross-multiplied margin
+    "e36_margin_mining" ->
+      """WITH s AS (SELECT vec_id AS src_id, embedding FROM embeddings
+                    WHERE vec_id % 2 = 0),
+         t AS (SELECT vec_id AS tgt_id, embedding FROM embeddings
+               WHERE vec_id % 2 = 1),
+         p AS (SELECT s.src_id, t.tgt_id,
+                 CAST(floor((list_sum(list_transform(range(1, len(s.embedding) + 1),
+                     i -> CAST(s.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+                   * 1000000) AS BIGINT) AS cos_fp
+               FROM s CROSS JOIN t),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY src_id
+                   ORDER BY cos_fp DESC, tgt_id) AS rs,
+                 row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY cos_fp DESC, src_id) AS rt
+               FROM p),
+         ss AS (SELECT src_id, CAST(sum(cos_fp) AS BIGINT) AS sum_src_fp
+                FROM r WHERE rs <= 4 GROUP BY src_id),
+         st AS (SELECT tgt_id, CAST(sum(cos_fp) AS BIGINT) AS sum_tgt_fp
+                FROM r WHERE rt <= 4 GROUP BY tgt_id),
+         b AS (SELECT src_id, tgt_id, cos_fp FROM r WHERE rs = 1)
+         SELECT b.src_id, b.tgt_id, b.cos_fp, ss.sum_src_fp, st.sum_tgt_fp,
+                (2 * 4 * 100 * b.cos_fp >
+                 105 * (ss.sum_src_fp + st.sum_tgt_fp)) AS mined
+         FROM b JOIN ss USING (src_id) JOIN st USING (tgt_id)
+         ORDER BY b.src_id""",
     // windows → md5 keys → dup keys w/ arithmetic canonical → per-doc
     // marked starts → token-coverage reassembly (the planting replicated)
     "d80_dup_span_removal" ->

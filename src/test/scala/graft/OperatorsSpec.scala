@@ -3170,6 +3170,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(ranks(Graph.pageRankFixedPoint(star, "src", "dst", 2)) == r2)
   }
 
+  test("marginMinePairs: unique pair mines, duplicated cluster has no margin, exact fp") {
+    graft.functions.GraftFunctions.register(spark)
+    val ex = Array(1f, 0f, 0f, 0f)
+    val ey = Array(0f, 1f, 0f, 0f)
+    // src 0 and 6 duplicate each other; tgt 1 and 5 duplicate each other;
+    // (2, 3) is the only pair with a real margin
+    val src = Seq((0L, ex), (2L, ey), (6L, ex)).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, ex), (3L, ey), (5L, ex)).toDF("vec_id", "embedding")
+    val out = Similarity.marginMinePairs(src, tgt, "vec_id", "embedding",
+        k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // orthogonal unit vectors → cosines exactly 1.0 / 0.0 → fp 10⁶ / 0
+    // s0: best t1 (tie with t5 breaks by id), top-2 sum 2·10⁶; t1's top-2
+    // over src is also 2·10⁶ → 400·10⁶ > 105·(4·10⁶)? no — duplicates
+    // have no margin
+    assert(out(0L) == ((1L, 1000000L, 2000000L, 2000000L, false)))
+    assert(out(6L) == ((1L, 1000000L, 2000000L, 2000000L, false)))
+    // s2: unique match t3 — sums are 10⁶ each → 400·10⁶ > 210·10⁶ → mined
+    assert(out(2L) == ((3L, 1000000L, 1000000L, 1000000L, true)))
+  }
+
   test("Multimodal: deterministic stub features, schema, modality stats") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(docs), dim = 8)
