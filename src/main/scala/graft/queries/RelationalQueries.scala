@@ -730,6 +730,39 @@ object RelationalQueries {
         .orderBy("vertex")
     }),
 
+    // --- q112: POINT-IN-TIME reads over the SCD-2 dimension — the query
+    //     the versioned dim exists to answer ("what state was every user
+    //     in at time T"): four as-of instants at fixed quarter-points of
+    //     the event span (exact integer micros arithmetic both engines
+    //     replicate), each reconstructed by the half-open interval
+    //     predicate valid_from ≤ T < valid_to over the q110 history —
+    //     one dimension scan serves all four instants via an unnested
+    //     instant table (no per-instant rescans). -------------------------
+    "q112_scd2_asof" -> ((s, d) => {
+      import graft.operators.Dimension
+      import s.implicits._
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      val mm = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val instants = Seq(1, 2, 3, 4)
+        .map(q => lo + (hi - lo) * q / 4)
+        .toDF("t_us")
+      val dim = Dimension.scdType2(ev, "user_id", "ts", "event_id",
+          Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("f_us"),
+          unix_micros(col("valid_to")).as("t_close_us"))
+      dim.join(broadcast(instants),
+          col("f_us") <= col("t_us") &&
+            (col("t_close_us").isNull || col("t_us") < col("t_close_us")))
+        .groupBy(col("t_us"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("user_id")).as("id_sum"))
+        .orderBy("t_us", "event_type")
+    }),
+
     "q71_orc_roundtrip" -> ((s, d) => {
       val tmp = materialize("orc", d) { p =>
         Tables.orders(s, d)
@@ -1985,6 +2018,31 @@ object RelationalQueries {
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents GROUP BY lang ORDER BY lang""",
 
+    // the q110 history rebuilt one-shot, each quarter-point instant
+    // reconstructed via the half-open interval predicate
+    "q112_scd2_asof" ->
+      """WITH mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                     FROM events),
+         inst AS (SELECT lo + (hi - lo) * q // 4 AS t_us
+                  FROM mm, (VALUES (1), (2), (3), (4)) v(q)),
+         ded AS (
+           SELECT user_id, ts, event_id, event_type FROM (
+             SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+             FROM events)
+           WHERE prev IS DISTINCT FROM event_type),
+         dim AS (
+           SELECT user_id, event_type, epoch_us(ts) AS f_us,
+                  epoch_us(lead(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id)) AS t_close_us
+           FROM ded)
+         SELECT t_us, event_type, count(*) AS n_users,
+                CAST(sum(user_id) AS BIGINT) AS id_sum
+         FROM dim JOIN inst
+           ON f_us <= t_us AND (t_close_us IS NULL OR t_us < t_close_us)
+         GROUP BY t_us, event_type
+         ORDER BY t_us, event_type""",
     // the 8 PageRank rounds replayed as generated MATERIALIZED CTEs
     // (chained CTEs re-expand exponentially otherwise); same integer
     // teleport/damping arithmetic as the Spark loop
