@@ -1627,6 +1627,54 @@ object TextQueries {
         .orderBy("src_id")
     }),
 
+    // --- e37: the LEARNING-TO-RANK training set the pipeline exports to
+    //     train its own reranker — closing the loop: candidates from
+    //     BOTH retrieval legs (dense chunk top-10 ∪ BM25 top-10 per
+    //     query), integer features (leg ranks, the fixed-point RRF
+    //     prior), and a PLANTED label (e29's construction: each query is
+    //     a near-copy of its source doc, so relevance is known exactly).
+    //     One chunking pass feeds both rankers (the e28 shape, blocks
+    //     released in-row); features and label are pure integers —
+    //     hash-exact. ---------------------------------------------------
+    "e37_ltr_training_set" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val queries = docs.filter(pmod(col("doc_id"), lit(97)) === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" zevalqmarker")).as("text"))
+      val chunks = Packing.chunkTokens(docs, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+        .localCheckpoint(true)
+      val out = try {
+        val (bmRanked, tfq) = TextAnalysis.bm25TopKBatchPlan(chunks,
+          queries, Seq("doc_id", "chunk_id"), "chunk_text", "doc_id",
+          "text", k = 10)
+        try {
+          val bm = bmRanked.select(col("query_id"), col("doc_id"),
+            col("chunk_id"), col("rank").as("rank_sparse"))
+          val dense = Similarity.chunkRetrieveFromIndex(
+              Similarity.chunkIndexOfChunks(chunks), queries,
+              "doc_id", "text", k = 10)
+            .select(col("query_id"), col("doc_id"), col("chunk_id"),
+              col("rank").as("rank_dense"))
+          bm.join(dense, Seq("query_id", "doc_id", "chunk_id"),
+              "full_outer")
+            .select(col("query_id"), col("doc_id"), col("chunk_id"),
+              coalesce(col("rank_dense"), lit(0)).cast("long")
+                .as("rank_dense"),
+              coalesce(col("rank_sparse"), lit(0)).cast("long")
+                .as("rank_sparse"),
+              (coalesce(expr("1000000 div (60 + rank_sparse)"), lit(0L)) +
+                coalesce(expr("1000000 div (60 + rank_dense)"), lit(0L)))
+                .as("rrf_fp"),
+              when(col("doc_id") === col("query_id"), 1L).otherwise(0L)
+                .as("label"))
+            .localCheckpoint(true)
+        } finally graft.operators.Dedup.release(tfq)
+      } finally graft.operators.Dedup.release(chunks)
+      out.orderBy("query_id", "doc_id", "chunk_id")
+    }),
+
     "e33_probe_operating" -> ((s, d) => {
       GraftFunctions.register(s)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -4246,6 +4294,63 @@ object TextQueries {
                  105 * (ss.sum_src_fp + st.sum_tgt_fp)) AS mined
          FROM b JOIN ss USING (src_id) JOIN st USING (tgt_id)
          ORDER BY b.src_id""",
+    // the planted dense chain (evalRankedSql) re-ranked at chunk level +
+    // the BM25 chain over the same chunks, full-outer features, planted
+    // label (query_id IS its relevant doc)
+    "e37_ltr_training_set" ->
+      (evalRankedSql + """,
+         dn AS (SELECT query_id, doc_id, chunk_id, rank FROM (
+                  SELECT query_id, doc_id, chunk_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_q DESC, doc_id ASC, chunk_id ASC) AS rank
+                  FROM scored)
+                WHERE rank <= 10),
+         ctok AS (SELECT doc_id, chunk_id,
+                    list_filter(regexp_split_to_array(lower(chunk_text), '\s+'),
+                      x -> x <> '') AS toks
+                  FROM ch),
+         cbase AS (SELECT doc_id, chunk_id,
+                     CAST(len(toks) AS BIGINT) AS len, toks
+                   FROM ctok),
+         cstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                           CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+                    FROM cbase),
+         tf AS (SELECT doc_id, chunk_id, len, term,
+                  CAST(count(*) AS DOUBLE) AS tf FROM (
+                    SELECT doc_id, chunk_id, len, unnest(toks) AS term
+                    FROM cbase)
+                GROUP BY doc_id, chunk_id, len, term),
+         qterms AS (SELECT query_id, unnest(list_distinct(
+                      list_filter(regexp_split_to_array(lower(qtext), '\s+'),
+                        x -> x <> ''))) AS term
+                    FROM qdocs),
+         qtermset AS (SELECT DISTINCT term FROM qterms),
+         tfq AS (SELECT tf.* FROM tf JOIN qtermset USING (term)),
+         wdf AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+                 FROM tfq),
+         contrib AS (SELECT q.query_id, w.doc_id, w.chunk_id,
+                       CAST(floor((((s.n_docs - w.df + 0.5) / (w.df + 0.5)) *
+                         (w.tf / (w.tf + 1.2 * (1.0 - 0.75 +
+                           0.75 * (CAST(w.len AS DOUBLE) / s.avgdl)))))
+                         * 1000000000) AS BIGINT) AS c_fp
+                     FROM wdf w JOIN qterms q USING (term), cstats s),
+         bm AS (SELECT query_id, doc_id, chunk_id, rank FROM (
+                  SELECT query_id, doc_id, chunk_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY bm25_fp DESC, doc_id ASC, chunk_id ASC) AS rank
+                  FROM (SELECT query_id, doc_id, chunk_id,
+                          sum(c_fp) AS bm25_fp
+                        FROM contrib GROUP BY query_id, doc_id, chunk_id))
+                WHERE rank <= 10)
+         SELECT query_id, doc_id, chunk_id,
+                CAST(COALESCE(d.rank, 0) AS BIGINT) AS rank_dense,
+                CAST(COALESCE(b.rank, 0) AS BIGINT) AS rank_sparse,
+                CAST(COALESCE(1000000 // (60 + b.rank), 0)
+                  + COALESCE(1000000 // (60 + d.rank), 0) AS BIGINT) AS rrf_fp,
+                CAST(CASE WHEN doc_id = query_id THEN 1 ELSE 0 END AS BIGINT)
+                  AS label
+         FROM bm b FULL OUTER JOIN dn d USING (query_id, doc_id, chunk_id)
+         ORDER BY query_id, doc_id, chunk_id"""),
     // windows → md5 keys → dup keys w/ arithmetic canonical → per-doc
     // marked starts → token-coverage reassembly (the planting replicated)
     "d80_dup_span_removal" ->
