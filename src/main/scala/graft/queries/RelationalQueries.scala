@@ -763,6 +763,20 @@ object RelationalQueries {
         .orderBy("t_us", "event_type")
     }),
 
+    // --- q113: FIRST-TOUCH FUNNEL over the event stream (the product-
+    //     analytics classic): per user, the earliest view anchors step 1,
+    //     then the earliest click strictly after it within 2 h, then the
+    //     earliest purchase after THAT within 2 h. One user-keyed
+    //     aggregate per step + one user-keyed join per transition — N
+    //     shuffles on the SAME key; later steps NULL once the funnel
+    //     breaks (prefix-closed). Exact integer micros everywhere. --------
+    "q113_funnel" -> ((s, d) => {
+      graft.operators.Funnel.firstTouch(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"), gapMicros = 7200000000L)
+        .orderBy("user_id")
+    }),
+
     "q71_orc_roundtrip" -> ((s, d) => {
       val tmp = materialize("orc", d) { p =>
         Tables.orders(s, d)
@@ -2018,6 +2032,35 @@ object RelationalQueries {
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents GROUP BY lang ORDER BY lang""",
 
+    // per-step earliest-anchor CTEs with the same (ts, event_id) total
+    // order and 2h gap arithmetic in integer micros
+    "q113_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(row(epoch_us(ts), event_id))[1] AS t1_us
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id,
+             min(row(epoch_us(e.ts), e.event_id))[1] AS t2_us
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click'
+             AND epoch_us(e.ts) > s1.t1_us
+             AND epoch_us(e.ts) <= s1.t1_us + 7200000000
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id,
+             min(row(epoch_us(e.ts), e.event_id))[1] AS t3_us
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase'
+             AND epoch_us(e.ts) > s2.t2_us
+             AND epoch_us(e.ts) <= s2.t2_us + 7200000000
+           GROUP BY e.user_id)
+         SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+           CAST(1 + (CASE WHEN s2.t2_us IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN s3.t3_us IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS steps_completed
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                 LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
     // the q110 history rebuilt one-shot, each quarter-point instant
     // reconstructed via the half-open interval predicate
     "q112_scd2_asof" ->

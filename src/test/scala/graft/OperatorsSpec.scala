@@ -3192,6 +3192,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(2L) == ((3L, 1000000L, 1000000L, 1000000L, true)))
   }
 
+  test("funnel firstTouch: step anchors, gap boundaries, break leaves NULLs, no-entry users absent") {
+    import graft.operators.Funnel
+    val H = 3600000000L // 1h in micros
+    def ev(rows: (Long, Long, Long, String)*) =
+      rows.toDF("user_id", "us", "event_id", "event_type")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_id"), col("event_type"))
+    val events = ev(
+      (1L, 0L, 1L, "view"), (1L, H, 2L, "click"),
+      (1L, H + H / 2 * 3, 3L, "purchase"),           // 1.5h after click ✓
+      (2L, 0L, 4L, "view"), (2L, 3 * H, 5L, "click"), // beyond the 2h gap
+      (3L, 0L, 6L, "click"),                          // never entered
+      (4L, 0L, 7L, "view"), (4L, 2 * H, 8L, "click"), // exactly AT the gap ✓
+      (4L, 4 * H + 1L, 9L, "purchase"),               // 1 µs past click+2h ✗
+      (5L, 0L, 10L, "view"), (5L, 0L, 11L, "click")) // same instant: not AFTER
+    val out = Funnel.firstTouch(events, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"),
+        gapMicros = 2 * H)
+      .collect().map(r => r.getLong(0) -> (
+        r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L)) // user 3 never viewed
+    assert(out(1L) == ((0L, H, H + H / 2 * 3, 3L)))
+    assert(out(2L) == ((0L, -1L, -1L, 1L)))   // click too late
+    assert(out(4L) == ((0L, 2 * H, -1L, 2L))) // <= gap counts; +1µs breaks
+    assert(out(5L) == ((0L, -1L, -1L, 1L)))   // same-instant is not after
+  }
+
   test("Multimodal: deterministic stub features, schema, modality stats") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(docs), dim = 8)
