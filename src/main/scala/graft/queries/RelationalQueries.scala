@@ -777,6 +777,28 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // --- q114: EXACT retention cohort matrix (the companion to q102's
+    //     sketch-based retention — this is the exact small-cardinality
+    //     form): cohort = the UTC day of each user's first event, matrix
+    //     cell (cohort, day_offset) = distinct users of that cohort
+    //     active that many days later. Two user-keyed shuffles (first-day
+    //     aggregate, join back) + one distinct + one cell aggregate;
+    //     day arithmetic in exact integer micros. -------------------------
+    "q114_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("day_us")).as("cohort_us"))
+      ev.join(cohort, Seq("user_id"))
+        .select(col("cohort_us"),
+          expr("(day_us - cohort_us) div 86400000000").as("day_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_us"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_us", "day_offset")
+    }),
+
     "q71_orc_roundtrip" -> ((s, d) => {
       val tmp = materialize("orc", d) { p =>
         Tables.orders(s, d)
@@ -2032,6 +2054,23 @@ object RelationalQueries {
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents GROUP BY lang ORDER BY lang""",
 
+    // first-day cohort per user, distinct active (cohort, offset, user)
+    // triples, exact integer day arithmetic
+    "q114_retention_cohorts" ->
+      """WITH ev AS (
+           SELECT user_id,
+                  epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day_us
+           FROM events),
+         cohort AS (
+           SELECT user_id, min(day_us) AS cohort_us FROM ev GROUP BY user_id),
+         act AS (
+           SELECT DISTINCT c.cohort_us,
+                  (e.day_us - c.cohort_us) // 86400000000 AS day_offset,
+                  e.user_id
+           FROM ev e JOIN cohort c USING (user_id))
+         SELECT cohort_us, day_offset, count(*) AS n_active
+         FROM act GROUP BY cohort_us, day_offset
+         ORDER BY cohort_us, day_offset""",
     // per-step earliest-anchor CTEs with the same (ts, event_id) total
     // order and 2h gap arithmetic in integer micros
     "q113_funnel" ->
