@@ -301,6 +301,7 @@ object StreamQueries {
     })
 
   private val retractMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val funnelStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The s29 streamed takedown, memoized per (JVM, sf dir): e34's posting
     * index built in full at batch 0, then the %13-block deletion requests
@@ -1063,6 +1064,63 @@ object StreamQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // --- s30: STREAMED first-touch funnel — q113's anchors kept live in
+    //     32-byte-per-user mapGroupsWithState state while events ingest
+    //     in ts order (two monotone staged halves): anchors only move
+    //     unset → set, so the drained state equals the batch funnel
+    //     exactly. Update-mode sink holds one row per (user, batch-with-
+    //     input); anchors are monotone, so max(struct) per user IS the
+    //     final state. Oracle IS q113's SQL verbatim — an anchor set
+    //     early, late, or twice by the stream flips the hash. -------------
+    "s30_stream_funnel" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      val mm = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      val srcDir = funnelStaged.computeIfAbsent(d, { _ =>
+        val dir = tmpDir("sfunnelsrc")
+        def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
+          val tmp = tmpDir("sfunnelw")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          val dest = new java.io.File(dir, name)
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(lastMod); ()
+        }
+        val now = System.currentTimeMillis()
+        stage(ev.filter(unix_micros(col("ts")) <= cut), "half_0.parquet",
+          now - 60000)
+        stage(ev.filter(unix_micros(col("ts")) > cut), "half_1.parquet", now)
+        dir.toString
+      })
+      val stream = s.readStream
+        .schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_id"), col("event_type"))
+        .as[EventStreams.FunnelEvent]
+      val anchors = EventStreams.streamingFunnel(stream,
+        Seq("view", "click", "purchase"), gapMicros = 7200000000L)
+      withStatePartitions(s, 8) {
+        drain(anchors.toDF(), complete = false)
+      }
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("t1_us"), col("t2_us"), col("t3_us")))
+          .as("__st"))
+        .filter(col("__st.t1_us") >= 0)
+        .select(col("user_id"),
+          col("__st.t1_us").as("t1_us"),
+          when(col("__st.t2_us") >= 0, col("__st.t2_us")).as("t2_us"),
+          when(col("__st.t3_us") >= 0, col("__st.t3_us")).as("t3_us"),
+          (lit(1L) + when(col("__st.t2_us") >= 0, 1L).otherwise(0L) +
+            when(col("__st.t3_us") >= 0, 1L).otherwise(0L))
+            .as("steps_completed"))
+        .orderBy("user_id")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -1363,6 +1421,10 @@ object StreamQueries {
     // over the surviving corpus — the oracle IS e34's SQL verbatim
     "s29_stream_takedown" ->
       graft.queries.TextQueries.oracle("e34_bm25_retract"),
+    // ts-monotone batches through the unset→set anchor fold ≡ the batch
+    // first-touch funnel — the oracle IS q113's SQL verbatim
+    "s30_stream_funnel" ->
+      graft.queries.RelationalQueries.oracle("q113_funnel"),
     // streamed monotone batches with cross-batch (host, n_accepted) state
     // ≡ the batch-global ARRIVAL-ORDER cap: row_number per host by doc_id
     // (NOT d56's hash-priority rank — the streamed cap keeps the first

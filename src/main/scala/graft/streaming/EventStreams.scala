@@ -84,6 +84,49 @@ object EventStreams {
       }
   }
 
+  case class FunnelEvent(user_id: Long, t_us: Long, event_id: Long,
+      event_type: String)
+  case class FunnelAnchors(user_id: Long, t1_us: Long, t2_us: Long,
+      t3_us: Long)
+
+  /** Streaming first-touch funnel via mapGroupsWithState: per-user anchor
+    * state (−1 = unset) folded over each batch's events in the
+    * (t_us, event_id) total order. Anchors only ever move −1 → set, so
+    * under ts-monotone batch arrival (the crawl-snapshot staging contract)
+    * the drained state equals the batch [[graft.operators.Funnel
+    * .firstTouch]] exactly: the first qualifying event seen in order IS
+    * the earliest. Timestamps pre-converted to exact integer micros
+    * upstream (java.sql.Timestamp.getTime is millis — it never enters
+    * this path). State is 32 bytes per user regardless of event volume —
+    * the 100 TB shape. `steps` must be three distinct event types. */
+  def streamingFunnel(events: Dataset[FunnelEvent], steps: Seq[String],
+      gapMicros: Long): Dataset[FunnelAnchors] = {
+    require(steps.size == 3 && steps.distinct.size == 3 && gapMicros > 0)
+    val Seq(s1, s2, s3) = steps
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FunnelEvent],
+            state: GroupState[FunnelAnchors]) =>
+          var st = state.getOption
+            .getOrElse(FunnelAnchors(user, -1L, -1L, -1L))
+          for (e <- it.toSeq.sortBy(e => (e.t_us, e.event_id))) {
+            if (e.event_type == s1 && st.t1_us < 0)
+              st = st.copy(t1_us = e.t_us)
+            else if (e.event_type == s2 && st.t2_us < 0 && st.t1_us >= 0 &&
+                e.t_us > st.t1_us && e.t_us <= st.t1_us + gapMicros)
+              st = st.copy(t2_us = e.t_us)
+            else if (e.event_type == s3 && st.t3_us < 0 && st.t2_us >= 0 &&
+                e.t_us > st.t2_us && e.t_us <= st.t2_us + gapMicros)
+              st = st.copy(t3_us = e.t_us)
+          }
+          state.update(st)
+          st
+      }
+  }
+
   /** The SAME running counters on Spark 4's `transformWithState` — the
     * arbitrary-stateful-processing API that replaces mapGroupsWithState
     * going forward: typed state handles (ValueState/ListState/MapState)
