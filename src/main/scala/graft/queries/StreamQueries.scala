@@ -303,6 +303,32 @@ object StreamQueries {
   private val retractMaintained = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val funnelStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Events staged as TWO ts-monotone halves (split at the (min+max)/2
+    * micros midpoint), memoized per (JVM, sf dir) — the arrival contract
+    * the s30 funnel-anchor and s31 retention-bitmap folds require. */
+  private def funnelStagedDirFor(s: SparkSession, d: String): String =
+    funnelStaged.computeIfAbsent(d, { _ =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      val mm = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      val dir = tmpDir("sfunnelsrc")
+      def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
+        val tmp = tmpDir("sfunnelw")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(dir, name)
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(lastMod); ()
+      }
+      val now = System.currentTimeMillis()
+      stage(ev.filter(unix_micros(col("ts")) <= cut), "half_0.parquet",
+        now - 60000)
+      stage(ev.filter(unix_micros(col("ts")) > cut), "half_1.parquet", now)
+      dir.toString
+    })
+
   /** The s29 streamed takedown, memoized per (JVM, sf dir): e34's posting
     * index built in full at batch 0, then the %13-block deletion requests
     * arrive as TWO micro-batched delete files; each batch retracts in
@@ -1074,27 +1100,7 @@ object StreamQueries {
     //     early, late, or twice by the stream flips the hash. -------------
     "s30_stream_funnel" -> ((s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
-        col("event_id"), col("event_type"))
-      val mm = ev.agg(min(unix_micros(col("ts"))),
-        max(unix_micros(col("ts")))).head
-      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
-      val srcDir = funnelStaged.computeIfAbsent(d, { _ =>
-        val dir = tmpDir("sfunnelsrc")
-        def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
-          val tmp = tmpDir("sfunnelw")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-          val dest = new java.io.File(dir, name)
-          java.nio.file.Files.move(part.toPath, dest.toPath)
-          dest.setLastModified(lastMod); ()
-        }
-        val now = System.currentTimeMillis()
-        stage(ev.filter(unix_micros(col("ts")) <= cut), "half_0.parquet",
-          now - 60000)
-        stage(ev.filter(unix_micros(col("ts")) > cut), "half_1.parquet", now)
-        dir.toString
-      })
+      val srcDir = funnelStagedDirFor(s, d)
       val stream = s.readStream
         .schema(s.read.parquet(srcDir).schema)
         .option("maxFilesPerTrigger", 1)
@@ -1119,6 +1125,38 @@ object StreamQueries {
             when(col("__st.t3_us") >= 0, 1L).otherwise(0L))
             .as("steps_completed"))
         .orderBy("user_id")
+    }),
+
+    // --- s31: STREAMED retention cohorts — q114's matrix maintained in
+    //     16-byte-per-user state (cohort day + a 63-bit active-offset
+    //     bitmap; both MONOTONE, so the Update-sink collapses with a
+    //     plain max). Shares s30's ts-monotone staged halves; the rollup
+    //     explodes set bits into (cohort, offset) cells. Oracle IS
+    //     q114's SQL verbatim — a day missed, double-set, or attributed
+    //     to the wrong cohort flips the hash. ----------------------------
+    "s31_stream_retention" -> ((s, d) => {
+      import s.implicits._
+      val srcDir = funnelStagedDirFor(s, d)
+      val days = s.readStream
+        .schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .select(col("user_id"),
+          unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .as[EventStreams.DayEvent]
+      val states = EventStreams.streamingRetention(days)
+      withStatePartitions(s, 8) {
+        drain(states.toDF(), complete = false)
+      }
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("cohort_us"), col("offsets"))).as("__st"))
+        .select(col("__st.cohort_us").as("cohort_us"),
+          explode(expr(
+            "filter(sequence(0L, 62L), i -> (shiftright(__st.offsets, cast(i as int)) & 1) = 1)"))
+            .as("day_offset"))
+        .groupBy(col("cohort_us"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_us", "day_offset")
     }),
 
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
@@ -1425,6 +1463,10 @@ object StreamQueries {
     // first-touch funnel — the oracle IS q113's SQL verbatim
     "s30_stream_funnel" ->
       graft.queries.RelationalQueries.oracle("q113_funnel"),
+    // monotone cohort + grow-only bitmap per user ≡ the batch cohort
+    // matrix — the oracle IS q114's SQL verbatim
+    "s31_stream_retention" ->
+      graft.queries.RelationalQueries.oracle("q114_retention_cohorts"),
     // streamed monotone batches with cross-batch (host, n_accepted) state
     // ≡ the batch-global ARRIVAL-ORDER cap: row_number per host by doc_id
     // (NOT d56's hash-priority rank — the streamed cap keeps the first

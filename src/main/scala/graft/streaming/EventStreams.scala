@@ -127,6 +127,43 @@ object EventStreams {
       }
   }
 
+  case class DayEvent(user_id: Long, day_us: Long)
+  case class RetentionState(user_id: Long, cohort_us: Long, offsets: Long)
+
+  /** Streaming retention-cohort maintenance: per-user state is the cohort
+    * day (first day ever seen — fixed once set under ts-monotone batch
+    * arrival) plus a BITMAP of active day-offsets — 16 bytes per user
+    * regardless of event volume, the 100 TB state shape. Offsets must fit
+    * bits 0..62 (a ~2-month window here; a longer program shards the
+    * bitmap per offset block — the state stays O(window), never
+    * O(events)); an offset ≥ 63 raises rather than silently wrapping.
+    * Both fields are MONOTONE (cohort constant after set; bits only turn
+    * on, and bit 63 is never used, so the Long value only grows) — which
+    * is exactly what lets an Update-mode sink collapse to the final state
+    * with a plain max per user. */
+  def streamingRetention(days: Dataset[DayEvent]): Dataset[RetentionState] = {
+    val spark = days.sparkSession
+    import spark.implicits._
+    val DayUs = 86400000000L
+    days
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[DayEvent],
+            state: GroupState[RetentionState]) =>
+          var st = state.getOption
+            .getOrElse(RetentionState(user, -1L, 0L))
+          for (e <- it.toSeq.sortBy(_.day_us)) {
+            if (st.cohort_us < 0) st = st.copy(cohort_us = e.day_us)
+            val off = (e.day_us - st.cohort_us) / DayUs
+            require(off >= 0 && off < 63,
+              s"retention offset $off outside the 63-day bitmap window")
+            st = st.copy(offsets = st.offsets | (1L << off))
+          }
+          state.update(st)
+          st
+      }
+  }
+
   /** The SAME running counters on Spark 4's `transformWithState` — the
     * arbitrary-stateful-processing API that replaces mapGroupsWithState
     * going forward: typed state handles (ValueState/ListState/MapState)
