@@ -1006,8 +1006,12 @@ object Dedup {
     * long doc_id·2²⁰ + pos, so the canonical pick is a plain `min` with
     * map-side partial aggregation (no struct ordering shipped through the
     * shuffle, and the DuckDB oracle reproduces the arithmetic exactly).
-    * Bounds: pos < 2²⁰ (a one-million-token document) and doc_id < 2⁴³. */
+    * Bounds: pos < 2²⁰ (a one-million-token document) and doc_id ∈
+    * [0, 2⁴³) — ENFORCED with a raise (the streamingRetention posture):
+    * an out-of-range id or position would silently corrupt
+    * canonical-occurrence selection via encoding collisions. */
   private val PosBase = 1L << 20
+  private val DocIdBound = 1L << 43
 
   /** Exact duplicate-SUBSTRING removal — the span-level dedup that
     * doc-level dedup cannot express (two documents sharing a boilerplate
@@ -1037,12 +1041,24 @@ object Dedup {
   def dupSpanRemoval(
       docs: DataFrame, idCol: String, textCol: String, l: Int): DataFrame = {
     require(l >= 1, s"window length must be positive, got $l")
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+    val did = col(idCol).cast("long")
+    val base = docs.select(
+      when(did < 0 || did >= DocIdBound,
+        raise_error(concat(lit("dupSpanRemoval: doc_id "), did,
+          lit(s" outside [0, $DocIdBound) — the doc_id*2^20+pos " +
+            "canonical encoding would collide"))).cast("long"))
+        .otherwise(did).as("doc_id"),
       col(textCol).as("text"))
     def enc = col("doc_id") * PosBase + col("pos")
     val occ = base.select(col("doc_id"),
         posexplode(TextAnalysis.ngrams(col("text"), l)).as(Seq("pos", "win")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+      .select(col("doc_id"),
+        when(col("pos") >= PosBase,
+          raise_error(concat(lit("dupSpanRemoval: token position "),
+            col("pos"), lit(s" >= $PosBase — a document beyond the " +
+              "one-million-token encoding bound; split it upstream")))
+            .cast("long"))
+          .otherwise(col("pos").cast("long")).as("pos"),
         md5(col("win")).as("wkey"))
     val dup = occ.groupBy(col("wkey"))
       .agg(count(lit(1)).as("cnt"), min(enc).as("canon"))

@@ -58,34 +58,92 @@ object Dimension {
       (col(keyCol) +: col("valid_from").as(tsCol) +:
         col("change_id").as(tieCol) +: payloadCols.map(col)): _*)
 
+  /** Per-key last ORIGINAL change marker — max (ts, tie) over the RAW
+    * change log, BEFORE [[scdType2]]'s no-op collapse. The dim alone
+    * cannot witness a collapsed change sitting after the last retained
+    * one, so a pipeline that wants [[scdApply]]'s at-tail guard to be
+    * EXACT persists this one-row-per-key frame alongside the dim
+    * (maintained per batch by [[scdLastOriginalMerge]] — a plain max
+    * semilattice, so it rides any versioned-state merge). Returns
+    * (key, last_ts, last_tie). */
+  def scdLastOriginal(
+      changes: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame =
+    changes.groupBy(col(keyCol))
+      .agg(max(struct(col(tsCol), col(tieCol))).as("__lo"))
+      .select(col(keyCol), col(s"__lo.$tsCol").as("last_ts"),
+        col(s"__lo.$tieCol").as("last_tie"))
+
+  /** Merge a batch's [[scdLastOriginal]] markers into the persisted ones
+    * (max per key — order-independent, so any batching converges). */
+  def scdLastOriginalMerge(
+      prev: DataFrame, deltaMarkers: DataFrame, keyCol: String): DataFrame =
+    prev.unionByName(deltaMarkers).groupBy(col(keyCol))
+      .agg(max(struct(col("last_ts"), col("last_tie"))).as("__lo"))
+      .select(col(keyCol), col("__lo.last_ts").as("last_ts"),
+        col("__lo.last_tie").as("last_tie"))
+
   /** Apply a later change batch to an existing SCD-2 dimension: rebuild
     * ONLY the keys the delta touches (their retained change log — one
     * (valid_from, change_id, payload) change per version — unioned with
     * the delta, re-versioned by [[scdType2]]) and pass every untouched
     * key's rows through unchanged. Result ≡ building the history from
     * the full change log in one shot, PROVIDED the delta is strictly
-    * later than each touched key's retained history — an out-of-order
-    * change landing inside a previously-collapsed run would split it
-    * retroactively, which no incremental path can reproduce, so that
-    * contract is enforced with a raise (the CDC at-tail contract; same
-    * posture as the export guards). */
+    * later than every ORIGINAL change of the touched keys — an
+    * out-of-order change landing inside a previously-collapsed run would
+    * split it retroactively, which no incremental path can reproduce, so
+    * the contract is enforced with a raise (the CDC at-tail contract;
+    * same posture as the export guards).
+    *
+    * Guard exactness: with `lastOriginal` supplied (the persisted
+    * [[scdLastOriginal]] markers) the guard is EXACT — it sees collapsed
+    * changes too. WITHOUT it the guard can only compare against the
+    * key's RETAINED history, which is strictly weaker: a no-op change
+    * that [[scdType2]] collapsed can sit AFTER the last retained change,
+    * and a delta landing between them passes the retained-history guard
+    * yet yields a history that differs from the one-shot rebuild (the
+    * collapsed change would un-collapse against the new payload). Callers
+    * without the marker frame must themselves guarantee the delta is
+    * strictly later than every original change of the touched keys —
+    * collapsed ones included (true for ts-ordered CDC splits, the shape
+    * the repo's own rows feed). */
   def scdApply(
       dim: DataFrame, delta: DataFrame, keyCol: String, tsCol: String,
-      tieCol: String, payloadCols: Seq[String]): DataFrame = {
+      tieCol: String, payloadCols: Seq[String],
+      lastOriginal: Option[DataFrame] = None): DataFrame = {
     val touched = delta.select(col(keyCol)).distinct()
     val affected = dim.join(touched, Seq(keyCol), "left_semi")
     val untouched = dim.join(touched, Seq(keyCol), "left_anti")
     // at-tail guard: every delta change strictly after the key's last
-    // retained change in the (ts, tie) total order
-    val lastBase = affected.groupBy(col(keyCol))
-      .agg(max(struct(col("valid_from"), col("change_id"))).as("__last"))
+    // ORIGINAL change (exact, marker frame supplied) or last RETAINED
+    // change (weaker fallback — see scaladoc) in the (ts, tie) total order
+    val lastBase = lastOriginal match {
+      case Some(lo) =>
+        // a touched key present in the dim but missing from the marker
+        // frame means the markers are stale — the guard would silently
+        // degrade, so that raises too
+        val stale = affected.select(col(keyCol)).distinct()
+          .join(lo, Seq(keyCol), "left_anti").limit(1).count()
+        require(stale == 0L,
+          "scdApply: lastOriginal markers are missing a touched key that " +
+            "exists in the dim — maintain them with scdLastOriginalMerge " +
+            "on every applied batch")
+        lo.join(touched, Seq(keyCol), "left_semi")
+          .select(col(keyCol),
+            struct(col("last_ts"), col("last_tie")).as("__last"))
+      case None =>
+        affected.groupBy(col(keyCol))
+          .agg(max(struct(col("valid_from"), col("change_id"))).as("__last"))
+    }
     val firstDelta = delta.groupBy(col(keyCol))
       .agg(min(struct(col(tsCol), col(tieCol))).as("__first"))
     val outOfOrder = firstDelta.join(lastBase, Seq(keyCol))
       .filter(col("__first") <= col("__last")).limit(1).count()
     require(outOfOrder == 0L,
       "scdApply: delta contains changes at or before a touched key's " +
-        "retained history — an incremental apply cannot retroactively " +
+        (if (lastOriginal.isDefined) "last original change"
+         else "retained history") +
+        " — an incremental apply cannot retroactively " +
         "split collapsed runs; rebuild those keys with scdType2 instead")
     val baseChanges =
       dimAsChanges(affected, keyCol, tsCol, tieCol, payloadCols)

@@ -23,6 +23,23 @@ object Vocab {
   /** One learned merge: (rank, left, right, left+right, weighted count). */
   private[graft] type Merge = (Int, String, String, String, Long)
 
+  /** Code-point segmentation — the BPE base alphabet. `w.map(_.toString)`
+    * would split on UTF-16 code units, turning a supplementary-plane
+    * character (emoji, CJK ext-B) into two surrogate half-symbols while
+    * the oracle (and Spark's own `length`) counts code points; iterating
+    * code points keeps merges, symbol counts, and the d81/d82 hashes
+    * aligned on non-BMP corpora. */
+  private[graft] def codePointSyms(w: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.result()
+  }
+
   /** Apply one merge greedily left-to-right, non-overlapping (the BPE
     * rewrite rule: "a a a" under merge (a,a) → [aa, a], never [a, aa]). */
   private[graft] def applyMerge(
@@ -48,7 +65,7 @@ object Vocab {
       wf: Seq[(String, Long)],
       nMerges: Int): (Seq[Merge], Map[String, Vector[String]]) = {
     var segs: Map[String, Vector[String]] =
-      wf.iterator.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+      wf.iterator.map { case (w, _) => w -> codePointSyms(w) }.toMap
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var done = false
@@ -81,19 +98,37 @@ object Vocab {
     docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** The word-frequency collect behind the driver-side merge loop, LOUDLY
+    * capped (the logisticTrainCollected posture): an open-vocabulary crawl
+    * whose surviving word table exceeds `maxWords` raises with guidance
+    * instead of silently OOM-ing the driver. The collect itself is bounded
+    * by `limit(maxWords + 1)` so even the failing path never materializes
+    * more than the cap. */
   private def collectedWordFreq(
-      docs: DataFrame, textCol: String, minFreq: Long): Seq[(String, Long)] =
-    wordFreq(docs, textCol).filter(col("freq") >= minFreq)
+      docs: DataFrame, textCol: String, minFreq: Long,
+      maxWords: Int): Seq[(String, Long)] = {
+    require(maxWords >= 1, s"maxWords must be positive, got $maxWords")
+    val rows = wordFreq(docs, textCol).filter(col("freq") >= minFreq)
+      .limit(maxWords + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    if (rows.size > maxWords)
+      throw new IllegalStateException(
+        s"BPE word table exceeds maxWords=$maxWords after the minFreq=" +
+          s"$minFreq floor — raise minFreq (the standard BPE frequency " +
+          "floor) or maxWords; collecting an unbounded open-vocabulary " +
+          "word table would OOM the driver at corpus scale")
+    rows
+  }
 
   /** The learned merge table: (rank, left_sym, right_sym, merged, cnt),
     * one row per merge in learned order. */
   def bpeMerges(
       spark: SparkSession, docs: DataFrame, textCol: String,
-      nMerges: Int, minFreq: Long = 1L): DataFrame = {
+      nMerges: Int, minFreq: Long = 1L,
+      maxWords: Int = 1000000): DataFrame = {
     import spark.implicits._
     val (merges, _) =
-      bpeLearn(collectedWordFreq(docs, textCol, minFreq), nMerges)
+      bpeLearn(collectedWordFreq(docs, textCol, minFreq, maxWords), nMerges)
     merges.toDF("rank", "left_sym", "right_sym", "merged", "cnt")
   }
 
@@ -108,10 +143,11 @@ object Vocab {
     * character count, the BPE base-alphabet segmentation). */
   def bpeEncodeStats(
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
-      nMerges: Int, minFreq: Long = 1L): DataFrame = {
+      nMerges: Int, minFreq: Long = 1L,
+      maxWords: Int = 1000000): DataFrame = {
     import spark.implicits._
     val (_, segs) =
-      bpeLearn(collectedWordFreq(docs, textCol, minFreq), nMerges)
+      bpeLearn(collectedWordFreq(docs, textCol, minFreq, maxWords), nMerges)
     val ws = segs.iterator.map { case (w, s) => (w, s.length.toLong) }
       .toSeq.sortBy(_._1).toDF("word", "n_syms")
     val dt = docs.select(col(idCol).as("doc_id"),

@@ -3109,6 +3109,53 @@ class OperatorsSpec extends SparkTestBase {
       enc(1).getLong(4) == 0L)
   }
 
+  test("BPE: non-BMP base alphabet is code points; word-table cap raises loudly") {
+    import graft.operators.Vocab
+    // a supplementary-plane char must seed as ONE symbol (code point), not
+    // two surrogate halves — merges and counts then match the oracle's
+    // code-point indexing
+    assert(Vocab.codePointSyms("😀x") ==
+      Vector("😀", "x"))
+    val emoji = Seq((1L, "😀x 😀x")).toDF("doc_id", "text")
+    val m = Vocab.bpeMerges(spark, emoji, "text", nMerges = 2).collect()
+    assert(m.length == 1 && m(0).getString(1) == "😀" &&
+      m(0).getString(2) == "x" && m(0).getLong(4) == 2L)
+    val enc = Vocab.bpeEncodeStats(spark, emoji, "doc_id", "text",
+      nMerges = 2).collect()(0)
+    // 2 words × 2 code points; one merge each → 2 BPE tokens
+    assert(enc.getLong(1) == 2L && enc.getLong(2) == 4L &&
+      enc.getLong(3) == 2L && enc.getLong(4) == 2000000L)
+    // the driver collect is loudly capped: a surviving vocabulary beyond
+    // maxWords raises with guidance instead of OOM-ing the driver
+    val wide = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Vocab.bpeMerges(spark, wide, "text", nMerges = 1, minFreq = 1L,
+        maxWords = 3)
+    }
+    assert(e.getMessage.contains("raise minFreq"), e.getMessage)
+    // at or under the cap: unchanged result
+    assert(Vocab.bpeMerges(spark, wide, "text", nMerges = 1, minFreq = 1L,
+      maxWords = 6).count() >= 0L)
+  }
+
+  test("dupSpanRemoval: out-of-range doc_id raises instead of colliding") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Dedup
+    for (bad <- Seq(-1L, 1L << 43)) {
+      val e = intercept[Exception] {
+        Dedup.dupSpanRemoval(
+          Seq((bad, "a b c d e f g h i j")).toDF("doc_id", "text"),
+          "doc_id", "text", l = 8).collect()
+      }
+      assert(e.getMessage.contains("dupSpanRemoval"), e.getMessage)
+    }
+    // in-range ids still pass through the validated path untouched
+    val ok = Dedup.dupSpanRemoval(
+      Seq(((1L << 43) - 1L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", l = 8).collect()
+    assert(ok.length == 1 && ok(0).getLong(1) == 3L)
+  }
+
   test("scdType2/scdApply: no-op collapse, intervals, incremental ≡ one-shot, at-tail guard") {
     import graft.operators.Dimension
     def ch(rows: (Long, Long, Long, String)*) =
@@ -3148,6 +3195,55 @@ class OperatorsSpec extends SparkTestBase {
         Seq("attr"))
     }
     assert(e.getMessage.contains("at or before"), e.getMessage)
+  }
+
+  test("scdApply: lastOriginal markers make the at-tail guard exact across collapsed changes") {
+    import graft.operators.Dimension
+    def ch(rows: (Long, Long, Long, String)*) =
+      rows.toDF("k", "us", "cid", "attr")
+        .select(col("k"), timestamp_micros(col("us")).as("ts"),
+          col("cid"), col("attr"))
+    // key 1: (10, A) then a NO-OP (20, A) — scdType2 collapses the 20
+    // change, so the dim retains only the ts=10 change
+    val base = ch((1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"))
+    val dim = Dimension.scdType2(base, "k", "ts", "cid", Seq("attr"))
+    assert(dim.count() == 1L)
+    val markers = Dimension.scdLastOriginal(base, "k", "ts", "cid")
+    // a delta BETWEEN the retained change and the collapsed one: the
+    // retained-history guard cannot see it (10 < 15 passes), and the
+    // incremental result would silently diverge from the one-shot rebuild
+    val between = ch((1L, 15L, 102L, "C"))
+    val incremental = Dimension.scdApply(dim, between, "k", "ts", "cid",
+      Seq("attr"))
+    val oneShot = Dimension.scdType2(base.unionByName(between), "k", "ts",
+      "cid", Seq("attr"))
+    assert(incremental.count() == 2L && oneShot.count() == 3L,
+      "the collapsed change must un-collapse in the one-shot rebuild — " +
+        "this divergence is exactly what the marker guard exists to catch")
+    // with the markers the guard is exact: the same delta raises
+    val e = intercept[IllegalArgumentException] {
+      Dimension.scdApply(dim, between, "k", "ts", "cid", Seq("attr"),
+        lastOriginal = Some(markers))
+    }
+    assert(e.getMessage.contains("last original change"), e.getMessage)
+    // a genuinely at-tail delta (after the collapsed ts=20) passes the
+    // exact guard and reproduces the one-shot rebuild; marker maintenance
+    // is a plain max merge
+    val after = ch((1L, 30L, 103L, "B"), (2L, 5L, 104L, "X"))
+    val applied = Dimension.scdApply(dim, after, "k", "ts", "cid",
+      Seq("attr"), lastOriginal = Some(markers))
+    val full = Dimension.scdType2(base.unionByName(after), "k", "ts",
+      "cid", Seq("attr"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("version"), col("attr"),
+        unix_micros(col("valid_from")).as("f"), col("is_current"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(applied) == rows(full))
+    val merged = Dimension.scdLastOriginalMerge(markers,
+      Dimension.scdLastOriginal(after, "k", "ts", "cid"), "k")
+      .select(col("k"), unix_micros(col("last_ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged(1L) == 30L && merged(2L) == 5L)
   }
 
   test("pageRankFixedPoint: hand-computed star ranks, dangling sink, determinism") {
