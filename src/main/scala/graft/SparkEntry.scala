@@ -63,6 +63,9 @@ object SparkEntry {
       "e27_chunk_ivf_recall", // chunk codebook + cell-partitioned index
       "e30_bm25_index_served", // one-time BM25 posting-index commit
       "e31_hybrid_served", // shares the e27 + e30 serving artifacts
+      "e34_bm25_retract", // one-time build + tombstone retraction
+      "e35_hybrid_takedown", // shares e34's + the retracted IVF state
+      "e38_bm25_compacted", // one-time build + retraction + compaction
       "e33_probe_operating", // one-time eval-corpus IVF + posting indexes
       "e25_tier_recall_curves", // shares e17/e08's memoized index/codebook
       "s08_stream_mv", // one-time foreachBatch MV maintenance per (JVM, sf)

@@ -233,7 +233,7 @@ object VectorCodebook {
     * embeddings — and silently min-truncating it yields
     * plausible-but-wrong scores in every ANN/retrieval operator at once.
     * The repo's convention is loud guards at contract boundaries
-    * (dedupLines, monotoneAppendMerge, hamiltonAllocate), so the kernels
+    * (dedupLines, requireMonotoneIds, hamiltonAllocate), so the kernels
     * raise here instead. Called from both the interpreted path and the
     * generated code (one static call — no codegen bloat). */
   def requireSameLength(a: Int, b: Int, op: String): Unit =

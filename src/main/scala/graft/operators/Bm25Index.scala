@@ -84,43 +84,65 @@ object Bm25Index {
       ItemsPart -> items)
   }
 
-  private def merges(
-      idName: String): Map[String, (DataFrame, DataFrame) => DataFrame] = Map(
-    PostingsPart -> Similarity.monotoneAppendMerge(idName),
-    // disjoint item sets (enforced above) make df additive per term
-    TermsPart -> ((st: DataFrame, dl: DataFrame) =>
-      st.as("s").join(dl.as("d"), Seq("term"), "full_outer")
-        .select(col("term"),
-          (coalesce(col("s.df"), lit(0L)) + coalesce(col("d.df"), lit(0L)))
-            .as("df"))),
-    // one-row exact-integer totals; a bucket-count drift would silently
-    // split a term across partitions, so it raises instead
-    StatsPart -> ((st: DataFrame, dl: DataFrame) =>
-      st.as("s").crossJoin(dl.as("d")).select(
-        (col("s.n_docs") + col("d.n_docs")).as("n_docs"),
-        (col("s.len_sum") + col("d.len_sum")).as("len_sum"),
-        when(col("s.n_buckets") === col("d.n_buckets"), col("s.n_buckets"))
-          .otherwise(raise_error(concat(lit("bm25 index bucket count " +
-            "drifted: indexed "), col("s.n_buckets"),
-            lit(" vs delta "), col("d.n_buckets"),
-            lit(" — rebuild the index")))
-            .cast("int"))
-          .as("n_buckets"))),
-    ItemsPart -> Similarity.monotoneAppendMerge(idName))
+  // disjoint item sets (the monotone-id guard) make df additive per term
+  private val termsMerge = (st: DataFrame, dl: DataFrame) =>
+    st.as("s").join(dl.as("d"), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("s.df"), lit(0L)) + coalesce(col("d.df"), lit(0L)))
+          .as("df"))
+
+  // one-row exact-integer totals; a bucket-count drift would silently
+  // split a term across partitions, so it raises instead
+  private val statsMerge = (st: DataFrame, dl: DataFrame) =>
+    st.as("s").crossJoin(dl.as("d")).select(
+      (col("s.n_docs") + col("d.n_docs")).as("n_docs"),
+      (col("s.len_sum") + col("d.len_sum")).as("len_sum"),
+      when(col("s.n_buckets") === col("d.n_buckets"), col("s.n_buckets"))
+        .otherwise(raise_error(concat(lit("bm25 index bucket count " +
+          "drifted: indexed "), col("s.n_buckets"),
+          lit(" vs delta "), col("d.n_buckets"),
+          lit(" — rebuild the index")))
+          .cast("int"))
+        .as("n_buckets"))
+
+  /** A committed index without the `items` part was written before items
+    * bookkeeping existed — extending or retracting it would silently
+    * desynchronize the corpus totals, so both raise with the explicit
+    * remedy instead of a raw missing-path read error downstream. */
+  private def requireItemsPart(spark: SparkSession, statePath: String): Unit =
+    if (!IncrementalAgg.hasStatePart(spark, statePath, ItemsPart))
+      throw new IllegalStateException(
+        s"bm25 index at $statePath predates items bookkeeping (no " +
+          s"'$ItemsPart' part) — rebuild required: re-extend the index " +
+          "from the corpus with the current extendIndex")
 
   /** Merge one batch of docs into the index at `statePath` under the
     * exactly-once versioned-commit protocol (bootstraps on first call).
     * Batch ids monotone; delta item ids strictly above everything
     * indexed (overlap raises — a duplicated item would double-count df
-    * and score wrong). */
+    * and score wrong). The commit is O(delta + vocabulary), NEVER
+    * O(index): postings and items land as new immutable segments
+    * ([[IncrementalAgg.appendOnceWithParts]]) while only the
+    * vocabulary-bounded terms table and the one-row stats rewrite. */
   def extendIndex(
       spark: SparkSession, statePath: String, deltaCorpus: DataFrame,
       keyCols: Seq[String], textCol: String, batchId: Long,
-      nBuckets: Int = 64): Unit =
-    IncrementalAgg.refreshOnceWithParts(spark, statePath, batchId,
-      buildDelta(deltaCorpus, keyCols, textCol, nBuckets),
-      merges(keyCols.head),
-      partitionCols = Map(PostingsPart -> Seq("__tb")))
+      nBuckets: Int = 64): Unit = {
+    if (IncrementalAgg.latestVersion(spark, statePath).nonEmpty)
+      requireItemsPart(spark, statePath)
+    val deltas = buildDelta(deltaCorpus, keyCols, textCol, nBuckets).toMap
+    IncrementalAgg.appendOnceWithParts(spark, statePath, batchId,
+      appendDeltas = Seq(PostingsPart -> deltas(PostingsPart),
+        ItemsPart -> deltas(ItemsPart)),
+      rewriteDeltas = Seq(TermsPart -> deltas(TermsPart),
+        StatsPart -> deltas(StatsPart)),
+      rewriteMerges = Map(TermsPart -> termsMerge, StatsPart -> statsMerge),
+      partitionCols = Map(PostingsPart -> Seq("__tb")),
+      // items records zero-token items too, so its guard is the binding
+      // one; the postings guard catches a non-item posting drift early
+      guardIdCols = Map(PostingsPart -> keyCols.head,
+        ItemsPart -> keyCols.head))
+  }
 
   /** [[TextAnalysis.bm25TopKBatch]] served from the committed index at
     * `statePath`: the query batch tokenizes (batch-sized), its term set
@@ -162,51 +184,92 @@ object Bm25Index {
   /** Deletion propagation — retract a set of items from the committed
     * index WITHOUT touching the corpus (the 100 TB deletion-request path:
     * a takedown cannot afford a rebuild, and the index itself already
-    * knows everything a rebuild would recompute about the deleted items):
-    * postings/items anti-join the delete set, per-term df subtracts the
+    * knows everything a rebuild would recompute about the deleted items).
+    * The commit WRITES O(deletes + vocabulary), never O(index): the
+    * deleted items land as a TOMBSTONE segment (full key rows, resolved
+    * from the live `items` part so a key-prefix delete — every chunk of a
+    * doc — works and a re-delete no-ops), per-term df subtracts the
     * deleted items' own posting rows (terms reaching df 0 drop — exactly
-    * what a rebuild would not emit), and the exact-integer corpus totals
-    * subtract the deleted items' count/len from the `items` part (which
-    * records zero-token items too, so totals stay exact even for items
-    * with no postings). The result commits as a NEW version under the
-    * same atomic protocol — retract ≡ rebuild on the surviving corpus,
-    * row-for-row (the e34 gate). `deleteKeys`' columns may be any prefix
-    * subset of the index keys (delete all chunks of a doc by doc_id);
-    * keys absent from the index no-op. */
+    * what a rebuild would not emit; vocabulary-bounded rewrite), and the
+    * exact-integer corpus totals subtract the deleted items' count/len
+    * (the `items` part records zero-token items too, so totals stay exact
+    * even for items with no postings). Postings/items DATA BYTES are
+    * untouched — [[IncrementalAgg.readStatePart]] applies the tombstones
+    * as a broadcast anti-join, so every read (serving included) remains ≡
+    * rebuild on the surviving corpus, row-for-row (the e34 gate), and
+    * [[compactIndex]] folds tombstones into a rewritten segment on an
+    * amortized schedule. */
   def retractFromIndex(
       spark: SparkSession, statePath: String, deleteKeys: DataFrame,
       keyCols: Seq[String], batchId: Long): Unit = {
     require(IncrementalAgg.latestVersion(spark, statePath).nonEmpty,
       "retractFromIndex: no committed index state to retract from")
+    requireItemsPart(spark, statePath)
     val dcols = deleteKeys.columns.toSeq
     require(dcols.nonEmpty && dcols.forall(keyCols.contains),
       s"delete-key columns $dcols must be a subset of index keys $keyCols")
-    val del = deleteKeys.distinct()
-    val postings = IncrementalAgg.readStatePart(spark, statePath, PostingsPart)
+    val del = deleteKeys.distinct().localCheckpoint(true)
     val terms = IncrementalAgg.readStatePart(spark, statePath, TermsPart)
     val stats = IncrementalAgg.readStatePart(spark, statePath, StatsPart)
-    val items = IncrementalAgg.readStatePart(spark, statePath, ItemsPart)
-    val removed = items.join(broadcast(del), dcols, "left_semi")
-      .agg(count(lit(1)).as("__n"),
+    // segment-range pruning: when the delete keys carry the guard id
+    // (keyCols.head — the takedown shape), the correction scans read ONLY
+    // the segments whose committed [min, max] id range the delete set
+    // intersects (usually the one batch the items arrived in), never the
+    // whole state. Delete sets without the head key fall back to a full
+    // (still read-only, column-pruned) scan.
+    val bounds: Option[(Long, Long)] =
+      if (dcols.contains(keyCols.head)) {
+        val r = del.agg(min(col(keyCols.head).cast("long")).as("mn"),
+          max(col(keyCols.head).cast("long")).as("mx")).head
+        if (r.isNullAt(0)) Some((0L, -1L)) else
+          Some((r.getLong(0), r.getLong(1)))
+      } else None
+    def ranged(part: String): DataFrame = bounds match {
+      case Some((lo, hi)) =>
+        IncrementalAgg.readStatePartRanged(spark, statePath, part, lo, hi)
+      case None => IncrementalAgg.readStatePart(spark, statePath, part)
+    }
+    val postings = ranged(PostingsPart)
+    val items = ranged(ItemsPart)
+    // the dying LIVE items (tombstone-resolved reads make a replayed or
+    // repeated delete a no-op), materialized once: they feed the
+    // tombstone segment, the stats correction, and the df correction
+    val dead = items.join(broadcast(del), dcols, "left_semi")
+      .localCheckpoint(true)
+    try {
+      val tombs = dead.select(keyCols.map(col): _*)
+      val removed = dead.agg(count(lit(1)).as("__n"),
         coalesce(sum(col("len")), lit(0L)).as("__l"))
-    val newStats = stats.crossJoin(removed).select(
-      (col("n_docs") - col("__n")).as("n_docs"),
-      (col("len_sum") - col("__l")).as("len_sum"),
-      col("n_buckets"))
-    val dfDelta = postings.join(broadcast(del), dcols, "left_semi")
-      .groupBy(col("term")).agg(count(lit(1)).as("__d"))
-    val newTerms = terms.join(dfDelta, Seq("term"), "left")
-      .select(col("term"),
-        (col("df") - coalesce(col("__d"), lit(0L))).as("df"))
-      .filter(col("df") > 0)
-    val newPostings = postings.join(broadcast(del), dcols, "left_anti")
-    val newItems = items.join(broadcast(del), dcols, "left_anti")
-    val replace = (_: DataFrame, dl: DataFrame) => dl
-    IncrementalAgg.refreshOnceWithParts(spark, statePath, batchId,
-      Seq(PostingsPart -> newPostings, TermsPart -> newTerms,
-        StatsPart -> newStats, ItemsPart -> newItems),
-      Map(PostingsPart -> replace, TermsPart -> replace,
-        StatsPart -> replace, ItemsPart -> replace),
+      val newStats = stats.crossJoin(removed).select(
+        (col("n_docs") - col("__n")).as("n_docs"),
+        (col("len_sum") - col("__l")).as("len_sum"),
+        col("n_buckets"))
+      val dfDelta = postings.join(broadcast(tombs), keyCols, "left_semi")
+        .groupBy(col("term")).agg(count(lit(1)).as("__d"))
+      val newTerms = terms.join(dfDelta, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("__d"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+      val replace = (_: DataFrame, dl: DataFrame) => dl
+      IncrementalAgg.appendOnceWithParts(spark, statePath, batchId,
+        appendDeltas = Seq(
+          IncrementalAgg.tombstonePart(PostingsPart) -> tombs,
+          IncrementalAgg.tombstonePart(ItemsPart) -> tombs),
+        rewriteDeltas = Seq(TermsPart -> newTerms, StatsPart -> newStats),
+        rewriteMerges = Map(TermsPart -> replace, StatsPart -> replace))
+    } finally { Dedup.release(dead); Dedup.release(del) }
+  }
+
+  /** Fold accumulated tombstones into rewritten postings/items segments
+    * (one O(index) rewrite amortized over many O(deletes) retractions —
+    * the compaction schedule is the caller's; terms/stats are already
+    * exact and carry forward). Reads are row-identical before and after:
+    * compaction only changes the committed file layout. */
+  def compactIndex(
+      spark: SparkSession, statePath: String, batchId: Long): Unit = {
+    requireItemsPart(spark, statePath)
+    IncrementalAgg.compactOnceWithParts(spark, statePath, batchId,
+      Seq(PostingsPart, ItemsPart),
       partitionCols = Map(PostingsPart -> Seq("__tb")))
   }
 }

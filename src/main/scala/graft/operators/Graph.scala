@@ -29,33 +29,59 @@ object Graph {
     * and irrelevant to ranking at 10⁹ scale. Dangling vertices (out-degree
     * 0) receive teleport mass only and contribute none, the standard
     * pruned-dangling convention; vertices are the UNION of both endpoint
-    * sets so sinks still get ranked. Returns (vertex, rank_fp). */
+    * sets so sinks still get ranked. Returns (vertex, rank_fp).
+    *
+    * `initRanks` WARM-STARTS the iteration from a prior (vertex, rank_fp)
+    * vector instead of the uniform initFp — the incremental-maintenance
+    * path after an edge delta: each iteration is a pure deterministic
+    * function of the previous vector and the (new) edge set, so running k
+    * iterations from a converged prior costs k instead of re-walking from
+    * uniform, and — composition — warm(cold(edges, a), b) ≡
+    * cold(edges, a+b) EXACTLY (integer arithmetic; OperatorsSpec pins
+    * it). Vertices absent from the prior vector (new in the delta) start
+    * at initFp.
+    *
+    * `checkpointDir` switches the per-iteration truncation from
+    * localCheckpoint (executor-memory blocks — fast, but a lost executor
+    * kills the lineage-truncated job) to RELIABLE `Dataset.checkpoint`
+    * files under the given directory, the long-iteration production
+    * posture: a lost executor recomputes from the durable snapshot
+    * instead of failing the job. */
   def pageRankFixedPoint(
       edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L,
-      teleportFp: Long = 150000000L, initFp: Long = 1000000000L)
-      : DataFrame = {
+      teleportFp: Long = 150000000L, initFp: Long = 1000000000L,
+      initRanks: Option[DataFrame] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      .localCheckpoint(true)
-    val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
-      .localCheckpoint(true)
-    var ranks = verts.select(col("v"), lit(initFp).as("r"))
-      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ck(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = ck(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")))
+    val deg = ck(e.groupBy(col("src")).agg(count(lit(1)).as("od")))
+    val verts = ck(e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct())
+    var ranks = ck(initRanks match {
+      case Some(prior) =>
+        verts.join(
+            prior.select(col("vertex").as("v"), col("rank_fp").as("__pr")),
+            Seq("v"), "left")
+          .select(col("v"), coalesce(col("__pr"), lit(initFp)).as("r"))
+      case None => verts.select(col("v"), lit(initFp).as("r"))
+    })
     for (_ <- 1 to iters) {
       val contrib = e.join(deg, Seq("src"))
         .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
         .select(col("dst").as("v"), expr("r div od").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("s"))
-      val next = verts.join(contrib, Seq("v"), "left")
+      val next = ck(verts.join(contrib, Seq("v"), "left")
         .select(col("v"),
           (lit(teleportFp) +
             expr(s"(coalesce(s, cast(0 as bigint)) * $dampNum)" +
-              s" div $dampDen")).as("r"))
-        .localCheckpoint(true)
+              s" div $dampDen")).as("r")))
       Dedup.release(ranks)
       ranks = next
     }

@@ -126,23 +126,35 @@ object IncrementalAgg {
     versions(spark, statePath).lastOption
   }
 
-  /** Read the latest committed state snapshot. */
+  /** Read the latest committed state snapshot. A segment-manifest state
+    * ([[appendOnce]]) resolves its single data part (tombstones applied);
+    * a rewrite-protocol state reads its version dir as before. */
   def readState(spark: SparkSession, statePath: String): DataFrame = {
     val v = latestVersion(spark, statePath).getOrElse(
       throw new IllegalStateException(s"no committed state under $statePath"))
-    spark.read.parquet(s"$statePath/v$v")
+    (singleDataPart(spark, statePath),
+        readManifest(spark, s"$statePath/v$v")) match {
+      case (Some(part), _) => readStatePart(spark, statePath, part)
+      case (None, Some(m)) => throw new IllegalStateException(
+        s"$statePath is a multi-part state (${m.parts.keys.toSeq.sorted
+          .mkString(", ")}) — read it with readStatePart")
+      case _ => spark.read.parquet(s"$statePath/v$v")
+    }
   }
 
   /** Retract rows from a ROW-LOCAL state (one whose rows are pure
-    * per-source-row functions — the chunk/IVF/JL index shape): commit a
-    * new version holding the current state anti-joined against the
-    * (broadcast) delete-key set. For such states this provably equals a
-    * rebuild on the surviving sources, because each row's presence
-    * depends only on its own source row. `deleteKeys`' columns may be any
-    * subset of the state's columns (delete every chunk of a doc by
-    * doc_id); absent keys no-op. NOT valid for aggregate states (df
-    * counts, sums) — those need their own subtraction algebra (see
-    * Bm25Index.retractFromIndex). */
+    * per-source-row functions — the chunk/IVF/JL index shape): for such
+    * states dropping the rows provably equals a rebuild on the surviving
+    * sources, because each row's presence depends only on its own source
+    * row. On a SEGMENT-MANIFEST state (committed by [[appendOnce]]) the
+    * retraction commits as a TOMBSTONE segment — O(deletes) written, the
+    * committed data bytes untouched; [[readState]] applies tombstones as
+    * a broadcast anti-join and [[compactRows]] folds them on an amortized
+    * schedule. On a legacy rewrite state it falls back to committing the
+    * anti-joined state. `deleteKeys`' columns may be any subset of the
+    * state's columns (delete every chunk of a doc by doc_id); absent keys
+    * no-op. NOT valid for aggregate states (df counts, sums) — those need
+    * their own subtraction algebra (see Bm25Index.retractFromIndex). */
   def retractRows(
       spark: SparkSession, statePath: String, deleteKeys: DataFrame,
       batchId: Long): Unit = {
@@ -152,10 +164,16 @@ object IncrementalAgg {
     val dcols = deleteKeys.columns.toSeq
     require(dcols.nonEmpty && dcols.forall(state.columns.contains),
       s"delete-key columns $dcols must exist in the state schema")
-    val next = state.join(
-      org.apache.spark.sql.functions.broadcast(deleteKeys.distinct()),
-      dcols, "left_anti")
-    refreshOnceWith(spark, statePath, next, batchId, (_, dl) => dl)
+    singleDataPart(spark, statePath) match {
+      case Some(part) =>
+        appendOnceWithParts(spark, statePath, batchId,
+          appendDeltas = Seq(tombstonePart(part) -> deleteKeys.distinct()))
+      case None =>
+        val next = state.join(
+          org.apache.spark.sql.functions.broadcast(deleteKeys.distinct()),
+          dcols, "left_anti")
+        refreshOnceWith(spark, statePath, next, batchId, (_, dl) => dl)
+    }
   }
 
   /** Write `merged` to staging, atomically rename it to version `id`,
@@ -251,55 +269,486 @@ object IncrementalAgg {
     if (latestVersion(spark, statePath).forall(_ < batchId))
       mergeCommit(spark, statePath, batchId, delta, merge)
 
-  /** [[refreshOnceWith]] for a state whose snapshot is SEVERAL named
-    * frames ("parts") — e.g. a posting index plus its term and corpus
-    * statistics tables. All parts of a version write under one staging
-    * dir and commit with ONE atomic rename, so there is no cross-part
-    * crash window (the failure mode a sidecar-pair written by two
-    * overwrites always has — see the training-shard export's entry
-    * guards). Each part merges with its own algebra; `partitionCols`
-    * lets a part persist Hive-partitioned so readers can prune it
-    * (the e27 cell_id pattern). */
-  def refreshOnceWithParts(
-      spark: SparkSession, statePath: String, batchId: Long,
-      deltas: Seq[(String, DataFrame)],
-      merges: Map[String, (DataFrame, DataFrame) => DataFrame],
-      partitionCols: Map[String, Seq[String]] = Map.empty): Unit = {
-    val prev = latestVersion(spark, statePath)
-    if (prev.forall(_ < batchId)) {
-      val tmp = s"$statePath/.tmp-$batchId"
-      deltas.foreach { case (part, delta) =>
-        val merged = prev match {
-          case None => delta
-          case Some(v) =>
-            merges(part)(spark.read.parquet(s"$statePath/v$v/$part"), delta)
+  // ---- O(delta) append commits: the segment-manifest state layout ------
+  //
+  // refreshOnceWith rewrites the ENTIRE merged state every commit — the
+  // right shape for key-unique AGGREGATE states (bounded by key
+  // cardinality, never corpus size) but write-amplified for APPEND-ONLY
+  // states (posting lists, chunk/IVF index rows) whose committed size
+  // grows with the corpus: there, every micro-batch would read and
+  // rewrite all prior bytes. The append layout keeps the versioned
+  // exactly-once contract while making each commit O(delta):
+  //
+  //   statePath/seg/<part>/__seg=s<id>/  immutable delta SEGMENTS —
+  //                                      written once, never rewritten
+  //                                      (the appendTrainingShards
+  //                                      economics, Sinks.scala). The
+  //                                      segment id is a PARTITION dir,
+  //                                      so the whole part stays ONE
+  //                                      partitioned table
+  //   statePath/v<batchId>/<part>/       rewritten SMALL parts (per-term
+  //                                      df, one-row stats) — bounded by
+  //                                      vocabulary, not corpus
+  //   statePath/v<batchId>/_segments     the version's manifest: which
+  //                                      segments each append part
+  //                                      comprises, in append order
+  //
+  // A commit writes the delta segment plus the (small) version dir, and
+  // the ONE atomic rename of the version dir publishes both: a segment no
+  // committed manifest names is invisible garbage (the reader's planning-
+  // time `__seg IN (manifest)` partition filter never admits it), swept
+  // after the next successful commit — the crash story is unchanged from
+  // refreshOnce. Readers scan the single part dir with the manifest's
+  // segment list as a partition filter, so partition pruning and DPP on
+  // the caller's own partition columns behave exactly as on one dir.
+  //
+  // Deletes ride the same layout as TOMBSTONES: `<part>__tomb` is an
+  // append part holding delete-key rows; [[readStatePart]] anti-joins
+  // them (broadcast — deletes are small) so a takedown batch commits
+  // O(deletes) while the committed data bytes stay untouched. compact*
+  // folds tombstones into one rewritten segment on an amortized schedule.
+
+  private val ManifestFile = "_segments"
+  private val SegCol = "__seg"
+
+  /** Canonical name of `part`'s tombstone part. */
+  def tombstonePart(part: String): String = part + "__tomb"
+
+  /** Part name for single-frame append states ([[appendOnce]]). */
+  val RowsPart = "rows"
+
+  private def segDir(statePath: String, part: String): String =
+    s"$statePath/seg/$part"
+
+  /** One committed segment: its name plus, for monotone-id parts, the
+    * CLOSED [minId, maxId] range of its guard-id column — committed
+    * metadata that makes the monotone guard a manifest lookup and lets a
+    * retraction prune its correction scans to only the segments a delete
+    * set can touch (the takedown shape: a few ids → usually one
+    * segment). */
+  private[graft] case class SegMeta(
+      name: String, range: Option[(Long, Long)]) {
+    def intersects(lo: Long, hi: Long): Boolean =
+      range.forall { case (mn, mx) => mx >= lo && mn <= hi }
+  }
+
+  /** Parsed manifest: per-part segments in append order (present-but-
+    * empty = a part whose segments were all folded away, e.g. cleared
+    * tombstones), plus the guard-id column names the ranges refer to. */
+  private[graft] case class Manifest(
+      parts: Map[String, Vector[SegMeta]], idCols: Map[String, String]) {
+    def segNames(part: String): Vector[String] =
+      parts.getOrElse(part, Vector.empty).map(_.name)
+  }
+
+  /** The version's manifest, if it was committed by an append commit. */
+  private def readManifest(
+      spark: SparkSession, vdir: String): Option[Manifest] = {
+    val p = new org.apache.hadoop.fs.Path(s"$vdir/$ManifestFile")
+    val fs = fsOf(spark, vdir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Vector[SegMeta]]
+      val ids = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      text.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
+        line.split("\t", -1) match {
+          case Array("#id", part, idCol) => ids(part) = idCol
+          case Array(part) =>
+            if (!m.contains(part)) m(part) = Vector.empty
+          case Array(part, sg) =>
+            m(part) = m.getOrElse(part, Vector.empty) :+ SegMeta(sg, None)
+          case Array(part, sg, mn, mx) =>
+            m(part) = m.getOrElse(part, Vector.empty) :+
+              SegMeta(sg, Some((mn.toLong, mx.toLong)))
+          case _ => throw new java.io.IOException(
+            s"$vdir/$ManifestFile: bad manifest line '$line'")
         }
-        val w = merged.write.mode("overwrite")
-        partitionCols.get(part).filter(_.nonEmpty)
-          .fold(w)(cs => w.partitionBy(cs: _*))
-          .parquet(s"$tmp/$part")
       }
-      val fs = fsOf(spark, statePath)
-      val dest = new org.apache.hadoop.fs.Path(s"$statePath/v$batchId")
-      if (fs.exists(dest)) fs.delete(dest, true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dest))
-        throw new java.io.IOException(s"commit rename $tmp -> $dest failed")
-      versions(spark, statePath).filter(_ < batchId).foreach { old =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$old"), true)
+      Some(Manifest(m.toMap, ids.toMap))
+    }
+  }
+
+  private def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      manifest: Seq[(String, Vector[SegMeta])],
+      idCols: Map[String, String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$ManifestFile"), true)
+    val idLines = idCols.toSeq.sortBy(_._1)
+      .map { case (part, c) => s"#id\t$part\t$c" }
+    val segLines = manifest.map { case (part, segs) =>
+      if (segs.isEmpty) part
+      else segs.map { sm =>
+        sm.range match {
+          case Some((mn, mx)) => s"$part\t${sm.name}\t$mn\t$mx"
+          case None => s"$part\t${sm.name}"
+        }
+      }.mkString("\n")
+    }
+    try out.write((idLines ++ segLines)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Write one immutable segment (staged, then renamed into place — a
+    * replay of the same batchId overwrites its own orphan). Invisible to
+    * readers until a committed manifest names it: the manifest's
+    * `__seg IN (...)` partition filter is what admits segments. */
+  private def writeSegment(
+      spark: SparkSession, statePath: String, part: String, seg: String,
+      df: DataFrame, parts: Seq[String]): Unit = {
+    val fs = fsOf(spark, statePath)
+    // staged OUTSIDE the part dir: compaction's delta frame READS the
+    // part dir, so its write must never land inside what it scans
+    val stage = s"$statePath/.segstage-$part-$seg"
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    if (fs.exists(stagePath)) fs.delete(stagePath, true)
+    df.withColumn(SegCol, lit(seg)).write.mode("overwrite")
+      .partitionBy(SegCol +: parts: _*).parquet(stage)
+    val dest = new org.apache.hadoop.fs.Path(
+      s"${segDir(statePath, part)}/$SegCol=$seg")
+    if (fs.exists(dest)) fs.delete(dest, true)
+    else fs.mkdirs(dest.getParent)
+    // an EMPTY delta writes no partition dir — stage one so the segment
+    // still exists on disk (it holds zero files; readers are emptiness-
+    // aware where an all-empty part is legal, i.e. tombstones)
+    val staged = new org.apache.hadoop.fs.Path(s"$stage/$SegCol=$seg")
+    if (!fs.exists(staged)) fs.mkdirs(staged)
+    if (!fs.rename(staged, dest))
+      throw new java.io.IOException(s"segment rename $staged -> $dest failed")
+    fs.delete(stagePath, true) // staging shell (_SUCCESS) only
+    ()
+  }
+
+  /** Whether any data file exists under `path` (recursive, first hit
+    * wins) — distinguishes an all-empty-segments part from a readable
+    * one without paying a schema-inference failure. */
+  private def hasDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(path) && fs.listStatus(path).exists { st =>
+      if (st.isFile) st.getPath.getName.endsWith(".parquet")
+      else hasDataFiles(fs, st.getPath)
+    }
+
+  /** One pruned scan of an append part: the manifest's segment list as a
+    * planning-time partition filter over the single partitioned dir. */
+  private def readSegments(
+      spark: SparkSession, statePath: String, part: String,
+      segs: Seq[String]): DataFrame =
+    spark.read.parquet(segDir(statePath, part))
+      .filter(col(SegCol).isin(segs: _*))
+      .drop(SegCol)
+
+  /** Exactly-once O(delta) commit for a multi-part state: each
+    * `appendDeltas` part's frame lands as a NEW immutable segment (never
+    * reading or rewriting prior data bytes), `rewriteDeltas` parts merge
+    * and rewrite as before (they must be SMALL by contract — per-term
+    * df, one-row stats), and the atomic version-dir rename publishes
+    * both. `guardIdCols` enforces the monotone-id append contract per
+    * part from committed MANIFEST METADATA (each segment's [min, max] id
+    * range — the invariant makes the newest segment's max the global
+    * max), so the guard costs one delta aggregate and zero state reads;
+    * the same ranges let [[readStatePartRanged]] prune correction scans.
+    * `replaceParts` restarts those parts' segment lists this commit
+    * (compaction: a part in `replaceParts` AND `appendDeltas` holds
+    * exactly the new segment; in `replaceParts` only, it empties —
+    * cleared tombstones). A prior version committed by the pre-segment
+    * rewrite protocol migrates one-time: its append parts move into a
+    * migration segment, after which every commit is O(delta). */
+  def appendOnceWithParts(
+      spark: SparkSession, statePath: String, batchId: Long,
+      appendDeltas: Seq[(String, DataFrame)],
+      rewriteDeltas: Seq[(String, DataFrame)] = Seq.empty,
+      rewriteMerges: Map[String, (DataFrame, DataFrame) => DataFrame] =
+        Map.empty,
+      partitionCols: Map[String, Seq[String]] = Map.empty,
+      guardIdCols: Map[String, String] = Map.empty,
+      replaceParts: Set[String] = Set.empty): Unit = {
+    val prev = latestVersion(spark, statePath)
+    if (prev.exists(_ >= batchId)) return // replayed batch: no-op
+    val fs = fsOf(spark, statePath)
+    val prevDir = prev.map(v => s"$statePath/v$v")
+    val prevM = prevDir.flatMap(readManifest(spark, _))
+    var prevParts: Map[String, Vector[SegMeta]] =
+      prevM.map(_.parts).getOrElse(Map.empty)
+    // id columns are sticky state metadata: once declared they persist in
+    // every later manifest, so compaction and retraction know them
+    val idCols = prevM.map(_.idCols).getOrElse(Map.empty) ++ guardIdCols
+    if (prevDir.isDefined && prevM.isEmpty) {
+      // one-time legacy migration (O(state) ONCE, never again): parts this
+      // commit appends to move out of the rewrite-protocol version dir
+      // into a migration segment (range unknown — later guards fall back
+      // to reading that one segment)
+      (appendDeltas.map(_._1) ++ replaceParts).distinct.foreach { part =>
+        val legacy = s"${prevDir.get}/$part"
+        if (fs.exists(new org.apache.hadoop.fs.Path(legacy))) {
+          val seg = s"s${prev.get}m"
+          writeSegment(spark, statePath, part, seg,
+            spark.read.parquet(legacy),
+            partitionCols.getOrElse(part, Seq.empty))
+          prevParts += part -> Vector(SegMeta(seg, None))
+        }
       }
-      fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).foreach { st =>
-        if (st.getPath.getName.startsWith(".tmp-"))
-          { fs.delete(st.getPath, true); () }
+    }
+    // one aggregate per guarded delta: its [min, max] id range — used for
+    // the monotone check now and committed to the manifest for later
+    // guards (metadata-only) and range-pruned retraction scans
+    val deltaRanges = appendDeltas.flatMap { case (part, delta) =>
+      idCols.get(part).map { c =>
+        val r = delta.agg(min(col(c).cast("long")).as("mn"),
+          max(col(c).cast("long")).as("mx")).head
+        part -> (if (r.isNullAt(0)) None
+                 else Some((r.getLong(0), r.getLong(1))))
+      }
+    }.toMap
+    appendDeltas.foreach { case (part, delta) =>
+      // monotone-id guard (data parts) — skipped for replace commits,
+      // whose segment is the resolved prior state itself
+      if (!replaceParts.contains(part))
+        idCols.get(part).foreach { idCol =>
+          prevParts.get(part).filter(_.nonEmpty).foreach { segs =>
+            val committedMax = segs.last.range.map(_._2).orElse {
+              // a migrated segment has no committed range: read it once
+              if (hasDataFiles(fs,
+                  new org.apache.hadoop.fs.Path(segDir(statePath, part)))) {
+                val r = readSegments(spark, statePath, part,
+                    Seq(segs.last.name))
+                  .agg(max(col(idCol).cast("long"))).head
+                if (r.isNullAt(0)) None else Some(r.getLong(0))
+              } else None
+            }
+            (committedMax, deltaRanges.getOrElse(part, None).map(_._1))
+                match {
+              case (Some(mx), Some(mn)) => require(mx < mn,
+                "delta ids must be strictly greater than every indexed " +
+                  "id (append-only vectors); otherwise the merged index " +
+                  "would contain duplicate neighbor rows")
+              case _ => () // either side empty — nothing can collide
+            }
+          }
+        }
+      // tombstone parts must keep ONE delete-key schema until compacted —
+      // anti-joins on mixed column sets do not compose into one broadcast
+      if (part.endsWith("__tomb") && !replaceParts.contains(part) &&
+          prevParts.get(part).exists(_.nonEmpty) &&
+          hasDataFiles(fs,
+            new org.apache.hadoop.fs.Path(segDir(statePath, part)))) {
+        val prior = spark.read.parquet(segDir(statePath, part))
+          .drop(SegCol).columns.toSet
+        require(prior == delta.columns.toSet,
+          s"$part: tombstone key columns ${delta.columns.toSeq.sorted} " +
+            s"differ from the committed ones ${prior.toSeq.sorted} — " +
+            "compact the state before retracting with a different key " +
+            "shape")
+      }
+    }
+    val segName = s"s$batchId"
+    appendDeltas.foreach { case (part, delta) =>
+      writeSegment(spark, statePath, part, segName, delta,
+        partitionCols.getOrElse(part, Seq.empty))
+    }
+    val appendNames = appendDeltas.map(_._1)
+    val allParts =
+      (prevParts.keys ++ appendNames ++ replaceParts).toSeq.distinct.sorted
+    val manifest = allParts.map { part =>
+      val priorSegs =
+        if (replaceParts.contains(part)) Vector.empty[SegMeta]
+        else prevParts.getOrElse(part, Vector.empty)
+      part -> (if (appendNames.contains(part))
+                 priorSegs :+ SegMeta(segName,
+                   deltaRanges.getOrElse(part, None))
+               else priorSegs)
+    }
+    val tmp = s"$statePath/.tmp-$batchId"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    rewriteDeltas.foreach { case (part, delta) =>
+      val merged = prevDir.filter(pd =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$pd/$part"))) match {
+        case Some(pd) =>
+          rewriteMerges(part)(spark.read.parquet(s"$pd/$part"), delta)
+        case None => delta
+      }
+      merged.write.mode("overwrite").parquet(s"$tmp/$part")
+    }
+    // carry forward prior rewrite parts this commit does not touch
+    // (small by contract — the version dir holds nothing corpus-sized)
+    prevDir.foreach { pd =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(pd)).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && !rewriteDeltas.exists(_._1 == name) &&
+            !prevParts.contains(name) && !appendNames.contains(name) &&
+            !replaceParts.contains(name))
+          spark.read.parquet(st.getPath.toString)
+            .write.mode("overwrite").parquet(s"$tmp/$name")
+      }
+    }
+    fs.mkdirs(tmpPath)
+    writeManifest(fs, tmp, manifest, idCols)
+    val dest = new org.apache.hadoop.fs.Path(s"$statePath/v$batchId")
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(tmpPath, dest))
+      throw new java.io.IOException(s"commit rename $tmp -> $dest failed")
+    versions(spark, statePath).filter(_ < batchId).foreach { old =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$old"), true)
+    }
+    fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp-") ||
+          st.getPath.getName.startsWith(".segstage-"))
+        { fs.delete(st.getPath, true); () }
+    }
+    // sweep segments the committed manifest no longer references
+    // (compaction folds, crashed earlier commits, stage leftovers) —
+    // hygiene only: the reader's partition filter already excludes them
+    val live = manifest.toMap
+    val segRoot = new org.apache.hadoop.fs.Path(s"$statePath/seg")
+    if (fs.exists(segRoot)) fs.listStatus(segRoot).foreach { pdir =>
+      val keep = live.getOrElse(pdir.getPath.getName, Vector.empty)
+        .map(sm => s"$SegCol=${sm.name}").toSet
+      fs.listStatus(pdir.getPath).foreach { sdir =>
+        if (!keep.contains(sdir.getPath.getName))
+          { fs.delete(sdir.getPath, true); () }
       }
     }
   }
 
-  /** Read one named part of the latest committed multi-part snapshot. */
+  /** [[appendOnceWithParts]] for the common single-frame append state
+    * (chunk/IVF/JL index rows): the delta lands as one new segment under
+    * the `rows` part with the monotone-id guard on `guardIdCol`. */
+  def appendOnce(
+      spark: SparkSession, statePath: String, delta: DataFrame,
+      batchId: Long, guardIdCol: String,
+      partitionCols: Seq[String] = Seq.empty): Unit =
+    appendOnceWithParts(spark, statePath, batchId,
+      appendDeltas = Seq(RowsPart -> delta),
+      partitionCols =
+        if (partitionCols.nonEmpty) Map(RowsPart -> partitionCols)
+        else Map.empty,
+      guardIdCols = Map(RowsPart -> guardIdCol))
+
+  /** Fold a segment-manifest state's tombstones on an amortized schedule:
+    * each listed part's RESOLVED rows (segments minus tombstones) rewrite
+    * as ONE fresh segment and the tombstones clear — the committed READS
+    * are row-identical before and after (compaction only changes the
+    * file layout); unlisted parts carry forward. */
+  def compactOnceWithParts(
+      spark: SparkSession, statePath: String, batchId: Long,
+      parts: Seq[String],
+      partitionCols: Map[String, Seq[String]] = Map.empty): Unit = {
+    require(latestVersion(spark, statePath).nonEmpty,
+      s"compact: no committed state under $statePath")
+    appendOnceWithParts(spark, statePath, batchId,
+      appendDeltas = parts.map(p => p -> readStatePart(spark, statePath, p)),
+      partitionCols = partitionCols,
+      replaceParts = parts.toSet ++ parts.map(tombstonePart))
+  }
+
+  /** [[compactOnceWithParts]] for a single-frame [[appendOnce]] state. */
+  def compactRows(
+      spark: SparkSession, statePath: String, batchId: Long): Unit = {
+    val part = singleDataPart(spark, statePath).getOrElse(
+      throw new IllegalStateException(
+        s"compactRows: $statePath is not a segment-manifest state"))
+    compactOnceWithParts(spark, statePath, batchId, Seq(part))
+  }
+
+  /** The single non-tombstone part of a segment-manifest state, if the
+    * latest version has a manifest with exactly one. */
+  private def singleDataPart(
+      spark: SparkSession, statePath: String): Option[String] =
+    latestVersion(spark, statePath).flatMap { v =>
+      readManifest(spark, s"$statePath/v$v").flatMap { m =>
+        m.parts.keys.filterNot(_.endsWith("__tomb")).toSeq match {
+          case Seq(one) => Some(one)
+          case _ => None
+        }
+      }
+    }
+
+  /** Whether the latest committed version has a non-empty `part` (either
+    * layout) — the capability probe for states written before a part
+    * existed (e.g. a bm25 index predating items bookkeeping). */
+  def hasStatePart(
+      spark: SparkSession, statePath: String, part: String): Boolean =
+    latestVersion(spark, statePath).exists { v =>
+      val vdir = s"$statePath/v$v"
+      readManifest(spark, vdir) match {
+        case Some(m) => m.parts.get(part).exists(_.nonEmpty)
+        case None =>
+          fsOf(spark, statePath)
+            .exists(new org.apache.hadoop.fs.Path(s"$vdir/$part"))
+      }
+    }
+
+  /** Resolve one append part of manifest `m`: the pruned segment scan
+    * (optionally restricted to segments whose committed id range
+    * intersects [lo, hi]) with committed tombstones applied as a
+    * broadcast anti-join. */
+  private def resolvePart(
+      spark: SparkSession, statePath: String, m: Manifest, part: String,
+      range: Option[(Long, Long)]): DataFrame = {
+    val segs = m.parts(part)
+    require(segs.nonEmpty,
+      s"$part: no live segments committed under $statePath")
+    val chosen = range match {
+      case Some((lo, hi)) => segs.filter(_.intersects(lo, hi)).map(_.name)
+      case None => segs.map(_.name)
+    }
+    val all = spark.read.parquet(segDir(statePath, part))
+    val df = (if (chosen.isEmpty) all.filter(lit(false))
+              else all.filter(col(SegCol).isin(chosen: _*))).drop(SegCol)
+    val tname = tombstonePart(part)
+    val tombLive = m.parts.get(tname).filter(_.nonEmpty)
+      // an all-empty tombstone part (every retraction matched nothing)
+      // is semantically tombstone-free — and unreadable as parquet
+      .filter(_ => hasDataFiles(fsOf(spark, statePath),
+        new org.apache.hadoop.fs.Path(segDir(statePath, tname))))
+    tombLive match {
+      case Some(tsegs) =>
+        val tomb = readSegments(spark, statePath, tname,
+          tsegs.map(_.name)).distinct()
+        df.join(broadcast(tomb), tomb.columns.toSeq, "left_anti")
+      case None => df
+    }
+  }
+
+  /** Read one named part of the latest committed multi-part snapshot.
+    * Segment-manifest parts resolve manifest → one partition-pruned scan,
+    * with committed tombstones applied as a broadcast anti-join; rewrite-
+    * protocol parts read their version subdir directly. */
   def readStatePart(
       spark: SparkSession, statePath: String, part: String): DataFrame = {
     val v = latestVersion(spark, statePath).getOrElse(
       throw new IllegalStateException(s"no committed state under $statePath"))
-    spark.read.parquet(s"$statePath/v$v/$part")
+    val vdir = s"$statePath/v$v"
+    readManifest(spark, vdir) match {
+      case Some(m) if m.parts.contains(part) =>
+        resolvePart(spark, statePath, m, part, None)
+      case _ => spark.read.parquet(s"$vdir/$part")
+    }
+  }
+
+  /** [[readStatePart]] restricted to segments whose committed guard-id
+    * range intersects [lo, hi] — for monotone-id states the ranges are
+    * exact, so rows with ids in [lo, hi] can live nowhere else: a
+    * retraction's correction scans read only the segments its delete set
+    * can touch (usually one), never the whole state. */
+  def readStatePartRanged(
+      spark: SparkSession, statePath: String, part: String,
+      lo: Long, hi: Long): DataFrame = {
+    val v = latestVersion(spark, statePath).getOrElse(
+      throw new IllegalStateException(s"no committed state under $statePath"))
+    readManifest(spark, s"$statePath/v$v") match {
+      case Some(m) if m.parts.contains(part) =>
+        resolvePart(spark, statePath, m, part, Some((lo, hi)))
+      case _ => readStatePart(spark, statePath, part)
+    }
   }
 
   /** Directory of the latest committed snapshot — an IMMUTABLE parquet

@@ -534,46 +534,20 @@ object Similarity {
     * ingest pipeline, with the quantizer FROZEN (trained offline once;
     * re-training would re-assign every existing row, which is a rebuild,
     * not a refresh — the standard IVF production economics). Each batch
-    * assigns ONLY its own rows row-locally and bag-union-appends under
-    * the same monotone-id guard as [[jlExtendIndex]]; a replayed batchId
-    * is a no-op, and after any batching the committed index EQUALS a full
-    * rebuild (the e20 gate proves it row-for-row). At scale the refresh
-    * is O(delta assign + index rewrite); the versioned dir buys atomic
+    * assigns ONLY its own rows row-locally and lands as a new immutable
+    * segment under the same monotone-id guard as [[jlExtendIndex]]; a
+    * replayed batchId is a no-op, and after any batching the committed
+    * index EQUALS a full rebuild (the e20 gate proves it row-for-row).
+    * At scale the refresh is O(delta assign) — no prior index byte is
+    * read or rewritten; the versioned manifest buys atomic
     * serve-while-refresh between commits. */
   def ivfExtendIndex(
       spark: org.apache.spark.sql.SparkSession, statePath: String,
       delta: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, batchId: Long): Unit =
-    graft.operators.IncrementalAgg.refreshOnceWith(spark, statePath,
+    graft.operators.IncrementalAgg.appendOnce(spark, statePath,
       ivfBuildIndex(delta, idCol, vecCol, cents), batchId,
-      monotoneAppendMerge("neighbor_id"))
-
-  /** Bag-union merge for append-only index tables, guarded so a replay
-    * under a NEW batchId (or any id overlap) fails loudly instead of
-    * silently duplicating index rows. */
-  private[graft] def monotoneAppendMerge(idName: String)(
-      st: DataFrame, dl: DataFrame): DataFrame = {
-    // one driver action for both extremes (a 2-row tagged union instead of
-    // two collects per refresh); the explicit long cast makes a
-    // non-numeric id column fail with a clear ANSI cast error at the
-    // contract boundary instead of a bare ClassCastException here
-    val rows = st.agg(max(col(idName).cast("long")).as("__v"))
-      .withColumn("__side", lit("old"))
-      .unionByName(dl.agg(min(col(idName).cast("long")).as("__v"))
-        .withColumn("__side", lit("new")))
-      .collect()
-    def v(side: String): Option[Long] = rows.find(_.getString(1) == side)
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    val monotone = (v("old"), v("new")) match {
-      case (Some(maxOld), Some(minNew)) => maxOld < minNew
-      case _ => true // either side empty — nothing can collide
-    }
-    require(monotone,
-      "delta ids must be strictly greater than every indexed id " +
-        "(append-only vectors); otherwise the merged index would " +
-        "contain duplicate neighbor rows")
-    st.unionByName(dl)
-  }
+      guardIdCol = "neighbor_id")
 
   /** [[ivfTopKWith]] served from a prebuilt (persisted) [[ivfBuildIndex]]
     * table: probes window for their `nProbe` nearest cells against the
@@ -1144,26 +1118,24 @@ object Similarity {
         sqrt(dotD(col("rvec"), col("rvec"))).as("rnorm"))
 
   /** Incrementally maintain a persisted [[jlBuildIndex]] table under
-    * [[IncrementalAgg.refreshOnceWith]]'s exactly-once versioned commits:
+    * [[IncrementalAgg.appendOnce]]'s exactly-once versioned commits:
     * each batch encodes ONLY its own rows (the projection is row-local, so
     * a delta's index rows are bit-identical to what a full rebuild would
-    * compute for them) and appends them to the committed index — vector
-    * ids are append-only, so the merge is a bag union, no keyed join. A
-    * replayed batchId is a no-op; after any batching the committed index
-    * EQUALS [[jlBuildIndex]] over everything ingested (the e18 gate
-    * proves it row-for-row). At 100 TB the refresh cost is
-    * O(delta encode + index rewrite) on the NARROW index table
-    * (targetDim/sourceDim of corpus bytes); an object-store deployment
-    * would append a file per batch instead of rewriting — the versioned
-    * dir here buys atomic serve-while-refresh, which is what
+    * compute for them) and lands as a NEW immutable segment — vector ids
+    * are append-only (the monotone-id guard raises on overlap), so no
+    * prior index byte is ever read or rewritten: the commit is O(delta),
+    * flat as the committed state grows. A replayed batchId is a no-op;
+    * after any batching the committed index EQUALS [[jlBuildIndex]] over
+    * everything ingested (the e18 gate proves it row-for-row). The
+    * versioned manifest buys atomic serve-while-refresh, which is what
     * [[jlTopKFromIndex]] needs to keep serving between commits. */
   def jlExtendIndex(
       spark: org.apache.spark.sql.SparkSession, statePath: String,
       delta: DataFrame, idCol: String, vecCol: String, batchId: Long,
       sourceDim: Int = 64, targetDim: Int = 16): Unit =
-    graft.operators.IncrementalAgg.refreshOnceWith(spark, statePath,
+    graft.operators.IncrementalAgg.appendOnce(spark, statePath,
       jlBuildIndex(delta, idCol, vecCol, sourceDim, targetDim), batchId,
-      monotoneAppendMerge("neighbor_id"))
+      guardIdCol = "neighbor_id")
 
   def jlTopK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
@@ -1456,19 +1428,20 @@ object Similarity {
     * exactly-once versioned commits — [[ivfExtendIndex]]'s economics at
     * chunk granularity: the quantizer stays FROZEN, each batch chunks +
     * embeds + cell-assigns ONLY its own docs (all row-local, so the
-    * delta's index rows are bit-identical to a rebuild's) and
-    * bag-union-appends under the monotone doc-id guard; a replayed
-    * batchId is a no-op. Serve the committed table through
+    * delta's index rows are bit-identical to a rebuild's) and lands as a
+    * new immutable segment under the monotone doc-id guard — the commit
+    * never reads or rewrites prior index bytes; a replayed batchId is a
+    * no-op. Serve the committed table through
     * [[chunkRetrieveFromIvfIndex]]. */
   def chunkIvfExtendIndex(
       spark: org.apache.spark.sql.SparkSession, statePath: String,
       deltaDocs: DataFrame, idCol: String, textCol: String,
       cents: Seq[(Long, Array[Float])], batchId: Long,
       chunkSize: Int = 16, buckets: Int = 64): Unit =
-    graft.operators.IncrementalAgg.refreshOnceWith(spark, statePath,
+    graft.operators.IncrementalAgg.appendOnce(spark, statePath,
       chunkIvfIndex(chunkIndex(deltaDocs, idCol, textCol, chunkSize,
         buckets), cents),
-      batchId, monotoneAppendMerge("doc_id"))
+      batchId, guardIdCol = "doc_id")
 
   /** Recall-vs-nProbe OPERATING CURVE for the chunk IVF tier —
     * [[ivfRecallCurve]]'s construction over the chunk index: recall@k of

@@ -221,7 +221,9 @@ object TextQueries {
   /** The e34 retracted posting index: e30's full chunk-corpus build, then
     * [[graft.operators.Bm25Index.retractFromIndex]] of every chunk of the
     * doc_id % 13 == 3 docs (delete keys by doc_id prefix — the takedown
-    * shape). Committed once per (JVM, sf dir). */
+    * shape; the retraction commits tombstones + the vocabulary-bounded
+    * terms/stats rewrite, never rewriting posting segments). Committed
+    * once per (JVM, sf dir). */
   private def bm25RetractIndexFor(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     bm25RetractIndexes.computeIfAbsent(d, _ => {
@@ -238,6 +240,37 @@ object TextQueries {
         corpus.filter(pmod(col("doc_id"), lit(13)) === 3)
           .select(col("doc_id")),
         Seq("doc_id", "chunk_id"), batchId = 1L)
+      dir
+    })
+
+  // e38: a SEPARATE retracted-then-COMPACTED index (compacting e34's
+  // shared artifact would be read-invisible, but a separate state keeps
+  // each row's construction self-describing)
+  private val bm25CompactIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The e38 compacted posting index: e34's construction, then
+    * [[graft.operators.Bm25Index.compactIndex]] folds the takedown
+    * tombstones into rewritten posting/item segments (the amortized
+    * schedule's one O(index) rewrite). Committed once per (JVM, sf
+    * dir). */
+  private def bm25CompactIndexFor(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25CompactIndexes.computeIfAbsent(d, _ => {
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val chunks = graft.operators.Packing
+        .chunkTokens(corpus, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val dir = new java.io.File(indexTmpDir("bm25c"), "state").toString
+      graft.operators.Bm25Index.extendIndex(s, dir, chunks,
+        Seq("doc_id", "chunk_id"), "chunk_text", batchId = 0L)
+      graft.operators.Bm25Index.retractFromIndex(s, dir,
+        corpus.filter(pmod(col("doc_id"), lit(13)) === 3)
+          .select(col("doc_id")),
+        Seq("doc_id", "chunk_id"), batchId = 1L)
+      graft.operators.Bm25Index.compactIndex(s, dir, batchId = 2L)
       dir
     })
 
@@ -1572,6 +1605,28 @@ object TextQueries {
         .select(col("doc_id"), col("text"))
       graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
           bm25RetractIndexFor(s, d), queries,
+          Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("chunk_id"), col("bm25_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- e38: AMORTIZED COMPACTION of the takedown tombstones — the
+    //     lifecycle step that closes the tombstone design: e34's
+    //     retracted index (O(deletes) tombstone commits) folded by
+    //     compactIndex into rewritten posting/item segments with the
+    //     tombstones cleared. Compaction is read-invisible by contract,
+    //     so serving the compacted index must STILL equal the
+    //     from-scratch recompute over the surviving corpus — the oracle
+    //     is e34's SQL verbatim; a row lost or resurrected by the fold
+    //     flips the exact fixed-point scores. -----------------------------
+    "e38_bm25_compacted" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
+          bm25CompactIndexFor(s, d), queries,
           Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
         .select(col("query_id"), col("rank"), col("doc_id"),
           col("chunk_id"), col("bm25_fp"))
@@ -6349,6 +6404,12 @@ object TextQueries {
   // corpus, while the Spark side serves from the retracted-in-place index
   val oracle: Map[String, String] = oracleBase ++ Map(
     "e34_bm25_retract" -> oracleBase("e30_bm25_index_served").replace(
+      "WHERE doc_id % 101 <> 5",
+      "WHERE doc_id % 101 <> 5 AND doc_id % 13 <> 3"),
+    // e38 serves the COMPACTED retracted index — compaction is
+    // read-invisible, so the oracle is e34's surviving-corpus recompute
+    // verbatim
+    "e38_bm25_compacted" -> oracleBase("e30_bm25_index_served").replace(
       "WHERE doc_id % 101 <> 5",
       "WHERE doc_id % 101 <> 5 AND doc_id % 13 <> 3"),
     // the from-scratch hybrid chain over the SURVIVING corpus — both

@@ -88,63 +88,83 @@ object EventStreams {
       event_type: String)
   case class FunnelAnchors(user_id: Long, t1_us: Long, t2_us: Long,
       t3_us: Long)
+  case class FunnelAnchorsN(user_id: Long, ts_us: Seq[Long])
 
-  /** Streaming first-touch funnel via mapGroupsWithState: per-user anchor
-    * state (−1 = unset) folded over each batch's events in the
-    * (t_us, event_id) total order. Anchors only ever move −1 → set, so
-    * under ts-monotone batch arrival (the crawl-snapshot staging contract)
-    * the drained state equals the batch [[graft.operators.Funnel
-    * .firstTouch]] exactly: the first qualifying event seen in order IS
-    * the earliest. Timestamps pre-converted to exact integer micros
-    * upstream (java.sql.Timestamp.getTime is millis — it never enters
-    * this path). State is 32 bytes per user regardless of event volume —
-    * the 100 TB shape. `steps` must be three distinct event types. */
-  def streamingFunnel(events: Dataset[FunnelEvent], steps: Seq[String],
-      gapMicros: Long): Dataset[FunnelAnchors] = {
-    require(steps.size == 3 && steps.distinct.size == 3 && gapMicros > 0)
-    val Seq(s1, s2, s3) = steps
+  /** N-step streaming first-touch funnel via mapGroupsWithState: per-user
+    * anchor state is a FIXED-SIZE array, one Long per step (−1 = unset;
+    * 8·N bytes per user regardless of event volume — the 100 TB shape),
+    * folded over each batch's events in the (t_us, event_id) total order.
+    * Anchors only ever move −1 → set, so under ts-monotone batch arrival
+    * (the crawl-snapshot staging contract) the drained state equals the
+    * batch [[graft.operators.Funnel.firstTouch]] exactly: the first
+    * qualifying event seen in order IS the earliest, and step i anchors
+    * strictly after step i−1 within `gapMicros`. Monotone per field, so
+    * an Update-mode sink collapses to the final state with a plain max.
+    * Timestamps pre-converted to exact integer micros upstream
+    * (java.sql.Timestamp.getTime is millis — it never enters this
+    * path). `steps` must be ≥ 2 distinct event types. */
+  def streamingFunnelN(events: Dataset[FunnelEvent], steps: Seq[String],
+      gapMicros: Long): Dataset[FunnelAnchorsN] = {
+    require(steps.size >= 2 && steps.distinct.size == steps.size &&
+      gapMicros > 0)
+    val n = steps.size
+    val idx = steps.zipWithIndex.toMap
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[FunnelEvent],
-            state: GroupState[FunnelAnchors]) =>
-          var st = state.getOption
-            .getOrElse(FunnelAnchors(user, -1L, -1L, -1L))
-          for (e <- it.toSeq.sortBy(e => (e.t_us, e.event_id))) {
-            if (e.event_type == s1 && st.t1_us < 0)
-              st = st.copy(t1_us = e.t_us)
-            else if (e.event_type == s2 && st.t2_us < 0 && st.t1_us >= 0 &&
-                e.t_us > st.t1_us && e.t_us <= st.t1_us + gapMicros)
-              st = st.copy(t2_us = e.t_us)
-            else if (e.event_type == s3 && st.t3_us < 0 && st.t2_us >= 0 &&
-                e.t_us > st.t2_us && e.t_us <= st.t2_us + gapMicros)
-              st = st.copy(t3_us = e.t_us)
-          }
-          state.update(st)
-          st
+            state: GroupState[FunnelAnchorsN]) =>
+          val ts = state.getOption.map(_.ts_us.toArray)
+            .getOrElse(Array.fill(n)(-1L))
+          for (e <- it.toSeq.sortBy(e => (e.t_us, e.event_id)))
+            idx.get(e.event_type).foreach { i =>
+              if (ts(i) < 0 && (i == 0 || (ts(i - 1) >= 0 &&
+                  e.t_us > ts(i - 1) && e.t_us <= ts(i - 1) + gapMicros)))
+                ts(i) = e.t_us
+            }
+          val next = FunnelAnchorsN(user, ts.toSeq)
+          state.update(next)
+          next
       }
+  }
+
+  /** The 3-step [[streamingFunnelN]] with the flat (t1, t2, t3) state
+    * shape the s30 row and its oracle consume. */
+  def streamingFunnel(events: Dataset[FunnelEvent], steps: Seq[String],
+      gapMicros: Long): Dataset[FunnelAnchors] = {
+    require(steps.size == 3, s"streamingFunnel is the 3-step shape; use " +
+      s"streamingFunnelN for ${steps.size} steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    streamingFunnelN(events, steps, gapMicros)
+      .map(a => FunnelAnchors(a.user_id, a.ts_us(0), a.ts_us(1), a.ts_us(2)))
   }
 
   case class DayEvent(user_id: Long, day_us: Long)
   case class RetentionState(user_id: Long, cohort_us: Long, offsets: Long)
+  case class RetentionBlocks(user_id: Long, cohort_us: Long,
+      block_ids: Seq[Int], bitmaps: Seq[Long])
+  case class RetentionBlock(user_id: Long, cohort_us: Long, block_id: Int,
+      bitmap: Long)
+
+  private val DayUs = 86400000000L
 
   /** Streaming retention-cohort maintenance: per-user state is the cohort
     * day (first day ever seen — fixed once set under ts-monotone batch
     * arrival) plus a BITMAP of active day-offsets — 16 bytes per user
     * regardless of event volume, the 100 TB state shape. Offsets must fit
-    * bits 0..62 (a ~2-month window here; a longer program shards the
-    * bitmap per offset block — the state stays O(window), never
-    * O(events)); an offset ≥ 63 raises rather than silently wrapping.
-    * Both fields are MONOTONE (cohort constant after set; bits only turn
-    * on, and bit 63 is never used, so the Long value only grows) — which
-    * is exactly what lets an Update-mode sink collapse to the final state
-    * with a plain max per user. */
+    * bits 0..62 (a ~2-month program; [[streamingRetentionSharded]] is the
+    * longer-program form that shards the bitmap per offset block); an
+    * offset ≥ 63 raises rather than silently wrapping. Both fields are
+    * MONOTONE (cohort constant after set; bits only turn on, and bit 63
+    * is never used, so the Long value only grows) — which is exactly what
+    * lets an Update-mode sink collapse to the final state with a plain
+    * max per user. */
   def streamingRetention(days: Dataset[DayEvent]): Dataset[RetentionState] = {
     val spark = days.sparkSession
     import spark.implicits._
-    val DayUs = 86400000000L
     days
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
@@ -161,6 +181,52 @@ object EventStreams {
           }
           state.update(st)
           st
+      }
+  }
+
+  /** [[streamingRetention]] for programs longer than one bitmap: the
+    * per-user state shards the active-offset bitmap into `blockDays`-day
+    * BLOCKS — (cohort, [(block_id, bitmap)]) rows, still O(window) per
+    * user (one Long per touched block), never O(events). Every (user,
+    * block) bitmap is MONOTONE (bits only turn on; bit 63 never used
+    * since blockDays ≤ 63), and the emitted per-block rows carry the
+    * fixed cohort, so an Update-mode sink collapses to the final state
+    * with a plain max per (user, block). Offsets before the cohort day
+    * raise (ts-monotone arrival is the contract, as in the one-bitmap
+    * form); offsets past day 62 land in later blocks instead of
+    * raising — the point of the shard. */
+  def streamingRetentionSharded(days: Dataset[DayEvent],
+      blockDays: Int = 63): Dataset[RetentionBlock] = {
+    require(blockDays >= 1 && blockDays <= 63,
+      s"blockDays must fit a 63-bit bitmap, got $blockDays")
+    val spark = days.sparkSession
+    import spark.implicits._
+    days
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[DayEvent],
+            state: GroupState[RetentionBlocks]) =>
+          var st = state.getOption
+            .getOrElse(RetentionBlocks(user, -1L, Seq.empty, Seq.empty))
+          val blocks = scala.collection.mutable.LinkedHashMap(
+            st.block_ids.zip(st.bitmaps): _*)
+          for (e <- it.toSeq.sortBy(_.day_us)) {
+            if (st.cohort_us < 0) st = st.copy(cohort_us = e.day_us)
+            val off = (e.day_us - st.cohort_us) / DayUs
+            require(off >= 0,
+              s"retention offset $off precedes the cohort day — batches " +
+                "must arrive ts-monotone")
+            val block = (off / blockDays).toInt
+            blocks(block) = blocks.getOrElse(block, 0L) |
+              (1L << (off % blockDays).toInt)
+          }
+          st = st.copy(block_ids = blocks.keys.toSeq,
+            bitmaps = blocks.values.toSeq)
+          state.update(st)
+          blocks.iterator.map { case (b, bm) =>
+            RetentionBlock(user, st.cohort_us, b, bm)
+          }
       }
   }
 

@@ -3266,6 +3266,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(ranks(Graph.pageRankFixedPoint(star, "src", "dst", 2)) == r2)
   }
 
+  test("pageRankFixedPoint: warm start composes exactly; edge-delta maintenance; reliable checkpointing") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (3L, 2L),
+      (4L, 1L)).toDF("src", "dst")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // composition: each iteration is a pure function of the previous
+    // vector, so warm(cold(5), 3) ≡ cold(8) BIT-FOR-BIT (exact integers)
+    val cold8 = ranks(Graph.pageRankFixedPoint(edges, "src", "dst", 8))
+    val cold5 = Graph.pageRankFixedPoint(edges, "src", "dst", 5)
+      .localCheckpoint(true)
+    val warm = ranks(Graph.pageRankFixedPoint(edges, "src", "dst", 3,
+      initRanks = Some(cold5)))
+    assert(warm == cold8,
+      "a warm start from the 5-iteration vector must reproduce the " +
+        "8-iteration cold start exactly")
+    // edge-delta maintenance: recompute over edges ∪ delta from the prior
+    // vector — the same composition holds on the NEW graph, and a vertex
+    // absent from the prior vector enters at initFp
+    val grown = edges.unionAll(Seq((5L, 1L), (1L, 5L)).toDF("src", "dst"))
+    val warmDelta = ranks(Graph.pageRankFixedPoint(grown, "src", "dst", 2,
+      initRanks = Some(Graph.pageRankFixedPoint(grown, "src", "dst", 3)
+        .localCheckpoint(true))))
+    assert(warmDelta == ranks(Graph.pageRankFixedPoint(grown, "src", "dst", 5)))
+    assert(warmDelta.contains(5L))
+    // reliable mode: identical ranks, and durable snapshots actually land
+    val ckdir = java.nio.file.Files.createTempDirectory("prckpt").toString
+    val rel = ranks(Graph.pageRankFixedPoint(edges, "src", "dst", 2,
+      checkpointDir = Some(ckdir)))
+    assert(rel == ranks(Graph.pageRankFixedPoint(edges, "src", "dst", 2)))
+    assert(new java.io.File(ckdir).listFiles().nonEmpty,
+      "reliable mode must write durable checkpoint files")
+  }
+
   test("marginMinePairs: unique pair mines, duplicated cluster has no margin, exact fp") {
     graft.functions.GraftFunctions.register(spark)
     val ex = Array(1f, 0f, 0f, 0f)

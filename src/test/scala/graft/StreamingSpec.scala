@@ -809,6 +809,201 @@ class StreamingSpec extends SparkTestBase {
         Seq("doc_id"), "qid", "qtext", k = 3)))
   }
 
+  test("append commits are O(delta): prior segments untouched; retraction O(deletes); compaction ≡ eager rewrite") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.{Bm25Index, IncrementalAgg}
+    val dir = java.nio.file.Files.createTempDirectory("bm25seg")
+    val state = dir.resolve("state").toString
+    val b0 = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "apple fig cherry banana"), (4L, "durian fig"))
+      .toDF("doc_id", "text")
+    Bm25Index.extendIndex(spark, state, b0, Seq("doc_id"), "text", 0L)
+    // fingerprint batch 0's committed postings segment files
+    def segFiles(part: String): Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(state, "seg", part)
+      if (!java.nio.file.Files.exists(root)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(root)
+        try s.iterator().asScala.filter(p =>
+            p.toString.endsWith(".parquet"))
+          .map(p => p.toString ->
+            (java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toMap
+        finally s.close()
+      }
+    }
+    val before = segFiles(Bm25Index.PostingsPart)
+    assert(before.nonEmpty)
+    Bm25Index.extendIndex(spark, state, b1, Seq("doc_id"), "text", 1L)
+    val after = segFiles(Bm25Index.PostingsPart)
+    // O(delta): every batch-0 file survives BYTE-IDENTICAL (same path,
+    // size, mtime) — the second commit wrote only its own segment
+    assert(before.forall { case (p, sig) => after.get(p).contains(sig) },
+      "extending the index must never rewrite previously committed " +
+        "posting segments")
+    assert(after.size > before.size)
+    // tombstone retraction: data segments untouched, the commit adds only
+    // tombstones + the vocabulary-bounded terms/stats rewrite
+    Bm25Index.retractFromIndex(spark, state, Seq(2L).toDF("doc_id"),
+      Seq("doc_id"), batchId = 2L)
+    val postRetract = segFiles(Bm25Index.PostingsPart)
+    assert(after.forall { case (p, sig) => postRetract.get(p).contains(sig) },
+      "a retraction must not rewrite posting segments — it commits " +
+        "tombstones")
+    assert(segFiles(IncrementalAgg.tombstonePart(Bm25Index.PostingsPart))
+      .nonEmpty, "the retraction must land as a tombstone segment")
+    // the resolved read already equals the survivor rebuild (the pin in
+    // the test above); compaction must not change ANY resolved read
+    def canonParts(): Map[String, Seq[String]] =
+      Seq(Bm25Index.PostingsPart, Bm25Index.TermsPart, Bm25Index.StatsPart,
+          Bm25Index.ItemsPart).map { part =>
+        part -> IncrementalAgg.readStatePart(spark, state, part)
+          .collect().map(_.toString).sorted.toSeq
+      }.toMap
+    val resolvedBefore = canonParts()
+    Bm25Index.compactIndex(spark, state, batchId = 3L)
+    assert(canonParts() == resolvedBefore,
+      "compaction must be read-invisible: it only folds tombstones into " +
+        "a rewritten segment")
+    assert(segFiles(IncrementalAgg.tombstonePart(Bm25Index.PostingsPart))
+      .isEmpty, "compaction must clear the tombstone segments")
+    // a post-compaction extend still appends O(delta)
+    val compacted = segFiles(Bm25Index.PostingsPart)
+    Bm25Index.extendIndex(spark, state,
+      Seq((9L, "apple melon")).toDF("doc_id", "text"), Seq("doc_id"),
+      "text", 4L)
+    val extended = segFiles(Bm25Index.PostingsPart)
+    assert(compacted.forall { case (p, sig) => extended.get(p).contains(sig) })
+    // tombstone key-shape discipline: retracting with a different key
+    // column set than the committed tombstones raises with guidance
+    Bm25Index.retractFromIndex(spark, state, Seq(9L).toDF("doc_id"),
+      Seq("doc_id"), batchId = 5L)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.appendOnceWithParts(spark, state, 6L,
+        appendDeltas = Seq(
+          IncrementalAgg.tombstonePart(Bm25Index.PostingsPart) ->
+            Seq((1L, "x")).toDF("doc_id", "other")))
+    }
+    assert(e.getMessage.contains("compact the state"), e.getMessage)
+  }
+
+  test("bm25 index predating items bookkeeping raises a rebuild-required error") {
+    import graft.operators.Bm25Index
+    val dir = java.nio.file.Files.createTempDirectory("bm25legacy")
+    val state = dir.resolve("state").toString
+    // hand-build a legacy three-part rewrite-protocol version (no items)
+    Seq(("apple", 1L)).toDF("term", "df").write.parquet(s"$state/v0/terms")
+    Seq((1L, 3L, 64)).toDF("n_docs", "len_sum", "n_buckets")
+      .write.parquet(s"$state/v0/stats")
+    Seq((1L, 3L, "apple", 1.0, 7)).toDF("doc_id", "len", "term", "tf", "__tb")
+      .write.parquet(s"$state/v0/postings")
+    for (op <- Seq(
+        () => Bm25Index.retractFromIndex(spark, state,
+          Seq(1L).toDF("doc_id"), Seq("doc_id"), 1L),
+        () => Bm25Index.extendIndex(spark, state,
+          Seq((5L, "pear")).toDF("doc_id", "text"), Seq("doc_id"),
+          "text", 1L),
+        () => Bm25Index.compactIndex(spark, state, 1L))) {
+      val e = intercept[IllegalStateException] { op() }
+      assert(e.getMessage.contains("rebuild required"), e.getMessage)
+    }
+  }
+
+  test("streamingFunnelN: 4-step anchors equal batch firstTouch under ts-monotone batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.FunnelEvent
+    import graft.operators.Funnel
+    val H = 3600000000L
+    val evs = Seq(
+      // user 1: full 4-step conversion
+      FunnelEvent(1L, 1 * H, 1L, "a"), FunnelEvent(1L, 2 * H, 2L, "b"),
+      FunnelEvent(1L, 3 * H, 3L, "c"), FunnelEvent(1L, 4 * H, 4L, "d"),
+      // user 2: b outside the 2h gap → breaks after step 1
+      FunnelEvent(2L, 1 * H, 5L, "a"), FunnelEvent(2L, 4 * H, 6L, "b"),
+      // user 3: never enters (b before any a)
+      FunnelEvent(3L, 1 * H, 7L, "b"),
+      // user 4: 3 steps, d misses the gap
+      FunnelEvent(4L, 1 * H, 8L, "a"), FunnelEvent(4L, 2 * H, 9L, "b"),
+      FunnelEvent(4L, 2 * H + H / 2, 10L, "c"),
+      FunnelEvent(4L, 10 * H, 11L, "d"))
+    val steps = Seq("a", "b", "c", "d")
+    val input = MemoryStream[FunnelEvent]
+    val q = EventStreams.toMemorySinkMode(
+      EventStreams.streamingFunnelN(input.toDS(), steps,
+        gapMicros = 2 * H).toDF(),
+      "funnel_n", org.apache.spark.sql.streaming.OutputMode.Update)
+    val (b1, b2) = evs.partition(_.t_us <= 2 * H)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // Update sink emits per-batch states; every anchor is monotone
+    // (−1 → set), so max per user collapses to the final state
+    val fin = spark.table("funnel_n").groupBy(col("user_id"))
+      .agg(max(col("ts_us")).as("ts_us"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(fin(1L) == Seq(1 * H, 2 * H, 3 * H, 4 * H))
+    assert(fin(2L) == Seq(1 * H, -1L, -1L, -1L))
+    assert(fin(3L) == Seq(-1L, -1L, -1L, -1L))
+    assert(fin(4L) == Seq(1 * H, 2 * H, 2 * H + H / 2, -1L))
+    // the drained state equals the batch funnel on the same events
+    val batch = Funnel.firstTouch(
+        evs.toDF().select(col("user_id"),
+          timestamp_micros(col("t_us")).as("ts"), col("event_id"),
+          col("event_type")),
+        "user_id", "ts", "event_id", "event_type", steps, 2 * H)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)).toSeq)
+      .toMap
+    for ((u, a) <- fin if a(0) >= 0) assert(batch(u) == a, s"user $u")
+    assert(!batch.contains(3L))
+  }
+
+  test("streamingRetentionSharded: bitmaps shard across the 63-day boundary; block 0 agrees with the one-bitmap form") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.DayEvent
+    val D = 86400000000L
+    val evs = Seq(
+      DayEvent(1L, 0L), DayEvent(1L, 5 * D), DayEvent(1L, 62 * D),
+      // past the one-bitmap window — the offsets streamingRetention raises on
+      DayEvent(1L, 63 * D), DayEvent(1L, 70 * D), DayEvent(1L, 130 * D),
+      DayEvent(2L, 10 * D))
+    val input = MemoryStream[DayEvent]
+    val q = EventStreams.toMemorySinkMode(
+      EventStreams.streamingRetentionSharded(input.toDS()).toDF(),
+      "ret_blocks", org.apache.spark.sql.streaming.OutputMode.Update)
+    val (b1, b2) = evs.partition(_.day_us <= 62 * D)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // per-(user, block) bitmaps are monotone → max collapses per block
+    val fin = spark.table("ret_blocks")
+      .groupBy(col("user_id"), col("block_id"))
+      .agg(max(col("bitmap")).as("bm"), max(col("cohort_us")).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(fin((1L, 0)) == (((1L << 0) | (1L << 5) | (1L << 62), 0L)))
+    // offsets 63 and 70 land in block 1 at bits 0 and 7; 130 in block 2
+    assert(fin((1L, 1)) == (((1L << 0) | (1L << 7), 0L)))
+    assert(fin((1L, 2)) == ((1L << 4, 0L)))
+    assert(fin((2L, 0)) == ((1L, 10 * D)))
+    assert(fin.size == 4)
+    // sub-63-day history: block 0's bitmap ≡ streamingRetention's single
+    // bitmap on the same events
+    val in2 = MemoryStream[DayEvent]
+    val q2 = EventStreams.toMemorySinkMode(
+      EventStreams.streamingRetention(in2.toDS()).toDF(), "ret_flat",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    in2.addData(DayEvent(2L, 10 * D)); q2.processAllAvailable(); q2.stop()
+    val flat = spark.table("ret_flat").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(flat(2L) == ((10 * D, 1L)))
+    assert(fin((2L, 0))._1 == flat(2L)._2)
+  }
+
   test("streamed datasheet: maintained card equals batch card, replayed batchId no-op") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextAnalysis
