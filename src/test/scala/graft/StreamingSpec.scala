@@ -890,6 +890,45 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("compact the state"), e.getMessage)
   }
 
+  test("append-commit crash window: an orphan segment is reader-invisible and swept by the next commit") {
+    import graft.operators.IncrementalAgg
+    val dir = java.nio.file.Files.createTempDirectory("segcrash")
+    val state = dir.resolve("state").toString
+    IncrementalAgg.appendOnce(spark, state,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), 0L, "id")
+    // simulate a crash AFTER a segment write but BEFORE the version
+    // commit: a fully-formed parquet segment lands with no manifest
+    // naming it
+    Seq((99L, "ghost")).toDF("id", "payload")
+      .withColumn("__seg", lit("s7"))
+      .write.partitionBy("__seg").mode("append")
+      .parquet(s"$state/seg/rows")
+    // the reader's planning-time __seg filter never admits the orphan
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // the next successful commit appends normally and sweeps the orphan
+    IncrementalAgg.appendOnce(spark, state,
+      Seq((3L, "c")).toDF("id", "payload"), 1L, "id")
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(!new java.io.File(s"$state/seg/rows/__seg=s7").exists(),
+      "unreferenced segments must be swept after the next commit")
+    // tombstone mode + compaction on the generic rows state: O(deletes)
+    // retraction then a read-invisible fold
+    IncrementalAgg.retractRows(spark, state, Seq(2L).toDF("id"), 2L)
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    IncrementalAgg.compactRows(spark, state, 3L)
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // post-compaction the monotone guard still binds (metadata range)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.appendOnce(spark, state,
+        Seq((3L, "dup")).toDF("id", "payload"), 4L, "id")
+    }
+    assert(e.getMessage.contains("strictly greater"), e.getMessage)
+  }
+
   test("bm25 index predating items bookkeeping raises a rebuild-required error") {
     import graft.operators.Bm25Index
     val dir = java.nio.file.Files.createTempDirectory("bm25legacy")
