@@ -272,4 +272,19 @@ object Bm25Index {
       Seq(PostingsPart, ItemsPart),
       partitionCols = Map(PostingsPart -> Seq("__tb")))
   }
+
+  /** [[compactIndex]] on the amortized SCHEDULE: folds iff the committed
+    * tombstone fraction of either data part exceeds `maxFraction` — the
+    * decision is one manifest read ([[IncrementalAgg.tombstoneFraction]]),
+    * so a takedown pipeline calls this after every retraction batch and
+    * pays the O(index) rewrite only when it is due. Returns whether a
+    * compaction committed. */
+  def compactIndexWhenDue(
+      spark: SparkSession, statePath: String, batchId: Long,
+      maxFraction: Double = 0.2): Boolean = {
+    requireItemsPart(spark, statePath)
+    IncrementalAgg.compactWhenDue(spark, statePath, batchId,
+      Seq(PostingsPart, ItemsPart), maxFraction,
+      partitionCols = Map(PostingsPart -> Seq("__tb")))
+  }
 }

@@ -320,14 +320,15 @@ object IncrementalAgg {
   private def segDir(statePath: String, part: String): String =
     s"$statePath/seg/$part"
 
-  /** One committed segment: its name plus, for monotone-id parts, the
-    * CLOSED [minId, maxId] range of its guard-id column — committed
-    * metadata that makes the monotone guard a manifest lookup and lets a
+  /** One committed segment: its name plus committed metadata — for
+    * monotone-id parts the CLOSED [minId, maxId] range of the guard-id
+    * column (makes the monotone guard a manifest lookup and lets a
     * retraction prune its correction scans to only the segments a delete
-    * set can touch (the takedown shape: a few ids → usually one
-    * segment). */
+    * set can touch — the takedown shape: a few ids → usually one
+    * segment), and the segment's row count (drives the tombstone-
+    * fraction compaction schedule without reading any data). */
   private[graft] case class SegMeta(
-      name: String, range: Option[(Long, Long)]) {
+      name: String, range: Option[(Long, Long)], rows: Option[Long]) {
     def intersects(lo: Long, hi: Long): Boolean =
       range.forall { case (mn, mx) => mx >= lo && mn <= hi }
   }
@@ -357,15 +358,25 @@ object IncrementalAgg {
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Vector[SegMeta]]
       val ids = scala.collection.mutable.LinkedHashMap.empty[String, String]
       text.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
+        def num(s: String): Option[Long] =
+          if (s.isEmpty) None else Some(s.toLong)
         line.split("\t", -1) match {
           case Array("#id", part, idCol) => ids(part) = idCol
           case Array(part) =>
             if (!m.contains(part)) m(part) = Vector.empty
           case Array(part, sg) =>
-            m(part) = m.getOrElse(part, Vector.empty) :+ SegMeta(sg, None)
+            m(part) = m.getOrElse(part, Vector.empty) :+
+              SegMeta(sg, None, None)
           case Array(part, sg, mn, mx) =>
             m(part) = m.getOrElse(part, Vector.empty) :+
-              SegMeta(sg, Some((mn.toLong, mx.toLong)))
+              SegMeta(sg, Some((mn.toLong, mx.toLong)), None)
+          case Array(part, sg, mn, mx, n) =>
+            m(part) = m.getOrElse(part, Vector.empty) :+
+              SegMeta(sg,
+                (num(mn), num(mx)) match {
+                  case (Some(a), Some(b)) => Some((a, b))
+                  case _ => None
+                }, num(n))
           case _ => throw new java.io.IOException(
             s"$vdir/$ManifestFile: bad manifest line '$line'")
         }
@@ -384,9 +395,11 @@ object IncrementalAgg {
     val segLines = manifest.map { case (part, segs) =>
       if (segs.isEmpty) part
       else segs.map { sm =>
-        sm.range match {
-          case Some((mn, mx)) => s"$part\t${sm.name}\t$mn\t$mx"
-          case None => s"$part\t${sm.name}"
+        (sm.range, sm.rows) match {
+          case (Some((mn, mx)), Some(n)) => s"$part\t${sm.name}\t$mn\t$mx\t$n"
+          case (Some((mn, mx)), None) => s"$part\t${sm.name}\t$mn\t$mx"
+          case (None, Some(n)) => s"$part\t${sm.name}\t\t\t$n"
+          case (None, None) => s"$part\t${sm.name}"
         }
       }.mkString("\n")
     }
@@ -492,21 +505,30 @@ object IncrementalAgg {
           writeSegment(spark, statePath, part, seg,
             spark.read.parquet(legacy),
             partitionCols.getOrElse(part, Seq.empty))
-          prevParts += part -> Vector(SegMeta(seg, None))
+          prevParts += part -> Vector(SegMeta(seg, None, None))
         }
       }
     }
-    // one aggregate per guarded delta: its [min, max] id range — used for
-    // the monotone check now and committed to the manifest for later
-    // guards (metadata-only) and range-pruned retraction scans
-    val deltaRanges = appendDeltas.flatMap { case (part, delta) =>
-      idCols.get(part).map { c =>
-        val r = delta.agg(min(col(c).cast("long")).as("mn"),
-          max(col(c).cast("long")).as("mx")).head
-        part -> (if (r.isNullAt(0)) None
-                 else Some((r.getLong(0), r.getLong(1))))
-      }
-    }.toMap
+    // one aggregate per delta: its [min, max] id range (guarded parts —
+    // used for the monotone check now and committed for later metadata
+    // guards and range-pruned retraction scans) and its row count (all
+    // parts — drives the tombstone-fraction compaction schedule)
+    val deltaStats: Map[String, (Option[(Long, Long)], Long)] =
+      appendDeltas.map { case (part, delta) =>
+        idCols.get(part) match {
+          case Some(c) =>
+            val r = delta.agg(min(col(c).cast("long")).as("mn"),
+              max(col(c).cast("long")).as("mx"),
+              count(lit(1)).as("n")).head
+            part -> ((if (r.isNullAt(0)) None
+                      else Some((r.getLong(0), r.getLong(1)))),
+              r.getLong(2))
+          case None =>
+            val r = delta.agg(count(lit(1)).as("n")).head
+            part -> ((None: Option[(Long, Long)]), r.getLong(0))
+        }
+      }.toMap
+    val deltaRanges = deltaStats.view.mapValues(_._1).toMap
     appendDeltas.foreach { case (part, delta) =>
       // monotone-id guard (data parts) — skipped for replace commits,
       // whose segment is the resolved prior state itself
@@ -562,7 +584,8 @@ object IncrementalAgg {
         else prevParts.getOrElse(part, Vector.empty)
       part -> (if (appendNames.contains(part))
                  priorSegs :+ SegMeta(segName,
-                   deltaRanges.getOrElse(part, None))
+                   deltaRanges.getOrElse(part, None),
+                   deltaStats.get(part).map(_._2))
                else priorSegs)
     }
     val tmp = s"$statePath/.tmp-$batchId"
@@ -656,6 +679,41 @@ object IncrementalAgg {
       throw new IllegalStateException(
         s"compactRows: $statePath is not a segment-manifest state"))
     compactOnceWithParts(spark, statePath, batchId, Seq(part))
+  }
+
+  /** Committed tombstone-row count over committed data-row count for
+    * `part` — METADATA ONLY (the per-segment counts live in the
+    * manifest), so a compaction scheduler can poll it for free. An upper
+    * bound on the dead fraction: a tombstone key row can match several
+    * data rows or (re-deletes on generic states) repeat — for the exact
+    * fraction, compact. Segments committed before counts existed read as
+    * 0 rows (compact once to refresh). */
+  def tombstoneFraction(
+      spark: SparkSession, statePath: String, part: String): Double =
+    latestVersion(spark, statePath).flatMap(v =>
+      readManifest(spark, s"$statePath/v$v")).map { m =>
+      val data = m.parts.getOrElse(part, Vector.empty)
+        .flatMap(_.rows).sum
+      val tomb = m.parts.getOrElse(tombstonePart(part), Vector.empty)
+        .flatMap(_.rows).sum
+      if (data <= 0L) 0.0 else tomb.toDouble / data
+    }.getOrElse(0.0)
+
+  /** The amortized compaction SCHEDULE: fold `parts`' tombstones iff any
+    * listed part's [[tombstoneFraction]] exceeds `maxFraction` — one
+    * manifest read decides, so calling this after every retraction batch
+    * is free until the fold is actually due. Returns whether a
+    * compaction committed. */
+  def compactWhenDue(
+      spark: SparkSession, statePath: String, batchId: Long,
+      parts: Seq[String], maxFraction: Double,
+      partitionCols: Map[String, Seq[String]] = Map.empty): Boolean = {
+    require(maxFraction > 0.0, s"maxFraction must be positive")
+    val due = parts.exists(p =>
+      tombstoneFraction(spark, statePath, p) > maxFraction)
+    if (due) compactOnceWithParts(spark, statePath, batchId, parts,
+      partitionCols)
+    due
   }
 
   /** The single non-tombstone part of a segment-manifest state, if the

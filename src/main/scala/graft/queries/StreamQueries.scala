@@ -254,8 +254,13 @@ object StreamQueries {
     * micro-batch versions ONLY its own changes
     * ([[graft.operators.Dimension.scdType2]] of the batch — a valid dim,
     * so the commit protocol's bootstrap-from-delta is correct), and the
-    * merge replays the batch's retained change log through scdApply.
-    * Returns the committed state path. */
+    * merge replays the batch's retained change log through scdApply with
+    * the EXACT at-tail guard: a `markers` part (per-key last ORIGINAL
+    * change, [[graft.operators.Dimension.scdLastOriginal]] — collapsed
+    * no-op changes included, which the dim alone cannot witness)
+    * rides the SAME atomic multi-part commit as the dim, and each
+    * batch's apply guards against the PRIOR version's markers. Returns
+    * the committed state path; read the dimension via part `dim`. */
   private def streamedScd2StateFor(s: SparkSession, d: String): String =
     scd2Maintained.computeIfAbsent(d, { _ =>
       import graft.operators.{Dimension, IncrementalAgg}
@@ -289,11 +294,25 @@ object StreamQueries {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val deltaDim = Dimension.scdType2(batch, "user_id", "ts",
             "event_id", Seq("event_type"))
-          IncrementalAgg.refreshOnceWith(s, state, deltaDim, batchId,
-            (dim, delta) => Dimension.scdApply(dim,
-              Dimension.dimAsChanges(delta, "user_id", "ts", "event_id",
-                Seq("event_type")),
-              "user_id", "ts", "event_id", Seq("event_type")))
+          val deltaMarkers = Dimension.scdLastOriginal(batch, "user_id",
+            "ts", "event_id")
+          IncrementalAgg.appendOnceWithParts(s, state, batchId,
+            appendDeltas = Seq.empty,
+            rewriteDeltas = Seq("dim" -> deltaDim,
+              "markers" -> deltaMarkers),
+            rewriteMerges = Map(
+              "dim" -> ((dim: DataFrame, delta: DataFrame) =>
+                Dimension.scdApply(dim,
+                  Dimension.dimAsChanges(delta, "user_id", "ts",
+                    "event_id", Seq("event_type")),
+                  "user_id", "ts", "event_id", Seq("event_type"),
+                  // readStatePart resolves the PRIOR committed version
+                  // until the rename publishes this batch — exactly the
+                  // markers the guard must compare against
+                  lastOriginal = Some(IncrementalAgg.readStatePart(s,
+                    state, "markers")))),
+              "markers" -> ((prev: DataFrame, delta: DataFrame) =>
+                Dimension.scdLastOriginalMerge(prev, delta, "user_id"))))
         }
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -1055,13 +1074,15 @@ object StreamQueries {
     // --- s28: streamed SCD TYPE-2 maintenance — the warehouse dimension
     //     kept live while the change log ingests: each micro-batch
     //     versions its own changes and merges through scdApply under the
-    //     exactly-once versioned commit (at-tail guard active per batch).
-    //     The drained state must equal the one-shot history over ALL
-    //     events — the ORACLE IS q110's SQL verbatim, so a version lost,
-    //     split, or double-applied by the stream flips the hash. ----------
+    //     exactly-once versioned commit, with the EXACT at-tail guard
+    //     (a per-key last-original-change markers part rides the same
+    //     atomic commit — collapsed no-op changes included). The drained
+    //     state must equal the one-shot history over ALL events — the
+    //     ORACLE IS q110's SQL verbatim, so a version lost, split, or
+    //     double-applied by the stream flips the hash. --------------------
     "s28_stream_scd2" -> ((s, d) => {
       val state = streamedScd2StateFor(s, d)
-      graft.operators.IncrementalAgg.readState(s, state)
+      graft.operators.IncrementalAgg.readStatePart(s, state, "dim")
         .select(col("user_id"), col("version"), col("event_type"),
           unix_micros(col("valid_from")).as("valid_from_us"),
           unix_micros(col("valid_to")).as("valid_to_us"),

@@ -81,7 +81,11 @@ object ScaleSmoke {
     "d63_signal_bundle", "d64_c4_filter", "m06_clipscore_filter",
     "d65_datasheet",
     // round-15: one narrow scan + domain-sized Hamilton
-    "d68_quality_mixture")
+    "d68_quality_mixture",
+    // round-18: the O(delta) commit pair — a FIXED delta against a 100×
+    // committed index state; flat by construction (segment append +
+    // manifest-metadata guard + range-pruned corrections)
+    "e30_extend_delta_commit", "e34_retract_delta_commit")
 
   /** Second-stage tiling (separate marker so an existing tiled dir from an
     * earlier run upgrades in place): lineitem/orders tiled on orderkey so

@@ -888,6 +888,23 @@ class StreamingSpec extends SparkTestBase {
             Seq((1L, "x")).toDF("doc_id", "other")))
     }
     assert(e.getMessage.contains("compact the state"), e.getMessage)
+    // the amortized schedule is metadata-driven: after the doc-9
+    // retraction the committed tombstone fraction is positive, a lenient
+    // threshold does NOT fold, a strict one does and resets it to zero
+    val frac = IncrementalAgg.tombstoneFraction(spark, state,
+      Bm25Index.ItemsPart)
+    assert(frac > 0.0 && frac < 1.0, s"fraction $frac")
+    val itemsPreFold = IncrementalAgg.readStatePart(spark, state,
+      Bm25Index.ItemsPart).collect().map(_.toString).sorted.toSeq
+    assert(!Bm25Index.compactIndexWhenDue(spark, state, 6L,
+      maxFraction = 0.9))
+    assert(Bm25Index.compactIndexWhenDue(spark, state, 7L,
+      maxFraction = frac / 2))
+    assert(IncrementalAgg.tombstoneFraction(spark, state,
+      Bm25Index.ItemsPart) == 0.0)
+    assert(IncrementalAgg.readStatePart(spark, state, Bm25Index.ItemsPart)
+      .collect().map(_.toString).sorted.toSeq == itemsPreFold,
+      "a due compaction must stay read-invisible")
   }
 
   test("append-commit crash window: an orphan segment is reader-invisible and swept by the next commit") {
