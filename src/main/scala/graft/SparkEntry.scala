@@ -66,6 +66,7 @@ object SparkEntry {
       "e34_bm25_retract", // one-time build + tombstone retraction
       "e35_hybrid_takedown", // shares e34's + the retracted IVF state
       "e38_bm25_compacted", // one-time build + retraction + compaction
+      "e39_bm25_cached", // shares e30's index; one-time cache population
       "e33_probe_operating", // one-time eval-corpus IVF + posting indexes
       "e25_tier_recall_curves", // shares e17/e08's memoized index/codebook
       "s08_stream_mv", // one-time foreachBatch MV maintenance per (JVM, sf)

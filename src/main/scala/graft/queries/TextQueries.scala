@@ -243,6 +243,13 @@ object TextQueries {
       dir
     })
 
+  // e39: the query-result cache state dir, memoized per (JVM, sf dir)
+  private val bm25CacheDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25CacheDirFor(d: String): String =
+    bm25CacheDirs.computeIfAbsent(d,
+      _ => new java.io.File(indexTmpDir("bm25qc"), "state").toString)
+
   // e38: a SEPARATE retracted-then-COMPACTED index (compacting e34's
   // shared artifact would be read-invisible, but a separate state keeps
   // each row's construction self-describing)
@@ -1628,6 +1635,34 @@ object TextQueries {
       graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
           bm25CompactIndexFor(s, d), queries,
           Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("chunk_id"), col("bm25_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- e39: VERSION-EXACT query-result cache over the serving index —
+    //     the serving-layer economics the index alone cannot give (head
+    //     queries repeat): the cache key is md5(query text, k, k1, b,
+    //     INDEX VERSION), so index maintenance invalidates by
+    //     construction; hits resolve with one broadcast join against the
+    //     cache state and only misses pay the bucket-pruned serve, their
+    //     results appended O(misses). The row serves the batch TWICE —
+    //     populate, then all-hits (where the index subtree is never even
+    //     built; PlansSpec pins zero posting reads) — and returns the
+    //     cached pass: cached scores are the same exact fixed-point
+    //     integers, so the oracle is e30's from-scratch SQL verbatim. ----
+    "e39_bm25_cached" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      val state = bm25ChunkIndexFor(s, d)
+      val cache = bm25CacheDirFor(d)
+      def serve() = graft.operators.Bm25Index.bm25TopKBatchCached(s,
+        state, cache, queries, Seq("doc_id", "chunk_id"), "doc_id",
+        "text", k = 10)
+      serve().count() // populate (a no-op when the cache is warm)
+      serve()
         .select(col("query_id"), col("rank"), col("doc_id"),
           col("chunk_id"), col("bm25_fp"))
         .orderBy("query_id", "rank")
@@ -6412,6 +6447,9 @@ object TextQueries {
     "e38_bm25_compacted" -> oracleBase("e30_bm25_index_served").replace(
       "WHERE doc_id % 101 <> 5",
       "WHERE doc_id % 101 <> 5 AND doc_id % 13 <> 3"),
+    // e39 serves from the query-result cache — caching must be
+    // output-invisible, so the oracle is e30's from-scratch SQL verbatim
+    "e39_bm25_cached" -> oracleBase("e30_bm25_index_served"),
     // the from-scratch hybrid chain over the SURVIVING corpus — both
     // retracted tiers provably reproduce the surviving-corpus exact legs
     "e35_hybrid_takedown" -> oracleBase("e31_hybrid_served").replace(

@@ -182,6 +182,42 @@ class PlansSpec extends SparkTestBase {
       "the hybrid serve must keep dynamic pruning on its index scans")
   }
 
+  test("e39 (cached serving): an all-hit batch scans ONLY the cache, never the posting index") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.{Bm25Index, Packing}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // checkpointed query batch (the e30 pin's style): every remaining
+    // file scan is then attributable to the serve itself
+    val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 5)
+      .localCheckpoint(true)
+    val chunks = Packing
+      .chunkTokens(docs.filter(pmod(col("doc_id"), lit(101)) =!= 5),
+        "doc_id", "text", 16, 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    val base = java.nio.file.Files.createTempDirectory("e39plan")
+    val state = base.resolve("state").toString
+    val cache = base.resolve("qcache").toString
+    Bm25Index.extendIndex(spark, state, chunks,
+      Seq("doc_id", "chunk_id"), "chunk_text", batchId = 0L)
+    def serve() = Bm25Index.bm25TopKBatchCached(spark, state, cache,
+      queries, Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+    serve().count() // populate
+    val hot = serve()
+    val scans = hot.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("Location", "")
+    }
+    assert(scans.nonEmpty && scans.forall(_.contains("qcache")),
+      s"an all-hit serve must read only the cache state — a posting or " +
+        s"corpus scan means repeated queries re-pay the index serve: $scans")
+    // and the cached pass is output-identical to the direct serve
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(hot) == canon(Bm25Index.bm25TopKBatchFromIndex(spark,
+      state, queries, Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)))
+  }
+
   test("d14 (token packing): one hash shuffle on shard, never a global sort partition") {
     val p = plan("d14_token_packing")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,

@@ -946,6 +946,48 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("strictly greater"), e.getMessage)
   }
 
+  test("query-result cache: cached ≡ direct; partial batches mix; index maintenance invalidates by version") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.{Bm25Index, IncrementalAgg}
+    val dir = java.nio.file.Files.createTempDirectory("bm25qc")
+    val state = dir.resolve("state").toString
+    val cache = dir.resolve("cache").toString
+    Bm25Index.extendIndex(spark, state,
+      Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+        (3L, "apple fig cherry banana"), (4L, "durian fig"))
+        .toDF("doc_id", "text"),
+      Seq("doc_id"), "text", 0L)
+    def direct(qs: Seq[(Long, String)]) =
+      Bm25Index.bm25TopKBatchFromIndex(spark, state,
+        qs.toDF("qid", "qtext"), Seq("doc_id"), "qid", "qtext", k = 3)
+        .collect().map(_.toString).sorted.toSeq
+    def cachedServe(qs: Seq[(Long, String)]) =
+      Bm25Index.bm25TopKBatchCached(spark, state, cache,
+        qs.toDF("qid", "qtext"), Seq("doc_id"), "qid", "qtext", k = 3)
+        .collect().map(_.toString).sorted.toSeq
+    val q1 = Seq((100L, "fig banana"), (200L, "apple grape"))
+    assert(cachedServe(q1) == direct(q1), "cold pass (all misses)")
+    assert(cachedServe(q1) == direct(q1), "hot pass (all hits)")
+    // partial batch: one hit, one new query, and a text-identical query
+    // under a NEW id resolves from the shared entry
+    val q2 = Seq((100L, "fig banana"), (300L, "cherry"),
+      (400L, "fig banana"))
+    assert(cachedServe(q2) == direct(q2), "mixed hit/miss batch")
+    // maintenance invalidates by construction: a new committed index
+    // version changes every digest, so the same texts re-serve against
+    // the EXTENDED index (doc 9 now matches "grape")
+    Bm25Index.extendIndex(spark, state,
+      Seq((9L, "grape grape")).toDF("doc_id", "text"),
+      Seq("doc_id"), "text", 1L)
+    assert(cachedServe(q1) == direct(q1),
+      "post-maintenance serve must reflect the new index version")
+    assert(direct(q1).exists(_.contains("9")),
+      "the extended index must actually surface doc 9")
+    // the cache state never grew beyond (distinct digests x k)
+    assert(IncrementalAgg.readState(spark, cache)
+      .select("__qd").distinct().count() >= 3L)
+  }
+
   test("bm25 index predating items bookkeeping raises a rebuild-required error") {
     import graft.operators.Bm25Index
     val dir = java.nio.file.Files.createTempDirectory("bm25legacy")
