@@ -182,28 +182,18 @@ object Bm25Index {
   }
 
   /** Version-exact query-RESULT cache over [[bm25TopKBatchFromIndex]] —
-    * the serving-layer economics the index alone cannot give: production
-    * keyword traffic repeats (head queries dominate), and a repeated
-    * query's top-k is fully determined by (query text, k, k1, b, index
-    * version). The cache key is md5 over exactly that tuple, so index
-    * maintenance INVALIDATES BY CONSTRUCTION — a new committed version
-    * changes every digest and the stale entries simply never match again
-    * (no TTLs, no explicit invalidation protocol, no stale-read window).
-    *
-    * Shape: the query batch digests row-locally; hits resolve with ONE
-    * broadcast join against the cache state (text-identical queries
-    * under different ids share the entry); only the MISSES pay the
-    * bucket-pruned index serve, and their results append to the cache as
-    * a new O(misses) segment under the exactly-once commit (replayed
-    * batchId = no-op; the cache itself rides [[IncrementalAgg]]'s
-    * segment layout). An all-hit batch's plan scans ONLY cache parquet —
-    * zero posting-index reads (PlansSpec pins it). Cached scores are the
-    * exact fixed-point integers the direct path computes, so cached ≡
-    * direct bit-for-bit. Entries from superseded index versions are dead
-    * weight until [[IncrementalAgg.compactRows]]-style hygiene; at 100 TB
-    * the cache state is (head-query count × k) rows — trivially small
-    * next to the index. Single serving writer assumed (the layout's
-    * standing contract). */
+    * [[IncrementalAgg.cachedServe]] instantiated for the sparse tier:
+    * the cache key is md5(query text, k, k1, b, INDEX VERSION), so index
+    * maintenance invalidates by construction; hits resolve with one
+    * broadcast join, only misses pay the bucket-pruned serve (appended
+    * O(misses) under the exactly-once commit), and an all-hit batch's
+    * plan scans ONLY cache parquet — zero posting-index reads (PlansSpec
+    * pins it). Cached scores are the exact fixed-point integers the
+    * direct path computes, so cached ≡ direct bit-for-bit, column order
+    * included (drop-in). Entries from superseded index versions are dead
+    * weight until [[IncrementalAgg.compactRows]]-style hygiene; at
+    * 100 TB the cache state is (head-query count × k) rows — trivially
+    * small next to the index. */
   def bm25TopKBatchCached(
       spark: SparkSession, statePath: String, cachePath: String,
       queries: DataFrame, keyCols: Seq[String], queryIdCol: String,
@@ -213,62 +203,12 @@ object Bm25Index {
     val version = IncrementalAgg.latestVersion(spark, statePath).getOrElse(
       throw new IllegalStateException(
         s"bm25TopKBatchCached: no committed index under $statePath"))
-    // the digest map stays LAZY (batch-sized narrow maps — cheap to
-    // recompute), so the all-hit result can be returned lazily too
-    val qd = queries.select(col(queryIdCol).as("query_id"),
-        col(queryTextCol).as("__qtext"))
-      // coalesce before concat_ws: a NULL text must not digest like ""
-      .withColumn("__qd", md5(concat_ws("|",
-        coalesce(col("__qtext"), lit("<null>")),
-        lit(version), lit(k), lit(k1), lit(b))))
-    // same column order as bm25TopKBatchFromIndex — cached serving is a
-    // drop-in replacement, schema included
-    val outCols = (col("query_id") +: keyCols.map(col)) ++
-      Seq(col("bm25_fp"), col("rank"))
-    val cachedOpt = IncrementalAgg.latestVersion(spark, cachePath)
-      .map(_ => IncrementalAgg.readState(spark, cachePath))
-    val (hits, missQs) = cachedOpt match {
-      case Some(cached) =>
-        (Some(qd.join(cached, Seq("__qd")).select(outCols: _*)),
-          qd.join(cached.select(col("__qd")).distinct(),
-            Seq("__qd"), "left_anti"))
-      case None => (None, qd)
-    }
-    if (!missQs.isEmpty) {
-      val missR = bm25TopKBatchFromIndex(spark, statePath,
-          missQs.select(col("query_id"), col("__qtext")), keyCols,
-          "query_id", "__qtext", k, k1, b)
-        .localCheckpoint(true)
-      try {
-        // one cache entry per distinct digest (text-identical queries
-        // share it; scores are identical by determinism)
-        val entries = missR.join(
-            broadcast(missQs.select(col("query_id"), col("__qd"))),
-            Seq("query_id"))
-          .select((col("__qd") +: col("rank") +: keyCols.map(col)) :+
-            col("bm25_fp"): _*)
-          .distinct()
-        IncrementalAgg.appendOnceWithParts(spark, cachePath,
-          IncrementalAgg.latestVersion(spark, cachePath)
-            .getOrElse(-1L) + 1L,
-          appendDeltas = Seq(IncrementalAgg.RowsPart -> entries))
-        val direct = missR.select(outCols: _*)
-        // CHECKPOINTED: the union's cache leg binds the pre-append cache
-        // version, which the commit just pruned
-        hits.fold(direct)(_ unionByName direct).localCheckpoint(true)
-      } finally Dedup.release(missR)
-    } else
-      // ALL HITS: the index subtree is never even built — the serve is
-      // one broadcast join against the cache scan (PlansSpec pins zero
-      // posting-index reads), and nothing commits (no empty-segment
-      // churn). Returned LAZY (the bound cache version stays latest);
-      // materialize before the next cache-writing call — the layout's
-      // single-writer contract. A missing cache here means an EMPTY
-      // query batch — the fallback serve of it keeps the output schema.
-      hits.getOrElse(
-        bm25TopKBatchFromIndex(spark, statePath,
-          missQs.select(col("query_id"), col("__qtext")), keyCols,
-          "query_id", "__qtext", k, k1, b).select(outCols: _*))
+    IncrementalAgg.cachedServe(spark, cachePath, queries, queryIdCol,
+      queryTextCol,
+      digestSalt = Seq(version.toString, k.toString, k1.toString,
+        b.toString),
+      serve = mq => bm25TopKBatchFromIndex(spark, statePath, mq, keyCols,
+        "query_id", "__qtext", k, k1, b))
   }
 
   /** Deletion propagation — retract a set of items from the committed

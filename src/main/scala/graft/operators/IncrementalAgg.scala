@@ -699,6 +699,74 @@ object IncrementalAgg {
       if (data <= 0L) 0.0 else tomb.toDouble / data
     }.getOrElse(0.0)
 
+  /** Version-exact query-RESULT cache over an arbitrary batch `serve` —
+    * the serving-layer economics shared by every index tier (head
+    * queries repeat, and a repeated query's result is fully determined
+    * by its text plus `digestSalt`, which callers build from the served
+    * state's COMMITTED VERSION and the serve parameters — so state
+    * maintenance invalidates by construction: a new version changes
+    * every digest; no TTLs, no invalidation protocol, no stale window).
+    *
+    * `serve` receives the MISSED queries as (query_id, __qtext) and must
+    * return query_id plus its result columns; text-identical queries
+    * under different ids share one cache entry. Hits resolve with one
+    * broadcast join against the cache state; misses pay the serve once
+    * and append O(misses) under the exactly-once commit. An ALL-HIT
+    * batch never builds the serve subtree and commits nothing — its plan
+    * scans only cache parquet — and is returned LAZY (the bound cache
+    * version stays latest): materialize before the next cache-writing
+    * call, the layout's single-writer contract. A miss batch's result is
+    * checkpointed (its union's cache leg binds the pre-append version
+    * the commit just pruned). */
+  def cachedServe(
+      spark: SparkSession, cachePath: String, queries: DataFrame,
+      queryIdCol: String, queryTextCol: String, digestSalt: Seq[String],
+      serve: DataFrame => DataFrame): DataFrame = {
+    // the digest map stays LAZY (batch-sized narrow maps — cheap to
+    // recompute), so the all-hit result can be returned lazily too
+    val qd = queries.select(col(queryIdCol).as("query_id"),
+        col(queryTextCol).as("__qtext"))
+      // coalesce before concat_ws: a NULL text must not digest like ""
+      .withColumn("__qd", md5(concat_ws("|",
+        coalesce(col("__qtext"), lit("<null>")) +:
+          digestSalt.map(lit): _*)))
+    val cachedOpt = latestVersion(spark, cachePath)
+      .map(_ => readState(spark, cachePath))
+    val (hits, missQs) = cachedOpt match {
+      case Some(cached) =>
+        val resultCols =
+          col("query_id") +: cached.columns.toSeq.filter(_ != "__qd").map(col)
+        (Some(qd.join(cached, Seq("__qd")).select(resultCols: _*)),
+          qd.join(cached.select(col("__qd")).distinct(),
+            Seq("__qd"), "left_anti"))
+      case None => (None, qd)
+    }
+    def serveMisses(): DataFrame =
+      serve(missQs.select(col("query_id"), col("__qtext")))
+    if (!missQs.isEmpty) {
+      val missR = serveMisses().localCheckpoint(true)
+      try {
+        // one cache entry per distinct digest (text-identical queries
+        // share it; results are identical by determinism)
+        val entryCols = missR.columns.toSeq.filter(_ != "query_id")
+        val entries = missR.join(
+            broadcast(missQs.select(col("query_id"), col("__qd"))),
+            Seq("query_id"))
+          .select(col("__qd") +: entryCols.map(col): _*)
+          .distinct()
+        appendOnceWithParts(spark, cachePath,
+          latestVersion(spark, cachePath).getOrElse(-1L) + 1L,
+          appendDeltas = Seq(RowsPart -> entries))
+        val direct = missR.select(
+          col("query_id") +: entryCols.map(col): _*)
+        hits.fold(direct)(_ unionByName direct).localCheckpoint(true)
+      } finally graft.operators.Dedup.release(missR)
+    } else
+      // ALL HITS — or an EMPTY batch against an absent cache, where the
+      // fallback serve of the empty batch keeps the output schema
+      hits.getOrElse(serveMisses())
+  }
+
   /** The amortized compaction SCHEDULE: fold `parts`' tombstones iff any
     * listed part's [[tombstoneFraction]] exceeds `maxFraction` — one
     * manifest read decides, so calling this after every retraction batch

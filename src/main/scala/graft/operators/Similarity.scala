@@ -1443,6 +1443,37 @@ object Similarity {
         buckets), cents),
       batchId, guardIdCol = "doc_id")
 
+  /** [[chunkRetrieveFromIvfIndex]] over a VERSIONED chunk-IVF state
+    * ([[chunkIvfExtendIndex]]'s artifact) with a version-exact query-
+    * result cache — [[graft.operators.IncrementalAgg.cachedServe]]
+    * instantiated for the dense tier: the key is md5(query text, k,
+    * nProbe, buckets, STATE VERSION), so every extend or retraction
+    * invalidates by construction; hits are one broadcast join, misses
+    * pay the cell-pruned serve once and append O(misses), and an
+    * all-hit batch never builds the index subtree. The frozen codebook
+    * is part of the state's identity (a takedown never retrains), so it
+    * does not enter the digest. Cached cos_q doubles round-trip parquet
+    * exactly — cached ≡ direct bit-for-bit. */
+  def chunkRetrieveFromIvfStateCached(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      cachePath: String, cents: Seq[(Long, Array[Float])],
+      queries: DataFrame, idCol: String, textCol: String,
+      k: Int, nProbe: Int, buckets: Int = 64): DataFrame = {
+    require(k >= 1 && nProbe >= 1)
+    val version = graft.operators.IncrementalAgg
+      .latestVersion(spark, statePath).getOrElse(
+        throw new IllegalStateException(
+          s"chunkRetrieveFromIvfStateCached: no committed index under " +
+            statePath))
+    graft.operators.IncrementalAgg.cachedServe(spark, cachePath, queries,
+      idCol, textCol,
+      digestSalt = Seq(version.toString, k.toString, nProbe.toString,
+        buckets.toString),
+      serve = mq => chunkRetrieveFromIvfIndex(
+        graft.operators.IncrementalAgg.readState(spark, statePath), cents,
+        mq, "query_id", "__qtext", k, nProbe, buckets))
+  }
+
   /** Recall-vs-nProbe OPERATING CURVE for the chunk IVF tier —
     * [[ivfRecallCurve]]'s construction over the chunk index: recall@k of
     * the cell-pruned serve against the exact brute-force ranking from

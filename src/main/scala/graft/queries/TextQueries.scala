@@ -243,12 +243,17 @@ object TextQueries {
       dir
     })
 
-  // e39: the query-result cache state dir, memoized per (JVM, sf dir)
+  // e39/e40: the query-result cache state dirs, memoized per (JVM, sf dir)
   private val bm25CacheDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def bm25CacheDirFor(d: String): String =
     bm25CacheDirs.computeIfAbsent(d,
       _ => new java.io.File(indexTmpDir("bm25qc"), "state").toString)
+  private val denseCacheDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def denseCacheDirFor(d: String): String =
+    denseCacheDirs.computeIfAbsent(d,
+      _ => new java.io.File(indexTmpDir("denseqc"), "state").toString)
 
   // e38: a SEPARATE retracted-then-COMPACTED index (compacting e34's
   // shared artifact would be read-invisible, but a separate state keeps
@@ -1665,6 +1670,33 @@ object TextQueries {
       serve()
         .select(col("query_id"), col("rank"), col("doc_id"),
           col("chunk_id"), col("bm25_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- e40: the DENSE twin of e39 — the version-exact result cache
+    //     over the VERSIONED chunk-IVF state (e35's retracted artifact,
+    //     so the cache sits exactly where takedowns churn versions):
+    //     digest = md5(text, k, nProbe, buckets, state version), served
+    //     at exhaustive probes over the survivors so the output provably
+    //     equals the exact scan over the surviving corpus — the oracle is
+    //     e26's from-scratch chunk-retrieval SQL with the retraction
+    //     filter spliced into its corpus WHERE clause. The row serves
+    //     twice (populate, then all-hits) and returns the cached pass:
+    //     caching must be output-invisible. ------------------------------
+    "e40_dense_cached" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      val (cents, _) = chunkIvfIndexFor(s, d)
+      val state = ivfRetractStateFor(s, d)
+      val cache = denseCacheDirFor(d)
+      def serve() = Similarity.chunkRetrieveFromIvfStateCached(s, state,
+        cache, cents, queries, "doc_id", "text", k = 3, nProbe = 8)
+      serve().count() // populate (a no-op when the cache is warm)
+      serve()
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("chunk_id"), col("cos_q"))
         .orderBy("query_id", "rank")
     }),
 
@@ -6450,6 +6482,12 @@ object TextQueries {
     // e39 serves from the query-result cache — caching must be
     // output-invisible, so the oracle is e30's from-scratch SQL verbatim
     "e39_bm25_cached" -> oracleBase("e30_bm25_index_served"),
+    // e40: the dense cache over the RETRACTED state at exhaustive probes
+    // ≡ the exact chunk retrieval over the surviving corpus — e26's SQL
+    // with the retraction filter spliced
+    "e40_dense_cached" -> oracleBase("e26_chunk_retrieval").replace(
+      "WHERE doc_id % 101 <> 5",
+      "WHERE doc_id % 101 <> 5 AND doc_id % 13 <> 3"),
     // the from-scratch hybrid chain over the SURVIVING corpus — both
     // retracted tiers provably reproduce the surviving-corpus exact legs
     "e35_hybrid_takedown" -> oracleBase("e31_hybrid_served").replace(
