@@ -79,6 +79,7 @@ object SparkEntry {
       "s23_stream_signal_ingest", // one-time streamed signal-bundle ingestion
       "s24_stream_datasheet", // one-time streamed datasheet maintenance
       "s25_stream_chunk_index", // one-time streamed chunk-index ingestion
+      "s32_stream_cached_serving", // one-time streamed cache population
       "s15_stream_sketch", // one-time foreachBatch sketch maintenance
       "s17_stream_heavyhitters") // one-time foreachBatch freq-sketch state
 }

@@ -348,6 +348,67 @@ object StreamQueries {
       dir.toString
     })
 
+  private val cachedServeMaintained =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The s32 streamed CACHED serving, memoized per (JVM, sf dir): e30's
+    * posting index built once offline, then query batches arrive as a
+    * stream — batch 0 is the first HALF of the query set (all misses,
+    * cache populated O(misses)), batch 1 is the FULL set (the first half
+    * resolves as cross-batch cache HITS, only the second half pays the
+    * index serve). Each batch's results land in an idempotent per-batch
+    * dir (the transformIngest pattern — a replayed batch overwrites its
+    * own output, and a replayed cache append no-ops under the versioned
+    * commit, so at-least-once delivery is safe end to end). Returns the
+    * output dir; the row reads batch 1 — the full query set served
+    * THROUGH the cache. */
+  private def streamedCachedServeFor(s: SparkSession, d: String): String =
+    cachedServeMaintained.computeIfAbsent(d, { _ =>
+      import graft.operators.{Bm25Index, Packing}
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val chunks = Packing.chunkTokens(corpus, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val state = tmpDir("scsrvstate", create = false).toString + "/state"
+      Bm25Index.extendIndex(s, state, chunks,
+        Seq("doc_id", "chunk_id"), "chunk_text", batchId = 0L)
+      val cache = tmpDir("scsrvcache", create = false).toString + "/cache"
+      val queries = docs.filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      val cut = queries.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val srcDir = tmpDir("scsrvsrc")
+      def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
+        val tmp = tmpDir("scsrvw")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(srcDir, name)
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(lastMod); ()
+      }
+      val now = System.currentTimeMillis()
+      stage(queries.filter(col("doc_id") <= cut), "qbatch_0.parquet",
+        now - 60000)
+      stage(queries, "qbatch_1.parquet", now)
+      val out = tmpDir("scsrvout").toString
+      val ckpt = tmpDir("scsrvckpt")
+      val stream = s.readStream
+        .schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Bm25Index.bm25TopKBatchCached(s, state, cache, batch,
+              Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+            .write.mode("overwrite").parquet(s"$out/b$batchId")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      out
+    })
+
   /** The s29 streamed takedown, memoized per (JVM, sf dir): e34's posting
     * index built in full at batch 0, then the %13-block deletion requests
     * arrive as TWO micro-batched delete files; each batch retracts in
@@ -1180,6 +1241,24 @@ object StreamQueries {
         .orderBy("cohort_us", "day_offset")
     }),
 
+    // --- s32: STREAMED cached serving — the e39 result cache kept live
+    //     across query micro-batches: batch 0 (first half of the query
+    //     set) populates, batch 1 (the FULL set) resolves the first half
+    //     as cross-batch cache HITS and serves only the second half from
+    //     the index; per-batch output dirs are idempotent and the cache
+    //     append no-ops on replay. Batch 1's output must equal the
+    //     one-shot batch serve — the ORACLE IS e30's SQL verbatim, so a
+    //     stale hit, a lost entry, or a double-served query flips the
+    //     exact fixed-point scores. -------------------------------------
+    "s32_stream_cached_serving" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val out = streamedCachedServeFor(s, d)
+      s.read.parquet(s"$out/b1")
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("chunk_id"), col("bm25_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -1465,6 +1544,12 @@ object StreamQueries {
     // identical to the from-scratch batch recompute — the oracle IS
     // e30's SQL (the exact-rational BM25 chain), shared verbatim
     "s26_stream_bm25_index" ->
+      graft.queries.TextQueries.oracle("e30_bm25_index_served"),
+    // caching is output-invisible and per-query results are independent,
+    // so batch 1 (the FULL query set served through the cache — first
+    // half cross-batch hits, second half misses) must equal the one-shot
+    // batch serve — the oracle IS e30's SQL, shared verbatim
+    "s32_stream_cached_serving" ->
       graft.queries.TextQueries.oracle("e30_bm25_index_served"),
     // both stream-maintained legs reproduce the exact rankings (dense:
     // row-local chunk+embed per batch; sparse: additive posting merge),

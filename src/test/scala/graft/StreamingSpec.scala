@@ -946,6 +946,28 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("strictly greater"), e.getMessage)
   }
 
+  test("readStatePartRanged: committed id ranges prune to intersecting segments; tombstones still apply") {
+    import graft.operators.IncrementalAgg
+    val dir = java.nio.file.Files.createTempDirectory("ranged")
+    val state = dir.resolve("state").toString
+    IncrementalAgg.appendOnce(spark, state,
+      (1L to 10L).map(i => (i, s"p$i")).toDF("id", "payload"), 0L, "id")
+    IncrementalAgg.appendOnce(spark, state,
+      (11L to 20L).map(i => (i, s"p$i")).toDF("id", "payload"), 1L, "id")
+    def ids(lo: Long, hi: Long) = IncrementalAgg.readStatePartRanged(
+        spark, state, IncrementalAgg.RowsPart, lo, hi)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // a point inside segment 0's range reads ONLY that segment (superset
+    // of the range — the caller still filters/joins; pruning is the win)
+    assert(ids(5L, 5L) == (1L to 10L))
+    assert(ids(15L, 15L) == (11L to 20L))
+    assert(ids(5L, 15L) == (1L to 20L))
+    assert(ids(100L, 200L) == Seq.empty)
+    // tombstones apply inside the pruned read too
+    IncrementalAgg.retractRows(spark, state, Seq(5L).toDF("id"), 2L)
+    assert(ids(5L, 5L) == (1L to 10L).filter(_ != 5L))
+  }
+
   test("query-result cache: cached ≡ direct; partial batches mix; index maintenance invalidates by version") {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.{Bm25Index, IncrementalAgg}
