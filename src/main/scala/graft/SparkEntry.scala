@@ -68,6 +68,8 @@ object SparkEntry {
       "e38_bm25_compacted", // one-time build + retraction + compaction
       "e39_bm25_cached", // shares e30's index; one-time cache population
       "e40_dense_cached", // shares e35's retracted state; cache population
+      "e41_bm25_cache_pruned", // two extends + cache churn + maintenance
+      "e42_bm25_segments_folded", // four extends with interleaved folds
       "e33_probe_operating", // one-time eval-corpus IVF + posting indexes
       "e25_tier_recall_curves", // shares e17/e08's memoized index/codebook
       "s08_stream_mv", // one-time foreachBatch MV maintenance per (JVM, sf)

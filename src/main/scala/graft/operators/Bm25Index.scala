@@ -211,6 +211,29 @@ object Bm25Index {
         "query_id", "__qtext", k, k1, b))
   }
 
+  /** Cache MAINTENANCE for [[bm25TopKBatchCached]]'s result cache: evict
+    * entries whose salt no longer matches the CURRENT committed index
+    * version + serve parameters (they can never hit again — dead weight
+    * every index maintenance leaves behind) and fold the cache's
+    * per-miss-batch segments into one. Fires only when the cache has
+    * accumulated more than `maxSegments` segments (one manifest read),
+    * so a serving loop calls it after every batch for free. Read-
+    * invisible for every LIVE entry: post-maintenance hits serve the
+    * same bytes (StreamingSpec pins it). Returns whether a prune
+    * committed. */
+  def maintainQueryCache(
+      spark: SparkSession, statePath: String, cachePath: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxSegments: Int = 8): Boolean = {
+    val version = IncrementalAgg.latestVersion(spark, statePath).getOrElse(
+      throw new IllegalStateException(
+        s"maintainQueryCache: no committed index under $statePath"))
+    IncrementalAgg.maintainCachedServe(spark, cachePath,
+      Seq(version.toString, k.toString, k1.toString, b.toString),
+      IncrementalAgg.latestVersion(spark, cachePath).getOrElse(-1L) + 1L,
+      maxSegments)
+  }
+
   /** Deletion propagation — retract a set of items from the committed
     * index WITHOUT touching the corpus (the 100 TB deletion-request path:
     * a takedown cannot afford a rebuild, and the index itself already
@@ -281,12 +304,19 @@ object Bm25Index {
           (col("df") - coalesce(col("__d"), lit(0L))).as("df"))
         .filter(col("df") > 0)
       val replace = (_: DataFrame, dl: DataFrame) => dl
+      // partitionCols declared even though this commit appends only
+      // tombstones: if the committed index predates the segment manifest,
+      // the commit's one-time legacy migration moves the BASE postings
+      // part into a segment and must keep its __tb bucket layout (a
+      // migration without it would mix partitioned and unpartitioned
+      // segment dirs under one part — an unreadable table)
       IncrementalAgg.appendOnceWithParts(spark, statePath, batchId,
         appendDeltas = Seq(
           IncrementalAgg.tombstonePart(PostingsPart) -> tombs,
           IncrementalAgg.tombstonePart(ItemsPart) -> tombs),
         rewriteDeltas = Seq(TermsPart -> newTerms, StatsPart -> newStats),
-        rewriteMerges = Map(TermsPart -> replace, StatsPart -> replace))
+        rewriteMerges = Map(TermsPart -> replace, StatsPart -> replace),
+        partitionCols = Map(PostingsPart -> Seq("__tb")))
     } finally { Dedup.release(dead); Dedup.release(del) }
   }
 
@@ -311,10 +341,30 @@ object Bm25Index {
     * compaction committed. */
   def compactIndexWhenDue(
       spark: SparkSession, statePath: String, batchId: Long,
-      maxFraction: Double = 0.2): Boolean = {
+      maxFraction: Double = 0.2,
+      maxTombRows: Long = Long.MaxValue,
+      maxTombBytes: Long = Long.MaxValue): Boolean = {
     requireItemsPart(spark, statePath)
     IncrementalAgg.compactWhenDue(spark, statePath, batchId,
       Seq(PostingsPart, ItemsPart), maxFraction,
+      partitionCols = Map(PostingsPart -> Seq("__tb")),
+      maxTombRows = maxTombRows, maxTombBytes = maxTombBytes)
+  }
+
+  /** Segment-count maintenance for a LONG-RUNNING ingest stream: each
+    * extend batch commits one postings segment and one items segment
+    * forever, so an unmaintained stream accumulates an unbounded manifest
+    * and small-file pressure. [[IncrementalAgg.compactSegmentsWhenDue]]
+    * folds the small-segment SUFFIX of both data parts when either
+    * exceeds `maxSegments` — read-invisible (pure file layout; tombstones
+    * keep applying), monotone guard preserved, earlier large folds never
+    * re-read. One manifest read decides; call it after every extend. */
+  def compactIndexSegmentsWhenDue(
+      spark: SparkSession, statePath: String, batchId: Long,
+      maxSegments: Int = 16, smallRows: Long = Long.MaxValue): Boolean = {
+    requireItemsPart(spark, statePath)
+    IncrementalAgg.compactSegmentsWhenDue(spark, statePath, batchId,
+      Seq(PostingsPart, ItemsPart), maxSegments, smallRows,
       partitionCols = Map(PostingsPart -> Seq("__tb")))
   }
 }

@@ -44,50 +44,110 @@ object Graph {
     * `checkpointDir` switches the per-iteration truncation from
     * localCheckpoint (executor-memory blocks — fast, but a lost executor
     * kills the lineage-truncated job) to RELIABLE `Dataset.checkpoint`
-    * files under the given directory, the long-iteration production
-    * posture: a lost executor recomputes from the durable snapshot
-    * instead of failing the job. */
+    * files, the long-iteration production posture: a lost executor
+    * recomputes from the durable snapshot instead of failing the job.
+    * The invocation takes a PRIVATE subdirectory (`pr-<uuid>`) of the
+    * given dir, restores the session's previous checkpoint location on
+    * exit (concurrent jobs in the shared session never inherit ours),
+    * and deletes each iteration's snapshot as soon as the next vector is
+    * durable — at the end only the returned vector's files remain, so a
+    * 50-iteration run holds one snapshot of disk, not fifty.
+    *
+    * `tolFp` is the CONVERGENCE stop: when set, iteration ends as soon
+    * as max over vertices of |Δrank_fp| < tolFp — exactly decidable in
+    * integer arithmetic (no float-noise threshold). The returned vector
+    * is bit-identical to running the full `iters` WHEN the iteration has
+    * truly converged to a fixed point (further iterations are identity),
+    * which is what makes the warm-start path cheap: a small edge delta
+    * against a converged prior usually settles in 1-2 iterations instead
+    * of paying the fixed budget. Unset (the default), exactly `iters`
+    * iterations run — the oracle-gated batch shape. */
   def pageRankFixedPoint(
       edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L,
       teleportFp: Long = 150000000L, initFp: Long = 1000000000L,
       initRanks: Option[DataFrame] = None,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      tolFp: Option[Long] = None): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
+    tolFp.foreach(t => require(t > 0L, s"tolFp must be positive, got $t"))
     val spark = edges.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def ck(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
-    val e = ck(edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")))
-    val deg = ck(e.groupBy(col("src")).agg(count(lit(1)).as("od")))
-    val verts = ck(e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct())
-    var ranks = ck(initRanks match {
-      case Some(prior) =>
-        verts.join(
-            prior.select(col("vertex").as("v"), col("rank_fp").as("__pr")),
-            Seq("v"), "left")
-          .select(col("v"), coalesce(col("__pr"), lit(initFp)).as("r"))
-      case None => verts.select(col("v"), lit(initFp).as("r"))
-    })
-    for (_ <- 1 to iters) {
-      val contrib = e.join(deg, Seq("src"))
-        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst").as("v"), expr("r div od").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("s"))
-      val next = ck(verts.join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          (lit(teleportFp) +
-            expr(s"(coalesce(s, cast(0 as bigint)) * $dampNum)" +
-              s" div $dampDen")).as("r")))
-      Dedup.release(ranks)
-      ranks = next
+    val sc = spark.sparkContext
+    val savedDir = sc.getCheckpointDir
+    val privRoot = checkpointDir.map(d =>
+      s"$d/pr-${java.util.UUID.randomUUID().toString.take(8)}")
+    def hfs(p: String) = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(sc.hadoopConfiguration)
+    def rmDir(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = hfs(p)
+      if (fs.exists(path)) { fs.delete(path, true); () }
     }
-    // the final vector is a self-contained checkpoint — the shared
-    // frames it was built from can be freed now
-    Seq(e, deg, verts).foreach(Dedup.release)
-    ranks.select(col("v").as("vertex"), col("r").as("rank_fp"))
+    def ck(df: DataFrame): DataFrame =
+      if (privRoot.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    try {
+      privRoot.foreach(r => sc.setCheckpointDir(s"$r/base"))
+      val e = ck(edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
+      val deg = ck(e.groupBy(col("src")).agg(count(lit(1)).as("od")))
+      val verts = ck(e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v"))).distinct())
+      var ranks = ck(initRanks match {
+        case Some(prior) =>
+          verts.join(
+              prior.select(col("vertex").as("v"), col("rank_fp").as("__pr")),
+              Seq("v"), "left")
+            .select(col("v"), coalesce(col("__pr"), lit(initFp)).as("r"))
+        case None => verts.select(col("v"), lit(initFp).as("r"))
+      })
+      // the dir holding the PREVIOUS iteration's vector files (None while
+      // that vector still lives under base/ with the shared frames)
+      var prevIterDir: Option[String] = None
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
+        it += 1
+        val iterDir = privRoot.map(r => s"$r/it$it")
+        iterDir.foreach(sc.setCheckpointDir)
+        val contrib = e.join(deg, Seq("src"))
+          .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+          .select(col("dst").as("v"), expr("r div od").as("c"))
+          .groupBy(col("v")).agg(sum(col("c")).as("s"))
+        val next = ck(verts.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (lit(teleportFp) +
+              expr(s"(coalesce(s, cast(0 as bigint)) * $dampNum)" +
+                s" div $dampDen")).as("r")))
+        // exact integer stopping rule — evaluated BEFORE the previous
+        // vector's files go away (the delta join reads both vectors)
+        converged = tolFp.exists { t =>
+          val d = ranks.as("a").join(next.as("b"), Seq("v"))
+            .agg(max(abs(col("a.r") - col("b.r"))).as("d")).head
+          !d.isNullAt(0) && d.getLong(0) < t
+        }
+        Dedup.release(ranks)
+        // the replaced vector is no longer referenced by any live plan —
+        // its reliable snapshot can go now (keeps disk at ONE vector)
+        prevIterDir.foreach(rmDir)
+        prevIterDir = iterDir
+        ranks = next
+      }
+      // the final vector is a self-contained checkpoint — the shared
+      // frames it was built from (base/) can be freed now; only the
+      // returned vector's files survive the call
+      Seq(e, deg, verts).foreach(Dedup.release)
+      privRoot.foreach(r => rmDir(s"$r/base"))
+      ranks.select(col("v").as("vertex"), col("r").as("rank_fp"))
+    } finally {
+      // restore the session's prior checkpoint location — the global
+      // setting must not leak to concurrent jobs in the shared session
+      savedDir match {
+        case Some(d) => sc.setCheckpointDir(d)
+        case None => if (privRoot.isDefined)
+          try sc.setCheckpointDir(null) // clears (Option(null) → None)
+          catch { case _: Throwable => () }
+      }
+    }
   }
 }

@@ -176,14 +176,39 @@ object IncrementalAgg {
     }
   }
 
+  /** Single-writer enforcement: the commit protocol derives each merged
+    * snapshot from the version read at ENTRY, so two writers interleaving
+    * on one state would silently clobber each other's commits (last
+    * rename wins, first writer's delta vanishes). Re-listing the versions
+    * immediately before the rename turns that silent loss into a raise:
+    * any version committed since entry means another writer is live. The
+    * residual window is the metadata instant between recheck and rename —
+    * on a shared object store a deployment would add a lease file; the
+    * recheck is the contract's tripwire, not a lock. */
+  private def requireNoVersionDrift(
+      spark: SparkSession, statePath: String,
+      expectedPrev: Option[Long]): Unit = {
+    val now = versions(spark, statePath).lastOption
+    if (now != expectedPrev)
+      throw new java.util.ConcurrentModificationException(
+        s"$statePath: committed version drifted from " +
+          s"${expectedPrev.fold("<none>")(v => s"v$v")} to " +
+          s"${now.fold("<none>")(v => s"v$v")} during this commit — a " +
+          "concurrent writer is live on this state; the versioned-commit " +
+          "protocol is single-writer (serialize ingest and takedown " +
+          "against one state path)")
+  }
+
   /** Write `merged` to staging, atomically rename it to version `id`,
     * then prune older versions (prune only AFTER the commit, so a crash
-    * at any point leaves a complete committed snapshot). */
+    * at any point leaves a complete committed snapshot). `expectedPrev`
+    * is the version the merge was derived from — drift raises. */
   private def commit(
       spark: SparkSession, statePath: String, id: Long,
-      merged: DataFrame): Unit = {
+      merged: DataFrame, expectedPrev: Option[Long]): Unit = {
     val tmp = s"$statePath/.tmp-$id"
     merged.write.mode("overwrite").parquet(tmp)
+    requireNoVersionDrift(spark, statePath, expectedPrev)
     val fs = fsOf(spark, statePath)
     val dest = new org.apache.hadoop.fs.Path(s"$statePath/v$id")
     if (fs.exists(dest)) fs.delete(dest, true)
@@ -206,11 +231,12 @@ object IncrementalAgg {
   private def mergeCommit(
       spark: SparkSession, statePath: String, newId: Long, delta: DataFrame,
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
-    val merged = latestVersion(spark, statePath) match {
+    val prev = latestVersion(spark, statePath)
+    val merged = prev match {
       case None => delta
       case Some(v) => merge(spark.read.parquet(s"$statePath/v$v"), delta)
     }
-    commit(spark, statePath, newId, merged)
+    commit(spark, statePath, newId, merged, prev)
   }
 
   private def deltaAgg(batch: DataFrame, keyCol: String, valueCol: String) =
@@ -325,10 +351,13 @@ object IncrementalAgg {
     * column (makes the monotone guard a manifest lookup and lets a
     * retraction prune its correction scans to only the segments a delete
     * set can touch — the takedown shape: a few ids → usually one
-    * segment), and the segment's row count (drives the tombstone-
-    * fraction compaction schedule without reading any data). */
+    * segment), the segment's row count (drives the tombstone-fraction
+    * compaction schedule and the broadcast-vs-shuffle anti-join choice
+    * without reading any data), and its committed byte size (drives the
+    * absolute small-file compaction triggers the same way). */
   private[graft] case class SegMeta(
-      name: String, range: Option[(Long, Long)], rows: Option[Long]) {
+      name: String, range: Option[(Long, Long)], rows: Option[Long],
+      bytes: Option[Long] = None) {
     def intersects(lo: Long, hi: Long): Boolean =
       range.forall { case (mn, mx) => mx >= lo && mn <= hi }
   }
@@ -364,19 +393,16 @@ object IncrementalAgg {
           case Array("#id", part, idCol) => ids(part) = idCol
           case Array(part) =>
             if (!m.contains(part)) m(part) = Vector.empty
-          case Array(part, sg) =>
-            m(part) = m.getOrElse(part, Vector.empty) :+
-              SegMeta(sg, None, None)
-          case Array(part, sg, mn, mx) =>
-            m(part) = m.getOrElse(part, Vector.empty) :+
-              SegMeta(sg, Some((mn.toLong, mx.toLong)), None)
-          case Array(part, sg, mn, mx, n) =>
-            m(part) = m.getOrElse(part, Vector.empty) :+
-              SegMeta(sg,
-                (num(mn), num(mx)) match {
-                  case (Some(a), Some(b)) => Some((a, b))
-                  case _ => None
-                }, num(n))
+          // 2-6 fields: part, seg [, minId, maxId [, rows [, bytes]]] —
+          // trailing fields optional (older manifests wrote fewer)
+          case arr if arr.length >= 2 && arr.length <= 6 =>
+            val f = arr.drop(2).toVector.padTo(4, "")
+            val range = (num(f(0)), num(f(1))) match {
+              case (Some(a), Some(b)) => Some((a, b))
+              case _ => None
+            }
+            m(arr(0)) = m.getOrElse(arr(0), Vector.empty) :+
+              SegMeta(arr(1), range, num(f(2)), num(f(3)))
           case _ => throw new java.io.IOException(
             s"$vdir/$ManifestFile: bad manifest line '$line'")
         }
@@ -395,12 +421,13 @@ object IncrementalAgg {
     val segLines = manifest.map { case (part, segs) =>
       if (segs.isEmpty) part
       else segs.map { sm =>
-        (sm.range, sm.rows) match {
-          case (Some((mn, mx)), Some(n)) => s"$part\t${sm.name}\t$mn\t$mx\t$n"
-          case (Some((mn, mx)), None) => s"$part\t${sm.name}\t$mn\t$mx"
-          case (None, Some(n)) => s"$part\t${sm.name}\t\t\t$n"
-          case (None, None) => s"$part\t${sm.name}"
-        }
+        val fields = Vector(
+          sm.range.map(_._1.toString).getOrElse(""),
+          sm.range.map(_._2.toString).getOrElse(""),
+          sm.rows.map(_.toString).getOrElse(""),
+          sm.bytes.map(_.toString).getOrElse(""))
+        val trimmed = fields.reverse.dropWhile(_.isEmpty).reverse
+        s"$part\t${sm.name}" + trimmed.map("\t" + _).mkString
       }.mkString("\n")
     }
     try out.write((idLines ++ segLines)
@@ -411,10 +438,12 @@ object IncrementalAgg {
   /** Write one immutable segment (staged, then renamed into place — a
     * replay of the same batchId overwrites its own orphan). Invisible to
     * readers until a committed manifest names it: the manifest's
-    * `__seg IN (...)` partition filter is what admits segments. */
+    * `__seg IN (...)` partition filter is what admits segments. Returns
+    * the segment's committed byte size (one metadata listing — feeds the
+    * manifest so compaction triggers never read data). */
   private def writeSegment(
       spark: SparkSession, statePath: String, part: String, seg: String,
-      df: DataFrame, parts: Seq[String]): Unit = {
+      df: DataFrame, parts: Seq[String]): Long = {
     val fs = fsOf(spark, statePath)
     // staged OUTSIDE the part dir: compaction's delta frame READS the
     // part dir, so its write must never land inside what it scans
@@ -435,7 +464,7 @@ object IncrementalAgg {
     if (!fs.rename(staged, dest))
       throw new java.io.IOException(s"segment rename $staged -> $dest failed")
     fs.delete(stagePath, true) // staging shell (_SUCCESS) only
-    ()
+    fs.getContentSummary(dest).getLength
   }
 
   /** Whether any data file exists under `path` (recursive, first hit
@@ -471,9 +500,21 @@ object IncrementalAgg {
     * `replaceParts` restarts those parts' segment lists this commit
     * (compaction: a part in `replaceParts` AND `appendDeltas` holds
     * exactly the new segment; in `replaceParts` only, it empties —
-    * cleared tombstones). A prior version committed by the pre-segment
-    * rewrite protocol migrates one-time: its append parts move into a
-    * migration segment, after which every commit is O(delta). */
+    * cleared tombstones). `keepPrefix` is the PARTIAL fold: a part in it
+    * keeps only its first k manifest segments, with this commit's delta
+    * (the raw concatenation of the folded suffix — see
+    * [[compactSegmentsWhenDue]]) appended behind them; append order, and
+    * with it the monotone-id invariant, is preserved because only a
+    * SUFFIX may fold. A prior version committed by the pre-segment
+    * rewrite protocol migrates one-time: every part this commit appends
+    * to — including the BASE part of any `<part>__tomb` tombstone delta,
+    * without which readers would never resolve the part through the
+    * manifest and the tombstones would silently not apply — moves into a
+    * migration segment, after which every commit is O(delta). The same
+    * migration covers a part whose version-dir copy survived an earlier
+    * PARTIAL migration (a first manifest commit that touched other
+    * parts): a part gaining its first manifest entry never strands a
+    * carried-forward dir. */
   def appendOnceWithParts(
       spark: SparkSession, statePath: String, batchId: Long,
       appendDeltas: Seq[(String, DataFrame)],
@@ -482,7 +523,8 @@ object IncrementalAgg {
         Map.empty,
       partitionCols: Map[String, Seq[String]] = Map.empty,
       guardIdCols: Map[String, String] = Map.empty,
-      replaceParts: Set[String] = Set.empty): Unit = {
+      replaceParts: Set[String] = Set.empty,
+      keepPrefix: Map[String, Int] = Map.empty): Unit = {
     val prev = latestVersion(spark, statePath)
     if (prev.exists(_ >= batchId)) return // replayed batch: no-op
     val fs = fsOf(spark, statePath)
@@ -493,21 +535,38 @@ object IncrementalAgg {
     // id columns are sticky state metadata: once declared they persist in
     // every later manifest, so compaction and retraction know them
     val idCols = prevM.map(_.idCols).getOrElse(Map.empty) ++ guardIdCols
-    if (prevDir.isDefined && prevM.isEmpty) {
-      // one-time legacy migration (O(state) ONCE, never again): parts this
-      // commit appends to move out of the rewrite-protocol version dir
-      // into a migration segment (range unknown — later guards fall back
-      // to reading that one segment)
-      (appendDeltas.map(_._1) ++ replaceParts).distinct.foreach { part =>
-        val legacy = s"${prevDir.get}/$part"
-        if (fs.exists(new org.apache.hadoop.fs.Path(legacy))) {
+    // one-time legacy migration (O(that part) ONCE, never again): a part
+    // this commit appends to that still lives as a version-dir parquet
+    // copy — the pre-segment rewrite layout, or a dir carried forward by
+    // an earlier PARTIAL migration — moves into a migration segment
+    // (range unknown — later guards fall back to reading that one
+    // segment). Tombstone deltas pull their BASE part in too: a
+    // `<part>__tomb` append against a part the manifest cannot resolve
+    // would commit tombstones no reader ever applies.
+    val touched = (appendDeltas.map(_._1) ++ replaceParts).distinct
+    val migrateTargets = (touched ++ touched.filter(_.endsWith("__tomb"))
+      .map(_.stripSuffix("__tomb"))).distinct
+    prevDir.foreach { pd =>
+      migrateTargets.foreach { part =>
+        val legacy = s"$pd/$part"
+        if (!prevParts.contains(part) &&
+            fs.exists(new org.apache.hadoop.fs.Path(legacy))) {
           val seg = s"s${prev.get}m"
-          writeSegment(spark, statePath, part, seg,
+          val nb = writeSegment(spark, statePath, part, seg,
             spark.read.parquet(legacy),
             partitionCols.getOrElse(part, Seq.empty))
-          prevParts += part -> Vector(SegMeta(seg, None, None))
+          prevParts += part -> Vector(SegMeta(seg, None, None, Some(nb)))
         }
       }
+    }
+    // a tombstone append needs a manifest-resolvable base part — either
+    // already committed (or just migrated) or arriving in this commit
+    appendDeltas.map(_._1).filter(_.endsWith("__tomb")).foreach { t =>
+      val base = t.stripSuffix("__tomb")
+      require(prevParts.contains(base) || touched.contains(base),
+        s"$t: tombstones against '$base' but that part has no manifest " +
+          s"entry under $statePath — readers would never apply them; " +
+          "commit (or migrate) the base part first")
     }
     // one aggregate per delta: its [min, max] id range (guarded parts —
     // used for the monotone check now and committed for later metadata
@@ -531,8 +590,9 @@ object IncrementalAgg {
     val deltaRanges = deltaStats.view.mapValues(_._1).toMap
     appendDeltas.foreach { case (part, delta) =>
       // monotone-id guard (data parts) — skipped for replace commits,
-      // whose segment is the resolved prior state itself
-      if (!replaceParts.contains(part))
+      // whose segment is the resolved prior state itself, and for partial
+      // folds, whose segment is the folded suffix of committed segments
+      if (!replaceParts.contains(part) && !keepPrefix.contains(part))
         idCols.get(part).foreach { idCol =>
           prevParts.get(part).filter(_.nonEmpty).foreach { segs =>
             val committedMax = segs.last.range.map(_._2).orElse {
@@ -571,21 +631,25 @@ object IncrementalAgg {
       }
     }
     val segName = s"s$batchId"
-    appendDeltas.foreach { case (part, delta) =>
-      writeSegment(spark, statePath, part, segName, delta,
+    val segBytes: Map[String, Long] = appendDeltas.map { case (part, delta) =>
+      part -> writeSegment(spark, statePath, part, segName, delta,
         partitionCols.getOrElse(part, Seq.empty))
-    }
+    }.toMap
     val appendNames = appendDeltas.map(_._1)
     val allParts =
       (prevParts.keys ++ appendNames ++ replaceParts).toSeq.distinct.sorted
     val manifest = allParts.map { part =>
       val priorSegs =
         if (replaceParts.contains(part)) Vector.empty[SegMeta]
-        else prevParts.getOrElse(part, Vector.empty)
+        else keepPrefix.get(part) match {
+          case Some(k) => prevParts.getOrElse(part, Vector.empty).take(k)
+          case None => prevParts.getOrElse(part, Vector.empty)
+        }
       part -> (if (appendNames.contains(part))
                  priorSegs :+ SegMeta(segName,
                    deltaRanges.getOrElse(part, None),
-                   deltaStats.get(part).map(_._2))
+                   deltaStats.get(part).map(_._2),
+                   segBytes.get(part))
                else priorSegs)
     }
     val tmp = s"$statePath/.tmp-$batchId"
@@ -614,6 +678,7 @@ object IncrementalAgg {
     }
     fs.mkdirs(tmpPath)
     writeManifest(fs, tmp, manifest, idCols)
+    requireNoVersionDrift(spark, statePath, prev)
     val dest = new org.apache.hadoop.fs.Path(s"$statePath/v$batchId")
     if (fs.exists(dest)) fs.delete(dest, true)
     if (!fs.rename(tmpPath, dest))
@@ -699,6 +764,38 @@ object IncrementalAgg {
       if (data <= 0L) 0.0 else tomb.toDouble / data
     }.getOrElse(0.0)
 
+  private def manifestOf(
+      spark: SparkSession, statePath: String): Option[Manifest] =
+    latestVersion(spark, statePath).flatMap(v =>
+      readManifest(spark, s"$statePath/v$v"))
+
+  /** Committed tombstone-key rows against `part` — manifest metadata
+    * only. The ABSOLUTE twin of [[tombstoneFraction]]: a fraction alone
+    * never fires on a huge part (10⁶ tombstones against 10¹⁰ rows is
+    * 0.01% — but past the broadcast ceiling every read pays a shuffled
+    * anti-join), so schedulers bound the absolute backlog too. */
+  def tombstoneRows(
+      spark: SparkSession, statePath: String, part: String): Long =
+    manifestOf(spark, statePath).map(
+      _.parts.getOrElse(tombstonePart(part), Vector.empty)
+        .flatMap(_.rows).sum).getOrElse(0L)
+
+  /** Committed tombstone bytes against `part` — manifest metadata only
+    * (segments predating byte bookkeeping count 0; compact once to
+    * refresh). */
+  def tombstoneBytes(
+      spark: SparkSession, statePath: String, part: String): Long =
+    manifestOf(spark, statePath).map(
+      _.parts.getOrElse(tombstonePart(part), Vector.empty)
+        .flatMap(_.bytes).sum).getOrElse(0L)
+
+  /** Live committed segment count of `part` (manifest metadata only) —
+    * the small-file pressure gauge for pure-append streams. */
+  def segmentCount(
+      spark: SparkSession, statePath: String, part: String): Int =
+    manifestOf(spark, statePath).map(
+      _.parts.getOrElse(part, Vector.empty).length).getOrElse(0)
+
   /** Version-exact query-RESULT cache over an arbitrary batch `serve` —
     * the serving-layer economics shared by every index tier (head
     * queries repeat, and a repeated query's result is fully determined
@@ -718,24 +815,48 @@ object IncrementalAgg {
     * call, the layout's single-writer contract. A miss batch's result is
     * checkpointed (its union's cache leg binds the pre-append version
     * the commit just pruned). */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The salt tuple's driver-side digest: each field md5'd FIRST (fixed
+    * 32-hex-char slots — injection-proof: no field value can alias a
+    * different (text, salt...) tuple through a separator, however
+    * adversarial the strings), then the concatenation md5'd once. Stored
+    * per entry as `__salt`, which is what makes eviction possible: an
+    * entry whose committed `__salt` differs from the live one can never
+    * hit again (the query digest embeds the same value). */
+  private def saltHex(digestSalt: Seq[String]): String =
+    md5Hex(digestSalt.map(md5Hex).mkString)
+
   def cachedServe(
       spark: SparkSession, cachePath: String, queries: DataFrame,
       queryIdCol: String, queryTextCol: String, digestSalt: Seq[String],
       serve: DataFrame => DataFrame): DataFrame = {
+    val salt = saltHex(digestSalt)
     // the digest map stays LAZY (batch-sized narrow maps — cheap to
-    // recompute), so the all-hit result can be returned lazily too
+    // recompute), so the all-hit result can be returned lazily too.
+    // Digest = md5(md5(text) ++ salt digest): every field enters through
+    // a fixed-width md5 slot, so no text or salt value can collide with
+    // a different tuple by embedding a separator. coalesce before
+    // hashing: a NULL text must not digest like "".
     val qd = queries.select(col(queryIdCol).as("query_id"),
         col(queryTextCol).as("__qtext"))
-      // coalesce before concat_ws: a NULL text must not digest like ""
-      .withColumn("__qd", md5(concat_ws("|",
-        coalesce(col("__qtext"), lit("<null>")) +:
-          digestSalt.map(lit): _*)))
+      .withColumn("__qd", md5(concat(
+        md5(coalesce(col("__qtext"), lit("<null>"))), lit(salt))))
     val cachedOpt = latestVersion(spark, cachePath)
       .map(_ => readState(spark, cachePath))
+    cachedOpt.foreach { cached =>
+      if (!cached.columns.contains("__salt"))
+        throw new IllegalStateException(
+          s"result cache at $cachePath predates salt tracking (no " +
+            "'__salt' column) — reset the cache dir (it is a disposable " +
+            "result cache; the next serve repopulates it)")
+    }
     val (hits, missQs) = cachedOpt match {
       case Some(cached) =>
-        val resultCols =
-          col("query_id") +: cached.columns.toSeq.filter(_ != "__qd").map(col)
+        val resultCols = col("query_id") +:
+          cached.columns.toSeq.filterNot(Set("__qd", "__salt")).map(col)
         (Some(qd.join(cached, Seq("__qd")).select(resultCols: _*)),
           qd.join(cached.select(col("__qd")).distinct(),
             Seq("__qd"), "left_anti"))
@@ -752,7 +873,8 @@ object IncrementalAgg {
         val entries = missR.join(
             broadcast(missQs.select(col("query_id"), col("__qd"))),
             Seq("query_id"))
-          .select(col("__qd") +: entryCols.map(col): _*)
+          .select(col("__qd") +: lit(salt).as("__salt") +:
+            entryCols.map(col): _*)
           .distinct()
         appendOnceWithParts(spark, cachePath,
           latestVersion(spark, cachePath).getOrElse(-1L) + 1L,
@@ -767,21 +889,125 @@ object IncrementalAgg {
       hits.getOrElse(serveMisses())
   }
 
+  /** Cache EVICTION for [[cachedServe]]: entries whose committed
+    * `__salt` differs from the live salt can never hit again (the query
+    * digest embeds the salt), so they are pure dead weight — one commit
+    * replaces the rows part with only the live-salt entries, folded into
+    * a single segment with any tombstones cleared. O(live cache) — the
+    * cache is (head-query count × k) rows by construction, trivially
+    * small next to the state it fronts. Returns the retained row count. */
+  def pruneCachedServe(
+      spark: SparkSession, cachePath: String, digestSalt: Seq[String],
+      batchId: Long): Long = {
+    require(latestVersion(spark, cachePath).nonEmpty,
+      s"pruneCachedServe: no committed cache under $cachePath")
+    val cached = readState(spark, cachePath)
+    if (!cached.columns.contains("__salt"))
+      throw new IllegalStateException(
+        s"result cache at $cachePath predates salt tracking — reset the " +
+          "cache dir instead of pruning it")
+    val live = cached.filter(col("__salt") === lit(saltHex(digestSalt)))
+      .localCheckpoint(true)
+    try {
+      appendOnceWithParts(spark, cachePath, batchId,
+        appendDeltas = Seq(RowsPart -> live),
+        replaceParts = Set(RowsPart, tombstonePart(RowsPart)))
+      live.count()
+    } finally graft.operators.Dedup.release(live)
+  }
+
+  /** [[pruneCachedServe]] on the amortized SCHEDULE: prune iff the cache
+    * has accumulated more than `maxSegments` live segments (one manifest
+    * read — each miss batch commits one segment, so this fires every
+    * ~`maxSegments` miss batches and each maintenance pass also evicts
+    * every stale-salt entry). Returns whether a prune committed. */
+  def maintainCachedServe(
+      spark: SparkSession, cachePath: String, digestSalt: Seq[String],
+      batchId: Long, maxSegments: Int = 8): Boolean = {
+    require(maxSegments >= 1, "maxSegments must be at least 1")
+    val due = latestVersion(spark, cachePath).nonEmpty &&
+      segmentCount(spark, cachePath, RowsPart) > maxSegments
+    if (due) pruneCachedServe(spark, cachePath, digestSalt, batchId)
+    due
+  }
+
   /** The amortized compaction SCHEDULE: fold `parts`' tombstones iff any
-    * listed part's [[tombstoneFraction]] exceeds `maxFraction` — one
-    * manifest read decides, so calling this after every retraction batch
-    * is free until the fold is actually due. Returns whether a
-    * compaction committed. */
+    * listed part trips a trigger — relative ([[tombstoneFraction]] >
+    * `maxFraction`) or ABSOLUTE ([[tombstoneRows]] > `maxTombRows`,
+    * [[tombstoneBytes]] > `maxTombBytes`). The absolutes are the
+    * 100 TB teeth: on a huge part the fraction alone never fires while
+    * the tombstone set quietly grows past the broadcast ceiling and
+    * every read pays a shuffled anti-join — bound the backlog
+    * absolutely and the read path stays broadcast-cheap. All three
+    * checks are one manifest read, so calling this after every
+    * retraction batch is free until the fold is actually due. Returns
+    * whether a compaction committed. */
   def compactWhenDue(
       spark: SparkSession, statePath: String, batchId: Long,
       parts: Seq[String], maxFraction: Double,
-      partitionCols: Map[String, Seq[String]] = Map.empty): Boolean = {
+      partitionCols: Map[String, Seq[String]] = Map.empty,
+      maxTombRows: Long = Long.MaxValue,
+      maxTombBytes: Long = Long.MaxValue): Boolean = {
     require(maxFraction > 0.0, s"maxFraction must be positive")
+    require(maxTombRows > 0L && maxTombBytes > 0L,
+      "absolute triggers must be positive")
     val due = parts.exists(p =>
-      tombstoneFraction(spark, statePath, p) > maxFraction)
+      tombstoneFraction(spark, statePath, p) > maxFraction ||
+        tombstoneRows(spark, statePath, p) > maxTombRows ||
+        tombstoneBytes(spark, statePath, p) > maxTombBytes)
     if (due) compactOnceWithParts(spark, statePath, batchId, parts,
       partitionCols)
     due
+  }
+
+  /** Segment-COUNT compaction for long-running pure-append streams: a
+    * state that commits one segment per micro-batch forever accumulates
+    * an unbounded manifest and small-file pressure (the
+    * Sinks.compactionPlan problem at segment granularity). When a listed
+    * part's live segment count exceeds `maxSegments`, fold the longest
+    * SUFFIX of small segments (committed rows ≤ `smallRows`; unknown
+    * counts fold too) into ONE new segment via the `keepPrefix` commit —
+    * earlier large folded segments are never re-read, so each row is
+    * rewritten O(log) times over the stream's life, not once per fold
+    * (the LSM two-tier economics). Suffix-only folding preserves append
+    * order, so the monotone-id guard and ranged reads survive: the folded
+    * segment's committed [min,max] spans exactly its inputs'. Tombstones
+    * are NOT applied or cleared here (reads keep applying them; that
+    * reclamation is [[compactWhenDue]]'s job) — this fold is pure file
+    * layout, read-invisible by construction. When the part is over
+    * budget but no ≥2-segment small suffix exists (all-large segments),
+    * the whole part folds. One manifest read decides; returns whether a
+    * compaction committed. */
+  def compactSegmentsWhenDue(
+      spark: SparkSession, statePath: String, batchId: Long,
+      parts: Seq[String], maxSegments: Int,
+      smallRows: Long = Long.MaxValue,
+      partitionCols: Map[String, Seq[String]] = Map.empty): Boolean = {
+    require(maxSegments >= 1, "maxSegments must be at least 1")
+    val m = manifestOf(spark, statePath).getOrElse(
+      throw new IllegalStateException(
+        s"compactSegmentsWhenDue: $statePath is not a segment-manifest " +
+          "state"))
+    // every part folds in ONE commit (atomic across parts, one version)
+    val folds: Seq[(String, Int)] = parts.flatMap { part =>
+      val segs = m.parts.getOrElse(part, Vector.empty)
+      if (segs.length <= maxSegments) None
+      else {
+        // keep [0, k): everything up to the last segment KNOWN large
+        val k = segs.lastIndexWhere(_.rows.exists(_ > smallRows)) + 1
+        // a suffix of 0-1 segments folds nothing — fold the whole part
+        Some(part -> (if (segs.length - k >= 2) k else 0))
+      }
+    }
+    if (folds.nonEmpty)
+      appendOnceWithParts(spark, statePath, batchId,
+        appendDeltas = folds.map { case (part, k) =>
+          val names = m.parts(part).drop(k).map(_.name)
+          part -> readSegments(spark, statePath, part, names)
+        },
+        partitionCols = partitionCols,
+        keepPrefix = folds.toMap)
+    folds.nonEmpty
   }
 
   /** The single non-tombstone part of a segment-manifest state, if the
@@ -839,10 +1065,26 @@ object IncrementalAgg {
       case Some(tsegs) =>
         val tomb = readSegments(spark, statePath, tname,
           tsegs.map(_.name)).distinct()
-        df.join(broadcast(tomb), tomb.columns.toSeq, "left_anti")
+        // broadcast only when the committed tombstone row counts prove the
+        // delete set small — a takedown backlog past the threshold (or any
+        // segment predating row counts) anti-joins by shuffle instead of
+        // shipping an executor-memory-sized build side to every task
+        val counts = tsegs.flatMap(_.rows)
+        val small = counts.length == tsegs.length &&
+          counts.sum <= TombBroadcastMaxRows
+        df.join(if (small) broadcast(tomb) else tomb,
+          tomb.columns.toSeq, "left_anti")
       case None => df
     }
   }
+
+  /** Ceiling on committed tombstone rows the read path will still
+    * broadcast-anti-join: ~2M keys ≈ tens of MB per executor, safely
+    * under broadcast limits; beyond it (or when a segment predates row
+    * counts) the anti-join falls back to a shuffle — and
+    * [[compactWhenDue]]'s absolute triggers should have folded long
+    * before. */
+  private val TombBroadcastMaxRows = 2000000L
 
   /** Read one named part of the latest committed multi-part snapshot.
     * Segment-manifest parts resolve manifest → one partition-pruned scan,

@@ -1474,6 +1474,28 @@ object Similarity {
         mq, "query_id", "__qtext", k, nProbe, buckets))
   }
 
+  /** Cache maintenance for [[chunkRetrieveFromIvfStateCached]]'s result
+    * cache — the dense twin of
+    * [[graft.operators.Bm25Index.maintainQueryCache]]: evict entries
+    * salted with superseded index versions (takedowns churn versions
+    * under this cache — e40's regime) and fold the per-batch segments,
+    * once more than `maxSegments` have accumulated. Returns whether a
+    * prune committed. */
+  def maintainChunkQueryCache(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      cachePath: String, k: Int, nProbe: Int, buckets: Int = 64,
+      maxSegments: Int = 8): Boolean = {
+    val version = graft.operators.IncrementalAgg
+      .latestVersion(spark, statePath).getOrElse(
+        throw new IllegalStateException(
+          s"maintainChunkQueryCache: no committed index under $statePath"))
+    graft.operators.IncrementalAgg.maintainCachedServe(spark, cachePath,
+      Seq(version.toString, k.toString, nProbe.toString, buckets.toString),
+      graft.operators.IncrementalAgg.latestVersion(spark, cachePath)
+        .getOrElse(-1L) + 1L,
+      maxSegments)
+  }
+
   /** Recall-vs-nProbe OPERATING CURVE for the chunk IVF tier —
     * [[ivfRecallCurve]]'s construction over the chunk index: recall@k of
     * the cell-pruned serve against the exact brute-force ranking from

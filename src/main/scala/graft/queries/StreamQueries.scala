@@ -237,8 +237,19 @@ object StreamQueries {
         .option("checkpointLocation", ckpt.toString)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // versions 2b (extend) / 2b+1 (maintenance) keep both commits
+          // monotone and replay-safe (a replayed batch no-ops on both)
           graft.operators.Bm25Index.extendIndex(s, state, batch,
-            Seq("doc_id", "chunk_id"), "chunk_text", batchId)
+            Seq("doc_id", "chunk_id"), "chunk_text", 2 * batchId)
+          // segment-count maintenance wired where a production ingest
+          // runs it: after every extend. The 1-segment budget is
+          // deliberately tight so the gate exercises an actual mid-stream
+          // fold (production would run 16+); folds are read-invisible, so
+          // s26/s27's maintained ≡ rebuild oracles gate the interleaved
+          // extend/compact/extend sequence end to end.
+          graft.operators.Bm25Index.compactIndexSegmentsWhenDue(s, state,
+            2 * batchId + 1, maxSegments = 1)
+          ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -403,6 +414,14 @@ object StreamQueries {
           Bm25Index.bm25TopKBatchCached(s, state, cache, batch,
               Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
             .write.mode("overwrite").parquet(s"$out/b$batchId")
+          // cache maintenance wired where a serving loop runs it: after
+          // every batch. The 1-segment budget deliberately forces a
+          // mid-stream prune+fold (production would use 8+); maintenance
+          // is read-invisible for live entries, so s32's served ≡
+          // recompute oracle gates the maintained cache end to end.
+          Bm25Index.maintainQueryCache(s, state, cache, k = 10,
+            maxSegments = 1)
+          ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -450,8 +469,21 @@ object StreamQueries {
         .option("checkpointLocation", ckpt.toString)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // versions 2b+1 (retract) / 2b+2 (maintenance): monotone and
+          // replay-safe, batch 0's retraction still lands above the
+          // batch-0 full build's version 0
           Bm25Index.retractFromIndex(s, state, batch,
-            Seq("doc_id", "chunk_id"), batchId + 1L)
+            Seq("doc_id", "chunk_id"), 2 * batchId + 1L)
+          // the amortized tombstone fold wired where a production
+          // takedown pipeline runs it: after every retraction batch, with
+          // BOTH the fraction trigger and an absolute row bound (the
+          // 100 TB posture — a huge index never trips a fraction, but the
+          // backlog must stay under the broadcast anti-join ceiling).
+          // One manifest read decides; read-invisible when it fires, so
+          // s29's serve ≡ recompute oracle gates it either way.
+          Bm25Index.compactIndexWhenDue(s, state, 2 * batchId + 2L,
+            maxFraction = 0.2, maxTombRows = 2000000L)
+          ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()

@@ -286,6 +286,91 @@ object TextQueries {
       dir
     })
 
+  // e41: cache maintenance under index churn — a SEPARATE index (its
+  // version history must differ from e30/e39's shared artifact) extended
+  // in two id-range batches with the result cache populated under EACH
+  // committed version; maintenance then evicts the first version's
+  // now-unreachable entries and folds the per-batch cache segments
+  private val bm25MaintCaches =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** The e41 artifact pair (index state, MAINTAINED cache): extend half
+    * the chunk corpus (batch 0), serve the query batch cached (populates
+    * v0-salted entries), extend the rest (batch 1 — every digest
+    * changes), serve again (repopulates under the final version), then
+    * [[graft.operators.Bm25Index.maintainQueryCache]] prunes: stale-salt
+    * entries evicted, segments folded to one. Committed once per (JVM,
+    * sf dir). */
+  private def bm25MaintCacheFor(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String) =
+    bm25MaintCaches.computeIfAbsent(d, _ => {
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val chunks = graft.operators.Packing
+        .chunkTokens(corpus, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      val cut = corpus.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val state = new java.io.File(indexTmpDir("bm25m"), "state").toString
+      val cache = new java.io.File(indexTmpDir("bm25mqc"), "cache").toString
+      def serve(): Unit = {
+        graft.operators.Bm25Index.bm25TopKBatchCached(s, state, cache,
+          queries, Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+          .count(); ()
+      }
+      graft.operators.Bm25Index.extendIndex(s, state,
+        chunks.filter(col("doc_id") <= cut),
+        Seq("doc_id", "chunk_id"), "chunk_text", batchId = 0L)
+      serve() // v0-salted entries — all stale after the next extend
+      graft.operators.Bm25Index.extendIndex(s, state,
+        chunks.filter(col("doc_id") > cut),
+        Seq("doc_id", "chunk_id"), "chunk_text", batchId = 1L)
+      serve() // repopulates under the final committed version
+      require(graft.operators.Bm25Index.maintainQueryCache(s, state, cache,
+        k = 10, maxSegments = 1), "e41 setup: maintenance must fire")
+      (state, cache)
+    })
+
+  // e42: segment-count maintenance on a long-running ingest — the index
+  // built in FOUR id-range extends with the small-suffix fold
+  // interleaved, so the committed layout is the maintained one, not the
+  // one-shot build's
+  private val bm25SegMaintIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The e42 segment-maintained index: four monotone id-range extend
+    * batches with
+    * [[graft.operators.Bm25Index.compactIndexSegmentsWhenDue]] called
+    * after each (budget 2 — tight enough that folds actually fire
+    * mid-ingest). Folds are pure file layout, so serving from this state
+    * must equal the one-shot rebuild bit-for-bit. Committed once per
+    * (JVM, sf dir). */
+  private def bm25SegMaintFor(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    bm25SegMaintIndexes.computeIfAbsent(d, _ => {
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val chunks = graft.operators.Packing
+        .chunkTokens(corpus, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val m = corpus.agg(max(col("doc_id"))).head.getLong(0)
+      val cuts = Seq(Long.MinValue, m / 4, m / 2, 3 * m / 4, Long.MaxValue)
+      val state = new java.io.File(indexTmpDir("bm25sg"), "state").toString
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        graft.operators.Bm25Index.extendIndex(s, state,
+          chunks.filter(col("doc_id") > lo && col("doc_id") <= hi),
+          Seq("doc_id", "chunk_id"), "chunk_text", batchId = 2L * i)
+        graft.operators.Bm25Index.compactIndexSegmentsWhenDue(s, state,
+          batchId = 2L * i + 1, maxSegments = 2)
+        ()
+      }
+      state
+    })
+
   // d51/s19 shared quality model, memoized per (JVM, sf dir): the batch
   // gate and the streaming router must score with the SAME trained
   // weights (float GD weights are partition-order sensitive, so sharing
@@ -1697,6 +1782,52 @@ object TextQueries {
       serve()
         .select(col("query_id"), col("rank"), col("doc_id"),
           col("chunk_id"), col("cos_q"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- e41: cache MAINTENANCE under index churn — the lifecycle step
+    //     that closes the result-cache design: the index extends (every
+    //     digest changes — the prior version's entries can never hit
+    //     again), the cache repopulates under the new version, and
+    //     maintenance EVICTS the stale-salt entries while folding the
+    //     per-batch cache segments into one. Maintenance must be
+    //     read-invisible for live entries: the final serve resolves
+    //     all-hits from the PRUNED cache, and its output must equal the
+    //     from-scratch recompute over the full corpus — the oracle is
+    //     e30's SQL verbatim; an entry evicted too eagerly (re-serve
+    //     against the right index: same bytes) or kept stale (served
+    //     against the OLD index: wrong scores) flips the hash. ---------
+    "e41_bm25_cache_pruned" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val (state, cache) = bm25MaintCacheFor(s, d)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Bm25Index.bm25TopKBatchCached(s, state, cache,
+          queries, Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("chunk_id"), col("bm25_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- e42: SEGMENT-COUNT maintenance on a long-running ingest — the
+    //     index built in four monotone id-range extends with the
+    //     small-suffix fold interleaved (budget 2, so folds fire
+    //     mid-ingest). A fold is pure file layout — append order, the
+    //     monotone guard, and every committed row survive — so serving
+    //     from the maintained state must equal the one-shot rebuild:
+    //     the oracle is e30's SQL verbatim; a row lost, duplicated, or
+    //     reordered across a fold flips the exact fixed-point scores. --
+    "e42_bm25_segments_folded" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Bm25Index.bm25TopKBatchFromIndex(s,
+          bm25SegMaintFor(s, d), queries,
+          Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("chunk_id"), col("bm25_fp"))
         .orderBy("query_id", "rank")
     }),
 
@@ -6482,6 +6613,13 @@ object TextQueries {
     // e39 serves from the query-result cache — caching must be
     // output-invisible, so the oracle is e30's from-scratch SQL verbatim
     "e39_bm25_cached" -> oracleBase("e30_bm25_index_served"),
+    // e41 serves all-hits from the MAINTAINED (pruned + folded) cache
+    // whose index saw two extends — the final state indexes the full
+    // corpus, so the oracle is e30's from-scratch SQL verbatim
+    "e41_bm25_cache_pruned" -> oracleBase("e30_bm25_index_served"),
+    // e42 serves from the segment-maintained index over the full corpus —
+    // folds are read-invisible, so e30's SQL verbatim again
+    "e42_bm25_segments_folded" -> oracleBase("e30_bm25_index_served"),
     // e40: the dense cache over the RETRACTED state at exhaustive probes
     // ≡ the exact chunk retrieval over the surviving corpus — e26's SQL
     // with the retraction filter spliced
