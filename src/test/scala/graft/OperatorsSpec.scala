@@ -3300,6 +3300,55 @@ class OperatorsSpec extends SparkTestBase {
       "reliable mode must write durable checkpoint files")
   }
 
+  test("pageRankFixedPoint: exact convergence stop; checkpoint hygiene; session dir restored") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (3L, 2L),
+      (4L, 1L)).toDF("src", "dst")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the integer iteration reaches an exact fixed point on this graph
+    val c30 = ranks(Graph.pageRankFixedPoint(edges, "src", "dst", 30))
+    assert(c30 == ranks(Graph.pageRankFixedPoint(edges, "src", "dst", 31)),
+      "prerequisite: iteration must reach an exact integer fixed point")
+    // the convergence stop returns the fixed point from a larger budget —
+    // identical vector, early exit (exit point pinned via the snapshot
+    // layout below)
+    assert(ranks(Graph.pageRankFixedPoint(edges, "src", "dst", 60,
+      tolFp = Some(1L))) == c30)
+    // warm start from the converged vector + tolFp exits after ONE
+    // iteration: observable through the reliable-checkpoint layout
+    val prior = Graph.pageRankFixedPoint(edges, "src", "dst", 30)
+      .localCheckpoint(true)
+    val savedDir = spark.sparkContext.getCheckpointDir
+    val ck1 = java.nio.file.Files.createTempDirectory("prhyg1").toString
+    val warm = Graph.pageRankFixedPoint(edges, "src", "dst", 50,
+      initRanks = Some(prior), tolFp = Some(1L),
+      checkpointDir = Some(ck1))
+    assert(ranks(warm) == c30,
+      "a converged warm start must return the fixed point unchanged")
+    assert(spark.sparkContext.getCheckpointDir == savedDir,
+      "the session's checkpoint dir must be restored — the global " +
+        "setting must not leak to concurrent jobs")
+    val priv1 = new java.io.File(ck1).listFiles()
+      .filter(_.getName.startsWith("pr-"))
+    assert(priv1.length == 1, "one private subdir per invocation")
+    assert(priv1.head.listFiles().map(_.getName).sorted.toSeq == Seq("it1"),
+      "a converged warm start must exit at iteration 1, keeping only " +
+        "that snapshot (base + intermediates deleted)")
+    // the returned vector stays collectable from the surviving snapshot
+    assert(ranks(warm) == c30)
+    // fixed-budget hygiene: k iterations keep exactly the k-th snapshot —
+    // a 50-iteration production run holds ONE vector of disk, not fifty
+    val ck2 = java.nio.file.Files.createTempDirectory("prhyg2").toString
+    Graph.pageRankFixedPoint(edges, "src", "dst", 3,
+      checkpointDir = Some(ck2)).count()
+    val priv2 = new java.io.File(ck2).listFiles()
+      .filter(_.getName.startsWith("pr-")).head
+    assert(priv2.listFiles().map(_.getName).sorted.toSeq == Seq("it3"),
+      "intermediate iteration snapshots must be deleted as soon as the " +
+        "next vector is durable")
+  }
+
   test("marginMinePairs: unique pair mines, duplicated cluster has no margin, exact fp") {
     graft.functions.GraftFunctions.register(spark)
     val ex = Array(1f, 0f, 0f, 0f)

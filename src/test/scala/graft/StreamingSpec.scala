@@ -1286,4 +1286,240 @@ class StreamingSpec extends SparkTestBase {
       Seq(("a", 1L), ("a", 5L), ("b", 2L), ("c", 3L), ("d", 4L)),
       s"relaunch must land exactly the new files once: ${afterSecond.toSeq}")
   }
+
+  test("legacy-index takedown: retractFromIndex migrates the base parts so tombstones actually apply") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Bm25Index
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry fig"),
+      (3L, "apple cherry")).toDF("doc_id", "text")
+    // build a real index, then RECONSTRUCT it in the pre-manifest rewrite
+    // layout: all four parts as plain parquet dirs under v0, no manifest
+    val dir = java.nio.file.Files.createTempDirectory("bm25legacytomb")
+    val modern = dir.resolve("modern").toString
+    Bm25Index.extendIndex(spark, modern, docs, Seq("doc_id"), "text", 0L)
+    val legacy = dir.resolve("legacy").toString
+    for (part <- Seq(Bm25Index.PostingsPart, Bm25Index.TermsPart,
+        Bm25Index.StatsPart, Bm25Index.ItemsPart))
+      IncrementalAgg.readStatePart(spark, modern, part)
+        .write.parquet(s"$legacy/v0/$part")
+    def serve(state: String) =
+      Bm25Index.bm25TopKBatchFromIndex(spark, state,
+          Seq((100L, "apple cherry")).toDF("qid", "qtext"),
+          Seq("doc_id"), "qid", "qtext", k = 3)
+        .collect().map(_.toString).sorted.toSeq
+    assert(serve(legacy) == serve(modern),
+      "the reconstructed legacy layout must serve identically before any " +
+        "maintenance")
+    // the takedown against the LEGACY layout: the commit must migrate the
+    // base postings/items parts into the manifest alongside the tombstone
+    // parts — without that the tombstones silently never apply (the
+    // r18-advice hazard: doc 1 still served while df/stats already
+    // subtracted)
+    Bm25Index.retractFromIndex(spark, legacy, Seq(1L).toDF("doc_id"),
+      Seq("doc_id"), batchId = 1L)
+    val survivors = dir.resolve("survivors").toString
+    Bm25Index.extendIndex(spark, survivors, docs.filter(col("doc_id") =!= 1L),
+      Seq("doc_id"), "text", 0L)
+    assert(serve(legacy) == serve(survivors),
+      "takedown on a legacy index must equal the rebuild on survivors — " +
+        "tombstones must apply through the migrated manifest (the " +
+        "survivors index never indexed doc 1, so equality implies the " +
+        "deleted doc is not served)")
+    // and the migrated index keeps working: extend + serve again
+    Bm25Index.extendIndex(spark, legacy,
+      Seq((9L, "apple fig")).toDF("doc_id", "text"), Seq("doc_id"),
+      "text", 2L)
+    Bm25Index.extendIndex(spark, survivors,
+      Seq((9L, "apple fig")).toDF("doc_id", "text"), Seq("doc_id"),
+      "text", 1L)
+    assert(serve(legacy) == serve(survivors))
+  }
+
+  test("partial legacy migration: a later first append to a carried-forward part keeps its prior rows") {
+    val dir = java.nio.file.Files.createTempDirectory("legacypartial")
+    val state = dir.resolve("state").toString
+    // legacy layout: TWO data parts as plain version-dir parquet (no
+    // manifest)
+    Seq((1L, "a1"), (2L, "a2")).toDF("id", "p").write.parquet(s"$state/v0/a")
+    Seq((10L, "b1")).toDF("id", "p").write.parquet(s"$state/v0/b")
+    // first manifest commit touches ONLY part a: b survives as a
+    // carried-forward version-dir copy
+    IncrementalAgg.appendOnceWithParts(spark, state, 1L,
+      appendDeltas = Seq("a" -> Seq((3L, "a3")).toDF("id", "p")),
+      guardIdCols = Map("a" -> "id", "b" -> "id"))
+    def ids(part: String) = IncrementalAgg.readStatePart(spark, state, part)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids("a") == Seq(1L, 2L, 3L) && ids("b") == Seq(10L))
+    // the hazard commit (r18 advice): part b gains its FIRST manifest
+    // entry while its prior rows still live as the carried-forward dir —
+    // the commit must migrate them, not strand them outside the manifest
+    IncrementalAgg.appendOnceWithParts(spark, state, 2L,
+      appendDeltas = Seq("b" -> Seq((11L, "b2")).toDF("id", "p")))
+    assert(ids("b") == Seq(10L, 11L),
+      "a part's first manifest entry must not lose its carried-forward " +
+        "legacy rows")
+    assert(ids("a") == Seq(1L, 2L, 3L))
+    // tombstones against the migrated parts resolve through the manifest
+    IncrementalAgg.appendOnceWithParts(spark, state, 3L,
+      appendDeltas = Seq(
+        IncrementalAgg.tombstonePart("b") -> Seq(10L).toDF("id")))
+    assert(ids("b") == Seq(11L) && ids("a") == Seq(1L, 2L, 3L))
+  }
+
+  test("single-writer contract: a version committed mid-commit raises instead of clobbering") {
+    val dir = java.nio.file.Files.createTempDirectory("drift")
+    val state = dir.resolve("state").toString
+    IncrementalAgg.appendOnce(spark, state,
+      Seq((1L, "a")).toDF("id", "p"), 0L, "id")
+    // the competing writer fires from INSIDE the in-flight commit: the
+    // delta's first evaluation (the commit's own delta-stats aggregate)
+    // drops a committed version the protocol did not read at entry
+    val rival = udf { (x: Long) =>
+      new java.io.File(s"$state/v3").mkdirs(); x
+    }.asNondeterministic()
+    val delta = spark.range(1)
+      .select(rival(col("id") + 100L).as("id"), lit("x").as("p"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      IncrementalAgg.appendOnce(spark, state, delta, 5L, "id")
+    }
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
+    // the refused commit left no version; the rival's (empty) v3 is the
+    // latest — state hygiene: committed data still readable via v0's
+    // manifest? No: v3 has no manifest, so readState falls back to the
+    // raw dir read of an EMPTY version. Clean up the fake and the
+    // original state is intact — nothing was clobbered.
+    assert(new java.io.File(s"$state/v3").delete())
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("absolute tombstone triggers: row/byte bounds fire where the fraction cannot; reads invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("abstrig")
+    val state = dir.resolve("state").toString
+    IncrementalAgg.appendOnce(spark, state,
+      (1L to 200L).map(i => (i, s"p$i")).toDF("id", "p"), 0L, "id")
+    IncrementalAgg.retractRows(spark, state, Seq(7L, 8L).toDF("id"), 1L)
+    val part = IncrementalAgg.RowsPart
+    assert(IncrementalAgg.tombstoneRows(spark, state, part) == 2L)
+    assert(IncrementalAgg.tombstoneBytes(spark, state, part) > 0L)
+    val before = IncrementalAgg.readState(spark, state)
+      .collect().map(_.toString).sorted.toSeq
+    // fraction 2/200 = 1% — a lenient fraction alone never fires ...
+    assert(!IncrementalAgg.compactWhenDue(spark, state, 2L, Seq(part),
+      maxFraction = 0.5))
+    // ... but the absolute row bound does (the 100 TB regime: tiny
+    // fraction, backlog past the broadcast ceiling)
+    assert(IncrementalAgg.compactWhenDue(spark, state, 3L, Seq(part),
+      maxFraction = 0.5, maxTombRows = 1L))
+    assert(IncrementalAgg.tombstoneRows(spark, state, part) == 0L)
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.toString).sorted.toSeq == before,
+      "an absolute-trigger fold must stay read-invisible")
+    // byte trigger: same machinery, byte-denominated
+    IncrementalAgg.retractRows(spark, state, Seq(9L).toDF("id"), 4L)
+    assert(IncrementalAgg.compactWhenDue(spark, state, 5L, Seq(part),
+      maxFraction = 0.5, maxTombBytes = 1L))
+    assert(IncrementalAgg.tombstoneBytes(spark, state, part) == 0L)
+  }
+
+  test("segment-count compaction: bounded manifest over a long append stream; folds read-invisible; tiering never rewrites large folds") {
+    val dir = java.nio.file.Files.createTempDirectory("segfold")
+    val state = dir.resolve("state").toString
+    val part = IncrementalAgg.RowsPart
+    var expect = Vector.empty[Long]
+    var batch = 0L
+    def appendBlock(ids: Range): Unit = {
+      IncrementalAgg.appendOnce(spark, state,
+        ids.map(i => (i.toLong, s"p$i")).toDF("id", "p"), batch, "id")
+      batch += 1
+      expect ++= ids.map(_.toLong)
+      // maintenance wired the production way: after every commit
+      IncrementalAgg.compactSegmentsWhenDue(spark, state, batch,
+        Seq(part), maxSegments = 4, smallRows = 50L)
+      batch += 1
+    }
+    for (b <- 0 until 12) appendBlock((b * 10 + 1) to (b * 10 + 10))
+    // bounded: never more than maxSegments + 1 segments committed
+    assert(IncrementalAgg.segmentCount(spark, state, part) <= 5,
+      s"manifest must stay bounded, got " +
+        s"${IncrementalAgg.segmentCount(spark, state, part)}")
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).sorted.toSeq == expect.sorted,
+      "every committed row must survive every fold")
+    // the monotone guard still binds on the folded manifest (metadata)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.appendOnce(spark, state,
+        Seq((5L, "dup")).toDF("id", "p"), batch, "id")
+    }
+    assert(e.getMessage.contains("strictly greater"))
+    batch += 1
+    // ranged reads survive folds: early ids live only in the fold
+    assert(IncrementalAgg.readStatePartRanged(spark, state, part, 5L, 5L)
+      .collect().map(_.getLong(0)).min == 1L)
+    // tiering: a 50-row fold exceeds smallRows, so later folds keep it —
+    // its files must be byte-identical across later maintenance (never
+    // re-read, never rewritten: the LSM economics)
+    def segFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$state/seg/$part"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val bigFolds = segFiles()
+    for (b <- 12 until 16) appendBlock((b * 10 + 1) to (b * 10 + 10))
+    val after = segFiles()
+    val survivors = bigFolds.keySet.intersect(after.keySet)
+    assert(survivors.nonEmpty, "large folded segments must survive")
+    assert(survivors.forall(k => bigFolds(k) == after(k)),
+      "a large folded segment must never be rewritten by later folds")
+  }
+
+  test("cache maintenance: stale-salt entries evicted, live entries still hit with zero recompute commits") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.{Bm25Index, IncrementalAgg}
+    val dir = java.nio.file.Files.createTempDirectory("cachemaint")
+    val state = dir.resolve("state").toString
+    val cache = dir.resolve("cache").toString
+    Bm25Index.extendIndex(spark, state,
+      Seq((1L, "apple banana"), (2L, "banana cherry"))
+        .toDF("doc_id", "text"), Seq("doc_id"), "text", 0L)
+    val qs = Seq((100L, "apple"), (200L, "cherry banana"))
+    def served() = Bm25Index.bm25TopKBatchCached(spark, state, cache,
+        qs.toDF("qid", "qtext"), Seq("doc_id"), "qid", "qtext", k = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val v0pass = served() // populates v0-salted entries
+    // index churn: every digest changes; the v0 entries are dead weight
+    Bm25Index.extendIndex(spark, state,
+      Seq((3L, "apple fig")).toDF("doc_id", "text"), Seq("doc_id"),
+      "text", 1L)
+    val v1pass = served() // repopulates under v1
+    assert(v1pass != v0pass, "the extended index must change the results")
+    val entriesBefore = IncrementalAgg.readState(spark, cache).count()
+    assert(Bm25Index.maintainQueryCache(spark, state, cache, k = 2,
+      maxSegments = 1), "two miss-batch segments must trip the budget")
+    // post-maintenance: ONLY live-version entries survive ...
+    val cacheRows = IncrementalAgg.readState(spark, cache)
+    val salts = cacheRows.select("__salt").distinct().collect().map(_.getString(0))
+    assert(salts.length == 1, s"one live salt expected, got ${salts.toSeq}")
+    assert(cacheRows.count() < entriesBefore,
+      "stale v0 entries must actually be evicted")
+    assert(IncrementalAgg.segmentCount(spark, cache,
+      IncrementalAgg.RowsPart) == 1, "segments must fold to one")
+    // ... and the pruned cache still serves the SAME bytes as all-hits,
+    // committing nothing (no new cache version — the all-hit contract)
+    val v = IncrementalAgg.latestVersion(spark, cache)
+    assert(served() == v1pass, "post-maintenance hits must serve same bytes")
+    assert(IncrementalAgg.latestVersion(spark, cache) == v,
+      "an all-hit pass must not commit")
+    // a pre-salt cache raises with reset guidance instead of mixing schemas
+    val legacy = dir.resolve("legacycache").toString
+    IncrementalAgg.appendOnceWithParts(spark, legacy, 0L,
+      appendDeltas = Seq(IncrementalAgg.RowsPart ->
+        Seq(("deadbeef", 1L)).toDF("__qd", "x")))
+    val e = intercept[IllegalStateException] {
+      IncrementalAgg.pruneCachedServe(spark, legacy, Seq("s"), 1L)
+    }
+    assert(e.getMessage.contains("predates salt tracking"), e.getMessage)
+  }
 }
