@@ -214,9 +214,14 @@ object Bench {
     // under the driver's tail window)
     val fileLine =
       s"""{"queries":$qs,"queries_norm":$qsNorm,"errors":$errors,$cal,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"), fileLine + "\n")
-    catch { case t: Throwable =>
-      System.err.println(s"[bench] could not write BENCH.out: ${t.getMessage}") }
+    // BENCH_full.json is the COMMITTED round artifact (the r18 verdict:
+    // the driver's BENCH_rN.json carries only a 2000-char stdout tail,
+    // which cannot hold 275+ per-query floats — judges were regexing the
+    // truncation; this file is the complete raw + cal-normalized map)
+    for (f <- Seq("BENCH.out", "BENCH_full.json"))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), fileLine + "\n")
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] could not write $f: ${t.getMessage}") }
     spark.stop()
     if (errors > 0) sys.exit(1)
   }
