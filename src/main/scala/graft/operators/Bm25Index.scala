@@ -353,18 +353,25 @@ object Bm25Index {
 
   /** Segment-count maintenance for a LONG-RUNNING ingest stream: each
     * extend batch commits one postings segment and one items segment
-    * forever, so an unmaintained stream accumulates an unbounded manifest
-    * and small-file pressure. [[IncrementalAgg.compactSegmentsWhenDue]]
-    * folds the small-segment SUFFIX of both data parts when either
-    * exceeds `maxSegments` — read-invisible (pure file layout; tombstones
-    * keep applying), monotone guard preserved, earlier large folds never
-    * re-read. One manifest read decides; call it after every extend. */
+    * forever — and each takedown batch one tombstone segment per data
+    * part — so an unmaintained stream accumulates an unbounded manifest
+    * and small-file pressure even when the tombstone VOLUME never trips
+    * [[compactIndexWhenDue]]'s row/byte triggers.
+    * [[IncrementalAgg.compactSegmentsWhenDue]] folds the small-segment
+    * SUFFIX of all four parts (data AND tombstones) when any exceeds
+    * `maxSegments` — read-invisible (pure file layout; a folded tombstone
+    * segment is the same delete-key bag, still applied at read), monotone
+    * guard preserved, earlier large folds never re-read. One manifest
+    * read decides; call it after every extend or retract. */
   def compactIndexSegmentsWhenDue(
       spark: SparkSession, statePath: String, batchId: Long,
       maxSegments: Int = 16, smallRows: Long = Long.MaxValue): Boolean = {
     requireItemsPart(spark, statePath)
     IncrementalAgg.compactSegmentsWhenDue(spark, statePath, batchId,
-      Seq(PostingsPart, ItemsPart), maxSegments, smallRows,
+      Seq(PostingsPart, ItemsPart,
+        IncrementalAgg.tombstonePart(PostingsPart),
+        IncrementalAgg.tombstonePart(ItemsPart)),
+      maxSegments, smallRows,
       partitionCols = Map(PostingsPart -> Seq("__tb")))
   }
 }

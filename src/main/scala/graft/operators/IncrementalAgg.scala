@@ -988,10 +988,15 @@ object IncrementalAgg {
       throw new IllegalStateException(
         s"compactSegmentsWhenDue: $statePath is not a segment-manifest " +
           "state"))
+    val fs = fsOf(spark, statePath)
     // every part folds in ONE commit (atomic across parts, one version)
     val folds: Seq[(String, Int)] = parts.flatMap { part =>
       val segs = m.parts.getOrElse(part, Vector.empty)
-      if (segs.length <= maxSegments) None
+      // an all-empty part (e.g. tombstone segments that all matched
+      // nothing) has no data files to fold — and no parquet to read
+      if (segs.length <= maxSegments ||
+          !hasDataFiles(fs,
+            new org.apache.hadoop.fs.Path(segDir(statePath, part)))) None
       else {
         // keep [0, k): everything up to the last segment KNOWN large
         val k = segs.lastIndexWhere(_.rows.exists(_ > smallRows)) + 1

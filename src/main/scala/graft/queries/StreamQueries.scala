@@ -469,20 +469,24 @@ object StreamQueries {
         .option("checkpointLocation", ckpt.toString)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // versions 2b+1 (retract) / 2b+2 (maintenance): monotone and
-          // replay-safe, batch 0's retraction still lands above the
+          // versions 3b+1 (retract) / 3b+2 / 3b+3 (maintenance): monotone
+          // and replay-safe, batch 0's retraction still lands above the
           // batch-0 full build's version 0
           Bm25Index.retractFromIndex(s, state, batch,
-            Seq("doc_id", "chunk_id"), 2 * batchId + 1L)
-          // the amortized tombstone fold wired where a production
-          // takedown pipeline runs it: after every retraction batch, with
-          // BOTH the fraction trigger and an absolute row bound (the
-          // 100 TB posture — a huge index never trips a fraction, but the
-          // backlog must stay under the broadcast anti-join ceiling).
-          // One manifest read decides; read-invisible when it fires, so
-          // s29's serve ≡ recompute oracle gates it either way.
-          Bm25Index.compactIndexWhenDue(s, state, 2 * batchId + 2L,
+            Seq("doc_id", "chunk_id"), 3 * batchId + 1L)
+          // both amortized maintenance schedules wired where a production
+          // takedown pipeline runs them: after every retraction batch —
+          // the VOLUME fold (fraction trigger plus an absolute row bound:
+          // the 100 TB posture, where a huge index never trips a fraction
+          // but the backlog must stay under the broadcast anti-join
+          // ceiling) and the SEGMENT-COUNT fold (a long takedown stream
+          // otherwise accumulates one small tombstone segment per batch
+          // forever). One manifest read each decides; read-invisible when
+          // they fire, so s29's serve ≡ recompute oracle gates either way.
+          Bm25Index.compactIndexWhenDue(s, state, 3 * batchId + 2L,
             maxFraction = 0.2, maxTombRows = 2000000L)
+          Bm25Index.compactIndexSegmentsWhenDue(s, state, 3 * batchId + 3L,
+            maxSegments = 16)
           ()
         }
         .start()

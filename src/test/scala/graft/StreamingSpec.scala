@@ -1475,6 +1475,50 @@ class StreamingSpec extends SparkTestBase {
       "a large folded segment must never be rewritten by later folds")
   }
 
+  test("tombstone-segment folding: a long takedown stream's per-batch tombstone segments fold, reads unchanged") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Bm25Index
+    val dir = java.nio.file.Files.createTempDirectory("tombfold")
+    val state = dir.resolve("state").toString
+    Bm25Index.extendIndex(spark, state,
+      (1L to 60L).map(i => (i, s"w$i apple w${i % 7}"))
+        .toDF("doc_id", "text"), Seq("doc_id"), "text", 0L)
+    // 8 tiny takedown batches: volume never trips the fraction/absolute
+    // triggers, but the tombstone parts accumulate one segment per batch
+    var b = 1L
+    for (i <- 1 to 8) {
+      Bm25Index.retractFromIndex(spark, state,
+        Seq(i.toLong * 7).toDF("doc_id"), Seq("doc_id"), b)
+      b += 1
+      assert(!Bm25Index.compactIndexWhenDue(spark, state, b,
+        maxFraction = 0.5, maxTombRows = 1000000L))
+      b += 1
+    }
+    val tname = graft.operators.IncrementalAgg
+      .tombstonePart(Bm25Index.ItemsPart)
+    assert(graft.operators.IncrementalAgg
+      .segmentCount(spark, state, tname) == 8)
+    val before = Bm25Index.bm25TopKBatchFromIndex(spark, state,
+        Seq((1L, "apple w3")).toDF("qid", "qtext"), Seq("doc_id"),
+        "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    // the segment-count schedule folds the tombstone parts too
+    assert(Bm25Index.compactIndexSegmentsWhenDue(spark, state, b,
+      maxSegments = 4))
+    b += 1
+    assert(graft.operators.IncrementalAgg
+      .segmentCount(spark, state, tname) == 1,
+      "per-batch tombstone segments must fold to one")
+    assert(graft.operators.IncrementalAgg
+      .tombstoneRows(spark, state, Bm25Index.ItemsPart) == 8L,
+      "the folded tombstone segment keeps its committed row metadata")
+    assert(Bm25Index.bm25TopKBatchFromIndex(spark, state,
+        Seq((1L, "apple w3")).toDF("qid", "qtext"), Seq("doc_id"),
+        "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq == before,
+      "a tombstone-segment fold must be read-invisible")
+  }
+
   test("cache maintenance: stale-salt entries evicted, live entries still hit with zero recompute commits") {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.{Bm25Index, IncrementalAgg}
