@@ -494,6 +494,93 @@ object StreamQueries {
       state
     })
 
+  private val lifecycleMaintained =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The s33 FULL-LIFECYCLE stream, memoized per (JVM, sf dir): ingest
+    * and takedown batches interleaved on ONE index state through one
+    * foreachBatch loop — add(≤cut), del(%13 ≤cut), add(>cut),
+    * del(%13 >cut) — with BOTH maintenance schedules running after every
+    * batch (segment-count folds after adds; volume + segment folds after
+    * deletes). The per-batch version stride (4b+1..4b+3) keeps every
+    * commit monotone and replay-safe, and because all four mutations run
+    * through the one serialized loop, the single-writer contract the
+    * commit protocol enforces is exactly satisfied — two concurrent
+    * streams on this state would raise, not clobber. The drained state's
+    * serve must equal the from-scratch recompute over
+    * (all docs) − (%13 block): e34's oracle verbatim. */
+  private def streamedLifecycleStateFor(s: SparkSession, d: String): String =
+    lifecycleMaintained.computeIfAbsent(d, { _ =>
+      import graft.operators.{Bm25Index, Packing}
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val chunks = Packing.chunkTokens(corpus, "doc_id", "text", 16, 0)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val cut = corpus.agg(max(col("doc_id"))).head.getLong(0) * 3 / 5
+      def adds(f: org.apache.spark.sql.Column) = chunks.filter(f)
+        .select(lit("add").as("op"), col("doc_id"), col("chunk_id"),
+          col("chunk_text"))
+      def dels(f: org.apache.spark.sql.Column) = corpus.filter(f)
+        .filter(pmod(col("doc_id"), lit(13)) === 3)
+        .select(lit("del").as("op"), col("doc_id"),
+          lit(null).cast("long").as("chunk_id"),
+          lit(null).cast("string").as("chunk_text"))
+      val srcDir = tmpDir("slifesrc")
+      def stage(df: DataFrame, name: String, lastMod: Long): Unit = {
+        val tmp = tmpDir("slifew")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(srcDir, name)
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(lastMod); ()
+      }
+      val now = System.currentTimeMillis()
+      stage(adds(col("doc_id") <= cut), "b0_add.parquet", now - 180000)
+      stage(dels(col("doc_id") <= cut), "b1_del.parquet", now - 120000)
+      stage(adds(col("doc_id") > cut), "b2_add.parquet", now - 60000)
+      stage(dels(col("doc_id") > cut), "b3_del.parquet", now)
+      val state = tmpDir("slifestate", create = false).toString + "/state"
+      val ckpt = tmpDir("slifeckpt")
+      val stream = s.readStream
+        .schema(s.read.parquet(srcDir.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // one op per staged file (maxFilesPerTrigger = 1); an empty
+          // staged file (no matching docs at this SF) delivers an empty
+          // batch — nothing to commit
+          val op = batch.select(col("op")).distinct().collect()
+            .map(_.getString(0)).toSeq
+          require(op.length <= 1, s"mixed-op batch: $op")
+          val base = 4 * batchId
+          if (op.isEmpty) ()
+          else if (op.head == "add") {
+            Bm25Index.extendIndex(s, state,
+              batch.select(col("doc_id"), col("chunk_id"),
+                col("chunk_text")),
+              Seq("doc_id", "chunk_id"), "chunk_text", base + 1)
+            Bm25Index.compactIndexSegmentsWhenDue(s, state, base + 2,
+              maxSegments = 2)
+          } else {
+            Bm25Index.retractFromIndex(s, state,
+              batch.select(col("doc_id")).distinct(),
+              Seq("doc_id", "chunk_id"), base + 1)
+            Bm25Index.compactIndexWhenDue(s, state, base + 2,
+              maxFraction = 0.2, maxTombRows = 2000000L)
+            Bm25Index.compactIndexSegmentsWhenDue(s, state, base + 3,
+              maxSegments = 2)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      state
+    })
+
   val defs: Map[String, Q] = Map(
     // --- s01: tumbling-window counts, streamed end to end. Complete output
     //     mode materializes every window, so the result equals the batch
@@ -1295,6 +1382,30 @@ object StreamQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // --- s33: the FULL index lifecycle in ONE stream — ingest and
+    //     takedown batches interleaved on one state (add, del, add, del)
+    //     through one serialized foreachBatch loop, with BOTH maintenance
+    //     schedules (segment-count folds + volume folds) running after
+    //     every batch. This is the composition a production deployment
+    //     actually runs on one index: s26's grow, s29's shrink, and the
+    //     round's maintenance, under the single-writer contract the
+    //     commit protocol now enforces. The drained state serves against
+    //     e34's oracle VERBATIM — a delete applied before its doc
+    //     arrived, an add lost across a fold, or a stats drift anywhere
+    //     in the interleaving flips the exact fixed-point scores. -------
+    "s33_stream_lifecycle" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val state = streamedLifecycleStateFor(s, d)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Bm25Index.bm25TopKBatchFromIndex(s, state,
+          queries, Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("chunk_id"), col("bm25_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
     // --- s03: streaming exact dedup. The staged dir holds TWO copies of
     //     the events file; dropDuplicatesWithinWatermark on event_id must
     //     collapse them back to the original table (aggregate-compared). ----
@@ -1600,6 +1711,10 @@ object StreamQueries {
     // micro-batched retractions ≡ one-shot retraction ≡ the recompute
     // over the surviving corpus — the oracle IS e34's SQL verbatim
     "s29_stream_takedown" ->
+      graft.queries.TextQueries.oracle("e34_bm25_retract"),
+    // interleaved grow/shrink/maintain on one state drains to exactly
+    // the surviving corpus — the oracle IS e34's SQL verbatim
+    "s33_stream_lifecycle" ->
       graft.queries.TextQueries.oracle("e34_bm25_retract"),
     // ts-monotone batches through the unset→set anchor fold ≡ the batch
     // first-touch funnel — the oracle IS q113's SQL verbatim

@@ -180,6 +180,12 @@ class PlansSpec extends SparkTestBase {
       "query term buckets must dynamically prune the posting scan")
     assert(plan("e31_hybrid_served").contains("dynamicpruning"),
       "the hybrid serve must keep dynamic pruning on its index scans")
+    // segment folds are pure file layout — the folded state's serve must
+    // keep the SAME dynamic bucket pruning (a fold that dropped the __tb
+    // partitioning would silently turn every serve into a full posting
+    // scan at 100 TB)
+    assert(plan("e42_bm25_segments_folded").contains("dynamicpruning"),
+      "the segment-maintained index must keep dynamic bucket pruning")
   }
 
   test("e39 (cached serving): an all-hit batch scans ONLY the cache, never the posting index") {
