@@ -563,16 +563,21 @@ object StreamQueries {
               batch.select(col("doc_id"), col("chunk_id"),
                 col("chunk_text")),
               Seq("doc_id", "chunk_id"), "chunk_text", base + 1)
+            // budget 1 is deliberately tight: the b2 add leaves two
+            // posting/item segments, so a REAL mid-stream fold fires
+            // between the second add and the second delete
             Bm25Index.compactIndexSegmentsWhenDue(s, state, base + 2,
-              maxSegments = 2)
+              maxSegments = 1)
           } else {
             Bm25Index.retractFromIndex(s, state,
               batch.select(col("doc_id")).distinct(),
               Seq("doc_id", "chunk_id"), base + 1)
             Bm25Index.compactIndexWhenDue(s, state, base + 2,
               maxFraction = 0.2, maxTombRows = 2000000L)
+            // and the b3 delete leaves two tombstone segments per part,
+            // so the tombstone-segment fold fires mid-stream too
             Bm25Index.compactIndexSegmentsWhenDue(s, state, base + 3,
-              maxSegments = 2)
+              maxSegments = 1)
           }
           ()
         }
