@@ -1391,6 +1391,25 @@ class StreamingSpec extends SparkTestBase {
     assert(new java.io.File(s"$state/v3").delete())
     assert(IncrementalAgg.readState(spark, state)
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the REWRITE protocol (mergeCommit) trips the same wire: the merged
+    // snapshot's own write evaluation commits the rival version
+    val state2 = dir.resolve("state2").toString
+    IncrementalAgg.refreshOnceWith(spark, state2,
+      Seq((1L, 10L)).toDF("k", "v"), 0L, (_, dl) => dl)
+    val rival2 = udf { (x: Long) =>
+      new java.io.File(s"$state2/v3").mkdirs(); x
+    }.asNondeterministic()
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      IncrementalAgg.refreshOnceWith(spark, state2,
+        Seq((2L, 20L)).toDF("k", "v").select(rival2(col("k")).as("k"),
+          col("v")),
+        5L, (st, dl) => st.unionByName(dl))
+    }
+    assert(e2.getMessage.contains("single-writer"), e2.getMessage)
+    assert(new java.io.File(s"$state2/v3").delete())
+    assert(IncrementalAgg.readState(spark, state2)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the refused rewrite commit must leave the prior snapshot intact")
   }
 
   test("absolute tombstone triggers: row/byte bounds fire where the fraction cannot; reads invariant") {
