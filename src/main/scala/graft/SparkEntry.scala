@@ -70,6 +70,7 @@ object SparkEntry {
       "e40_dense_cached", // shares e35's retracted state; cache population
       "e41_bm25_cache_pruned", // two extends + cache churn + maintenance
       "e42_bm25_segments_folded", // four extends with interleaved folds
+      "e43_dense_cache_pruned", // IVF build + takedown churn + maintenance
       "s33_stream_lifecycle", // one-time interleaved ingest/takedown drain
       "e33_probe_operating", // one-time eval-corpus IVF + posting indexes
       "e25_tier_recall_curves", // shares e17/e08's memoized index/codebook

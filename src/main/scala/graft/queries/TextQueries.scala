@@ -371,6 +371,49 @@ object TextQueries {
       state
     })
 
+  // e43: the DENSE twin of e41 — cache maintenance where takedowns churn
+  // versions (e40's regime): a SEPARATE chunk-IVF state, cached serves
+  // under the pre- and post-retraction versions, then maintenance evicts
+  // the pre-retraction entries
+  private val denseMaintCaches =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** The e43 artifact pair (chunk-IVF state, MAINTAINED dense cache):
+    * full build (frozen quantizer — e35's doctrine), cached serve
+    * (v0-salted entries), the %13-block takedown via
+    * [[graft.operators.IncrementalAgg.retractRows]] (version churn —
+    * every digest changes), cached serve again (v1 entries), then
+    * [[graft.operators.Similarity.maintainChunkQueryCache]] prunes.
+    * Committed once per (JVM, sf dir). */
+  private def denseMaintCacheFor(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String) =
+    denseMaintCaches.computeIfAbsent(d, _ => {
+      val (cents, _) = chunkIvfIndexFor(s, d)
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) =!= 5)
+        .select(col("doc_id"), col("text"))
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      val state = new java.io.File(indexTmpDir("ivfm"), "state").toString
+      val cache = new java.io.File(indexTmpDir("ivfmqc"), "cache").toString
+      def serve(): Unit = {
+        Similarity.chunkRetrieveFromIvfStateCached(s, state, cache, cents,
+          queries, "doc_id", "text", k = 3, nProbe = 8).count(); ()
+      }
+      Similarity.chunkIvfExtendIndex(s, state, corpus, "doc_id", "text",
+        cents, batchId = 0L)
+      serve() // v0-salted entries — all stale after the takedown
+      graft.operators.IncrementalAgg.retractRows(s, state,
+        corpus.filter(pmod(col("doc_id"), lit(13)) === 3)
+          .select(col("doc_id")), batchId = 1L)
+      serve() // repopulates under the retracted version
+      require(Similarity.maintainChunkQueryCache(s, state, cache,
+        k = 3, nProbe = 8, maxSegments = 1),
+        "e43 setup: maintenance must fire")
+      (state, cache)
+    })
+
   // d51/s19 shared quality model, memoized per (JVM, sf dir): the batch
   // gate and the streaming router must score with the SAME trained
   // weights (float GD weights are partition-order sensitive, so sharing
@@ -1807,6 +1850,29 @@ object TextQueries {
           queries, Seq("doc_id", "chunk_id"), "doc_id", "text", k = 10)
         .select(col("query_id"), col("rank"), col("doc_id"),
           col("chunk_id"), col("bm25_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- e43: the DENSE twin of e41 — cache maintenance exactly where
+    //     takedowns churn versions (e40's regime): the chunk-IVF state
+    //     retracts the %13 block mid-stream, the cache repopulates under
+    //     the retracted version, and maintenance evicts the
+    //     pre-retraction entries while folding segments. The final
+    //     all-hit serve at exhaustive probes must equal the exact scan
+    //     over the SURVIVING corpus — e40's oracle verbatim; a stale
+    //     pre-takedown hit would serve a DELETED doc and flip the hash
+    //     (the takedown-compliance failure a result cache can hide). ---
+    "e43_dense_cache_pruned" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val (cents, _) = chunkIvfIndexFor(s, d)
+      val (state, cache) = denseMaintCacheFor(s, d)
+      val queries = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(101)) === 5)
+        .select(col("doc_id"), col("text"))
+      Similarity.chunkRetrieveFromIvfStateCached(s, state, cache, cents,
+          queries, "doc_id", "text", k = 3, nProbe = 8)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("chunk_id"), col("cos_q"))
         .orderBy("query_id", "rank")
     }),
 
@@ -6624,6 +6690,12 @@ object TextQueries {
     // ≡ the exact chunk retrieval over the surviving corpus — e26's SQL
     // with the retraction filter spliced
     "e40_dense_cached" -> oracleBase("e26_chunk_retrieval").replace(
+      "WHERE doc_id % 101 <> 5",
+      "WHERE doc_id % 101 <> 5 AND doc_id % 13 <> 3"),
+    // e43: the MAINTAINED dense cache after the takedown churned the
+    // version — all-hit serve ≡ the exact scan over the surviving
+    // corpus, e40's oracle verbatim
+    "e43_dense_cache_pruned" -> oracleBase("e26_chunk_retrieval").replace(
       "WHERE doc_id % 101 <> 5",
       "WHERE doc_id % 101 <> 5 AND doc_id % 13 <> 3"),
     // the from-scratch hybrid chain over the SURVIVING corpus — both
