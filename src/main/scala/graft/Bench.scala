@@ -187,8 +187,24 @@ object Bench {
     // raw x CAL_REF / min(cal_first, cal_last) rescales the map to that
     // box, so a reader compares rounds without rebuilding either. Raw
     // stays the number of record; norm is the drift-corrected view.
+    // Robust factor (r19 verdict: min-of-ends on a run whose cal drifted
+    // 0.060→0.041 picked the drifted end and overstated total_norm ~40%):
+    // normalize by the MEAN of both ends, and when the ends disagree by
+    // more than 20% flag the run as drifted — on a drifted box the
+    // normalized headline is untrustworthy whichever end is picked, and
+    // the warning (plus cal_spread in the artifact) says so up front. The
+    // raw map stays the number of record either way.
     val CAL_REF = 0.057
-    val calRun = math.min(calFirst, calLast)
+    val calRun = (calFirst + calLast) / 2.0
+    val calSpread =
+      if (math.min(calFirst, calLast) > 0)
+        math.max(calFirst, calLast) / math.min(calFirst, calLast)
+      else 1.0
+    if (calSpread > 1.2)
+      System.err.println(f"[bench] WARNING: calibration drifted " +
+        f"${calSpread}%.2fx between suite ends ($calFirst%.3f -> " +
+        f"$calLast%.3f s) — the box was not steady; treat total_norm as " +
+        "indicative only (raw + per-query maps are the record)")
     val calNorm = if (calRun > 0) CAL_REF / calRun else 1.0
     val qsNorm = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v * calNorm) }
       .mkString("{", ",", "}")
@@ -201,6 +217,8 @@ object Bench {
     // well under any tail window) is printed LAST so a line-wise JSON
     // parser scanning the tail finds a complete object.
     val cal = s""""cal_first":${fmt(calFirst)},"cal_last":${fmt(calLast)},""" +
+      s""""cal_spread":${fmt(calSpread)},"cal_drifted":${calSpread > 1.2},""" +
+      s""""loadavg_pre":${fmt(loadGate)},""" +
       s""""cal_ref":$CAL_REF,"cal_norm_factor":${fmt(calNorm)},""" +
       s""""total_norm":${fmt(total * calNorm)}"""
     val line =

@@ -337,12 +337,15 @@ object Bm25Index {
     * tombstone fraction of either data part exceeds `maxFraction` — the
     * decision is one manifest read ([[IncrementalAgg.tombstoneFraction]]),
     * so a takedown pipeline calls this after every retraction batch and
-    * pays the O(index) rewrite only when it is due. Returns whether a
-    * compaction committed. */
+    * pays the O(index) rewrite only when it is due. `maxTombRows`
+    * defaults ON at the read path's broadcast ceiling
+    * ([[IncrementalAgg.TombBroadcastMaxRows]]): an untuned deployment
+    * folds before serving ever degrades to the shuffled anti-join.
+    * Returns whether a compaction committed. */
   def compactIndexWhenDue(
       spark: SparkSession, statePath: String, batchId: Long,
       maxFraction: Double = 0.2,
-      maxTombRows: Long = Long.MaxValue,
+      maxTombRows: Long = IncrementalAgg.TombBroadcastMaxRows,
       maxTombBytes: Long = Long.MaxValue): Boolean = {
     requireItemsPart(spark, statePath)
     IncrementalAgg.compactWhenDue(spark, statePath, batchId,
@@ -365,7 +368,8 @@ object Bm25Index {
     * read decides; call it after every extend or retract. */
   def compactIndexSegmentsWhenDue(
       spark: SparkSession, statePath: String, batchId: Long,
-      maxSegments: Int = 16, smallRows: Long = Long.MaxValue): Boolean = {
+      maxSegments: Int = 16,
+      smallRows: Long = IncrementalAgg.AutoSmallRows): Boolean = {
     requireItemsPart(spark, statePath)
     IncrementalAgg.compactSegmentsWhenDue(spark, statePath, batchId,
       Seq(PostingsPart, ItemsPart,

@@ -47,11 +47,24 @@ object Graph {
     * files, the long-iteration production posture: a lost executor
     * recomputes from the durable snapshot instead of failing the job.
     * The invocation takes a PRIVATE subdirectory (`pr-<uuid>`) of the
-    * given dir, restores the session's previous checkpoint location on
-    * exit (concurrent jobs in the shared session never inherit ours),
-    * and deletes each iteration's snapshot as soon as the next vector is
-    * durable — at the end only the returned vector's files remain, so a
-    * 50-iteration run holds one snapshot of disk, not fifty.
+    * given dir and deletes each iteration's snapshot as soon as the next
+    * vector is durable — at the end only the returned vector's files
+    * remain, so a 50-iteration run holds one snapshot of disk, not fifty.
+    *
+    * Checkpoint-dir concurrency: `setCheckpointDir` is session-global
+    * state, so (a) reliable-checkpoint invocations of this method are
+    * SERIALIZED on a process-wide lock (two concurrent pageRanks can
+    * never interleave dir mutations or delete each other's live
+    * snapshots), and (b) the session's checkpoint location is restored
+    * IMMEDIATELY after each per-iteration checkpoint returns — not at
+    * method exit — so an unrelated job calling `Dataset.checkpoint` in
+    * the same session inherits our private dir only if its checkpoint
+    * races the instants one of ours is actually writing. That residual
+    * window is inherent to the session-global setting; a deployment
+    * running unrelated reliable-checkpoint jobs concurrently should give
+    * them their own SparkSession (`spark.newSession()` shares the
+    * SparkContext and with it the checkpoint dir — use a separate
+    * context, or serialize on this method's convention).
     *
     * `tolFp` is the CONVERGENCE stop: when set, iteration ends as soon
     * as max over vertices of |Δrank_fp| < tolFp — exactly decidable in
@@ -73,7 +86,6 @@ object Graph {
     tolFp.foreach(t => require(t > 0L, s"tolFp must be positive, got $t"))
     val spark = edges.sparkSession
     val sc = spark.sparkContext
-    val savedDir = sc.getCheckpointDir
     val privRoot = checkpointDir.map(d =>
       s"$d/pr-${java.util.UUID.randomUUID().toString.take(8)}")
     def hfs(p: String) = new org.apache.hadoop.fs.Path(p)
@@ -83,17 +95,31 @@ object Graph {
       val fs = hfs(p)
       if (fs.exists(path)) { fs.delete(path, true); () }
     }
-    def ck(df: DataFrame): DataFrame =
-      if (privRoot.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
-    try {
-      privRoot.foreach(r => sc.setCheckpointDir(s"$r/base"))
-      val e = ck(edges.select(col(srcCol).cast("long").as("src"),
+    // one reliable checkpoint into `dir`, restoring the session's prior
+    // checkpoint location THE MOMENT the snapshot returns — the session-
+    // global setting points at our private dir only while a snapshot is
+    // actually writing, never across whole iterations
+    def ckAt(dir: Option[String])(df: DataFrame): DataFrame = dir match {
+      case Some(d) =>
+        val saved = sc.getCheckpointDir
+        sc.setCheckpointDir(d)
+        try df.checkpoint(true)
+        finally saved match {
+          case Some(s) => sc.setCheckpointDir(s)
+          case None =>
+            try sc.setCheckpointDir(null) // clears (Option(null) → None)
+            catch { case _: Throwable => () }
+        }
+      case None => df.localCheckpoint(true)
+    }
+    def run(): DataFrame = {
+      val base = privRoot.map(r => s"$r/base")
+      val e = ckAt(base)(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")))
-      val deg = ck(e.groupBy(col("src")).agg(count(lit(1)).as("od")))
-      val verts = ck(e.select(col("src").as("v"))
+      val deg = ckAt(base)(e.groupBy(col("src")).agg(count(lit(1)).as("od")))
+      val verts = ckAt(base)(e.select(col("src").as("v"))
         .union(e.select(col("dst").as("v"))).distinct())
-      var ranks = ck(initRanks match {
+      var ranks = ckAt(base)(initRanks match {
         case Some(prior) =>
           verts.join(
               prior.select(col("vertex").as("v"), col("rank_fp").as("__pr")),
@@ -109,12 +135,11 @@ object Graph {
       while (it < iters && !converged) {
         it += 1
         val iterDir = privRoot.map(r => s"$r/it$it")
-        iterDir.foreach(sc.setCheckpointDir)
         val contrib = e.join(deg, Seq("src"))
           .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
           .select(col("dst").as("v"), expr("r div od").as("c"))
           .groupBy(col("v")).agg(sum(col("c")).as("s"))
-        val next = ck(verts.join(contrib, Seq("v"), "left")
+        val next = ckAt(iterDir)(verts.join(contrib, Seq("v"), "left")
           .select(col("v"),
             (lit(teleportFp) +
               expr(s"(coalesce(s, cast(0 as bigint)) * $dampNum)" +
@@ -128,7 +153,8 @@ object Graph {
         }
         Dedup.release(ranks)
         // the replaced vector is no longer referenced by any live plan —
-        // its reliable snapshot can go now (keeps disk at ONE vector)
+        // its reliable snapshot can go now (keeps disk at ONE vector);
+        // the dir is OURS alone by the serialization contract above
         prevIterDir.foreach(rmDir)
         prevIterDir = iterDir
         ranks = next
@@ -139,15 +165,13 @@ object Graph {
       Seq(e, deg, verts).foreach(Dedup.release)
       privRoot.foreach(r => rmDir(s"$r/base"))
       ranks.select(col("v").as("vertex"), col("r").as("rank_fp"))
-    } finally {
-      // restore the session's prior checkpoint location — the global
-      // setting must not leak to concurrent jobs in the shared session
-      savedDir match {
-        case Some(d) => sc.setCheckpointDir(d)
-        case None => if (privRoot.isDefined)
-          try sc.setCheckpointDir(null) // clears (Option(null) → None)
-          catch { case _: Throwable => () }
-      }
     }
+    // reliable-checkpoint invocations serialize process-wide: two
+    // concurrent pageRanks must never interleave checkpoint-dir mutation
+    // or delete each other's live snapshots
+    if (privRoot.isDefined) CkptSerial.synchronized(run()) else run()
   }
+
+  /** Process-wide serialization of reliable-checkpoint invocations. */
+  private val CkptSerial = new Object
 }

@@ -176,15 +176,123 @@ object IncrementalAgg {
     }
   }
 
-  /** Single-writer enforcement: the commit protocol derives each merged
-    * snapshot from the version read at ENTRY, so two writers interleaving
-    * on one state would silently clobber each other's commits (last
-    * rename wins, first writer's delta vanishes). Re-listing the versions
-    * immediately before the rename turns that silent loss into a raise:
-    * any version committed since entry means another writer is live. The
-    * residual window is the metadata instant between recheck and rename —
-    * on a shared object store a deployment would add a lease file; the
-    * recheck is the contract's tripwire, not a lock. */
+  /** How many committed versions each commit RETAINS (latest included):
+    * `spark.graft.state.retainVersions`, default 2. Eager prune-to-one
+    * (the pre-r20 behavior, retention 1) breaks any concurrent reader
+    * still bound to the previous version the instant the next commit
+    * lands; a window of K lets a reader opened against v_n materialize
+    * correctly until K-1 further commits have happened — the standard
+    * table-format answer (Delta/Iceberg retention). Storage stays bounded
+    * at ≤ K version dirs (small by contract for append states — the
+    * corpus-sized bytes live in shared segments, swept only when NO
+    * retained manifest references them). */
+  private def retainVersions(spark: SparkSession): Int =
+    math.max(1, spark.conf.get("spark.graft.state.retainVersions", "2").toInt)
+
+  /** Delete versions behind the retention window, then sweep segment
+    * dirs no RETAINED manifest references (a fold's dropped segments stay
+    * on disk while an older retained manifest still names them — that is
+    * exactly what keeps the bound reader alive). `latestManifest` is the
+    * just-committed manifest, passed in memory so the common case reads
+    * only the K-1 older manifest files. */
+  private def pruneBehindRetention(
+      spark: SparkSession, statePath: String, newId: Long,
+      latestManifest: Option[Seq[(String, Vector[SegMeta])]]): Unit = {
+    val fs = fsOf(spark, statePath)
+    val vs = versions(spark, statePath)
+    val keep = vs.takeRight(retainVersions(spark))
+    vs.filterNot(keep.contains).foreach { old =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$old"), true)
+    }
+    val segRoot = new org.apache.hadoop.fs.Path(s"$statePath/seg")
+    if (!fs.exists(segRoot)) return
+    // union of every retained manifest's live segments, per part
+    val live = scala.collection.mutable.Map.empty[String, Set[String]]
+    def add(parts: Seq[(String, Vector[SegMeta])]): Unit =
+      parts.foreach { case (part, segs) =>
+        live(part) = live.getOrElse(part, Set.empty) ++ segs.map(_.name)
+      }
+    keep.foreach { v =>
+      if (v == newId && latestManifest.isDefined) add(latestManifest.get)
+      else readManifest(spark, s"$statePath/v$v").foreach(m => add(m.parts.toSeq))
+    }
+    fs.listStatus(segRoot).foreach { pdir =>
+      val keepSegs = live.getOrElse(pdir.getPath.getName, Set.empty)
+        .map(n => s"$SegCol=$n")
+      fs.listStatus(pdir.getPath).foreach { sdir =>
+        if (!keepSegs.contains(sdir.getPath.getName))
+          { fs.delete(sdir.getPath, true); () }
+      }
+    }
+  }
+
+  /** Name of the commit lease file under a state path. */
+  private val LockFile = "_lock"
+
+  /** Age (ms) past which a leftover lease from a crashed writer may be
+    * broken: `spark.graft.state.lockStaleMs`, default 10 minutes. */
+  private def lockStaleMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.state.lockStaleMs", "600000").toLong
+
+  /** Create-exclusive LEASE serializing commits on one state path: the
+    * whole commit protocol (entry read → staging writes → publishing
+    * rename → retention prune) runs while holding `statePath/_lock`, so
+    * a second writer raises BEFORE doing any work — not after the first
+    * writer's rename already clobbered (the r19 residual window). The
+    * create is atomic on HDFS-semantics stores; on object stores without
+    * atomic create, pair the state with an external coordination lock —
+    * [[requireNoVersionDrift]] stays active inside the lease as the
+    * backstop either way (it also catches a lease broken by age racing
+    * the original writer's rename). A lease left by a CRASHED writer is
+    * broken once it is older than `spark.graft.state.lockStaleMs`
+    * (default 10 min — longer than any commit's staging writes should
+    * take; raise it for very large folds). */
+  private def withCommitLock[T](
+      spark: SparkSession, statePath: String)(body: => T): T = {
+    val fs = fsOf(spark, statePath)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(s"$statePath/$LockFile")
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        try out.write(
+          (java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+            "\n").getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      // age-based break for a crashed writer's leftover lease; if the
+      // holder released (or another breaker won) between our failed
+      // create and the status read, just try once more
+      val stale = (try Some(fs.getFileStatus(lock))
+        catch { case _: java.io.FileNotFoundException => None })
+        .forall(st => System.currentTimeMillis() - st.getModificationTime >
+          lockStaleMs(spark))
+      if (stale) { fs.delete(lock, false); acquired = tryAcquire() }
+    }
+    if (!acquired)
+      throw new java.util.ConcurrentModificationException(
+        s"$statePath: commit lease '$LockFile' is held by another live " +
+          "writer — the versioned-commit protocol is single-writer " +
+          "(serialize ingest, takedown and maintenance against one state " +
+          "path; a crashed writer's lease breaks after " +
+          "spark.graft.state.lockStaleMs)")
+    try body finally { fs.delete(lock, false); () }
+  }
+
+  /** Single-writer enforcement, layer two: the commit protocol derives
+    * each merged snapshot from the version read at ENTRY, so two writers
+    * interleaving on one state would silently clobber each other's
+    * commits (last rename wins, first writer's delta vanishes).
+    * Re-listing the versions immediately before the rename turns that
+    * silent loss into a raise: any version committed since entry means
+    * another writer is live. [[withCommitLock]] normally prevents ever
+    * reaching this point — the recheck is the backstop for stores whose
+    * lease create is not atomic and for a lease broken by age while its
+    * writer was merely slow. */
   private def requireNoVersionDrift(
       spark: SparkSession, statePath: String,
       expectedPrev: Option[Long]): Unit = {
@@ -200,9 +308,10 @@ object IncrementalAgg {
   }
 
   /** Write `merged` to staging, atomically rename it to version `id`,
-    * then prune older versions (prune only AFTER the commit, so a crash
-    * at any point leaves a complete committed snapshot). `expectedPrev`
-    * is the version the merge was derived from — drift raises. */
+    * then prune versions behind the retention window (prune only AFTER
+    * the commit, so a crash at any point leaves a complete committed
+    * snapshot). `expectedPrev` is the version the merge was derived
+    * from — drift raises. */
   private def commit(
       spark: SparkSession, statePath: String, id: Long,
       merged: DataFrame, expectedPrev: Option[Long]): Unit = {
@@ -214,9 +323,7 @@ object IncrementalAgg {
     if (fs.exists(dest)) fs.delete(dest, true)
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dest))
       throw new java.io.IOException(s"commit rename $tmp -> $dest failed")
-    versions(spark, statePath).filter(_ < id).foreach { old =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$old"), true)
-    }
+    pruneBehindRetention(spark, statePath, id, None)
     // sweep staging leftovers from crashed earlier commits (the writer is
     // single here, so anything .tmp-* other than our just-renamed dir is
     // garbage)
@@ -230,14 +337,15 @@ object IncrementalAgg {
     * the delta alone) and commit the result as version `newId`. */
   private def mergeCommit(
       spark: SparkSession, statePath: String, newId: Long, delta: DataFrame,
-      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
-    val prev = latestVersion(spark, statePath)
-    val merged = prev match {
-      case None => delta
-      case Some(v) => merge(spark.read.parquet(s"$statePath/v$v"), delta)
+      merge: (DataFrame, DataFrame) => DataFrame): Unit =
+    withCommitLock(spark, statePath) {
+      val prev = latestVersion(spark, statePath)
+      val merged = prev match {
+        case None => delta
+        case Some(v) => merge(spark.read.parquet(s"$statePath/v$v"), delta)
+      }
+      commit(spark, statePath, newId, merged, prev)
     }
-    commit(spark, statePath, newId, merged, prev)
-  }
 
   private def deltaAgg(batch: DataFrame, keyCol: String, valueCol: String) =
     batch.groupBy(col(keyCol))
@@ -524,7 +632,21 @@ object IncrementalAgg {
       partitionCols: Map[String, Seq[String]] = Map.empty,
       guardIdCols: Map[String, String] = Map.empty,
       replaceParts: Set[String] = Set.empty,
-      keepPrefix: Map[String, Int] = Map.empty): Unit = {
+      keepPrefix: Map[String, Int] = Map.empty): Unit =
+    withCommitLock(spark, statePath)(
+      appendOnceWithPartsLocked(spark, statePath, batchId, appendDeltas,
+        rewriteDeltas, rewriteMerges, partitionCols, guardIdCols,
+        replaceParts, keepPrefix))
+
+  private def appendOnceWithPartsLocked(
+      spark: SparkSession, statePath: String, batchId: Long,
+      appendDeltas: Seq[(String, DataFrame)],
+      rewriteDeltas: Seq[(String, DataFrame)],
+      rewriteMerges: Map[String, (DataFrame, DataFrame) => DataFrame],
+      partitionCols: Map[String, Seq[String]],
+      guardIdCols: Map[String, String],
+      replaceParts: Set[String],
+      keepPrefix: Map[String, Int]): Unit = {
     val prev = latestVersion(spark, statePath)
     if (prev.exists(_ >= batchId)) return // replayed batch: no-op
     val fs = fsOf(spark, statePath)
@@ -683,27 +805,17 @@ object IncrementalAgg {
     if (fs.exists(dest)) fs.delete(dest, true)
     if (!fs.rename(tmpPath, dest))
       throw new java.io.IOException(s"commit rename $tmp -> $dest failed")
-    versions(spark, statePath).filter(_ < batchId).foreach { old =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/v$old"), true)
-    }
     fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).foreach { st =>
       if (st.getPath.getName.startsWith(".tmp-") ||
           st.getPath.getName.startsWith(".segstage-"))
         { fs.delete(st.getPath, true); () }
     }
-    // sweep segments the committed manifest no longer references
-    // (compaction folds, crashed earlier commits, stage leftovers) —
-    // hygiene only: the reader's partition filter already excludes them
-    val live = manifest.toMap
-    val segRoot = new org.apache.hadoop.fs.Path(s"$statePath/seg")
-    if (fs.exists(segRoot)) fs.listStatus(segRoot).foreach { pdir =>
-      val keep = live.getOrElse(pdir.getPath.getName, Vector.empty)
-        .map(sm => s"$SegCol=${sm.name}").toSet
-      fs.listStatus(pdir.getPath).foreach { sdir =>
-        if (!keep.contains(sdir.getPath.getName))
-          { fs.delete(sdir.getPath, true); () }
-      }
-    }
+    // version prune + segment sweep behind the RETENTION window: a
+    // segment stays on disk while ANY retained manifest references it
+    // (that is what keeps a reader bound to the previous version alive),
+    // and goes the commit after — hygiene only either way: the reader's
+    // partition filter already excludes unreferenced segments
+    pruneBehindRetention(spark, statePath, batchId, Some(manifest))
   }
 
   /** [[appendOnceWithParts]] for the common single-frame append state
@@ -844,15 +956,23 @@ object IncrementalAgg {
         col(queryTextCol).as("__qtext"))
       .withColumn("__qd", md5(concat(
         md5(coalesce(col("__qtext"), lit("<null>"))), lit(salt))))
+    // a committed cache from before salt tracking auto-RESETS instead of
+    // raising: the new digest scheme invalidates every old entry anyway,
+    // the cache is disposable by contract, and appending new-schema rows
+    // next to old ones would commit a mixed-schema part. One-time, loud.
     val cachedOpt = latestVersion(spark, cachePath)
       .map(_ => readState(spark, cachePath))
-    cachedOpt.foreach { cached =>
-      if (!cached.columns.contains("__salt"))
-        throw new IllegalStateException(
-          s"result cache at $cachePath predates salt tracking (no " +
-            "'__salt' column) — reset the cache dir (it is a disposable " +
-            "result cache; the next serve repopulates it)")
-    }
+      .filter { cached =>
+        val ok = cached.columns.contains("__salt")
+        if (!ok) {
+          System.err.println(
+            s"[graft] result cache at $cachePath predates salt tracking " +
+              "(no '__salt' column) — resetting it (disposable result " +
+              "cache; this serve repopulates under the current schema)")
+          reset(spark, cachePath)
+        }
+        ok
+      }
     val (hits, missQs) = cachedOpt match {
       case Some(cached) =>
         val resultCols = col("query_id") +:
@@ -902,10 +1022,17 @@ object IncrementalAgg {
     require(latestVersion(spark, cachePath).nonEmpty,
       s"pruneCachedServe: no committed cache under $cachePath")
     val cached = readState(spark, cachePath)
-    if (!cached.columns.contains("__salt"))
-      throw new IllegalStateException(
-        s"result cache at $cachePath predates salt tracking — reset the " +
-          "cache dir instead of pruning it")
+    if (!cached.columns.contains("__salt")) {
+      // pre-salt cache: every entry is dead under the current digest
+      // scheme — the prune IS a reset (disposable cache; next serve
+      // repopulates under the new schema). One-time, loud.
+      System.err.println(
+        s"[graft] result cache at $cachePath predates salt tracking — " +
+          "resetting it (disposable result cache; the next serve " +
+          "repopulates under the current schema)")
+      reset(spark, cachePath)
+      return 0L
+    }
     val live = cached.filter(col("__salt") === lit(saltHex(digestSalt)))
       .localCheckpoint(true)
     try {
@@ -941,12 +1068,17 @@ object IncrementalAgg {
     * absolutely and the read path stays broadcast-cheap. All three
     * checks are one manifest read, so calling this after every
     * retraction batch is free until the fold is actually due. Returns
-    * whether a compaction committed. */
+    * whether a compaction committed.
+    *
+    * `maxTombRows` DEFAULTS ON at [[TombBroadcastMaxRows]] (the read
+    * path's broadcast ceiling): a deployment that forgets the parameter
+    * still folds before its reads degrade to the shuffled anti-join —
+    * pass `Long.MaxValue` explicitly to disable the absolute trigger. */
   def compactWhenDue(
       spark: SparkSession, statePath: String, batchId: Long,
       parts: Seq[String], maxFraction: Double,
       partitionCols: Map[String, Seq[String]] = Map.empty,
-      maxTombRows: Long = Long.MaxValue,
+      maxTombRows: Long = TombBroadcastMaxRows,
       maxTombBytes: Long = Long.MaxValue): Boolean = {
     require(maxFraction > 0.0, s"maxFraction must be positive")
     require(maxTombRows > 0L && maxTombBytes > 0L,
@@ -960,59 +1092,87 @@ object IncrementalAgg {
     due
   }
 
+  /** Sentinel for [[compactSegmentsWhenDue]]'s `smallRows`: derive the
+    * small/large cutoff per part from committed metadata —
+    * max(committed rows / maxSegments, 1). Under that cutoff the fold
+    * sequence is size-tiered: per-batch segments fold into a segment
+    * ~the part's size at fold time, which stays above the cutoff (and is
+    * never re-read) until the part has grown ~maxSegments× past it —
+    * each row is rewritten O(log) times over the stream's life, never
+    * once per fold. */
+  val AutoSmallRows: Long = -1L
+
   /** Segment-COUNT compaction for long-running pure-append streams: a
     * state that commits one segment per micro-batch forever accumulates
     * an unbounded manifest and small-file pressure (the
     * Sinks.compactionPlan problem at segment granularity). When a listed
     * part's live segment count exceeds `maxSegments`, fold the longest
-    * SUFFIX of small segments (committed rows ≤ `smallRows`; unknown
-    * counts fold too) into ONE new segment via the `keepPrefix` commit —
-    * earlier large folded segments are never re-read, so each row is
-    * rewritten O(log) times over the stream's life, not once per fold
-    * (the LSM two-tier economics). Suffix-only folding preserves append
-    * order, so the monotone-id guard and ranged reads survive: the folded
-    * segment's committed [min,max] spans exactly its inputs'. Tombstones
-    * are NOT applied or cleared here (reads keep applying them; that
-    * reclamation is [[compactWhenDue]]'s job) — this fold is pure file
-    * layout, read-invisible by construction. When the part is over
-    * budget but no ≥2-segment small suffix exists (all-large segments),
-    * the whole part folds. One manifest read decides; returns whether a
-    * compaction committed. */
+    * SUFFIX of small segments (committed rows ≤ `smallRows`, which
+    * defaults to the [[AutoSmallRows]] metadata-derived tier cutoff;
+    * unknown counts fold too) into ONE new segment via the `keepPrefix`
+    * commit — earlier large folded segments are never re-read, so each
+    * row is rewritten O(log) times over the stream's life, not once per
+    * fold (the LSM size-tiered economics). Suffix-only folding preserves
+    * append order, so the monotone-id guard and ranged reads survive: the
+    * folded segment's committed [min,max] spans exactly its inputs'.
+    * Tombstones are NOT applied or cleared here (reads keep applying
+    * them; that reclamation is [[compactWhenDue]]'s job) — this fold is
+    * pure file layout, read-invisible by construction.
+    *
+    * When a part is over budget but no ≥2-small-segment suffix exists
+    * (e.g. the newest segment is the only small one behind a large one),
+    * the part SKIPS this round rather than rewriting large segments —
+    * the count can sit a structural constant above `maxSegments`
+    * transiently, and self-heals as the part grows (the tier cutoff
+    * rises with committed rows until the old large segments re-tier as
+    * small and fold once more). A part over budget with NO data files at
+    * all (a stream of no-op mutations — e.g. takedown batches whose
+    * delete keys matched nothing — commits empty segments forever) folds
+    * at the MANIFEST level: its segment list collapses without reading
+    * any data, closing the unbounded-manifest hazard for the degenerate
+    * case too. One manifest read decides; returns whether a compaction
+    * committed. */
   def compactSegmentsWhenDue(
       spark: SparkSession, statePath: String, batchId: Long,
       parts: Seq[String], maxSegments: Int,
-      smallRows: Long = Long.MaxValue,
+      smallRows: Long = AutoSmallRows,
       partitionCols: Map[String, Seq[String]] = Map.empty): Boolean = {
     require(maxSegments >= 1, "maxSegments must be at least 1")
+    require(smallRows == AutoSmallRows || smallRows > 0L,
+      "smallRows must be positive (or AutoSmallRows)")
     val m = manifestOf(spark, statePath).getOrElse(
       throw new IllegalStateException(
         s"compactSegmentsWhenDue: $statePath is not a segment-manifest " +
           "state"))
     val fs = fsOf(spark, statePath)
+    val over = parts.filter(p =>
+      m.parts.getOrElse(p, Vector.empty).length > maxSegments)
+    // an all-empty part has no data files to fold (and no parquet to
+    // read): collapse its manifest entries metadata-only via replaceParts
+    val (clears, foldable) = over.partition(p =>
+      !hasDataFiles(fs, new org.apache.hadoop.fs.Path(segDir(statePath, p))))
     // every part folds in ONE commit (atomic across parts, one version)
-    val folds: Seq[(String, Int)] = parts.flatMap { part =>
-      val segs = m.parts.getOrElse(part, Vector.empty)
-      // an all-empty part (e.g. tombstone segments that all matched
-      // nothing) has no data files to fold — and no parquet to read
-      if (segs.length <= maxSegments ||
-          !hasDataFiles(fs,
-            new org.apache.hadoop.fs.Path(segDir(statePath, part)))) None
-      else {
-        // keep [0, k): everything up to the last segment KNOWN large
-        val k = segs.lastIndexWhere(_.rows.exists(_ > smallRows)) + 1
-        // a suffix of 0-1 segments folds nothing — fold the whole part
-        Some(part -> (if (segs.length - k >= 2) k else 0))
-      }
+    val folds: Seq[(String, Int)] = foldable.flatMap { part =>
+      val segs = m.parts(part)
+      val cutoff =
+        if (smallRows != AutoSmallRows) smallRows
+        else math.max(segs.flatMap(_.rows).sum / maxSegments, 1L)
+      // keep [0, k): everything up to the last segment KNOWN large
+      val k = segs.lastIndexWhere(_.rows.exists(_ > cutoff)) + 1
+      // a suffix of 0-1 smalls folds nothing — skip (never rewrite the
+      // large tier; the rising auto cutoff re-tiers it eventually)
+      if (segs.length - k >= 2) Some(part -> k) else None
     }
-    if (folds.nonEmpty)
+    if (folds.nonEmpty || clears.nonEmpty)
       appendOnceWithParts(spark, statePath, batchId,
         appendDeltas = folds.map { case (part, k) =>
           val names = m.parts(part).drop(k).map(_.name)
           part -> readSegments(spark, statePath, part, names)
         },
         partitionCols = partitionCols,
-        keepPrefix = folds.toMap)
-    folds.nonEmpty
+        keepPrefix = folds.toMap,
+        replaceParts = clears.toSet)
+    folds.nonEmpty || clears.nonEmpty
   }
 
   /** The single non-tombstone part of a segment-manifest state, if the
@@ -1086,10 +1246,12 @@ object IncrementalAgg {
   /** Ceiling on committed tombstone rows the read path will still
     * broadcast-anti-join: ~2M keys ≈ tens of MB per executor, safely
     * under broadcast limits; beyond it (or when a segment predates row
-    * counts) the anti-join falls back to a shuffle — and
-    * [[compactWhenDue]]'s absolute triggers should have folded long
-    * before. */
-  private val TombBroadcastMaxRows = 2000000L
+    * counts) the anti-join falls back to a shuffle. The SAME constant is
+    * [[compactWhenDue]]'s default absolute row trigger, so a deployment
+    * that never tunes a parameter folds its backlog exactly at the point
+    * where reads would otherwise leave the broadcast-cheap path — the
+    * shuffle fallback is the safety net, not the steady state. */
+  val TombBroadcastMaxRows = 2000000L
 
   /** Read one named part of the latest committed multi-part snapshot.
     * Segment-manifest parts resolve manifest → one partition-pruned scan,

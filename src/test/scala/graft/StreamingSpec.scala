@@ -1575,14 +1575,166 @@ class StreamingSpec extends SparkTestBase {
     assert(served() == v1pass, "post-maintenance hits must serve same bytes")
     assert(IncrementalAgg.latestVersion(spark, cache) == v,
       "an all-hit pass must not commit")
-    // a pre-salt cache raises with reset guidance instead of mixing schemas
+    // a pre-salt cache AUTO-RESETS (disposable by contract; the new
+    // digest scheme invalidates every old entry anyway) instead of
+    // raising or mixing schemas: pruning it clears the dir ...
     val legacy = dir.resolve("legacycache").toString
     IncrementalAgg.appendOnceWithParts(spark, legacy, 0L,
       appendDeltas = Seq(IncrementalAgg.RowsPart ->
         Seq(("deadbeef", 1L)).toDF("__qd", "x")))
-    val e = intercept[IllegalStateException] {
-      IncrementalAgg.pruneCachedServe(spark, legacy, Seq("s"), 1L)
+    assert(IncrementalAgg.pruneCachedServe(spark, legacy, Seq("s"), 1L) == 0L)
+    assert(IncrementalAgg.latestVersion(spark, legacy).isEmpty,
+      "a pre-salt cache prune must reset the disposable cache")
+    // ... and serving THROUGH a pre-salt cache resets then repopulates
+    // under the current schema, same bytes as the direct path
+    val legacy2 = dir.resolve("legacycache2").toString
+    IncrementalAgg.appendOnceWithParts(spark, legacy2, 0L,
+      appendDeltas = Seq(IncrementalAgg.RowsPart ->
+        Seq(("deadbeef", 1L)).toDF("__qd", "x")))
+    val viaReset = Bm25Index.bm25TopKBatchCached(spark, state, legacy2,
+        qs.toDF("qid", "qtext"), Seq("doc_id"), "qid", "qtext", k = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaReset == v1pass,
+      "a serve through a pre-salt cache must reset + repopulate, not raise")
+    assert(IncrementalAgg.readState(spark, legacy2).columns
+      .contains("__salt"), "the repopulated cache must carry __salt")
+  }
+
+  test("commit lease: a held lock raises before any rename; stale leases break by age") {
+    val dir = java.nio.file.Files.createTempDirectory("lease")
+    val state = dir.resolve("state").toString
+    IncrementalAgg.appendOnce(spark, state,
+      Seq((1L, "a")).toDF("id", "p"), 0L, "id")
+    // a rival writer holds the lease: the commit must refuse BEFORE any
+    // staging rename — no new version, no segment, prior state intact
+    val lock = new java.io.File(s"$state/_lock")
+    assert(lock.createNewFile())
+    val e = intercept[java.util.ConcurrentModificationException] {
+      IncrementalAgg.appendOnce(spark, state,
+        Seq((2L, "b")).toDF("id", "p"), 1L, "id")
     }
-    assert(e.getMessage.contains("predates salt tracking"), e.getMessage)
+    assert(e.getMessage.contains("lease"), e.getMessage)
+    assert(!new java.io.File(s"$state/v1").exists(),
+      "a lease-refused commit must not have renamed anything")
+    assert(lock.exists(), "a refused writer must not delete a live lease")
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the rewrite protocol refuses on the same lease
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      IncrementalAgg.refreshOnceWith(spark, state,
+        Seq((9L, "z")).toDF("id", "p"), 2L, (_, dl) => dl)
+    }
+    assert(e2.getMessage.contains("lease"), e2.getMessage)
+    // a CRASHED writer's lease (older than spark.graft.state.lockStaleMs)
+    // breaks: the commit proceeds and releases the lease afterwards
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - 2L * 600000L))
+    IncrementalAgg.appendOnce(spark, state,
+      Seq((2L, "b")).toDF("id", "p"), 1L, "id")
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(!lock.exists(), "a successful commit must release the lease")
+  }
+
+  test("version retention: a reader bound to the previous version survives the next commit; storage stays bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("retain")
+    val state = dir.resolve("state").toString
+    IncrementalAgg.appendOnce(spark, state,
+      (1L to 5L).map(i => (i, s"p$i")).toDF("id", "p"), 0L, "id")
+    IncrementalAgg.appendOnce(spark, state,
+      (6L to 10L).map(i => (i, s"p$i")).toDF("id", "p"), 1L, "id")
+    // bind a reader to v1 (segments s0 + s1), THEN fold everything into
+    // a fresh segment at v2: under eager pruning the fold's sweep would
+    // delete s0/s1 out from under the bound plan
+    val bound = IncrementalAgg.readState(spark, state)
+    IncrementalAgg.compactRows(spark, state, 2L)
+    assert(new java.io.File(s"$state/v1").exists(),
+      "the previous version must survive one commit (retention window)")
+    assert(bound.collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L),
+      "a reader bound to v_n must still materialize after v_{n+1} commits")
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L))
+    // storage bounded over a long maintained stream: never more than the
+    // retention window of version dirs, and the segment sweep reclaims
+    // everything no retained manifest references
+    var batch = 3L
+    for (b <- 1 to 10) {
+      IncrementalAgg.appendOnce(spark, state,
+        Seq((10L + b, s"q$b")).toDF("id", "p"), batch, "id")
+      batch += 1
+      IncrementalAgg.compactSegmentsWhenDue(spark, state, batch,
+        Seq(IncrementalAgg.RowsPart), maxSegments = 3)
+      batch += 1
+      val vdirs = new java.io.File(state).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      assert(vdirs.length <= 2,
+        s"version dirs must stay within the retention window, got " +
+          vdirs.map(_.getName).toSeq.sorted.mkString(", "))
+    }
+    // live segments on disk ≤ segments referenced by the ≤2 retained
+    // manifests (bounded), not one per historical commit
+    val segDirs = new java.io.File(s"$state/seg/${IncrementalAgg.RowsPart}")
+      .listFiles().filter(_.getName.startsWith("__seg=")).map(_.getName)
+    assert(segDirs.length <= 2 * (3 + 2),
+      s"swept segments must not accumulate, got ${segDirs.length}")
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 20L))
+  }
+
+  test("default absolute trigger: an untuned takedown schedule folds at the broadcast ceiling") {
+    val dir = java.nio.file.Files.createTempDirectory("deftrig")
+    val state = dir.resolve("state").toString
+    IncrementalAgg.appendOnce(spark, state,
+      (1L to 10L).map(i => (i, s"p$i")).toDF("id", "p"), 0L, "id")
+    // a delete backlog one past the read path's broadcast ceiling (the
+    // keys match nothing — metadata-counted rows are what schedule)
+    IncrementalAgg.retractRows(spark, state,
+      spark.range(IncrementalAgg.TombBroadcastMaxRows + 1)
+        .select((col("id") + 1000000000L).as("id")),
+      1L)
+    val part = IncrementalAgg.RowsPart
+    assert(IncrementalAgg.tombstoneRows(spark, state, part) ==
+      IncrementalAgg.TombBroadcastMaxRows + 1)
+    // DEFAULT schedule — no absolute parameter passed; the fraction is
+    // set unreachably high so only the default row trigger can fire
+    assert(IncrementalAgg.compactWhenDue(spark, state, 2L, Seq(part),
+      maxFraction = 1e15),
+      "the default maxTombRows must fire at the broadcast ceiling")
+    assert(IncrementalAgg.tombstoneRows(spark, state, part) == 0L)
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 10L))
+  }
+
+  test("manifest-level fold: a stream of no-op takedowns cannot grow the manifest unboundedly") {
+    val dir = java.nio.file.Files.createTempDirectory("noopfold")
+    val state = dir.resolve("state").toString
+    IncrementalAgg.appendOnce(spark, state,
+      (1L to 5L).map(i => (i, s"p$i")).toDF("id", "p"), 0L, "id")
+    // 6 takedown batches whose delete keys resolved against nothing live
+    // (the Bm25Index.retractFromIndex shape): each commits an EMPTY
+    // tombstone segment — a manifest entry with zero data files
+    val tombOf = IncrementalAgg.tombstonePart(IncrementalAgg.RowsPart)
+    var batch = 1L
+    for (_ <- 1 to 6) {
+      IncrementalAgg.appendOnceWithParts(spark, state, batch,
+        appendDeltas = Seq(tombOf -> Seq.empty[Long].toDF("id")))
+      batch += 1
+    }
+    val tname = IncrementalAgg.tombstonePart(IncrementalAgg.RowsPart)
+    assert(IncrementalAgg.segmentCount(spark, state, tname) == 6)
+    // the segment-count schedule folds the all-empty part METADATA-ONLY
+    // (there is nothing to read — the old behavior skipped it forever)
+    assert(IncrementalAgg.compactSegmentsWhenDue(spark, state, batch,
+      Seq(tname), maxSegments = 4))
+    batch += 1
+    assert(IncrementalAgg.segmentCount(spark, state, tname) == 0,
+      "an all-empty part must collapse at the manifest level")
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).sorted.toSeq == (1L to 5L),
+      "clearing empty tombstone segments must be read-invisible")
+    // and the state keeps working: a real takedown still lands
+    IncrementalAgg.retractRows(spark, state, Seq(3L).toDF("id"), batch)
+    assert(IncrementalAgg.readState(spark, state)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L, 5L))
   }
 }
