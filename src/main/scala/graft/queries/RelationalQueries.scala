@@ -761,6 +761,41 @@ object RelationalQueries {
       } finally graft.operators.Dedup.release(prior)
     }),
 
+    // --- q116: TOLERANCE-STOPPED maintained PageRank — the `tolFp`
+    //     convergence stop promoted from OperatorsSpec to an oracle row
+    //     (r19 verdict item 7): the iteration-8 vector warm-starts a
+    //     tolerance-stopped refresh with a 4-iteration budget. The
+    //     inter-iteration residual max|Δrank_fp| at iterations 8→9 is a
+    //     DETERMINISTIC property of the fixed test data (exact integer
+    //     arithmetic — zero run-to-run variance; measured 3.30e9 /
+    //     3.60e9 / 3.75e9 at sf0.001/0.01/0.1), so the 1e10 refresh
+    //     tolerance is already satisfied and the warm run exits at its
+    //     FIRST iteration, returning the iteration-9 vector after exactly
+    //     one shuffle round — the maintenance-loop shape where an
+    //     edge-stable refresh costs one verification pass, not the full
+    //     budget. The oracle is the NINE-round SQL: had the stop not
+    //     fired, the 12-round vector would hash-mismatch, so the row
+    //     gates the early exit itself, not just warm composition. --------
+    "q116_pagerank_tol" -> ((s, d) => {
+      import graft.operators.Graph
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val prior = Graph.pageRankFixedPoint(edges, "src", "dst", iters = 8)
+        .localCheckpoint(true)
+      try {
+        Graph.pageRankFixedPoint(edges, "src", "dst", iters = 4,
+            initRanks = Some(prior), tolFp = Some(10000000000L))
+          .orderBy("vertex")
+          .localCheckpoint(true)
+      } finally graft.operators.Dedup.release(prior)
+    }),
+
     // --- q112: POINT-IN-TIME reads over the SCD-2 dimension — the query
     //     the versioned dim exists to answer ("what state was every user
     //     in at time T"): four as-of instants at fixed quarter-points of
@@ -2163,6 +2198,10 @@ object RelationalQueries {
     // warm(cold(5), 3) must equal the 8-round oracle exactly — the
     // incremental-maintenance gate
     "q115_pagerank_warm" -> pageRankOracle(8),
+    // the tolerance-stopped warm refresh runs EXACTLY ONE iteration past
+    // the 8 cold rounds — the 9-round oracle gates the early exit (a
+    // stop that failed to fire would return the 12-round vector)
+    "q116_pagerank_tol" -> pageRankOracle(9),
     // the ONE-SHOT SCD-2 history over the full change log — the Spark row
     // builds it incrementally (base + scdApply of the later half), so
     // equality IS the incremental-correctness gate

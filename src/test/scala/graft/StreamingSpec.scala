@@ -868,15 +868,32 @@ class StreamingSpec extends SparkTestBase {
     assert(canonParts() == resolvedBefore,
       "compaction must be read-invisible: it only folds tombstones into " +
         "a rewritten segment")
-    assert(segFiles(IncrementalAgg.tombstonePart(Bm25Index.PostingsPart))
-      .isEmpty, "compaction must clear the tombstone segments")
-    // a post-compaction extend still appends O(delta)
+    // compaction clears the tombstones from the LATEST manifest at once;
+    // the cleared segment FILES stay on disk for the retention window
+    // (the previous retained manifest still references them — that is
+    // what keeps a reader bound to the pre-compaction version alive) and
+    // sweep on the commit after
+    assert(IncrementalAgg.tombstoneRows(spark, state,
+      Bm25Index.PostingsPart) == 0L,
+      "compaction must clear the tombstones from the committed manifest")
+    assert(IncrementalAgg.segmentCount(spark, state,
+      IncrementalAgg.tombstonePart(Bm25Index.PostingsPart)) == 0)
+    // a post-compaction extend still appends O(delta): the fold segment
+    // survives byte-identical (pre-fold segments may sweep here — the
+    // retention window just passed them)
     val compacted = segFiles(Bm25Index.PostingsPart)
+    val foldFiles = compacted.filter(_._1.contains("__seg=s3"))
+    assert(foldFiles.nonEmpty, "the compaction fold segment must exist")
     Bm25Index.extendIndex(spark, state,
       Seq((9L, "apple melon")).toDF("doc_id", "text"), Seq("doc_id"),
       "text", 4L)
     val extended = segFiles(Bm25Index.PostingsPart)
-    assert(compacted.forall { case (p, sig) => extended.get(p).contains(sig) })
+    assert(foldFiles.forall { case (p, sig) => extended.get(p).contains(sig) },
+      "an extend must never rewrite the compacted fold segment")
+    assert(segFiles(IncrementalAgg.tombstonePart(Bm25Index.PostingsPart))
+      .isEmpty,
+      "cleared tombstone segments must sweep once the retention window " +
+        "passes")
     // tombstone key-shape discipline: retracting with a different key
     // column set than the committed tombstones raises with guidance
     Bm25Index.retractFromIndex(spark, state, Seq(9L).toDF("doc_id"),
