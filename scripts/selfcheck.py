@@ -60,9 +60,15 @@ def main(sf_dir, out_dir):
     except Exception:
         failures = {}
     results = {}
+    import time
+    t_start = time.time()
     for name in sorted(oracle):
         if name not in attempted:
             continue
+        # progress line per query (stderr, flushed): big-SF oracle runs take
+        # minutes per heavy query — an opaque multi-hour run is undebuggable
+        print(f"[selfcheck +{time.time() - t_start:7.1f}s] {name}",
+              file=sys.stderr, flush=True)
         if not os.path.isdir(f"{out_dir}/{name}"):
             msg = failures.get(name, "query failed before its write (see Verify stderr)")
             results[name] = f"NO-OUTPUT: {msg}"
