@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * (contributions grouped by destination, partial-aggregating — a
   * celebrity vertex's in-flow arrives as per-partition partials) plus a
   * broadcast-or-shuffle join of the rank vector against the edge list.
-  * The edge list, degrees, and vertex set are checkpointed ONCE and
-  * reused across iterations; each iteration's rank vector is
+  * The degree-annotated edge list (src, dst, od) and the vertex set are
+  * checkpointed ONCE and reused across iterations (the out-degree join
+  * is loop-invariant and hoisted out of the loop); each iteration's
+  * rank vector is
   * checkpointed eagerly and the previous one released, so the plan stays
   * iteration-sized instead of growing a k-join lineage.
   */
@@ -116,9 +118,33 @@ object Graph {
       val base = privRoot.map(r => s"$r/base")
       val e = ckAt(base)(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")))
-      val deg = ckAt(base)(e.groupBy(col("src")).agg(count(lit(1)).as("od")))
+      // LOOP-INVARIANT hoist (r20 optimization, guide §2.4): the
+      // out-degree join e ⋈ deg ran INSIDE every iteration (a 3-way join
+      // per round); (src, dst, od) never changes across iterations, so
+      // attach the degree to each edge ONCE and let every iteration join
+      // the rank vector against this single frame. Arithmetic unchanged
+      // (r div od per edge) — the vector is bit-identical.
+      //
+      // Scale-adaptive parallelism floor (r20, guide §2: partitioning
+      // must adapt to the input rather than a constant): AQE rightly
+      // coalesces a small edge shuffle to a handful of partitions — but
+      // this frame is scanned by EVERY iteration's edge-side join, so a
+      // handful of partitions caps the whole loop at a handful of cores.
+      // When the materialized edge frame landed below the session's
+      // parallelism, rebalance the hoisted frame up to it (hash on src —
+      // deterministic, no round-robin pre-sort). At scale the edge frame
+      // already carries >= cores partitions and this is a no-op.
+      val edPlan = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("od")), Seq("src"))
+      val par = sc.defaultParallelism
+      val ed = ckAt(base)(
+        if (e.rdd.getNumPartitions < par) edPlan.repartition(par, col("src"))
+        else edPlan)
       val verts = ckAt(base)(e.select(col("src").as("v"))
         .union(e.select(col("dst").as("v"))).distinct())
+      // e is not referenced by the loop (ed and verts are self-contained
+      // checkpoints) — release the raw edge blocks before iterating
+      Dedup.release(e)
       var ranks = ckAt(base)(initRanks match {
         case Some(prior) =>
           verts.join(
@@ -135,15 +161,8 @@ object Graph {
       while (it < iters && !converged) {
         it += 1
         val iterDir = privRoot.map(r => s"$r/it$it")
-        val contrib = e.join(deg, Seq("src"))
-          .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-          .select(col("dst").as("v"), expr("r div od").as("c"))
-          .groupBy(col("v")).agg(sum(col("c")).as("s"))
-        val next = ckAt(iterDir)(verts.join(contrib, Seq("v"), "left")
-          .select(col("v"),
-            (lit(teleportFp) +
-              expr(s"(coalesce(s, cast(0 as bigint)) * $dampNum)" +
-                s" div $dampDen")).as("r")))
+        val next = ckAt(iterDir)(
+          iterationPlan(ed, verts, ranks, dampNum, dampDen, teleportFp))
         // exact integer stopping rule — evaluated BEFORE the previous
         // vector's files go away (the delta join reads both vectors)
         converged = tolFp.exists { t =>
@@ -162,7 +181,7 @@ object Graph {
       // the final vector is a self-contained checkpoint — the shared
       // frames it was built from (base/) can be freed now; only the
       // returned vector's files survive the call
-      Seq(e, deg, verts).foreach(Dedup.release)
+      Seq(ed, verts).foreach(Dedup.release)
       privRoot.foreach(r => rmDir(s"$r/base"))
       ranks.select(col("v").as("vertex"), col("r").as("rank_fp"))
     }
@@ -170,6 +189,25 @@ object Graph {
     // concurrent pageRanks must never interleave checkpoint-dir mutation
     // or delete each other's live snapshots
     if (privRoot.isDefined) CkptSerial.synchronized(run()) else run()
+  }
+
+  /** One PageRank iteration as a LAZY plan over the loop frames — the
+    * exact unit [[pageRankFixedPoint]] materializes per iteration, shared
+    * with the plan-audit probe (tools/PrIterPlan) so committed plan
+    * evidence is produced by the production code path. `ed` is the
+    * degree-annotated edge frame (src, dst, od); `ranks` is (v, r). */
+  private[graft] def iterationPlan(
+      ed: DataFrame, verts: DataFrame, ranks: DataFrame,
+      dampNum: Long, dampDen: Long, teleportFp: Long): DataFrame = {
+    val contrib = ed
+      .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+      .select(col("dst").as("v"), expr("r div od").as("c"))
+      .groupBy(col("v")).agg(sum(col("c")).as("s"))
+    verts.join(contrib, Seq("v"), "left")
+      .select(col("v"),
+        (lit(teleportFp) +
+          expr(s"(coalesce(s, cast(0 as bigint)) * $dampNum)" +
+            s" div $dampDen")).as("r"))
   }
 
   /** Process-wide serialization of reliable-checkpoint invocations. */

@@ -749,16 +749,22 @@ object RelationalQueries {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
+      // materialized ONCE (r20 optimization): the cold and warm pageRank
+      // calls below both read this frame — uncheckpointed, each call
+      // re-ran the lineitem ⋈ orders + distinct + union edge derivation
       val edges = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-      val prior = Graph.pageRankFixedPoint(edges, "src", "dst", iters = 5)
         .localCheckpoint(true)
       try {
-        Graph.pageRankFixedPoint(edges, "src", "dst", iters = 3,
-            initRanks = Some(prior))
-          .orderBy("vertex")
+        val prior = Graph.pageRankFixedPoint(edges, "src", "dst", iters = 5)
           .localCheckpoint(true)
-      } finally graft.operators.Dedup.release(prior)
+        try {
+          Graph.pageRankFixedPoint(edges, "src", "dst", iters = 3,
+              initRanks = Some(prior))
+            .orderBy("vertex")
+            .localCheckpoint(true)
+        } finally graft.operators.Dedup.release(prior)
+      } finally graft.operators.Dedup.release(edges)
     }),
 
     // --- q116: TOLERANCE-STOPPED maintained PageRank — the `tolFp`
@@ -784,16 +790,21 @@ object RelationalQueries {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
+      // materialized ONCE (r20 optimization) — same sharing as q115: both
+      // pageRank calls read the identical edge frame
       val edges = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-      val prior = Graph.pageRankFixedPoint(edges, "src", "dst", iters = 8)
         .localCheckpoint(true)
       try {
-        Graph.pageRankFixedPoint(edges, "src", "dst", iters = 4,
-            initRanks = Some(prior), tolFp = Some(10000000000L))
-          .orderBy("vertex")
+        val prior = Graph.pageRankFixedPoint(edges, "src", "dst", iters = 8)
           .localCheckpoint(true)
-      } finally graft.operators.Dedup.release(prior)
+        try {
+          Graph.pageRankFixedPoint(edges, "src", "dst", iters = 4,
+              initRanks = Some(prior), tolFp = Some(10000000000L))
+            .orderBy("vertex")
+            .localCheckpoint(true)
+        } finally graft.operators.Dedup.release(prior)
+      } finally graft.operators.Dedup.release(edges)
     }),
 
     // --- q112: POINT-IN-TIME reads over the SCD-2 dimension — the query
