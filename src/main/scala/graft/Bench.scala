@@ -22,6 +22,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor lowered 1m -> 128k (r20, guide §2.2/§2.5):
+      // with parallelismFirst the coalesce target is max(bytes/cores,
+      // minPartitionSize), so at small per-shuffle byte counts the 1m
+      // floor binds and caps shuffle-consumer stages at a handful of
+      // tasks on a 32-core session. 128k keeps the partition count
+      // derived from input size / parallelism (scale-adaptive — at
+      // production shuffle sizes bytes/cores >> either floor and the
+      // setting is inert); measured -5% on the shuffle-heavy rows,
+      // neutral on the tail.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
       // ContextCleaner reclaims broadcast/shuffle/RDD state only when GC
       // collects the weak refs; the default periodic-GC interval (30 min)
       // never fires within a bench run, so 100+ queries' worth of state

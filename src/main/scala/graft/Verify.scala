@@ -18,6 +18,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor lowered to match Bench (r20; see the note
+      // there — scale-adaptive: inert at production shuffle sizes)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
       // keep ContextCleaner live across the 100+-query dump (see Bench)
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()

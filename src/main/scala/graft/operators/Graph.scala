@@ -199,15 +199,23 @@ object Graph {
   private[graft] def iterationPlan(
       ed: DataFrame, verts: DataFrame, ranks: DataFrame,
       dampNum: Long, dampDen: Long, teleportFp: Long): DataFrame = {
+    // one shuffle per iteration (r20, guide §2.4): the old shape
+    // aggregated contributions BY v and then LEFT-joined the vertex set
+    // (a second join + broadcast build per round, with coalesce(s, 0)
+    // supplying zero in-flow). Planting an explicit zero contribution
+    // per vertex into the SAME aggregation folds both into one
+    // partial-aggregating shuffle: Σ over the union is the identical
+    // Long sum when in-flow exists and exactly 0 (the planted row) when
+    // it does not — bit-identical to coalesce(s, 0), no join.
     val contrib = ed
       .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
       .select(col("dst").as("v"), expr("r div od").as("c"))
+    verts.select(col("v"), lit(0L).as("c"))
+      .unionByName(contrib)
       .groupBy(col("v")).agg(sum(col("c")).as("s"))
-    verts.join(contrib, Seq("v"), "left")
       .select(col("v"),
         (lit(teleportFp) +
-          expr(s"(coalesce(s, cast(0 as bigint)) * $dampNum)" +
-            s" div $dampDen")).as("r"))
+          expr(s"(s * $dampNum) div $dampDen")).as("r"))
   }
 
   /** Process-wide serialization of reliable-checkpoint invocations. */

@@ -718,16 +718,24 @@ object RelationalQueries {
     //     Oracle: the 8 rounds replayed as generated MATERIALIZED CTEs. --
     "q111_pagerank" -> ((s, d) => {
       import graft.operators.Graph
+      // pairs materialized ONCE (r20 optimization): the union reads the
+      // frame twice — uncheckpointed, the lineitem ⋈ orders + distinct
+      // derivation ran once per union leg
       val pairs = Tables.lineitem(s, d)
         .join(Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = pairs.unionByName(
-        pairs.select(col("dst").as("src"), col("src").as("dst")))
-      Graph.pageRankFixedPoint(edges, "src", "dst", iters = 8)
-        .orderBy("vertex")
+        .localCheckpoint(true)
+      try {
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        // the returned vector is a self-contained checkpoint — releasing
+        // pairs immediately after the eager call is safe
+        Graph.pageRankFixedPoint(edges, "src", "dst", iters = 8)
+          .orderBy("vertex")
+      } finally graft.operators.Dedup.release(pairs)
     }),
 
     // --- q115: INCREMENTAL PageRank — the warm-start maintenance path
@@ -749,13 +757,14 @@ object RelationalQueries {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      // materialized ONCE (r20 optimization): the cold and warm pageRank
-      // calls below both read this frame — uncheckpointed, each call
-      // re-ran the lineitem ⋈ orders + distinct + union edge derivation
-      val edges = pairs.unionByName(
-        pairs.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint(true)
+      // pairs materialized ONCE (r20 optimization): the union reads it
+      // twice and BOTH pageRank calls (cold + warm) read the union —
+      // uncheckpointed, each consumer re-ran the lineitem ⋈ orders +
+      // distinct derivation
       try {
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
         val prior = Graph.pageRankFixedPoint(edges, "src", "dst", iters = 5)
           .localCheckpoint(true)
         try {
@@ -764,7 +773,7 @@ object RelationalQueries {
             .orderBy("vertex")
             .localCheckpoint(true)
         } finally graft.operators.Dedup.release(prior)
-      } finally graft.operators.Dedup.release(edges)
+      } finally graft.operators.Dedup.release(pairs)
     }),
 
     // --- q116: TOLERANCE-STOPPED maintained PageRank — the `tolFp`
@@ -790,12 +799,12 @@ object RelationalQueries {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      // materialized ONCE (r20 optimization) — same sharing as q115: both
-      // pageRank calls read the identical edge frame
-      val edges = pairs.unionByName(
-        pairs.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint(true)
+      // pairs materialized ONCE (r20 optimization) — same sharing as
+      // q115: the union and both pageRank calls read the one checkpoint
       try {
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
         val prior = Graph.pageRankFixedPoint(edges, "src", "dst", iters = 8)
           .localCheckpoint(true)
         try {
@@ -804,7 +813,7 @@ object RelationalQueries {
             .orderBy("vertex")
             .localCheckpoint(true)
         } finally graft.operators.Dedup.release(prior)
-      } finally graft.operators.Dedup.release(edges)
+      } finally graft.operators.Dedup.release(pairs)
     }),
 
     // --- q112: POINT-IN-TIME reads over the SCD-2 dimension — the query

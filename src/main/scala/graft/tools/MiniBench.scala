@@ -18,6 +18,7 @@ object MiniBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
       .config("spark.cleaner.periodicGC.interval", "900s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

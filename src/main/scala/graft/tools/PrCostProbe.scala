@@ -31,11 +31,30 @@ object PrCostProbe {
     }
     // JIT/codegen warm
     graft.operators.Graph.pageRankFixedPoint(edges, "src", "dst", 2).count()
-    for (iters <- Seq(1, 2, 4, 8); rep <- 1 to 2) {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          { jobs.incrementAndGet(); () }
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(e.stageInfo.numTasks)
+          taskMs.addAndGet(e.stageInfo.taskMetrics.executorRunTime)
+          ()
+        }
+      })
+    for (iters <- Seq(1, 8); rep <- 1 to 2) {
       System.gc(); Thread.sleep(150)
+      jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
       val t0 = System.nanoTime()
       graft.operators.Graph.pageRankFixedPoint(edges, "src", "dst", iters).count()
-      println(f"[prcost] iters=$iters rep=$rep ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[prcost] iters=$iters rep=$rep ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} " +
+        s"taskTimeMs=${taskMs.get}")
     }
     spark.stop()
   }
