@@ -185,10 +185,28 @@ object Graph {
       privRoot.foreach(r => rmDir(s"$r/base"))
       ranks.select(col("v").as("vertex"), col("r").as("rank_fp"))
     }
-    // reliable-checkpoint invocations serialize process-wide: two
-    // concurrent pageRanks must never interleave checkpoint-dir mutation
-    // or delete each other's live snapshots
-    if (privRoot.isDefined) CkptSerial.synchronized(run()) else run()
+    // The loop's per-iteration shuffles are VERTEX-VECTOR-sized and
+    // latency-bound (a fixed number of stage jobs per iteration × k
+    // iterations), the opposite profile of the one-shot corpus shuffles
+    // the session may tune AQE's coalescing floor down for — a lowered
+    // minPartitionSize multiplies tiny tasks per iteration (measured
+    // 1.75× on the bench family at 128k). Pin the Spark-default floor
+    // (1m) for the loop's duration and restore the caller's value
+    // after; scale-safe because it IS the upstream default, and at real
+    // vector sizes bytes/parallelism exceeds it anyway.
+    val floorKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val savedFloor = try Some(spark.conf.get(floorKey))
+      catch { case _: Throwable => None }
+    spark.conf.set(floorKey, "1m")
+    try {
+      // reliable-checkpoint invocations serialize process-wide: two
+      // concurrent pageRanks must never interleave checkpoint-dir mutation
+      // or delete each other's live snapshots
+      if (privRoot.isDefined) CkptSerial.synchronized(run()) else run()
+    } finally savedFloor match {
+      case Some(v) => spark.conf.set(floorKey, v)
+      case None => spark.conf.unset(floorKey)
+    }
   }
 
   /** One PageRank iteration as a LAZY plan over the loop frames — the
