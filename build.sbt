@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parseable stdout (r21, VERDICT item 2): the driver captures a
+// fixed-size stdout tail of `sbt "runMain graft.Bench"` and line-parses
+// it for the final JSON object. The default forked-run output strategy
+// logs child stdout through sbt's logger — every line arrives prefixed
+// "[info] ", and sbt appends its own "[success] Total time ..." line
+// after the run — which left BENCH_r19/r20.json with parsed:null.
+// StdoutOutput inherits the parent's stdout (no prefix), and
+// showSuccess=false drops the trailing [success] line, so the bare JSON
+// line Bench prints last IS the last stdout line of the invocation.
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

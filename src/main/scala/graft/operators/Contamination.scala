@@ -32,8 +32,10 @@ object Contamination {
       .select(explode(Dedup.shingleHashes(col(textCol), shingleN)).as("sh"))
       .distinct()
       .withColumn("__hit", lit(1))
-    corpus
-      .select(col(idCol).as("doc_id"),
+    // shingling is per-row tokenize+hash work fused into the corpus scan
+    // stage — floor its parallelism (r21, guide §2.6; no-op at scale)
+    Par.floor(corpus.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
+      .select(col("doc_id"),
         explode_outer(Dedup.shingleHashes(col(textCol), shingleN)).as("sh"))
       .join(broadcast(bench), Seq("sh"), "left")
       .groupBy(col("doc_id"))
@@ -119,8 +121,11 @@ object Contamination {
       idCol: String, textCol: String, shingleN: Int,
       broadcastConfirm: Boolean): DataFrame = {
     import org.apache.spark.sql.GraftPlanBridge.{exprOf, ofExpr}
-    val perDoc = corpus.select(col(idCol).as("doc_id"),
-      Dedup.shingleHashes(col(textCol), shingleN).as("shs"))
+    // same scan-stage shingling floor as contaminationScores (r21 §2.6)
+    val perDoc = Par.floor(
+        corpus.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
+      .select(col("doc_id"),
+        Dedup.shingleHashes(col(textCol), shingleN).as("shs"))
     val matched =
       if (bloomBytes == null) {
         // empty benchmark → empty bloom → nothing can match; derive the

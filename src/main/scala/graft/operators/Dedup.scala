@@ -99,7 +99,13 @@ object Dedup {
   def shingleHashTable(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    // tokenize → n-gram → hash is the pipeline's heaviest per-row work
+    // and would otherwise run inside the input's (often single-task) scan
+    // stage; every downstream pass (128-hash MinHash signatures, banding,
+    // Jaccard verify) inherits this frame's partitioning, so floor it
+    // here once (r21, guide §2.6; no-op at scale)
+    Par.floor(df.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
+      .select(col("doc_id"),
         shingleHashes(col(textCol), shingleN).as("sh"))
       // docs with no shingles (fewer than n tokens) can't be near-dups and
       // would all collide on the empty signature — drop them before banding
@@ -372,7 +378,12 @@ object Dedup {
     * owns the cache — `.unpersist()` when done (the d07 gate and the
     * document-level entry points below do). */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), simhashOf(col(textCol)).as("sh"))
+    // per-row tokenize+hash signature work fused into the scan stage —
+    // floor its parallelism (r21, guide §2.6; no-op at scale). The
+    // simhashAllPairs verifier's O(n²) Hamming join also streams this
+    // frame, so the floor parallelizes that too.
+    Par.floor(docs.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
+      .select(col("doc_id"), simhashOf(col(textCol)).as("sh"))
       .persist()
 
   /** SimHash near-dup pairs within `maxHamming` (≤ 3 with 4 blocks) from a
@@ -623,8 +634,12 @@ object Dedup {
       seed: Long = 42L, nShards: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // (doc_id, sh, sig) for the batch, materialized once: read by the
-    // monotonicity probe, banding, both verify sides, and the index write
-    val newSig = batch.select(col(idCol).as("doc_id"),
+    // monotonicity probe, banding, both verify sides, and the index write.
+    // Shingling + the 128-hash MinHash signature are the heaviest per-row
+    // work in the pipeline — floor the scan-stage parallelism (r21 §2.6)
+    val newSig = Par.floor(
+        batch.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
+      .select(col("doc_id"),
         shingleHashes(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0) // shingle-less docs can't near-dup; not indexed
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
@@ -717,7 +732,9 @@ object Dedup {
     import graft.operators.IncrementalAgg
     if (!IncrementalAgg.latestVersion(spark, statePath).forall(_ < batchId))
       return
-    val newSig = batch.select(col(idCol).as("doc_id"),
+    val newSig = Par.floor(
+        batch.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
+      .select(col("doc_id"),
         shingleHashes(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
@@ -862,7 +879,11 @@ object Dedup {
     // row-local assignment over the driver-held codebook (the kmeansRound
     // serving kernel) — no corpus×k crossJoin, no per-row window shuffle
     val assigned = Similarity.withNearestCell(
-        emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+        // nearest-cell assignment is per-row k-means serving work fused
+        // into the scan stage — floor its parallelism (r21, guide §2.6);
+        // the checkpointed frame's partitioning then feeds both join sides
+        Par.floor(emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+          "vec_id"),
         "v", Similarity.collectCents(cents))
       .select(col("cell_id"), col("vec_id"), col("v"))
       .localCheckpoint(true) // assign once; both join sides read the block
@@ -908,7 +929,10 @@ object Dedup {
   def embeddingNearDupsExact(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val e = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // O(n²) pair cosines ride the streamed side of the nested-loop join —
+    // floor its scan parallelism (r21, guide §2.6; no-op at scale)
+    val e = Par.floor(
+      emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")), "vec_id")
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         cosineF32(col("a.v"), col("b.v")).as("cosine"))

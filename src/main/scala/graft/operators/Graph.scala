@@ -54,10 +54,12 @@ object Graph {
     * remain, so a 50-iteration run holds one snapshot of disk, not fifty.
     *
     * Checkpoint-dir concurrency: `setCheckpointDir` is session-global
-    * state, so (a) reliable-checkpoint invocations of this method are
-    * SERIALIZED on a process-wide lock (two concurrent pageRanks can
-    * never interleave dir mutations or delete each other's live
-    * snapshots), and (b) the session's checkpoint location is restored
+    * state, so (a) EVERY invocation of this method is SERIALIZED on a
+    * process-wide lock — reliable-checkpoint calls can never interleave
+    * dir mutations or delete each other's live snapshots, and the AQE
+    * coalescing-floor pin's save/set/restore (session-global conf) can
+    * never clobber a concurrent caller's value — and (b) the session's
+    * checkpoint location is restored
     * IMMEDIATELY after each per-iteration checkpoint returns — not at
     * method exit — so an unrelated job calling `Dataset.checkpoint` in
     * the same session inherits our private dir only if its checkpoint
@@ -137,9 +139,18 @@ object Graph {
       val edPlan = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("od")), Seq("src"))
       val par = sc.defaultParallelism
-      val ed = ckAt(base)(
-        if (e.rdd.getNumPartitions < par) edPlan.repartition(par, col("src"))
-        else edPlan)
+      // gate on the MATERIALIZED frame the loop actually scans (r20
+      // advice: e can carry >= par partitions while AQE coalesces the
+      // fresh join shuffle below it — the exact condition this floor
+      // guards against): checkpoint first, inspect, rebalance only if
+      // the landed partition count is below the session's parallelism
+      val ed0 = ckAt(base)(edPlan)
+      val ed =
+        if (ed0.rdd.getNumPartitions < par) {
+          val r = ckAt(base)(ed0.repartition(par, col("src")))
+          Dedup.release(ed0)
+          r
+        } else ed0
       val verts = ckAt(base)(e.select(col("src").as("v"))
         .union(e.select(col("dst").as("v"))).distinct())
       // e is not referenced by the loop (ed and verts are self-contained
@@ -153,6 +164,9 @@ object Graph {
             .select(col("v"), coalesce(col("__pr"), lit(initFp)).as("r"))
         case None => verts.select(col("v"), lit(initFp).as("r"))
       })
+      // the loop plants its zero rows from the rank vector itself (same
+      // key set — see iterationPlan), so verts is init-only state now
+      Dedup.release(verts)
       // the dir holding the PREVIOUS iteration's vector files (None while
       // that vector still lives under base/ with the shared frames)
       var prevIterDir: Option[String] = None
@@ -162,12 +176,16 @@ object Graph {
         it += 1
         val iterDir = privRoot.map(r => s"$r/it$it")
         val next = ckAt(iterDir)(
-          iterationPlan(ed, verts, ranks, dampNum, dampDen, teleportFp))
-        // exact integer stopping rule — evaluated BEFORE the previous
-        // vector's files go away (the delta join reads both vectors)
+          iterationPlan(ed, ranks, dampNum, dampDen, teleportFp,
+            withDelta = tolFp.isDefined))
+        // exact integer stopping rule, folded into the iteration's own
+        // shuffle (r21, guide §2.4): the planted zero-contribution row
+        // carries the vertex's PREVIOUS rank through the aggregation, so
+        // the materialized vector already holds |Δrank_fp| per vertex —
+        // one scalar aggregate over the checkpointed frame instead of a
+        // per-iteration ranks⋈next join job
         converged = tolFp.exists { t =>
-          val d = ranks.as("a").join(next.as("b"), Seq("v"))
-            .agg(max(abs(col("a.r") - col("b.r"))).as("d")).head
+          val d = next.agg(max(col("d"))).head
           !d.isNullAt(0) && d.getLong(0) < t
         }
         Dedup.release(ranks)
@@ -181,7 +199,7 @@ object Graph {
       // the final vector is a self-contained checkpoint — the shared
       // frames it was built from (base/) can be freed now; only the
       // returned vector's files survive the call
-      Seq(ed, verts).foreach(Dedup.release)
+      Dedup.release(ed)
       privRoot.foreach(r => rmDir(s"$r/base"))
       ranks.select(col("v").as("vertex"), col("r").as("rank_fp"))
     }
@@ -195,17 +213,23 @@ object Graph {
     // after; scale-safe because it IS the upstream default, and at real
     // vector sizes bytes/parallelism exceeds it anyway.
     val floorKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-    val savedFloor = try Some(spark.conf.get(floorKey))
-      catch { case _: Throwable => None }
-    spark.conf.set(floorKey, "1m")
-    try {
-      // reliable-checkpoint invocations serialize process-wide: two
-      // concurrent pageRanks must never interleave checkpoint-dir mutation
-      // or delete each other's live snapshots
-      if (privRoot.isDefined) CkptSerial.synchronized(run()) else run()
-    } finally savedFloor match {
-      case Some(v) => spark.conf.set(floorKey, v)
-      case None => spark.conf.unset(floorKey)
+    // The ENTIRE save/set/run/restore sequence holds the process-wide
+    // lock — for BOTH checkpoint modes (r20 advice: the pin mutates
+    // session-global conf, so an unserialized localCheckpoint-path
+    // invocation racing another pageRank could capture the pinned value
+    // as "saved" and clobber the caller's session setting). Reliable-
+    // checkpoint invocations needed the same lock anyway (checkpoint-dir
+    // mutation); the bench/verify paths are serial, so the widened
+    // critical section costs nothing there.
+    CkptSerial.synchronized {
+      val savedFloor = try Some(spark.conf.get(floorKey))
+        catch { case _: Throwable => None }
+      spark.conf.set(floorKey, "1m")
+      try run()
+      finally savedFloor match {
+        case Some(v) => spark.conf.set(floorKey, v)
+        case None => spark.conf.unset(floorKey)
+      }
     }
   }
 
@@ -213,29 +237,44 @@ object Graph {
     * exact unit [[pageRankFixedPoint]] materializes per iteration, shared
     * with the plan-audit probe (tools/PrIterPlan) so committed plan
     * evidence is produced by the production code path. `ed` is the
-    * degree-annotated edge frame (src, dst, od); `ranks` is (v, r). */
+    * degree-annotated edge frame (src, dst, od); `ranks` is (v, r).
+    *
+    * The planted zero-contribution row per vertex (one shuffle per
+    * iteration, r20 §2.4) now comes from the RANK VECTOR instead of the
+    * vertex set — the two frames carry the identical key set by
+    * construction (r₀ is keyed on verts; every iteration's grouped key
+    * set is planted-keys ∪ contribution-dsts ⊆ verts), so the Long sum
+    * is bit-identical while the loop stops scanning `verts` entirely.
+    *
+    * `withDelta` additionally rides the vertex's previous rank through
+    * the planted row (exactly one planted row per vertex, so max(p)
+    * recovers it) and emits d = |r_new − r_prev| — the convergence
+    * check's per-iteration ranks⋈next join folded into the iteration's
+    * own aggregation (r21, guide §2.4). */
   private[graft] def iterationPlan(
-      ed: DataFrame, verts: DataFrame, ranks: DataFrame,
-      dampNum: Long, dampDen: Long, teleportFp: Long): DataFrame = {
-    // one shuffle per iteration (r20, guide §2.4): the old shape
-    // aggregated contributions BY v and then LEFT-joined the vertex set
-    // (a second join + broadcast build per round, with coalesce(s, 0)
-    // supplying zero in-flow). Planting an explicit zero contribution
-    // per vertex into the SAME aggregation folds both into one
-    // partial-aggregating shuffle: Σ over the union is the identical
-    // Long sum when in-flow exists and exactly 0 (the planted row) when
-    // it does not — bit-identical to coalesce(s, 0), no join.
-    val contrib = ed
-      .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+      ed: DataFrame, ranks: DataFrame,
+      dampNum: Long, dampDen: Long, teleportFp: Long,
+      withDelta: Boolean = false): DataFrame = {
+    val contrib0 = ed
+      .join(ranks.select(col("v").as("src"), col("r")), Seq("src"))
       .select(col("dst").as("v"), expr("r div od").as("c"))
-    verts.select(col("v"), lit(0L).as("c"))
-      .unionByName(contrib)
-      .groupBy(col("v")).agg(sum(col("c")).as("s"))
-      .select(col("v"),
-        (lit(teleportFp) +
-          expr(s"(s * $dampNum) div $dampDen")).as("r"))
+    val rNew = (lit(teleportFp) + expr(s"(s * $dampNum) div $dampDen"))
+    if (withDelta) {
+      ranks.select(col("v"), lit(0L).as("c"), col("r").as("p"))
+        .unionByName(contrib0
+          .select(col("v"), col("c"), lit(null).cast("long").as("p")))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("s"), max(col("p")).as("p"))
+        .select(col("v"), rNew.as("r"), abs(rNew - col("p")).as("d"))
+    } else {
+      ranks.select(col("v"), lit(0L).as("c"))
+        .unionByName(contrib0)
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+        .select(col("v"), rNew.as("r"))
+    }
   }
 
-  /** Process-wide serialization of reliable-checkpoint invocations. */
+  /** Process-wide serialization of [[pageRankFixedPoint]] invocations
+    * (checkpoint-dir mutation + the AQE floor pin's conf save/restore). */
   private val CkptSerial = new Object
 }

@@ -268,7 +268,10 @@ object Packing {
         .otherwise(call_function("div",
           col("n_tokens") - chunkSize + (stride - 1), lit(stride.toLong)) + 1L)
     val start = col("chunk_id") * stride
-    docs
+    // tokenization + windowing are per-row CPU fused into the input's
+    // scan stage — floor its parallelism (r21, guide §2.6; chunk_id is a
+    // per-doc sequence, so placement cannot change any output value)
+    Par.floor(docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"),

@@ -117,45 +117,55 @@ object Pipelines {
     val id = col(idCol)
     val bench = docs.filter(pmod(id, lit(97)) === 3)
       .select(id, col(textCol))
-    val corpus = docs.filter(pmod(id, lit(97)) =!= 3)
-      .select(id, col(sourceCol).as("source"), col(textCol))
+    // the Gopher regex/token signals are the pipeline's heaviest per-row
+    // work and run fused into the corpus scan stage — floor its
+    // parallelism (r21, guide §2.6; no-op at scale)
+    val corpus = Par.floor(docs.filter(pmod(id, lit(97)) =!= 3)
+      .select(id, col(sourceCol).as("source"), col(textCol)), idCol)
 
+    // ONE materialized quality pass feeds BOTH stage aggregates (r21:
+    // qAgg and jAgg previously each re-derived the gopherRules join in
+    // their own lineage — a duplicate corpus-sized text pass)
     val flagged = corpus.join(
       TextAnalysis.gopherRules(corpus, idCol, textCol)
         .select(id, col("ok_count"), col("ok_len"), col("ok_alpha"),
           col("keep")),
       Seq(idCol))
+      .localCheckpoint(true)
     val qreason = when(col("keep"), "kept")
       .when(!col("ok_count"), "fail_count")
       .when(!col("ok_len"), "fail_len")
       .when(!col("ok_alpha"), "fail_alpha")
       .otherwise("fail_stop")
-    val qAgg = flagged.groupBy(col("source"), qreason.as("reason"))
-      .agg(count(lit(1)).as("n_docs"), sum(id).as("id_sum"))
-      .localCheckpoint(true)
+    val (qAgg, jAgg) = try {
+      val q = flagged.groupBy(col("source"), qreason.as("reason"))
+        .agg(count(lit(1)).as("n_docs"), sum(id).as("id_sum"))
+        .localCheckpoint(true)
 
-    val kept = flagged.filter(col("keep"))
-      .select(id, col("source"), col(textCol))
-    val reps = Dedup.exactDedup(kept, idCol, textCol)
-    val dirtyIds = Contamination
-      .contaminationScores(reps, bench, idCol, textCol)
-      .filter(col("contamination") >= contaminationThreshold)
-      .select(col("doc_id").as(idCol), lit(true).as("__dirty"))
-    val h = substring(md5(id.cast("string")), 1, 1)
-    // each quality survivor's EXCLUSIVE final fate in one frame
-    val fate = kept
-      .join(reps.select(id, lit(true).as("__rep")), Seq(idCol), "left")
-      .join(dirtyIds, Seq(idCol), "left")
-      .select(col("source"),
-        when(col("__rep").isNull, "exact_duplicate")
-          .when(col("__dirty").isNotNull, "contaminated")
-          .when(h.isin("c", "d"), "val")
-          .when(h.isin("e", "f"), "test")
-          .otherwise("train").as("reason"),
-        id)
-    val jAgg = fate.groupBy(col("source"), col("reason"))
-      .agg(count(lit(1)).as("n_docs"), sum(id).as("id_sum"))
-      .localCheckpoint(true)
+      val kept = flagged.filter(col("keep"))
+        .select(id, col("source"), col(textCol))
+      val reps = Dedup.exactDedup(kept, idCol, textCol)
+      val dirtyIds = Contamination
+        .contaminationScores(reps, bench, idCol, textCol)
+        .filter(col("contamination") >= contaminationThreshold)
+        .select(col("doc_id").as(idCol), lit(true).as("__dirty"))
+      val h = substring(md5(id.cast("string")), 1, 1)
+      // each quality survivor's EXCLUSIVE final fate in one frame
+      val fate = kept
+        .join(reps.select(id, lit(true).as("__rep")), Seq(idCol), "left")
+        .join(dirtyIds, Seq(idCol), "left")
+        .select(col("source"),
+          when(col("__rep").isNull, "exact_duplicate")
+            .when(col("__dirty").isNotNull, "contaminated")
+            .when(h.isin("c", "d"), "val")
+            .when(h.isin("e", "f"), "test")
+            .otherwise("train").as("reason"),
+          id)
+      val j = fate.groupBy(col("source"), col("reason"))
+        .agg(count(lit(1)).as("n_docs"), sum(id).as("id_sum"))
+        .localCheckpoint(true)
+      (q, j)
+    } finally Dedup.release(flagged)
 
     // every stage row below is algebra over the two tiny aggregates
     def tag(df: DataFrame, ord: Int, stage: String) =

@@ -29,7 +29,12 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // the streamed side of the broadcast nested-loop join carries the
+    // O(|corpus|·|probes|) cosine work — floor its scan parallelism
+    // (r21, guide §2.6; no-op at scale, see Par.floor)
+    val c = Par.floor(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id")
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
@@ -60,9 +65,10 @@ object Similarity {
     // dot is the codegen'd dot_i8 kernel — the HOF aggregate(zip_with)
     // formulation is CodegenFallback and re-enters the interpreter per
     // element on the corpus×probes hot path
-    val c = corpusCodes.select(col(idCol).as("neighbor_id"),
+    val c = Par.floor(corpusCodes.select(col(idCol).as("neighbor_id"),
       col(codesCol).as("cq"),
-      sqrt(normSqI8(col(codesCol)).cast("double")).as("__cn"))
+      sqrt(normSqI8(col(codesCol)).cast("double")).as("__cn")),
+      "neighbor_id")
     val p = probeCodes.select(col(idCol).as("probe_id"),
       col(codesCol).as("pq"),
       sqrt(normSqI8(col(codesCol)).cast("double")).as("__pn"))
@@ -132,8 +138,9 @@ object Similarity {
       emb: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, labelCol: String,
       kNeg: Int): DataFrame = {
-    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      col(labelCol).as("n_label"))
+    val c = Par.floor(
+      emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("n_label")), "neighbor_id")
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
       col(labelCol).as("p_label"))
     val scored = c.crossJoin(broadcast(p))
@@ -163,7 +170,10 @@ object Similarity {
   def bruteForceTopKInnerProduct(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // same streamed-side parallelism floor as bruteForceTopK
+    val c = Par.floor(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id")
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
@@ -405,12 +415,15 @@ object Similarity {
     require(nProbes.nonEmpty)
     // both the index and the brute-force baseline are shared by every
     // nProbe setting's subtree — materialize each ONCE instead of
-    // re-deriving them |nProbes| times in the unioned plan
-    val index = ivfBuildIndex(corpus, idCol, vecCol, cents)
-      .localCheckpoint(true)
-    val bf = bruteForceTopK(corpus, probes, idCol, vecCol, k)
-      .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
-      .localCheckpoint(true)
+    // re-deriving them |nProbes| times in the unioned plan; the two
+    // materializations are independent, so they run CONCURRENTLY
+    // (r21, guide §2.6)
+    val (index, bf) = Par.join2(
+      ivfBuildIndex(corpus, idCol, vecCol, cents)
+        .localCheckpoint(true),
+      bruteForceTopK(corpus, probes, idCol, vecCol, k)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+        .localCheckpoint(true))
     try {
       nProbes.map { np =>
         val ivf = ivfTopKFromIndex(index, cents, probes, idCol, vecCol, k, np)
@@ -458,12 +471,15 @@ object Similarity {
       sourceDim: Int = 64, targetDim: Int = 16,
       prebuiltIndex: Option[DataFrame] = None): DataFrame = {
     require(shortlists.nonEmpty)
-    val index = prebuiltIndex
-      .getOrElse(jlBuildIndex(corpus, idCol, vecCol, sourceDim, targetDim))
-      .localCheckpoint(true)
-    val bf = bruteForceTopK(corpus, probes, idCol, vecCol, k)
-      .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
-      .localCheckpoint(true)
+    // index and baseline are independent — materialize concurrently
+    // (r21, guide §2.6)
+    val (index, bf) = Par.join2(
+      prebuiltIndex
+        .getOrElse(jlBuildIndex(corpus, idCol, vecCol, sourceDim, targetDim))
+        .localCheckpoint(true),
+      bruteForceTopK(corpus, probes, idCol, vecCol, k)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+        .localCheckpoint(true))
     try {
       recallAt(sl => jlTopKFromIndex(index, corpus, probes, idCol, vecCol,
           k, sl, sourceDim, targetDim), bf, shortlists)
@@ -488,31 +504,38 @@ object Similarity {
       seed: Long = 42L,
       pretrained: Option[Seq[(Int, Int, Array[Float])]] = None): DataFrame = {
     require(shortlists.nonEmpty)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      l2normalize(col(vecCol)).as("__nv")).localCheckpoint(true)
-    val p = probes.select(col(idCol).as("probe_id"),
-      l2normalize(col(vecCol)).as("__pv")).localCheckpoint(true)
-    val bf = bruteForceTopK(
-        c.select(col("neighbor_id").as(idCol), col("__nv").as(vecCol)),
-        p.select(col("probe_id").as(idCol), col("__pv").as(vecCol)),
-        idCol, vecCol, k)
-      .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
-      .localCheckpoint(true)
+    // the two normalized sides are independent — materialize concurrently,
+    // then overlap the baseline with the codebook-train + encode chain
+    // (r21, guide §2.6; each job is unchanged, only submission overlaps)
+    val (c, p) = Par.join2(
+      corpus.select(col(idCol).as("neighbor_id"),
+        l2normalize(col(vecCol)).as("__nv")).localCheckpoint(true),
+      probes.select(col(idCol).as("probe_id"),
+        l2normalize(col(vecCol)).as("__pv")).localCheckpoint(true))
     try {
       // train ONCE to a driver-held codebook (m×ksub×subdim floats) so the
       // per-setting plans bake a literal codebook instead of re-running
       // the k-means subtree |shortlists| times; an offline-trained
       // codebook (the e08 memoized tier) passes through untouched
-      val cents = pqCodebookDF(corpus.sparkSession, pretrained.getOrElse(
-        pqTrainCollected(c, "neighbor_id", "__nv", m, ksub, iters, seed)))
-      val codes = pqEncode(cents, c, "neighbor_id", "__nv", m)
-        .localCheckpoint(true)
+      val (bf, (cents, codes)) = Par.join2(
+        bruteForceTopK(
+            c.select(col("neighbor_id").as(idCol), col("__nv").as(vecCol)),
+            p.select(col("probe_id").as(idCol), col("__pv").as(vecCol)),
+            idCol, vecCol, k)
+          .select(col("probe_id"), col("neighbor_id"), lit(1).as("in_bf"))
+          .localCheckpoint(true),
+        {
+          val ce = pqCodebookDF(corpus.sparkSession, pretrained.getOrElse(
+            pqTrainCollected(c, "neighbor_id", "__nv", m, ksub, iters, seed)))
+          (ce, pqEncode(ce, c, "neighbor_id", "__nv", m)
+            .localCheckpoint(true))
+        })
       try {
         recallAt(sl => pqTopKFromIndexNormalized(cents, codes, c, p, k, m, sl),
             bf, shortlists)
           .localCheckpoint(true)
-      } finally Dedup.release(codes)
-    } finally { Dedup.release(c); Dedup.release(p); Dedup.release(bf) }
+      } finally { Dedup.release(codes); Dedup.release(bf) }
+    } finally { Dedup.release(c); Dedup.release(p) }
   }
 
   /** Build the IVF serving index over a FROZEN quantizer: each corpus
@@ -1325,7 +1348,9 @@ object Similarity {
       .withColumn("__qss", dotI64(col("__qv"), col("__qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_q").desc, col("doc_id").asc, col("chunk_id").asc)
-    index.crossJoin(broadcast(q))
+    // the streamed index side carries the O(|chunks|·|queries|) dot/cosine
+    // work — floor its scan parallelism (r21, guide §2.6)
+    Par.floor(index, "doc_id").crossJoin(broadcast(q))
       .withColumn("__dot", dotI64(col("__cv"), col("__qv")))
       .withColumn("cos_q",
         when(col("__css") > 0 && col("__qss") > 0,
@@ -1787,7 +1812,10 @@ object Similarity {
       src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
       k: Int, tauNum: Long = 105L, tauDen: Long = 100L): DataFrame = {
     require(k >= 1 && tauNum > 0 && tauDen > 0)
-    val a = src.select(col(idCol).as("src_id"), col(vecCol).as("__va"))
+    // O(|src|·|tgt|) pair cosines ride the cross join's streamed side —
+    // floor its scan parallelism (r21, guide §2.6; no-op at scale)
+    val a = Par.floor(
+      src.select(col(idCol).as("src_id"), col(vecCol).as("__va")), "src_id")
     val b = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__vb"))
     val pairs = a.crossJoin(b)
       .select(col("src_id"), col("tgt_id"),

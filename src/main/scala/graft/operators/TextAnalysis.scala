@@ -815,7 +815,9 @@ object TextAnalysis {
     // never silently dropped — the audit contract is one output row per
     // input doc; the guarded divisions emit 0.0 instead of NaN there
     val n = size(col("toks"))
-    docs
+    // per-row tokenize/regex work fused into the scan stage — floor its
+    // parallelism (r21, guide §2.6; no-op at scale)
+    Par.floor(docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol),
         n.cast("long").as("n_words"),
@@ -943,7 +945,11 @@ object TextAnalysis {
     // ONE corpus pass: per-doc histograms, row-local, pre-sorted in rank
     // order. Materialized (docs-count rows, top-n structs each) because
     // both the lang-profile build and the classification read it.
-    val hist = docs.select(col(idCol), col(langCol),
+    val hist = Par.floor(
+        docs.select(col(idCol), col(langCol), col(textCol)), idCol)
+      .select(col(idCol), col(langCol),
+        // the per-row O(len + d·log d) histogram kernel is the corpus
+        // pass — floor its scan parallelism (r21, guide §2.6)
         graft.functions.GraftFunctions.charNgramCountsOf(col(textCol), 3)
           .as("gc"))
       .localCheckpoint()

@@ -136,7 +136,12 @@ object StreamQueries {
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    // GRAFT_STATE_PARTITIONS overrides the per-row default for A/B
+    // measurement of the state-partition sizing decision (it cannot be
+    // changed after a checkpoint exists, so rows choose it up front)
+    val eff = sys.env.get("GRAFT_STATE_PARTITIONS")
+      .map(_.toInt).getOrElse(n)
+    s.conf.set(key, eff.toString)
     try body finally s.conf.set(key, prev)
   }
 

@@ -32,11 +32,20 @@ object MiniBench {
     // box-noise control): MINI_AB_CONF="spark.sql.x=v1|v2" alternates the
     // conf per rep and reports min per side.
     val ab = sys.env.get("MINI_AB_CONF").map { s =>
-      val Array(k, vs) = s.split("=", 2); (k, vs.split("\\|"))
+      // r20 advice: a missing '=' threw an opaque MatchError
+      s.split("=", 2) match {
+        case Array(k, vs) if vs.nonEmpty => (k, vs.split("\\|"))
+        case _ => sys.error(
+          s"MINI_AB_CONF must be <conf.key>=<v1>|<v2>[|...], got: $s")
+      }
     }
     for (n <- names) {
       ab match {
         case Some((key, vals)) =>
+          // restore the SESSION-BUILDER value afterwards, not the Spark
+          // default (r20 advice: unset reverted e.g. the 128k
+          // minPartitionSize to 1m for the rest of the JVM)
+          val saved = spark.conf.getOption(key)
           val best = Array.fill(vals.length)(Double.MaxValue)
           for (r <- 1 to reps; (v, i) <- vals.zipWithIndex) {
             spark.conf.set(key, v)
@@ -46,7 +55,10 @@ object MiniBench {
             SparkEntry.queries(n)(spark, sfDir).count()
             best(i) = math.min(best(i), (System.nanoTime() - t0) / 1e9)
           }
-          spark.conf.unset(key)
+          saved match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
           println(f"[mini] $n AB $key: " + vals.zip(best)
             .map { case (v, b) => f"$v=$b%.3f" }.mkString("  "))
         case None =>

@@ -49,10 +49,15 @@ object PrIterPlan {
       .select(col("v"), (lit(150000000L) +
         expr("(coalesce(s, cast(0 as bigint)) * 85) div 100")).as("r"))
       .explain("formatted")
-    println("=== AFTER (r20 production loop body: Graph.iterationPlan over" +
-      " the hoisted (src, dst, od) frame) ===")
-    graft.operators.Graph.iterationPlan(ed, verts, ranks, 85L, 100L,
+    println("=== AFTER (production loop body: Graph.iterationPlan over" +
+      " the hoisted (src, dst, od) frame; zero rows planted from the" +
+      " rank vector — r21) ===")
+    graft.operators.Graph.iterationPlan(ed, ranks, 85L, 100L,
       150000000L).explain("formatted")
+    println("=== AFTER+DELTA (r21 tolFp loop body: previous rank rides" +
+      " the planted row; convergence is a scalar agg, no join) ===")
+    graft.operators.Graph.iterationPlan(ed, ranks, 85L, 100L,
+      150000000L, withDelta = true).explain("formatted")
     spark.stop()
   }
 }

@@ -46,7 +46,7 @@ object PrSetupProbe {
       val ranks = t("ranks0_ckpt")(
         verts.select(col("v"), lit(1000000000L).as("r")).localCheckpoint(true))
       val next = t("iter1")(graft.operators.Graph.iterationPlan(
-        ed, verts, ranks, 85L, 100L, 150000000L).localCheckpoint(true))
+        ed, ranks, 85L, 100L, 150000000L).localCheckpoint(true))
       println(s"[prsetup] next_rows=${next.count()}")
       println(s"[prsetup] parts e=${e.rdd.getNumPartitions} " +
         s"ed=${ed.rdd.getNumPartitions} verts=${verts.rdd.getNumPartitions} " +
