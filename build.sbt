@@ -22,6 +22,9 @@ run / fork := true
 // line Bench prints last IS the last stdout line of the invocation.
 outputStrategy := Some(StdoutOutput)
 showSuccess := false
+// showSuccess is read by sbt's command engine, not another task — the
+// unused-key lint is a false positive here
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

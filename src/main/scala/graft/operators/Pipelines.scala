@@ -117,20 +117,18 @@ object Pipelines {
     val id = col(idCol)
     val bench = docs.filter(pmod(id, lit(97)) === 3)
       .select(id, col(textCol))
-    // the Gopher regex/token signals are the pipeline's heaviest per-row
-    // work and run fused into the corpus scan stage — floor its
-    // parallelism (r21, guide §2.6; no-op at scale)
-    val corpus = Par.floor(docs.filter(pmod(id, lit(97)) =!= 3)
-      .select(id, col(sourceCol).as("source"), col(textCol)), idCol)
+    // (the Gopher pass below floors its own scan parallelism)
+    val corpus = docs.filter(pmod(id, lit(97)) =!= 3)
+      .select(id, col(sourceCol).as("source"), col(textCol))
 
     // ONE materialized quality pass feeds BOTH stage aggregates (r21:
     // qAgg and jAgg previously each re-derived the gopherRules join in
-    // their own lineage — a duplicate corpus-sized text pass)
-    val flagged = corpus.join(
-      TextAnalysis.gopherRules(corpus, idCol, textCol)
-        .select(id, col("ok_count"), col("ok_len"), col("ok_alpha"),
-          col("keep")),
-      Seq(idCol))
+    // their own lineage — a duplicate corpus-sized text pass), and the
+    // source/text columns ride THROUGH the gopher pass instead of a
+    // corpus-sized join-back (the r21 StageCensus: that join shuffled
+    // the text twice and built the planted corpus on both sides)
+    val flagged = TextAnalysis.gopherRulesCarry(corpus, idCol, textCol,
+        Seq("the", "a"), Seq("source", textCol))
       .localCheckpoint(true)
     val qreason = when(col("keep"), "kept")
       .when(!col("ok_count"), "fail_count")

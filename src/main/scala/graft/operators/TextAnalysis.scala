@@ -810,25 +810,38 @@ object TextAnalysis {
       // list" (theirs: the/be/to/of/and/that/have/with). The driver corpus
       // carries exactly two function words, so the default list is
       // calibrated to it; real-corpus callers pass the full list.
-      stops: Seq[String] = Seq("the", "a")): DataFrame = {
+      stops: Seq[String] = Seq("the", "a")): DataFrame =
+    gopherRulesCarry(docs, idCol, textCol, stops, Nil)
+
+  /** [[gopherRules]] with extra input columns CARRIED through the pass —
+    * for pipelines (d79) that need the flags alongside other row columns:
+    * carrying them avoids a corpus-sized join-back against the input
+    * (the r21 d79 census: that join shuffled the text twice and
+    * recomputed the planted-corpus construction on both sides). The flag
+    * expressions are shared verbatim, so gopherRules' own output is
+    * byte-identical. */
+  private[graft] def gopherRulesCarry(
+      docs: DataFrame, idCol: String, textCol: String,
+      stops: Seq[String], carry: Seq[String]): DataFrame = {
     // a zero-token doc is REJECTED WITH FLAGS (n_words=0 fails ok_count),
     // never silently dropped — the audit contract is one output row per
     // input doc; the guarded divisions emit 0.0 instead of NaN there
     val n = size(col("toks"))
     // per-row tokenize/regex work fused into the scan stage — floor its
     // parallelism (r21, guide §2.6; no-op at scale)
-    Par.floor(docs.select(col(idCol), col(textCol)), idCol)
-      .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol),
-        n.cast("long").as("n_words"),
+    Par.floor(docs.select((idCol +: carry :+ textCol).distinct.map(col): _*),
+        idCol)
+      .select(col(idCol) +: carry.map(col) :+ tokens(col(textCol)).as("toks"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        n.cast("long").as("n_words") :+
         // total word chars via join-and-measure: replicable in any engine
         when(n > 0, length(concat_ws("", col("toks"))).cast("double") / n)
-          .otherwise(lit(0.0)).as("mean_word_len"),
+          .otherwise(lit(0.0)).as("mean_word_len") :+
         when(n > 0,
           size(filter(col("toks"), t => t.rlike("\\p{L}"))).cast("double") / n)
-          .otherwise(lit(0.0)).as("alpha_frac"),
+          .otherwise(lit(0.0)).as("alpha_frac") :+
         size(array_intersect(array_distinct(col("toks")),
-          array(stops.map(lit): _*))).cast("long").as("n_stop"))
+          array(stops.map(lit): _*))).cast("long").as("n_stop"): _*)
       .withColumn("ok_count", col("n_words") >= 50 && col("n_words") <= 100000)
       .withColumn("ok_len",
         col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)

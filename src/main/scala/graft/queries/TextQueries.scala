@@ -147,6 +147,12 @@ object TextQueries {
           nCells = 8, iters = 2, seed = 42L)
         val dir = new java.io.File(indexTmpDir("chunkivf"), "index").toString
         Similarity.chunkIvfIndex(index, cb)
+          // hash-distribute by the partition column before the write
+          // (guide §6 / Iceberg write.distribution-mode=hash): one file
+          // per cell dir instead of (input partitions × cells) shards —
+          // the floored chunking pass would otherwise fragment the
+          // DPP-pruned serve scan into 32× small files
+          .repartition(col("cell_id"))
           .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
         (cb, dir)
       } finally graft.operators.Dedup.release(index)
@@ -200,6 +206,12 @@ object TextQueries {
           nCells = 8, iters = 2, seed = 42L)
         val dir = new java.io.File(indexTmpDir("evalivf"), "index").toString
         Similarity.chunkIvfIndex(index, cb)
+          // hash-distribute by the partition column before the write
+          // (guide §6 / Iceberg write.distribution-mode=hash): one file
+          // per cell dir instead of (input partitions × cells) shards —
+          // the floored chunking pass would otherwise fragment the
+          // DPP-pruned serve scan into 32× small files
+          .repartition(col("cell_id"))
           .write.mode("overwrite").partitionBy("cell_id").parquet(dir)
         (cb, dir)
       } finally graft.operators.Dedup.release(index)
